@@ -1,0 +1,91 @@
+package graft.quality
+
+import graft.config.{InSetCheck, QualitySpec, RangeCheck}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Q1-Q7 — declarative data-quality checks
+  * (reference: silver/jobs/quality_checks.py, bronze/ingestors/
+  * ingest_to_iceberg.py:526-597, src/data_quality/great_expectations.py).
+  *
+  * Scale notes: unlike the reference (one `filter(...).count()` job per
+  * check), every check here is a conditional aggregate, so ALL checks over a
+  * table fuse into ONE scan + ONE partial/final aggregate — at 100 TB this is
+  * the difference between N full scans and one. Checks referencing missing
+  * columns are skipped gracefully (reference semantics,
+  * quality_checks.py:49-51).
+  */
+object Checks {
+
+  /** Q1 — null counts per column as a single-row DataFrame (one pass). */
+  def nullCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val present = columns.filter(df.columns.contains)
+    val aggs = present.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Q2 — count of values <= 0 per column, one pass. */
+  def nonPositiveCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val present = columns.filter(df.columns.contains)
+    val aggs = present.map(c =>
+      count(when(col(c) <= 0, 1)).as(s"${c}_non_positive"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Q3 — below-min / above-max counts for each range check, one pass
+    * (quality_checks.py:35-63). */
+  def rangeViolations(df: DataFrame, checks: Seq[RangeCheck]): DataFrame = {
+    val aggs = checks.filter(c => df.columns.contains(c.column)).flatMap { c =>
+      val lo = c.min.map(m =>
+        count(when(col(c.column) < lit(m), 1)).as(s"${c.column}_below_min"))
+      val hi = c.max.map(m =>
+        count(when(col(c.column) > lit(m), 1)).as(s"${c.column}_above_max"))
+      lo.toSeq ++ hi.toSeq
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Q4 — count of values outside the allowed set
+    * (great_expectations.py:306-318). */
+  def notInSetCounts(df: DataFrame, checks: Seq[InSetCheck]): DataFrame = {
+    val aggs = checks.filter(c => df.columns.contains(c.column)).map { c =>
+      count(when(!col(c.column).isin(c.allowed: _*), 1))
+        .as(s"${c.column}_not_in_set")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Driver-side check result, for the orchestrator / fail_on_error gate. */
+  final case class CheckResult(check: String, column: String, failedCount: Long) {
+    def passed: Boolean = failedCount == 0L
+  }
+
+  /** Run a full QualitySpec in ONE job: all checks become columns of a single
+    * aggregate row, then split into per-check results driver-side. */
+  def run(df: DataFrame, spec: QualitySpec): Seq[CheckResult] = {
+    val aggs: Seq[(String, String, org.apache.spark.sql.Column)] =
+      spec.nullCheckColumns.filter(df.columns.contains).map(c =>
+        ("null_check", c, sum(when(col(c).isNull, 1L).otherwise(0L)))) ++
+      spec.positiveColumns.filter(df.columns.contains).map(c =>
+        ("positive_values", c, count(when(col(c) <= 0, 1)))) ++
+      spec.rangeChecks.filter(c => df.columns.contains(c.column)).map { c =>
+        val bad = (c.min, c.max) match {
+          case (Some(lo), Some(hi)) => col(c.column) < lit(lo) || col(c.column) > lit(hi)
+          case (Some(lo), None)     => col(c.column) < lit(lo)
+          case (None, Some(hi))     => col(c.column) > lit(hi)
+          case _                    => lit(false)
+        }
+        ("range_check", c.column, count(when(bad, 1)))
+      } ++
+      spec.inSetChecks.filter(c => df.columns.contains(c.column)).map(c =>
+        ("in_set", c.column, count(when(!col(c.column).isin(c.allowed: _*), 1))))
+    if (aggs.isEmpty) return Nil
+    val row: Row = df.agg(aggs.head._3.as("c0"),
+      aggs.tail.zipWithIndex.map { case ((_, _, a), i) => a.as(s"c${i + 1}") }: _*)
+      .head()
+    aggs.zipWithIndex.map { case ((check, column, _), i) =>
+      CheckResult(check, column, row.getLong(i))
+    }
+  }
+}
