@@ -202,11 +202,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // P1/P2/P4/P5 — silver chain: rename → cast → filter (incl col-vs-col)
+    // P1/P2/P4/P5 — silver chain: rename → cast → filter (incl col-vs-col).
+    // The compared cast is double→bigint on integral quantities (lossless and
+    // identical across engines); double→decimal casts round differently in
+    // Spark vs DuckDB on half-way binary doubles, so decimal casts are
+    // exercised in TransformSpec, not in an oracle-compared projection.
     "q13_silver_chain" -> ((s, dir) => {
       Transform(SilverSpec(
         renames = Seq("l_extendedprice" -> "price", "l_quantity" -> "qty"),
-        casts = Seq(CastSpec("price", "decimal(12,2)")),
+        casts = Seq(CastSpec("qty", "bigint")),
         filters = Seq("qty > 0", "l_discount < l_tax",
           "l_shipdate < timestamp'2001-01-01 00:00:00'")))(
         Tables.load(s, dir, "lineitem"))
@@ -355,16 +359,16 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q13_silver_chain" ->
       """SELECT l_orderkey, l_linenumber,
-        | CAST(l_extendedprice AS DECIMAL(12,2)) AS price, l_quantity AS qty
+        | l_extendedprice AS price, CAST(l_quantity AS BIGINT) AS qty
         |FROM lineitem
         |WHERE l_quantity > 0 AND l_discount < l_tax
         |  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q14_null_counts" ->
-      """SELECT CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
-        | CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
-        | CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
-        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls
+      """SELECT count(CASE WHEN event_id IS NULL THEN 1 END) AS event_id_nulls,
+        | count(CASE WHEN user_id IS NULL THEN 1 END) AS user_id_nulls,
+        | count(CASE WHEN event_type IS NULL THEN 1 END) AS event_type_nulls,
+        | count(CASE WHEN value IS NULL THEN 1 END) AS value_nulls
         |FROM events""".stripMargin,
     "q15_range_check" ->
       """SELECT count(CASE WHEN l_quantity < 1.0 THEN 1 END) AS l_quantity_below_min,

@@ -17,20 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Checks {
 
-  /** Q1 — null counts per column as a single-row DataFrame (one pass). */
-  def nullCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val present = columns.filter(df.columns.contains)
-    val aggs = present.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+  /** All requested columns/checks missing → the reference skips gracefully
+    * (quality_checks.py:49-51); an aggregate over zero expressions can't be
+    * built, so fail fast with a clear message rather than aggs.head NSEE. */
+  private def aggRow(df: DataFrame, aggs: Seq[org.apache.spark.sql.Column],
+      what: String): DataFrame = {
+    require(aggs.nonEmpty,
+      s"$what: none of the requested columns exist in [${df.columns.mkString(",")}]")
     df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Q1 — null counts per column as a single-row DataFrame (one pass).
+    * count(when(...)) never returns NULL (unlike sum over an empty table). */
+  def nullCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.filter(df.columns.contains).map(c =>
+      count(when(col(c).isNull, 1)).as(s"${c}_nulls"))
+    aggRow(df, aggs, "nullCounts")
   }
 
   /** Q2 — count of values <= 0 per column, one pass. */
   def nonPositiveCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val present = columns.filter(df.columns.contains)
-    val aggs = present.map(c =>
+    val aggs = columns.filter(df.columns.contains).map(c =>
       count(when(col(c) <= 0, 1)).as(s"${c}_non_positive"))
-    df.agg(aggs.head, aggs.tail: _*)
+    aggRow(df, aggs, "nonPositiveCounts")
   }
 
   /** Q3 — below-min / above-max counts for each range check, one pass
@@ -43,7 +52,7 @@ object Checks {
         count(when(col(c.column) > lit(m), 1)).as(s"${c.column}_above_max"))
       lo.toSeq ++ hi.toSeq
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    aggRow(df, aggs, "rangeViolations")
   }
 
   /** Q4 — count of values outside the allowed set
@@ -53,7 +62,7 @@ object Checks {
       count(when(!col(c.column).isin(c.allowed: _*), 1))
         .as(s"${c.column}_not_in_set")
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    aggRow(df, aggs, "notInSetCounts")
   }
 
   /** Driver-side check result, for the orchestrator / fail_on_error gate. */
@@ -65,8 +74,10 @@ object Checks {
     * aggregate row, then split into per-check results driver-side. */
   def run(df: DataFrame, spec: QualitySpec): Seq[CheckResult] = {
     val aggs: Seq[(String, String, org.apache.spark.sql.Column)] =
+      // count(when) instead of sum(when): count is never NULL, so zero-row
+      // input reports 0 failures instead of NPEing in row.getLong.
       spec.nullCheckColumns.filter(df.columns.contains).map(c =>
-        ("null_check", c, sum(when(col(c).isNull, 1L).otherwise(0L)))) ++
+        ("null_check", c, count(when(col(c).isNull, 1)))) ++
       spec.positiveColumns.filter(df.columns.contains).map(c =>
         ("positive_values", c, count(when(col(c) <= 0, 1)))) ++
       spec.rangeChecks.filter(c => df.columns.contains(c.column)).map { c =>

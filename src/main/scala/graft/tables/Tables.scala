@@ -26,7 +26,13 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fail fast instead of mutating global session state from a loader:
+      // the conf must be set in the SparkSession builder (Bench/Verify and
+      // the test harness all do), not as a plan-construction side effect.
+      require(
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+        "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
+          "builder before reading the events table (TIMESTAMP(NANOS) parquet)")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
