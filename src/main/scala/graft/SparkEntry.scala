@@ -1,11 +1,14 @@
 package graft
 
 import graft.config._
+import graft.dedup.Dedup
 import graft.gold.AggregationEngine
 import graft.ops.Joins
 import graft.quality.Checks
 import graft.silver.Transform
+import graft.similarity.Similarity
 import graft.tables.Tables
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -275,6 +278,94 @@ object SparkEntry {
         coalesce(nullif(col("event_type"), lit("error")), lit("none")).as("etype"),
         abs(col("value") * lit(-1)).as("abs_value"))
         .orderBy("event_id")
+    }),
+
+    // ---- training-data pipeline operators (documents / embeddings) -------
+
+    // Text quality profile: token counts, lexical diversity, quality score.
+    // Row-local expressions only — scales with the scan, zero shuffle.
+    "q21_text_profile" -> ((s, dir) => {
+      TextAnalysis.profile(Tables.load(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_unique_tokens", "ttr_e6",
+          "avg_token_len_e6", "quality_score_e6")
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: stopword-marker scores + winner-take-all with
+    // fixed precedence. (The synthetic corpus has random lang labels; the
+    // operator's contract is the deterministic heuristic, not label accuracy.)
+    "q22_lang_id" -> ((s, dir) => {
+      val c = col("text")
+      Tables.load(s, dir, "documents").select(
+        col("doc_id") +:
+          TextAnalysis.langMarkers.map { case (l, m) =>
+            TextAnalysis.langScore(c, m).cast("long").as(s"${l}_score") } :+
+          TextAnalysis.langId(c).as("pred_lang") :+
+          col("lang").as("labeled_lang"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: content md5 + polynomial rolling hash.
+    "q23_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact dedup via hash-groupBy: duplicate the corpus under shifted ids,
+    // dedupe keeps exactly the min-id copy of each distinct content.
+    "q24_exact_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val doubled = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(10000L)))
+      Dedup.dedupeExact(doubled, "doc_id", "text")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // JSON scalar extraction from the events.props payload column.
+    "q25_json_kv" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(get_json_object(col("props"), "$.k")).as("n_k"))
+        .orderBy("event_type")
+    }),
+
+    // n-gram Jaccard near-dup pairs (3-gram shingles, threshold 0.5).
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+        .filter(col("jaccard") > 0.5)
+        .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+          col("size_b"), round(col("jaccard") * 1e6).cast("long").as("jaccard_e6"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash(8) + LSH(4 bands × 2 rows) candidate near-dup pairs over
+    // 3-gram shingles. Signatures are row-local array_min folds (no shuffle
+    // until the band-bucket join).
+    "q27_minhash_lsh" -> ((s, dir) => {
+      Dedup.lshCandidates(Tables.load(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, numBands = 4, shingleN = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Brute-force cosine top-k ANN baseline: 20 query vectors × corpus.
+    "q28_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-cosine near-duplicate pairs above a similarity threshold.
+    "q29_cosine_dupes" -> ((s, dir) => {
+      Similarity.cosineDupes(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -404,5 +495,118 @@ object SparkEntry {
         |      WHEN value <= 300 THEN 'mid' ELSE 'high' END AS val_bucket,
         | COALESCE(NULLIF(event_type, 'error'), 'none') AS etype,
         | abs(value * -1) AS abs_value
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q21_text_profile" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS n, CAST(len(list_distinct(toks)) AS DOUBLE) AS u,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS sl
+        | FROM t),
+        |q AS (SELECT doc_id, n, u, u / n AS ttr, sl / n AS awl,
+        |  least(n / 100.0, 1.0) AS lensat FROM p),
+        |r AS (SELECT doc_id, n, u, ttr, awl,
+        |  ttr * 0.4 + lensat * 0.3 +
+        |  greatest(0.0, 1.0 - greatest(0.0, greatest(3.0 - awl, awl - 8.0)) / 5.0) * 0.3 AS score
+        | FROM q)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(u AS BIGINT) AS n_unique_tokens,
+        | CAST(round(ttr * 1000000.0) AS BIGINT) AS ttr_e6,
+        | CAST(round(awl * 1000000.0) AS BIGINT) AS avg_token_len_e6,
+        | CAST(round(score * 1000000.0) AS BIGINT) AS quality_score_e6
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q22_lang_id" ->
+      """WITH s AS (SELECT doc_id, lang,
+        | len(list_filter(string_split(trim(text),' '), t -> t IN ('the','and','of','to','a','in','is','it'))) AS en_score,
+        | len(list_filter(string_split(trim(text),' '), t -> t IN ('el','la','de','que','y','en','un','es'))) AS es_score,
+        | len(list_filter(string_split(trim(text),' '), t -> t IN ('der','die','und','das','ist','ein','nicht','mit'))) AS de_score,
+        | len(list_filter(string_split(trim(text),' '), t -> t IN ('le','la','et','les','des','un','une','est'))) AS fr_score,
+        | len(list_filter(string_split(trim(text),' '), t -> t IN ('de5','shi4','bu4','le5','wo3','you3','zai4','ta1'))) AS zh_score
+        | FROM documents),
+        |g AS (SELECT *, greatest(en_score, es_score, de_score, fr_score, zh_score) AS best FROM s)
+        |SELECT doc_id, en_score, es_score, de_score, fr_score, zh_score,
+        | CASE WHEN en_score = best AND best > 0 THEN 'en'
+        |      WHEN es_score = best AND best > 0 THEN 'es'
+        |      WHEN de_score = best AND best > 0 THEN 'de'
+        |      WHEN fr_score = best AND best > 0 THEN 'fr'
+        |      WHEN zh_score = best AND best > 0 THEN 'zh'
+        |      ELSE 'und' END AS pred_lang,
+        | lang AS labeled_lang
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(trim(text),' '),
+        |       t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_exact_dedup" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM (
+        | SELECT doc_id, text, row_number() OVER (
+        |   PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        | FROM (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id + 10000, text FROM documents) u) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q25_json_kv" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(json_extract_string(props, '$.k')) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q26_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.ss AS size_a, sb.ss AS size_b,
+        | CAST(round(CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) * 1000000.0) AS BIGINT) AS jaccard_e6
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q27_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(string_split(trim(text),' ')) - 1),
+        |  i -> string_split(trim(text),' ')[i] || ' ' ||
+        |       string_split(trim(text),' ')[i+1] || ' ' ||
+        |       string_split(trim(text),' ')[i+2])) AS sh FROM documents),
+        |sig AS (SELECT doc_id,
+        | list_min(list_transform(sh, s -> substr(md5('0:' || s),1,15))) AS m0,
+        | list_min(list_transform(sh, s -> substr(md5('1:' || s),1,15))) AS m1,
+        | list_min(list_transform(sh, s -> substr(md5('2:' || s),1,15))) AS m2,
+        | list_min(list_transform(sh, s -> substr(md5('3:' || s),1,15))) AS m3,
+        | list_min(list_transform(sh, s -> substr(md5('4:' || s),1,15))) AS m4,
+        | list_min(list_transform(sh, s -> substr(md5('5:' || s),1,15))) AS m5,
+        | list_min(list_transform(sh, s -> substr(md5('6:' || s),1,15))) AS m6,
+        | list_min(list_transform(sh, s -> substr(md5('7:' || s),1,15))) AS m7
+        | FROM t),
+        |bands AS (
+        | SELECT doc_id, 0 AS bi, md5(m0 || '|' || m1) AS bk FROM sig
+        | UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+        | UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+        | UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b ON a.bi = b.bi AND a.bk = b.bk
+        |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin,
+    "q28_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE qid <> nid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank, sim FROM s)
+        |SELECT query_id, neighbor_id, rank,
+        | CAST(round(sim * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q29_cosine_dupes" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | CAST(round(list_dot_product(a.e, b.e) /
+        |   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.e, b.e) /
+        |  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -1,0 +1,176 @@
+package graft.dedup
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation: exact (hash groupBy),
+  * n-gram Jaccard pair similarity, MinHash signatures + LSH banding, and
+  * SimHash. Extends the reference's keyed dedupe (D1, bronze_to_silver.py:
+  * 392-429) to the content-based near-dup family a 100 TB text pipeline
+  * needs.
+  *
+  * Scale notes:
+  *  - MinHash signatures are computed ROW-LOCALLY (array_min over a
+  *    transform), not via explode+groupBy — zero shuffle until the band join.
+  *  - The LSH candidate join shuffles only (band, bucket-key) pairs; bucket
+  *    keys are md5 strings, uniformly distributed, so the exchange is
+  *    balanced. Hot buckets (boilerplate docs) are the known LSH skew case;
+  *    cap them with `maxBucketSize` before the pair blow-up.
+  *  - Jaccard self-join explodes distinct shingles; frequency-capping drops
+  *    stop-shingles that would otherwise produce O(df²) candidate pairs.
+  */
+object Dedup {
+
+  /** n-gram shingles over whitespace tokens, distinct, order-preserving
+    * construction (slice windows). n=1 → token set. */
+  def shingles(c: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    val toks = TextAnalysis.tokens(c)
+    if (n == 1) array_distinct(toks)
+    else
+      // guard: sequence(1, x) DESCENDS for x<1 (it never returns empty), so
+      // docs shorter than n shingle to [] explicitly.
+      array_distinct(
+        when(size(toks) >= n,
+          transform(
+            sequence(lit(1), size(toks) - lit(n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(typedLit(Seq.empty[String])))
+  }
+
+  /** Exact duplicate groups: fingerprint → count>1 (hash-groupBy dedup). */
+  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("copies"), min(col(df.columns.head)).as("keep_id"))
+      .filter(col("copies") > 1)
+
+  /** Exact dedup: keep the min-id row per content fingerprint. One shuffle on
+    * the fingerprint (high-cardinality, balanced). */
+  def dedupeExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact pairwise n-gram Jaccard over candidate pairs that share at least
+    * one shingle. Returns (id_a, id_b, inter, size_a, size_b, jaccard) with
+    * id_a < id_b. `maxShingleFreq` drops shingles appearing in more than
+    * that many docs before pairing (skew guard; pass Int.MaxValue for exact
+    * semantics on small corpora). */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val capped =
+      if (maxShingleFreq == Int.MaxValue) sh
+      else {
+        val freq = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= maxShingleFreq)
+          .select("shingle")
+        sh.join(freq, "shingle")
+      }
+    val sizes = df.select(col(idCol).as("doc_id"),
+      size(shingles(col(textCol), n)).cast("long").as("set_size"))
+    val a = capped.select(col("doc_id").as("id_a"), col("shingle"))
+    val b = capped.select(col("doc_id").as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+  }
+
+  /** One MinHash value: lexicographic min over 60-bit md5-prefix hex strings
+    * of the seeded shingles. Fixed-length lowercase hex ⇒ string order ≡
+    * unsigned numeric order, identically in every engine. Row-local. */
+  def minHashValue(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr,
+      s => substring(md5(concat(lit(s"$seed:"), s)), 1, 15)))
+
+  /** MinHash signature columns mh0..mh{k-1} appended to df. Row-local, no
+    * shuffle; empty shingle sets get null signatures (filtered upstream). */
+  def withMinHash(
+      df: DataFrame, textCol: String, numHashes: Int, shingleN: Int): DataFrame = {
+    val sh = shingles(col(textCol), shingleN)
+    (0 until numHashes).foldLeft(df)((d, j) =>
+      d.withColumn(s"mh$j", minHashValue(sh, j)))
+  }
+
+  /** LSH band keys: band b = md5 of the concatenated signature rows in that
+    * band. bandsₓrows = numHashes. */
+  def bandKeys(numBands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      md5(concat_ws("|", cols: _*)).as(s"band$b")
+    }
+
+  /** Candidate near-dup pairs via MinHash-LSH: docs agreeing on at least one
+    * full band. Returns distinct (id_a, id_b), id_a < id_b. The join key is
+    * (band index, bucket key); `maxBucketSize` drops degenerate buckets. */
+  def lshCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      shingleN: Int = 1,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rows = numHashes / numBands
+    // docs too short to produce any shingle get null signatures — drop them
+    // (they can't be near-dups of anything by construction).
+    val sig = withMinHash(df.select(col(idCol).as("doc_id"), col(textCol)),
+      textCol, numHashes, shingleN)
+      .filter(col("mh0").isNotNull)
+    val banded = sig.select(
+      col("doc_id") +: bandKeys(numBands, rows): _*)
+    val long = banded.select(col("doc_id"), posexplode(
+      array((0 until numBands).map(b => col(s"band$b")): _*)))
+      .toDF("doc_id", "band_idx", "bucket")
+    val capped =
+      if (maxBucketSize == Int.MaxValue) long
+      else {
+        val ok = long.groupBy("band_idx", "bucket")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
+          .select("band_idx", "bucket")
+        long.join(ok, Seq("band_idx", "bucket"))
+      }
+    val a = capped.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 32-bit SimHash over token md5 hashes: per bit, sum ±1 over tokens,
+    * bit set iff the sum is positive. Row-local (fold over 32 bit
+    * positions × token array); no shuffle. Near-dups = small hamming
+    * distance (use `bit_count(a ^ b)`). */
+  def simHash(c: Column): Column = {
+    val tokHash = transform(TextAnalysis.tokens(c),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bits = (0 until 32).map { b =>
+      val bitSum = aggregate(tokHash, lit(0L),
+        (acc, h) => acc + shiftright(h, b) % lit(2L) * lit(2L) - lit(1L))
+      when(bitSum > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, and document
+  * fingerprinting. Beyond the reference's surface (its documents are tabular
+  * trips), these cover the text side of a 100 TB curation pipeline.
+  *
+  * Scale notes: every operator here is a row-local Column expression — no
+  * UDFs, no shuffles, no explode. All of it stays inside whole-stage codegen
+  * and scales embarrassingly parallel with the scan. Cross-engine
+  * determinism: hashes are md5-hex (identical everywhere); ratios are single
+  * double divisions of exact integers.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. Spark `split` takes a regex; a single literal
+    * space matches the generator's single-spaced corpus and DuckDB
+    * `string_split(text, ' ')` exactly. */
+  def tokens(c: Column): Column = split(trim(c), " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def uniqueTokenCount(c: Column): Column = size(array_distinct(tokens(c)))
+
+  /** type-token ratio: unique/total — the standard lexical-diversity score. */
+  def typeTokenRatio(c: Column): Column =
+    uniqueTokenCount(c).cast("double") / tokenCount(c).cast("double")
+
+  /** mean token length via an integer fold (exact, order-free). */
+  def avgTokenLength(c: Column): Column =
+    expr_sumTokenLen(c).cast("double") / tokenCount(c).cast("double")
+
+  private def expr_sumTokenLen(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** Heuristic quality score in [0,1]: lexical diversity + length saturation
+    * + mean-word-length band (the length/punct/stopword-ratio family of
+    * quality signals, composed deterministically from integer counts). */
+  def qualityScore(c: Column): Column = {
+    val ttr = typeTokenRatio(c)
+    val lenSat = least(tokenCount(c).cast("double") / lit(100.0), lit(1.0))
+    val awl = avgTokenLength(c)
+    // mean word length 3..8 chars is "natural"; outside decays linearly
+    val awlBand = greatest(lit(0.0),
+      lit(1.0) - greatest(lit(0.0), greatest(lit(3.0) - awl, awl - lit(8.0))) / lit(5.0))
+    ttr * lit(0.4) + lenSat * lit(0.3) + awlBand * lit(0.3)
+  }
+
+  /** Language-marker token lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: fixed precedence order en > es > de
+    * > fr > zh (strict greater-than comparisons in that order). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "wo3", "you3", "zai4", "ta1"))
+
+  /** score for one language = number of tokens in its marker set. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(markers.map(lit): _*)))
+
+  /** winner-take-all language ID with fixed precedence; all-zero → "und". */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, m) => lang -> langScore(c, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of the normalized text — identical hex in every
+    * engine; the exact-dedup key. */
+  def fingerprint(c: Column): Column = md5(lower(trim(c)))
+
+  /** Polynomial rolling hash over tokens, mod 1e9+7 (token hash = first 32
+    * md5 bits). Sequential fold, but row-local — order within the document is
+    * what a rolling hash is for. acc*31 + 2^32 < 3.5e10 ≪ Long.Max: no
+    * overflow, so Spark and DuckDB (which errors on BIGINT overflow) agree. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      tokens(c),
+      lit(0L),
+      (acc, t) =>
+        (acc * lit(31L) + conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+          % lit(1000000007L))
+
+  /** One-pass text profile of a corpus: the per-document quality columns.
+    * Ratio columns are micro-unit integers (`round(x*1e6)` of a
+    * deterministic double) — integer-rounding a shared double is identical
+    * across engines, unlike decimal-place rounding of doubles. */
+  def profile(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    def e6(x: Column): Column = round(x * lit(1e6)).cast("long")
+    df.withColumn("n_tokens", tokenCount(c).cast("long"))
+      .withColumn("n_unique_tokens", uniqueTokenCount(c).cast("long"))
+      .withColumn("ttr_e6", e6(typeTokenRatio(c)))
+      .withColumn("avg_token_len_e6", e6(avgTokenLength(c)))
+      .withColumn("quality_score_e6", e6(qualityScore(c)))
+  }
+}
