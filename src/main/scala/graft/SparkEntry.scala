@@ -2,9 +2,9 @@ package graft
 
 import graft.config._
 import graft.dedup.Dedup
-import graft.gold.AggregationEngine
+import graft.gold.{AggregationEngine, IncrementalMaterializer}
 import graft.ops.Joins
-import graft.quality.Checks
+import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation}
 import graft.silver.Transform
 import graft.similarity.Similarity
 import graft.tables.Tables
@@ -366,6 +366,86 @@ object SparkEntry {
       Similarity.cosineDupes(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- statistical quality / anomaly / reconciliation surface ----------
+
+    // Q8 — z-score report from exact fixed-point sufficient statistics
+    // (bit-reproducible across runs/partitionings, unlike FP stddev).
+    "q30_zscore_stats" -> ((s, dir) =>
+      Anomaly.zScoreReport(Tables.load(s, dir, "events"), "value", 3.0)),
+
+    // Q12 — moving-average anomaly detection over a 7-row window per user.
+    "q31_moving_anomaly" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Anomaly.movingAnomaly(ev, Seq("user_id"), Seq("ts_us", "event_id"), "value")
+        .select("event_id", "user_id", "roll_n", "roll_mean", "roll_std", "is_anomaly")
+        .orderBy("event_id")
+    }),
+
+    // Q10 — categorical frequency profile with rare-category flag.
+    "q32_rare_categories" -> ((s, dir) =>
+      Anomaly.categoryFrequencies(Tables.load(s, dir, "events"), "event_type", 0.15)
+        .orderBy("event_type")),
+
+    // Q14 — deterministic row-level error capture (top-k per rule by key).
+    "q33_error_rows" -> ((s, dir) =>
+      ErrorTracking.capture(
+        Tables.load(s, dir, "lineitem"),
+        Seq(
+          ErrorTracking.ErrorRule("l_discount > 0.08", "l_discount", "range_check", "HIGH"),
+          ErrorTracking.ErrorRule("l_quantity >= 49", "l_quantity", "range_check", "MEDIUM")),
+        keyCols = Seq("l_orderkey", "l_linenumber"),
+        maxPerRule = 100)
+        .orderBy("column_name", "l_orderkey", "l_linenumber")),
+
+    // S11 — incremental MERGE materialization: old mart (cutoff 1998-01-01)
+    // + lookback recompute (from 1997-10-01) must equal the full rebuild,
+    // which is exactly what the oracle computes.
+    "q34_incremental_merge" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val model = GoldModel(
+        name = "monthly_orders",
+        groupBy = Seq(
+          "cast(year(o_orderdate) as bigint) as year",
+          "cast(month(o_orderdate) as bigint) as month"),
+        measures = Seq(
+          Measure("order_count", "count(1)"),
+          Measure("total_price", dsum("o_totalprice"))))
+      val oldMart = AggregationEngine.build(
+        orders.filter("o_orderdate < timestamp'1998-01-01 00:00:00'"), model)
+      val updates = AggregationEngine.build(
+        orders.filter("o_orderdate >= timestamp'1997-10-01 00:00:00'"), model)
+      IncrementalMaterializer.merge(oldMart, updates, Seq("year", "month"))
+        .orderBy("year", "month")
+    }),
+
+    // A8/Q9 — exact interpolated quantiles (micro-unit ints absorb the
+    // engines' last-ulp interpolation differences).
+    "q35_exact_quantiles" -> ((s, dir) =>
+      Anomaly.exactQuantiles(Tables.load(s, dir, "events"), "value",
+        Seq(0.25, 0.5, 0.75, 0.9))
+        .select(
+          round(col("p25") * 1e6).cast("long").as("p25_e6"),
+          round(col("p50") * 1e6).cast("long").as("p50_e6"),
+          round(col("p75") * 1e6).cast("long").as("p75_e6"),
+          round(col("p90") * 1e6).cast("long").as("p90_e6"))),
+
+    // A9 — exact distinct counts (single and composite key).
+    "q36_count_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("distinct_users"),
+        countDistinct(col("event_type")).as("distinct_types"),
+        countDistinct(col("user_id"), col("event_type")).as("distinct_pairs"))),
+
+    // Q15-Q17 — engine-side reconciliation report (counts, exact decimal
+    // sums, key integrity) between a table and its filtered "next layer".
+    "q37_recon_report" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      Reconciliation.reportDF(
+        orders, orders.filter("o_totalprice < 300000"),
+        sumCol = "o_totalprice", keyCol = "o_orderkey", tolerancePct = 5.0)
+        .orderBy("check_name")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -608,5 +688,95 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.e, b.e) /
         |  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.4
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q30_zscore_stats" ->
+      """WITH st AS (SELECT count(value) AS n,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT) * CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS s2
+        | FROM events),
+        |b AS (SELECT n,
+        |  s1 / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |  CASE WHEN n > 1 THEN
+        |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 100.0
+        |  END AS stddev FROM st),
+        |c AS (SELECT n, mean, stddev,
+        |  mean - 3.0 * stddev AS lo, mean + 3.0 * stddev AS hi FROM b)
+        |SELECT n, mean, stddev, lo, hi,
+        | (SELECT count(CASE WHEN value < c.lo OR value > c.hi THEN 1 END) FROM events) AS anomaly_count
+        |FROM c""".stripMargin,
+    "q31_moving_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 100.0) AS BIGINT) AS vc FROM events),
+        |r AS (SELECT event_id, user_id, value,
+        |  CAST(count(*) OVER w AS DOUBLE) AS n,
+        |  CAST(sum(vc) OVER w AS DOUBLE) AS s1,
+        |  CAST(sum(vc * vc) OVER w AS DOUBLE) AS s2
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT event_id, user_id, value, n,
+        |  s1 / n / 100.0 AS roll_mean,
+        |  CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) / 100.0 END AS roll_std
+        | FROM r)
+        |SELECT event_id, user_id, CAST(n AS BIGINT) AS roll_n, roll_mean, roll_std,
+        | CASE WHEN roll_std IS NOT NULL AND roll_std > 0
+        |       AND abs(value - roll_mean) > 2.0 * roll_std
+        |      THEN true ELSE false END AS is_anomaly
+        |FROM m ORDER BY event_id""".stripMargin,
+    "q32_rare_categories" ->
+      """WITH t AS (SELECT count(*) AS total FROM events),
+        |g AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type)
+        |SELECT event_type, cnt,
+        | CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS freq,
+        | CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) < 0.15 AS is_rare
+        |FROM g, t ORDER BY event_type""".stripMargin,
+    "q33_error_rows" ->
+      """WITH a AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE l_discount > 0.08 ORDER BY l_orderkey, l_linenumber LIMIT 100),
+        |b AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |  WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber LIMIT 100)
+        |SELECT l_orderkey, l_linenumber, 'l_discount' AS column_name,
+        | 'range_check' AS error_type, 'HIGH' AS severity, '' AS error_message FROM a
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_quantity', 'range_check', 'MEDIUM', '' FROM b
+        |ORDER BY column_name, l_orderkey, l_linenumber""".stripMargin,
+    "q34_incremental_merge" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+        | CAST(month(o_orderdate) AS BIGINT) AS month,
+        | count(*) AS order_count,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q35_exact_quantiles" ->
+      """WITH q AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs FROM events)
+        |SELECT CAST(round(qs[1] * 1000000.0) AS BIGINT) AS p25_e6,
+        | CAST(round(qs[2] * 1000000.0) AS BIGINT) AS p50_e6,
+        | CAST(round(qs[3] * 1000000.0) AS BIGINT) AS p75_e6,
+        | CAST(round(qs[4] * 1000000.0) AS BIGINT) AS p90_e6
+        |FROM q""".stripMargin,
+    "q36_count_distinct" ->
+      """SELECT count(DISTINCT user_id) AS distinct_users,
+        | count(DISTINCT event_type) AS distinct_types,
+        | count(DISTINCT (user_id, event_type)) AS distinct_pairs
+        |FROM events""".stripMargin,
+    "q37_recon_report" ->
+      """WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS src_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS src_sum FROM orders),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS tgt_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tgt_sum
+        | FROM orders WHERE o_totalprice < 300000),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS missing FROM (
+        |  SELECT DISTINCT o_orderkey FROM orders
+        |  EXCEPT
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice < 300000) x),
+        |u AS (
+        | SELECT 'row_count' AS check_name, src_rows AS src_value, tgt_rows AS tgt_value FROM s, t
+        | UNION ALL
+        | SELECT 'sum', src_sum, tgt_sum FROM s, t
+        | UNION ALL
+        | SELECT 'key_integrity', missing, 0.0 FROM m)
+        |SELECT check_name, src_value, tgt_value,
+        | CASE WHEN src_value = 0.0 THEN CASE WHEN tgt_value = 0.0 THEN 0.0 ELSE 100.0 END
+        |      ELSE abs(src_value - tgt_value) / abs(src_value) * 100.0 END AS diff_pct,
+        | (CASE WHEN src_value = 0.0 THEN CASE WHEN tgt_value = 0.0 THEN 0.0 ELSE 100.0 END
+        |      ELSE abs(src_value - tgt_value) / abs(src_value) * 100.0 END) <= 5.0 AS within_tolerance
+        |FROM u ORDER BY check_name""".stripMargin)
 }

@@ -1,0 +1,160 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q8-Q12 — statistical anomaly detection
+  * (reference: src/data_quality/anomaly_detection.py).
+  *
+  * Determinism note: the reference computes mean/stddev with floating-point
+  * aggregation, whose result depends on partition merge order — on a cluster
+  * two runs can disagree in the last bits. Here the sufficient statistics
+  * (Σx, Σx²) are EXACT integer sums of fixed-point values (`scale` decimal
+  * digits), so bounds are bit-reproducible across runs, partitionings, and
+  * engines. One scan for the stats, one for the flags.
+  *
+  * Scale notes: stats aggregate to a single row (broadcast back for the
+  * filter pass — no shuffle of the fact table); the moving-average variant
+  * shuffles once on the partition key, same as any window.
+  */
+object Anomaly {
+
+  /** value → exact fixed-point long (10^scale units). The input must have at
+    * most `scale` decimal digits (true of money-like columns). */
+  private def fixed(c: Column, scale: Int): Column =
+    round(c * pow(lit(10.0), lit(scale))).cast("long")
+
+  /** Exact sufficient statistics for one column: n, Σx, Σx² in fixed-point.
+    * Sample variance via (Σx² − (Σx)²/n)/(n−1), evaluated in double AFTER
+    * the exact integer sums. */
+  def exactStats(df: DataFrame, column: String, scale: Int = 2): DataFrame = {
+    val v = fixed(col(column), scale)
+    val denom = pow(lit(10.0), lit(scale))
+    df.agg(
+      count(col(column)).as("n"),
+      sum(v).as("s1"),
+      sum(v * v).as("s2"))
+      .select(
+        col("n"),
+        (col("s1").cast("double") / col("n").cast("double") / denom).as("mean"),
+        when(col("n") > 1,
+          sqrt(
+            (col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double"))
+              / (col("n").cast("double") - lit(1.0))) / denom)
+          .as("stddev"))
+  }
+
+  /** Q8 — z-score bounds mean±k·σ and the anomaly count, one row.
+    * Severity tiers (>3/4/5σ) are driver-side on the returned bounds. */
+  def zScoreReport(df: DataFrame, column: String, k: Double, scale: Int = 2): DataFrame = {
+    val stats = exactStats(df, column, scale)
+      .withColumn("lo", col("mean") - lit(k) * col("stddev"))
+      .withColumn("hi", col("mean") + lit(k) * col("stddev"))
+    df.select(col(column)).crossJoin(broadcast(stats))
+      .groupBy("n", "mean", "stddev", "lo", "hi")
+      .agg(count(when(col(column) < col("lo") || col(column) > col("hi"), 1))
+        .as("anomaly_count"))
+  }
+
+  /** Q8 — the anomalous rows themselves (deterministically capped upstream
+    * by the caller if needed; the reference samples 100 via limit). */
+  def zScoreAnomalies(df: DataFrame, column: String, k: Double, scale: Int = 2): DataFrame = {
+    val stats = exactStats(df, column, scale)
+      .select(
+        (col("mean") - lit(k) * col("stddev")).as("lo"),
+        (col("mean") + lit(k) * col("stddev")).as("hi"))
+    df.crossJoin(broadcast(stats))
+      .filter(col(column) < col("lo") || col(column) > col("hi"))
+      .drop("lo", "hi")
+  }
+
+  /** Q9 — IQR anomaly bounds via approxQuantile (Greenwald–Khanna, the same
+    * sketch the reference uses). Approximate by design → no cross-engine
+    * oracle; exact quantiles are in `exactQuantiles`. */
+  def iqrBounds(df: DataFrame, column: String, mult: Double = 1.5,
+      relErr: Double = 0.01): (Double, Double) = {
+    val Array(q1, q3) = df.stat.approxQuantile(column, Array(0.25, 0.75), relErr)
+    val iqr = q3 - q1
+    (q1 - mult * iqr, q3 + mult * iqr)
+  }
+
+  def iqrAnomalies(df: DataFrame, column: String, mult: Double = 1.5): DataFrame = {
+    val (lo, hi) = iqrBounds(df, column, mult)
+    df.filter(col(column) < lo || col(column) > hi)
+  }
+
+  /** Exact interpolated quantiles (SQL `percentile`) — the deterministic
+    * counterpart of iqrBounds, used by the correctness oracle. */
+  def exactQuantiles(df: DataFrame, column: String, ps: Seq[Double]): DataFrame = {
+    val arr = ps.map(p => lit(p))
+    df.agg(expr(
+      s"percentile($column, array(${ps.mkString(",")}))").as("qs"))
+      .select(ps.zipWithIndex.map { case (p, i) =>
+        element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}")
+      }: _*)
+  }
+
+  /** Q10 — categorical frequency profile: every category with its count,
+    * frequency, and rare flag (frequency < minFreq). Total via scalar agg +
+    * broadcast, not a global window. */
+  def categoryFrequencies(df: DataFrame, column: String, minFreq: Double): DataFrame = {
+    val total = df.agg(count(lit(1)).as("total"))
+    df.groupBy(column).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(
+        col(column),
+        col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("freq"),
+        (col("cnt").cast("double") / col("total").cast("double") < lit(minFreq))
+          .as("is_rare"))
+  }
+
+  /** Q11 — null-rate spike vs a historical rate: current_rate >
+    * historical_rate × threshold. One aggregate. */
+  def nullSpike(df: DataFrame, column: String, historicalRate: Double,
+      threshold: Double = 2.0): DataFrame = {
+    df.agg(
+      count(lit(1)).as("total"),
+      count(when(col(column).isNull, 1)).as("nulls"))
+      .select(
+        col("total"), col("nulls"),
+        (col("nulls").cast("double") / col("total").cast("double")).as("null_rate"),
+        (col("nulls").cast("double") / col("total").cast("double") >
+          lit(historicalRate * threshold)).as("is_spike"))
+  }
+
+  /** Q12 — moving-average anomaly over a row frame (reference: pandas
+    * rolling(window, min_periods=1) mean/std, flag |x−mean| > k·σ; first row
+    * of each group has undefined σ → never anomalous; σ==0 → never
+    * anomalous). Exact fixed-point rolling sums → reproducible flags. */
+  def movingAnomaly(
+      df: DataFrame,
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      valueCol: String,
+      window: Int = 7,
+      k: Double = 2.0,
+      scale: Int = 2): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(orderBy.map(col): _*)
+      .rowsBetween(-(window - 1), 0)
+    val denom = pow(lit(10.0), lit(scale))
+    val v = fixed(col(valueCol), scale)
+    val n = count(lit(1)).over(w).cast("double")
+    val s1 = sum(v).over(w).cast("double")
+    val s2 = sum(v * v).over(w).cast("double")
+    val mean = s1 / n / denom
+    val std = when(n > 1,
+      sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))) / denom)
+    df.withColumn("roll_n", n.cast("long"))
+      .withColumn("roll_mean", mean)
+      .withColumn("roll_std", std)
+      .withColumn("is_anomaly",
+        coalesce(
+          col("roll_std").isNotNull && col("roll_std") > 0 &&
+            abs(col(valueCol) - col("roll_mean")) > lit(k) * col("roll_std"),
+          lit(false)))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.quality
+
+import graft.ops.Joins
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Q15-Q18 — cross-layer reconciliation
+  * (reference: src/data_quality/reconciliation.py:69-398) plus the gold
+  * invariants (build_gold_layer.py:190-269).
+  *
+  * Every check reduces both sides to scalar aggregates first (counts /
+  * exact decimal sums), so the comparison shuffles nothing but single rows;
+  * key-integrity reduces to distinct keys before the anti-join. Tolerances
+  * are relative percentages, as in the reference config
+  * (lakehouse_config.yaml:541-582).
+  */
+object Reconciliation {
+
+  final case class ReconResult(
+      check: String,
+      srcValue: Double,
+      tgtValue: Double,
+      diffPct: Double,
+      withinTolerance: Boolean)
+
+  private def pctDiff(src: Double, tgt: Double): Double =
+    if (src == 0.0) { if (tgt == 0.0) 0.0 else 100.0 }
+    else math.abs(src - tgt) / math.abs(src) * 100.0
+
+  /** Q15 — row-count reconciliation with optional per-side filters. */
+  def rowCount(src: DataFrame, tgt: DataFrame, tolerancePct: Double,
+      srcFilter: Option[String] = None, tgtFilter: Option[String] = None): ReconResult = {
+    val s = srcFilter.fold(src)(src.filter).count().toDouble
+    val t = tgtFilter.fold(tgt)(tgt.filter).count().toDouble
+    val d = pctDiff(s, t)
+    ReconResult("row_count", s, t, d, d <= tolerancePct)
+  }
+
+  /** Q16 — aggregate reconciliation (sum/avg/min/max/count of a column on
+    * both sides). Sums/avgs go through exact decimal(18,2) accumulation so
+    * the comparison is reproducible. */
+  def aggregation(src: DataFrame, tgt: DataFrame, column: String, fn: String,
+      tolerancePct: Double): ReconResult = {
+    def scalar(df: DataFrame): Double = {
+      val c = fn.toLowerCase match {
+        case "sum" => sum(col(column).cast("decimal(18,2)")).cast("double")
+        case "avg" => (sum(col(column).cast("decimal(18,2)")).cast("double")
+          / count(col(column)).cast("double"))
+        case "min" => min(col(column)).cast("double")
+        case "max" => max(col(column)).cast("double")
+        case "count" => count(col(column)).cast("double")
+        case other => throw new IllegalArgumentException(s"unsupported agg: $other")
+      }
+      val r = df.agg(c.as("v")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val s = scalar(src)
+    val t = scalar(tgt)
+    val d = pctDiff(s, t)
+    ReconResult(s"agg_$fn($column)", s, t, d, d <= tolerancePct)
+  }
+
+  /** Q17 — key integrity: distinct source keys missing from the target,
+    * with a deterministic sample (sorted by the keys, not limit()). */
+  def keyIntegrity(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+      sampleN: Int = 10): (Long, DataFrame) = {
+    val missing = Joins.missingKeys(src, tgt, keys)
+    (missing.count(), missing.orderBy(keys.map(col): _*).limit(sampleN))
+  }
+
+  /** Q18 — per-column completeness (non-null %) diff between layers. */
+  def completeness(src: DataFrame, tgt: DataFrame, columns: Seq[String],
+      tolerancePct: Double): Seq[ReconResult] = {
+    def rates(df: DataFrame): Map[String, Double] = {
+      val present = columns.filter(df.columns.contains)
+      if (present.isEmpty) return Map.empty
+      val aggs = count(lit(1)).as("_total") +:
+        present.map(c => count(col(c)).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val total = row.getLong(0).toDouble
+      present.zipWithIndex.map { case (c, i) =>
+        c -> (if (total == 0) 100.0 else row.getLong(i + 1) / total * 100.0)
+      }.toMap
+    }
+    val s = rates(src)
+    val t = rates(tgt)
+    columns.flatMap { c =>
+      for (sv <- s.get(c); tv <- t.get(c)) yield {
+        val d = math.abs(sv - tv)
+        ReconResult(s"completeness($c)", sv, tv, d, d <= tolerancePct)
+      }
+    }
+  }
+
+  /** Q19 — the reference's gold invariants: Σ mart count == silver count
+    * (exact) and Σ mart revenue ≈ Σ silver revenue (relative tolerance). */
+  def goldInvariants(silver: DataFrame, mart: DataFrame, countCol: String,
+      silverAmountCol: String, martAmountCol: String,
+      tolerancePct: Double = 0.1): Seq[ReconResult] = {
+    val silverCount = silver.count().toDouble
+    val martCount = {
+      val r = mart.agg(sum(col(countCol)).cast("double")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    def dsum(df: DataFrame, c: String): Double = {
+      val r = df.agg(sum(col(c).cast("decimal(18,2)")).cast("double")).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val sAmt = dsum(silver, silverAmountCol)
+    val mAmt = dsum(mart, martAmountCol)
+    val dAmt = pctDiff(sAmt, mAmt)
+    Seq(
+      ReconResult("gold_count_equality", silverCount, martCount,
+        pctDiff(silverCount, martCount), silverCount == martCount),
+      ReconResult("gold_revenue_tolerance", sAmt, mAmt, dAmt, dAmt <= tolerancePct))
+  }
+
+  /** DataFrame-shaped reconciliation report (for SQL-oracle comparison and
+    * persistence): all metrics computed IN the engine, one row per check —
+    * no driver-side collect in the plan. */
+  def reportDF(src: DataFrame, tgt: DataFrame, sumCol: String,
+      keyCol: String, tolerancePct: Double): DataFrame = {
+    val s = src.agg(
+      count(lit(1)).cast("double").as("src_rows"),
+      sum(col(sumCol).cast("decimal(18,2)")).cast("double").as("src_sum"))
+    val t = tgt.agg(
+      count(lit(1)).cast("double").as("tgt_rows"),
+      sum(col(sumCol).cast("decimal(18,2)")).cast("double").as("tgt_sum"))
+    val missing = Joins.missingKeys(src, tgt, Seq(keyCol))
+      .agg(count(lit(1)).cast("double").as("missing_keys"))
+    val j = s.crossJoin(t).crossJoin(missing)
+    def row(check: String, sv: org.apache.spark.sql.Column,
+        tv: org.apache.spark.sql.Column) = {
+      val d = when(sv === 0.0, when(tv === 0.0, 0.0).otherwise(100.0))
+        .otherwise(abs(sv - tv) / abs(sv) * 100.0)
+      // "check_name", not "check" — CHECK is a reserved word downstream.
+      j.select(lit(check).as("check_name"), sv.as("src_value"), tv.as("tgt_value"),
+        d.as("diff_pct"), (d <= lit(tolerancePct)).as("within_tolerance"))
+    }
+    row("row_count", col("src_rows"), col("tgt_rows"))
+      .unionByName(row("sum", col("src_sum"), col("tgt_sum")))
+      .unionByName(row("key_integrity", col("missing_keys"), lit(0.0)))
+  }
+}
