@@ -1,0 +1,72 @@
+package graft
+
+import graft.config.ConfigLoader.PipelineConfig
+import graft.gold.AggregationEngine
+import graft.lineage.Lineage
+import graft.quality.Checks
+import graft.silver.Transform
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The single-process pipeline driver: bronze → silver → gold → quality →
+  * lineage, preserving the reference DAG's task ordering
+  * (airflow/dags/nyc_taxi_medallion_dag.py:504-512) without the Airflow
+  * shell (SURVEY §3.4, §7.5). Each stage is idempotent (overwrite
+  * semantics) so re-runs are safe, matching the reference's README claim.
+  *
+  * Row counts for lineage come from ONE count per materialized stage —
+  * the reference's verbose per-stage eager counts (bronze_to_silver.py:
+  * 303,338-342) are the `verboseCounts` option, off by default because they
+  * re-run the plan.
+  */
+object Pipeline {
+
+  final case class StageResult(name: String, rows: Long)
+
+  final case class RunResult(
+      stages: Seq[StageResult],
+      qualityResults: Seq[Checks.CheckResult],
+      lineage: Lineage.Tracker)
+
+  /** Run the configured pipeline over an already-loaded bronze DataFrame
+    * (source resolution is Ingest's job; tests inject frames directly). */
+  def run(
+      spark: SparkSession,
+      config: PipelineConfig,
+      bronzeDf: DataFrame,
+      goldSink: Option[(String, DataFrame) => Unit] = None): RunResult = {
+    val tracker = new Lineage.Tracker()
+    val bronzeRows = bronzeDf.count()
+    tracker.record(Lineage.EventType.Ingestion, "source", "bronze." + config.name,
+      bronzeRows, bronzeRows)
+
+    val silverDf = Transform(config.silver)(bronzeDf)
+    val silverRows = silverDf.count()
+    tracker.record(Lineage.EventType.Transformation,
+      "bronze." + config.name, "silver." + config.name,
+      bronzeRows, silverRows, Lineage.columnLineage(config.silver))
+
+    val goldStages = config.gold.map { model =>
+      val mart = AggregationEngine.build(silverDf, model)
+      goldSink.foreach(sink => sink(model.name, mart))
+      val martRows = mart.count()
+      tracker.record(Lineage.EventType.Aggregation,
+        "silver." + config.name, "gold." + model.name, silverRows, martRows)
+      StageResult("gold." + model.name, martRows)
+    }
+
+    val qualityResults = Checks.run(silverDf, config.quality)
+    tracker.record(Lineage.EventType.Validation,
+      "silver." + config.name, "silver." + config.name, silverRows, silverRows)
+    if (config.quality.failOnError && qualityResults.exists(!_.passed))
+      throw new IllegalStateException(
+        "quality gate failed: " +
+          qualityResults.filterNot(_.passed)
+            .map(r => s"${r.check}(${r.column})=${r.failedCount}").mkString(", "))
+
+    RunResult(
+      StageResult("bronze", bronzeRows) +: StageResult("silver", silverRows) +:
+        goldStages,
+      qualityResults,
+      tracker)
+  }
+}

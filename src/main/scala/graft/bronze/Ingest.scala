@@ -1,0 +1,93 @@
+package graft.bronze
+
+import graft.config.ConfigLoader.{BronzeSpec, SourceSpec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1-S7 — the bronze ingestion surface
+  * (reference: bronze/ingestors/ingest_to_iceberg.py:239-515):
+  * source resolution, all-null column drop, ingestion-metadata columns,
+  * partition-column injection, partitioned append/overwrite sink.
+  *
+  * Intentional non-goal (SURVEY §2.1 S7): the reference's 50k-row chunked
+  * writes exist because pandas holds the table in one process; Spark's
+  * distributed write replaces them — executors write partitions in parallel.
+  *
+  * Scale notes: `dropAllNullColumns` is ONE aggregate over all columns (the
+  * reference's per-column pandas isna().all()), and the write is
+  * `partitionBy(year, month)` so every downstream year/month predicate
+  * partition-prunes the scan.
+  */
+object Ingest {
+
+  /** Resolve a source to a DataFrame. http/file parquet+csv are supported;
+    * the rest raise exactly like the reference (ingest_to_iceberg.py:300-308
+    * raises NotImplementedError for s3/postgres/api). URL patterns like
+    * `{base}/yellow_tripdata_{year}-{month:02d}.parquet` are rendered by
+    * `renderPattern` before calling this. */
+  def readSource(spark: SparkSession, source: SourceSpec): DataFrame =
+    source.sourceType match {
+      case "http" | "file" =>
+        source.format match {
+          case "parquet" => spark.read.parquet(source.path)
+          case "csv" =>
+            spark.read.option("header", "true").option("inferSchema", "true")
+              .csv(source.path)
+          case other =>
+            throw new UnsupportedOperationException(s"unsupported format: $other")
+        }
+      case other =>
+        throw new UnsupportedOperationException(
+          s"source type '$other' is declared but not implemented (reference parity)")
+    }
+
+  /** `{year}` / `{month:02d}` URL templating
+    * (ingest_to_iceberg.py:251-258, config lakehouse_config.yaml:31-33). */
+  def renderPattern(pattern: String, year: Int, month: Int): String =
+    pattern
+      .replace("{year}", year.toString)
+      .replace("{month:02d}", f"$month%02d")
+      .replace("{month}", month.toString)
+
+  /** S3 — drop columns whose values are 100% NULL, in ONE pass (the Arrow
+    * null-type workaround, ingest_to_iceberg.py:276-279). */
+  def dropAllNullColumns(df: DataFrame): DataFrame = {
+    if (df.columns.isEmpty) return df
+    val counts = df.agg(
+      count(col(df.columns.head)).as(df.columns.head),
+      df.columns.tail.map(c => count(col(c)).as(c)): _*).head()
+    val allNull = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) == 0L => c
+    }
+    if (allNull.isEmpty) df else df.drop(allNull: _*)
+  }
+
+  /** S4 — `_ingestion_timestamp` + `_source_file` metadata columns
+    * (ingest_to_iceberg.py:281-284). */
+  def withIngestionMetadata(df: DataFrame, sourceFile: String): DataFrame =
+    df.withColumn("_ingestion_timestamp", current_timestamp())
+      .withColumn("_source_file", lit(sourceFile))
+
+  /** S5 — literal partition columns (ingest_to_iceberg.py:287-290). */
+  def withPartitionColumns(df: DataFrame, year: Int, month: Int): DataFrame =
+    df.withColumn("year", lit(year)).withColumn("month", lit(month))
+
+  /** S6/S9 — partitioned parquet sink, append/overwrite. */
+  def write(df: DataFrame, path: String, mode: String,
+      partitionBy: Seq[String]): Unit = {
+    require(mode == "append" || mode == "overwrite", s"bad write mode: $mode")
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Full bronze ingest for one (year, month) batch. */
+  def ingest(spark: SparkSession, spec: BronzeSpec, year: Int, month: Int): DataFrame = {
+    val path = renderPattern(spec.source.path, year, month)
+    var df = readSource(spark, spec.source.copy(path = path))
+    if (spec.dropAllNullColumns) df = dropAllNullColumns(df)
+    if (spec.addIngestionMetadata) df = withIngestionMetadata(df, path)
+    if (spec.partitionBy.contains("year")) df = withPartitionColumns(df, year, month)
+    write(df, spec.targetPath, spec.mode, spec.partitionBy)
+    df
+  }
+}

@@ -1,0 +1,202 @@
+package graft.config
+
+import java.util.{List => JList, Map => JMap}
+import scala.jdk.CollectionConverters._
+import org.yaml.snakeyaml.Yaml
+
+/** YAML pipeline-config loader — the Scala equivalent of the reference's
+  * config machinery (src/config_loader.py, src/enhanced_config_loader.py:
+  * 74-138, src/environment_config_manager.py:92-177, src/config_validator.py):
+  * base YAML + environment-overlay deep-merge + `${VAR}` env expansion +
+  * structural validation with clear errors.
+  *
+  * Parsed with snakeyaml into plain maps and mapped to the case-class model
+  * explicitly (no reflection/data-binding), so unknown keys pass through
+  * harmlessly — the reference's forward-compat posture.
+  */
+object ConfigLoader {
+
+  final case class SourceSpec(
+      sourceType: String, // http|file|s3|postgres|mysql|api|kafka
+      path: String,
+      format: String) // parquet|csv
+
+  final case class BronzeSpec(
+      source: SourceSpec,
+      targetPath: String,
+      mode: String = "overwrite", // append|overwrite
+      partitionBy: Seq[String] = Nil,
+      dropAllNullColumns: Boolean = true,
+      addIngestionMetadata: Boolean = true)
+
+  final case class PipelineConfig(
+      version: String,
+      name: String,
+      bronze: Option[BronzeSpec],
+      silver: SilverSpec,
+      gold: Seq[GoldModel],
+      quality: QualitySpec)
+
+  val allowedSourceTypes: Set[String] =
+    Set("http", "file", "s3", "postgres", "mysql", "api", "kafka")
+
+  private val versionPattern = "^v?[0-9]+\\.[0-9]+.*$".r
+
+  final class ConfigError(msg: String) extends IllegalArgumentException(msg)
+
+  /** `${VAR}` / `${VAR:-default}` expansion (environment_config_manager.py:
+    * 149-177). Unset without default → error, matching the reference. */
+  private[config] def expandVars(s: String, env: Map[String, String]): String = {
+    val re = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)(?::-([^}]*))?\\}".r
+    re.replaceAllIn(s, m => {
+      val name = m.group(1)
+      val default = Option(m.group(2))
+      env.get(name).orElse(default).getOrElse(
+        throw new ConfigError(s"environment variable $name is not set " +
+          s"and has no default (at '${m.matched}')"))
+        .replace("\\", "\\\\").replace("$", "\\$")
+    })
+  }
+
+  /** Recursive deep-merge: overlay wins on scalars/lists, merges on maps
+    * (environment_config_manager.py:92-147). */
+  private[config] def deepMerge(base: Any, overlay: Any): Any = (base, overlay) match {
+    case (b: JMap[_, _], o: JMap[_, _]) =>
+      val bm = b.asInstanceOf[JMap[String, Any]].asScala
+      val om = o.asInstanceOf[JMap[String, Any]].asScala
+      val merged = new java.util.LinkedHashMap[String, Any]()
+      (bm.keys ++ om.keys).toSeq.distinct.foreach { k =>
+        merged.put(k, (bm.get(k), om.get(k)) match {
+          case (Some(bv), Some(ov)) => deepMerge(bv, ov)
+          case (Some(bv), None) => bv
+          case (None, Some(ov)) => ov
+          case _ => null
+        })
+      }
+      merged
+    case (_, o) => o
+  }
+
+  def parse(yaml: String, overlayYaml: Option[String] = None,
+      env: Map[String, String] = sys.env): PipelineConfig = {
+    val y = new Yaml()
+    val base = y.load[Any](expandVars(yaml, env))
+    val merged = overlayYaml.fold(base)(o => deepMerge(base, y.load[Any](expandVars(o, env))))
+    fromTree(merged)
+  }
+
+  def load(path: String, overlayPath: Option[String] = None): PipelineConfig = {
+    def read(p: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+    parse(read(path), overlayPath.map(read))
+  }
+
+  // ---- tree → case classes ---------------------------------------------
+
+  private def asMap(a: Any, where: String): Map[String, Any] = a match {
+    case m: JMap[_, _] => m.asInstanceOf[JMap[String, Any]].asScala.toMap
+    case null => throw new ConfigError(s"missing section: $where")
+    case other => throw new ConfigError(s"$where: expected a mapping, got ${other.getClass.getSimpleName}")
+  }
+
+  private def asList(a: Any): Seq[Any] = a match {
+    case l: JList[_] => l.asScala.toSeq
+    case null => Nil
+    case other => throw new ConfigError(s"expected a list, got ${other.getClass.getSimpleName}")
+  }
+
+  private def str(m: Map[String, Any], k: String, where: String): String =
+    m.get(k) match {
+      case Some(s: String) => s
+      case Some(other) => throw new ConfigError(s"$where.$k: expected string, got $other")
+      case None => throw new ConfigError(s"$where: required key '$k' is missing")
+    }
+
+  private def optStr(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).collect { case s: String => s }
+
+  private def strList(m: Map[String, Any], k: String): Seq[String] =
+    asList(m.getOrElse(k, null)).map(_.toString)
+
+  private def fromTree(tree: Any): PipelineConfig = {
+    val root = asMap(tree, "<root>")
+    val version = str(root, "version", "<root>")
+    if (versionPattern.findFirstIn(version).isEmpty)
+      throw new ConfigError(s"version '$version' does not match ^v?[0-9]+\\.[0-9]+")
+    val pipeline = asMap(root.getOrElse("pipeline", null), "pipeline")
+    val name = str(pipeline, "name", "pipeline")
+
+    val bronze = root.get("bronze").map { b =>
+      val bm = asMap(b, "bronze")
+      val sm = asMap(bm.getOrElse("source", null), "bronze.source")
+      val st = str(sm, "type", "bronze.source")
+      if (!allowedSourceTypes.contains(st))
+        throw new ConfigError(
+          s"bronze.source.type '$st' not in ${allowedSourceTypes.toSeq.sorted.mkString("|")}")
+      BronzeSpec(
+        source = SourceSpec(st, str(sm, "path", "bronze.source"),
+          optStr(sm, "format").getOrElse("parquet")),
+        targetPath = str(bm, "target_path", "bronze"),
+        mode = optStr(bm, "mode").getOrElse("overwrite"),
+        partitionBy = strList(bm, "partition_by"),
+        dropAllNullColumns = bm.get("drop_all_null_columns")
+          .forall(_.asInstanceOf[Boolean]),
+        addIngestionMetadata = bm.get("add_ingestion_metadata")
+          .forall(_.asInstanceOf[Boolean]))
+    }
+
+    val silver = root.get("silver").map { s =>
+      val sm = asMap(s, "silver")
+      SilverSpec(
+        renames = asMap(sm.getOrElse("renames", new java.util.LinkedHashMap[String, Any]()),
+          "silver.renames").toSeq.map { case (k, v) => k -> v.toString },
+        casts = asList(sm.getOrElse("casts", null)).map { c =>
+          val cm = asMap(c, "silver.casts[]")
+          CastSpec(str(cm, "column", "silver.casts[]"), str(cm, "type", "silver.casts[]"))
+        },
+        derived = asList(sm.getOrElse("derived_columns", null)).map { d =>
+          val dm = asMap(d, "silver.derived_columns[]")
+          DerivedColumn(str(dm, "name", "derived"), str(dm, "expression", "derived"))
+        },
+        filters = strList(sm, "filters"),
+        dedupe = sm.get("dedupe").map { d =>
+          val dm = asMap(d, "silver.dedupe")
+          DedupeSpec(strList(dm, "keys"), strList(dm, "order_by"))
+        })
+    }.getOrElse(SilverSpec())
+
+    val gold = asList(root.getOrElse("gold", null)).map { g =>
+      val gm = asMap(g, "gold[]")
+      GoldModel(
+        name = str(gm, "name", "gold[]"),
+        groupBy = strList(gm, "group_by"),
+        measures = asList(gm.getOrElse("measures", null)).map { mm =>
+          val m = asMap(mm, "gold[].measures[]")
+          Measure(str(m, "name", "measure"), str(m, "expression", "measure"))
+        },
+        filters = strList(gm, "filters"),
+        orderBy = strList(gm, "order_by"),
+        limit = gm.get("limit").map(_.toString.toInt))
+    }
+
+    val quality = root.get("quality").map { q =>
+      val qm = asMap(q, "quality")
+      QualitySpec(
+        nullCheckColumns = strList(qm, "null_check_columns"),
+        positiveColumns = strList(qm, "positive_columns"),
+        rangeChecks = asList(qm.getOrElse("range_checks", null)).map { r =>
+          val rm = asMap(r, "quality.range_checks[]")
+          RangeCheck(str(rm, "column", "range"),
+            rm.get("min").map(_.toString.toDouble),
+            rm.get("max").map(_.toString.toDouble))
+        },
+        inSetChecks = asList(qm.getOrElse("in_set_checks", null)).map { r =>
+          val rm = asMap(r, "quality.in_set_checks[]")
+          InSetCheck(str(rm, "column", "in_set"), strList(rm, "allowed"))
+        },
+        failOnError = qm.get("fail_on_error").exists(_.asInstanceOf[Boolean]))
+    }.getOrElse(QualitySpec())
+
+    PipelineConfig(version, name, bronze, silver, gold, quality)
+  }
+}

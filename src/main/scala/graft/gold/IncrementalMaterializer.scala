@@ -53,7 +53,15 @@ object IncrementalMaterializer {
     existing.flatMap(e =>
       watermark(e, martWatermarkCol, lookbackDays).map { wm =>
         val delta = silver.filter(col(watermarkSourceCol) >= lit(wm))
-        merge(e, AggregationEngine.build(delta, model), model.groupBy.map(keyName))
+        val updates = AggregationEngine.build(delta, model)
+        // The mart's watermark column must be one of the model's measures
+        // (e.g. max(event_ts) AS last_ts) so existing and recomputed rows
+        // share a schema — fail fast otherwise, unionByName's error is cryptic.
+        require(e.columns.sorted.sameElements(updates.columns.sorted),
+          s"existing mart columns [${e.columns.sorted.mkString(",")}] must match " +
+            s"model output [${updates.columns.sorted.mkString(",")}]; include the " +
+            s"watermark column '$martWatermarkCol' as a model measure")
+        merge(e, updates, model.groupBy.map(keyName))
       }).getOrElse(AggregationEngine.build(silver, model))
 
   /** groupBy entries may be "col" or "expr AS alias" — the mart key is the

@@ -1,0 +1,150 @@
+package graft.lineage
+
+import graft.config.SilverSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.functions.col
+import scala.collection.mutable
+
+/** L1-L4 — data-lineage tracking
+  * (reference: src/data_quality/lineage.py:27-551).
+  *
+  * Improvement over the reference, on purpose: column-level lineage for
+  * derived expressions is extracted from the CATALYST parse tree
+  * (`expr(s).expr.references`) instead of the reference's naive string
+  * tokenizer (lineage.py:471-487) — `"a + coalesce(b, c)"` correctly yields
+  * {a, b, c} and never matches substrings of other identifiers.
+  */
+object Lineage {
+
+  object EventType {
+    val Ingestion = "INGESTION"
+    val Transformation = "TRANSFORMATION"
+    val Aggregation = "AGGREGATION"
+    val Filter = "FILTER"
+    val Join = "JOIN"
+    val Validation = "VALIDATION"
+    val Enrichment = "ENRICHMENT"
+  }
+
+  /** One lineage event (reference table schema, lineage.py:170-193; the
+    * column_lineage/metadata fields stay JSON strings for fidelity). */
+  final case class LineageEvent(
+      eventId: String,
+      eventType: String,
+      sourceTable: String,
+      targetTable: String,
+      layer: String,
+      rowsIn: Long,
+      rowsOut: Long,
+      columnLineage: String,
+      metadata: String,
+      eventTimeMs: Long,
+      partitionDay: java.sql.Date)
+
+  /** One column-level edge: target column ← source columns via a transform
+    * kind (RENAME | DERIVE | CAST). */
+  final case class ColumnEdge(target: String, sources: Seq[String], kind: String)
+
+  /** Column lineage of a silver transform spec, Catalyst-powered. */
+  def columnLineage(spec: SilverSpec): Seq[ColumnEdge] = {
+    val renames = spec.renames.map { case (from, to) =>
+      ColumnEdge(to, Seq(from), "RENAME")
+    }
+    val casts = spec.casts.map(c => ColumnEdge(c.column, Seq(c.column), "CAST"))
+    val derived = spec.derived.map { d =>
+      val refs = CatalystSqlParser.parseExpression(d.expression)
+        .references.map(_.name).toSeq.distinct.sorted
+      ColumnEdge(d.name, refs, "DERIVE")
+    }
+    renames ++ casts ++ derived
+  }
+
+  private def toJson(edges: Seq[ColumnEdge]): String =
+    edges.map { e =>
+      val srcs = e.sources.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+      s"""{"target":"${e.target}","sources":$srcs,"kind":"${e.kind}"}"""
+    }.mkString("[", ",", "]")
+
+  /** In-process tracker: record events as the pipeline runs, then persist
+    * once (the reference appends to an Iceberg table per run,
+    * lineage.py:363-367). */
+  final class Tracker(layerOf: String => String = _.split("\\.").headOption.getOrElse("")) {
+    private val events = mutable.ArrayBuffer[LineageEvent]()
+    private var counter = 0
+
+    def record(
+        eventType: String,
+        sourceTable: String,
+        targetTable: String,
+        rowsIn: Long,
+        rowsOut: Long,
+        edges: Seq[ColumnEdge] = Nil,
+        metadata: String = "{}",
+        atMs: Long = System.currentTimeMillis()): LineageEvent = {
+      counter += 1
+      val e = LineageEvent(
+        eventId = f"evt_$counter%06d",
+        eventType = eventType,
+        sourceTable = sourceTable,
+        targetTable = targetTable,
+        layer = layerOf(targetTable),
+        rowsIn = rowsIn,
+        rowsOut = rowsOut,
+        columnLineage = toJson(edges),
+        metadata = metadata,
+        eventTimeMs = atMs,
+        partitionDay = new java.sql.Date(atMs - atMs % 86400000L))
+      events += e
+      e
+    }
+
+    def all: Seq[LineageEvent] = events.toSeq
+
+    /** L3 — transitive upstream tables of `table` (BFS over recorded edges). */
+    def upstream(table: String): Set[String] = bfs(table, up = true)
+
+    /** L3 — transitive downstream impact of `table`. */
+    def downstream(table: String): Set[String] = bfs(table, up = false)
+
+    private def bfs(start: String, up: Boolean): Set[String] = {
+      val adj = events.groupBy(e => if (up) e.targetTable else e.sourceTable)
+      val seen = mutable.Set[String]()
+      val queue = mutable.Queue(start)
+      while (queue.nonEmpty) {
+        val t = queue.dequeue()
+        adj.getOrElse(t, Nil).foreach { e =>
+          val next = if (up) e.sourceTable else e.targetTable
+          if (next.nonEmpty && seen.add(next)) queue.enqueue(next)
+        }
+      }
+      seen.toSet
+    }
+
+    /** L4 — events as a DataFrame for the partitioned lineage sink. */
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      events.toSeq.toDF()
+        .withColumnRenamed("eventId", "event_id")
+        .withColumnRenamed("eventType", "event_type")
+        .withColumnRenamed("sourceTable", "source_table")
+        .withColumnRenamed("targetTable", "target_table")
+        .withColumnRenamed("rowsIn", "rows_in")
+        .withColumnRenamed("rowsOut", "rows_out")
+        .withColumnRenamed("columnLineage", "column_lineage")
+        .withColumnRenamed("eventTimeMs", "event_time_ms")
+        .withColumnRenamed("partitionDay", "partition_day")
+    }
+
+    /** Persist partitioned by (partition_day, layer) — the reference's
+      * lineage-table partition spec (lineage.py:170-193). */
+    def persist(spark: SparkSession, path: String): Unit =
+      toDF(spark).write.mode("append")
+        .partitionBy("partition_day", "layer").parquet(path)
+  }
+
+  /** SQL query surface over a persisted lineage table (lineage.py:498-551). */
+  def eventsFor(spark: SparkSession, path: String, table: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("source_table") === table || col("target_table") === table)
+}

@@ -1,0 +1,56 @@
+package graft.bronze
+
+import graft.SparkSpec
+import graft.config.ConfigLoader.SourceSpec
+import java.nio.file.Files
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv source reads with header + schema inference") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("zones.csv")
+    Files.writeString(f,
+      "LocationID,Borough,Zone\n1,EWR,Newark Airport\n2,Queens,Jamaica Bay\n")
+    val df = Ingest.readSource(spark, SourceSpec("file", f.toString, "csv"))
+    df.count() shouldBe 2
+    df.schema("LocationID").dataType.typeName shouldBe "integer"
+  }
+
+  test("unsupported source types raise like the reference") {
+    an[UnsupportedOperationException] should be thrownBy
+      Ingest.readSource(spark, SourceSpec("postgres", "jdbc:...", "parquet"))
+  }
+
+  test("renderPattern fills {year} and {month:02d}") {
+    Ingest.renderPattern("{base}/yellow_{year}-{month:02d}.parquet", 2024, 3) shouldBe
+      "{base}/yellow_2024-03.parquet"
+  }
+
+  test("dropAllNullColumns drops only 100%-null columns, one pass") {
+    val df = Seq((1, Option.empty[String], Some(1.0)),
+      (2, Option.empty[String], None)).toDF("id", "all_null", "some_null")
+    val out = Ingest.dropAllNullColumns(df)
+    out.columns.toSeq shouldBe Seq("id", "some_null")
+  }
+
+  test("metadata and partition columns are appended") {
+    val df = Ingest.withPartitionColumns(
+      Ingest.withIngestionMetadata(Seq(1, 2).toDF("v"), "s3://x/f.parquet"),
+      2024, 3)
+    df.columns should contain allOf ("_ingestion_timestamp", "_source_file", "year", "month")
+    df.select("_source_file").distinct().head().getString(0) shouldBe "s3://x/f.parquet"
+  }
+
+  test("partitioned write enables partition pruning on read") {
+    val dir = Files.createTempDirectory("graft_bronze").toString
+    val df = Seq((1, 2023, 1), (2, 2023, 2), (3, 2024, 1))
+      .toDF("v", "year", "month")
+    Ingest.write(df, dir, "overwrite", Seq("year", "month"))
+    val back = spark.read.parquet(dir).where("year = 2024")
+    back.count() shouldBe 1
+    val plan = back.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("year")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon eta"), // near-dup of 1
+    (3L, "one two three four five six seven"),
+    (4L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+    (5L, "xy"))
+    .toDF("doc_id", "text")
+
+  test("shingles: n-grams, distinct, empty for too-short docs") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    sh(1L) should contain("alpha beta gamma")
+    sh(1L).length shouldBe 4 // 6 tokens → 4 trigrams
+    sh(5L) shouldBe empty // 1 token, no trigram
+  }
+
+  test("exact dedup keeps min-id row per content") {
+    val out = Dedup.dedupeExact(docs, "doc_id", "text")
+    out.count() shouldBe 4
+    out.select("doc_id").as[Long].collect() should not contain 4L
+  }
+
+  test("exactDupGroups finds the duplicated content") {
+    val g = Dedup.exactDupGroups(docs, "text").collect()
+    g.length shouldBe 1
+    g.head.getAs[Long]("copies") shouldBe 2L
+  }
+
+  test("jaccardPairs computes exact n-gram jaccard") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    pairs((1L, 4L)) shouldBe 1.0 // identical docs
+    // docs 1,2 share trigrams "alpha beta gamma","beta gamma delta",
+    // "gamma delta epsilon": inter=3, union=4+4-3=5
+    pairs((1L, 2L)) shouldBe 0.6 +- 1e-12
+    pairs.keySet should not contain ((1L, 3L)) // no shared shingle
+  }
+
+  test("minhash: identical docs → identical signatures; lsh finds dups") {
+    val sig = Dedup.withMinHash(
+      docs.select(col("doc_id"), col("text")), "text", 8, 3)
+    val s1 = sig.where("doc_id = 1").drop("text").collect().head
+    val s4 = sig.where("doc_id = 4").drop("text").collect().head
+    (1 to 8).foreach(i => s1.getString(i) shouldBe s4.getString(i))
+
+    val cands = Dedup.lshCandidates(docs, "doc_id", "text",
+      numHashes = 8, numBands = 4, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cands should contain((1L, 4L)) // exact dups always collide
+  }
+
+  test("simhash: identical → hamming 0, disjoint → large distance") {
+    val h = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h(1L) shouldBe h(4L)
+    val d = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    d should be > 4 // unrelated docs differ in many bits
+  }
+}

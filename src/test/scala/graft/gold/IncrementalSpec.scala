@@ -1,0 +1,52 @@
+package graft.gold
+
+import graft.SparkSpec
+import graft.config.{GoldModel, Measure}
+import org.apache.spark.sql.functions.col
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val model = GoldModel(
+    name = "daily",
+    groupBy = Seq("day"),
+    measures = Seq(Measure("n", "count(1)"), Measure("total", "sum(v)"),
+      Measure("last_ts", "max(event_ts)")))
+
+  test("merge replaces updated keys and keeps the rest") {
+    val existing = Seq(("d1", 1L, 10.0), ("d2", 1L, 20.0)).toDF("day", "n", "total")
+    val updates = Seq(("d2", 5L, 99.0), ("d3", 2L, 30.0)).toDF("day", "n", "total")
+    val merged = IncrementalMaterializer.merge(existing, updates, Seq("day"))
+      .orderBy("day").collect()
+    merged.map(_.getString(0)).toSeq shouldBe Seq("d1", "d2", "d3")
+    merged(1).getLong(1) shouldBe 5L // d2 replaced by the update
+  }
+
+  test("refresh with no existing mart does a full build") {
+    val silver = Seq(("d1", 1.0, ts("2024-01-01")), ("d1", 2.0, ts("2024-01-01")))
+      .toDF("day", "v", "event_ts")
+    val out = IncrementalMaterializer.refresh(
+      silver, existing = None, model, "event_ts", "last_ts", lookbackDays = 7)
+    out.count() shouldBe 1
+    out.head().getAs[Long]("n") shouldBe 2L
+  }
+
+  test("incremental refresh equals full rebuild when lookback covers groups") {
+    val silver = Seq(
+      ("d1", 1.0, ts("2024-01-01")), ("d2", 2.0, ts("2024-01-02")),
+      ("d3", 3.0, ts("2024-01-03")), ("d3", 4.0, ts("2024-01-03")))
+      .toDF("day", "v", "event_ts")
+    val full = AggregationEngine.build(silver, model)
+    // existing mart built from the first two days only; last_ts is the
+    // model's own watermark measure
+    val oldMart = AggregationEngine.build(
+      silver.filter("event_ts < timestamp'2024-01-03 00:00:00'"), model)
+    val refreshed = IncrementalMaterializer.refresh(
+      silver, Some(oldMart), model, "event_ts", "last_ts", lookbackDays = 1)
+      .select("day", "n", "total")
+    refreshed.orderBy("day").collect().map(r => (r.getString(0), r.getLong(1))) shouldBe
+      full.orderBy("day").collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  private def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+}

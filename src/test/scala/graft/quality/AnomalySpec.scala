@@ -1,0 +1,56 @@
+package graft.quality
+
+import graft.SparkSpec
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zScoreReport flags a planted outlier with exact stats") {
+    val vals = (Seq.fill(99)(10.0) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+    val r = Anomaly.zScoreReport(vals, "value", 3.0).head()
+    r.getAs[Long]("n") shouldBe 100L
+    r.getAs[Double]("mean") shouldBe 19.9 +- 1e-9
+    r.getAs[Long]("anomaly_count") shouldBe 1L
+  }
+
+  test("movingAnomaly: first row has null std and is never anomalous") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 10.5), (1L, 3L, 11.0), (1L, 4L, 500.0))
+      .toDF("user_id", "seq", "value")
+    // k=1: the outlier inflates its own window's std (mean≈174, σ≈282), so
+    // |500−mean| exceeds 1σ but not 2σ — the classic inclusive-window effect.
+    val out = Anomaly.movingAnomaly(df, Seq("user_id"), Seq("seq"), "value",
+      window = 3, k = 1.0)
+      .orderBy("seq").collect()
+    out(0).isNullAt(out(0).fieldIndex("roll_std")) shouldBe true
+    out(0).getAs[Boolean]("is_anomaly") shouldBe false
+    out(3).getAs[Boolean]("is_anomaly") shouldBe true // 500 vs ~10
+  }
+
+  test("categoryFrequencies marks rare categories") {
+    val df = (Seq.fill(98)("common") ++ Seq("rare1", "rare2")).toDF("cat")
+    val out = Anomaly.categoryFrequencies(df, "cat", 0.05)
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("is_rare")).toMap
+    out("common") shouldBe false
+    out("rare1") shouldBe true
+  }
+
+  test("nullSpike compares current null rate to historical") {
+    val df = (Seq.fill(8)(Some(1.0)) ++ Seq(None, None)).toDF("v")
+    val r = Anomaly.nullSpike(df, "v", historicalRate = 0.05).head()
+    r.getAs[Double]("null_rate") shouldBe 0.2 +- 1e-12
+    r.getAs[Boolean]("is_spike") shouldBe true // 0.2 > 0.05*2
+  }
+
+  test("exactQuantiles interpolates like the SQL percentile contract") {
+    val df = (1 to 5).map(_.toDouble).toDF("v")
+    val r = Anomaly.exactQuantiles(df, "v", Seq(0.25, 0.5)).head()
+    r.getAs[Double]("p25") shouldBe 2.0
+    r.getAs[Double]("p50") shouldBe 3.0
+  }
+
+  test("iqrAnomalies flags outliers via approxQuantile bounds") {
+    val df = ((1 to 99).map(_.toDouble) :+ 10000.0).toDF("v")
+    Anomaly.iqrAnomalies(df, "v").count() shouldBe 1
+  }
+}

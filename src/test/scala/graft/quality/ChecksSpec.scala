@@ -1,0 +1,49 @@
+package graft.quality
+
+import graft.SparkSpec
+import graft.config._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirty = Seq(
+    (Some(1.0), Some("click"), 5),
+    (None, Some("view"), -2),
+    (Some(-3.0), None, 0),
+    (Some(200.0), Some("bogus"), 7))
+    .toDF("value", "etype", "qty")
+
+  test("run() fuses all checks into one pass and reports per-check counts") {
+    val results = Checks.run(dirty, QualitySpec(
+      nullCheckColumns = Seq("value", "etype", "ghost"),
+      positiveColumns = Seq("qty"),
+      rangeChecks = Seq(RangeCheck("value", Some(0.0), Some(100.0))),
+      inSetChecks = Seq(InSetCheck("etype", Seq("click", "view")))))
+    results.map(r => (r.check, r.column) -> r.failedCount).toMap shouldBe Map(
+      ("null_check", "value") -> 1L,
+      ("null_check", "etype") -> 1L,
+      ("positive_values", "qty") -> 2L,
+      ("range_check", "value") -> 2L,
+      ("in_set", "etype") -> 1L)
+  }
+
+  test("zero-row input reports 0 failures, not NPE") {
+    val empty = dirty.where("qty > 1000")
+    val results = Checks.run(empty, QualitySpec(nullCheckColumns = Seq("value")))
+    results.head.failedCount shouldBe 0L
+    results.head.passed shouldBe true
+  }
+
+  test("all requested columns missing → clear error, not NoSuchElement") {
+    val e = the[IllegalArgumentException] thrownBy
+      Checks.nullCounts(dirty, Seq("ghost1", "ghost2"))
+    e.getMessage should include("none of the requested columns")
+  }
+
+  test("helpers report per-column counts in one row") {
+    val row = Checks.rangeViolations(dirty,
+      Seq(RangeCheck("value", Some(0.0), Some(100.0)))).head()
+    row.getLong(0) shouldBe 1L // below min: -3
+    row.getLong(1) shouldBe 1L // above max: 200
+  }
+}

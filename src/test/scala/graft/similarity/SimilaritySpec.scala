@@ -1,0 +1,50 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted geometry: 0∥1 (identical direction), 2 orthogonal, 3 opposite
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(2.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(1.0f, 1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: parallel=1, orthogonal=0, opposite=-1") {
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    sims((0L, 1L)) shouldBe 1.0 +- 1e-12
+    sims((0L, 2L)) shouldBe 0.0 +- 1e-12
+    sims((0L, 3L)) shouldBe -1.0 +- 1e-12
+  }
+
+  test("bruteForceTopK ranks by similarity, excludes self") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.where("vec_id = 0"),
+      "vec_id", "embedding", 2).collect()
+    top.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(1L, 4L)
+    top.head.getAs[Long]("sim_e6") shouldBe 1000000L
+  }
+
+  test("cosineDupes returns pairs above threshold") {
+    val dupes = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    dupes.toSeq shouldBe Seq((0L, 1L))
+  }
+
+  test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
+    val exact = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshCosineDupes(vecs, "vec_id", "embedding",
+      0.99, numPlanes = 4, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    approx subsetOf exact shouldBe true
+    approx should contain((0L, 1L)) // same direction → same sign pattern
+  }
+}

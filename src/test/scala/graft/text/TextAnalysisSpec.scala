@@ -1,0 +1,39 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox the fox"),
+    (2L, "der hund und die katze und der vogel"),
+    (3L, "xyzzy plugh"))
+    .toDF("doc_id", "text")
+
+  test("token counts and type-token ratio") {
+    val p = TextAnalysis.profile(docs, "text").where("doc_id = 1").head()
+    p.getAs[Long]("n_tokens") shouldBe 6L
+    p.getAs[Long]("n_unique_tokens") shouldBe 4L
+    p.getAs[Long]("ttr_e6") shouldBe 666667L // round(4/6 * 1e6)
+  }
+
+  test("langId picks the max-scoring language with fixed precedence") {
+    val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "en" // "the" ×2
+    out(2L) shouldBe "de" // der/und/die
+    out(3L) shouldBe "und" // no markers at all
+  }
+
+  test("fingerprint is normalization-stable, rolling hash is order-sensitive") {
+    val fp = Seq(("A b C", 1), ("  a b c ", 2)).toDF("t", "i")
+      .select(TextAnalysis.fingerprint(col("t"))).distinct()
+    fp.count() shouldBe 1 // same normalized content
+
+    val rh = Seq(("a b", 1), ("b a", 2)).toDF("t", "i")
+      .select(TextAnalysis.rollingHash(col("t"))).distinct()
+    rh.count() shouldBe 2 // rolling hash sees order
+  }
+}
