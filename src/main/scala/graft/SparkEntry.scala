@@ -357,14 +357,14 @@ object SparkEntry {
     "q28_cosine_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
-        "vec_id", "embedding", 5)
+        "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
 
     // Embedding-cosine near-duplicate pairs above a similarity threshold.
     "q29_cosine_dupes" -> ((s, dir) => {
       Similarity.cosineDupes(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", 0.4)
+        "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -650,16 +650,19 @@ object SparkEntry {
         |  i -> string_split(trim(text),' ')[i] || ' ' ||
         |       string_split(trim(text),' ')[i+1] || ' ' ||
         |       string_split(trim(text),' ')[i+2])) AS sh FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(sh, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs
+        | FROM t WHERE len(sh) > 0),
         |sig AS (SELECT doc_id,
-        | list_min(list_transform(sh, s -> substr(md5('0:' || s),1,15))) AS m0,
-        | list_min(list_transform(sh, s -> substr(md5('1:' || s),1,15))) AS m1,
-        | list_min(list_transform(sh, s -> substr(md5('2:' || s),1,15))) AS m2,
-        | list_min(list_transform(sh, s -> substr(md5('3:' || s),1,15))) AS m3,
-        | list_min(list_transform(sh, s -> substr(md5('4:' || s),1,15))) AS m4,
-        | list_min(list_transform(sh, s -> substr(md5('5:' || s),1,15))) AS m5,
-        | list_min(list_transform(sh, s -> substr(md5('6:' || s),1,15))) AS m6,
-        | list_min(list_transform(sh, s -> substr(md5('7:' || s),1,15))) AS m7
-        | FROM t),
+        | list_min(list_transform(hs, x -> (1000000007 * x + 0) % 4294967311)) AS m0,
+        | list_min(list_transform(hs, x -> (998244353 * x + 1) % 4294967311)) AS m1,
+        | list_min(list_transform(hs, x -> (754974721 * x + 2) % 4294967311)) AS m2,
+        | list_min(list_transform(hs, x -> (167772161 * x + 3) % 4294967311)) AS m3,
+        | list_min(list_transform(hs, x -> (469762049 * x + 4) % 4294967311)) AS m4,
+        | list_min(list_transform(hs, x -> (595591169 * x + 5) % 4294967311)) AS m5,
+        | list_min(list_transform(hs, x -> (645922817 * x + 6) % 4294967311)) AS m6,
+        | list_min(list_transform(hs, x -> (897581057 * x + 7) % 4294967311)) AS m7
+        | FROM h),
         |bands AS (
         | SELECT doc_id, 0 AS bi, md5(m0 || '|' || m1) AS bk FROM sig
         | UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig

@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.catalyst.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); read as long (see Tables)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -77,8 +77,11 @@ object Dedup {
           .select("shingle")
         sh.join(freq, "shingle")
       }
-    val sizes = df.select(col(idCol).as("doc_id"),
-      size(shingles(col(textCol), n)).cast("long").as("set_size"))
+    // set sizes from the UNCAPPED exploded shingles (exact |set| even when
+    // stop-shingles are dropped from pairing) — and shingling runs once, not
+    // a second row-local pass (the HOF shingle transform is interpreted, so
+    // recomputation is the expensive part).
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val a = capped.select(col("doc_id").as("id_a"), col("shingle"))
     val b = capped.select(col("doc_id").as("id_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -94,20 +97,43 @@ object Dedup {
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
   }
 
-  /** One MinHash value: lexicographic min over 60-bit md5-prefix hex strings
-    * of the seeded shingles. Fixed-length lowercase hex ⇒ string order ≡
-    * unsigned numeric order, identically in every engine. Row-local. */
-  def minHashValue(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr,
-      s => substring(md5(concat(lit(s"$seed:"), s)), 1, 15)))
+  /** Universal-hash MinHash family: ONE 32-bit md5 base hash per shingle,
+    * then k cheap integer permutations h ↦ (aⱼ·h + bⱼ) mod p. This is the
+    * standard scheme (one expensive hash, k O(1) permutations) — 8× fewer
+    * md5 evaluations than hashing per seed, and pure integer math that every
+    * engine reproduces exactly. aⱼ < 2³⁰ and h < 2³² keep aⱼ·h+bⱼ < 2⁶²:
+    * no signed-64 overflow anywhere (DuckDB would error, Spark would wrap). */
+  private[dedup] val minhashP = 4294967311L // prime > 2^32
+  private[dedup] val minhashA = Seq(
+    1000000007L, 998244353L, 754974721L, 167772161L,
+    469762049L, 595591169L, 645922817L, 897581057L)
+
+  /** 32-bit base hash per shingle (first 8 md5 hex digits). */
+  def shingleBaseHashes(shingleArr: Column): Column =
+    transform(shingleArr,
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+
+  /** One MinHash value over the base-hash array for permutation `seed`.
+    * Empty array → null (array_min), filtered by callers. */
+  def minHashValue(baseHashArr: Column, seed: Int): Column = {
+    require(seed < minhashA.length, s"at most ${minhashA.length} hash permutations")
+    array_min(transform(baseHashArr,
+      h => (lit(minhashA(seed)) * h + lit(seed.toLong)) % lit(minhashP)))
+  }
 
   /** MinHash signature columns mh0..mh{k-1} appended to df. Row-local, no
-    * shuffle; empty shingle sets get null signatures (filtered upstream). */
+    * shuffle; empty shingle sets get null signatures (filtered upstream).
+    * Shingles and base hashes materialize ONCE into temp columns —
+    * interpreted HOFs are not common-subexpression-eliminated, so inlining
+    * them into every hash column would redo the md5 pass k times. */
   def withMinHash(
       df: DataFrame, textCol: String, numHashes: Int, shingleN: Int): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
-    (0 until numHashes).foldLeft(df)((d, j) =>
-      d.withColumn(s"mh$j", minHashValue(sh, j)))
+    val withHs = df
+      .withColumn("_sh", shingles(col(textCol), shingleN))
+      .withColumn("_hs", shingleBaseHashes(col("_sh")))
+    (0 until numHashes).foldLeft(withHs)((d, j) =>
+      d.withColumn(s"mh$j", minHashValue(col("_hs"), j)))
+      .drop("_sh", "_hs")
   }
 
   /** LSH band keys: band b = md5 of the concatenated signature rows in that

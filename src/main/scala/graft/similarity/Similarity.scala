@@ -9,27 +9,33 @@ import org.apache.spark.sql.functions._
   * variant as the 100 TB scale path.
   *
   * Scale notes:
-  *  - Dot products are row-local sequential folds in double precision —
-  *    codegen'd expressions, no UDFs, deterministic (left-to-right fold, so
-  *    results are bit-identical across engines and runs).
-  *  - Brute-force: queries are broadcast; the corpus is scanned once; the
-  *    only shuffle carries (query, candidate, sim) for per-query top-k
-  *    ranking. Cost is O(|Q|·|corpus|·dim) — exact, and the right baseline
-  *    for recall measurement, but linear in corpus size.
-  *  - LSH path: each vector is sign-hashed against `numPlanes` deterministic
-  *    pseudo-random hyperplanes (md5-derived coefficients, so every engine
-  *    and every executor derives the same planes without shipping state).
-  *    Vectors collide only within buckets ⇒ the candidate join shuffles
-  *    bucket keys, not the full cross product. An IVF(coarse-quantizer)
-  *    variant would replace the sign hash with nearest-centroid assignment;
-  *    the plumbing (bucket → join → rank) is identical.
+  *  - Dot products use the native `vec_dot` expression
+  *    (graft.catalyst.FloatVecDot, registered by GraftExtensions): one
+  *    codegen'd loop per pair. Sessions must set
+  *    `spark.sql.extensions=graft.catalyst.GraftExtensions`.
+  *  - Norms are computed once per ROW and carried through the pair join —
+  *    never recomputed per pair (3× fewer dots on a pair scan).
+  *  - Brute-force: queries broadcast, corpus scanned once; the only shuffle
+  *    carries (query, candidate, sim) for per-query top-k ranking. Exact,
+  *    O(|Q|·|corpus|·dim) — the recall baseline.
+  *  - LSH path: sign-hash against md5-derived deterministic hyperplanes
+  *    (every engine/executor derives identical planes without shipping
+  *    state); candidate pairs only within buckets. An IVF variant would
+  *    replace the sign hash with nearest-centroid assignment; the bucket →
+  *    join → rank plumbing is identical.
+  *  - Determinism: sequential accumulation in double precision — results are
+  *    bit-identical across engines (matches DuckDB list_dot_product), so
+  *    ranks never flip between runs.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors in double math.
-    * float×float is exact in double (24+24 ≤ 53 mantissa bits); the
-    * accumulation order is the array order in both Spark and DuckDB. */
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd dot product (FloatVecDot). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Pure-builtin fold fallback — same math and accumulation order as
+    * vec_dot, usable on sessions without GraftExtensions; interpreted
+    * (CodegenFallback), so keep it off hot pair scans. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -40,10 +46,9 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for each query vector.
-    * Output: (query_id, neighbor_id, rank, sim_e6) where sim_e6 is the
-    * similarity in micro-units (integer — avoids cross-engine double→string
-    * rounding differences in compared output while ranking on the raw
-    * double). Self-matches are excluded. */
+    * Output: (query_id, neighbor_id, rank, sim_e6) — similarity in
+    * micro-units (integer) for cross-engine-stable comparison; ranking on
+    * the raw double. Self-matches excluded. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -51,9 +56,12 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
     val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     sims.withColumn("rank", row_number().over(w))
@@ -64,22 +72,25 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine
-    * above `threshold`. Exact (full pair scan) — the LSH variant below is the
-    * scale path that prunes the same search. */
+    * above `threshold`. Exact full pair scan — the LSH variant below prunes
+    * the same search. */
   def cosineDupes(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .withColumn("norm_a", norm(col("vec_a")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      .withColumn("norm_b", norm(col("vec_b")))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") > lit(threshold))
       .select(col("id_a"), col("id_b"),
         round(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
-    * first 4 md5 hex digits of "plane:dim" mapped to [-0.5, 0.5). Pure
-    * expression — every engine/executor derives identical planes. */
+    * first 4 md5 hex digits of "plane:dim" mapped to [-0.5, 0.5). Constant-
+    * folded by Catalyst. */
   private def planeCoef(plane: Int, dim: Int): Column =
     (conv(substring(md5(lit(s"$plane:$dim")), 1, 4), 16, 10).cast("double")
       / lit(65536.0)) - lit(0.5)
@@ -108,11 +119,15 @@ object Similarity {
       dim: Int): DataFrame = {
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+      .withColumn("nrm", norm(col("vec")))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("norm_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("norm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") > lit(threshold))
       .select(col("id_a"), col("id_b"),
         round(col("sim") * 1e6).cast("long").as("sim_e6"))

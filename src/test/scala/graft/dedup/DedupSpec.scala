@@ -50,7 +50,7 @@ class DedupSpec extends SparkSpec {
       docs.select(col("doc_id"), col("text")), "text", 8, 3)
     val s1 = sig.where("doc_id = 1").drop("text").collect().head
     val s4 = sig.where("doc_id = 4").drop("text").collect().head
-    (1 to 8).foreach(i => s1.getString(i) shouldBe s4.getString(i))
+    (1 to 8).foreach(i => s1.getLong(i) shouldBe s4.getLong(i))
 
     val cands = Dedup.lshCandidates(docs, "doc_id", "text",
       numHashes = 8, numBands = 4, shingleN = 3)

@@ -27,7 +27,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("bruteForceTopK ranks by similarity, excludes self") {
     val top = Similarity.bruteForceTopK(vecs, vecs.where("vec_id = 0"),
-      "vec_id", "embedding", 2).collect()
+      "vec_id", "embedding", k = 2).collect()
     top.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(1L, 4L)
     top.head.getAs[Long]("sim_e6") shouldBe 1000000L
   }
