@@ -70,6 +70,33 @@ object Checks {
     def passed: Boolean = failedCount == 0L
   }
 
+  /** Q5-Q7 — great-expectations-style aggregate expectations
+    * (great_expectations.py:320-362): an observed scalar within [lo, hi]. */
+  final case class ExpectationResult(
+      expectation: String, column: String, observed: Double, passed: Boolean)
+
+  /** Q5 — mean within bounds. Exact decimal accumulation so the observed
+    * value is reproducible across partitionings. */
+  def meanBetween(df: DataFrame, column: String, lo: Double, hi: Double): ExpectationResult = {
+    val r = df.agg((sum(col(column).cast("decimal(18,4)")).cast("double")
+      / count(col(column)).cast("double")).as("m")).head()
+    val m = if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+    ExpectationResult("mean_between", column, m, m >= lo && m <= hi)
+  }
+
+  /** Q6 — total row count within bounds (suite default 1000..1e8,
+    * great_expectations.py:399). */
+  def rowCountBetween(df: DataFrame, lo: Long, hi: Long): ExpectationResult = {
+    val n = df.count()
+    ExpectationResult("row_count_between", "*", n.toDouble, n >= lo && n <= hi)
+  }
+
+  /** Q7 — exact distinct count within bounds. */
+  def uniqueCountBetween(df: DataFrame, column: String, lo: Long, hi: Long): ExpectationResult = {
+    val n = df.agg(countDistinct(col(column))).head().getLong(0)
+    ExpectationResult("unique_count_between", column, n.toDouble, n >= lo && n <= hi)
+  }
+
   /** Run a full QualitySpec in ONE job: all checks become columns of a single
     * aggregate row, then split into per-check results driver-side. */
   def run(df: DataFrame, spec: QualitySpec): Seq[CheckResult] = {

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.config.SilverSpec
+import graft.silver.Transform
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface. The reference is strictly batch (SURVEY
+  * §1.6 — kafka is only an enum value; its "incremental" gold refresh is
+  * micro-batch MERGE), so this module is capability beyond parity: the same
+  * silver semantics applied continuously, plus the two streaming primitives
+  * a training-data pipeline needs — watermarked windowed aggregation and
+  * keyed running state.
+  *
+  * Scale notes: the file source lists+processes only NEW files per
+  * micro-batch (no re-scan of history); dedup state and window state are
+  * bounded by the watermark — without it, streaming dropDuplicates state
+  * grows forever at 100 TB/day. State stores shuffle by key exactly like
+  * their batch analogues.
+  */
+object Streaming {
+
+  /** Continuous bronze→silver: files arriving under `inputDir` flow through
+    * the SAME config-driven transform chain as the batch job; dedupe becomes
+    * stateful `dropDuplicates` on the spec's keys (order-by tie-breaking is
+    * meaningless on an infinite stream — first-seen wins, documented). */
+  def silverStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      spec: SilverSpec,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(inputDir)
+    val chained = Transform.filter(spec.filters)(
+      Transform.derive(spec.derived)(
+        Transform.cast(spec.casts)(
+          Transform.rename(spec.renames)(src))))
+    val deduped = spec.dedupe.filter(_.keys.nonEmpty)
+      .fold(chained)(d => chained.dropDuplicates(d.keys))
+    deduped.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregation (the streaming analogue of the
+    * hourly gold mart): late data beyond `watermark` is dropped and window
+    * state is reclaimed. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  final case class KeyedEvent(key: String, value: Double)
+  final case class RunningStat(key: String, n: Long, total: Double)
+
+  /** Keyed running aggregate via mapGroupsWithState — the custom-state
+    * primitive (per-key counters, sessionization, online quality stats). */
+  def runningTotals(events: org.apache.spark.sql.Dataset[KeyedEvent])
+      : org.apache.spark.sql.Dataset[RunningStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[RunningStat, RunningStat](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[RunningStat]) =>
+          val prev = state.getOption.getOrElse(RunningStat(key, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = RunningStat(key, prev.n + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+}

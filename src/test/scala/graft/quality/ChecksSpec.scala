@@ -46,4 +46,14 @@ class ChecksSpec extends SparkSpec {
     row.getLong(0) shouldBe 1L // below min: -3
     row.getLong(1) shouldBe 1L // above max: 200
   }
+
+  test("aggregate expectations: mean/row-count/unique-count between bounds") {
+    Checks.meanBetween(dirty, "qty", 0.0, 10.0).passed shouldBe true
+    Checks.meanBetween(dirty, "qty", 100.0, 200.0).passed shouldBe false
+    Checks.rowCountBetween(dirty, 1, 10).passed shouldBe true
+    Checks.rowCountBetween(dirty, 100, 200).passed shouldBe false
+    val u = Checks.uniqueCountBetween(dirty, "etype", 1, 2)
+    u.observed shouldBe 3.0 // click, view, bogus (null not counted)
+    u.passed shouldBe false
+  }
 }
