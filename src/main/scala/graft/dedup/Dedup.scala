@@ -59,6 +59,18 @@ object Dedup {
     * id_a < id_b. `maxShingleFreq` drops shingles appearing in more than
     * that many docs before pairing (skew guard; pass Int.MaxValue for exact
     * semantics on small corpora). */
+  /** Expand sorted per-bucket member lists into (a < b) pairs — the
+    * inverted-index pair-generation shape shared by Jaccard and LSH:
+    * ONE scan builds the index, ONE shuffle groups it, pairs explode inside
+    * each bucket. A self-join would recompute the (interpreted,
+    * non-exchange-reused) shingle/signature pass once per side. */
+  private def bucketPairs(buckets: DataFrame, memberCol: String): DataFrame = {
+    val ids = col(memberCol)
+    val pairArr = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y => struct(x.as("id_a"), y.as("id_b")))))
+    buckets.select(explode(pairArr).as("p")).select(col("p.id_a"), col("p.id_b"))
+  }
+
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -68,24 +80,17 @@ object Dedup {
     val sh = df.select(col(idCol).as("doc_id"),
         shingles(col(textCol), n).as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val capped =
-      if (maxShingleFreq == Int.MaxValue) sh
-      else {
-        val freq = sh.groupBy("shingle")
-          .agg(count(lit(1)).as("df_count"))
-          .filter(col("df_count") <= maxShingleFreq)
-          .select("shingle")
-        sh.join(freq, "shingle")
-      }
-    // set sizes from the UNCAPPED exploded shingles (exact |set| even when
-    // stop-shingles are dropped from pairing) — and shingling runs once, not
-    // a second row-local pass (the HOF shingle transform is interpreted, so
-    // recomputation is the expensive part).
+    // one shuffle builds the inverted index; the frequency cap (skew guard)
+    // is a size() filter on the posting list — no second freq pass.
+    val index = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val cappedIndex =
+      if (maxShingleFreq == Int.MaxValue) index
+      else index.filter(size(col("ids")) <= maxShingleFreq)
+    // set sizes from the SAME exploded shingles (exact |set| even when
+    // stop-shingles are dropped from pairing).
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val a = capped.select(col("doc_id").as("id_a"), col("shingle"))
-    val b = capped.select(col("doc_id").as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
+    bucketPairs(cappedIndex, "ids")
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("doc_id", "id_a")
@@ -167,19 +172,15 @@ object Dedup {
     val long = banded.select(col("doc_id"), posexplode(
       array((0 until numBands).map(b => col(s"band$b")): _*)))
       .toDF("doc_id", "band_idx", "bucket")
+    // one shuffle groups each (band, bucket); the size cap is a filter on
+    // the member list; pairs explode in place (no self-join, so the md5
+    // signature pass runs once, not once per join side).
+    val buckets = long.groupBy("band_idx", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
     val capped =
-      if (maxBucketSize == Int.MaxValue) long
-      else {
-        val ok = long.groupBy("band_idx", "bucket")
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
-          .select("band_idx", "bucket")
-        long.join(ok, Seq("band_idx", "bucket"))
-      }
-    val a = capped.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
-    val b = capped.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band_idx", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      if (maxBucketSize == Int.MaxValue) buckets
+      else buckets.filter(size(col("ids")) <= maxBucketSize)
+    bucketPairs(capped, "ids").distinct()
   }
 
   /** 32-bit SimHash over token md5 hashes: per bit, sum ±1 over tokens,
