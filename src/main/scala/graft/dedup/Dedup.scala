@@ -87,9 +87,12 @@ object Dedup {
     val cappedIndex =
       if (maxShingleFreq == Int.MaxValue) index
       else index.filter(size(col("ids")) <= maxShingleFreq)
-    // set sizes from the SAME exploded shingles (exact |set| even when
-    // stop-shingles are dropped from pairing).
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    // set sizes from the UNCAPPED index (exact |set| even when stop-shingles
+    // are dropped from pairing). Deriving from `index` — not from `sh` —
+    // lets AQE/ReuseExchange share the index shuffle between the pair branch
+    // and the size branch, so the interpreted shingling pass runs once.
+    val sizes = index.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     bucketPairs(cappedIndex, "ids")
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))

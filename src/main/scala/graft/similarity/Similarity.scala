@@ -106,6 +106,67 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  // ---- IVF (inverted-file) coarse quantization --------------------------
+
+  /** Deterministic centroid sample: the k lowest-id vectors, L2-normalized
+    * driver-side (normalized centroids make argmax(dot) ≡ argmax(cosine),
+    * since the query's own norm is constant across centroids). A production
+    * build would k-means these; the assignment/probe plumbing is identical. */
+  def sampleCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[Array[Float]] =
+    df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect().map { r =>
+      val v = r.getSeq[Float](0).toArray
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum).toFloat
+      if (n == 0f) v else v.map(_ / n)
+    }.toSeq
+
+  /** Scores against every centroid as (score, centroidIdx) structs.
+    * array_min over structs compares fields in order → min(-dot) = argmax
+    * dot, ties to the lowest centroid index. All row-local vec_dot loops. */
+  private def centroidStructs(vecCol: Column, centroids: Seq[Array[Float]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dot(vecCol, typedlit(c.toSeq))).as("d"), lit(i).as("c"))
+    }: _*)
+
+  /** IVF assignment: each vector's nearest centroid id. */
+  def ivfBucket(vecCol: Column, centroids: Seq[Array[Float]]): Column =
+    array_min(centroidStructs(vecCol, centroids)).getField("c")
+
+  /** IVF top-k: corpus is bucketed by nearest centroid ONCE; each query
+    * probes its `nProbe` nearest centroid buckets. nProbe = numCentroids
+    * degenerates to exact brute force (the recall-1.0 bound the spec
+    * asserts); small nProbe trades recall for a corpus/numCentroids-sized
+    * candidate set — the 100 TB path, since the bucket join shuffles only
+    * bucket ids and the probed fraction of the corpus. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Array[Float]],
+      nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", ivfBucket(col("c_vec"), centroids))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val probes = array_sort(centroidStructs(col("q_vec"), centroids))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("bucket",
+        explode(transform(slice(probes, 1, nProbe), s => s.getField("c"))))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("sim") * 1e6).cast("long").as("sim_e6"))
+  }
+
   /** LSH-bucketed approximate near-dup pairs: sign-hash each vector into a
     * bucket, then run the exact pair scan only within buckets. Recall is
     * tunable via numPlanes (fewer planes → bigger buckets → higher recall,

@@ -38,6 +38,28 @@ class SimilaritySpec extends SparkSpec {
     dupes.toSeq shouldBe Seq((0L, 1L))
   }
 
+  test("ivf: full probe equals brute force; partial probe is a subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where("vec_id < 5")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    cents should have length 8
+
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // probing ALL buckets degenerates to exact brute force
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+      cents, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    full shouldBe exact
+    // probing 2 of 8 buckets returns valid (possibly fewer) neighbors drawn
+    // from the probed subset
+    val partial = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+      cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    partial.length should be <= 15
+    partial.map(_._1).distinct.length shouldBe 5 // every query answered
+  }
+
   test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
     val exact = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
