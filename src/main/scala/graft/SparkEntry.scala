@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.gold.{AggregationEngine, IncrementalMaterializer}
 import graft.ops.Joins
 import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation}
+import graft.multimodal.Multimodal
 import graft.silver.Transform
 import graft.similarity.Similarity
 import graft.tables.Tables
@@ -446,6 +447,38 @@ object SparkEntry {
         orders, orders.filter("o_totalprice < 300000"),
         sumCol = "o_totalprice", keyCol = "o_orderkey", tolerancePct = 5.0)
         .orderBy("check_name")
+    }),
+
+    // ---- rows-only checked (no SQL oracle; deterministic, spec-covered) --
+
+    // SimHash near-dup pairs (hamming ≤ 6 over 32-bit signatures).
+    "q38_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", 6)
+        .orderBy("id_a", "id_b")),
+
+    // Random-hyperplane LSH cosine near-dup pairs (the bucketed scale path
+    // of q29; approximate by design → rows-only check + recall spec).
+    "q39_lsh_cosine_dupes" -> ((s, dir) =>
+      Similarity.lshCosineDupes(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, numPlanes = 4, dim = 64)
+        .orderBy("id_a", "id_b")),
+
+    // IVF top-k ANN (coarse quantizer, 16 centroids, probe 4): approximate
+    // variant of q28; full-probe ≡ brute-force equivalence is spec-asserted.
+    "q40_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cents, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal plumbing: per-partition feature extraction over binary
+    // payloads (stub decoder — deterministic FNV features).
+    "q41_media_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.synthetic(s, 1000))
+        .toDF().orderBy("media_id")
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -186,21 +186,47 @@ object Dedup {
     bucketPairs(capped, "ids").distinct()
   }
 
-  /** 32-bit SimHash over token md5 hashes: per bit, sum ±1 over tokens,
-    * bit set iff the sum is positive. Row-local (fold over 32 bit
-    * positions × token array); no shuffle. Near-dups = small hamming
-    * distance (use `bit_count(a ^ b)`). */
-  def simHash(c: Column): Column = {
-    val tokHash = transform(TextAnalysis.tokens(c),
+  /** 32-bit token hashes of a text column (one md5 pass). */
+  def tokenHashes(c: Column): Column =
+    transform(TextAnalysis.tokens(c),
       t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+
+  /** 32-bit SimHash from a token-hash ARRAY: per bit, sum ±1 over tokens,
+    * bit set iff the sum is positive. The hash array must be materialized
+    * once upstream — inlining tokenHashes here would run the md5 pass 32
+    * times (interpreted HOFs are not CSE'd); the 32 folds over longs are
+    * cheap. Near-dups = small hamming distance. */
+  def simHashFromHashes(hashArr: Column): Column = {
     val bits = (0 until 32).map { b =>
-      val bitSum = aggregate(tokHash, lit(0L),
+      val bitSum = aggregate(hashArr, lit(0L),
         (acc, h) => acc + shiftright(h, b) % lit(2L) * lit(2L) - lit(1L))
-      when(bitSum > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
+  /** Convenience single-expression simhash — fine on small data / tests;
+    * hot paths should materialize tokenHashes first (see simHashPairs). */
+  def simHash(c: Column): Column = simHashFromHashes(tokenHashes(c))
+
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: all (a < b) with hamming ≤ maxHamming. The
+    * signature table is tiny (id, 64-bit hash) so the pair scan is a cheap
+    * codegen'd bit_count over the cross join; at larger corpora, band the
+    * 32 bits into 4 bytes and bucket-join on any equal byte (the standard
+    * simhash blocking trick) before the exact hamming filter. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = df
+      .withColumn("_th", tokenHashes(col(textCol)))
+      .select(col(idCol).as("id"), simHashFromHashes(col("_th")).as("sig"))
+    val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }
