@@ -3,7 +3,7 @@ package graft
 import graft.config.ConfigLoader.PipelineConfig
 import graft.gold.AggregationEngine
 import graft.lineage.Lineage
-import graft.quality.Checks
+import graft.quality.{Checks, Orchestrator}
 import graft.silver.Transform
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,8 +24,10 @@ object Pipeline {
 
   final case class RunResult(
       stages: Seq[StageResult],
-      qualityResults: Seq[Checks.CheckResult],
-      lineage: Lineage.Tracker)
+      quality: Orchestrator.QualityReport,
+      lineage: Lineage.Tracker) {
+    def qualityResults: Seq[Checks.CheckResult] = quality.checkResults
+  }
 
   /** Run the configured pipeline over an already-loaded bronze DataFrame
     * (source resolution is Ingest's job; tests inject frames directly). */
@@ -54,19 +56,19 @@ object Pipeline {
       StageResult("gold." + model.name, martRows)
     }
 
-    val qualityResults = Checks.run(silverDf, config.quality)
+    val report = Orchestrator.run(silverDf, config.quality)
     tracker.record(Lineage.EventType.Validation,
       "silver." + config.name, "silver." + config.name, silverRows, silverRows)
-    if (config.quality.failOnError && qualityResults.exists(!_.passed))
+    if (config.quality.failOnError && !report.passed)
       throw new IllegalStateException(
         "quality gate failed: " +
-          qualityResults.filterNot(_.passed)
+          report.checkResults.filterNot(_.passed)
             .map(r => s"${r.check}(${r.column})=${r.failedCount}").mkString(", "))
 
     RunResult(
       StageResult("bronze", bronzeRows) +: StageResult("silver", silverRows) +:
         goldStages,
-      qualityResults,
+      report,
       tracker)
   }
 }

@@ -44,6 +44,8 @@ object RunPipeline {
       result.qualityResults.foreach(r =>
         println(s"[quality] ${r.check}(${r.column}): " +
           (if (r.passed) "PASS" else s"FAIL (${r.failedCount} rows)")))
+      println(f"[quality] overall score ${result.quality.overall}%.1f " +
+        s"(${result.quality.level})")
       println(s"[lineage] ${result.lineage.all.size} events recorded")
     } finally spark.stop()
   }

@@ -1,0 +1,45 @@
+package graft.quality
+
+import graft.SparkSpec
+import graft.config._
+
+/** Mirrors the reference's integration contract
+  * (tests/integration/test_data_quality_integration.py:28-66): dirty data →
+  * score in [0,100], problems detected, level set; and the e2e monotonicity
+  * claim — cleaner data scores at least as high. */
+class OrchestratorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = QualitySpec(
+    nullCheckColumns = Seq("fare"),
+    positiveColumns = Seq("distance"),
+    rangeChecks = Seq(RangeCheck("fare", Some(0.0), Some(500.0))))
+
+  private def dirty = Seq(
+    (Some(10.0), 1.0), (None, 2.0), (Some(9999.0), -1.0),
+    (Some(20.0), 3.0), (Some(30.0), 0.0))
+    .toDF("fare", "distance")
+
+  private def clean = Seq(
+    (Some(10.0), 1.0), (Some(20.0), 2.0), (Some(30.0), 3.0))
+    .toDF("fare", "distance")
+
+  test("dirty data: problems detected, score bounded, level assigned") {
+    val r = Orchestrator.run(dirty, spec, anomalyColumns = Seq("fare"))
+    r.rows shouldBe 5
+    r.passed shouldBe false
+    r.checkResults.find(_.check == "null_check").get.failedCount shouldBe 1
+    r.checkResults.find(_.check == "positive_values").get.failedCount shouldBe 2
+    r.checkResults.find(_.check == "range_check").get.failedCount shouldBe 1
+    r.overall should (be >= 0.0 and be <= 100.0)
+    Seq("EXCELLENT", "GOOD", "FAIR", "POOR", "CRITICAL") should contain(r.level)
+  }
+
+  test("cleaner data scores at least as high (e2e monotonicity)") {
+    val d = Orchestrator.run(dirty, spec)
+    val c = Orchestrator.run(clean, spec)
+    c.passed shouldBe true
+    c.overall should be >= d.overall
+    c.level shouldBe "EXCELLENT"
+  }
+}
