@@ -36,13 +36,19 @@ object Pipeline {
       config: PipelineConfig,
       bronzeDf: DataFrame,
       goldSink: Option[(String, DataFrame) => Unit] = None): RunResult = {
+    graft.config.PerfConf(spark, config.performance)
     val tracker = new Lineage.Tracker()
     val bronzeRows = bronzeDf.count()
     tracker.record(Lineage.EventType.Ingestion, "source", "bronze." + config.name,
       bronzeRows, bronzeRows)
 
     val silverDf = Transform(config.silver)(bronzeDf)
-    val silverRows = silverDf.count()
+    // silver feeds N gold models + the quality pass — the reference's
+    // cache_after_transform knob avoids re-running the chain per consumer.
+    val silverRows =
+      if (config.cacheSilver)
+        graft.config.PerfConf.cacheEager(silverDf, config.performance)
+      else silverDf.count()
     tracker.record(Lineage.EventType.Transformation,
       "bronze." + config.name, "silver." + config.name,
       bronzeRows, silverRows, Lineage.columnLineage(config.silver))

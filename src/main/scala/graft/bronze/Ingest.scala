@@ -80,6 +80,19 @@ object Ingest {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** SET2 — multi-month batch ingest: months concatenate via unionByName
+    * (the reference appends each month separately, src/config_loader.py:
+    * 114-133; a single unioned write gives one job and one commit). */
+  def readMonths(spark: SparkSession, spec: BronzeSpec,
+      months: Seq[(Int, Int)]): DataFrame = {
+    require(months.nonEmpty, "at least one (year, month)")
+    months.map { case (y, m) =>
+      withPartitionColumns(
+        readSource(spark, spec.source.copy(
+          path = renderPattern(spec.source.path, y, m))), y, m)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Full bronze ingest for one (year, month) batch. */
   def ingest(spark: SparkSession, spec: BronzeSpec, year: Int, month: Int): DataFrame = {
     val path = renderPattern(spec.source.path, year, month)

@@ -35,7 +35,9 @@ object ConfigLoader {
       bronze: Option[BronzeSpec],
       silver: SilverSpec,
       gold: Seq[GoldModel],
-      quality: QualitySpec)
+      quality: QualitySpec,
+      performance: PerformanceSpec = PerformanceSpec(),
+      cacheSilver: Boolean = false)
 
   /** §1.5 — one entry of the multi-dataset registry
     * (config/datasets/datasets.yaml:6-76: per-dataset source, target,
@@ -246,6 +248,19 @@ object ConfigLoader {
         failOnError = qm.get("fail_on_error").exists(_.asInstanceOf[Boolean]))
     }.getOrElse(QualitySpec())
 
-    PipelineConfig(version, name, bronze, silver, gold, quality)
+    // the reference performance: block (lakehouse_config.yaml:163-173)
+    val (perf, cacheSilver) = root.get("performance").map { p =>
+      val pm = asMap(p, "performance")
+      (PerformanceSpec(
+        shufflePartitions = pm.get("shuffle_partitions").map(_.toString.toInt),
+        adaptiveExecution = pm.get("adaptive_execution").map(_.asInstanceOf[Boolean]),
+        broadcastThresholdMb = pm.get("broadcast_threshold_mb").map(_.toString.toInt),
+        costBasedOptimization = pm.get("cost_based_optimization").map(_.asInstanceOf[Boolean]),
+        collectHistograms = pm.get("collect_histograms").exists(_.asInstanceOf[Boolean]),
+        cacheLevel = optStr(pm, "cache_level").getOrElse("MEMORY_AND_DISK")),
+        pm.get("cache_after_transform").exists(_.asInstanceOf[Boolean]))
+    }.getOrElse((PerformanceSpec(), false))
+
+    PipelineConfig(version, name, bronze, silver, gold, quality, perf, cacheSilver)
   }
 }

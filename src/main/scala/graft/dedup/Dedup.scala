@@ -63,13 +63,18 @@ object Dedup {
     * inverted-index pair-generation shape shared by Jaccard and LSH:
     * ONE scan builds the index, ONE shuffle groups it, pairs explode inside
     * each bucket. A self-join would recompute the (interpreted,
-    * non-exchange-reused) shingle/signature pass once per side. */
-  private def bucketPairs(buckets: DataFrame, memberCol: String): DataFrame = {
-    val ids = col(memberCol)
-    val pairArr = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)), y => struct(x.as("id_a"), y.as("id_b")))))
-    buckets.select(explode(pairArr).as("p")).select(col("p.id_a"), col("p.id_b"))
-  }
+    * non-exchange-reused) shingle/signature pass once per side.
+    *
+    * Two chained explodes (posexplode + slice + explode) rather than a
+    * nested `transform(...struct...)` lambda: explode/slice whole-stage-
+    * codegen, higher-order lambdas don't. */
+  private def bucketPairs(buckets: DataFrame, memberCol: String): DataFrame =
+    buckets.select(col(memberCol).as("_ids"))
+      .select(col("_ids"), posexplode(col("_ids")))
+      .toDF("_ids", "_i", "id_a")
+      // 0-based pos _i pairs with 1-based positions _i+2 .. end
+      .select(col("id_a"),
+        explode(slice(col("_ids"), col("_i") + lit(2), size(col("_ids")))).as("id_b"))
 
   def jaccardPairs(
       df: DataFrame,

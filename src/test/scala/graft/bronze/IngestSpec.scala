@@ -42,6 +42,18 @@ class IngestSpec extends SparkSpec {
     df.select("_source_file").distinct().head().getString(0) shouldBe "s3://x/f.parquet"
   }
 
+  test("multi-month ingest unions months with partition columns") {
+    val dir = Files.createTempDirectory("graft_months")
+    Seq(1, 2).toDF("v").write.parquet(dir.resolve("m_2024-01.parquet").toString)
+    Seq(3).toDF("v").write.parquet(dir.resolve("m_2024-02.parquet").toString)
+    val spec = graft.config.ConfigLoader.BronzeSpec(
+      source = SourceSpec("file", s"$dir/m_{year}-{month:02d}.parquet", "parquet"),
+      targetPath = "/unused")
+    val df = Ingest.readMonths(spark, spec, Seq((2024, 1), (2024, 2)))
+    df.count() shouldBe 3
+    df.where("month = 2").count() shouldBe 1
+  }
+
   test("partitioned write enables partition pruning on read") {
     val dir = Files.createTempDirectory("graft_bronze").toString
     val df = Seq((1, 2023, 1), (2, 2023, 2), (3, 2024, 1))
