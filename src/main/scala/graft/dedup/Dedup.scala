@@ -41,9 +41,9 @@ object Dedup {
   }
 
   /** Exact duplicate groups: fingerprint → count>1 (hash-groupBy dedup). */
-  def exactDupGroups(df: DataFrame, textCol: String): DataFrame =
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
-      .agg(count(lit(1)).as("copies"), min(col(df.columns.head)).as("keep_id"))
+      .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keep_id"))
       .filter(col("copies") > 1)
 
   /** Exact dedup: keep the min-id row per content fingerprint. One shuffle on

@@ -29,7 +29,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("exactDupGroups finds the duplicated content") {
-    val g = Dedup.exactDupGroups(docs, "text").collect()
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
     g.length shouldBe 1
     g.head.getAs[Long]("copies") shouldBe 2L
   }
