@@ -82,32 +82,34 @@ object Dedup {
       textCol: String,
       n: Int,
       maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    // Each posting carries its doc's set size (row-local `size` of the
+    // already-materialized shingle array), so sizes ride through the pair
+    // expansion instead of joining back against branches that would
+    // re-scan and re-shingle the corpus: ONE scan, TWO shuffles (inverted
+    // index + pair counts), ZERO joins.
     val sh = df.select(col(idCol).as("doc_id"),
         shingles(col(textCol), n).as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("set_size"),
+        explode(col("sh")).as("shingle"))
     // one shuffle builds the inverted index; the frequency cap (skew guard)
-    // is a size() filter on the posting list — no second freq pass.
+    // is a size() filter on the posting list — no second freq pass. Postings
+    // sort by (doc_id, set_size) struct order ≡ doc_id order (ids unique).
     val index = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("set_size"))))
+        .as("ids"))
     val cappedIndex =
       if (maxShingleFreq == Int.MaxValue) index
       else index.filter(size(col("ids")) <= maxShingleFreq)
-    // set sizes from the UNCAPPED index (exact |set| even when stop-shingles
-    // are dropped from pairing). Deriving from `index` — not from `sh` —
-    // lets AQE/ReuseExchange share the index shuffle between the pair branch
-    // and the size branch, so the interpreted shingling pass runs once.
-    val sizes = index.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     bucketPairs(cappedIndex, "ids")
-      .groupBy("id_a", "id_b")
+      .select(
+        col("id_a.doc_id").as("id_a"), col("id_a.set_size").as("size_a"),
+        col("id_b.doc_id").as("id_b"), col("id_b.set_size").as("size_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"),
+        (col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .as("jaccard"))
   }
 
   /** Universal-hash MinHash family: ONE 32-bit md5 base hash per shingle,
