@@ -18,5 +18,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         FloatVecDot(children.head, children(1))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "minhash_sigs takes (array<bigint>, numHashes literal)")
+        val k = children(1) match {
+          case e if e.foldable => e.eval(null).toString.toInt
+          case _ => throw new IllegalArgumentException(
+            "minhash_sigs numHashes must be a literal")
+        }
+        MinHashSigs(children.head, k)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash32 takes 1 argument")
+        SimHash32(children.head)
+      }))
   }
 }

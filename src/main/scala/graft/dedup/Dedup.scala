@@ -118,18 +118,18 @@ object Dedup {
     * md5 evaluations than hashing per seed, and pure integer math that every
     * engine reproduces exactly. aⱼ < 2³⁰ and h < 2³² keep aⱼ·h+bⱼ < 2⁶²:
     * no signed-64 overflow anywhere (DuckDB would error, Spark would wrap). */
-  private[dedup] val minhashP = 4294967311L // prime > 2^32
-  private[dedup] val minhashA = Seq(
-    1000000007L, 998244353L, 754974721L, 167772161L,
-    469762049L, 595591169L, 645922817L, 897581057L)
+  private[dedup] val minhashP = graft.catalyst.MinHashFamily.P
+  private[dedup] val minhashA = graft.catalyst.MinHashFamily.A.toSeq
 
   /** 32-bit base hash per shingle (first 8 md5 hex digits). */
   def shingleBaseHashes(shingleArr: Column): Column =
     transform(shingleArr,
       s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
 
-  /** One MinHash value over the base-hash array for permutation `seed`.
-    * Empty array → null (array_min), filtered by callers. */
+  /** One MinHash value over the base-hash array for permutation `seed` —
+    * the pure-builtin form (k interpreted HOF traversals); hot paths use
+    * the native `minhash_sigs` expression instead (withMinHash). Empty
+    * array → null (array_min), filtered by callers. */
   def minHashValue(baseHashArr: Column, seed: Int): Column = {
     require(seed < minhashA.length, s"at most ${minhashA.length} hash permutations")
     array_min(transform(baseHashArr,
@@ -138,17 +138,19 @@ object Dedup {
 
   /** MinHash signature columns mh0..mh{k-1} appended to df. Row-local, no
     * shuffle; empty shingle sets get null signatures (filtered upstream).
-    * Shingles and base hashes materialize ONCE into temp columns —
-    * interpreted HOFs are not common-subexpression-eliminated, so inlining
-    * them into every hash column would redo the md5 pass k times. */
+    * Shingles and base hashes materialize ONCE into temp columns, then the
+    * native `minhash_sigs` expression (graft.catalyst.MinHashSigs) computes
+    * all k values in one compiled loop — the builtin form would traverse
+    * the array k times with per-element lambda interpretation. */
   def withMinHash(
       df: DataFrame, textCol: String, numHashes: Int, shingleN: Int): DataFrame = {
-    val withHs = df
+    val withSigs = df
       .withColumn("_sh", shingles(col(textCol), shingleN))
       .withColumn("_hs", shingleBaseHashes(col("_sh")))
-    (0 until numHashes).foldLeft(withHs)((d, j) =>
-      d.withColumn(s"mh$j", minHashValue(col("_hs"), j)))
-      .drop("_sh", "_hs")
+      .withColumn("_sigs", call_function("minhash_sigs", col("_hs"), lit(numHashes)))
+    (0 until numHashes).foldLeft(withSigs)((d, j) =>
+      d.withColumn(s"mh$j", element_at(col("_sigs"), j + 1)))
+      .drop("_sh", "_hs", "_sigs")
   }
 
   /** LSH band keys: band b = md5 of the concatenated signature rows in that
@@ -228,7 +230,8 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     val sigs = df
       .withColumn("_th", tokenHashes(col(textCol)))
-      .select(col(idCol).as("id"), simHashFromHashes(col("_th")).as("sig"))
+      .select(col(idCol).as("id"),
+        call_function("simhash32", col("_th")).as("sig"))
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -58,6 +58,26 @@ class DedupSpec extends SparkSpec {
     cands should contain((1L, 4L)) // exact dups always collide
   }
 
+  test("native minhash_sigs/simhash32 equal the builtin HOF forms") {
+    import org.apache.spark.sql.functions.{call_function, lit}
+    val hs = docs.select(col("doc_id"),
+        Dedup.shingleBaseHashes(Dedup.shingles(col("text"), 3)).as("hs"))
+      .filter(org.apache.spark.sql.functions.size(col("hs")) > 0)
+    val cmp = hs.select(col("doc_id"),
+      call_function("minhash_sigs", col("hs"), lit(4)).as("sigs"),
+      Dedup.minHashValue(col("hs"), 0).as("m0"),
+      Dedup.minHashValue(col("hs"), 3).as("m3"))
+    cmp.collect().foreach { r =>
+      val sigs = r.getSeq[Long](1)
+      sigs(0) shouldBe r.getLong(2)
+      sigs(3) shouldBe r.getLong(3)
+    }
+    val th = docs.select(col("doc_id"), Dedup.tokenHashes(col("text")).as("th"))
+    th.select(call_function("simhash32", col("th")).as("a"),
+        Dedup.simHashFromHashes(col("th")).as("b"))
+      .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   test("simhash: identical → hamming 0, disjoint → large distance") {
     val h = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
