@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.silver.Transform
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.TextAnalysis
+import graft.text.{Chunking, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -479,6 +479,28 @@ object SparkEntry {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.synthetic(s, 1000))
         .toDF().orderBy("media_id")
+    }),
+
+    // Overlapping token-window chunking (size 32, overlap 8) — the
+    // corpus-preparation step after cleaning/dedup.
+    "q42_chunking" -> ((s, dir) =>
+      Chunking.chunk(Tables.load(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Deterministic hash sampling: reproducible 30% sample, engine- and
+    // partition-order-independent (unlike random/reservoir sampling).
+    "q43_hash_sample" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(Chunking.hashSample(col("doc_id"), 30))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    // Greedy sequence packing into 512-token bins + fill summary.
+    "q44_seq_packing" -> ((s, dir) => {
+      val packed = Chunking.packSequences(
+        Tables.load(s, dir, "documents"), "doc_id", "text", binSize = 512)
+      Chunking.packingSummary(packed, binSize = 512).orderBy("bin")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -814,5 +836,31 @@ object SparkEntry {
         |      ELSE abs(src_value - tgt_value) / abs(src_value) * 100.0 END AS diff_pct,
         | (CASE WHEN src_value = 0.0 THEN CASE WHEN tgt_value = 0.0 THEN 0.0 ELSE 100.0 END
         |      ELSE abs(src_value - tgt_value) / abs(src_value) * 100.0 END) <= 5.0 AS within_tolerance
-        |FROM u ORDER BY check_name""".stripMargin)
+        |FROM u ORDER BY check_name""".stripMargin,
+    "q42_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  unnest(range(1, len(toks) + 1, 24)) AS st FROM t)
+        |SELECT doc_id,
+        | CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+        | array_to_string(toks[st:st+31], ' ') AS chunk_text,
+        | CAST(least(len(toks) - st + 1, 32) AS BIGINT) AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q43_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 30
+        |ORDER BY doc_id""".stripMargin,
+    "q44_seq_packing" ->
+      """WITH n AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM n),
+        |b AS (SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin FROM c)
+        |SELECT bin, count(*) AS docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(round(CAST(sum(n_tokens) AS DOUBLE) / 512.0 * 1000000.0) AS BIGINT) AS fill_e6
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
 }

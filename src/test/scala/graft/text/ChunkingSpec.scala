@@ -1,0 +1,58 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+    (2L, "a b c")) // shorter than one chunk
+    .toDF("doc_id", "text")
+
+  test("chunking windows with overlap, keeps the partial tail") {
+    val out = Chunking.chunk(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: starts 1,4,7,10 → 4 chunks; doc 2: one partial chunk
+    out.count(_.getLong(0) == 1L) shouldBe 4
+    out.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_text")).head shouldBe
+      "w1 w2 w3 w4"
+    out.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_text"))
+      .apply(1) shouldBe "w4 w5 w6 w7" // overlap of 1 token
+    val tail = out.filter(r => r.getLong(0) == 1L && r.getAs[Long]("chunk_idx") == 3L).head
+    tail.getAs[String]("chunk_text") shouldBe "w10"
+    tail.getAs[Long]("n_chunk_tokens") shouldBe 1L
+    out.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text")).toSeq shouldBe
+      Seq("a b c")
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.chunk(docs, "doc_id", "text", chunkSize = 4, overlap = 4)
+  }
+
+  test("hash sampling is deterministic and roughly calibrated") {
+    val ids = (0L until 1000L).toDF("id")
+    val a = ids.filter(Chunking.hashSample(col("id"), 30)).count()
+    val b = ids.filter(Chunking.hashSample(col("id"), 30)).count()
+    a shouldBe b // reproducible
+    a.toDouble should (be > 200.0 and be < 400.0) // ~30%
+    ids.filter(Chunking.hashSample(col("id"), 0)).count() shouldBe 0
+    ids.filter(Chunking.hashSample(col("id"), 100)).count() shouldBe 1000
+  }
+
+  test("sequence packing fills bins in order with exact integer math") {
+    val d = Seq(
+      (1L, Seq.fill(6)("x").mkString(" ")), // 6 tokens
+      (2L, Seq.fill(5)("x").mkString(" ")), // cum 11 → starts at 6 → bin 0
+      (3L, Seq.fill(3)("x").mkString(" "))) // starts at 11 → bin 1
+      .toDF("doc_id", "text")
+    val packed = Chunking.packSequences(d, "doc_id", "text", binSize = 10)
+      .orderBy("doc_id").collect()
+    packed.map(_.getAs[Long]("bin")).toSeq shouldBe Seq(0L, 0L, 1L)
+    val summary = Chunking.packingSummary(
+      Chunking.packSequences(d, "doc_id", "text", 10), 10)
+      .orderBy("bin").collect()
+    summary.map(r => (r.getLong(0), r.getAs[Long]("docs"))).toSeq shouldBe
+      Seq((0L, 2L), (1L, 1L))
+    summary.head.getAs[Long]("fill_e6") shouldBe 1100000L // 11 tokens / 10
+  }
+}
