@@ -60,6 +60,23 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — the payload-rewriting shape: a real implementation
+    * decodes, scales to (w, h), and re-encodes per partition; the stub
+    * deterministically derives a "resized" payload (truncated to the target
+    * pixel budget) so the plumbing — payload in, payload out, metadata
+    * updated, executed per partition — is real and testable. */
+  def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    ds.mapPartitions { it =>
+      // real impl: one scaler context per partition
+      it.map { r =>
+        val budget = math.max(16, math.min(r.payload.length, w * h / 64))
+        r.copy(payload = java.util.Arrays.copyOf(r.payload, budget))
+      }
+    }
+  }
+
   /** Deterministic frame sampling plan for video rows: every `stride`-th
     * frame index. Metadata-only — the binary column is not touched. */
   def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {

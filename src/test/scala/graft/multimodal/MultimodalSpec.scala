@@ -30,6 +30,16 @@ class MultimodalSpec extends SparkSpec {
     out.count() shouldBe 64
   }
 
+  test("resize stub rewrites payloads per partition toward the pixel budget") {
+    val ds = Multimodal.synthetic(spark, 10)
+    val out = Multimodal.resizeStub(ds, 64, 64).collect()
+    out should have length 10
+    all(out.map(_.payload.length)) should be <= 64 * 64 / 64
+    // deterministic: same input → same resized bytes
+    val again = Multimodal.resizeStub(Multimodal.synthetic(spark, 10), 64, 64).collect()
+    out.map(_.payload.toSeq) shouldBe again.map(_.payload.toSeq)
+  }
+
   test("withMetadata computes payload metadata without touching rows") {
     val df = Multimodal.synthetic(spark, 5).toDF()
     val out = Multimodal.withMetadata(df, "payload")
