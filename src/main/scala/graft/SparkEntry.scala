@@ -501,6 +501,18 @@ object SparkEntry {
       val packed = Chunking.packSequences(
         Tables.load(s, dir, "documents"), "doc_id", "text", binSize = 512)
       Chunking.packingSummary(packed, binSize = 512).orderBy("bin")
+    }),
+
+    // End-to-end near-dedup: Jaccard pairs (>0.5) → connected components
+    // (min-label propagation) → drop non-canonical members. The oracle
+    // computes the same closure with a recursive CTE.
+    "q45_near_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+        .filter(col("jaccard") > 0.5)
+      Dedup.removeNearDupes(docs, "doc_id", Dedup.dupClusters(pairs))
+        .select("doc_id")
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -862,5 +874,27 @@ object SparkEntry {
         |SELECT bin, count(*) AS docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | CAST(round(CAST(sum(n_tokens) AS DOUBLE) / 512.0 * 1000000.0) AS BIGINT) AS fill_e6
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q45_near_dedup" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5),
+        |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        |ORDER BY doc_id""".stripMargin)
 }

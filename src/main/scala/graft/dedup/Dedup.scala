@@ -221,6 +221,52 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation (each node adopts the smallest id
+    * reachable so far; converges in O(component diameter) rounds, checked
+    * each round). Returns (id, label) where label = the component's min id
+    * — the canonical survivor.
+    *
+    * Scale notes: each round is one join + one min-aggregate, all keyed
+    * shuffles; `localCheckpoint` cuts the growing plan lineage so round N
+    * doesn't replan rounds 1..N−1. Chains longer than `maxIter` are left
+    * split (documented bound — transitive near-dup chains beyond ~10 hops
+    * are almost always fingerprinting noise anyway). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+    val sym = edges.unionByName(
+      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = sym.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, sym("id_a") === labels("id"))
+        .select(col("id_b").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** The dedup ACTION: drop every doc that belongs to a near-dup cluster
+    * but is not its canonical (min-id) member. Docs in no cluster are kept. */
+  def removeNearDupes(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val losers = clusters.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs: all (a < b) with hamming ≤ maxHamming. The
     * signature table is tiny (id, 64-bit hash) so the pair scan is a cheap
     * codegen'd bit_count over the cross join; at larger corpora, band the

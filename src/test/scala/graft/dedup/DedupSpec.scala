@@ -78,6 +78,24 @@ class DedupSpec extends SparkSpec {
       .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
   }
 
+  test("dup clusters: transitive chains collapse to the min id; dedup drops losers") {
+    // chain 1-2, 2-6; separate pair 3-5; singleton 4 untouched
+    val pairs = Seq((1L, 2L), (2L, 6L), (3L, 5L)).toDF("id_a", "id_b")
+    val clusters = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters(1L) shouldBe 1L
+    clusters(2L) shouldBe 1L
+    clusters(6L) shouldBe 1L // transitive via 2
+    clusters(3L) shouldBe 3L
+    clusters(5L) shouldBe 3L
+
+    val corpus = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.removeNearDupes(corpus, "doc_id",
+        Dedup.dupClusters(pairs))
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 3L, 4L) // canonical members + untouched singleton
+  }
+
   test("simhash: identical → hamming 0, disjoint → large distance") {
     val h = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
