@@ -30,15 +30,23 @@ object Bench {
     try SparkEntry.queries.toSeq.sortBy(_._1).head._2(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Min over SPARK_GRAFT_REPS repetitions (default 2): single-shot
+    // timings on shared hardware swing ±50% with scheduler/GC noise; the
+    // minimum is the standard low-noise estimator of a query's true cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = times.forall(_._2)
+      (name, times.map(_._1).min, ok)
     }
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.

@@ -38,5 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "simhash32 takes 1 argument")
         SimHash32(children.head)
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "shingle_hashes takes (text, shingleSize literal)")
+        val n = children(1) match {
+          case e if e.foldable => e.eval(null).toString.toInt
+          case _ => throw new IllegalArgumentException(
+            "shingle_hashes shingleSize must be a literal")
+        }
+        ShingleHashes(children.head, n)
+      }))
   }
 }

@@ -145,12 +145,14 @@ object Dedup {
   def withMinHash(
       df: DataFrame, textCol: String, numHashes: Int, shingleN: Int): DataFrame = {
     val withSigs = df
-      .withColumn("_sh", shingles(col(textCol), shingleN))
-      .withColumn("_hs", shingleBaseHashes(col("_sh")))
+      // shingle_hashes + minhash_sigs: the whole signature path is two
+      // compiled loops per row (graft.catalyst.{ShingleHashes, MinHashSigs})
+      .withColumn("_hs",
+        call_function("shingle_hashes", col(textCol), lit(shingleN)))
       .withColumn("_sigs", call_function("minhash_sigs", col("_hs"), lit(numHashes)))
     (0 until numHashes).foldLeft(withSigs)((d, j) =>
       d.withColumn(s"mh$j", element_at(col("_sigs"), j + 1)))
-      .drop("_sh", "_hs", "_sigs")
+      .drop("_hs", "_sigs")
   }
 
   /** LSH band keys: band b = md5 of the concatenated signature rows in that

@@ -76,6 +76,12 @@ class DedupSpec extends SparkSpec {
     th.select(call_function("simhash32", col("th")).as("a"),
         Dedup.simHashFromHashes(col("th")).as("b"))
       .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+
+    // shingle_hashes ≡ builtin shingles→md5 pipeline, element for element
+    docs.select(
+        call_function("shingle_hashes", col("text"), lit(3)).as("a"),
+        Dedup.shingleBaseHashes(Dedup.shingles(col("text"), 3)).as("b"))
+      .collect().foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
   }
 
   test("dup clusters: transitive chains collapse to the min id; dedup drops losers") {
