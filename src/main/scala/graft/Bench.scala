@@ -46,16 +46,21 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val ok = times.forall(_._2)
-      (name, times.map(_._1).min, ok)
+      (name, times.map(_._1).min, ok, times.map(_._1))
     }
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // every rep's time per query, so min-of-N can't silently mask a
+    // regression between rounds
+    val ts = results.map { case (k, _, _, all) =>
+      "\"" + k + "\":" + all.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$ts,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -823,9 +823,13 @@ object SparkEntry {
         | CAST(round(qs[4] * 1000000.0) AS BIGINT) AS p90_e6
         |FROM q""".stripMargin,
     "q36_count_distinct" ->
+      // the composite count pins Spark's countDistinct(a, b) NULL semantics
+      // (rows with ANY null key are excluded) — DuckDB's bare
+      // count(DISTINCT (a, b)) would count null-bearing tuples
       """SELECT count(DISTINCT user_id) AS distinct_users,
         | count(DISTINCT event_type) AS distinct_types,
-        | count(DISTINCT (user_id, event_type)) AS distinct_pairs
+        | count(DISTINCT CASE WHEN user_id IS NOT NULL AND event_type IS NOT NULL
+        |   THEN (user_id, event_type) END) AS distinct_pairs
         |FROM events""".stripMargin,
     "q37_recon_report" ->
       """WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS src_rows,

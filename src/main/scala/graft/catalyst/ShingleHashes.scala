@@ -39,7 +39,15 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
+    // trim ' ' ONLY — Java String.trim strips all chars <= U+0020 (tabs,
+    // newlines), which would diverge from Spark's trim() (spaces only) that
+    // the builtin path and the DuckDB oracle both use.
+    val raw = input.asInstanceOf[UTF8String].toString
+    var st = 0
+    var en = raw.length
+    while (st < en && raw.charAt(st) == ' ') st += 1
+    while (en > st && raw.charAt(en - 1) == ' ') en -= 1
+    val text = raw.substring(st, en)
     val toks = text.split(" ", -1)
     val seen = new java.util.LinkedHashSet[String]()
     if (n == 1) {

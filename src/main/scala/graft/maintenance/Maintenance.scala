@@ -19,9 +19,12 @@ object Maintenance {
   final case class CompactionStats(
       filesBefore: Long, bytesBefore: Long, filesAfter: Long)
 
-  /** M1 — rewrite small files into ~`targetFileBytes` files. Atomicity note:
-    * rewrite lands in `<path>__compact_tmp` first and swaps via rename, so a
-    * crash mid-compaction leaves the original directory intact. */
+  /** M1 — rewrite small files into ~`targetFileBytes` files. Durability note:
+    * the rewrite lands in `<path>__compact_tmp` first, then swaps via two
+    * renames. Data is never lost, but the swap is NOT atomic: a crash between
+    * the two renames leaves the dataset at `<path>__compact_bak` with `path`
+    * absent — recovery is renaming the bak directory back (a real table
+    * format closes this window with a metadata-pointer commit; see M2/M3). */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionStats = {
     val hPath = new Path(path)
@@ -38,7 +41,11 @@ object Maintenance {
     require(fs.rename(hPath, bak), s"could not move $path aside")
     require(fs.rename(tmp, hPath), s"could not move compacted files into $path")
     fs.delete(bak, true)
-    CompactionStats(files.length.toLong, bytes, target.toLong)
+    // report files actually written (AQE may coalesce below the requested
+    // repartition count), not the requested count
+    val after = fs.globStatus(new Path(path + "/*.parquet"))
+    CompactionStats(files.length.toLong, bytes,
+      if (after == null) 0L else after.length.toLong)
   }
 
   /** M2 — Iceberg-only (`expire_snapshots`); no catalog in this build. */

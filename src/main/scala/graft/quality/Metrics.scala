@@ -39,13 +39,16 @@ object Metrics {
   def consistency(checksRun: Int, checksPassed: Int): Double =
     if (checksRun == 0) 100.0 else checksPassed.toDouble / checksRun * 100.0
 
-  /** accuracy: reference estimates affected rows as anomalies×100
-    * (each anomaly report samples ≤100 rows) — quirk preserved. */
+  /** accuracy: reference estimates affected rows as anomalies×100 (each
+    * anomaly report samples ≤100 rows) and FLOORS the score at 50 — both
+    * quirks preserved (metrics.py:240-253: `50.0` when estimated affected
+    * rows >= total, else `max(50, 100 - anomaly_rate)`). */
   def accuracy(totalRows: Long, anomalyCount: Int): Double =
     if (totalRows == 0) 100.0
     else {
-      val affected = math.min(anomalyCount.toLong * 100, totalRows)
-      (totalRows - affected).toDouble / totalRows * 100.0
+      val affected = anomalyCount.toLong * 100
+      if (affected >= totalRows) 50.0
+      else math.max(50.0, 100.0 - affected.toDouble / totalRows * 100.0)
     }
 
   /** timeliness = fresh within SLA → 100 else linear decay per hour late. */

@@ -77,10 +77,12 @@ object Streaming {
       .groupByKey(_.key)
       .mapGroupsWithState[RunningStat, RunningStat](GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[KeyedEvent], state: GroupState[RunningStat]) =>
+          // fold the iterator directly — materializing the batch (rows.toSeq)
+          // is the pattern that OOMs on a hot key
           val prev = state.getOption.getOrElse(RunningStat(key, 0L, 0.0))
-          val batch = rows.toSeq
-          val next = RunningStat(key, prev.n + batch.size,
-            prev.total + batch.map(_.value).sum)
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            RunningStat(key, acc.n + 1, acc.total + e.value)
+          }
           state.update(next)
           next
       }
