@@ -336,9 +336,14 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // n-gram Jaccard near-dup pairs (3-gram shingles, threshold 0.5).
+    // n-gram Jaccard near-dup pairs (3-gram shingles, threshold 0.5). The
+    // shingle-frequency cap (drop shingles shared by >100 docs) is the skew
+    // guard that bounds pair expansion at scale — a stop-shingle in 10⁴ docs
+    // would otherwise emit 10⁸ intersection rows. The oracle applies the
+    // identical HAVING cap.
     "q26_ngram_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text", 3,
+        maxShingleFreq = 100)
         .filter(col("jaccard") > 0.5)
         .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
           col("size_b"), round(col("jaccard") * 1e6).cast("long").as("jaccard_e6"))
@@ -451,9 +456,12 @@ object SparkEntry {
 
     // ---- rows-only checked (no SQL oracle; deterministic, spec-covered) --
 
-    // SimHash near-dup pairs (hamming ≤ 6 over 32-bit signatures).
+    // SimHash near-dup pairs (hamming ≤ 3 over 32-bit signatures), found by
+    // bit-banding (4 bands × 8 bits), never an all-pairs scan. Radius 3 is
+    // the selectivity limit of a 32-bit signature: a band must span ≥ 8 bits
+    // for bucket keys to discriminate (wider radii want a 64-bit simhash).
     "q38_simhash_pairs" -> ((s, dir) =>
-      Dedup.simHashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", 6)
+      Dedup.simHashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
 
     // Random-hyperplane LSH cosine near-dup pairs (the bucketed scale path
@@ -496,19 +504,24 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
-    // Greedy sequence packing into 512-token bins + fill summary.
+    // Greedy sequence packing into 512-token bins within 100-doc id shards
+    // (the window is shard-partitioned — no single-task global sort) +
+    // fill summary per composite (shard, bin).
     "q44_seq_packing" -> ((s, dir) => {
       val packed = Chunking.packSequences(
-        Tables.load(s, dir, "documents"), "doc_id", "text", binSize = 512)
-      Chunking.packingSummary(packed, binSize = 512).orderBy("bin")
+        Tables.load(s, dir, "documents"), "doc_id", "text", binSize = 512,
+        docsPerShard = 100L)
+      Chunking.packingSummary(packed, binSize = 512).orderBy("shard", "bin")
     }),
 
-    // End-to-end near-dedup: Jaccard pairs (>0.5) → connected components
-    // (min-label propagation) → drop non-canonical members. The oracle
-    // computes the same closure with a recursive CTE.
+    // End-to-end near-dedup: frequency-capped Jaccard pairs (>0.5) →
+    // connected components (min-label propagation + pointer jumping, one
+    // driver action per round) → drop non-canonical members. The oracle
+    // computes the same capped pairs and closure with a recursive CTE.
     "q45_near_dedup" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
+          maxShingleFreq = 100)
         .filter(col("jaccard") > 0.5)
       Dedup.removeNearDupes(docs, "doc_id", Dedup.dupClusters(pairs))
         .select("doc_id")
@@ -700,12 +713,15 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q26_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
         |  range(1, len(toks) - 1),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
         |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT id_a, id_b, inter, sa.ss AS size_a, sb.ss AS size_b,
         | CAST(round(CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) * 1000000.0) AS BIGINT) AS jaccard_e6
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
@@ -867,27 +883,30 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 30
         |ORDER BY doc_id""".stripMargin,
     "q44_seq_packing" ->
-      """WITH n AS (SELECT doc_id,
+      """WITH n AS (SELECT doc_id, doc_id // 100 AS shard,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
         | FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         | FROM n),
-        |b AS (SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin FROM c)
-        |SELECT bin, count(*) AS docs,
+        |b AS (SELECT shard, n_tokens, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin FROM c)
+        |SELECT CAST(shard AS BIGINT) AS shard, bin, count(*) AS docs,
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | CAST(round(CAST(sum(n_tokens) AS DOUBLE) / 512.0 * 1000000.0) AS BIGINT) AS fill_e6
-        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "q45_near_dedup" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
         |  range(1, len(toks) - 1),
-        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle FROM t),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
         |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
         |pairs AS (SELECT id_a, id_b FROM p
         |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5),

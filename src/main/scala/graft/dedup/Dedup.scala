@@ -87,8 +87,14 @@ object Dedup {
     // expansion instead of joining back against branches that would
     // re-scan and re-shingle the corpus: ONE scan, TWO shuffles (inverted
     // index + pair counts), ZERO joins.
+    //
+    // The index is keyed by the shingles' 32-bit md5-prefix HASHES (the
+    // native one-pass `shingle_hashes` expression), not the shingle
+    // strings: an 8-byte key shuffles ~4× less than a 3-word string and
+    // groups/sorts faster. A cross-shingle collision within one pair would
+    // nudge `inter` by 1 — odds ~(shingles/doc)²/2³², ignored by contract.
     val sh = df.select(col(idCol).as("doc_id"),
-        shingles(col(textCol), n).as("sh"))
+        call_function("shingle_hashes", col(textCol), lit(n)).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("set_size"),
         explode(col("sh")).as("shingle"))
     // one shuffle builds the inverted index; the frequency cap (skew guard)
@@ -224,20 +230,23 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-dup CLUSTERS from candidate pairs: connected components by
-    * iterative min-label propagation (each node adopts the smallest id
-    * reachable so far; converges in O(component diameter) rounds, checked
-    * each round). Returns (id, label) where label = the component's min id
-    * — the canonical survivor.
+    * min-label propagation WITH pointer jumping — each round every node
+    * adopts the minimum of (its label, its neighbors' labels, its label's
+    * label). The shortcut halves chain lengths each round, so convergence is
+    * O(log diameter) rounds, not O(diameter). Returns (id, label) where
+    * label = the component's min id — the canonical survivor.
     *
-    * Scale notes: each round is one join + one min-aggregate, all keyed
-    * shuffles; `localCheckpoint` cuts the growing plan lineage so round N
-    * doesn't replan rounds 1..N−1. Chains longer than `maxIter` are left
-    * split (documented bound — transitive near-dup chains beyond ~10 hops
-    * are almost always fingerprinting noise anyway). */
+    * Scale notes: each round is keyed shuffles only, and runs exactly ONE
+    * driver action — the old label rides through the aggregate, so the
+    * convergence check is a filter on the round's own output (counted by the
+    * same job that materializes the lazy `localCheckpoint`), not a second
+    * join+count job. `localCheckpoint` cuts plan lineage so round N doesn't
+    * replan rounds 1..N−1. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
     val sym = edges.unionByName(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct() // duplicate candidate edges would multiply join output
       .localCheckpoint()
     var labels = sym.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -245,20 +254,65 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = sym.join(labels, sym("id_a") === labels("id"))
+      val viaEdges = sym.join(labels, sym("id_a") === labels("id"))
         .select(col("id_b").as("id"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      // pointer jumping: follow id → label → label-of-label
+      val viaJump = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
+      val next = labels.withColumn("_self", lit(1))
+        .unionByName(viaEdges.withColumn("_self", lit(0)))
+        .unionByName(viaJump.withColumn("_self", lit(0)))
+        .groupBy("id")
+        .agg(min(col("label")).as("label"),
+          // every id occurs exactly once in the labels branch, so this
+          // recovers its previous label for the in-pass convergence check
+          max(when(col("_self") === 1, col("label"))).as("_old"))
+        .localCheckpoint(eager = false)
+      // the ONE action of the round: materializes the checkpoint and counts
+      val changed = next.filter(col("label") =!= col("_old")).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters did not converge in $maxIter rounds (component deeper " +
+          s"than ~2^$maxIter); clusters may be split")
     labels
+  }
+
+  /** Near-dup pairs AT SCALE: MinHash-LSH candidate generation followed by
+    * exact Jaccard verification of the candidates only — the linear-shuffle
+    * replacement for `jaccardPairs`' full inverted-index pair expansion when
+    * stop-shingle frequency caps aren't enough. Approximate only in LSH
+    * recall (a true pair missing every band is skipped); every returned pair
+    * carries its EXACT Jaccard. Intersections run on the docs' 32-bit
+    * shingle-hash sets (one compiled pass per side; a cross-shingle hash
+    * collision inflating `inter` needs ~2³² shingles in one doc — ignored). */
+  def lshJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val cands = lshCandidates(df, idCol, textCol, numHashes, numBands, n,
+      maxBucketSize)
+    val sets = df.select(col(idCol).as("_sid"),
+      call_function("shingle_hashes", col(textCol), lit(n)).as("_sh"))
+    cands
+      .join(sets.select(col("_sid").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(sets.select(col("_sid").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long").as("inter"),
+        size(col("_sh_a")).cast("long").as("size_a"),
+        size(col("_sh_b")).cast("long").as("size_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") > threshold)
   }
 
   /** The dedup ACTION: drop every doc that belongs to a near-dup cluster
@@ -269,17 +323,51 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup pairs: all (a < b) with hamming ≤ maxHamming. The
-    * signature table is tiny (id, 64-bit hash) so the pair scan is a cheap
-    * codegen'd bit_count over the cross join; at larger corpora, band the
-    * 32 bits into 4 bytes and bucket-join on any equal byte (the standard
-    * simhash blocking trick) before the exact hamming filter. */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    val sigs = df
-      .withColumn("_th", tokenHashes(col(textCol)))
+  /** (id, sig) table of 32-bit simhashes via the native expression. */
+  private def simHashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_th", tokenHashes(col(textCol)))
       .select(col(idCol).as("id"),
         call_function("simhash32", col("_th")).as("sig"))
+
+  /** SimHash near-dup pairs: all (a < b) with hamming ≤ maxHamming, found by
+    * bit-BANDING (Manku et al., the standard simhash blocking trick) — never
+    * an all-pairs scan. The 32 signature bits split into maxHamming+1
+    * contiguous bands; by pigeonhole, two sigs within maxHamming differing
+    * bits must agree EXACTLY on at least one band, so bucketing each sig by
+    * its (band index, band bits) and pairing only within buckets finds every
+    * qualifying pair — identical output to the quadratic scan (spec-asserted),
+    * shuffle keyed on (band, bits) instead of a cartesian join. Sigs ride in
+    * the posting structs so the hamming filter needs no join-back. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"need 0 <= maxHamming < 32, got $maxHamming")
+    val nBands = maxHamming + 1
+    val bands = (0 until nBands).map { i =>
+      val lo = i * 32 / nBands
+      val width = (i + 1) * 32 / nBands - lo
+      struct(lit(i).as("band_idx"),
+        shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1))
+          .as("band_bits"))
+    }
+    val postings = simHashSigs(df, idCol, textCol)
+      .select(explode(array(bands: _*)).as("bk"),
+        struct(col("id"), col("sig")).as("m"))
+      .groupBy("bk").agg(sort_array(collect_list(col("m"))).as("ids"))
+    bucketPairs(postings, "ids")
+      .select(col("id_a.id").as("id_a"), col("id_a.sig").as("sig_a"),
+        col("id_b.id").as("id_b"), col("id_b.sig").as("sig_b"))
+      .distinct() // a pair may agree on several bands
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** The quadratic all-pairs form — the correctness baseline the banded path
+    * is spec-asserted against. Never use beyond test corpora. */
+  def simHashPairsBrute(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = simHashSigs(df, idCol, textCol)
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -48,26 +48,40 @@ object Chunking {
     (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
       % lit(100L)) < lit(ratePct.toLong)
 
-  /** Greedy sequence packing: assign docs (ordered by `orderCol`) to
+  /** Greedy sequence packing WITHIN id-range shards: shard = id div
+    * `docsPerShard`, then inside each shard docs (ordered by id) go to
     * fixed-budget bins by cumulative token count — bin = ⌊(cumsum −
     * n_tokens)/binSize⌋, i.e. a doc starts a new bin when the budget before
-    * it is exhausted. Exact integer math; one window shuffle. */
+    * it is exhausted. Exact integer math. Bin identity is the composite
+    * (shard, bin).
+    *
+    * The window is ALWAYS `partitionBy(shard)`: a global `Window.orderBy`
+    * would move the whole corpus to one task — the single-partition sort
+    * that kills packing at 100 TB. Shards pack independently (at most one
+    * under-filled bin per shard — negligible for docsPerShard ≫ 1), so the
+    * sort parallelizes across id ranges. The default keeps everything in
+    * shard 0 for exact single-stream comparisons; production callers pick
+    * docsPerShard to match their id density. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      binSize: Int): DataFrame = {
+      binSize: Int, docsPerShard: Long = 1L << 62): DataFrame = {
+    require(docsPerShard > 0, s"docsPerShard must be positive, got $docsPerShard")
     val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
-    val w = Window.orderBy(col(idCol))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), n.as("n_tokens"))
+    // `div`, not `/`: Spark's / on longs is DOUBLE division, which loses
+    // exactness at large cumulative counts; div is exact integer floor.
+    df.select(col(idCol),
+        expr(s"cast($idCol as bigint) div ${docsPerShard}L").as("shard"),
+        n.as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      // `div`, not `/`: Spark's / on longs is DOUBLE division, which loses
-      // exactness at large cumulative counts; div is exact integer floor.
       .withColumn("bin",
         expr(s"(cum_tokens - n_tokens) div ${binSize.toLong}"))
   }
 
-  /** Per-bin packing summary (docs per bin, token fill). */
+  /** Per-bin packing summary (docs per bin, token fill), keyed by the
+    * composite (shard, bin). */
   def packingSummary(packed: DataFrame, binSize: Int): DataFrame =
-    packed.groupBy("bin")
+    packed.groupBy("shard", "bin")
       .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("total_tokens"))
       .withColumn("fill_e6",
         round(col("total_tokens").cast("double") / lit(binSize.toDouble) * 1e6)

@@ -102,6 +102,55 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(1L, 3L, 4L) // canonical members + untouched singleton
   }
 
+  test("dup clusters: pointer jumping converges on chains deeper than maxIter") {
+    // a 40-node path: linear propagation needs 39 rounds; doubling ~6
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.dupClusters(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.size shouldBe 40
+    all(labels.values) shouldBe 0L // one component, min id 0
+  }
+
+  test("lshJaccardPairs: exact jaccard on LSH candidates, subset of full scan") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      .filter(col("jaccard") > 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toMap
+    val lsh = Dedup.lshJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.4, numHashes = 8, numBands = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Double]("jaccard"))).toMap
+    // every verified pair exists in the exact scan with the SAME jaccard
+    lsh.foreach { case (k, v) => exact(k) shouldBe v }
+    lsh.keySet should contain((1L, 4L)) // exact dups always survive
+  }
+
+  test("banded simHashPairs ≡ all-pairs scan (pigeonhole exactness)") {
+    // a corpus wide enough to exercise multi-band agreement and misses:
+    // 60 docs drawn from 3 word pools with per-doc mutations
+    val pools = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten",
+      "red orange yellow green blue indigo violet black white gray")
+    val corpus = (0L until 60L).map { i =>
+      val base = pools((i % 3).toInt).split(" ")
+      val mutated = base.updated((i % 10).toInt, s"m$i")
+      (i, mutated.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (maxH <- Seq(0, 3, 6, 12)) {
+      val banded = Dedup.simHashPairs(corpus, "doc_id", "text", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val brute = Dedup.simHashPairsBrute(corpus, "doc_id", "text", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      banded shouldBe brute
+    }
+    // and the banded plan contains no cartesian/BNL join
+    val plan = Dedup.simHashPairs(corpus, "doc_id", "text", 6)
+      .queryExecution.executedPlan.toString
+    plan should not include "Cartesian"
+    plan should not include "BroadcastNestedLoop"
+  }
+
   test("simhash: identical → hamming 0, disjoint → large distance") {
     val h = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -45,14 +45,36 @@ class ChunkingSpec extends SparkSpec {
       (2L, Seq.fill(5)("x").mkString(" ")), // cum 11 → starts at 6 → bin 0
       (3L, Seq.fill(3)("x").mkString(" "))) // starts at 11 → bin 1
       .toDF("doc_id", "text")
+    // default shard size → one shard: the exact single-stream semantics
     val packed = Chunking.packSequences(d, "doc_id", "text", binSize = 10)
       .orderBy("doc_id").collect()
+    packed.map(_.getAs[Long]("shard")).toSeq shouldBe Seq(0L, 0L, 0L)
     packed.map(_.getAs[Long]("bin")).toSeq shouldBe Seq(0L, 0L, 1L)
     val summary = Chunking.packingSummary(
       Chunking.packSequences(d, "doc_id", "text", 10), 10)
       .orderBy("bin").collect()
-    summary.map(r => (r.getLong(0), r.getAs[Long]("docs"))).toSeq shouldBe
+    summary.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("docs"))).toSeq shouldBe
       Seq((0L, 2L), (1L, 1L))
     summary.head.getAs[Long]("fill_e6") shouldBe 1100000L // 11 tokens / 10
+  }
+
+  test("packing shards pack independently and the window is partitioned") {
+    val d = (0L until 10L).map(i => (i, Seq.fill(4)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Chunking.packSequences(d, "doc_id", "text",
+      binSize = 8, docsPerShard = 5)
+    // ids 0-4 → shard 0, ids 5-9 → shard 1; each shard restarts cum at 0:
+    // 4-token docs pack pairwise → bins 0,0,1,1,2 per shard
+    val rows = packed.orderBy("doc_id").collect()
+    rows.map(_.getAs[Long]("shard")).toSeq shouldBe
+      Seq(0L, 0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 1L)
+    rows.map(_.getAs[Long]("bin")).toSeq shouldBe
+      Seq(0L, 0L, 1L, 1L, 2L, 0L, 0L, 1L, 1L, 2L)
+    // the scale guarantee: no unpartitioned (single-task) window anywhere
+    val windows = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows should not be empty
+    all(windows.map(_.partitionSpec)) should not be empty
   }
 }
