@@ -444,6 +444,17 @@ object SparkEntry {
         countDistinct(col("event_type")).as("distinct_types"),
         countDistinct(col("user_id"), col("event_type")).as("distinct_pairs"))),
 
+    // Q8 — z-score anomalous rows with severity tiers (CRITICAL>5σ /
+    // HIGH>4σ / MEDIUM>3σ, anomaly_detection.py:108-116). The tier CASE
+    // compares a bit-identical double (exact fixed-point stats) on both
+    // engines, so it hash-matches.
+    "q46_zscore_severity" -> ((s, dir) =>
+      Anomaly.zScoreAnomalies(Tables.load(s, dir, "events"), "value", 3.0)
+        .select(col("event_id"), col("value"),
+          round(col("z_score") * 1e6).cast("long").as("z_e6"),
+          col("severity"))
+        .orderBy("event_id")),
+
     // Q15-Q17 — engine-side reconciliation report (counts, exact decimal
     // sums, key integrity) between a table and its filtered "next layer".
     "q37_recon_report" -> ((s, dir) => {
@@ -847,6 +858,26 @@ object SparkEntry {
         | count(DISTINCT CASE WHEN user_id IS NOT NULL AND event_type IS NOT NULL
         |   THEN (user_id, event_type) END) AS distinct_pairs
         |FROM events""".stripMargin,
+    "q46_zscore_severity" ->
+      """WITH st AS (SELECT count(value) AS n,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT) * CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS s2
+        | FROM events),
+        |b AS (SELECT n,
+        |  s1 / CAST(n AS DOUBLE) / 100.0 AS mean,
+        |  CASE WHEN n > 1 THEN
+        |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 100.0
+        |  END AS stddev FROM st),
+        |c AS (SELECT mean, stddev,
+        |  mean - 3.0 * stddev AS lo, mean + 3.0 * stddev AS hi FROM b)
+        |SELECT event_id, value,
+        | CAST(round(abs((value - mean) / stddev) * 1000000.0) AS BIGINT) AS z_e6,
+        | CASE WHEN abs((value - mean) / stddev) > 5 THEN 'CRITICAL'
+        |      WHEN abs((value - mean) / stddev) > 4 THEN 'HIGH'
+        |      WHEN abs((value - mean) / stddev) > 3 THEN 'MEDIUM'
+        |      ELSE 'LOW' END AS severity
+        |FROM events, c WHERE value < lo OR value > hi
+        |ORDER BY event_id""".stripMargin,
     "q37_recon_report" ->
       """WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS src_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS src_sum FROM orders),

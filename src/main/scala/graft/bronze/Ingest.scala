@@ -80,6 +80,38 @@ object Ingest {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** S12 — JDBC sink passthrough (reference legacy path: pandas `to_sql`
+    * into Postgres with `if_exists`, src/config_loader.py:86-93 and
+    * config.examples/legacy_postgres_ingestion.yaml:27-42). The pandas
+    * `if_exists` vocabulary maps onto Spark save modes; `options` passes
+    * driver/batchsize/isolation through to the JDBC writer. Unlike the
+    * reference's single-process chunked write, executors write partitions
+    * concurrently — `numPartitions` in options caps connection count. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      ifExists: String = "fail",
+      options: Map[String, String] = Map.empty): Unit = {
+    val mode = ifExists match {
+      case "append" => "append"
+      case "replace" => "overwrite"
+      case "fail" => "errorifexists"
+      case other =>
+        throw new IllegalArgumentException(
+          s"if_exists must be append|replace|fail, got '$other'")
+    }
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).mode(mode).save()
+  }
+
+  /** JDBC source passthrough — the read side of the legacy path. Pass
+    * `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions` in options
+    * for a parallel read; without them the scan is a single task. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).load()
+
   /** SET2 — multi-month batch ingest: months concatenate via unionByName
     * (the reference appends each month separately, src/config_loader.py:
     * 114-133; a single unioned write gives one job and one commit). */

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * stages (the JVM analogue of Pandas-UDF batch processing — one decoder
   * context per partition, streaming iterator, no per-row setup).
   *
-  * The actual codec work is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions/features
-  * from the bytes. The Spark-side contract — schema, encoders, partition
-  * sizing, batch iteration — is real and tested; swapping the stub for a
-  * JNI/ffmpeg decoder changes one function.
+  * IMAGES are REALLY decoded and resized via `javax.imageio` (PNG/JPEG/GIF/
+  * BMP ship with the JDK). Audio/video codec work is STUBBED (no ffmpeg in
+  * this build): `decodeStub` derives deterministic fake dimensions/features
+  * from the bytes, with the same schema, encoders, partition sizing, and
+  * batch iteration as the real path — swapping in a JNI/ffmpeg decoder
+  * changes one function.
   *
   * Scale notes: binary payloads dominate row size, so `repartitionBySize`
   * targets a byte budget per task (not a row count) to keep executor memory
@@ -37,45 +38,85 @@ object Multimodal {
       n_frames: Int,
       feature_hash: Long)
 
-  /** STUB decoder — deterministic fake of the real codec: dimensions and a
-    * feature hash derived from the payload bytes. A real build replaces the
-    * body with e.g. an ImageIO/ffmpeg call; the signature and the
-    * partition-batch calling convention stay identical. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val h = r.payload.foldLeft(1469598103934665603L)((acc, b) =>
+  private def fnv(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1469598103934665603L)((acc, b) =>
       (acc ^ (b & 0xffL)) * 1099511628211L) // FNV-1a, deterministic
+
+  /** STUB decoder — deterministic fake of the real codec: dimensions and a
+    * feature hash derived from the payload bytes. The audio/video fallback
+    * (no codec libraries in this build); the signature and the
+    * partition-batch calling convention match the real image path. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val h = fnv(r.payload)
     val w = 64 + (math.abs(h) % 1024).toInt
     val ht = 64 + (math.abs(h >> 10) % 1024).toInt
     val frames = if (r.kind == "video") 1 + (math.abs(h >> 20) % 300).toInt else 1
     MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, ht, frames, h)
   }
 
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP ship with the
+    * JDK): actual pixel dimensions from the decoded image. Undecodable image
+    * payloads and audio/video (no JDK codec) fall back to the stub. */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.kind != "image") decodeStub(r)
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) decodeStub(r)
+      else MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        img.getWidth, img.getHeight, 1, fnv(r.payload))
+    }
+
   /** Batch feature extraction: one decoder context per partition, rows
-    * streamed through it — the mapInPandas/mapPartitions shape. */
+    * streamed through it — the mapInPandas/mapPartitions shape. Images are
+    * REALLY decoded (ImageIO); audio/video use the deterministic stub. */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real impl: open codec context here, close after the iterator drains
-      it.map(decodeStub)
+      // codec contexts (ImageIO readers) are JVM-static; a pooled decoder
+      // would open here and close after the iterator drains
+      it.map(decode)
     }
   }
 
-  /** STUB resize — the payload-rewriting shape: a real implementation
-    * decodes, scales to (w, h), and re-encodes per partition; the stub
-    * deterministically derives a "resized" payload (truncated to the target
-    * pixel budget) so the plumbing — payload in, payload out, metadata
-    * updated, executed per partition — is real and testable. */
-  def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+  /** Resize — REAL for images (decode → Graphics2D bilinear scale →
+    * re-encode PNG, per partition); audio/video keep the stub payload
+    * truncation (no JDK codec) so the partition-level plumbing — payload in,
+    * payload out — is exercised for every kind. */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     require(w > 0 && h > 0, "target dimensions must be positive")
     ds.mapPartitions { it =>
-      // real impl: one scaler context per partition
       it.map { r =>
-        val budget = math.max(16, math.min(r.payload.length, w * h / 64))
-        r.copy(payload = java.util.Arrays.copyOf(r.payload, budget))
+        val decoded =
+          if (r.kind != "image") null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case _: java.io.IOException => null }
+        if (decoded == null) { // stub path: truncate to the pixel budget
+          val budget = math.max(16, math.min(r.payload.length, w * h / 64))
+          r.copy(payload = java.util.Arrays.copyOf(r.payload, budget))
+        } else {
+          val scaled = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(decoded, 0, 0, w, h, null)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", out)
+          r.copy(payload = out.toByteArray, format = "png")
+        }
       }
     }
   }
+
+  /** Back-compat alias for the pre-decode builds. */
+  def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] =
+    resize(ds, w, h)
 
   /** Deterministic frame sampling plan for video rows: every `stride`-th
     * frame index. Metadata-only — the binary column is not touched. */
@@ -107,16 +148,34 @@ object Multimodal {
       length(col(payloadCol)).cast("long").as("size_bytes"),
       md5(col(payloadCol)).as("content_hash")))
 
-  /** Synthesize a deterministic media table for tests/benchmarks (payload =
-    * seeded pseudo-random bytes; real pipelines read object-store files). */
+  /** A deterministic real PNG: seeded pseudo-random RGB pixels at (w, h). */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rnd.nextInt(0xffffff))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthesize a deterministic media table for tests/benchmarks. Image rows
+    * carry REAL PNG payloads (so the ImageIO decode path is genuinely
+    * exercised); audio/video carry seeded pseudo-random bytes. */
   def synthetic(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
-      val rnd = new scala.util.Random(i)
       val kind = Seq("image", "audio", "video")(i.toInt % 3)
-      val bytes = new Array[Byte](128 + rnd.nextInt(1024))
-      rnd.nextBytes(bytes)
-      MediaRecord(i, kind, bytes, if (kind == "image") "png" else "bin")
+      if (kind == "image")
+        MediaRecord(i, kind,
+          syntheticPng(i, 2 + (i % 14).toInt, 2 + (i % 9).toInt), "png")
+      else {
+        val rnd = new scala.util.Random(i)
+        val bytes = new Array[Byte](128 + rnd.nextInt(1024))
+        rnd.nextBytes(bytes)
+        MediaRecord(i, kind, bytes, "bin")
+      }
     }
   }
 }

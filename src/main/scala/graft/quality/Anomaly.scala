@@ -58,16 +58,33 @@ object Anomaly {
         .as("anomaly_count"))
   }
 
-  /** Q8 — the anomalous rows themselves (deterministically capped upstream
-    * by the caller if needed; the reference samples 100 via limit). */
+  /** Severity tier for a z-score distance
+    * (reference: anomaly_detection.py:108-116). */
+  def zSeverity(z: Column): Column =
+    when(z > 5, "CRITICAL").when(z > 4, "HIGH").when(z > 3, "MEDIUM")
+      .otherwise("LOW")
+
+  /** Severity tier for an IQR-units distance beyond the bounds
+    * (reference: anomaly_detection.py:181-190). */
+  def iqrSeverity(iqrDistance: Column): Column =
+    when(iqrDistance > 5, "CRITICAL").when(iqrDistance > 3, "HIGH")
+      .when(iqrDistance > 2, "MEDIUM").otherwise("LOW")
+
+  /** Q8 — the anomalous rows themselves with their z-score and severity
+    * tier, engine-side (the reference computes these driver-side over a
+    * 100-row sample; here every anomalous row is tiered, deterministically —
+    * callers cap with an orderBy+limit if they want the sample). */
   def zScoreAnomalies(df: DataFrame, column: String, k: Double, scale: Int = 2): DataFrame = {
     val stats = exactStats(df, column, scale)
-      .select(
+      .select(col("mean"), col("stddev"),
         (col("mean") - lit(k) * col("stddev")).as("lo"),
         (col("mean") + lit(k) * col("stddev")).as("hi"))
     df.crossJoin(broadcast(stats))
       .filter(col(column) < col("lo") || col(column) > col("hi"))
-      .drop("lo", "hi")
+      .withColumn("z_score",
+        abs((col(column) - col("mean")) / col("stddev")))
+      .withColumn("severity", zSeverity(col("z_score")))
+      .drop("mean", "stddev", "lo", "hi")
   }
 
   /** Q9 — IQR anomaly bounds via approxQuantile (Greenwald–Khanna, the same
@@ -80,9 +97,21 @@ object Anomaly {
     (q1 - mult * iqr, q3 + mult * iqr)
   }
 
-  def iqrAnomalies(df: DataFrame, column: String, mult: Double = 1.5): DataFrame = {
-    val (lo, hi) = iqrBounds(df, column, mult)
+  /** Q9 — IQR-anomalous rows with distance-based severity: distance from
+    * the NEARER bound in IQR units (anomaly_detection.py:176-199; iqr <= 0
+    * → distance 0 → LOW, like the reference). */
+  def iqrAnomalies(df: DataFrame, column: String, mult: Double = 1.5,
+      relErr: Double = 0.01): DataFrame = {
+    val Array(q1, q3) = df.stat.approxQuantile(column, Array(0.25, 0.75), relErr)
+    val iqr = q3 - q1
+    val (lo, hi) = (q1 - mult * iqr, q3 + mult * iqr)
+    val dist =
+      if (iqr > 0)
+        least(abs(col(column) - lit(lo)), abs(col(column) - lit(hi))) / lit(iqr)
+      else lit(0.0)
     df.filter(col(column) < lo || col(column) > hi)
+      .withColumn("iqr_distance", dist)
+      .withColumn("severity", iqrSeverity(col("iqr_distance")))
   }
 
   /** Exact interpolated quantiles (SQL `percentile`) — the deterministic

@@ -14,10 +14,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Orchestrator {
 
+  /** One captured anomalous value with its tier
+    * (reference Anomaly dataclass, anomaly_detection.py:117-131). */
+  final case class AnomalySample(
+      column: String, value: Double, zScore: Double, severity: String)
+
   final case class QualityReport(
       rows: Long,
       checkResults: Seq[Checks.CheckResult],
       anomalyCounts: Map[String, Long],
+      anomalySamples: Seq[AnomalySample],
       scores: Metrics.DimensionScores,
       overall: Double,
       level: String) {
@@ -41,6 +47,20 @@ object Orchestrator {
       c -> Anomaly.zScoreReport(df, c, zScoreK).head().getAs[Long]("anomaly_count")
     }.toMap
 
+    // the reference captures <= 100 anomalous rows with details per column
+    // (anomaly_detection.py:102-131, via limit(100)); here the sample is
+    // DETERMINISTIC — the 100 most extreme by z-score
+    val anomalySamples = anomalyColumns.filter(df.columns.contains)
+      .filter(c => anomalyCounts.getOrElse(c, 0L) > 0).flatMap { c =>
+        import org.apache.spark.sql.functions.{col, desc}
+        Anomaly.zScoreAnomalies(df, c, zScoreK)
+          .select(col(c).cast("double").as("v"), col("z_score"), col("severity"))
+          .orderBy(desc("z_score"), desc("v"))
+          .limit(100)
+          .collect()
+          .map(r => AnomalySample(c, r.getDouble(0), r.getDouble(1), r.getString(2)))
+      }
+
     val nullChecks = checkResults.filter(_.check == "null_check")
     val completeness = Metrics.completeness(
       totalCells = rows * math.max(nullChecks.size, 1),
@@ -57,7 +77,7 @@ object Orchestrator {
     val scores = Metrics.DimensionScores(
       completeness, validity, consistency, accuracy, timeliness)
     val overall = Metrics.overall(scores)
-    QualityReport(rows, checkResults, anomalyCounts, scores, overall,
-      Metrics.level(overall))
+    QualityReport(rows, checkResults, anomalyCounts, anomalySamples, scores,
+      overall, Metrics.level(overall))
   }
 }

@@ -54,6 +54,26 @@ class IngestSpec extends SparkSpec {
     df.where("month = 2").count() shouldBe 1
   }
 
+  test("jdbc sink/source round-trips through Derby with if_exists modes") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.0)).toDF("id", "name", "amount")
+    Ingest.writeJdbc(df, url, "trips", ifExists = "fail", opts)
+    // fail on existing table, exactly like pandas if_exists='fail'
+    a[Throwable] should be thrownBy
+      Ingest.writeJdbc(df, url, "trips", ifExists = "fail", opts)
+    // append doubles the rows
+    Ingest.writeJdbc(df, url, "trips", ifExists = "append", opts)
+    Ingest.readJdbc(spark, url, "trips", opts).count() shouldBe 4
+    // replace resets the table
+    Ingest.writeJdbc(df, url, "trips", ifExists = "replace", opts)
+    val back = Ingest.readJdbc(spark, url, "trips", opts)
+    back.count() shouldBe 2
+    back.orderBy("id").collect().map(_.getString(1)).toSeq shouldBe Seq("a", "b")
+    an[IllegalArgumentException] should be thrownBy
+      Ingest.writeJdbc(df, url, "trips", ifExists = "upsert", opts)
+  }
+
   test("partitioned write enables partition pruning on read") {
     val dir = Files.createTempDirectory("graft_bronze").toString
     val df = Seq((1, 2023, 1), (2, 2023, 2), (3, 2024, 1))

@@ -4,14 +4,29 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  test("feature extraction runs per-partition and is deterministic") {
+  test("a known 2x2 PNG really decodes to (2, 2) via ImageIO") {
+    val png = Multimodal.syntheticPng(seed = 7, w = 2, h = 2)
+    // PNG magic bytes prove this is a real encoded file, not a fake
+    png.take(4).map(_ & 0xff).toSeq shouldBe Seq(0x89, 0x50, 0x4e, 0x47)
+    val f = Multimodal.decode(Multimodal.MediaRecord(1L, "image", png, "png"))
+    f.width shouldBe 2
+    f.height shouldBe 2
+    f.n_frames shouldBe 1
+  }
+
+  test("feature extraction decodes real image dimensions per-partition") {
     val ds = Multimodal.synthetic(spark, 30)
     val a = Multimodal.extractFeatures(ds).orderBy("media_id").collect()
     val b = Multimodal.extractFeatures(Multimodal.synthetic(spark, 30))
       .orderBy("media_id").collect()
     a should have length 30
     a.map(_.feature_hash).toSeq shouldBe b.map(_.feature_hash).toSeq
-    all(a.map(_.size_bytes)) should be >= 128L
+    all(a.map(_.size_bytes)) should be > 0L
+    // image rows (media_id % 3 == 0) carry real PNGs at 2+(i%14) × 2+(i%9)
+    a.filter(_.kind == "image").foreach { f =>
+      f.width shouldBe 2 + (f.media_id % 14).toInt
+      f.height shouldBe 2 + (f.media_id % 9).toInt
+    }
   }
 
   test("frame sampling plan strides over video frames only") {
@@ -30,13 +45,22 @@ class MultimodalSpec extends SparkSpec {
     out.count() shouldBe 64
   }
 
-  test("resize stub rewrites payloads per partition toward the pixel budget") {
-    val ds = Multimodal.synthetic(spark, 10)
-    val out = Multimodal.resizeStub(ds, 64, 64).collect()
-    out should have length 10
-    all(out.map(_.payload.length)) should be <= 64 * 64 / 64
+  test("resize really rescales images; audio/video use the stub truncation") {
+    val ds = Multimodal.synthetic(spark, 12)
+    val out = Multimodal.resize(ds, 4, 4).collect().sortBy(_.media_id)
+    out should have length 12
+    // image rows re-encode as real 4×4 PNGs
+    out.filter(_.kind == "image").foreach { r =>
+      val f = Multimodal.decode(r)
+      f.width shouldBe 4
+      f.height shouldBe 4
+    }
+    // non-images truncate toward the pixel budget (stub path)
+    all(out.filterNot(_.kind == "image").map(_.payload.length)) should
+      be <= math.max(16, 4 * 4 / 64)
     // deterministic: same input → same resized bytes
-    val again = Multimodal.resizeStub(Multimodal.synthetic(spark, 10), 64, 64).collect()
+    val again = Multimodal.resize(Multimodal.synthetic(spark, 12), 4, 4)
+      .collect().sortBy(_.media_id)
     out.map(_.payload.toSeq) shouldBe again.map(_.payload.toSeq)
   }
 
@@ -44,7 +68,7 @@ class MultimodalSpec extends SparkSpec {
     val df = Multimodal.synthetic(spark, 5).toDF()
     val out = Multimodal.withMetadata(df, "payload")
     val r = out.selectExpr("media_meta.size_bytes", "media_meta.content_hash").head()
-    r.getLong(0) should be >= 128L
+    r.getLong(0) should be > 0L
     r.getString(1) should fullyMatch regex "[0-9a-f]{32}"
   }
 }

@@ -53,4 +53,30 @@ class AnomalySpec extends SparkSpec {
     val df = ((1 to 99).map(_.toDouble) :+ 10000.0).toDF("v")
     Anomaly.iqrAnomalies(df, "v").count() shouldBe 1
   }
+
+  test("zScoreAnomalies tiers severity CRITICAL>5σ / HIGH>4σ / MEDIUM>3σ") {
+    // 1000 background values at ±1 keep σ ≈ 1, so planted outliers land in
+    // predictable z bands (reference tiers, anomaly_detection.py:108-116)
+    val background = (0 until 1000).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val planted = Seq(3.5, 4.5, 6.0) // z ≈ 3.49, 4.49, 5.99
+    val df = (background ++ planted).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val out = Anomaly.zScoreAnomalies(df, "v", 3.0, scale = 2)
+      .collect().map(r => r.getAs[Double]("v") -> r.getAs[String]("severity")).toMap
+    out(3.5) shouldBe "MEDIUM"
+    out(4.5) shouldBe "HIGH"
+    out(6.0) shouldBe "CRITICAL"
+    out.keySet should not contain 1.0
+  }
+
+  test("iqrAnomalies tiers severity by distance from bounds in IQR units") {
+    // values 1..100: q1=25.x, q3=75.x, iqr≈50, bounds ≈ [-50, 151]
+    val df = ((1 to 100).map(_.toDouble) ++ Seq(270.0, 330.0, 460.0)).toDF("v")
+    val out = Anomaly.iqrAnomalies(df, "v")
+      .collect().map(r => r.getAs[Double]("v") ->
+        (r.getAs[Double]("iqr_distance"), r.getAs[String]("severity"))).toMap
+    out(270.0)._2 shouldBe "MEDIUM" // ~2.4 IQRs past the upper bound
+    out(330.0)._2 shouldBe "HIGH" // ~3.6 IQRs
+    out(460.0)._2 shouldBe "CRITICAL" // ~6.2 IQRs
+  }
 }

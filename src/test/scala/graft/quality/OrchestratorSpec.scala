@@ -33,6 +33,19 @@ class OrchestratorSpec extends SparkSpec {
     r.checkResults.find(_.check == "range_check").get.failedCount shouldBe 1
     r.overall should (be >= 0.0 and be <= 100.0)
     Seq("EXCELLENT", "GOOD", "FAIR", "POOR", "CRITICAL") should contain(r.level)
+    // 5 rows: the outlier dominates its own stddev, so no 3σ anomaly fires
+    // and the sample list stays empty
+    r.anomalySamples shouldBe empty
+  }
+
+  test("anomalous rows are captured as tiered samples, most extreme first") {
+    val wide = ((Seq.fill(200)(10.0) ++ Seq(100000.0, 90000.0))
+      .map(v => (Some(v), 1.0))).toDF("fare", "distance")
+    val r = Orchestrator.run(wide, spec, anomalyColumns = Seq("fare"))
+    r.anomalyCounts("fare") shouldBe 2L
+    r.anomalySamples.map(_.value) shouldBe Seq(100000.0, 90000.0) // z-desc
+    r.anomalySamples.head.column shouldBe "fare"
+    r.anomalySamples.head.severity shouldBe "CRITICAL" // z ≈ 10+
   }
 
   test("cleaner data scores at least as high (e2e monotonicity)") {
