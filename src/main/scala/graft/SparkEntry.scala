@@ -475,6 +475,13 @@ object SparkEntry {
       Dedup.simHashPairs(Tables.load(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("id_a", "id_b")),
 
+    // 64-bit SimHash near-dup pairs at radius 6 via the native simhash64
+    // expression — banded (7 bands ≥ 9 bits), the radius where 32-bit
+    // banding stops pruning. Deterministic; spec-asserted ≡ all-pairs.
+    "q47_simhash64_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs64(Tables.load(s, dir, "documents"), "doc_id", "text", 6)
+        .orderBy("id_a", "id_b")),
+
     // Random-hyperplane LSH cosine near-dup pairs (the bucketed scale path
     // of q29; approximate by design → rows-only check + recall spec).
     "q39_lsh_cosine_dupes" -> ((s, dir) =>
@@ -482,11 +489,14 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.4, numPlanes = 4, dim = 64)
         .orderBy("id_a", "id_b")),
 
-    // IVF top-k ANN (coarse quantizer, 16 centroids, probe 4): approximate
+    // IVF top-k ANN (16 k-means-refined centroids, probe 4): approximate
     // variant of q28; full-probe ≡ brute-force equivalence is spec-asserted.
+    // Two Lloyd rounds tighten the quantizer (each round: one scan + one
+    // keyed shuffle; only k×dim aggregates reach the driver).
     "q40_ivf_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 2)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, cents, nProbe = 4)
         .orderBy("query_id", "rank")

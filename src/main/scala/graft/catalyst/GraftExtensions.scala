@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash32(children.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Text].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64 takes 1 argument")
+        SimHash64Text(children.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {

@@ -92,11 +92,15 @@ object ConfigLoader {
   }
 
   def parse(yaml: String, overlayYaml: Option[String] = None,
-      env: Map[String, String] = sys.env): PipelineConfig = {
+      env: Map[String, String] = sys.env,
+      migrateTo: Option[String] = None): PipelineConfig = {
     val y = new Yaml()
     val base = y.load[Any](expandVars(yaml, env))
     val merged = overlayYaml.fold(base)(o => deepMerge(base, y.load[Any](expandVars(o, env))))
-    fromTree(merged)
+    // optional version migration on the raw tree, before case-class mapping
+    val tree = migrateTo.fold(merged)(t =>
+      ConfigVersions.migrate(ConfigVersions.treeOf(merged), t).asJava: Any)
+    fromTree(tree)
   }
 
   def load(path: String, overlayPath: Option[String] = None): PipelineConfig = {

@@ -338,19 +338,24 @@ object Dedup {
     * qualifying pair — identical output to the quadratic scan (spec-asserted),
     * shuffle keyed on (band, bits) instead of a cartesian join. Sigs ride in
     * the posting structs so the hamming filter needs no join-back. */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+  /** Band-blocked hamming pairs over a (id, sig) table with `sigBits`-bit
+    * signatures: maxHamming+1 contiguous bit bands, bucket-join on
+    * (band index, band bits), exact hamming filter. The pigeonhole core
+    * shared by the 32- and 64-bit simhash paths. */
+  private def bandedHammingPairs(sigs: DataFrame, sigBits: Int,
       maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32,
-      s"need 0 <= maxHamming < 32, got $maxHamming")
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"need 0 <= maxHamming < $sigBits, got $maxHamming")
     val nBands = maxHamming + 1
     val bands = (0 until nBands).map { i =>
-      val lo = i * 32 / nBands
-      val width = (i + 1) * 32 / nBands - lo
+      val lo = i * sigBits / nBands
+      val width = (i + 1) * sigBits / nBands - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(i).as("band_idx"),
-        shiftright(col("sig"), lo).bitwiseAND(lit((1L << width) - 1))
+        shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask))
           .as("band_bits"))
     }
-    val postings = simHashSigs(df, idCol, textCol)
+    val postings = sigs
       .select(explode(array(bands: _*)).as("bk"),
         struct(col("id"), col("sig")).as("m"))
       .groupBy("bk").agg(sort_array(collect_list(col("m"))).as("ids"))
@@ -363,11 +368,32 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    bandedHammingPairs(simHashSigs(df, idCol, textCol), 32, maxHamming)
+
+  /** 64-bit variant via the native `simhash64(text)` expression: bands stay
+    * ≥ 9 bits out to radius 6, so the bucket join keeps pruning at the radii
+    * where 32-bit bands (≤ 8 bits past radius 3) degenerate. Prefer this for
+    * real near-dup radii; the 32-bit form matches the reference-width
+    * fingerprint. */
+  def simHashPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        call_function("simhash64", col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+    bandedHammingPairs(sigs, 64, maxHamming)
+  }
+
   /** The quadratic all-pairs form — the correctness baseline the banded path
     * is spec-asserted against. Never use beyond test corpora. */
   def simHashPairsBrute(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    val sigs = simHashSigs(df, idCol, textCol)
+      maxHamming: Int, bits: Int = 32): DataFrame = {
+    val sigs =
+      if (bits == 32) simHashSigs(df, idCol, textCol)
+      else df.select(col(idCol).as("id"),
+          call_function("simhash64", col(textCol)).as("sig"))
+        .filter(col("sig").isNotNull)
     val a = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -110,8 +110,9 @@ object Similarity {
 
   /** Deterministic centroid sample: the k lowest-id vectors, L2-normalized
     * driver-side (normalized centroids make argmax(dot) ≡ argmax(cosine),
-    * since the query's own norm is constant across centroids). A production
-    * build would k-means these; the assignment/probe plumbing is identical. */
+    * since the query's own norm is constant across centroids). This is the
+    * SEED for `kMeansCentroids`, and usable alone when training cost matters
+    * more than bucket balance. */
   def sampleCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[Array[Float]] =
     df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect().map { r =>
@@ -119,6 +120,44 @@ object Similarity {
       val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum).toFloat
       if (n == 0f) v else v.map(_ / n)
     }.toSeq
+
+  /** Spherical k-means (Lloyd) refinement of the seed centroids: assign
+    * every vector to its nearest centroid (row-local codegen'd `vec_dot`
+    * against broadcast-literal centroids), component-wise mean per bucket
+    * ENGINE-side (posexplode → one groupBy per round), renormalize the k×dim
+    * result driver-side. Only k×dim aggregate scalars ever reach the driver —
+    * never row data — so each round is one scan + one keyed shuffle at any
+    * corpus size. Empty buckets keep their previous centroid. */
+  def kMeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[Array[Float]] = {
+    var cents = sampleCentroids(df, idCol, vecCol, k)
+    val dim = cents.headOption.map(_.length).getOrElse(return cents)
+    for (_ <- 0 until iters) {
+      val sums = df.select(col(vecCol).as("v"))
+        .withColumn("bucket", ivfBucket(col("v"), cents))
+        .select(col("bucket"), posexplode(col("v")))
+        .toDF("bucket", "pos", "x")
+        .groupBy("bucket", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.fill(k)(new Array[Double](dim))
+      val filled = new Array[Boolean](k)
+      sums.foreach { r =>
+        val b = r.getInt(0)
+        next(b)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        filled(b) = true
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (!filled(i)) old
+        else {
+          val m = next(i)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) old else m.map(x => (x / n).toFloat)
+        }
+      }
+    }
+    cents
+  }
 
   /** Scores against every centroid as (score, centroidIdx) structs.
     * array_min over structs compares fields in order → min(-dot) = argmax

@@ -144,11 +144,27 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
       banded shouldBe brute
     }
-    // and the banded plan contains no cartesian/BNL join
-    val plan = Dedup.simHashPairs(corpus, "doc_id", "text", 6)
-      .queryExecution.executedPlan.toString
-    plan should not include "Cartesian"
-    plan should not include "BroadcastNestedLoop"
+    // 64-bit path: banded ≡ brute at the wider radii it exists for
+    for (maxH <- Seq(3, 6, 10)) {
+      val banded64 = Dedup.simHashPairs64(corpus, "doc_id", "text", maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val brute64 = Dedup.simHashPairsBrute(corpus, "doc_id", "text", maxH, bits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      banded64 shouldBe brute64
+    }
+    // identical docs agree on the full 64-bit signature
+    val twins = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    Dedup.simHashPairs64(twins, "doc_id", "text", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq shouldBe Seq((1L, 2L, 0L))
+    // and the banded plans contain no cartesian/BNL join
+    for (p <- Seq(Dedup.simHashPairs(corpus, "doc_id", "text", 6),
+        Dedup.simHashPairs64(corpus, "doc_id", "text", 6))) {
+      val plan = p.queryExecution.executedPlan.toString
+      plan should not include "Cartesian"
+      plan should not include "BroadcastNestedLoop"
+    }
   }
 
   test("simhash: identical → hamming 0, disjoint → large distance") {

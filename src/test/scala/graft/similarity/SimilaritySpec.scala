@@ -60,6 +60,31 @@ class SimilaritySpec extends SparkSpec {
     partial.map(_._1).distinct.length shouldBe 5 // every query answered
   }
 
+  test("kMeans centroids: unit-norm, objective non-decreasing, full probe still exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seed = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val refined = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    refined should have length 8
+    all(refined.map(c =>
+      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))) shouldBe 1.0 +- 1e-4
+    // spherical k-means objective: mean best-dot against the centroid set
+    def objective(cents: Seq[Array[Float]]): Double = {
+      import org.apache.spark.sql.functions.{avg, greatest, typedlit}
+      emb.select(greatest(cents.map(c =>
+          Similarity.dot(col("embedding"), typedlit(c.toSeq))): _*).as("d"))
+        .agg(avg(col("d"))).head().getDouble(0)
+    }
+    objective(refined) should be >= objective(seed) - 1e-9
+    // probe-all exactness is centroid-independent — still holds refined
+    val queries = emb.where("vec_id < 3")
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3, refined, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet shouldBe exact
+  }
+
   test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
     val exact = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
