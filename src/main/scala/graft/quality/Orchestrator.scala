@@ -40,22 +40,38 @@ object Orchestrator {
       zScoreK: Double = 3.0,
       hoursLate: Double = 0.0,
       slaHours: Double = 24.0): QualityReport = {
-    val rows = df.count()
-    val checkResults = Checks.run(df, spec)
+    import org.apache.spark.sql.functions.{abs, col, desc, lit}
 
-    val anomalyCounts = anomalyColumns.filter(df.columns.contains).map { c =>
-      c -> Anomaly.zScoreReport(df, c, zScoreK).head().getAs[Long]("anomaly_count")
-    }.toMap
+    val anomCols = anomalyColumns.filter(df.columns.contains)
+    // pass 1: row count + exact sufficient stats for EVERY anomaly column,
+    // one aggregate (the reference runs one stats job per column)
+    val (rows, stats) = Anomaly.exactStatsMulti(df, anomCols)
+    // pass 2: all rule checks, one aggregate (Checks.run)
+    val checkResults = Checks.run(df, spec)
+    // pass 3: out-of-bounds counts for every column with defined bounds,
+    // one aggregate (bounds replay exactStats' double math exactly)
+    val bounds = anomCols.flatMap { c =>
+      stats(c) match {
+        case Anomaly.ColStats(n, mean, Some(sd)) if n > 0 =>
+          Some((c, mean - zScoreK * sd, mean + zScoreK * sd))
+        case _ => None
+      }
+    }
+    val anomalyCounts = anomCols.map(_ -> 0L).toMap ++
+      Anomaly.boundsViolationCounts(df, bounds)
 
     // the reference captures <= 100 anomalous rows with details per column
     // (anomaly_detection.py:102-131, via limit(100)); here the sample is
-    // DETERMINISTIC — the 100 most extreme by z-score
-    val anomalySamples = anomalyColumns.filter(df.columns.contains)
-      .filter(c => anomalyCounts.getOrElse(c, 0L) > 0).flatMap { c =>
-        import org.apache.spark.sql.functions.{col, desc}
-        Anomaly.zScoreAnomalies(df, c, zScoreK)
-          .select(col(c).cast("double").as("v"), col("z_score"), col("severity"))
-          .orderBy(desc("z_score"), desc("v"))
+    // DETERMINISTIC — the 100 most extreme by z-score — and only columns
+    // that actually have anomalies pay a capture job
+    val anomalySamples = bounds.filter { case (c, _, _) => anomalyCounts(c) > 0 }
+      .flatMap { case (c, lo, hi) =>
+        val st = stats(c)
+        df.filter(col(c) < lo || col(c) > hi)
+          .select(col(c).cast("double").as("v"))
+          .withColumn("z", abs((col("v") - lit(st.mean)) / lit(st.stddev.get)))
+          .withColumn("severity", Anomaly.zSeverity(col("z")))
+          .orderBy(desc("z"), desc("v"))
           .limit(100)
           .collect()
           .map(r => AnomalySample(c, r.getDouble(0), r.getDouble(1), r.getString(2)))
