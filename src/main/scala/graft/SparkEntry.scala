@@ -315,6 +315,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE-style pre-tokenization counts vs whitespace counts — the token
+    // budgeting operator (whitespace undershoots on punctuated text).
+    "q48_bpe_tokens" -> ((s, dir) => {
+      val c = col("text")
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(c).cast("long").as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(c).cast("long").as("n_bpe_tokens"))
+        .withColumn("bpe_ratio_e6",
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_ws_tokens").cast("double") * 1e6).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup via hash-groupBy: duplicate the corpus under shifted ids,
     // dedupe keeps exactly the min-id copy of each distinct content.
     "q24_exact_dedup" -> ((s, dir) => {
@@ -719,6 +733,17 @@ object SparkEntry {
         |     list_transform(string_split(trim(text),' '),
         |       t -> CAST(('0x' || substr(md5(t),1,8)) AS BIGINT))),
         |   (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q48_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text,
+        |   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS BIGINT)
+        |   AS n_bpe_tokens,
+        | CAST(round(CAST(len(regexp_extract_all(text,
+        |   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS DOUBLE)
+        |   / CAST(len(string_split(trim(text), ' ')) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |   AS bpe_ratio_e6
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q24_exact_dedup" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM (

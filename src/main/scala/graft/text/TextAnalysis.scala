@@ -72,6 +72,20 @@ object TextAnalysis {
     }
   }
 
+  /** BPE-style pre-tokenization (the GPT-2 pre-tokenizer family, simplified
+    * to an engine-portable regex — no lookahead so RE2 engines agree with
+    * Java, ASCII classes so unicode-table versions can't diverge):
+    * contraction suffixes, space-prefixed letter runs, digit runs, and
+    * punctuation runs. The practical "how many tokens will the tokenizer
+    * emit" estimator a data pipeline budgets with — whitespace counts
+    * undershoot by 20-40% on punctuated text. */
+  val bpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
   /** Content fingerprint: md5 of the normalized text — identical hex in every
     * engine; the exact-dedup key. */
   def fingerprint(c: Column): Column = md5(lower(trim(c)))

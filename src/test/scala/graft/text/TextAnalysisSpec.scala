@@ -19,6 +19,19 @@ class TextAnalysisSpec extends SparkSpec {
     p.getAs[Long]("ttr_e6") shouldBe 666667L // round(4/6 * 1e6)
   }
 
+  test("BPE-style pre-tokenization splits contractions, digits, punctuation") {
+    val d = Seq((1L, "I can't stop, it's 42 miles!")).toDF("doc_id", "text")
+    val r = d.select(
+      TextAnalysis.bpeTokens(col("text")).as("toks"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n"),
+      TextAnalysis.tokenCount(col("text")).as("ws")).head()
+    // I | " can" | 't | " stop" | , | " it" | 's | " 42" | " miles" | !
+    r.getAs[Seq[String]]("toks") shouldBe
+      Seq("I", " can", "'t", " stop", ",", " it", "'s", " 42", " miles", "!")
+    r.getAs[Int]("n") shouldBe 10
+    r.getAs[Int]("ws") shouldBe 6 // whitespace undershoots on punctuated text
+  }
+
   test("langId picks the max-scoring language with fixed precedence") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
