@@ -65,6 +65,65 @@ object Streaming {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Keyed dedup with BOUNDED state: duplicates of a key are dropped only
+    * within the watermark horizon, so state is reclaimed as event time
+    * advances — the only dedup that survives an unbounded stream (plain
+    * `dropDuplicates` state grows forever). The batch analogue is D1 keyed
+    * dedupe; tie-breaking is first-seen, as on any stream. */
+  def dedupedStream(events: DataFrame, tsCol: String, keys: Seq[String],
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-static enrichment: the streaming fact joined to a BATCH
+    * dimension with an explicit broadcast — each micro-batch ships the dim
+    * to executors once, no stream-side shuffle (the continuous analogue of
+    * J1 `Joins.enrich`). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** Continuous gold refresh — the streaming analogue of the reference's
+    * micro-batch `incremental_strategy='merge'` (daily_trip_stats.sql:3-11):
+    * a STATEFUL streaming aggregation over the SAME GoldModel the batch
+    * engine runs (Spark's state store keeps the running aggregate per
+    * group), so each micro-batch emits COMPLETE cumulative values for the
+    * groups it touched — per-batch-aggregate-then-merge would corrupt
+    * groups spanning batches. foreachBatch then upserts the touched keys
+    * into the mart parquet with `IncrementalMaterializer.merge` semantics.
+    *
+    * State = one row per group: bounded when mart keys derive from event
+    * time (year/month/hour marts). The mart read-merge-rewrite per batch is
+    * bounded by mart size, not stream volume. */
+  def goldRefreshStream(
+      events: DataFrame,
+      model: graft.config.GoldModel,
+      keys: Seq[String],
+      martPath: String,
+      checkpointDir: String): StreamingQuery = {
+    require(model.orderBy.isEmpty && model.limit.isEmpty,
+      "streaming gold models cannot sort/limit — order the mart at read time")
+    val agg = graft.gold.AggregationEngine.build(events, model)
+    agg.writeStream
+      .outputMode(OutputMode.Update()) // only touched groups per micro-batch
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (updated: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = updated.sparkSession
+        val upd = updated.toDF().localCheckpoint()
+        val merged =
+          if (!new java.io.File(martPath).exists()) upd
+          else graft.gold.IncrementalMaterializer.merge(
+            spark.read.parquet(martPath), upd, keys)
+        // rewrite via a temp dir: the source parquet can't be overwritten
+        // while it is being read
+        val tmp = martPath + "__refresh_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(martPath)
+      }
+      .start()
+  }
+
   final case class KeyedEvent(key: String, value: Double)
   final case class RunningStat(key: String, n: Long, total: Double)
 

@@ -56,6 +56,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedStream drops duplicate keys within the watermark horizon") {
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Double)](spark)
+    val df = stream.toDF().toDF("ts", "id", "fare")
+    val q = Streaming.dedupedStream(df, "ts", Seq("id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, 10.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 1L, 99.0), // dup in horizon
+        (java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 2L, 20.0))
+      q.processAllAvailable()
+      spark.table("dedup_stream").count() shouldBe 2 // first-seen wins
+    } finally q.stop()
+  }
+
+  test("enrichStream broadcast-joins a static dimension per micro-batch") {
+    val dim = Seq((1L, "Newark"), (2L, "Jamaica")).toDF("zone_id", "zone_name")
+    val stream = MemoryStream[(Long, Double)](spark)
+    val df = stream.toDF().toDF("zid", "fare")
+    val q = Streaming.enrichStream(df, dim, "zid", "zone_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("zid") -> r.getAs[String]("zone_name")).toMap
+      out(1L) shouldBe "Newark"
+      out(3L) shouldBe null // left join keeps unmatched facts
+    } finally q.stop()
+  }
+
+  test("goldRefreshStream keeps cumulative mart aggregates across batches") {
+    import graft.config.{GoldModel, Measure}
+    val mart = Files.createTempDirectory("graft_mart").toString + "/m"
+    val chk = Files.createTempDirectory("graft_mart_chk").toString
+    val model = GoldModel(name = "by_type",
+      groupBy = Seq("event_type"),
+      measures = Seq(Measure("n", "count(1)"),
+        Measure("total", "cast(sum(cast(value as decimal(18,2))) as double)")))
+    val stream = MemoryStream[(String, Double)](spark)
+    val q = Streaming.goldRefreshStream(
+      stream.toDF().toDF("event_type", "value"), model,
+      keys = Seq("event_type"), mart, chk)
+    try {
+      stream.addData(("click", 1.0), ("click", 2.0), ("view", 5.0))
+      q.processAllAvailable()
+      // second batch touches an existing group — cumulative, not per-batch
+      stream.addData(("click", 4.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(mart).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+      out("click") shouldBe ((3L, 7.0))
+      out("view") shouldBe ((1L, 5.0))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val stream = MemoryStream[Streaming.KeyedEvent](spark)
     val q = Streaming.runningTotals(stream.toDS())
