@@ -388,6 +388,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // Int8 embedding quantization: per-vector scale + code checksums + max
+    // reconstruction error — every output integer-derived, hash-comparable.
+    "q49_embed_quantize" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      emb.select(
+        col("vec_id"),
+        round(col("q.scale") * 1e9).cast("long").as("scale_e9"),
+        aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        array_min(col("q.codes")).cast("long").as("code_min"),
+        array_max(col("q.codes")).cast("long").as("code_max"),
+        round(array_max(zip_with(
+          transform(col("embedding"), x => x.cast("double")),
+          Similarity.dequantizeInt8(col("q")),
+          (x, d) => abs(x - d))) * 1e6).cast("long").as("max_err_e6"))
+        .orderBy("vec_id")
+    }),
+
+    // Q2 — positive-values check (one-pass conditional aggregate).
+    "q50_positive_check" -> ((s, dir) =>
+      Checks.nonPositiveCounts(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
     // ---- statistical quality / anomaly / reconciliation surface ----------
 
     // Q8 — z-score report from exact fixed-point sufficient statistics
@@ -821,6 +844,28 @@ object SparkEntry {
         |WHERE list_dot_product(a.e, b.e) /
         |  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q49_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        |s2 AS (SELECT vec_id, e, scale,
+        |  CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS safe FROM s),
+        |q AS (SELECT vec_id, e, scale, safe,
+        |  list_transform(e, x -> CAST(floor(x / safe + 0.5) AS INTEGER)) AS codes
+        | FROM s2)
+        |SELECT vec_id,
+        | CAST(round(scale * 1000000000.0) AS BIGINT) AS scale_e9,
+        | CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        | CAST(list_min(codes) AS BIGINT) AS code_min,
+        | CAST(list_max(codes) AS BIGINT) AS code_max,
+        | CAST(round(list_max(list_transform(range(1, len(e) + 1),
+        |   i -> abs(e[i] - codes[i] * scale))) * 1000000.0) AS BIGINT) AS max_err_e6
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q50_positive_check" ->
+      """SELECT count(CASE WHEN l_quantity <= 0 THEN 1 END) AS l_quantity_non_positive,
+        | count(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS l_extendedprice_non_positive,
+        | count(CASE WHEN l_discount <= 0 THEN 1 END) AS l_discount_non_positive
+        |FROM lineitem""".stripMargin,
     "q30_zscore_stats" ->
       """WITH st AS (SELECT count(value) AS n,
         |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) AS s1,

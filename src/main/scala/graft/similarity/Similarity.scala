@@ -88,6 +88,27 @@ object Similarity {
         round(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4× storage
+    * reduction that makes a 100 TB embedding corpus scannable: per-vector
+    * scale = max|x|/127, code_i = round-half-up(x_i/scale). Rounding is
+    * `floor(x + 0.5)` explicitly (identical in every engine; `round()`
+    * half-way semantics differ between engines on doubles). Zero vectors
+    * quantize to all-zero codes with scale 0. Returns
+    * struct(scale double, codes array<int>). */
+  def quantizeInt8(vecCol: Column): Column = {
+    val v = transform(vecCol, x => x.cast("double"))
+    val rawScale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val safe = when(rawScale === 0.0, lit(1.0)).otherwise(rawScale)
+    struct(
+      rawScale.as("scale"),
+      transform(v, x => floor(x / safe + lit(0.5)).cast("int")).as("codes"))
+  }
+
+  /** Reconstruction of a quantized vector: code_i × scale. */
+  def dequantizeInt8(quantCol: Column): Column =
+    transform(quantCol.getField("codes"),
+      c => c.cast("double") * quantCol.getField("scale"))
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
     * first 4 md5 hex digits of "plane:dim" mapped to [-0.5, 0.5). Constant-
     * folded by Catalyst. */

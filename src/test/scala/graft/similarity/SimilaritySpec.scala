@@ -85,6 +85,31 @@ class SimilaritySpec extends SparkSpec {
       .toSet shouldBe exact
   }
 
+  test("int8 quantization: codes bounded, reconstruction within half a step") {
+    val withZero = vecs.union(Seq((9L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val out = withZero
+      .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .select(col("vec_id"), col("q.scale").as("scale"), col("q.codes").as("codes"),
+        org.apache.spark.sql.functions.array_max(
+          org.apache.spark.sql.functions.zip_with(
+            org.apache.spark.sql.functions.transform(col("embedding"),
+              x => x.cast("double")),
+            Similarity.dequantizeInt8(col("q")),
+            (x, d) => org.apache.spark.sql.functions.abs(x - d))).as("max_err"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getSeq[Int](2).toList,
+          r.getAs[Double]("max_err"))).toMap
+    // max-magnitude component always quantizes to ±127
+    out(0L)._2.max shouldBe 127
+    all(out.values.flatMap(_._2)) should (be >= -127 and be <= 127)
+    // reconstruction error is at most half a quantization step
+    out.filter(_._1 != 9L).foreach { case (_, (scale, _, err)) =>
+      err should be <= scale / 2 + 1e-12
+    }
+    out(9L) shouldBe ((0.0, Seq(0, 0, 0), 0.0)) // zero vector is safe
+  }
+
   test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
     val exact = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
