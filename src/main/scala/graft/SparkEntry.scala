@@ -329,6 +329,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top-3 terms per document with integer-exact scoring
+    // (tf·N·10⁶ div df — a float log-idf would differ in the last ulp
+    // between libm implementations and break the hash compare).
+    "q51_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // Per-group exact interpolated quantiles (the grouped form of q35).
+    "q52_group_quantiles" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5, 0.9))").as("qs"))
+        .select(col("event_type"),
+          round(element_at(col("qs"), 1) * 1e6).cast("long").as("p50_e6"),
+          round(element_at(col("qs"), 2) * 1e6).cast("long").as("p90_e6"))
+        .orderBy("event_type")),
+
     // Exact dedup via hash-groupBy: duplicate the corpus under shifted ids,
     // dedupe keeps exactly the min-id copy of each distinct content.
     "q24_exact_dedup" -> ((s, dir) => {
@@ -844,6 +862,24 @@ object SparkEntry {
         |WHERE list_dot_product(a.e, b.e) /
         |  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q51_tfidf_terms" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents) t GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf, df,
+        |  tf * n * 1000000 // df AS score FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (SELECT doc_id, term, tf, df, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        | FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, CAST(score AS BIGINT) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q52_group_quantiles" ->
+      """SELECT event_type,
+        | CAST(round(quantile_cont(value, 0.5) * 1000000.0) AS BIGINT) AS p50_e6,
+        | CAST(round(quantile_cont(value, 0.9) * 1000000.0) AS BIGINT) AS p90_e6
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q49_embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |s AS (SELECT vec_id, e,

@@ -102,6 +102,37 @@ object TextAnalysis {
         (acc * lit(31L) + conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
           % lit(1000000007L))
 
+  /** Per-document term frequencies: (doc, term, tf). One explode + one
+    * keyed aggregate. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF top-k terms per document with an INTEGER score — the
+    * cross-engine-exact form: score = tf·N·10⁶ div df (floor division of
+    * exact longs; a float idf = log(N/df) would hash-differently in the last
+    * ulp between libm implementations). Monotone in tf/df exactly like
+    * tf·log-idf for ranking within a document. Ties break on the term
+    * string. Two keyed shuffles (tf aggregate, df join) + the per-doc top-k
+    * window — no driver-side state. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val n = df.count()
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        expr(s"tf * ${n}L * 1000000L div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** One-pass text profile of a corpus: the per-document quality columns.
     * Ratio columns are micro-unit integers (`round(x*1e6)` of a
     * deterministic double) — integer-rounding a shared double is identical

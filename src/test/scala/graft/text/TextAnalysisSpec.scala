@@ -32,6 +32,21 @@ class TextAnalysisSpec extends SparkSpec {
     r.getAs[Int]("ws") shouldBe 6 // whitespace undershoots on punctuated text
   }
 
+  test("tfidf ranks rare high-frequency terms first with integer scores") {
+    val corpus = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("score"))).toMap
+    // doc 1: apple tf=2 df=1 → 2·3·10⁶/1; banana tf=1 df=2 → 1.5·10⁶
+    out((1L, 1L)) shouldBe (("apple", 6000000L))
+    out((1L, 2L)) shouldBe (("banana", 1500000L))
+    // doc 3: cherry tf=3 df=2 → floor(3·3·10⁶/2)
+    out((3L, 1L)) shouldBe (("cherry", 4500000L))
+  }
+
   test("langId picks the max-scoring language with fixed precedence") {
     val out = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
