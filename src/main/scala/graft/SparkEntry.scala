@@ -408,19 +408,18 @@ object SparkEntry {
 
     // Int8 embedding quantization: per-vector scale + code checksums + max
     // reconstruction error — every output integer-derived, hash-comparable.
+    // One compiled pass per row via the native quantize_stats expression
+    // (the composable HOF form traverses the vector ~6 interpreted times).
     "q49_embed_quantize" -> ((s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-        .withColumn("q", Similarity.quantizeInt8(col("embedding")))
-      emb.select(
-        col("vec_id"),
-        round(col("q.scale") * 1e9).cast("long").as("scale_e9"),
-        aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"),
-        array_min(col("q.codes")).cast("long").as("code_min"),
-        array_max(col("q.codes")).cast("long").as("code_max"),
-        round(array_max(zip_with(
-          transform(col("embedding"), x => x.cast("double")),
-          Similarity.dequantizeInt8(col("q")),
-          (x, d) => abs(x - d))) * 1e6).cast("long").as("max_err_e6"))
+      Tables.load(s, dir, "embeddings")
+        .withColumn("q", call_function("quantize_stats", col("embedding")))
+        .select(
+          col("vec_id"),
+          round(col("q.scale") * 1e9).cast("long").as("scale_e9"),
+          col("q.code_sum").as("code_sum"),
+          col("q.code_min").as("code_min"),
+          col("q.code_max").as("code_max"),
+          round(col("q.max_err") * 1e6).cast("long").as("max_err_e6"))
         .orderBy("vec_id")
     }),
 

@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash32(children.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("quantize_stats"),
+      new ExpressionInfo(classOf[Int8QuantStats].getName, "quantize_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "quantize_stats takes 1 argument")
+        Int8QuantStats(children.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Text].getName, "simhash64"),
       (children: Seq[Expression]) => {

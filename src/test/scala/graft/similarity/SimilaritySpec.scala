@@ -108,6 +108,31 @@ class SimilaritySpec extends SparkSpec {
       err should be <= scale / 2 + 1e-12
     }
     out(9L) shouldBe ((0.0, Seq(0, 0, 0), 0.0)) // zero vector is safe
+
+    // native one-pass quantize_stats ≡ the composable HOF form
+    import org.apache.spark.sql.functions.{abs, aggregate, array_max, array_min,
+      call_function, lit, transform, zip_with}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cmp = emb
+      .withColumn("q", Similarity.quantizeInt8(col("embedding")))
+      .withColumn("nq", call_function("quantize_stats", col("embedding")))
+      .select(
+        col("q.scale"), col("nq.scale"),
+        aggregate(col("q.codes"), lit(0L), (a, c) => a + c), col("nq.code_sum"),
+        array_min(col("q.codes")).cast("long"), col("nq.code_min"),
+        array_max(col("q.codes")).cast("long"), col("nq.code_max"),
+        array_max(zip_with(
+          transform(col("embedding"), x => x.cast("double")),
+          Similarity.dequantizeInt8(col("q")),
+          (x, d) => abs(x - d))), col("nq.max_err"))
+      .collect()
+    cmp.foreach { r =>
+      r.getDouble(0) shouldBe r.getDouble(1)
+      r.getLong(2) shouldBe r.getLong(3)
+      r.getLong(4) shouldBe r.getLong(5)
+      r.getLong(6) shouldBe r.getLong(7)
+      r.getDouble(8) shouldBe r.getDouble(9)
+    }
   }
 
   test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
