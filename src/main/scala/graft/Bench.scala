@@ -24,12 +24,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up pass of the FIRST measured query (sorted order), so its
-    // recorded time isn't dominated by JIT/codegen/file-footer cold start —
-    // Map.head would warm an arbitrary query and leave q01 cold.
-    try SparkEntry.queries.toSeq.sortBy(_._1).head._2(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // one untimed warm-up pass over EVERY query, so JIT/codegen/file-footer
+    // cold-start cost lands here instead of inside whichever query happens to
+    // first touch a heavy operator (window exec, regex, decimal agg). Without
+    // this, first-touch JIT drifts between rounds and poisons cross-round
+    // comparisons.
+    val warmT0 = System.nanoTime()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // Min over SPARK_GRAFT_REPS repetitions (default 2): single-shot
     // timings on shared hardware swing ±50% with scheduler/GC noise; the
     // minimum is the standard low-noise estimator of a query's true cost.
@@ -60,7 +65,7 @@ object Bench {
     val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$ts,"errors":$errors,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"warmup":"full pass, untimed","sf":"$sfDir"}""")
     spark.stop()
   }
 }

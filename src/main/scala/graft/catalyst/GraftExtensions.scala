@@ -10,6 +10,29 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `call_function` alike on any session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Evaluate a foldable int argument at plan-construction time. */
+  private def litInt(e: Expression, name: String): Int =
+    if (e.foldable) e.eval(null).toString.toInt
+    else throw new IllegalArgumentException(s"$name must be a literal")
+
+  /** Evaluate a foldable array<array<float>> centroid literal into a flat
+    * row-major float matrix — ONE reference object in the plan instead of
+    * k×dim literal nodes. */
+  private def litCentroids(e: Expression): (Array[Float], Int, Int) = {
+    require(e.foldable, "centroids must be a literal array<array<float>>")
+    val ad = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val k = ad.numElements()
+    require(k >= 1, "centroids must be non-empty")
+    val rows = (0 until k).map(i => ad.getArray(i).toFloatArray())
+    val dim = rows.head.length
+    require(rows.forall(_.length == dim), "centroids must share one dim")
+    val flat = new Array[Float](k * dim)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      System.arraycopy(r, 0, flat, i * dim, dim)
+    }
+    (flat, k, dim)
+  }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       new FunctionIdentifier("vec_dot"),
@@ -51,6 +74,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash64 takes 1 argument")
         SimHash64Text(children.head)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("vec_lsh_bucket"),
+      new ExpressionInfo(classOf[VecLshBucket].getName, "vec_lsh_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "vec_lsh_bucket takes (vec, numPlanes literal, dim literal)")
+        VecLshBucket(children.head, litInt(children(1), "numPlanes"),
+          litInt(children(2), "dim"))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("vec_nearest_centroid"),
+      new ExpressionInfo(classOf[VecNearestCentroid].getName, "vec_nearest_centroid"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "vec_nearest_centroid takes (vec, centroids literal)")
+        val (flat, k, dim) = litCentroids(children(1))
+        VecNearestCentroid(children.head, flat, k, dim)
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("vec_top_centroids"),
+      new ExpressionInfo(classOf[VecTopCentroids].getName, "vec_top_centroids"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "vec_top_centroids takes (vec, centroids literal, nProbe literal)")
+        val (flat, k, dim) = litCentroids(children(1))
+        VecTopCentroids(children.head, flat, k, dim,
+          litInt(children(2), "nProbe"))
       }))
     extensions.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
