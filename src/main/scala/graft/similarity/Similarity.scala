@@ -116,8 +116,22 @@ object Similarity {
     (conv(substring(md5(lit(s"$plane:$dim")), 1, 4), 16, 10).cast("double")
       / lit(65536.0)) - lit(0.5)
 
-  /** Sign-hash bucket key: one bit per hyperplane (sign of vec·plane). */
-  def lshBucket(vecCol: Column, numPlanes: Int, dim: Int): Column = {
+  /** Sign-hash bucket key: one bit per hyperplane (sign of vec·plane).
+    * Native `vec_lsh_bucket` (graft.catalyst.VecLshBucket): ONE codegen'd
+    * double loop per row with the plane matrix held as expression state.
+    * The Column-composed form below (`lshBucketBuiltin`) is a numPlanes×dim
+    * `element_at` tree — at production dims (768–1536 × 16 planes) that
+    * plan is tens of thousands of nodes and trips codegen's 64KB method
+    * limit into interpreted fallback; the native form is O(1) plan nodes at
+    * any dim (spec-asserted bit-identical at dim 64, constructible and
+    * codegen'd at dim 1024 × 16 planes). */
+  def lshBucket(vecCol: Column, numPlanes: Int, dim: Int): Column =
+    call_function("vec_lsh_bucket", vecCol, lit(numPlanes), lit(dim))
+
+  /** Pure-builtin fold form of `lshBucket` — same planes, same bit order,
+    * bit-identical output (spec-asserted); usable without GraftExtensions
+    * but only at toy dims (plan size ∝ numPlanes×dim). */
+  def lshBucketBuiltin(vecCol: Column, numPlanes: Int, dim: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
       val d = (0 until dim).map(i =>
         element_at(vecCol, i + 1).cast("double") * planeCoef(p, i))
@@ -180,6 +194,13 @@ object Similarity {
     cents
   }
 
+  /** The centroid matrix as ONE nested-array literal plan node (the
+    * registered builders in GraftExtensions extract it to a flat float[]
+    * at plan construction) — versus k×dim literal expression nodes for the
+    * struct-composed form, whose plan alone crawls the analyzer at k=1024. */
+  private def centroidLit(centroids: Seq[Array[Float]]): Column =
+    typedlit(centroids.map(_.toSeq))
+
   /** Scores against every centroid as (score, centroidIdx) structs.
     * array_min over structs compares fields in order → min(-dot) = argmax
     * dot, ties to the lowest centroid index. All row-local vec_dot loops. */
@@ -188,9 +209,33 @@ object Similarity {
       struct((-dot(vecCol, typedlit(c.toSeq))).as("d"), lit(i).as("c"))
     }: _*)
 
-  /** IVF assignment: each vector's nearest centroid id. */
+  /** IVF assignment: each vector's nearest centroid id. Native
+    * `vec_nearest_centroid` (graft.catalyst.VecNearestCentroid): one
+    * codegen'd k×dim loop against a flat float[] reference object — O(1)
+    * plan nodes at any k (spec-asserted equal to `ivfBucketBuiltin`,
+    * constructible and codegen'd at k=256). */
   def ivfBucket(vecCol: Column, centroids: Seq[Array[Float]]): Column =
+    call_function("vec_nearest_centroid", vecCol, centroidLit(centroids))
+
+  /** Struct-composed form of `ivfBucket` — same argmax(dot) with ties to
+    * the lowest index (spec-asserted equal); plan size ∝ k×dim, so toy k
+    * only. */
+  def ivfBucketBuiltin(vecCol: Column, centroids: Seq[Array[Float]]): Column =
     array_min(centroidStructs(vecCol, centroids)).getField("c")
+
+  /** The nProbe nearest centroid indices for a query vector (descending
+    * dot, ties → lower index). Native `vec_top_centroids` — one codegen'd
+    * loop + a k-length sort per row, O(1) plan nodes. */
+  def topCentroids(vecCol: Column, centroids: Seq[Array[Float]],
+      nProbe: Int): Column =
+    call_function("vec_top_centroids", vecCol, centroidLit(centroids),
+      lit(nProbe))
+
+  /** Struct-composed form of `topCentroids` (spec-asserted equal). */
+  def topCentroidsBuiltin(vecCol: Column, centroids: Seq[Array[Float]],
+      nProbe: Int): Column =
+    transform(slice(array_sort(centroidStructs(vecCol, centroids)), 1, nProbe),
+      s => s.getField("c"))
 
   /** IVF top-k: corpus is bucketed by nearest centroid ONCE; each query
     * probes its `nProbe` nearest centroid buckets. nProbe = numCentroids
@@ -209,10 +254,9 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", ivfBucket(col("c_vec"), centroids))
       .withColumn("c_norm", norm(col("c_vec")))
-    val probes = array_sort(centroidStructs(col("q_vec"), centroids))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket",
-        explode(transform(slice(probes, 1, nProbe), s => s.getField("c"))))
+        explode(topCentroids(col("q_vec"), centroids, nProbe)))
       .withColumn("q_norm", norm(col("q_vec")))
     val sims = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

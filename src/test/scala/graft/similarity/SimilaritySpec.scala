@@ -135,6 +135,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native lsh/centroid expressions are bit-identical to builtin forms (dim 64)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val cmp = emb.select(
+      Similarity.lshBucket(col("embedding"), 4, 64).as("n_lsh"),
+      Similarity.lshBucketBuiltin(col("embedding"), 4, 64).as("b_lsh"),
+      Similarity.ivfBucket(col("embedding"), cents).as("n_ivf"),
+      Similarity.ivfBucketBuiltin(col("embedding"), cents).as("b_ivf"),
+      Similarity.topCentroids(col("embedding"), cents, 3).as("n_top"),
+      Similarity.topCentroidsBuiltin(col("embedding"), cents, 3).as("b_top"))
+      .collect()
+    cmp should not be empty
+    cmp.foreach { r =>
+      r.getLong(0) shouldBe r.getLong(1)
+      r.getInt(2) shouldBe r.getInt(3)
+      r.getSeq[Int](4) shouldBe r.getSeq[Int](5)
+    }
+  }
+
+  test("native expressions codegen at production dims (1024×16 planes, k=256)") {
+    // The Column-composed forms would put numPlanes×dim (16,384) element_at
+    // nodes / k×dim (262,144) literal nodes into this plan; the natives are
+    // O(1) nodes. CODEGEN_ONLY + fallback=false make any codegen failure
+    // (e.g. the 64KB method limit) throw instead of silently interpreting.
+    val dim = 1024
+    val big = Seq(
+      (0L, Array.tabulate(dim)(i => ((i % 7) - 3).toFloat)),
+      (1L, Array.tabulate(dim)(i => ((i % 5) - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 256).map(c =>
+      Array.tabulate(dim)(i => (((c + i) % 11) - 5).toFloat / 10f))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = big.select(
+        col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 16, dim).as("lsh"),
+        Similarity.ivfBucket(col("embedding"), cents).as("ivf"),
+        Similarity.topCentroids(col("embedding"), cents, 8).as("top"))
+        .collect()
+      out.length shouldBe 2
+      out.foreach { r =>
+        r.getSeq[Int](3).length shouldBe 8
+        r.getSeq[Int](3).head shouldBe r.getInt(2) // top-1 probe == assignment
+      }
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
     val exact = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
