@@ -35,23 +35,44 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
-    // Min over SPARK_GRAFT_REPS repetitions (default 2): single-shot
+    // Settle after the ~80 s warm-up pass: the JIT/codegen churn it creates
+    // leaves GC debt that otherwise lands inside whichever timed query runs
+    // next (r4/r5 showed 5-14x phantom regressions on unchanged code).
+    // Drop cached relations, force a full GC, and give the JVM a few
+    // seconds of quiet before any timed work.
+    def settle(sleepMs: Long): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(sleepMs)
+    }
+    settle(8000L)
+    // Min over SPARK_GRAFT_REPS repetitions (default 5): single-shot
     // timings on shared hardware swing ±50% with scheduler/GC noise; the
     // minimum is the standard low-noise estimator of a query's true cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // Reps are INTERLEAVED — each rep is one full round-robin pass over all
+    // queries — so a transient stall (GC pause, scheduler preemption) can
+    // poison at most one rep of any given query, never all of them.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { rep =>
+      names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            System.err.println(s"[bench] $name failed (rep $rep): ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
       }
-      val ok = times.forall(_._2)
-      (name, times.map(_._1).min, ok, times.map(_._1))
+      // collect between rounds so debt from round N is paid before N+1's timings
+      if (rep < reps) settle(1000L)
+    }
+    val results = names.map { case (name, _) =>
+      val times = samples(name)
+      (name, times.map(_._1).min, times.forall(_._2), times.map(_._1))
     }
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.

@@ -95,7 +95,16 @@ object Streaming {
     *
     * State = one row per group: bounded when mart keys derive from event
     * time (year/month/hour marts). The mart read-merge-rewrite per batch is
-    * bounded by mart size, not stream volume. */
+    * bounded by mart size, not stream volume.
+    *
+    * Durability: each batch lands in `<mart>__refresh_tmp`, then swaps via
+    * two renames (tmp is never the live mart, and the live mart is never
+    * half-written). A crash between the renames leaves the data at
+    * `<mart>__refresh_bak`; [[recoverMart]] runs at stream start AND at
+    * every batch, so the next attempt restores it before merging — the
+    * exact-once state store then replays the lost batch. All path checks go
+    * through Hadoop `FileSystem`, so the swap works on HDFS/object stores,
+    * not just the local FS. */
   def goldRefreshStream(
       events: DataFrame,
       model: graft.config.GoldModel,
@@ -110,18 +119,43 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (updated: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = updated.sparkSession
+        val mart = new org.apache.hadoop.fs.Path(martPath)
+        val fs = mart.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverMart(fs, martPath)
         val upd = updated.toDF().localCheckpoint()
         val merged =
-          if (!new java.io.File(martPath).exists()) upd
+          if (!fs.exists(mart)) upd
           else graft.gold.IncrementalMaterializer.merge(
             spark.read.parquet(martPath), upd, keys)
         // rewrite via a temp dir: the source parquet can't be overwritten
-        // while it is being read
-        val tmp = martPath + "__refresh_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(martPath)
+        // while it is being read, and a direct overwrite would corrupt the
+        // mart if the writer died mid-write
+        val tmp = new org.apache.hadoop.fs.Path(martPath + "__refresh_tmp")
+        val bak = new org.apache.hadoop.fs.Path(martPath + "__refresh_bak")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(mart))
+          require(fs.rename(mart, bak), s"could not move $mart aside")
+        require(fs.rename(tmp, mart), s"could not publish refreshed mart $mart")
+        fs.delete(bak, true)
+        ()
       }
       .start()
+  }
+
+  /** Repair the mart swap after a crash, in any state the two-rename
+    * protocol can leave behind: a bak with no live mart (crash between
+    * renames) is restored; a bak alongside a live mart (crash before the
+    * final delete) is dropped; a leftover tmp is always dropped — it is
+    * either already published or from an incomplete write. Idempotent. */
+  def recoverMart(fs: org.apache.hadoop.fs.FileSystem, martPath: String): Unit = {
+    val mart = new org.apache.hadoop.fs.Path(martPath)
+    val tmp = new org.apache.hadoop.fs.Path(martPath + "__refresh_tmp")
+    val bak = new org.apache.hadoop.fs.Path(martPath + "__refresh_bak")
+    if (fs.exists(bak)) {
+      if (!fs.exists(mart)) require(fs.rename(bak, mart), s"could not restore $mart from $bak")
+      else fs.delete(bak, true)
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   final case class KeyedEvent(key: String, value: Double)

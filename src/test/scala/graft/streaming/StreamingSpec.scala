@@ -115,6 +115,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("goldRefreshStream recovers the mart after a crash mid-swap") {
+    import graft.config.{GoldModel, Measure}
+    import org.apache.hadoop.fs.Path
+    val mart = Files.createTempDirectory("graft_mart_crash").toString + "/m"
+    val chk = Files.createTempDirectory("graft_mart_crash_chk").toString
+    val model = GoldModel(name = "by_type",
+      groupBy = Seq("event_type"),
+      measures = Seq(Measure("n", "count(1)"),
+        Measure("total", "cast(sum(cast(value as decimal(18,2))) as double)")))
+    val fs = new Path(mart).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val stream = MemoryStream[(String, Double)](spark)
+    val q = Streaming.goldRefreshStream(
+      stream.toDF().toDF("event_type", "value"), model,
+      keys = Seq("event_type"), mart, chk)
+    try {
+      stream.addData(("click", 1.0), ("click", 2.0), ("view", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // simulate a crash between the two renames: the live mart was moved
+    // aside to __refresh_bak, the publish rename never ran, and a
+    // half-written tmp from the dead batch is still on disk
+    val bak = new Path(mart + "__refresh_bak")
+    val tmp = new Path(mart + "__refresh_tmp")
+    require(fs.rename(new Path(mart), bak))
+    fs.mkdirs(tmp)
+    fs.create(new Path(tmp, "part-garbage.parquet")).close()
+    fs.exists(new Path(mart)) shouldBe false
+
+    // restart against the same checkpoint (same source, as on a real
+    // restart): recovery restores the mart from bak, drops the tmp, and the
+    // next batch merges into the restored state
+    val q2 = Streaming.goldRefreshStream(
+      stream.toDF().toDF("event_type", "value"), model,
+      keys = Seq("event_type"), mart, chk)
+    try {
+      stream.addData(("click", 4.0))
+      q2.processAllAvailable()
+      val out = spark.read.parquet(mart).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+      out("click") shouldBe ((3L, 7.0)) // cumulative values intact
+      out("view") shouldBe ((1L, 5.0))
+      fs.exists(bak) shouldBe false // swap debris cleaned up
+      fs.exists(tmp) shouldBe false
+    } finally q2.stop()
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     val stream = MemoryStream[Streaming.KeyedEvent](spark)
     val q = Streaming.runningTotals(stream.toDS())
