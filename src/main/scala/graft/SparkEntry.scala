@@ -330,7 +330,7 @@ object SparkEntry {
     }),
 
     // TF-IDF top-3 terms per document with integer-exact scoring
-    // (tf·N·10⁶ div df — a float log-idf would differ in the last ulp
+    // (tf·10⁶ div df — a float log-idf would differ in the last ulp
     // between libm implementations and break the hash compare).
     "q51_tfidf_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.load(s, dir, "documents"),
@@ -866,9 +866,8 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
         |  FROM documents) t GROUP BY doc_id, term),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(*) AS n FROM documents),
         |scored AS (SELECT doc_id, term, tf, df,
-        |  tf * n * 1000000 // df AS score FROM tf JOIN dfreq USING (term), n),
+        |  tf * 1000000 // df AS score FROM tf JOIN dfreq USING (term)),
         |ranked AS (SELECT doc_id, term, tf, df, score,
         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         | FROM scored)

@@ -28,12 +28,16 @@ case class Int8QuantStats(child: Expression)
         s"quantize_stats requires array<float|double>, got ${other.simpleString}")
     }
 
+  // nullable — empty input returns null even when the child is non-null;
+  // declaring false would let the optimizer fold downstream null guards away
+  override def nullable: Boolean = true
+
   override def dataType: DataType = StructType(Seq(
-    StructField("scale", DoubleType, nullable = false),
-    StructField("code_sum", LongType, nullable = false),
-    StructField("code_min", LongType, nullable = false),
-    StructField("code_max", LongType, nullable = false),
-    StructField("max_err", DoubleType, nullable = false)))
+    StructField("scale", DoubleType),
+    StructField("code_sum", LongType),
+    StructField("code_min", LongType),
+    StructField("code_max", LongType),
+    StructField("max_err", DoubleType)))
 
   override def prettyName: String = "quantize_stats"
 

@@ -48,6 +48,9 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // nullable — an empty shingle set returns null even for a non-null child
+  override def nullable: Boolean = true
+
   override def prettyName: String = "minhash_sigs"
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -87,6 +90,9 @@ case class SimHash32(child: Expression)
     }
 
   override def dataType: DataType = LongType
+
+  // nullable — an empty shingle set returns null even for a non-null child
+  override def nullable: Boolean = true
 
   override def prettyName: String = "simhash32"
 

@@ -32,6 +32,10 @@ case class SimHash64Text(child: Expression)
 
   override def dataType: DataType = LongType
 
+  // nullable — blank/whitespace-only text returns null even when the child
+  // is non-null; declaring false would let the optimizer drop null guards
+  override def nullable: Boolean = true
+
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(input: Any): Any = {

@@ -92,7 +92,10 @@ case class VecLshBucket(child: Expression, numPlanes: Int, dim: Int)
         acc += vec.getFloat(i).toDouble * coefs(base + i)
         i += 1
       }
-      if (acc >= 0) sig |= (1L << p)
+      // NaN sets the bit: Spark SQL orders NaN above every value, so the
+      // builtin fold's `d >= 0` is TRUE for a NaN dot — Java's `>=` is
+      // false, which would silently bucket NaN-bearing vectors differently
+      if (acc >= 0 || java.lang.Double.isNaN(acc)) sig |= (1L << p)
       p += 1
     }
     sig
@@ -157,7 +160,10 @@ case class VecNearestCentroid(child: Expression, cents: Array[Float],
         i += 1
       }
       val d = -acc
-      if (d < bestD) { bestD = d; bestC = c }
+      // total order (NaN greatest, -0.0 < 0.0) — the ordering Spark's own
+      // array_min/array_sort use, so a ±0.0 or NaN dot buckets identically
+      // native and builtin
+      if (java.lang.Double.compare(d, bestD) < 0) { bestD = d; bestC = c }
       c += 1
     }
     bestC
@@ -171,6 +177,21 @@ case class VecNearestCentroid(child: Expression, cents: Array[Float],
       classOf[VecNearestCentroid].getName)
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
+
+  // value-based equality over the Array[Float] field: the case-class default
+  // compares the array by reference, so two semantically identical instances
+  // would never be `semanticEquals` — defeating expression canonicalization
+  // and common-subexpression elimination when ivfBucket is reused in a plan
+  override def equals(other: Any): Boolean = other match {
+    case o: VecNearestCentroid =>
+      child == o.child && k == o.k && dim == o.dim &&
+        java.util.Arrays.equals(cents, o.cents)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(k), Int.box(dim),
+      Int.box(java.util.Arrays.hashCode(cents)))
 
   override protected def withNewChildInternal(newChild: Expression): VecNearestCentroid =
     copy(child = newChild)
@@ -216,9 +237,14 @@ case class VecTopCentroids(child: Expression, cents: Array[Float],
       negDots(c) = -acc
       c += 1
     }
-    // ascending (-dot, idx) ≡ the builtin array_sort over (d, c) structs
+    // ascending (-dot, idx) ≡ the builtin array_sort over (d, c) structs.
+    // Double.compare, not primitive <: it is a TOTAL order (primitive NaN
+    // comparisons are non-transitive and can make TimSort throw
+    // "Comparison method violates its general contract!"), and it matches
+    // array_sort's NaN-greatest / -0.0 < 0.0 ordering exactly.
     val idx = Array.range(0, k).sortWith { (a, b) =>
-      negDots(a) < negDots(b) || (negDots(a) == negDots(b) && a < b)
+      val cmp = java.lang.Double.compare(negDots(a), negDots(b))
+      cmp < 0 || (cmp == 0 && a < b)
     }
     new GenericArrayData(idx.take(math.min(nProbe, k)))
   }
@@ -231,6 +257,18 @@ case class VecTopCentroids(child: Expression, cents: Array[Float],
       classOf[VecTopCentroids].getName)
     nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
   }
+
+  // value-based equality over the Array[Float] field — see VecNearestCentroid
+  override def equals(other: Any): Boolean = other match {
+    case o: VecTopCentroids =>
+      child == o.child && k == o.k && dim == o.dim && nProbe == o.nProbe &&
+        java.util.Arrays.equals(cents, o.cents)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child, Int.box(k), Int.box(dim),
+      Int.box(nProbe), Int.box(java.util.Arrays.hashCode(cents)))
 
   override protected def withNewChildInternal(newChild: Expression): VecTopCentroids =
     copy(child = newChild)

@@ -56,13 +56,16 @@ object Multimodal {
 
   /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP ship with the
     * JDK): actual pixel dimensions from the decoded image. Undecodable image
-    * payloads and audio/video (no JDK codec) fall back to the stub. */
+    * payloads and audio/video (no JDK codec) fall back to the stub. The
+    * catch is NonFatal, not just IOException: a corrupt JPEG surfaces as
+    * CMMException / IllegalArgumentException from the color-management
+    * layer, and one bad row must not kill a 100 TB job. */
   def decode(r: MediaRecord): MediaFeatures =
     if (r.kind != "image") decodeStub(r)
     else {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) decodeStub(r)
       else MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
         img.getWidth, img.getHeight, 1, fnv(r.payload))
@@ -93,7 +96,7 @@ object Multimodal {
           if (r.kind != "image") null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null } // CMMException etc., see decode
         if (decoded == null) { // stub path: truncate to the pixel budget
           val budget = math.max(16, math.min(r.payload.length, w * h / 64))
           r.copy(payload = java.util.Arrays.copyOf(r.payload, budget))

@@ -110,23 +110,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
 
   /** TF-IDF top-k terms per document with an INTEGER score — the
-    * cross-engine-exact form: score = tf·N·10⁶ div df (floor division of
+    * cross-engine-exact form: score = tf·10⁶ div df (floor division of
     * exact longs; a float idf = log(N/df) would hash-differently in the last
-    * ulp between libm implementations). Monotone in tf/df exactly like
-    * tf·log-idf for ranking within a document. Ties break on the term
-    * string. Two keyed shuffles (tf aggregate, df join) + the per-doc top-k
-    * window — no driver-side state. */
+    * ulp between libm implementations). The corpus-size factor N of
+    * classical tf·idf is deliberately DROPPED: it is constant across every
+    * term of every document, so per-document ranking is unchanged, it
+    * removes a driver-side count() action, and the product tf·10⁶ stays
+    * ≪ Long.Max at any corpus size (tf·N·10⁶ overflowed at N≈10⁹ docs).
+    * Ties break on the term string.
+    *
+    * Shuffles: one keyed aggregate (tf) + the per-doc top-k window. The
+    * document-frequency side is |vocabulary|-sized — orders of magnitude
+    * smaller than the exploded term table — so it is broadcast by default;
+    * pass `broadcastVocab = false` for a corpus whose vocabulary (e.g.
+    * unbounded ids/urls as tokens) outgrows executor memory, which falls
+    * back to a sort-merge join shuffling both sides on `term`. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val n = df.count()
+      k: Int, broadcastVocab: Boolean = true): DataFrame = {
     val tf = termFrequencies(df, idCol, textCol)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term")
-      .withColumn("score",
-        expr(s"tf * ${n}L * 1000000L div df"))
+    tf.join(if (broadcastVocab) broadcast(dfreq) else dfreq, "term")
+      .withColumn("score", expr("tf * 1000000L div df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank").cast("long").as("rank"),

@@ -84,6 +84,22 @@ class DedupSpec extends SparkSpec {
       .collect().foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
   }
 
+  test("natives declare nullable outputs: empty NON-NULL input still yields null") {
+    import org.apache.spark.sql.functions.expr
+    // children here are non-null literals — without the explicit
+    // `nullable = true` overrides the expressions would inherit
+    // nullable=false and the optimizer could fold downstream null guards
+    // away while eval still returns null
+    val out = spark.range(1).select(
+      expr("simhash64(' ')").as("h64"),
+      expr("simhash32(cast(array() as array<bigint>))").as("h32"),
+      expr("minhash_sigs(cast(array() as array<bigint>), 4)").as("sigs"),
+      expr("quantize_stats(cast(array() as array<float>))").as("qs"))
+    out.schema.fields.foreach(f => withClue(f.name)(f.nullable shouldBe true))
+    val r = out.head()
+    (0 to 3).foreach(i => withClue(s"col $i")(r.isNullAt(i) shouldBe true))
+  }
+
   test("dup clusters: transitive chains collapse to the min id; dedup drops losers") {
     // chain 1-2, 2-6; separate pair 3-5; singleton 4 untouched
     val pairs = Seq((1L, 2L), (2L, 6L), (3L, 5L)).toDF("id_a", "id_b")

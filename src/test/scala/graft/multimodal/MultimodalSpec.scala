@@ -64,6 +64,22 @@ class MultimodalSpec extends SparkSpec {
     out.map(_.payload.toSeq) shouldBe again.map(_.payload.toSeq)
   }
 
+  test("corrupt image payloads fall back to the stub instead of killing the job") {
+    // PNG magic + garbage body: the decoder rejects it (return-null or a
+    // thrown exception depending on where parsing dies — the catch is
+    // NonFatal because e.g. a corrupt JPEG surfaces as CMMException, not
+    // IOException); either way one bad row must degrade, not propagate
+    val garbage = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      Array.fill[Byte](64)(0x5a)
+    val bad = Multimodal.MediaRecord(7L, "image", garbage, "png")
+    val f = Multimodal.decode(bad)
+    f shouldBe Multimodal.decodeStub(bad) // stub fallback, no exception
+    import spark.implicits._
+    val resized = Multimodal.resize(
+      spark.createDataset(Seq(bad)), 8, 8).collect().head
+    resized.payload.length should be <= garbage.length // stub truncation path
+  }
+
   test("withMetadata computes payload metadata without touching rows") {
     val df = Multimodal.synthetic(spark, 5).toDF()
     val out = Multimodal.withMetadata(df, "payload")

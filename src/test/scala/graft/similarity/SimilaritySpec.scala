@@ -154,6 +154,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native ≡ builtin on NaN/±0.0/Inf edge vectors; equal expressions canonicalize") {
+    // non-finite dots exercise the orderings the fast paths could get wrong:
+    // Spark's `>=`/array_min/array_sort treat NaN as greater than everything
+    // and -0.0 < 0.0 — the natives must bucket identically
+    val dim = 4
+    val edge = Seq(
+      (0L, Array.fill(dim)(Float.NaN)),
+      (1L, Array(Float.NaN, 1f, -2f, 3f)),
+      (2L, Array(-0.0f, 0.0f, -0.0f, 0.0f)),
+      (3L, Array(Float.PositiveInfinity, -1f, Float.NegativeInfinity, 2f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, -1f, 0f))
+    val cmp = edge.select(
+      Similarity.lshBucket(col("embedding"), 4, dim).as("n_lsh"),
+      Similarity.lshBucketBuiltin(col("embedding"), 4, dim).as("b_lsh"),
+      Similarity.ivfBucket(col("embedding"), cents).as("n_ivf"),
+      Similarity.ivfBucketBuiltin(col("embedding"), cents).as("b_ivf"),
+      Similarity.topCentroids(col("embedding"), cents, 3).as("n_top"),
+      Similarity.topCentroidsBuiltin(col("embedding"), cents, 3).as("b_top"))
+      .collect()
+    cmp.foreach { r =>
+      r.getLong(0) shouldBe r.getLong(1)
+      r.getInt(2) shouldBe r.getInt(3)
+      r.getSeq[Int](4) shouldBe r.getSeq[Int](5)
+    }
+    // value-based equals/hashCode over the centroid array: two instances
+    // built from DISTINCT but equal arrays must canonicalize (enables CSE
+    // when a bucketing expression is reused across plan branches)
+    import graft.catalyst.{VecNearestCentroid, VecTopCentroids}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val child = AttributeReference("embedding", ArrayType(FloatType))()
+    VecNearestCentroid(child, Array(1f, 2f), 1, 2) shouldBe
+      VecNearestCentroid(child, Array(1f, 2f), 1, 2)
+    VecNearestCentroid(child, Array(1f, 2f), 1, 2).hashCode shouldBe
+      VecNearestCentroid(child, Array(1f, 2f), 1, 2).hashCode
+    VecNearestCentroid(child, Array(1f, 2f), 1, 2) should not be
+      VecNearestCentroid(child, Array(1f, 3f), 1, 2)
+    VecTopCentroids(child, Array(1f, 2f), 1, 2, 1) shouldBe
+      VecTopCentroids(child, Array(1f, 2f), 1, 2, 1)
+    VecTopCentroids(child, Array(1f, 2f), 1, 2, 1) should not be
+      VecTopCentroids(child, Array(1f, 2f), 1, 2, 2)
+  }
+
   test("native expressions codegen at production dims (1024×16 planes, k=256)") {
     // The Column-composed forms would put numPlanes×dim (16,384) element_at
     // nodes / k×dim (262,144) literal nodes into this plan; the natives are

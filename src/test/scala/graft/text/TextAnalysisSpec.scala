@@ -37,14 +37,30 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "apple apple banana"),
       (2L, "banana cherry"),
       (3L, "cherry cherry cherry")).toDF("doc_id", "text")
-    val out = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+    val plan = TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+    val out = plan
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
         (r.getAs[String]("term"), r.getAs[Long]("score"))).toMap
-    // doc 1: apple tf=2 df=1 → 2·3·10⁶/1; banana tf=1 df=2 → 1.5·10⁶
-    out((1L, 1L)) shouldBe (("apple", 6000000L))
-    out((1L, 2L)) shouldBe (("banana", 1500000L))
-    // doc 3: cherry tf=3 df=2 → floor(3·3·10⁶/2)
-    out((3L, 1L)) shouldBe (("cherry", 4500000L))
+    // doc 1: apple tf=2 df=1 → 2·10⁶; banana tf=1 df=2 → 0.5·10⁶
+    out((1L, 1L)) shouldBe (("apple", 2000000L))
+    out((1L, 2L)) shouldBe (("banana", 500000L))
+    // doc 3: cherry tf=3 df=2 → floor(3·10⁶/2)
+    out((3L, 1L)) shouldBe (("cherry", 1500000L))
+    // with auto-broadcast off, only the EXPLICIT hint can produce a
+    // broadcast join — proves the vocabulary side is hint-broadcast by
+    // default and genuinely shuffles when the caller opts out
+    val thresholdKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholdKeys.map(k => k -> spark.conf.getOption(k))
+    thresholdKeys.foreach(spark.conf.set(_, "-1"))
+    try {
+      TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+        .queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+      TextAnalysis.tfidfTopTerms(corpus, "doc_id", "text", k = 2,
+          broadcastVocab = false)
+        .queryExecution.executedPlan.toString should not include "BroadcastHashJoin"
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   test("langId picks the max-scoring language with fixed precedence") {
