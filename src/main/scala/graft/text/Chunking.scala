@@ -59,11 +59,14 @@ object Chunking {
     * would move the whole corpus to one task — the single-partition sort
     * that kills packing at 100 TB. Shards pack independently (at most one
     * under-filled bin per shard — negligible for docsPerShard ≫ 1), so the
-    * sort parallelizes across id ranges. The default keeps everything in
-    * shard 0 for exact single-stream comparisons; production callers pick
+    * sort parallelizes across id ranges. The default (4096 docs/shard) is
+    * finite ON PURPOSE: an infinite default put every row in shard 0 — a
+    * scale-killer a small-SF test never punishes. Callers who genuinely
+    * need one globally-packed stream (exact single-stream comparisons)
+    * opt IN with `docsPerShard = Long.MaxValue`; production callers pick
     * docsPerShard to match their id density. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      binSize: Int, docsPerShard: Long = 1L << 62): DataFrame = {
+      binSize: Int, docsPerShard: Long = 4096L): DataFrame = {
     require(docsPerShard > 0, s"docsPerShard must be positive, got $docsPerShard")
     val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))

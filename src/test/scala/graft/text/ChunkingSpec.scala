@@ -45,7 +45,8 @@ class ChunkingSpec extends SparkSpec {
       (2L, Seq.fill(5)("x").mkString(" ")), // cum 11 → starts at 6 → bin 0
       (3L, Seq.fill(3)("x").mkString(" "))) // starts at 11 → bin 1
       .toDF("doc_id", "text")
-    // default shard size → one shard: the exact single-stream semantics
+    // ids < 4096 land in one shard under the default: single-stream here,
+    // but the default is finite — see the default-plan test below
     val packed = Chunking.packSequences(d, "doc_id", "text", binSize = 10)
       .orderBy("doc_id").collect()
     packed.map(_.getAs[Long]("shard")).toSeq shouldBe Seq(0L, 0L, 0L)
@@ -71,6 +72,22 @@ class ChunkingSpec extends SparkSpec {
     rows.map(_.getAs[Long]("bin")).toSeq shouldBe
       Seq(0L, 0L, 1L, 1L, 2L, 0L, 0L, 1L, 1L, 2L)
     // the scale guarantee: no unpartitioned (single-task) window anywhere
+    val windows = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows should not be empty
+    all(windows.map(_.partitionSpec)) should not be empty
+  }
+
+  test("DEFAULT packing plan is shard-partitioned — never a global sort") {
+    // the old default (docsPerShard = 2^62) put the entire corpus in shard
+    // 0: a syntactically-partitioned window that degenerates to one task at
+    // scale. The finite default must (a) produce multiple shards when ids
+    // span it and (b) carry a non-empty window partition spec.
+    val d = Seq(100L, 4100L, 8300L).map(i => (i, "x y z"))
+      .toDF("doc_id", "text")
+    val packed = Chunking.packSequences(d, "doc_id", "text", binSize = 8)
+    packed.select("shard").distinct().count() shouldBe 3 // 4096-id shards
     val windows = packed.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
