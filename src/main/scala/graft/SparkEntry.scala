@@ -40,6 +40,25 @@ object SparkEntry {
   private def dsum(c: String, scale: Int = 2): String =
     s"cast(sum(cast($c as decimal(18,$scale))) as double)"
 
+  /** The q04 revenue mart model — shared with q53, which re-aggregates the
+    * mart this model builds through the same engine (A11). */
+  private lazy val revenueStatsModel = GoldModel(
+    name = "revenue_stats",
+    groupBy = Seq(
+      "cast(year(l_shipdate) as bigint) as year",
+      "cast(month(l_shipdate) as bigint) as month",
+      "l_returnflag"),
+    measures = Seq(
+      Measure("total_items", "count(1)"),
+      Measure("sum_base_price", dsum("l_extendedprice")),
+      Measure("sum_disc_amount", dsum("l_extendedprice * l_discount", 4)),
+      Measure("avg_base_price", s"${dsum("l_extendedprice")} / count(l_extendedprice)"),
+      Measure("disc_pct",
+        s"case when sum(cast(l_extendedprice as decimal(18,2))) > 0 " +
+        s"then ${dsum("l_extendedprice * l_discount", 4)} / ${dsum("l_extendedprice")} * 100 " +
+        s"else cast(0 as double) end")),
+    orderBy = Seq("year", "month", "l_returnflag"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A1/A5/P4 — TPC-H Q1-style pricing summary (hash agg, map-side partial)
@@ -97,25 +116,30 @@ object SparkEntry {
     }),
 
     // A3 analogue of revenue_by_payment_type incl. the dbt CASE-WHEN ratio
-    "q04_revenue_stats" -> ((s, dir) => {
-      AggregationEngine.build(
-        Tables.load(s, dir, "lineitem"),
-        GoldModel(
-          name = "revenue_stats",
-          groupBy = Seq(
-            "cast(year(l_shipdate) as bigint) as year",
-            "cast(month(l_shipdate) as bigint) as month",
-            "l_returnflag"),
-          measures = Seq(
-            Measure("total_items", "count(1)"),
-            Measure("sum_base_price", dsum("l_extendedprice")),
-            Measure("sum_disc_amount", dsum("l_extendedprice * l_discount", 4)),
-            Measure("avg_base_price", s"${dsum("l_extendedprice")} / count(l_extendedprice)"),
-            Measure("disc_pct",
-              s"case when sum(cast(l_extendedprice as decimal(18,2))) > 0 " +
-              s"then ${dsum("l_extendedprice * l_discount", 4)} / ${dsum("l_extendedprice")} * 100 " +
-              s"else cast(0 as double) end")),
-          orderBy = Seq("year", "month", "l_returnflag")))
+    "q04_revenue_stats" -> ((s, dir) =>
+      AggregationEngine.build(Tables.load(s, dir, "lineitem"), revenueStatsModel)),
+
+    // A11 — second-level mart rollup: the q04 revenue mart re-aggregated
+    // BY THE SAME ENGINE, mirroring the Superset revenue_trends metrics
+    // (reference superset/dashboards/revenue_trends.json: SUM(total_revenue)
+    // / AVG(avg_fare) big numbers over the gold tables). Double mart
+    // columns are rounded to e6 integers BEFORE the second-level sum so
+    // the rollup is order-independent and cross-engine exact (a raw
+    // sum(double) re-associates differently between engines).
+    "q53_mart_rollup" -> ((s, dir) => {
+      val mart = AggregationEngine.build(Tables.load(s, dir, "lineitem"),
+        revenueStatsModel.copy(orderBy = Nil))
+      AggregationEngine.build(mart, GoldModel(
+        name = "revenue_trends_yearly",
+        groupBy = Seq("year"),
+        measures = Seq(
+          Measure("months", "count(1)"),
+          Measure("total_items", "sum(total_items)"),
+          Measure("total_revenue_e6",
+            "sum(cast(round(sum_base_price * 1000000) as bigint))"),
+          Measure("avg_price_e6",
+            "sum(cast(round(avg_base_price * 1000000) as bigint)) div count(1)")),
+        orderBy = Seq("year")))
     }),
 
     // J1 — double dimension enrichment (broadcast), zones-style aliasing
@@ -509,6 +533,18 @@ object SparkEntry {
           col("severity"))
         .orderBy("event_id")),
 
+    // Q9 — IQR-anomalous rows with distance severity tiers (CRITICAL>5 /
+    // HIGH>3 / MEDIUM>2 IQR units, anomaly_detection.py:181-190) from
+    // EXACT interpolated quantiles. Same cross-engine pattern as green
+    // q46: the tier CASE compares a bit-identical double on both engines,
+    // distance additionally e6-rounded.
+    "q54_iqr_severity" -> ((s, dir) =>
+      Anomaly.iqrAnomaliesExact(Tables.load(s, dir, "events"), "value")
+        .select(col("event_id"), col("value"),
+          round(col("iqr_distance") * 1e6).cast("long").as("dist_e6"),
+          col("severity"))
+        .orderBy("event_id")),
+
     // Q15-Q17 — engine-side reconciliation report (counts, exact decimal
     // sums, key integrity) between a table and its filtered "next layer".
     "q37_recon_report" -> ((s, dir) => {
@@ -641,6 +677,20 @@ object SparkEntry {
         |        / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 100
         |   ELSE CAST(0 AS DOUBLE) END AS disc_pct
         |FROM lineitem GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+    "q53_mart_rollup" ->
+      """WITH mart AS (
+        | SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+        |  CAST(month(l_shipdate) AS BIGINT) AS month, l_returnflag,
+        |  count(*) AS total_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(l_extendedprice) AS avg_base_price
+        | FROM lineitem GROUP BY 1,2,3)
+        |SELECT year, count(*) AS months,
+        | CAST(sum(total_items) AS BIGINT) AS total_items,
+        | CAST(sum(CAST(round(sum_base_price * 1000000) AS BIGINT)) AS BIGINT) AS total_revenue_e6,
+        | CAST(sum(CAST(round(avg_base_price * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS avg_price_e6
+        |FROM mart GROUP BY year ORDER BY year""".stripMargin,
     "q05_enrich_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name AS supplier_name,
         | p.p_name AS part_name, p.p_brand AS part_brand
@@ -992,6 +1042,24 @@ object SparkEntry {
         |      ELSE 'LOW' END AS severity
         |FROM events, c WHERE value < lo OR value > hi
         |ORDER BY event_id""".stripMargin,
+    "q54_iqr_severity" ->
+      """WITH q AS (SELECT quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.75) AS p75 FROM events),
+        |b AS (SELECT p75 - p25 AS iqr,
+        |  p25 - 1.5 * (p75 - p25) AS lo,
+        |  p75 + 1.5 * (p75 - p25) AS hi FROM q),
+        |a AS (SELECT event_id, value,
+        |  CASE WHEN iqr > 0
+        |    THEN least(abs(value - lo), abs(value - hi)) / iqr
+        |    ELSE 0.0 END AS dist
+        | FROM events, b WHERE value < lo OR value > hi)
+        |SELECT event_id, value,
+        | CAST(round(dist * 1000000.0) AS BIGINT) AS dist_e6,
+        | CASE WHEN dist > 5 THEN 'CRITICAL'
+        |      WHEN dist > 3 THEN 'HIGH'
+        |      WHEN dist > 2 THEN 'MEDIUM'
+        |      ELSE 'LOW' END AS severity
+        |FROM a ORDER BY event_id""".stripMargin,
     "q37_recon_report" ->
       """WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS src_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS src_sum FROM orders),

@@ -157,6 +157,28 @@ object Anomaly {
       .withColumn("severity", iqrSeverity(col("iqr_distance")))
   }
 
+  /** Q9 (oracle form) — IQR-anomalous rows with distance severity from
+    * EXACT interpolated quantiles, fully engine-side via a broadcast
+    * stats join (anomaly_detection.py:139-205). The approx variant above
+    * is the 100-TB path (GK sketch, no exact global sort); this one is
+    * cross-engine deterministic, so the severity tiers are oracle-gated. */
+  def iqrAnomaliesExact(df: DataFrame, column: String, mult: Double = 1.5): DataFrame = {
+    val bounds = exactQuantiles(df, column, Seq(0.25, 0.75))
+      .select(
+        (col("p75") - col("p25")).as("iqr"),
+        (col("p25") - lit(mult) * (col("p75") - col("p25"))).as("lo"),
+        (col("p75") + lit(mult) * (col("p75") - col("p25"))).as("hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(column) < col("lo") || col(column) > col("hi"))
+      .withColumn("iqr_distance",
+        when(col("iqr") > 0,
+          least(abs(col(column) - col("lo")), abs(col(column) - col("hi")))
+            / col("iqr"))
+          .otherwise(lit(0.0)))
+      .withColumn("severity", iqrSeverity(col("iqr_distance")))
+      .drop("iqr", "lo", "hi")
+  }
+
   /** Exact interpolated quantiles (SQL `percentile`) — the deterministic
     * counterpart of iqrBounds, used by the correctness oracle. */
   def exactQuantiles(df: DataFrame, column: String, ps: Seq[Double]): DataFrame = {
