@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * context per partition, streaming iterator, no per-row setup).
   *
   * IMAGES are REALLY decoded and resized via `javax.imageio` (PNG/JPEG/GIF/
-  * BMP ship with the JDK). Audio/video codec work is STUBBED (no ffmpeg in
-  * this build): `decodeStub` derives deterministic fake dimensions/features
-  * from the bytes, with the same schema, encoders, partition sizing, and
-  * batch iteration as the real path — swapping in a JNI/ffmpeg decoder
-  * changes one function.
+  * BMP ship with the JDK). AUDIO metadata is REALLY parsed via
+  * `javax.sound.sampled` (WAV/AIFF/AU headers ship with the JDK — no codec
+  * needed). Video codec work is STUBBED (no ffmpeg in this build):
+  * `decodeStub` derives deterministic fake dimensions/features from the
+  * bytes, with the same schema, encoders, partition sizing, and batch
+  * iteration as the real path — swapping in a JNI/ffmpeg decoder changes
+  * one function.
   *
   * Scale notes: binary payloads dominate row size, so `repartitionBySize`
   * targets a byte budget per task (not a row count) to keep executor memory
@@ -54,14 +56,33 @@ object Multimodal {
     MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, ht, frames, h)
   }
 
+  /** REAL audio metadata via `javax.sound.sampled.AudioSystem` — a pure
+    * header parse (WAV/AIFF/AU readers ship with the JDK, no codec needed),
+    * mapped into the shared MediaFeatures layout: sample rate (Hz) → width,
+    * channels → height, PCM frame count → n_frames. Unparseable payloads
+    * fall back to the stub, same contract as the image path. */
+  private def decodeAudio(r: MediaRecord): MediaFeatures = {
+    val fmt =
+      try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(r.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (fmt == null) decodeStub(r)
+    else MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+      fmt.getFormat.getSampleRate.toInt, fmt.getFormat.getChannels,
+      math.max(fmt.getFrameLength, 0), // NOT_SPECIFIED (-1) → 0
+      fnv(r.payload))
+  }
+
   /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP ship with the
-    * JDK): actual pixel dimensions from the decoded image. Undecodable image
-    * payloads and audio/video (no JDK codec) fall back to the stub. The
-    * catch is NonFatal, not just IOException: a corrupt JPEG surfaces as
-    * CMMException / IllegalArgumentException from the color-management
-    * layer, and one bad row must not kill a 100 TB job. */
+    * JDK): actual pixel dimensions from the decoded image. Audio goes
+    * through the JDK header parse (`decodeAudio`); undecodable payloads and
+    * video (no JDK codec) fall back to the stub. The catch is NonFatal, not
+    * just IOException: a corrupt JPEG surfaces as CMMException /
+    * IllegalArgumentException from the color-management layer, and one bad
+    * row must not kill a 100 TB job. */
   def decode(r: MediaRecord): MediaFeatures =
-    if (r.kind != "image") decodeStub(r)
+    if (r.kind == "audio") decodeAudio(r)
+    else if (r.kind != "image") decodeStub(r)
     else {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
@@ -163,9 +184,26 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A deterministic real WAV: seeded pseudo-random 16-bit PCM samples. */
+  def syntheticWav(seed: Long, frames: Int, sampleRate: Float = 8000f,
+      channels: Int = 1): Array[Byte] = {
+    val rnd = new scala.util.Random(seed)
+    val data = new Array[Byte](frames * channels * 2) // 16-bit PCM
+    rnd.nextBytes(data)
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Synthesize a deterministic media table for tests/benchmarks. Image rows
-    * carry REAL PNG payloads (so the ImageIO decode path is genuinely
-    * exercised); audio/video carry seeded pseudo-random bytes. */
+    * carry REAL PNG payloads and audio rows REAL WAV payloads (so the
+    * ImageIO decode and header-parse paths are genuinely exercised); video
+    * rows carry seeded pseudo-random bytes for the stub path. */
   def synthetic(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
@@ -173,6 +211,10 @@ object Multimodal {
       if (kind == "image")
         MediaRecord(i, kind,
           syntheticPng(i, 2 + (i % 14).toInt, 2 + (i % 9).toInt), "png")
+      else if (kind == "audio")
+        MediaRecord(i, kind,
+          syntheticWav(i, 64 + (i % 512).toInt,
+            channels = 1 + (i % 2).toInt), "wav")
       else {
         val rnd = new scala.util.Random(i)
         val bytes = new Array[Byte](128 + rnd.nextInt(1024))

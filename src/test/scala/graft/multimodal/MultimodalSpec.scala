@@ -29,6 +29,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("a real WAV header parses to sample rate, channels, and frame count") {
+    val wav = Multimodal.syntheticWav(seed = 3, frames = 200,
+      sampleRate = 16000f, channels = 2)
+    // RIFF/WAVE magic proves this is a real container, not a fake
+    wav.take(4).map(_.toChar).mkString shouldBe "RIFF"
+    wav.slice(8, 12).map(_.toChar).mkString shouldBe "WAVE"
+    val f = Multimodal.decode(Multimodal.MediaRecord(2L, "audio", wav, "wav"))
+    f.width shouldBe 16000 // sample rate Hz
+    f.height shouldBe 2 // channels
+    f.n_frames shouldBe 200 // PCM frames
+    f.size_bytes shouldBe wav.length.toLong
+  }
+
+  test("unparseable audio payloads fall back to the stub") {
+    val junk = Array.fill[Byte](96)(0x33)
+    val bad = Multimodal.MediaRecord(9L, "audio", junk, "bin")
+    Multimodal.decode(bad) shouldBe Multimodal.decodeStub(bad)
+  }
+
   test("frame sampling plan strides over video frames only") {
     val feats = Multimodal.extractFeatures(Multimodal.synthetic(spark, 30))
     val plan = Multimodal.frameSamplePlan(feats, stride = 10)

@@ -25,11 +25,50 @@ class ErrorTrackingSpec extends SparkSpec {
   test("persist appends partitioned by capture date and layer") {
     val dir = Files.createTempDirectory("graft_errors").toString
     val errs = ErrorTracking.capture(rows, rules, Seq("id"))
-    ErrorTracking.persist(errs, dir, layer = "silver")
-    ErrorTracking.persist(errs, dir, layer = "silver") // append, not overwrite
+    ErrorTracking.persist(errs, dir, layer = "silver", keyCols = Seq("id"))
+    ErrorTracking.persist(errs, dir, layer = "silver", keyCols = Seq("id"))
     val back = spark.read.parquet(dir)
     back.count() shouldBe 8 // 4 errors × 2 appends
     back.select("layer").distinct().head().getString(0) shouldBe "silver"
-    back.columns should contain allOf ("captured_at", "capture_date")
+    back.columns should contain ("capture_date")
+  }
+
+  test("persist writes the reference 14-field row_errors layout plus CSV mirror") {
+    val dir = Files.createTempDirectory("graft_errors14").toString
+    val csv = Files.createTempDirectory("graft_errors_csv").toString
+    val detailed = Seq(
+      ErrorTracking.ErrorRule("v < 0", "v", "RANGE_VIOLATION", "ERROR",
+        message = "v must be non-negative", expected = ">= 0",
+        checkName = "positive_values"))
+    val errs = ErrorTracking.captureDetailed(rows, detailed, Seq("id"))
+    ErrorTracking.persist(errs, dir, layer = "silver", tableName = "rows_t",
+      pipelineRunId = "run_001", keyCols = Seq("id"), csvMirror = Some(csv))
+
+    val back = spark.read.parquet(dir)
+    // exactly the reference's 14 fields (+ the day partition column)
+    back.columns.toSet shouldBe (ErrorTracking.RowErrorFields :+ "capture_date").toSet
+    back.count() shouldBe 3 // ids 2, 3, 5
+    val r = back.orderBy("row_id").head()
+    r.getAs[String]("row_id") shouldBe "2"
+    r.getAs[String]("table_name") shouldBe "rows_t"
+    r.getAs[String]("column_name") shouldBe "v"
+    r.getAs[String]("error_type") shouldBe "RANGE_VIOLATION"
+    r.getAs[String]("severity") shouldBe "ERROR"
+    r.getAs[String]("actual_value") shouldBe "-1.0"
+    r.getAs[String]("expected_value") shouldBe ">= 0"
+    r.getAs[String]("row_data") shouldBe """{"id":2,"v":-1.0}"""
+    r.getAs[String]("check_name") shouldBe "positive_values"
+    r.getAs[String]("pipeline_run_id") shouldBe "run_001"
+    r.getAs[String]("error_id") should startWith ("run_001_")
+    r.getAs[java.sql.Timestamp]("timestamp") should not be null
+
+    // error_id is deterministic: same logical error → same id across runs
+    ErrorTracking.persist(errs, dir, layer = "silver", tableName = "rows_t",
+      pipelineRunId = "run_001", keyCols = Seq("id"))
+    spark.read.parquet(dir).select("error_id").distinct().count() shouldBe 3
+
+    val mirror = spark.read.option("header", "true").csv(csv)
+    mirror.count() shouldBe 3
+    mirror.columns.toSet shouldBe (ErrorTracking.RowErrorFields :+ "capture_date").toSet
   }
 }
