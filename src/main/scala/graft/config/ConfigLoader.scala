@@ -249,6 +249,16 @@ object ConfigLoader {
           val rm = asMap(r, "quality.in_set_checks[]")
           InSetCheck(str(rm, "column", "in_set"), strList(rm, "allowed"))
         },
+        expectations = asList(qm.getOrElse("expectations", null)).map { r =>
+          val em = asMap(r, "quality.expectations[]")
+          ExpectationSpec(
+            kind = str(em, "kind", "expectation"),
+            column = em.get("column").map(_.toString).getOrElse("*"),
+            lo = em.get("lo").map(_.toString.toDouble)
+              .getOrElse(Double.NegativeInfinity),
+            hi = em.get("hi").map(_.toString.toDouble)
+              .getOrElse(Double.PositiveInfinity))
+        },
         failOnError = qm.get("fail_on_error").exists(_.asInstanceOf[Boolean]))
     }.getOrElse(QualitySpec())
 

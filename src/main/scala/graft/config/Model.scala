@@ -44,9 +44,20 @@ final case class GoldModel(
 final case class RangeCheck(column: String, min: Option[Double], max: Option[Double])
 final case class InSetCheck(column: String, allowed: Seq[String])
 
+/** Q5-Q7 — a great-expectations-style aggregate expectation: the observed
+  * scalar of `kind` ("mean_between" | "row_count_between" |
+  * "unique_count_between") over `column` must land in [lo, hi]
+  * (great_expectations.py:320-362). */
+final case class ExpectationSpec(
+    kind: String,
+    column: String = "*",
+    lo: Double = Double.NegativeInfinity,
+    hi: Double = Double.PositiveInfinity)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
     rangeChecks: Seq[RangeCheck] = Nil,
     inSetChecks: Seq[InSetCheck] = Nil,
+    expectations: Seq[ExpectationSpec] = Nil,
     failOnError: Boolean = false)

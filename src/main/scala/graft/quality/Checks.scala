@@ -1,6 +1,6 @@
 package graft.quality
 
-import graft.config.{InSetCheck, QualitySpec, RangeCheck}
+import graft.config.{ExpectationSpec, InSetCheck, QualitySpec, RangeCheck}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -97,27 +97,32 @@ object Checks {
     ExpectationResult("unique_count_between", column, n.toDouble, n >= lo && n <= hi)
   }
 
-  /** Run a full QualitySpec in ONE job: all checks become columns of a single
-    * aggregate row, then split into per-check results driver-side. */
+  /** Count-style check aggregates for a spec — count(when) instead of
+    * sum(when): count is never NULL, so zero-row input reports 0 failures
+    * instead of NPEing in row.getLong. */
+  private def checkAggs(df: DataFrame, spec: QualitySpec)
+      : Seq[(String, String, org.apache.spark.sql.Column)] =
+    spec.nullCheckColumns.filter(df.columns.contains).map(c =>
+      ("null_check", c, count(when(col(c).isNull, 1)))) ++
+    spec.positiveColumns.filter(df.columns.contains).map(c =>
+      ("positive_values", c, count(when(col(c) <= 0, 1)))) ++
+    spec.rangeChecks.filter(c => df.columns.contains(c.column)).map { c =>
+      val bad = (c.min, c.max) match {
+        case (Some(lo), Some(hi)) => col(c.column) < lit(lo) || col(c.column) > lit(hi)
+        case (Some(lo), None)     => col(c.column) < lit(lo)
+        case (None, Some(hi))     => col(c.column) > lit(hi)
+        case _                    => lit(false)
+      }
+      ("range_check", c.column, count(when(bad, 1)))
+    } ++
+    spec.inSetChecks.filter(c => df.columns.contains(c.column)).map(c =>
+      ("in_set", c.column, count(when(!col(c.column).isin(c.allowed: _*), 1))))
+
+  /** Run a spec's count-style checks (Q1-Q4) in ONE job: all checks become
+    * columns of a single aggregate row, then split driver-side. Specs with
+    * expectations too should call `profile` — still one job for everything. */
   def run(df: DataFrame, spec: QualitySpec): Seq[CheckResult] = {
-    val aggs: Seq[(String, String, org.apache.spark.sql.Column)] =
-      // count(when) instead of sum(when): count is never NULL, so zero-row
-      // input reports 0 failures instead of NPEing in row.getLong.
-      spec.nullCheckColumns.filter(df.columns.contains).map(c =>
-        ("null_check", c, count(when(col(c).isNull, 1)))) ++
-      spec.positiveColumns.filter(df.columns.contains).map(c =>
-        ("positive_values", c, count(when(col(c) <= 0, 1)))) ++
-      spec.rangeChecks.filter(c => df.columns.contains(c.column)).map { c =>
-        val bad = (c.min, c.max) match {
-          case (Some(lo), Some(hi)) => col(c.column) < lit(lo) || col(c.column) > lit(hi)
-          case (Some(lo), None)     => col(c.column) < lit(lo)
-          case (None, Some(hi))     => col(c.column) > lit(hi)
-          case _                    => lit(false)
-        }
-        ("range_check", c.column, count(when(bad, 1)))
-      } ++
-      spec.inSetChecks.filter(c => df.columns.contains(c.column)).map(c =>
-        ("in_set", c.column, count(when(!col(c.column).isin(c.allowed: _*), 1))))
+    val aggs = checkAggs(df, spec)
     if (aggs.isEmpty) return Nil
     val row: Row = df.agg(aggs.head._3.as("c0"),
       aggs.tail.zipWithIndex.map { case ((_, _, a), i) => a.as(s"c${i + 1}") }: _*)
@@ -125,5 +130,62 @@ object Checks {
     aggs.zipWithIndex.map { case ((check, column, _), i) =>
       CheckResult(check, column, row.getLong(i))
     }
+  }
+
+  /** The FULL quality profile — Q1-Q4 count checks AND Q5-Q7 aggregate
+    * expectations — in ONE job: every check and every expectation becomes a
+    * column of a single aggregate row. `countDistinct` expectations plan as
+    * an Expand over the same scan, not extra scans; at 100 TB this replaces
+    * (3 + #checks) separate jobs with one pass. Unknown expectation kinds
+    * and missing columns are skipped gracefully (reference semantics,
+    * quality_checks.py:49-51). */
+  def profile(df: DataFrame, spec: QualitySpec)
+      : (Seq[CheckResult], Seq[ExpectationResult]) = {
+    val checks = checkAggs(df, spec)
+    // (spec, first agg-column offset, #agg columns) per surviving expectation
+    final case class Slot(e: ExpectationSpec, offset: Int, width: Int)
+    val expCols = Seq.newBuilder[org.apache.spark.sql.Column]
+    var nExpCols = 0
+    val slots = spec.expectations.flatMap { e =>
+      def slot(width: Int, cols: org.apache.spark.sql.Column*) = {
+        val s = Slot(e, checks.size + nExpCols, width)
+        expCols ++= cols; nExpCols += width; Some(s)
+      }
+      e.kind match {
+        case "mean_between" if df.columns.contains(e.column) =>
+          // exact decimal accumulation, same as meanBetween
+          slot(2, sum(col(e.column).cast("decimal(18,4)")).cast("double"),
+            count(col(e.column)).cast("double"))
+        case "row_count_between" =>
+          slot(1, count(lit(1)).cast("double"))
+        case "unique_count_between" if df.columns.contains(e.column) =>
+          slot(1, countDistinct(col(e.column)).cast("double"))
+        case _ => None
+      }
+    }
+    val all = checks.map(_._3) ++ expCols.result()
+    if (all.isEmpty) return (Nil, Nil)
+    val row: Row = df.agg(all.head.as("c0"),
+      all.tail.zipWithIndex.map { case (a, i) => a.as(s"c${i + 1}") }: _*)
+      .head()
+    val checkResults = checks.zipWithIndex.map { case ((check, column, _), i) =>
+      CheckResult(check, column, row.getLong(i))
+    }
+    val expResults = slots.map { s =>
+      s.e.kind match {
+        case "mean_between" =>
+          val n = row.getDouble(s.offset + 1)
+          val m = if (row.isNullAt(s.offset) || n == 0) Double.NaN
+            else row.getDouble(s.offset) / n
+          // NaN >= lo is false, so an empty/all-null column fails closed
+          ExpectationResult("mean_between", s.e.column, m,
+            m >= s.e.lo && m <= s.e.hi)
+        case kind =>
+          val n = row.getDouble(s.offset)
+          val columnLabel = if (kind == "row_count_between") "*" else s.e.column
+          ExpectationResult(kind, columnLabel, n, n >= s.e.lo && n <= s.e.hi)
+      }
+    }
+    (checkResults, expResults)
   }
 }

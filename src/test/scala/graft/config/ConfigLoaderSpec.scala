@@ -33,6 +33,9 @@ class ConfigLoaderSpec extends AnyFunSuite with Matchers {
       |      - {name: trips, expression: "count(*)"}
       |quality:
       |  null_check_columns: [fare_amount]
+      |  expectations:
+      |    - {kind: mean_between, column: fare_amount, lo: 0.0, hi: 100.0}
+      |    - {kind: row_count_between, lo: 1000}
       |  fail_on_error: true
       |""".stripMargin
 
@@ -47,6 +50,9 @@ class ConfigLoaderSpec extends AnyFunSuite with Matchers {
     c.silver.dedupe.get.keys should have size 2
     c.gold.head.measures.head.expression shouldBe "count(*)"
     c.quality.failOnError shouldBe true
+    c.quality.expectations shouldBe Seq(
+      ExpectationSpec("mean_between", "fare_amount", 0.0, 100.0),
+      ExpectationSpec("row_count_between", "*", 1000.0, Double.PositiveInfinity))
   }
 
   test("${VAR} expansion uses the environment and errors when unset") {

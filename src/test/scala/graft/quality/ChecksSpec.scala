@@ -56,4 +56,39 @@ class ChecksSpec extends SparkSpec {
     u.observed shouldBe 3.0 // click, view, bogus (null not counted)
     u.passed shouldBe false
   }
+
+  test("profile fuses checks AND expectations into one aggregate row") {
+    val spec = QualitySpec(
+      nullCheckColumns = Seq("value"),
+      positiveColumns = Seq("qty"),
+      expectations = Seq(
+        ExpectationSpec("mean_between", "qty", 0.0, 10.0),
+        ExpectationSpec("row_count_between", lo = 1, hi = 10),
+        ExpectationSpec("unique_count_between", "etype", 1, 2),
+        ExpectationSpec("mean_between", "ghost", 0, 1), // missing col: skipped
+        ExpectationSpec("weird_kind", "qty", 0, 1))) // unknown kind: skipped
+    val (checks, exps) = Checks.profile(dirty, spec)
+
+    // check results identical to run()
+    checks shouldBe Checks.run(dirty, spec)
+    // expectation results identical to the standalone Q5-Q7 functions
+    exps should have length 3
+    exps(0) shouldBe Checks.meanBetween(dirty, "qty", 0.0, 10.0)
+    exps(1) shouldBe Checks.rowCountBetween(dirty, 1, 10)
+    exps(2) shouldBe Checks.uniqueCountBetween(dirty, "etype", 1, 2)
+  }
+
+  test("profile on empty input: counts are 0 and mean fails closed (NaN)") {
+    val empty = dirty.where("qty > 1000")
+    val (checks, exps) = Checks.profile(empty, QualitySpec(
+      nullCheckColumns = Seq("value"),
+      expectations = Seq(
+        ExpectationSpec("mean_between", "qty", 0.0, 10.0),
+        ExpectationSpec("row_count_between", lo = 0, hi = 10))))
+    checks.head.failedCount shouldBe 0L
+    exps(0).observed.isNaN shouldBe true
+    exps(0).passed shouldBe false // NaN never passes bounds
+    exps(1).observed shouldBe 0.0
+    exps(1).passed shouldBe true
+  }
 }
