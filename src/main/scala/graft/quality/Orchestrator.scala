@@ -7,7 +7,8 @@ import org.apache.spark.sql.DataFrame
   * 74-197): run the configured checks, anomaly detection over the numeric
   * columns, and fold everything into the weighted quality-score model.
   *
-  * Scale notes: all rule checks fuse into ONE aggregate pass (Checks.run);
+  * Scale notes: all rule checks and aggregate expectations fuse into ONE
+  * aggregate pass (Checks.profile);
   * each anomaly column adds one stats pass + one flag pass (Anomaly). The
   * driver sees only scalar counts — no row data crosses to the driver except
   * via the explicit ErrorTracking capture path.
@@ -26,8 +27,10 @@ object Orchestrator {
       anomalySamples: Seq[AnomalySample],
       scores: Metrics.DimensionScores,
       overall: Double,
-      level: String) {
-    def passed: Boolean = checkResults.forall(_.passed)
+      level: String,
+      expectationResults: Seq[Checks.ExpectationResult] = Nil) {
+    def passed: Boolean =
+      checkResults.forall(_.passed) && expectationResults.forall(_.passed)
   }
 
   /** Run the full quality pass. `anomalyColumns` get z-score detection at
@@ -46,8 +49,9 @@ object Orchestrator {
     // pass 1: row count + exact sufficient stats for EVERY anomaly column,
     // one aggregate (the reference runs one stats job per column)
     val (rows, stats) = Anomaly.exactStatsMulti(df, anomCols)
-    // pass 2: all rule checks, one aggregate (Checks.run)
-    val checkResults = Checks.run(df, spec)
+    // pass 2: all rule checks AND aggregate expectations, one aggregate
+    // (Checks.profile)
+    val (checkResults, expectationResults) = Checks.profile(df, spec)
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>
@@ -94,6 +98,6 @@ object Orchestrator {
       completeness, validity, consistency, accuracy, timeliness)
     val overall = Metrics.overall(scores)
     QualityReport(rows, checkResults, anomalyCounts, anomalySamples, scores,
-      overall, Metrics.level(overall))
+      overall, Metrics.level(overall), expectationResults)
   }
 }

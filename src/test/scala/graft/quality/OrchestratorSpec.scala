@@ -48,6 +48,23 @@ class OrchestratorSpec extends SparkSpec {
     r.anomalySamples.head.severity shouldBe "CRITICAL" // z ≈ 10+
   }
 
+  test("configured expectations run in the same pass and gate passed") {
+    val withExp = spec.copy(expectations = Seq(
+      ExpectationSpec("mean_between", "fare", 0.0, 100.0),
+      ExpectationSpec("row_count_between", lo = 1, hi = 1000)))
+    val r = Orchestrator.run(clean, withExp)
+    r.expectationResults.map(_.expectation) shouldBe
+      Seq("mean_between", "row_count_between")
+    r.passed shouldBe true
+
+    // a failing expectation fails the report even when all checks pass
+    val strict = spec.copy(expectations = Seq(
+      ExpectationSpec("row_count_between", lo = 1000, hi = 2000)))
+    val r2 = Orchestrator.run(clean, strict)
+    r2.checkResults.forall(_.passed) shouldBe true
+    r2.passed shouldBe false
+  }
+
   test("cleaner data scores at least as high (e2e monotonicity)") {
     val d = Orchestrator.run(dirty, spec)
     val c = Orchestrator.run(clean, spec)
