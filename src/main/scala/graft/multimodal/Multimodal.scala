@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * IMAGES are REALLY decoded and resized via `javax.imageio` (PNG/JPEG/GIF/
   * BMP ship with the JDK). AUDIO metadata is REALLY parsed via
   * `javax.sound.sampled` (WAV/AIFF/AU headers ship with the JDK — no codec
-  * needed). Video codec work is STUBBED (no ffmpeg in this build):
-  * `decodeStub` derives deterministic fake dimensions/features from the
-  * bytes, with the same schema, encoders, partition sizing, and batch
-  * iteration as the real path — swapping in a JNI/ffmpeg decoder changes
-  * one function.
+  * needed). VIDEO container metadata is REALLY parsed via a minimal
+  * ISO-BMFF (MP4/MOV) box walk (`mp4Meta` — byte-level, JDK-only). Only
+  * pixel/codec work remains STUBBED (no ffmpeg in this build): `decodeStub`
+  * derives deterministic fake dimensions/features from the bytes, with the
+  * same schema, encoders, partition sizing, and batch iteration as the real
+  * path — swapping in a JNI/ffmpeg decoder changes one function.
   *
   * Scale notes: binary payloads dominate row size, so `repartitionBySize`
   * targets a byte budget per task (not a row count) to keep executor memory
@@ -73,15 +74,67 @@ object Multimodal {
       fnv(r.payload))
   }
 
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** Minimal ISO-BMFF (MP4/MOV) container walk — byte-level, JDK-only, no
+    * codec: presentation width/height from the first `tkhd` (16.16 fixed
+    * point), frame count from the first `stsz` sample count. Returns None
+    * (→ stub) on anything that isn't a well-formed ftyp-led box tree,
+    * including 64-bit extended sizes (size==1). */
+  private def mp4Meta(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var width = 0; var height = 0; var frames = 0
+    def walk(from: Long, to: Long): Boolean = { // false = malformed
+      var off = from
+      while (off + 8 <= to) {
+        val size = be32(p, off.toInt)
+        val typ = new String(p, off.toInt + 4, 4, "ISO-8859-1")
+        if (size < 8 || off + size > to) return false
+        if (containers(typ)) { if (!walk(off + 8, off + size)) return false }
+        else if (typ == "tkhd" && width == 0) {
+          val v = p(off.toInt + 8) & 0xff
+          val wOff = off.toInt + 8 + (if (v == 1) 88 else 76)
+          if (wOff + 8 > off + size) return false
+          width = (be32(p, wOff) >> 16).toInt
+          height = (be32(p, wOff + 4) >> 16).toInt
+        } else if (typ == "stsz" && frames == 0) {
+          if (off + 20 > off + size) return false
+          frames = be32(p, off.toInt + 16).toInt
+        }
+        off += size
+      }
+      off == to
+    }
+    if (p.length < 12 || new String(p, 4, 4, "ISO-8859-1") != "ftyp") None
+    else if (!walk(0L, p.length.toLong)) None
+    else if (width > 0 && height > 0 && frames > 0) Some((width, height, frames))
+    else None
+  }
+
+  /** REAL video container metadata: MP4/MOV box-tree parse (`mp4Meta`).
+    * Codec/pixel work stays stubbed (no ffmpeg in this build), but
+    * dimensions and frame counts — all `frameSamplePlan` needs — come from
+    * the actual container. Non-MP4 payloads fall back to the stub. */
+  private def decodeVideo(r: MediaRecord): MediaFeatures =
+    (try mp4Meta(r.payload) catch { case scala.util.control.NonFatal(_) => None }) match {
+      case Some((w, h, frames)) =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, w, h,
+          frames, fnv(r.payload))
+      case None => decodeStub(r)
+    }
+
   /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP ship with the
     * JDK): actual pixel dimensions from the decoded image. Audio goes
-    * through the JDK header parse (`decodeAudio`); undecodable payloads and
-    * video (no JDK codec) fall back to the stub. The catch is NonFatal, not
-    * just IOException: a corrupt JPEG surfaces as CMMException /
-    * IllegalArgumentException from the color-management layer, and one bad
-    * row must not kill a 100 TB job. */
+    * through the JDK header parse (`decodeAudio`), video through the
+    * ISO-BMFF walk (`decodeVideo`); undecodable payloads fall back to the
+    * stub. The catch is NonFatal, not just IOException: a corrupt JPEG
+    * surfaces as CMMException / IllegalArgumentException from the
+    * color-management layer, and one bad row must not kill a 100 TB job. */
   def decode(r: MediaRecord): MediaFeatures =
     if (r.kind == "audio") decodeAudio(r)
+    else if (r.kind == "video") decodeVideo(r)
     else if (r.kind != "image") decodeStub(r)
     else {
       val img =
@@ -200,10 +253,43 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** An ISO-BMFF box: 32-bit big-endian size + 4-char type + payload. */
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+    buf.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+    buf.array()
+  }
+
+  /** A deterministic minimal-but-real MP4: ftyp + moov(trak(tkhd,
+    * mdia(minf(stbl(stsz))))) + an mdat of seeded pseudo-random bytes.
+    * tkhd carries (w, h) as 16.16 fixed point, stsz the frame count. */
+  def syntheticMp4(seed: Long, w: Int, h: Int, frames: Int): Array[Byte] = {
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84) // version 0 layout
+      b.position(76) // version..matrix are all zero
+      b.putInt(w << 16).putInt(h << 16)
+      b.array()
+    }
+    val stsz = {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0).putInt(1).putInt(frames) // flags, fixed sample_size, count
+      b.array()
+    }
+    val rnd = new scala.util.Random(seed)
+    val data = new Array[Byte](64 + rnd.nextInt(512))
+    rnd.nextBytes(data)
+    mp4Box("ftyp", "isom".getBytes("ISO-8859-1"), new Array[Byte](4),
+        "isom".getBytes("ISO-8859-1")) ++
+      mp4Box("moov", mp4Box("trak", mp4Box("tkhd", tkhd),
+        mp4Box("mdia", mp4Box("minf", mp4Box("stbl", mp4Box("stsz", stsz)))))) ++
+      mp4Box("mdat", data)
+  }
+
   /** Synthesize a deterministic media table for tests/benchmarks. Image rows
-    * carry REAL PNG payloads and audio rows REAL WAV payloads (so the
-    * ImageIO decode and header-parse paths are genuinely exercised); video
-    * rows carry seeded pseudo-random bytes for the stub path. */
+    * carry REAL PNG payloads, audio rows REAL WAV payloads, and video rows
+    * REAL minimal MP4 containers, so every decode path is genuinely
+    * exercised end-to-end. */
   def synthetic(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
@@ -215,12 +301,10 @@ object Multimodal {
         MediaRecord(i, kind,
           syntheticWav(i, 64 + (i % 512).toInt,
             channels = 1 + (i % 2).toInt), "wav")
-      else {
-        val rnd = new scala.util.Random(i)
-        val bytes = new Array[Byte](128 + rnd.nextInt(1024))
-        rnd.nextBytes(bytes)
-        MediaRecord(i, kind, bytes, "bin")
-      }
+      else
+        MediaRecord(i, kind,
+          syntheticMp4(i, 160 + (i % 8).toInt * 40, 120 + (i % 6).toInt * 30,
+            1 + (i % 300).toInt), "mp4")
     }
   }
 }

@@ -48,6 +48,27 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.decode(bad) shouldBe Multimodal.decodeStub(bad)
   }
 
+  test("a real MP4 box tree parses to dimensions and frame count") {
+    val mp4 = Multimodal.syntheticMp4(seed = 5, w = 640, h = 480, frames = 120)
+    // ftyp box magic proves this is a real ISO-BMFF container
+    mp4.slice(4, 8).map(_.toChar).mkString shouldBe "ftyp"
+    val f = Multimodal.decode(Multimodal.MediaRecord(5L, "video", mp4, "mp4"))
+    f.width shouldBe 640
+    f.height shouldBe 480
+    f.n_frames shouldBe 120
+    f.size_bytes shouldBe mp4.length.toLong
+  }
+
+  test("non-MP4 video payloads fall back to the stub") {
+    val junk = Array.fill[Byte](128)(0x44)
+    val bad = Multimodal.MediaRecord(8L, "video", junk, "bin")
+    Multimodal.decode(bad) shouldBe Multimodal.decodeStub(bad)
+    // truncated box tree (claims more bytes than exist) also degrades
+    val truncated = Multimodal.syntheticMp4(1, 64, 64, 10).dropRight(40)
+    val t = Multimodal.MediaRecord(8L, "video", truncated, "mp4")
+    Multimodal.decode(t) shouldBe Multimodal.decodeStub(t)
+  }
+
   test("frame sampling plan strides over video frames only") {
     val feats = Multimodal.extractFeatures(Multimodal.synthetic(spark, 30))
     val plan = Multimodal.frameSamplePlan(feats, stride = 10)
@@ -59,7 +80,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("repartitionBySize targets a byte budget, not a row count") {
     val df = Multimodal.synthetic(spark, 64).toDF()
-    val out = Multimodal.repartitionBySize(df, "payload", bytesPerPartition = 8192)
+    val total = df.selectExpr("sum(length(payload))").head().getLong(0)
+    val out = Multimodal.repartitionBySize(df, "payload", bytesPerPartition = 4096)
+    out.rdd.getNumPartitions shouldBe math.ceil(total / 4096.0).toInt
     out.rdd.getNumPartitions should be >= 4
     out.count() shouldBe 64
   }
