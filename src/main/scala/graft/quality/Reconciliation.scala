@@ -128,17 +128,24 @@ object Reconciliation {
       sum(col(sumCol).cast("decimal(18,2)")).cast("double").as("tgt_sum"))
     val missing = Joins.missingKeys(src, tgt, Seq(keyCol))
       .agg(count(lit(1)).cast("double").as("missing_keys"))
-    val j = s.crossJoin(t).crossJoin(missing)
-    def row(check: String, sv: org.apache.spark.sql.Column,
-        tv: org.apache.spark.sql.Column) = {
-      val d = when(sv === 0.0, when(tv === 0.0, 0.0).otherwise(100.0))
-        .otherwise(abs(sv - tv) / abs(sv) * 100.0)
-      // "check_name", not "check" — CHECK is a reserved word downstream.
-      j.select(lit(check).as("check_name"), sv.as("src_value"), tv.as("tgt_value"),
-        d.as("diff_pct"), (d <= lit(tolerancePct)).as("within_tolerance"))
-    }
-    row("row_count", col("src_rows"), col("tgt_rows"))
-      .unionByName(row("sum", col("src_sum"), col("tgt_sum")))
-      .unionByName(row("key_integrity", col("missing_keys"), lit(0.0)))
+    // ONE evaluation of all three aggregates (a union of selects over the
+    // crossJoin would re-run every aggregate and the anti-join per branch),
+    // exploded into one row per check. "check_name", not "check" — CHECK is
+    // a reserved word downstream.
+    def chk(name: String, sv: org.apache.spark.sql.Column,
+        tv: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check_name"), sv.as("src_value"), tv.as("tgt_value"))
+    val d = when(col("src_value") === 0.0,
+        when(col("tgt_value") === 0.0, 0.0).otherwise(100.0))
+      .otherwise(abs(col("src_value") - col("tgt_value"))
+        / abs(col("src_value")) * 100.0)
+    s.crossJoin(t).crossJoin(missing)
+      .select(explode(array(
+        chk("row_count", col("src_rows"), col("tgt_rows")),
+        chk("sum", col("src_sum"), col("tgt_sum")),
+        chk("key_integrity", col("missing_keys"), lit(0.0)))).as("r"))
+      .select(col("r.check_name"), col("r.src_value"), col("r.tgt_value"))
+      .withColumn("diff_pct", d)
+      .withColumn("within_tolerance", d <= lit(tolerancePct))
   }
 }
