@@ -80,6 +80,23 @@ object Ingest {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** S7 — append/overwrite sink with bounded write units. The reference
+    * chunks ≥50k-row frames into fixed-size appends to bound single-process
+    * memory and pins one master schema across chunks
+    * (ingest_to_iceberg.py:451-515). Under Spark the memory bound is per
+    * EXECUTOR TASK, so the idiomatic equivalent is `maxRecordsPerFile` —
+    * every output file is capped at `chunkRows` regardless of partition
+    * sizes (a task writing more rolls over to a new file); schema
+    * consistency is free (one plan, one schema — chunked pandas inference
+    * drift can't happen). One distributed job, one commit, no driver loop. */
+  def writeChunked(df: DataFrame, path: String, mode: String,
+      chunkRows: Long = 50000L, partitionBy: Seq[String] = Nil): Unit = {
+    require(mode == "append" || mode == "overwrite", s"bad write mode: $mode")
+    require(chunkRows > 0, s"chunkRows must be positive: $chunkRows")
+    val w = df.write.mode(mode).option("maxRecordsPerFile", chunkRows)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
   /** S12 — JDBC sink passthrough (reference legacy path: pandas `to_sql`
     * into Postgres with `if_exists`, src/config_loader.py:86-93 and
     * config.examples/legacy_postgres_ingestion.yaml:27-42). The pandas

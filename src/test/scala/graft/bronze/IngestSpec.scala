@@ -74,6 +74,26 @@ class IngestSpec extends SparkSpec {
       Ingest.writeJdbc(df, url, "trips", ifExists = "upsert", opts)
   }
 
+  test("chunked write caps rows per output file and rolls over within a task") {
+    val dir = Files.createTempDirectory("graft_chunked").toString
+    // ONE input partition of 1000 rows: only maxRecordsPerFile rollover can
+    // split it into multiple files (task count can't)
+    val df = spark.range(1000).toDF("id").repartition(1)
+    Ingest.writeChunked(df, dir, "overwrite", chunkRows = 300L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString).toSeq
+    files.size shouldBe 4 // 300+300+300+100
+    files.foreach { f =>
+      spark.read.parquet(f).count() should be <= 300L
+    }
+    spark.read.parquet(dir).count() shouldBe 1000
+    // append mode adds files, never rewrites
+    Ingest.writeChunked(spark.range(100).toDF("id"), dir, "append", 300L)
+    spark.read.parquet(dir).count() shouldBe 1100
+    an[IllegalArgumentException] should be thrownBy
+      Ingest.writeChunked(df, dir, "errorifexists", 300L)
+  }
+
   test("partitioned write enables partition pruning on read") {
     val dir = Files.createTempDirectory("graft_bronze").toString
     val df = Seq((1, 2023, 1), (2, 2023, 2), (3, 2024, 1))
