@@ -68,8 +68,11 @@ object Pipeline {
     if (config.quality.failOnError && !report.passed)
       throw new IllegalStateException(
         "quality gate failed: " +
-          report.checkResults.filterNot(_.passed)
-            .map(r => s"${r.check}(${r.column})=${r.failedCount}").mkString(", "))
+          (report.checkResults.filterNot(_.passed)
+            .map(r => s"${r.check}(${r.column})=${r.failedCount}") ++
+           report.expectationResults.filterNot(_.passed)
+            .map(e => s"${e.expectation}(${e.column})=${e.observed}"))
+            .mkString(", "))
 
     RunResult(
       StageResult("bronze", bronzeRows) +: StageResult("silver", silverRows) +:

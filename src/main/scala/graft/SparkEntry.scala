@@ -127,8 +127,12 @@ object SparkEntry {
     // the rollup is order-independent and cross-engine exact (a raw
     // sum(double) re-associates differently between engines).
     "q53_mart_rollup" -> ((s, dir) => {
+      // only the three mart columns the rollup reads — carrying q04's
+      // unused disc measures through the first-level agg is wasted work
       val mart = AggregationEngine.build(Tables.load(s, dir, "lineitem"),
-        revenueStatsModel.copy(orderBy = Nil))
+        revenueStatsModel.copy(orderBy = Nil,
+          measures = revenueStatsModel.measures.filter(m =>
+            Set("total_items", "sum_base_price", "avg_base_price")(m.name))))
       AggregationEngine.build(mart, GoldModel(
         name = "revenue_trends_yearly",
         groupBy = Seq("year"),
@@ -917,7 +921,7 @@ object SparkEntry {
         |  FROM documents) t GROUP BY doc_id, term),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |scored AS (SELECT doc_id, term, tf, df,
-        |  tf * 1000000 // df AS score FROM tf JOIN dfreq USING (term)),
+        |  tf * 1000000000 // df AS score FROM tf JOIN dfreq USING (term)),
         |ranked AS (SELECT doc_id, term, tf, df, score,
         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         | FROM scored)

@@ -251,8 +251,12 @@ object ConfigLoader {
         },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
+          val kind = str(em, "kind", "expectation")
+          if (!ExpectationSpec.Kinds(kind))
+            throw new ConfigError(s"quality.expectations[].kind '$kind' is not " +
+              s"one of ${ExpectationSpec.Kinds.toSeq.sorted.mkString(", ")}")
           ExpectationSpec(
-            kind = str(em, "kind", "expectation"),
+            kind = kind,
             column = em.get("column").map(_.toString).getOrElse("*"),
             lo = em.get("lo").map(_.toString.toDouble)
               .getOrElse(Double.NegativeInfinity),

@@ -54,6 +54,13 @@ final case class ExpectationSpec(
     lo: Double = Double.NegativeInfinity,
     hi: Double = Double.PositiveInfinity)
 
+object ExpectationSpec {
+  /** The supported kinds — validated at config load AND in Checks.profile,
+    * so a typo'd kind fails loudly instead of silently disabling a gate. */
+  val Kinds: Set[String] =
+    Set("mean_between", "row_count_between", "unique_count_between")
+}
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,

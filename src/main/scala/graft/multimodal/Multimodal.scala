@@ -94,13 +94,14 @@ object Multimodal {
         if (size < 8 || off + size > to) return false
         if (containers(typ)) { if (!walk(off + 8, off + size)) return false }
         else if (typ == "tkhd" && width == 0) {
+          if (size < 9) return false // version byte must be inside the box
           val v = p(off.toInt + 8) & 0xff
           val wOff = off.toInt + 8 + (if (v == 1) 88 else 76)
           if (wOff + 8 > off + size) return false
           width = (be32(p, wOff) >> 16).toInt
           height = (be32(p, wOff + 4) >> 16).toInt
         } else if (typ == "stsz" && frames == 0) {
-          if (off + 20 > off + size) return false
+          if (size < 20) return false
           frames = be32(p, off.toInt + 16).toInt
         }
         off += size

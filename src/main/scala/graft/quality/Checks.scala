@@ -136,9 +136,10 @@ object Checks {
     * expectations — in ONE job: every check and every expectation becomes a
     * column of a single aggregate row. `countDistinct` expectations plan as
     * an Expand over the same scan, not extra scans; at 100 TB this replaces
-    * (3 + #checks) separate jobs with one pass. Unknown expectation kinds
-    * and missing columns are skipped gracefully (reference semantics,
-    * quality_checks.py:49-51). */
+    * (3 + #checks) separate jobs with one pass. Missing columns are skipped
+    * gracefully (reference semantics, quality_checks.py:49-51); an UNKNOWN
+    * kind throws — silently skipping it would disable a gate the caller
+    * configured (ConfigLoader validates kinds at load for the YAML path). */
   def profile(df: DataFrame, spec: QualitySpec)
       : (Seq[CheckResult], Seq[ExpectationResult]) = {
     val checks = checkAggs(df, spec)
@@ -160,7 +161,10 @@ object Checks {
           slot(1, count(lit(1)).cast("double"))
         case "unique_count_between" if df.columns.contains(e.column) =>
           slot(1, countDistinct(col(e.column)).cast("double"))
-        case _ => None
+        case k if ExpectationSpec.Kinds(k) => None // known kind, missing col
+        case k => throw new IllegalArgumentException(
+          s"unknown expectation kind '$k' (supported: " +
+            s"${ExpectationSpec.Kinds.toSeq.sorted.mkString(", ")})")
       }
     }
     val all = checks.map(_._3) ++ expCols.result()

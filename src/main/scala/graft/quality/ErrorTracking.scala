@@ -118,6 +118,18 @@ object ErrorTracking {
       if (present(c)) col(c).cast("string") else lit(null).cast("string")
     val runId =
       if (pipelineRunId.nonEmpty) pipelineRunId else s"${layer}_$tableName"
+    // driver-side stamp: the CSV mirror is a second action, and a
+    // re-evaluated current_timestamp() there could land mirror rows in a
+    // different capture_date than the parquet rows they mirror
+    val stamp = new java.sql.Timestamp(System.currentTimeMillis())
+    // identity for the error_id hash: explicit keys, a row_id column if one
+    // exists, else the whole input row — never a constant, or every row of
+    // a rule would collapse into one "logical error"
+    val identity =
+      if (keyCols.nonEmpty)
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+      else if (present("row_id")) col("row_id").cast("string")
+      else to_json(struct(errors.columns.map(col): _*))
     val full = errors
       .withColumn("row_id",
         if (keyCols.nonEmpty)
@@ -125,11 +137,11 @@ object ErrorTracking {
         else strOrNull("row_id"))
       .withColumn("table_name", lit(tableName))
       .withColumn("layer", lit(layer))
-      .withColumn("timestamp", current_timestamp())
+      .withColumn("timestamp", lit(stamp))
       .withColumn("pipeline_run_id", lit(runId))
       .withColumn("error_id", concat_ws("_", lit(runId),
         substring(md5(concat_ws("|",
-          col("row_id"), col("error_type"), col("column_name"))), 1, 8)))
+          identity, col("error_type"), col("column_name"))), 1, 8)))
       .withColumn("actual_value", strOrNull("actual_value"))
       .withColumn("expected_value", strOrNull("expected_value"))
       .withColumn("row_data", strOrNull("row_data"))
@@ -137,11 +149,16 @@ object ErrorTracking {
         if (present("check_name")) col("check_name") else lit(""))
       .withColumn("capture_date", to_date(col("timestamp")))
       .select((RowErrorFields :+ "capture_date").map(col): _*)
-    full.write.mode("append")
-      .partitionBy("capture_date", "layer")
-      .parquet(path)
-    csvMirror.foreach { csvPath =>
-      full.write.mode("append").option("header", "true").csv(csvPath)
-    }
+    // cache across the two actions: the capture plan (filters + sorted
+    // top-k per rule) should not re-execute for the mirror
+    if (csvMirror.nonEmpty) full.persist()
+    try {
+      full.write.mode("append")
+        .partitionBy("capture_date", "layer")
+        .parquet(path)
+      csvMirror.foreach { csvPath =>
+        full.write.mode("append").option("header", "true").csv(csvPath)
+      }
+    } finally if (csvMirror.nonEmpty) full.unpersist()
   }
 }

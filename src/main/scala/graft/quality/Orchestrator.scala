@@ -87,9 +87,12 @@ object Orchestrator {
       nullCells = nullChecks.map(_.failedCount).sum)
     val ruleChecks = checkResults.filterNot(_.check == "null_check")
     val validity = Metrics.validity(rows, ruleChecks.map(_.failedCount).sum)
+    // expectations count toward consistency, so a failing expectation is
+    // visible in the score/level, not only in the passed flag
     val consistency = Metrics.consistency(
-      checksRun = checkResults.size,
-      checksPassed = checkResults.count(_.passed))
+      checksRun = checkResults.size + expectationResults.size,
+      checksPassed = checkResults.count(_.passed) +
+        expectationResults.count(_.passed))
     val accuracy = Metrics.accuracy(rows,
       anomalyCounts.values.count(_ > 0))
     val timeliness = Metrics.timeliness(hoursLate, slaHours)

@@ -110,14 +110,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
 
   /** TF-IDF top-k terms per document with an INTEGER score — the
-    * cross-engine-exact form: score = tf·10⁶ div df (floor division of
+    * cross-engine-exact form: score = tf·10⁹ div df (floor division of
     * exact longs; a float idf = log(N/df) would hash-differently in the last
     * ulp between libm implementations). The corpus-size factor N of
     * classical tf·idf is deliberately DROPPED: it is constant across every
-    * term of every document, so per-document ranking is unchanged, it
-    * removes a driver-side count() action, and the product tf·10⁶ stays
-    * ≪ Long.Max at any corpus size (tf·N·10⁶ overflowed at N≈10⁹ docs).
-    * Ties break on the term string.
+    * term of every document (real-valued ranking is unchanged; the integer
+    * floor can merge near-ties that a larger scale would split, which is why
+    * the scale is 10⁹, not 10⁶ — a term must appear in > tf·10⁹ documents
+    * before its score floors to 0), it removes a driver-side count()
+    * action, and tf·10⁹ stays ≪ Long.Max at any corpus size (tf·N·10⁶
+    * overflowed at N≈10⁹ docs). Ties break on the term string.
     *
     * Shuffles: one keyed aggregate (tf) + the per-doc top-k window. The
     * document-frequency side is |vocabulary|-sized — orders of magnitude
@@ -133,7 +135,7 @@ object TextAnalysis {
       .partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
     tf.join(if (broadcastVocab) broadcast(dfreq) else dfreq, "term")
-      .withColumn("score", expr("tf * 1000000L div df"))
+      .withColumn("score", expr("tf * 1000000000L div df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank").cast("long").as("rank"),

@@ -85,5 +85,9 @@ class ConfigLoaderSpec extends AnyFunSuite with Matchers {
     val badVer = baseYaml.replace("version: \"1.0\"", "version: \"abc\"")
     (the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(badVer, env = Map.empty))
       .getMessage should include("version")
+    // a typo'd expectation kind must fail at load, not silently disable a gate
+    val badKind = baseYaml.replace("kind: mean_between", "kind: mean_betwen")
+    (the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(badKind, env = Map.empty))
+      .getMessage should include("mean_betwen")
   }
 }

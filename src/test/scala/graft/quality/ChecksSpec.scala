@@ -65,8 +65,7 @@ class ChecksSpec extends SparkSpec {
         ExpectationSpec("mean_between", "qty", 0.0, 10.0),
         ExpectationSpec("row_count_between", lo = 1, hi = 10),
         ExpectationSpec("unique_count_between", "etype", 1, 2),
-        ExpectationSpec("mean_between", "ghost", 0, 1), // missing col: skipped
-        ExpectationSpec("weird_kind", "qty", 0, 1))) // unknown kind: skipped
+        ExpectationSpec("mean_between", "ghost", 0, 1))) // missing col: skipped
     val (checks, exps) = Checks.profile(dirty, spec)
 
     // check results identical to run()
@@ -76,6 +75,12 @@ class ChecksSpec extends SparkSpec {
     exps(0) shouldBe Checks.meanBetween(dirty, "qty", 0.0, 10.0)
     exps(1) shouldBe Checks.rowCountBetween(dirty, 1, 10)
     exps(2) shouldBe Checks.uniqueCountBetween(dirty, "etype", 1, 2)
+  }
+
+  test("profile throws on an unknown expectation kind instead of skipping it") {
+    val e = the[IllegalArgumentException] thrownBy Checks.profile(dirty,
+      QualitySpec(expectations = Seq(ExpectationSpec("mean_betwen", "qty", 0, 1))))
+    e.getMessage should include("unknown expectation kind")
   }
 
   test("profile on empty input: counts are 0 and mean fails closed (NaN)") {

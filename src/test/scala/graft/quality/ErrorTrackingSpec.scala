@@ -62,13 +62,30 @@ class ErrorTrackingSpec extends SparkSpec {
     r.getAs[String]("error_id") should startWith ("run_001_")
     r.getAs[java.sql.Timestamp]("timestamp") should not be null
 
+    val mirror = spark.read.option("header", "true").csv(csv)
+    mirror.count() shouldBe 3
+    mirror.columns.toSet shouldBe (ErrorTracking.RowErrorFields :+ "capture_date").toSet
+    // the mirror carries the SAME single driver-side stamp as the parquet
+    // rows (a re-evaluated current_timestamp could land the two actions in
+    // different timestamps or even days)
+    mirror.select("timestamp").distinct().count() shouldBe 1
+    back.select("timestamp").distinct().count() shouldBe 1
+    mirror.select("capture_date").distinct().head().getString(0) shouldBe
+      back.select("capture_date").distinct().head().getDate(0).toString
+
     // error_id is deterministic: same logical error → same id across runs
     ErrorTracking.persist(errs, dir, layer = "silver", tableName = "rows_t",
       pipelineRunId = "run_001", keyCols = Seq("id"))
     spark.read.parquet(dir).select("error_id").distinct().count() shouldBe 3
+  }
 
-    val mirror = spark.read.option("header", "true").csv(csv)
-    mirror.count() shouldBe 3
-    mirror.columns.toSet shouldBe (ErrorTracking.RowErrorFields :+ "capture_date").toSet
+  test("persist without keyCols still gives each row a distinct error_id") {
+    val dir = Files.createTempDirectory("graft_errors_nokey").toString
+    val errs = ErrorTracking.capture(rows, rules, Seq("id"))
+    ErrorTracking.persist(errs, dir, layer = "silver") // no keyCols
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 4
+    // identity falls back to the whole input row, not a shared constant
+    back.select("error_id").distinct().count() shouldBe 4
   }
 }

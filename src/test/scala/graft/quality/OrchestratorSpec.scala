@@ -63,6 +63,10 @@ class OrchestratorSpec extends SparkSpec {
     val r2 = Orchestrator.run(clean, strict)
     r2.checkResults.forall(_.passed) shouldBe true
     r2.passed shouldBe false
+    // the failing expectation drags the consistency dimension (and the
+    // overall score) down — the report can't read EXCELLENT while failing
+    r2.scores.consistency should be < 100.0
+    r2.overall should be < Orchestrator.run(clean, spec).overall
   }
 
   test("cleaner data scores at least as high (e2e monotonicity)") {

@@ -41,11 +41,11 @@ class TextAnalysisSpec extends SparkSpec {
     val out = plan
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
         (r.getAs[String]("term"), r.getAs[Long]("score"))).toMap
-    // doc 1: apple tf=2 df=1 → 2·10⁶; banana tf=1 df=2 → 0.5·10⁶
-    out((1L, 1L)) shouldBe (("apple", 2000000L))
-    out((1L, 2L)) shouldBe (("banana", 500000L))
-    // doc 3: cherry tf=3 df=2 → floor(3·10⁶/2)
-    out((3L, 1L)) shouldBe (("cherry", 1500000L))
+    // doc 1: apple tf=2 df=1 → 2·10⁹; banana tf=1 df=2 → 0.5·10⁹
+    out((1L, 1L)) shouldBe (("apple", 2000000000L))
+    out((1L, 2L)) shouldBe (("banana", 500000000L))
+    // doc 3: cherry tf=3 df=2 → floor(3·10⁹/2)
+    out((3L, 1L)) shouldBe (("cherry", 1500000000L))
     // with auto-broadcast off, only the EXPLICIT hint can produce a
     // broadcast join — proves the vocabulary side is hint-broadcast by
     // default and genuinely shuffles when the caller opts out
