@@ -146,6 +146,29 @@ object SparkEntry {
         orderBy = Seq("year")))
     }),
 
+    // A11 — distinct-count mart rollup mirroring location_hotspots.json's
+    // COUNT(DISTINCT pickup_location_id)-style big numbers: the hourly
+    // mart re-aggregated BY THE SAME ENGINE per event_type. All-bigint
+    // measures — no doubles anywhere — so the rollup is exactly
+    // deterministic cross-engine without rounding tricks.
+    "q55_mart_hotspots" -> ((s, dir) => {
+      val mart = AggregationEngine.build(
+        Tables.events(s, dir),
+        GoldModel(
+          name = "hourly_counts",
+          groupBy = Seq("event_type",
+            "cast(hour(ts_utc) as bigint) as hour_of_day"),
+          measures = Seq(Measure("total_events", "count(1)"))))
+      AggregationEngine.build(mart, GoldModel(
+        name = "hotspot_rollup",
+        groupBy = Seq("event_type"),
+        measures = Seq(
+          Measure("active_hours", "count(distinct hour_of_day)"),
+          Measure("total_events", "sum(total_events)"),
+          Measure("busiest_hour_events", "max(total_events)")),
+        orderBy = Seq("event_type")))
+    }),
+
     // J1 — double dimension enrichment (broadcast), zones-style aliasing
     "q05_enrich_join" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
@@ -695,6 +718,14 @@ object SparkEntry {
         | CAST(sum(CAST(round(sum_base_price * 1000000) AS BIGINT)) AS BIGINT) AS total_revenue_e6,
         | CAST(sum(CAST(round(avg_base_price * 1000000) AS BIGINT)) // count(*) AS BIGINT) AS avg_price_e6
         |FROM mart GROUP BY year ORDER BY year""".stripMargin,
+    "q55_mart_hotspots" ->
+      """WITH mart AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+        |  count(*) AS total_events FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        | CAST(count(DISTINCT hour_of_day) AS BIGINT) AS active_hours,
+        | CAST(sum(total_events) AS BIGINT) AS total_events,
+        | CAST(max(total_events) AS BIGINT) AS busiest_hour_events
+        |FROM mart GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q05_enrich_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, s.s_name AS supplier_name,
         | p.p_name AS part_name, p.p_brand AS part_brand
