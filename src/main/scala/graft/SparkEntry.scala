@@ -656,6 +656,16 @@ object SparkEntry {
     // connected components (min-label propagation + pointer jumping, one
     // driver action per round) → drop non-canonical members. The oracle
     // computes the same capped pairs and closure with a recursive CTE.
+    // Gopher-style duplicate n-gram fractions per document (quality-filter
+    // signal for boilerplate/spam); row-local, zero shuffle. The fraction
+    // is a ratio of small exact ints computed identically on both engines,
+    // then e6-rounded.
+    "q56_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(
+        Tables.load(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("dup_2gram_frac_e6"), col("dup_3gram_frac_e6"))
+        .orderBy("doc_id")),
+
     "q45_near_dedup" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
@@ -1143,6 +1153,22 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | CAST(round(CAST(sum(n_tokens) AS DOUBLE) / 512.0 * 1000000.0) AS BIGINT) AS fill_e6
         |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "q56_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+        |  list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tg
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN len(toks) < 2 THEN 0
+        |  ELSE CAST(round((1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE) * 1000000.0) AS BIGINT)
+        | END AS dup_2gram_frac_e6,
+        | CASE WHEN len(toks) < 3 THEN 0
+        |  ELSE CAST(round((1.0 - len(list_distinct(tg))::DOUBLE / len(tg)::DOUBLE) * 1000000.0) AS BIGINT)
+        | END AS dup_3gram_frac_e6
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q45_near_dedup" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),

@@ -142,6 +142,31 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Intra-document repetition signals (the Gopher/MassiveText quality
+    * rules): for each n in `ns`, the fraction of the document's n-grams
+    * that are duplicates of an earlier n-gram, as a micro-unit integer.
+    * Heavily repeated boilerplate/spam scores high; documents shorter than
+    * n tokens score 0. Row-local — zero shuffle at any corpus size. (The
+    * HOF lambdas are interpreted, not codegen'd; a native n-gram-hash
+    * Expression — `shingle_hashes` — is the faster path if this ever
+    * dominates a profile pass, at the cost of hash-collision noise.) */
+  def repetitionProfile(df: DataFrame, textCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
+    val out = ns.foldLeft(df.withColumn("_toks", tokens(col(textCol)))) {
+      (acc, n) =>
+        val grams = expr(
+          s"transform(sequence(1, greatest(size(_toks) - ${n - 1}, 1)), " +
+            s"i -> concat_ws(' ', slice(_toks, i, $n)))")
+        acc.withColumn(s"dup_${n}gram_frac_e6",
+          when(size(col("_toks")) < n, lit(0L)).otherwise(
+            round((lit(1.0) -
+              size(array_distinct(grams)).cast("double") /
+                size(grams).cast("double")) * 1e6).cast("long")))
+    }
+    out.drop("_toks")
+  }
+
   /** One-pass text profile of a corpus: the per-document quality columns.
     * Ratio columns are micro-unit integers (`round(x*1e6)` of a
     * deterministic double) — integer-rounding a shared double is identical

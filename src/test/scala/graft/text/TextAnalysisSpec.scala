@@ -32,6 +32,21 @@ class TextAnalysisSpec extends SparkSpec {
     r.getAs[Int]("ws") shouldBe 6 // whitespace undershoots on punctuated text
   }
 
+  test("repetitionProfile scores duplicate n-gram fractions, 0 for short docs") {
+    val corpus = Seq(
+      (1L, "a b a b a b"), // bigrams: [a b, b a, a b, b a, a b] → 2 distinct of 5
+      (2L, "w x y z"), // all bigrams distinct → 0
+      (3L, "solo")) // 1 token → too short for any n-gram → 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(corpus, "text")
+      .orderBy("doc_id").collect()
+    out.map(_.getAs[Long]("dup_2gram_frac_e6")).toSeq shouldBe
+      Seq(600000L, 0L, 0L) // 1 - 2/5
+    // trigrams of doc 1: [a b a, b a b, a b a, b a b] → 2 distinct of 4
+    out.map(_.getAs[Long]("dup_3gram_frac_e6")).toSeq shouldBe
+      Seq(500000L, 0L, 0L)
+  }
+
   test("tfidf ranks rare high-frequency terms first with integer scores") {
     val corpus = Seq(
       (1L, "apple apple banana"),
