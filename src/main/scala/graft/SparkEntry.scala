@@ -666,6 +666,17 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_2gram_frac_e6"), col("dup_3gram_frac_e6"))
         .orderBy("doc_id")),
 
+    // Benchmark decontamination: trigram overlap of every document against
+    // a held-out "eval" slice (doc_id % 50 == 0), eval gram set broadcast.
+    // Counts are exact ints; the overlap ratio is e6-rounded identically
+    // on both engines.
+    "q57_contamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.contaminationScore(docs, "doc_id", "text",
+        docs.filter("doc_id % 50 = 0"), "text")
+        .orderBy("doc_id")
+    }),
+
     "q45_near_dedup" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
@@ -1169,6 +1180,24 @@ object SparkEntry {
         |  ELSE CAST(round((1.0 - len(list_distinct(tg))::DOUBLE / len(tg)::DOUBLE) * 1000000.0) AS BIGINT)
         | END AS dup_3gram_frac_e6
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q57_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |  ELSE [] END AS grams FROM t),
+        |bset AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |agg AS (SELECT dg.doc_id, count(*) AS total, count(b.gram) AS matched
+        |  FROM dg LEFT JOIN bset b USING (gram) GROUP BY dg.doc_id)
+        |SELECT t.doc_id,
+        | CAST(coalesce(a.total, 0) AS BIGINT) AS total_grams,
+        | CAST(coalesce(a.matched, 0) AS BIGINT) AS matched_grams,
+        | CASE WHEN coalesce(a.total, 0) = 0 THEN 0
+        |  ELSE CAST(round(a.matched::DOUBLE / a.total::DOUBLE * 1000000.0) AS BIGINT)
+        | END AS contamination_e6
+        |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q45_near_dedup" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),

@@ -150,14 +150,19 @@ object TextAnalysis {
     * HOF lambdas are interpreted, not codegen'd; a native n-gram-hash
     * Expression — `shingle_hashes` — is the faster path if this ever
     * dominates a profile pass, at the cost of hash-collision noise.) */
+  /** Word n-grams of a token-array column, space-joined. Callers guard
+    * `size(toksCol) >= n`; below that the greatest() floor yields one
+    * partial gram that the guard discards. */
+  private def gramsOf(toksCol: String, n: Int): Column =
+    expr(s"transform(sequence(1, greatest(size($toksCol) - ${n - 1}, 1)), " +
+      s"i -> concat_ws(' ', slice($toksCol, i, $n)))")
+
   def repetitionProfile(df: DataFrame, textCol: String,
       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
     val out = ns.foldLeft(df.withColumn("_toks", tokens(col(textCol)))) {
       (acc, n) =>
-        val grams = expr(
-          s"transform(sequence(1, greatest(size(_toks) - ${n - 1}, 1)), " +
-            s"i -> concat_ws(' ', slice(_toks, i, $n)))")
+        val grams = gramsOf("_toks", n)
         acc.withColumn(s"dup_${n}gram_frac_e6",
           when(size(col("_toks")) < n, lit(0L)).otherwise(
             round((lit(1.0) -
@@ -165,6 +170,42 @@ object TextAnalysis {
                 size(grams).cast("double")) * 1e6).cast("long")))
     }
     out.drop("_toks")
+  }
+
+  /** Benchmark-contamination score — the decontamination signal of
+    * large-corpus curation: for each document, the fraction of its word
+    * n-grams that appear anywhere in a benchmark/eval corpus, as a
+    * micro-unit integer (plus the raw gram counts). Flag or drop documents
+    * above a threshold before training so eval data doesn't leak in.
+    *
+    * Scale shape: the benchmark gram set is distinct'd and BROADCAST (eval
+    * sets are tiny next to a training corpus), so the only shuffle is the
+    * per-document count aggregation; the corpus is scanned once. Documents
+    * shorter than n tokens score 0. */
+  def contaminationScore(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, s"bad n-gram size: $n")
+    val bGrams = bench
+      .withColumn("_toks", tokens(col(benchTextCol)))
+      .filter(size(col("_toks")) >= n)
+      .select(explode(gramsOf("_toks", n)).as("gram"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    val dGrams = docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_grams",
+        when(size(col("_toks")) >= n, gramsOf("_toks", n))
+          .otherwise(array().cast("array<string>")))
+      .select(col(idCol), explode_outer(col("_grams")).as("gram"))
+    dGrams.join(broadcast(bGrams), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(col("gram")).as("total_grams"),
+        count(col("_hit")).as("matched_grams"))
+      .withColumn("contamination_e6",
+        when(col("total_grams") === 0, lit(0L)).otherwise(
+          round(col("matched_grams").cast("double") /
+            col("total_grams").cast("double") * 1e6).cast("long")))
   }
 
   /** One-pass text profile of a corpus: the per-document quality columns.

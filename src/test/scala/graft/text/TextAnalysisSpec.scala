@@ -47,6 +47,20 @@ class TextAnalysisSpec extends SparkSpec {
       Seq(500000L, 0L, 0L)
   }
 
+  test("contaminationScore fractions doc n-grams found in a benchmark") {
+    val corpus = Seq(
+      (1L, "a b c d"), // trigrams: [a b c, b c d] — first is in the bench
+      (2L, "x y z w"), // no overlap
+      (3L, "hi")) // too short for a trigram → 0
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b c e f")).toDF("text")
+    val out = TextAnalysis.contaminationScore(corpus, "doc_id", "text",
+      bench, "text").orderBy("doc_id").collect()
+    out.map(r => (r.getAs[Long]("total_grams"), r.getAs[Long]("matched_grams"),
+      r.getAs[Long]("contamination_e6"))).toSeq shouldBe
+      Seq((2L, 1L, 500000L), (2L, 0L, 0L), (0L, 0L, 0L))
+  }
+
   test("tfidf ranks rare high-frequency terms first with integer scores") {
     val corpus = Seq(
       (1L, "apple apple banana"),
