@@ -666,6 +666,16 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_2gram_frac_e6"), col("dup_3gram_frac_e6"))
         .orderBy("doc_id")),
 
+    // Domain-mixing stratified sample: per-language keep rates (the
+    // up/down-sampling knob of corpus curation), deterministic via the
+    // same md5 trick as q43 — a pushable predicate, no shuffle.
+    "q58_stratified_sample" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(Chunking.stratifiedHashSample(col("doc_id"), col("lang"),
+          Map("en" -> 80, "de" -> 50, "zh" -> 20), defaultPct = 10))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: trigram overlap of every document against
     // a held-out "eval" slice (doc_id % 50 == 0), eval gram set broadcast.
     // Counts are exact ints; the overlap ratio is e6-rounded identically
@@ -1180,6 +1190,12 @@ object SparkEntry {
         |  ELSE CAST(round((1.0 - len(list_distinct(tg))::DOUBLE / len(tg)::DOUBLE) * 1000000.0) AS BIGINT)
         | END AS dup_3gram_frac_e6
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q58_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+        |  CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'zh' THEN 20
+        |   ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
     "q57_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |g AS (SELECT doc_id,

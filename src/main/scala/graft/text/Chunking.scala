@@ -48,6 +48,26 @@ object Chunking {
     (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
       % lit(100L)) < lit(ratePct.toLong)
 
+  /** Per-stratum deterministic sampling — the domain/language MIXING knob
+    * of corpus curation: each stratum keeps its own ratePct of rows
+    * (strata absent from the map keep `defaultPct`), selected by the same
+    * md5 key hash as `hashSample`. A row's fate depends only on (key,
+    * stratum rate) — stable across runs, engines, and partitionings, so
+    * re-curating a grown corpus keeps every previously-kept row whose
+    * stratum rate didn't change. Still a plain pushable predicate: no
+    * shuffle, no per-stratum pass (`DataFrameStatFunctions.sampleBy` is
+    * neither deterministic across partitionings nor pushable). */
+  def stratifiedHashSample(keyCol: Column, strataCol: Column,
+      ratesPct: Map[String, Int], defaultPct: Int = 0): Column = {
+    require((defaultPct +: ratesPct.values.toSeq).forall(p => p >= 0 && p <= 100),
+      s"rates must be 0..100: $ratesPct default=$defaultPct")
+    val rate = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct.toLong)) {
+      case (acc, (k, v)) => when(strataCol === lit(k), lit(v.toLong)).otherwise(acc)
+    }
+    (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
+      % lit(100L)) < rate
+  }
+
   /** Greedy sequence packing WITHIN id-range shards: shard = id div
     * `docsPerShard`, then inside each shard docs (ordered by id) go to
     * fixed-budget bins by cumulative token count — bin = ⌊(cumsum −

@@ -39,6 +39,27 @@ class ChunkingSpec extends SparkSpec {
     ids.filter(Chunking.hashSample(col("id"), 100)).count() shouldBe 1000
   }
 
+  test("stratified sampling applies per-stratum rates and stays a subset") {
+    val rows = (0L until 1000L).map(i =>
+      (i, Seq("en", "de", "zh", "fr")(i.toInt % 4))).toDF("id", "lang")
+    val rates = Map("en" -> 100, "de" -> 50, "zh" -> 0)
+    val kept = rows.filter(
+      Chunking.stratifiedHashSample(col("id"), col("lang"), rates, defaultPct = 10))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang("en") shouldBe 250 // rate 100 keeps every en row
+    byLang.getOrElse("zh", 0L) shouldBe 0 // rate 0 drops the stratum
+    byLang("de").toDouble should (be > 75.0 and be < 175.0) // ~50% of 250
+    byLang("fr").toDouble should (be > 5.0 and be < 60.0) // default 10%
+    // a stratum's kept rows are exactly the plain hashSample at its rate —
+    // re-mixing rates never flips the fate of an untouched stratum
+    kept.filter("lang = 'de'").select("id").collect().map(_.getLong(0)).toSet shouldBe
+      rows.filter("lang = 'de'").filter(Chunking.hashSample(col("id"), 50))
+        .select("id").collect().map(_.getLong(0)).toSet
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.stratifiedHashSample(col("id"), col("lang"), Map("en" -> 101))
+  }
+
   test("sequence packing fills bins in order with exact integer math") {
     val d = Seq(
       (1L, Seq.fill(6)("x").mkString(" ")), // 6 tokens
