@@ -248,8 +248,13 @@ object Dedup {
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct() // duplicate candidate edges would multiply join output
       .localCheckpoint()
-    var labels = sym.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with label = min(id, neighbors): the first propagation round
+    // pre-applied during the dedup aggregate — one fewer corpus-wide
+    // join+shuffle round before convergence
+    var labels = sym.groupBy("id_a")
+      .agg(min(col("id_b")).as("_mn"))
+      .select(col("id_a").as("id"),
+        least(col("id_a"), col("_mn")).as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
