@@ -86,7 +86,11 @@ object Bench {
     val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"warmup":"full pass, untimed","sf":"$sfDir"}""")
+    // Per-rep detail goes to stderr: it is diagnostic only, and keeping it
+    // out of stdout guarantees the machine-readable line below is the last
+    // (and shortest) JSON on stdout even under a bounded tail capture.
+    System.err.println(f"""{"detail":"per-rep","times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"warmup":"full pass, untimed"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
