@@ -29,8 +29,13 @@ object Bench {
     // first touch a heavy operator (window exec, regex, decimal agg). Without
     // this, first-touch JIT drifts between rounds and poisons cross-round
     // comparisons.
+    // Local-iteration filter: comma-separated query-name substrings.
+    // Unset (the driver's posture) → every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     val warmT0 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    names.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -53,7 +58,6 @@ object Bench {
     // queries — so a transient stall (GC pause, scheduler preemption) can
     // poison at most one rep of any given query, never all of them.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
       .withDefaultValue(Vector.empty)
     (1 to reps).foreach { rep =>

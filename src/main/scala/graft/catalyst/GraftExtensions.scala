@@ -104,6 +104,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt(children(2), "nProbe"))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("dup_gram_frac_e6"),
+      new ExpressionInfo(classOf[DupGramFracE6].getName, "dup_gram_frac_e6"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "dup_gram_frac_e6 takes (text, n literal)")
+        DupGramFracE6(children.head, litInt(children(1), "n"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {

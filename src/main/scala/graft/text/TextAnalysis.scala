@@ -84,7 +84,10 @@ object TextAnalysis {
   def bpeTokens(c: Column): Column =
     regexp_extract_all(c, lit(bpePattern), lit(0))
 
-  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+  /** `regexp_count`, not `size(regexp_extract_all(...))`: same Java-regex
+    * match count, but the counting form never materializes the token array
+    * (a document's worth of short strings per row, pure GC pressure). */
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePattern))
 
   /** Content fingerprint: md5 of the normalized text — identical hex in every
     * engine; the exact-dedup key. */
@@ -142,14 +145,6 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
-  /** Intra-document repetition signals (the Gopher/MassiveText quality
-    * rules): for each n in `ns`, the fraction of the document's n-grams
-    * that are duplicates of an earlier n-gram, as a micro-unit integer.
-    * Heavily repeated boilerplate/spam scores high; documents shorter than
-    * n tokens score 0. Row-local — zero shuffle at any corpus size. (The
-    * HOF lambdas are interpreted, not codegen'd; a native n-gram-hash
-    * Expression — `shingle_hashes` — is the faster path if this ever
-    * dominates a profile pass, at the cost of hash-collision noise.) */
   /** Word n-grams of a token-array column, space-joined. Callers guard
     * `size(toksCol) >= n`; below that the greatest() floor yields one
     * partial gram that the guard discards. */
@@ -157,7 +152,26 @@ object TextAnalysis {
     expr(s"transform(sequence(1, greatest(size($toksCol) - ${n - 1}, 1)), " +
       s"i -> concat_ws(' ', slice($toksCol, i, $n)))")
 
+  /** Intra-document repetition signals (the Gopher/MassiveText quality
+    * rules): for each n in `ns`, the fraction of the document's n-grams
+    * that are duplicates of an earlier n-gram, as a micro-unit integer.
+    * Heavily repeated boilerplate/spam scores high; documents shorter than
+    * n tokens score 0. Row-local — zero shuffle at any corpus size.
+    * Computed by the native `dup_gram_frac_e6` Expression (one pass, no
+    * gram-string materialization); `repetitionProfileBuiltin` is the
+    * builtin-HOF reference form it is spec-asserted identical to. */
   def repetitionProfile(df: DataFrame, textCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
+    ns.foldLeft(df) { (acc, n) =>
+      acc.withColumn(s"dup_${n}gram_frac_e6",
+        call_function("dup_gram_frac_e6", col(textCol), lit(n)))
+    }
+  }
+
+  /** The interpreted-HOF reference form of [[repetitionProfile]] — the
+    * correctness baseline for the native expression's spec. */
+  def repetitionProfileBuiltin(df: DataFrame, textCol: String,
       ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
     val out = ns.foldLeft(df.withColumn("_toks", tokens(col(textCol)))) {

@@ -109,4 +109,34 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.rollingHash(col("t"))).distinct()
     rh.count() shouldBe 2 // rolling hash sees order
   }
+
+  test("native dup_gram_frac_e6 is identical to the builtin-HOF form") {
+    // edge cases: empty text, spaces only (trim -> one empty token), double
+    // spaces (empty tokens kept), shorter than n, heavy repetition, unicode,
+    // and tokens that collide when joined carelessly ("a b"+"c" vs "a"+"b c"
+    // cannot happen — tokens are space-free — but empty tokens can)
+    val corpus = Seq(
+      (1L, ""), (2L, "   "), (3L, "a"), (4L, "a  b"), (5L, " a b a b "),
+      (6L, "a b a b a b a b"), (7L, "x"), (8L, "\u00fcber \u00fcber caf\u00e9"),
+      (9L, "one two three four five six seven"),
+      (10L, (1 to 500).map(i => s"tok${i % 37}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ns = Seq(1, 2, 3, 5)
+    val native = TextAnalysis.repetitionProfile(corpus, "text", ns)
+      .orderBy("doc_id").collect()
+    val builtin = TextAnalysis.repetitionProfileBuiltin(corpus, "text", ns)
+      .orderBy("doc_id").collect()
+    native.map(_.toSeq) shouldBe builtin.map(_.toSeq)
+  }
+
+  test("bpeTokenCount (regexp_count) matches size(regexp_extract_all)") {
+    val corpus = Seq((1L, "I can't stop, it's 42 miles!"), (2L, ""),
+      (3L, "  spaced   out  "), (4L, "digits123mixed456end."))
+      .toDF("doc_id", "text")
+    val both = corpus.select(
+      TextAnalysis.bpeTokenCount(col("text")).as("fast"),
+      org.apache.spark.sql.functions.size(
+        TextAnalysis.bpeTokens(col("text"))).as("ref")).collect()
+    both.foreach(r => r.getAs[Int]("fast") shouldBe r.getAs[Int]("ref"))
+  }
 }
