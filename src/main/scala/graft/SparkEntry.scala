@@ -3,13 +3,13 @@ package graft
 import graft.config._
 import graft.dedup.Dedup
 import graft.gold.{AggregationEngine, IncrementalMaterializer}
-import graft.ops.Joins
+import graft.ops.{Joins, Sessions}
 import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation}
 import graft.multimodal.Multimodal
 import graft.silver.Transform
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{Chunking, TextAnalysis}
+import graft.text.{Chunking, Curation, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -695,7 +695,31 @@ object SparkEntry {
       Dedup.removeNearDupes(docs, "doc_id", Dedup.dupClusters(pairs))
         .select("doc_id")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Domain-mixing report: per-source doc/token mass and corpus share —
+    // the input to up/down-sampling weights. One corpus shuffle; the share
+    // window runs over the |domains|-sized grouped result.
+    "q59_domain_mixing" -> ((s, dir) =>
+      Curation.domainMixingReport(
+        Tables.load(s, dir, "documents"), "source", "text")
+        .orderBy("domain")),
+
+    // Gopher-style hard quality gate: integer micro-unit signals vs integer
+    // thresholds → verdict + first failing rule. Row-local, zero shuffle.
+    "q60_quality_filter" -> ((s, dir) =>
+      Curation.qualityFilter(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Gap-based sessionization (4h) + per-session rollup: lag → running sum
+    // in ONE window shuffle, then a session-keyed aggregate. Exact micro-unit
+    // value sums (a double sum would be shuffle-order-dependent).
+    "q61_sessionization" -> ((s, dir) =>
+      Sessions.sessionStats(
+        Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", "value", gapSec = 14400L)
+        .orderBy("user_id", "session_seq")))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1238,5 +1262,58 @@ object SparkEntry {
         |  FROM reach GROUP BY src)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "q59_domain_mixing" ->
+      """WITH g AS (SELECT source AS domain, count(*) AS docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens
+        | FROM documents GROUP BY source)
+        |SELECT domain, docs, total_tokens,
+        | CAST(round(CAST(total_tokens AS DOUBLE) / CAST(docs AS DOUBLE)
+        |   * 1000000.0) AS BIGINT) AS tokens_per_doc_e6,
+        | CAST(round(CAST(total_tokens AS DOUBLE)
+        |   / CAST(sum(total_tokens) OVER () AS DOUBLE) * 1000000.0) AS BIGINT)
+        |   AS share_e6
+        |FROM g ORDER BY domain""".stripMargin,
+    "q60_quality_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1]) AS bg FROM t),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS ttr_e6,
+        |  CAST(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS avg_token_len_e6,
+        |  CASE WHEN len(toks) < 2 THEN 0
+        |   ELSE CAST(round((1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE)
+        |     * 1000000.0) AS BIGINT)
+        |  END AS dup_2gram_frac_e6
+        | FROM g)
+        |SELECT doc_id, n_tokens, ttr_e6, avg_token_len_e6, dup_2gram_frac_e6,
+        | (n_tokens BETWEEN 20 AND 90)
+        |  AND (avg_token_len_e6 BETWEEN 3000000 AND 8000000)
+        |  AND (ttr_e6 >= 300000) AND (dup_2gram_frac_e6 <= 200000) AS passed,
+        | CASE WHEN n_tokens NOT BETWEEN 20 AND 90 THEN 'token_count'
+        |  WHEN avg_token_len_e6 NOT BETWEEN 3000000 AND 8000000 THEN 'avg_token_len'
+        |  WHEN ttr_e6 < 300000 THEN 'ttr'
+        |  WHEN dup_2gram_frac_e6 > 200000 THEN 'dup_2gram'
+        |  ELSE '' END AS fail_reason
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q61_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 1000000.0) AS BIGINT) AS v6 FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL
+        |    OR ts_us - prev_us > 14400000000 THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM l)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us,
+        | CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec,
+        | CAST(sum(v6) AS BIGINT) AS value_sum_e6
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin)
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of an event stream in batch form: a new session
+  * starts when the inter-event gap within a key exceeds `gapSec`. The
+  * standard lag → running-sum construction; the batch twin of the streaming
+  * `mapGroupsWithState` session operator.
+  *
+  * Scale shape: ONE shuffle — both window passes (the lag and the running
+  * sum) share the same (partition, order) spec, so they plan into a single
+  * exchange + sort; the follow-up per-session aggregate re-shuffles only the
+  * (key, session) pairs. Per-user data volumes are bounded in practice, so
+  * the window partitions can't skew unboundedly; a key hot enough to matter
+  * is a bot to filter upstream. */
+object Sessions {
+
+  /** Appends `session_seq` (1-based per key, in time order) to the events.
+    * `tsUsCol` must be an exact integer microsecond column (determinism:
+    * integer gap compares, no timestamp arithmetic in doubles); `tieCol`
+    * breaks equal-timestamp ties totally (an id column). */
+  def sessionize(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsUsCol), col(tieCol))
+    events
+      .withColumn("_prev_us", lag(col(tsUsCol), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev_us").isNull ||
+          col(tsUsCol) - col("_prev_us") > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("_new_session")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("_prev_us", "_new_session")
+  }
+
+  /** Per-session rollup: event count, span, and an exact micro-unit value
+    * sum (`round(value·1e6)` per row, then a long sum — a double sum would
+    * be shuffle-order-dependent). */
+  def sessionStats(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, valueCol: String, gapSec: Long): DataFrame =
+    sessionize(events, keyCol, tsUsCol, tieCol, gapSec)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsUsCol)).as("start_us"),
+        max(col(tsUsCol)).as("end_us"),
+        sum(round(col(valueCol) * lit(1e6)).cast("long")).as("value_sum_e6"))
+      .withColumn("duration_sec", expr("(end_us - start_us) div 1000000L"))
+      .select(col(keyCol), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_sec"), col("value_sum_e6"))
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, event_id, ts_us, value): user 1 has two sessions split by a
+  // >30 min gap; user 2 has one single-event session.
+  private def events = Seq(
+    (1L, 10L, 1000000000L, 1.5),
+    (1L, 11L, 1060000000L, 2.0), // +60s, same session
+    (1L, 12L, 4000000000L, 0.25), // +49 min, new session
+    (2L, 20L, 500000000L, 3.0))
+    .toDF("user_id", "event_id", "ts_us", "value")
+
+  test("sessionize splits on gap and numbers sessions per key in time order") {
+    val out = Sessions.sessionize(events, "user_id", "ts_us", "event_id", 1800L)
+      .orderBy("user_id", "ts_us")
+      .select("user_id", "event_id", "session_seq").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 10L, 1L), (1L, 11L, 1L), (1L, 12L, 2L), (2L, 20L, 1L))
+  }
+
+  test("sessionStats rolls up count, span, exact micro-unit value sum") {
+    val out = Sessions.sessionStats(events, "user_id", "ts_us", "event_id",
+      "value", 1800L).orderBy("user_id", "session_seq").collect()
+    out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+      r.getAs[Long]("n_events"), r.getAs[Long]("duration_sec"),
+      r.getAs[Long]("value_sum_e6"))).toSeq shouldBe Seq(
+      (1L, 1L, 2L, 60L, 3500000L),
+      (1L, 2L, 1L, 0L, 250000L),
+      (2L, 1L, 1L, 0L, 3000000L))
+  }
+
+  test("boundary gap exactly equal to gapSec does NOT split") {
+    val ev = Seq((1L, 1L, 0L, 1.0), (1L, 2L, 1800000000L, 1.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val out = Sessions.sessionize(ev, "user_id", "ts_us", "event_id", 1800L)
+      .agg(org.apache.spark.sql.functions.max(col("session_seq"))).head().getLong(0)
+    out shouldBe 1L
+  }
+}
