@@ -719,7 +719,19 @@ object SparkEntry {
       Sessions.sessionStats(
         Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
         "user_id", "ts_us", "event_id", "value", gapSec = 14400L)
-        .orderBy("user_id", "session_seq")))
+        .orderBy("user_id", "session_seq")),
+
+    // End-to-end embedding near-dedup: exact cosine pairs (>0.4) →
+    // connected components → drop non-canonical members. The embedding
+    // twin of q45; the oracle replays the closure with a recursive CTE.
+    "q62_embed_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val pairs = Similarity.cosineDupes(emb, "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b")
+      Dedup.removeNearDupes(emb, "vec_id", Dedup.dupClusters(pairs))
+        .select("vec_id")
+        .orderBy("vec_id")
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1315,5 +1327,22 @@ object SparkEntry {
         | CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec,
         | CAST(sum(v6) AS BIGINT) AS value_sum_e6
         |FROM s GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin)
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q62_embed_dedup" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) /
+        |   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.4),
+        |sym AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        |ORDER BY vec_id""".stripMargin)
 }

@@ -180,4 +180,65 @@ object Streaming {
           next
       }
   }
+
+  final case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long, valueE6: Long)
+  final case class ClosedSession(key: String, startUs: Long, endUs: Long,
+      nEvents: Long, valueSumE6: Long)
+
+  /** Streaming gap-based sessionization — the streaming twin of
+    * `ops.Sessions` (q61): flatMapGroupsWithState with EVENT-TIME timeout.
+    * A session closes either when a later event of the same key arrives
+    * more than `gapSec` past the session's last event, or when the
+    * watermark passes last+gap with no new data (the timeout path — without
+    * it, the final session of every key would sit in the state store
+    * forever). Callers must set `withWatermark` on `ts` upstream; the
+    * watermark also bounds state for keys that go quiet.
+    *
+    * Value sums are micro-unit longs (exact across retries/reorderings —
+    * a double sum would drift). Events within one (key, micro-batch) group
+    * are sorted by event time before folding: state-store order is arrival
+    * order, not time order; the sort is bounded by one key's slice of one
+    * micro-batch. */
+  def sessionStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSec: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession): ClosedSession =
+            ClosedSession(key, s.startUs, s.lastUs, s.n, s.valueE6)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              val v6 = Math.round(e.value * 1e6)
+              open match {
+                case Some(s) if us - s.lastUs > gapUs =>
+                  closed += close(s)
+                  open = Some(OpenSession(us, us, 1L, v6))
+                case Some(s) =>
+                  open = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
+                    s.n + 1L, s.valueE6 + v6))
+                case None =>
+                  open = Some(OpenSession(us, us, 1L, v6))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSec * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

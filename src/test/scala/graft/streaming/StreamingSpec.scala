@@ -181,4 +181,39 @@ class StreamingSpec extends SparkSpec {
       last.getAs[Double]("total") shouldBe 20.0 +- 1e-9
     } finally q.stop()
   }
+
+  test("sessionStream closes sessions on gap and finalizes on watermark timeout") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val stream = MemoryStream[Streaming.SessionEvent](spark)
+    val sessions = Streaming.sessionStream(
+      stream.toDS().withWatermark("ts", "0 seconds").as[Streaming.SessionEvent],
+      gapSec = 30L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events 10s apart (one session), then one 60s later ->
+      // the gap closes session 1 inside the batch
+      stream.addData(
+        Streaming.SessionEvent("a", ts(0), 1.5),
+        Streaming.SessionEvent("a", ts(10), 2.0),
+        Streaming.SessionEvent("a", ts(100), 0.25))
+      q.processAllAvailable()
+      val afterGap = spark.table("sessions").as[Streaming.ClosedSession].collect()
+      afterGap.map(s => (s.key, s.startUs, s.endUs, s.nEvents, s.valueSumE6))
+        .toSeq shouldBe Seq(("a", 1000000000L, 1010000000L, 2L, 3500000L))
+
+      // batch 2: only key b arrives, far in the future -> the watermark
+      // passes a's last+gap and the EventTimeTimeout finalizes a's session
+      stream.addData(Streaming.SessionEvent("b", ts(500), 3.0))
+      q.processAllAvailable()
+      // one more batch so the timeout (evaluated against the advanced
+      // watermark) fires and its output commits
+      stream.addData(Streaming.SessionEvent("b", ts(501), 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Streaming.ClosedSession].collect()
+      all.filter(_.key == "a").map(s => (s.startUs, s.endUs, s.nEvents))
+        .toSeq should contain((1100000000L, 1100000000L, 1L))
+    } finally q.stop()
+  }
 }
