@@ -3,7 +3,7 @@ package graft
 import graft.config._
 import graft.dedup.Dedup
 import graft.gold.{AggregationEngine, IncrementalMaterializer}
-import graft.ops.{Joins, Sessions}
+import graft.ops.{AsofJoin, Joins, Sessions}
 import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation}
 import graft.multimodal.Multimodal
 import graft.silver.Transform
@@ -731,6 +731,30 @@ object SparkEntry {
       Dedup.removeNearDupes(emb, "vec_id", Dedup.dupClusters(pairs))
         .select("vec_id")
         .orderBy("vec_id")
+    }),
+
+    // As-of join: each purchase picks up the latest prior click of the same
+    // user (inclusive, latest-id tie-break). Union-tag + one keyed window —
+    // one shuffle, no range fan-out. No-match sentinels (-1/0) keep the
+    // compare integer-typed; genuine-null semantics are spec-covered.
+    "q63_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("value_e6", expr("CAST(round(value * 1000000.0) AS BIGINT)"))
+        .select("event_id", "user_id", "event_type", "ts_us", "value_e6")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val clicks = ev.filter(col("event_type") === "click")
+        .drop("event_type")
+      AsofJoin.asofJoin(purchases, clicks,
+          "user_id", "ts_us", "ts_us", tieCol = "event_id",
+          rightPrefix = "click_")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value_e6"),
+          coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(col("click_ts_us"), lit(-1L)).as("click_ts_us"),
+          coalesce(col("click_value_e6"), lit(0L)).as("click_value_e6"),
+          coalesce(col("ts_us") - col("click_ts_us"), lit(-1L)).as("gap_us"))
+        .orderBy("event_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1344,5 +1368,23 @@ object SparkEntry {
         |  FROM reach GROUP BY src)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin,
+    "q63_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 1000000.0) AS BIGINT) AS value_e6 FROM events),
+        |p AS (SELECT event_id, user_id, ts_us, value_e6 FROM e
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (SELECT event_id, user_id, ts_us, value_e6 FROM e
+        |  WHERE event_type = 'click'),
+        |c AS (SELECT event_id, user_id, ts_us, value_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+        |    ORDER BY event_id DESC) AS rn FROM c0) WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value_e6,
+        | COALESCE(c.event_id, -1) AS click_event_id,
+        | COALESCE(c.ts_us, -1) AS click_ts_us,
+        | COALESCE(c.value_e6, 0) AS click_value_e6,
+        | COALESCE(p.ts_us - c.ts_us, -1) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        |ORDER BY p.event_id""".stripMargin)
 }
