@@ -94,7 +94,11 @@ object Bench {
     // out of stdout guarantees the machine-readable line below is the last
     // (and shortest) JSON on stdout even under a bounded tail capture.
     System.err.println(f"""{"detail":"per-rep","times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"warmup":"full pass, untimed"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // times/warmup_sec ride on stdout too for one deprecation round — r7
+    // moved them to stderr only, and a harness reading them from the stdout
+    // line would have broken silently (BENCH_r07 confirms the driver itself
+    // reads only metric/value/queries/errors/sf)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$ts,"warmup_sec":$warmupSec%.3f,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,8 +70,12 @@ case class DupGramFracE6(child: Expression, n: Int)
     val total = m - n + 1
     val vocabSize = vocab.size
     val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(vocabSize - 1, 1)))
+    // the packed path's power-of-two table needs cap >= 2·total to stay an
+    // Int; past 2^29 windows (a ~4 GiB single document) the string-set path
+    // is the safe one — `cap < total * 2` would overflow Int and leave an
+    // undersized table whose linear probe never terminates
     val distinct =
-      if (n.toLong * bits <= 63) distinctPacked(ids, m, bits)
+      if (n.toLong * bits <= 63 && total <= (1 << 29)) distinctPacked(ids, m, bits)
       else distinctJoined(ids, m, vocab)
     Math.round((1.0 - distinct.toDouble / total.toDouble) * 1e6)
   }
@@ -80,8 +84,10 @@ case class DupGramFracE6(child: Expression, n: Int)
   private def distinctPacked(ids: Array[Int], m: Int, bits: Int): Int = {
     val total = m - n + 1
     val mask = (1L << (n * bits)) - 1L
+    // total <= 2^29 (guarded by the caller), so cap <= 2^30 fits an Int;
+    // the long compare keeps the loop safe even if that guard moves
     var cap = 8
-    while (cap < total * 2) cap <<= 1
+    while (cap.toLong < total.toLong * 2) cap <<= 1
     val table = new Array[Long](cap)
     java.util.Arrays.fill(table, -1L)
     val capMask = cap - 1

@@ -216,19 +216,29 @@ object Streaming {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            // exact micros: getTime truncates to millis; the sub-milli part
+            // lives in the nanos field. Keeps the stream micro-exact like
+            // the batch twin's ts_us column (q61).
+            def micros(t: java.sql.Timestamp): Long =
+              Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.value))
             val closed = Seq.newBuilder[ClosedSession]
             var open = state.getOption
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               val v6 = Math.round(e.value * 1e6)
               open match {
                 case Some(s) if us - s.lastUs > gapUs =>
                   closed += close(s)
                   open = Some(OpenSession(us, us, 1L, v6))
+                case Some(s) if s.startUs - us > gapUs =>
+                  // watermark-permitted straggler more than gap BEFORE the
+                  // open session: a completed session of its own — emitting
+                  // it directly keeps the open session's boundaries intact
+                  closed += ClosedSession(key, us, us, 1L, v6)
                 case Some(s) =>
-                  open = Some(OpenSession(s.startUs, math.max(s.lastUs, us),
-                    s.n + 1L, s.valueE6 + v6))
+                  open = Some(OpenSession(math.min(s.startUs, us),
+                    math.max(s.lastUs, us), s.n + 1L, s.valueE6 + v6))
                 case None =>
                   open = Some(OpenSession(us, us, 1L, v6))
               }

@@ -216,4 +216,94 @@ class StreamingSpec extends SparkSpec {
         .toSeq should contain((1100000000L, 1100000000L, 1L))
     } finally q.stop()
   }
+
+  test("sessionStream absorbs watermark-permitted stragglers with exact bounds") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val stream = MemoryStream[Streaming.SessionEvent](spark)
+    // generous watermark so out-of-order events are admitted, not dropped
+    val sessions = Streaming.sessionStream(
+      stream.toDS().withWatermark("ts", "1 hour").as[Streaming.SessionEvent],
+      gapSec = 30L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 opens a session at [100, 110]
+      stream.addData(
+        Streaming.SessionEvent("a", ts(100), 1.0),
+        Streaming.SessionEvent("a", ts(110), 1.0))
+      q.processAllAvailable()
+      // batch 2: a straggler at 90 (within gap of start 100) must extend the
+      // session's START downward; a straggler at 10 (> gap before start) is
+      // its own earlier session, emitted closed
+      stream.addData(
+        Streaming.SessionEvent("a", ts(90), 2.0),
+        Streaming.SessionEvent("a", ts(10), 5.0))
+      q.processAllAvailable()
+      val isolated = spark.table("sessions_late").as[Streaming.ClosedSession]
+        .collect()
+      isolated.map(s => (s.startUs, s.endUs, s.nEvents, s.valueSumE6))
+        .toSeq shouldBe Seq((1010000000L, 1010000000L, 1L, 5000000L))
+      // flush the open session via the event-time timeout: advance the
+      // watermark with a different key, then one more batch to commit
+      stream.addData(Streaming.SessionEvent("b", ts(100000), 0.0))
+      q.processAllAvailable()
+      stream.addData(Streaming.SessionEvent("b", ts(100001), 0.0))
+      q.processAllAvailable()
+      val a = spark.table("sessions_late").as[Streaming.ClosedSession].collect()
+        .filter(s => s.key == "a" && s.nEvents == 3L)
+      a.map(s => (s.startUs, s.endUs, s.valueSumE6))
+        .toSeq shouldBe Seq((1090000000L, 1110000000L, 4000000L))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization ≡ batch Sessions.sessionStats on a replayed log") {
+    import spark.implicits._
+    // deterministic event log: 5 keys × bursts with gaps straddling 30s,
+    // plus sub-millisecond timestamps to exercise the micros conversion
+    val events = for {
+      k <- 0 until 5
+      burst <- 0 until 3
+      e <- 0 until 4
+    } yield {
+      val sec = burst * 100 + e * 7 + k
+      val t = new java.sql.Timestamp(1000000L + sec * 1000L)
+      t.setNanos((e * 250) * 1000) // +0, 250, 500, 750 µs
+      Streaming.SessionEvent(s"k$k", t, (k * 10 + e) / 4.0)
+    }
+    // batch twin: same micros, same gap, via the q61 operator
+    val batchIn = events.toDF()
+      .withColumn("ts_us",
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(ts)"))
+    val batch = graft.ops.Sessions.sessionStats(
+        batchIn, "key", "ts_us", "ts_us", "value", gapSec = 30L)
+      .select("key", "start_us", "end_us", "n_events", "value_sum_e6")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+    val stream = MemoryStream[Streaming.SessionEvent](spark)
+    val q = Streaming.sessionStream(
+        stream.toDS().withWatermark("ts", "0 seconds")
+          .as[Streaming.SessionEvent], gapSec = 30L)
+      .writeStream.format("memory").queryName("sessions_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // replay in event order (watermark 0s → disorder would drop rows)
+      events.sortBy(_.ts.getTime).grouped(7).foreach { chunk =>
+        stream.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      // push the watermark far past every last+gap, then commit the timeouts
+      stream.addData(Streaming.SessionEvent("zz",
+        new java.sql.Timestamp(1000000L + 10000000L), 0.0))
+      q.processAllAvailable()
+      stream.addData(Streaming.SessionEvent("zz",
+        new java.sql.Timestamp(1000000L + 10000001L), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_eq").as[Streaming.ClosedSession]
+        .collect().filter(_.key.startsWith("k"))
+        .map(s => (s.key, s.startUs, s.endUs, s.nEvents, s.valueSumE6)).toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
 }
