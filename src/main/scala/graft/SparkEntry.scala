@@ -721,9 +721,12 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "value", gapSec = 14400L)
         .orderBy("user_id", "session_seq")),
 
-    // End-to-end embedding near-dedup: exact cosine pairs (>0.4) →
-    // connected components → drop non-canonical members. The embedding
-    // twin of q45; the oracle replays the closure with a recursive CTE.
+    // End-to-end embedding near-dedup, EXACT BASELINE: all-pairs cosine
+    // (>0.4) → connected components → drop non-canonical members. The
+    // embedding twin of q45; the oracle replays the closure with a
+    // recursive CTE. The all-pairs stage is the recall baseline ONLY —
+    // the production path is q64 (Dedup.removeNearDupesLsh), whose
+    // shuffles stay linear in the corpus.
     "q62_embed_dedup" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val pairs = Similarity.cosineDupes(emb, "vec_id", "embedding", 0.4)
@@ -732,6 +735,17 @@ object SparkEntry {
         .select("vec_id")
         .orderBy("vec_id")
     }),
+
+    // End-to-end embedding near-dedup, SCALE PATH: LSH sign-hash buckets
+    // prune the pair scan to within-bucket joins before the same closure +
+    // removal — linear shuffles, no all-pairs stage. Deterministic (md5
+    // hyperplanes), so the oracle replays bucketing, pairing, and closure
+    // in SQL; at 4 planes the bucket partition is part of the contract.
+    "q64_embed_dedup_lsh" -> ((s, dir) =>
+      Dedup.removeNearDupesLsh(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, numPlanes = 4, dim = 64)
+        .select("vec_id")
+        .orderBy("vec_id")),
 
     // As-of join: each purchase picks up the latest prior click of the same
     // user (inclusive, latest-id tie-break). Union-tag + one keyed window —
@@ -1359,6 +1373,38 @@ object SparkEntry {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
         |  WHERE list_dot_product(a.e, b.e) /
         |   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.4),
+        |sym AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        |ORDER BY vec_id""".stripMargin,
+    // q64 replays the LSH path faithfully: hyperplane coef (p,i) = first 4
+    // md5 hex digits of "p:i" as an unsigned 16-bit int, mapped to
+    // [-0.5, 0.5) — identical to graft.catalyst.HyperPlanes — then sign-bit
+    // buckets, within-bucket cosine pairs, and the same recursive closure.
+    "q64_embed_dedup_lsh" ->
+      """WITH RECURSIVE
+        |coefs AS (SELECT p, i,
+        |    (('0x' || substr(md5(p || ':' || i), 1, 4))::INT / 65536.0) - 0.5 AS c
+        |  FROM range(4) t1(p), range(64) t2(i)),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |dots AS (SELECT v.vec_id, coefs.p, sum(v.e[coefs.i + 1] * coefs.c) AS d
+        |  FROM v, coefs GROUP BY v.vec_id, coefs.p),
+        |buckets AS (SELECT vec_id,
+        |    sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |p AS (SELECT va.vec_id AS id_a, vb.vec_id AS id_b
+        |  FROM v va JOIN buckets ba ON va.vec_id = ba.vec_id
+        |    JOIN buckets bb ON ba.bucket = bb.bucket
+        |    JOIN v vb ON vb.vec_id = bb.vec_id
+        |  WHERE va.vec_id < vb.vec_id
+        |    AND list_dot_product(va.e, vb.e) /
+        |      (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) > 0.4),
         |sym AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
         |reach(src, dst) AS (
         |  SELECT id_a, id_b FROM sym

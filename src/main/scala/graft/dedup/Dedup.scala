@@ -328,6 +328,26 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** End-to-end embedding near-dedup AT SCALE — the production path: LSH
+    * sign-hash buckets (deterministic md5-derived hyperplanes, native
+    * `vec_lsh_bucket`) prune cosine pair generation to within-bucket joins,
+    * then connected components pick the min-id survivors. Every shuffle is
+    * linear in the corpus; there is no all-pairs stage anywhere (the exact
+    * `Similarity.cosineDupes` composition is the recall baseline this is
+    * judged against — q62 vs q64).
+    *
+    * Output is IDENTICAL to the exact composition whenever every
+    * above-threshold pair lands in one bucket (spec-asserted at a
+    * recall-complete setting); otherwise approximate only in LSH recall —
+    * fewer planes → bigger buckets → higher recall, more compute. */
+  def removeNearDupesLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int, dim: Int): DataFrame = {
+    val pairs = graft.similarity.Similarity
+      .lshCosineDupes(df, idCol, vecCol, threshold, numPlanes, dim)
+      .select("id_a", "id_b")
+    removeNearDupes(df, idCol, dupClusters(pairs))
+  }
+
   /** (id, sig) table of 32-bit simhashes via the native expression. */
   private def simHashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("_th", tokenHashes(col(textCol)))

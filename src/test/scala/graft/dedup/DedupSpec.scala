@@ -190,4 +190,48 @@ class DedupSpec extends SparkSpec {
     val d = java.lang.Long.bitCount(h(1L) ^ h(3L))
     d should be > 4 // unrelated docs differ in many bits
   }
+
+  test("removeNearDupesLsh ≡ exact composition at a recall-complete setting") {
+    // three tight same-direction clusters + singletons: within-cluster
+    // cosine ≈ 1 (every pair above threshold), clusters mutually below it.
+    // Near-identical vectors produce identical hyperplane sign patterns, so
+    // the 4-plane LSH is recall-complete here BY CONSTRUCTION and the scale
+    // path must reproduce the exact composition bit-for-bit.
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + eps * (i + 1) }
+    val a = Array(1f, 0f, 0f, 2f)
+    val b = Array(-1f, 3f, 0.5f, 0f)
+    val vecs = Seq(
+      0L -> a, 1L -> jitter(a, 1e-3f), 2L -> jitter(a, -1e-3f),
+      3L -> b, 4L -> jitter(b, 1e-3f),
+      5L -> Array(0f, 0f, 1f, 0f), 6L -> Array(2f, -1f, 1f, -1f))
+      .toDF("id", "vec")
+
+    val exactPairs = graft.similarity.Similarity
+      .cosineDupes(vecs, "id", "vec", 0.9).select("id_a", "id_b")
+    val exact = Dedup.removeNearDupes(vecs, "id", Dedup.dupClusters(exactPairs))
+      .select("id").collect().map(_.getLong(0)).sorted
+    exact shouldBe Array(0L, 3L, 5L, 6L) // min-id survivor per cluster
+
+    val lsh = Dedup.removeNearDupesLsh(vecs, "id", "vec",
+        threshold = 0.9, numPlanes = 4, dim = 4)
+      .select("id").collect().map(_.getLong(0)).sorted
+    lsh shouldBe exact
+  }
+
+  test("LSH pair stage plans a bucket equi-join — never an all-pairs scan") {
+    val vecs = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f)).toDF("id", "vec")
+    val pairPlan = graft.similarity.Similarity
+      .lshCosineDupes(vecs, "id", "vec", 0.5, numPlanes = 4, dim = 2)
+      .queryExecution.executedPlan.toString
+    pairPlan should not include "BroadcastNestedLoopJoin"
+    pairPlan should not include "CartesianProduct"
+    // the exact baseline DOES plan the quadratic scan — the contrast the
+    // scale path exists to remove
+    val exactPlan = graft.similarity.Similarity
+      .cosineDupes(vecs, "id", "vec", 0.5)
+      .queryExecution.executedPlan.toString
+    (exactPlan.contains("BroadcastNestedLoopJoin") ||
+      exactPlan.contains("CartesianProduct")) shouldBe true
+  }
 }
