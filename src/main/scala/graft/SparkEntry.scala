@@ -769,7 +769,43 @@ object SparkEntry {
           coalesce(col("click_value_e6"), lit(0L)).as("click_value_e6"),
           coalesce(col("ts_us") - col("click_ts_us"), lit(-1L)).as("gap_us"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // As-of join, STRICT mode: each purchase picks up the latest click
+    // strictly BEFORE it (equal-ts clicks hidden) — the point-in-time
+    // semantics that prevent same-instant lookahead. Same union-tag single
+    // shuffle; the oracle is DuckDB's native ASOF JOIN with `>`. No-match
+    // purchases surface through the sentinel projection (the NULL-payload
+    // partition q63 doesn't exercise at equal timestamps).
+    "q65_asof_strict" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("value_e6", expr("CAST(round(value * 1000000.0) AS BIGINT)"))
+        .select("event_id", "user_id", "event_type", "ts_us", "value_e6")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val clicks = ev.filter(col("event_type") === "click")
+        .drop("event_type")
+      AsofJoin.asofJoin(purchases, clicks,
+          "user_id", "ts_us", "ts_us", tieCol = "event_id",
+          rightPrefix = "click_", inclusive = false)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value_e6"),
+          coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(col("click_ts_us"), lit(-1L)).as("click_ts_us"),
+          coalesce(col("click_value_e6"), lit(0L)).as("click_value_e6"),
+          coalesce(col("ts_us") - col("click_ts_us"), lit(-1L)).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // Regex-match expectation (expect_column_values_to_match_regex parity):
+    // per-column count of non-null values failing the pattern, fused into
+    // one aggregate scan. The 5-9-char segment pattern fails for AUTOMOBILE
+    // (10 chars), so the check exercises a nonzero failure count; the name
+    // pattern is the all-pass case.
+    "q66_regex_check" -> ((s, dir) =>
+      Checks.regexMatchCounts(Tables.load(s, dir, "customer"), Seq(
+        graft.config.RegexCheck("c_name", "^Customer#[0-9]+$"),
+        graft.config.RegexCheck("c_mktsegment", "^[A-Z]{5,9}$")))))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1200,6 +1236,67 @@ object SparkEntry {
         |      WHEN dist > 2 THEN 'MEDIUM'
         |      ELSE 'LOW' END AS severity
         |FROM a ORDER BY event_id""".stripMargin,
+    // q38: the 32-bit simhash is fully deterministic (md5 token hashes,
+    // ±1 bit sums), so the whole pipeline — tokenize, hash, signature,
+    // hamming pairs — replays in SQL. The oracle pairs brute-force (tiny at
+    // sf0.01); the Spark side's banded blocking must produce the identical
+    // pair set (pigeonhole exactness).
+    "q38_simhash_pairs" -> {
+      val bitSums = (0 until 32)
+        .map(b => s"sum(2*((th >> $b) & 1) - 1) AS s$b").mkString(", ")
+      val sigBits = (0 until 32)
+        .map(b => s"(CASE WHEN s$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |    unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th FROM t),
+         |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |g AS (SELECT doc_id, $sigBits AS sig FROM s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    // q47: FNV-1a 64 replayed per character with a recursive CTE — HUGEINT
+    // modular arithmetic emulates the 64-bit wraparound multiply; the
+    // unsigned signature folds back to Spark's signed long at the end.
+    // Text is space-tokenized with empties kept (split(trim(text),' ')
+    // semantics); whitespace-only docs yield null sigs on both engines and
+    // are excluded.
+    "q47_simhash64_pairs" -> {
+      val bitSums = (0 until 64)
+        .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(", ")
+      val sigBits = (0 until 64)
+        .map(b => s"(CASE WHEN s$b > 0 THEN (1::HUGEINT << $b) ELSE 0::HUGEINT END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, string_split(trim(text), ' ') AS lst
+         |  FROM documents WHERE trim(text) <> ''),
+         |toks AS (SELECT doc_id, generate_subscripts(lst, 1) AS t_idx,
+         |  unnest(lst) AS tok FROM d),
+         |fnv AS (
+         |  SELECT doc_id, t_idx, tok, 0 AS pos,
+         |    14695981039346656037::HUGEINT AS h FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, t_idx, tok, pos + 1,
+         |    (xor(h, unicode(substr(tok, pos + 1, 1))::HUGEINT)
+         |      * 1099511628211) % 18446744073709551616::HUGEINT
+         |  FROM fnv WHERE pos < length(tok)),
+         |th AS (SELECT doc_id, h FROM fnv WHERE pos = length(tok)),
+         |s AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+         |g AS (SELECT doc_id,
+         |  (CASE WHEN u >= 9223372036854775808::HUGEINT
+         |        THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS sig
+         |  FROM (SELECT doc_id, $sigBits AS u FROM s))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q37_recon_report" ->
       """WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS src_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS src_sum FROM orders),
@@ -1432,5 +1529,30 @@ object SparkEntry {
         | COALESCE(p.ts_us - c.ts_us, -1) AS gap_us
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
-        |ORDER BY p.event_id""".stripMargin)
+        |ORDER BY p.event_id""".stripMargin,
+    "q65_asof_strict" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 1000000.0) AS BIGINT) AS value_e6 FROM events),
+        |p AS (SELECT event_id, user_id, ts_us, value_e6 FROM e
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (SELECT event_id, user_id, ts_us, value_e6 FROM e
+        |  WHERE event_type = 'click'),
+        |c AS (SELECT event_id, user_id, ts_us, value_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+        |    ORDER BY event_id DESC) AS rn FROM c0) WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value_e6,
+        | COALESCE(c.event_id, -1) AS click_event_id,
+        | COALESCE(c.ts_us, -1) AS click_ts_us,
+        | COALESCE(c.value_e6, 0) AS click_value_e6,
+        | COALESCE(p.ts_us - c.ts_us, -1) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us > c.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+    "q66_regex_check" ->
+      """SELECT
+        | count(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name,
+        |   '^Customer#[0-9]+$') THEN 1 END) AS c_name_regex_fail,
+        | count(CASE WHEN c_mktsegment IS NOT NULL AND NOT
+        |   regexp_matches(c_mktsegment, '^[A-Z]{5,9}$') THEN 1 END) AS c_mktsegment_regex_fail
+        |FROM customer""".stripMargin)
 }

@@ -249,6 +249,10 @@ object ConfigLoader {
           val rm = asMap(r, "quality.in_set_checks[]")
           InSetCheck(str(rm, "column", "in_set"), strList(rm, "allowed"))
         },
+        regexChecks = asList(qm.getOrElse("regex_checks", null)).map { r =>
+          val rm = asMap(r, "quality.regex_checks[]")
+          RegexCheck(str(rm, "column", "regex"), str(rm, "pattern", "regex"))
+        },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

@@ -44,6 +44,11 @@ final case class GoldModel(
 final case class RangeCheck(column: String, min: Option[Double], max: Option[Double])
 final case class InSetCheck(column: String, allowed: Seq[String])
 
+/** Value-level regex expectation (expect_column_values_to_match_regex,
+  * great_expectations.py:95-98): non-null values must match `pattern`
+  * (unanchored search — anchor explicitly for full-match). */
+final case class RegexCheck(column: String, pattern: String)
+
 /** Q5-Q7 — a great-expectations-style aggregate expectation: the observed
   * scalar of `kind` ("mean_between" | "row_count_between" |
   * "unique_count_between") over `column` must land in [lo, hi]
@@ -66,5 +71,6 @@ final case class QualitySpec(
     positiveColumns: Seq[String] = Nil,
     rangeChecks: Seq[RangeCheck] = Nil,
     inSetChecks: Seq[InSetCheck] = Nil,
+    regexChecks: Seq[RegexCheck] = Nil,
     expectations: Seq[ExpectationSpec] = Nil,
     failOnError: Boolean = false)

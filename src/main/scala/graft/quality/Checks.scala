@@ -1,6 +1,6 @@
 package graft.quality
 
-import graft.config.{ExpectationSpec, InSetCheck, QualitySpec, RangeCheck}
+import graft.config.{ExpectationSpec, InSetCheck, QualitySpec, RangeCheck, RegexCheck}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,19 @@ object Checks {
     aggRow(df, aggs, "notInSetCounts")
   }
 
+  /** Q-regex — count of NON-NULL values per column that do NOT match the
+    * check's pattern (expect_column_values_to_match_regex,
+    * great_expectations.py:95-98), one pass. `rlike` is an unanchored
+    * search like the reference's pandas `str.match`-free regex semantics —
+    * anchor the pattern explicitly for a full match. Nulls are not regex
+    * failures (null_check owns those). */
+  def regexMatchCounts(df: DataFrame, checks: Seq[RegexCheck]): DataFrame = {
+    val aggs = checks.filter(c => df.columns.contains(c.column)).map(c =>
+      count(when(col(c.column).isNotNull && !col(c.column).rlike(c.pattern), 1))
+        .as(s"${c.column}_regex_fail"))
+    aggRow(df, aggs, "regexMatchCounts")
+  }
+
   /** Driver-side check result, for the orchestrator / fail_on_error gate. */
   final case class CheckResult(check: String, column: String, failedCount: Long) {
     def passed: Boolean = failedCount == 0L
@@ -116,7 +129,10 @@ object Checks {
       ("range_check", c.column, count(when(bad, 1)))
     } ++
     spec.inSetChecks.filter(c => df.columns.contains(c.column)).map(c =>
-      ("in_set", c.column, count(when(!col(c.column).isin(c.allowed: _*), 1))))
+      ("in_set", c.column, count(when(!col(c.column).isin(c.allowed: _*), 1)))) ++
+    spec.regexChecks.filter(c => df.columns.contains(c.column)).map(c =>
+      ("regex_match", c.column,
+        count(when(col(c.column).isNotNull && !col(c.column).rlike(c.pattern), 1))))
 
   /** Run a spec's count-style checks (Q1-Q4) in ONE job: all checks become
     * columns of a single aggregate row, then split driver-side. Specs with

@@ -96,4 +96,19 @@ class ChecksSpec extends SparkSpec {
     exps(1).observed shouldBe 0.0
     exps(1).passed shouldBe true
   }
+
+  test("regex check counts non-matching non-null values; nulls are not failures") {
+    val df = Seq(Some("ab-1"), Some("zz-9"), None).toDF("code")
+    Checks.regexMatchCounts(df, Seq(RegexCheck("code", "^[a-y]{2}-[0-9]$")))
+      .head().getLong(0) shouldBe 1L // zz-9 fails; the null is not counted
+    // the spec path fuses regex checks into the same single-pass aggregate
+    val res = Checks.run(df, QualitySpec(
+      regexChecks = Seq(RegexCheck("code", "^[a-y]{2}-[0-9]$"),
+        RegexCheck("missing_col", ".*"))))
+    res.map(c => (c.check, c.column, c.failedCount)) shouldBe
+      Seq(("regex_match", "code", 1L)) // missing column skipped gracefully
+    // unanchored search semantics: substring match passes
+    Checks.regexMatchCounts(df, Seq(RegexCheck("code", "-")))
+      .head().getLong(0) shouldBe 0L
+  }
 }
