@@ -53,14 +53,36 @@ object Pipeline {
       "bronze." + config.name, "silver." + config.name,
       bronzeRows, silverRows, Lineage.columnLineage(config.silver))
 
+    // curation: gate → dedupe → mix between silver and gold (absent block =
+    // pass-through, zero extra jobs)
+    val (curatedDf, curatedRows, curationStages) = config.curation match {
+      case None => (silverDf, silverRows, Nil)
+      case Some(spec) =>
+        val curated = graft.text.Curation.curate(silverDf, spec)
+        val rows = curated.count()
+        tracker.record(Lineage.EventType.Filter,
+          "silver." + config.name, "curated." + config.name, silverRows, rows)
+        (curated, rows, Seq(StageResult("curated", rows)))
+    }
+
     val goldStages = config.gold.map { model =>
-      val mart = AggregationEngine.build(silverDf, model)
+      val mart = AggregationEngine.build(curatedDf, model)
       goldSink.foreach(sink => sink(model.name, mart))
       val martRows = mart.count()
       tracker.record(Lineage.EventType.Aggregation,
-        "silver." + config.name, "gold." + model.name, silverRows, martRows)
+        "silver." + config.name, "gold." + model.name, curatedRows, martRows)
       StageResult("gold." + model.name, martRows)
     }
+
+    val sessionStages = config.sessions.map { ss =>
+      val sess = graft.ops.Sessions.sessionStats(curatedDf, ss.keyColumn,
+        ss.tsUsColumn, ss.tieColumn, ss.valueColumn, ss.gapSec)
+      goldSink.foreach(sink => sink("sessions", sess))
+      val n = sess.count()
+      tracker.record(Lineage.EventType.Aggregation,
+        "silver." + config.name, "gold.sessions", curatedRows, n)
+      StageResult("gold.sessions", n)
+    }.toSeq
 
     val report = Orchestrator.run(silverDf, config.quality)
     tracker.record(Lineage.EventType.Validation,
@@ -76,7 +98,7 @@ object Pipeline {
 
     RunResult(
       StageResult("bronze", bronzeRows) +: StageResult("silver", silverRows) +:
-        goldStages,
+        (curationStages ++ goldStages ++ sessionStages),
       report,
       tracker)
   }

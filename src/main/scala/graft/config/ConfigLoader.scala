@@ -37,7 +37,9 @@ object ConfigLoader {
       gold: Seq[GoldModel],
       quality: QualitySpec,
       performance: PerformanceSpec = PerformanceSpec(),
-      cacheSilver: Boolean = false)
+      cacheSilver: Boolean = false,
+      curation: Option[CurationSpec] = None,
+      sessions: Option[SessionSpec] = None)
 
   /** §1.5 — one entry of the multi-dataset registry
     * (config/datasets/datasets.yaml:6-76: per-dataset source, target,
@@ -270,6 +272,68 @@ object ConfigLoader {
         failOnError = qm.get("fail_on_error").exists(_.asInstanceOf[Boolean]))
     }.getOrElse(QualitySpec())
 
+    val curation = root.get("curation").map { c =>
+      val cm = asMap(c, "curation")
+      CurationSpec(
+        gate = cm.get("quality_gate").map { g =>
+          val gm = asMap(g, "curation.quality_gate")
+          def long(key: String, dflt: Long): Long =
+            gm.get(key).map(_.toString.toLong).getOrElse(dflt)
+          QualityGateSpec(
+            idColumn = str(gm, "id_column", "curation.quality_gate"),
+            textColumn = str(gm, "text_column", "curation.quality_gate"),
+            minTokens = long("min_tokens", 20L),
+            maxTokens = long("max_tokens", 90L),
+            minAvgTokenLenE6 = long("min_avg_token_len_e6", 3000000L),
+            maxAvgTokenLenE6 = long("max_avg_token_len_e6", 8000000L),
+            minTtrE6 = long("min_ttr_e6", 300000L),
+            maxDup2E6 = long("max_dup_2gram_e6", 200000L))
+        },
+        dedup = cm.get("dedup").map { d =>
+          val dm = asMap(d, "curation.dedup")
+          val strategy = str(dm, "strategy", "curation.dedup")
+          if (!NearDedupSpec.Strategies(strategy))
+            throw new ConfigError(s"curation.dedup.strategy '$strategy' not in " +
+              NearDedupSpec.Strategies.toSeq.sorted.mkString("|"))
+          val spec = NearDedupSpec(
+            strategy = strategy,
+            idColumn = str(dm, "id_column", "curation.dedup"),
+            contentColumn = str(dm, "content_column", "curation.dedup"),
+            threshold = dm.get("threshold").map(_.toString.toDouble).getOrElse(0.8),
+            ngram = dm.get("ngram").map(_.toString.toInt).getOrElse(3),
+            maxHamming = dm.get("max_hamming").map(_.toString.toInt).getOrElse(6),
+            numPlanes = dm.get("num_planes").map(_.toString.toInt).getOrElse(4),
+            dim = dm.get("dim").map(_.toString.toInt).getOrElse(0),
+            maxShingleFreq = dm.get("max_shingle_freq").map(_.toString.toInt)
+              .getOrElse(Int.MaxValue))
+          if (spec.strategy == "embedding_lsh" && spec.dim < 1)
+            throw new ConfigError(
+              "curation.dedup.dim must be >= 1 for strategy embedding_lsh")
+          spec
+        },
+        mixing = cm.get("mixing").map { m =>
+          val mm = asMap(m, "curation.mixing")
+          MixingSpec(
+            keyColumn = str(mm, "key_column", "curation.mixing"),
+            domainColumn = str(mm, "domain_column", "curation.mixing"),
+            rates = asMap(mm.getOrElse("rates",
+                new java.util.LinkedHashMap[String, Any]()), "curation.mixing.rates")
+              .map { case (k, v) => k -> v.toString.toInt }.toMap,
+            defaultPct = mm.get("default_pct").map(_.toString.toInt).getOrElse(100))
+        })
+    }
+
+    val sessions = root.get("sessions").map { s =>
+      val sm = asMap(s, "sessions")
+      SessionSpec(
+        keyColumn = str(sm, "key_column", "sessions"),
+        tsUsColumn = str(sm, "ts_us_column", "sessions"),
+        tieColumn = str(sm, "tie_column", "sessions"),
+        valueColumn = str(sm, "value_column", "sessions"),
+        gapSec = sm.get("gap_sec").map(_.toString.toLong).getOrElse(
+          throw new ConfigError("sessions.gap_sec is required")))
+    }
+
     // the reference performance: block (lakehouse_config.yaml:163-173)
     val (perf, cacheSilver) = root.get("performance").map { p =>
       val pm = asMap(p, "performance")
@@ -283,6 +347,7 @@ object ConfigLoader {
         pm.get("cache_after_transform").exists(_.asInstanceOf[Boolean]))
     }.getOrElse((PerformanceSpec(), false))
 
-    PipelineConfig(version, name, bronze, silver, gold, quality, perf, cacheSilver)
+    PipelineConfig(version, name, bronze, silver, gold, quality, perf,
+      cacheSilver, curation, sessions)
   }
 }

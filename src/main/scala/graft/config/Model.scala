@@ -74,3 +74,66 @@ final case class QualitySpec(
     regexChecks: Seq[RegexCheck] = Nil,
     expectations: Seq[ExpectationSpec] = Nil,
     failOnError: Boolean = false)
+
+// ---- curation: block ------------------------------------------------------
+// The corpus-curation stage between silver and gold, config-driven the same
+// way silver:/gold: drive Transform/AggregationEngine: a declarative YAML
+// block reaches the quality gate, near-dup removal, and domain-mixing
+// operators that were previously Scala-API-only.
+
+/** Gopher-style hard quality gate thresholds (text.Curation.qualityFilter's
+  * parameters, micro-unit integers for cross-engine determinism). */
+final case class QualityGateSpec(
+    idColumn: String,
+    textColumn: String,
+    minTokens: Long = 20L,
+    maxTokens: Long = 90L,
+    minAvgTokenLenE6: Long = 3000000L,
+    maxAvgTokenLenE6: Long = 8000000L,
+    minTtrE6: Long = 300000L,
+    maxDup2E6: Long = 200000L)
+
+/** Near-duplicate removal strategy + parameters. `contentColumn` is text for
+  * the text strategies, the embedding array for `embedding_lsh`. Every
+  * strategy resolves to candidate pairs → connected components → min-id
+  * survivor (exact dedup short-circuits to the fingerprint window). */
+final case class NearDedupSpec(
+    strategy: String,
+    idColumn: String,
+    contentColumn: String,
+    threshold: Double = 0.8,
+    ngram: Int = 3,
+    maxHamming: Int = 6,
+    numPlanes: Int = 4,
+    dim: Int = 0,
+    maxShingleFreq: Int = Int.MaxValue)
+
+object NearDedupSpec {
+  /** Validated at config load AND at dispatch — a typo'd strategy fails
+    * loudly instead of silently skipping the dedup stage. */
+  val Strategies: Set[String] =
+    Set("exact", "ngram_jaccard", "minhash_lsh", "simhash", "embedding_lsh")
+}
+
+/** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;
+  * strata absent from `rates` keep `defaultPct`. */
+final case class MixingSpec(
+    keyColumn: String,
+    domainColumn: String,
+    rates: Map[String, Int] = Map.empty,
+    defaultPct: Int = 100)
+
+final case class CurationSpec(
+    gate: Option[QualityGateSpec] = None,
+    dedup: Option[NearDedupSpec] = None,
+    mixing: Option[MixingSpec] = None)
+
+/** sessions: block — gap-based sessionization over the silver output
+  * (ops.Sessions.sessionStats's parameters); `tsUsColumn` must be exact
+  * integer microseconds (derive it in silver.derived_columns). */
+final case class SessionSpec(
+    keyColumn: String,
+    tsUsColumn: String,
+    tieColumn: String,
+    valueColumn: String,
+    gapSec: Long)

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.config.{CurationSpec, MixingSpec, NearDedupSpec, QualityGateSpec}
+import graft.dedup.Dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,27 +46,93 @@ object Curation {
     * signal columns, the verdict, and the FIRST failing rule's name (fixed
     * evaluation order, '' when passed) — the form a curation pipeline logs
     * for filter-rate audits. Row-local, zero shuffle. */
+  /** The four Gopher rules over (already-computed) signal columns — the ONE
+    * place the rule expressions and their audit order live, shared by the
+    * auditing `qualityFilter` and the filtering `applyGate`. */
+  private def gateRules(nTokens: Column, avgLenE6: Column, ttrE6: Column,
+      dup2E6: Column, minTokens: Long, maxTokens: Long,
+      minAvgTokenLenE6: Long, maxAvgTokenLenE6: Long,
+      minTtrE6: Long, maxDup2E6: Long): Seq[(String, Column)] = Seq(
+    "token_count" -> nTokens.between(minTokens, maxTokens),
+    "avg_token_len" -> avgLenE6.between(minAvgTokenLenE6, maxAvgTokenLenE6),
+    "ttr" -> (ttrE6 >= minTtrE6),
+    "dup_2gram" -> (dup2E6 <= maxDup2E6))
+
+  private def signalCols(c: Column): Seq[Column] = {
+    def e6(x: Column): Column = round(x * lit(1e6)).cast("long")
+    Seq(TextAnalysis.tokenCount(c).cast("long").as("n_tokens"),
+      e6(TextAnalysis.typeTokenRatio(c)).as("ttr_e6"),
+      e6(TextAnalysis.avgTokenLength(c)).as("avg_token_len_e6"),
+      call_function("dup_gram_frac_e6", c, lit(2)).as("dup_2gram_frac_e6"))
+  }
+
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
       minTokens: Long = 20L, maxTokens: Long = 90L,
       minAvgTokenLenE6: Long = 3000000L, maxAvgTokenLenE6: Long = 8000000L,
       minTtrE6: Long = 300000L, maxDup2E6: Long = 200000L): DataFrame = {
-    val c = col(textCol)
-    def e6(x: Column): Column = round(x * lit(1e6)).cast("long")
-    val rules: Seq[(String, Column)] = Seq(
-      "token_count" -> col("n_tokens").between(minTokens, maxTokens),
-      "avg_token_len" -> col("avg_token_len_e6")
-        .between(minAvgTokenLenE6, maxAvgTokenLenE6),
-      "ttr" -> (col("ttr_e6") >= minTtrE6),
-      "dup_2gram" -> (col("dup_2gram_frac_e6") <= maxDup2E6))
-    df.select(col(idCol),
-        TextAnalysis.tokenCount(c).cast("long").as("n_tokens"),
-        e6(TextAnalysis.typeTokenRatio(c)).as("ttr_e6"),
-        e6(TextAnalysis.avgTokenLength(c)).as("avg_token_len_e6"),
-        call_function("dup_gram_frac_e6", c, lit(2)).as("dup_2gram_frac_e6"))
+    val rules = gateRules(col("n_tokens"), col("avg_token_len_e6"),
+      col("ttr_e6"), col("dup_2gram_frac_e6"), minTokens, maxTokens,
+      minAvgTokenLenE6, maxAvgTokenLenE6, minTtrE6, maxDup2E6)
+    df.select(col(idCol) +: signalCols(col(textCol)): _*)
       .withColumn("passed", rules.map(_._2).reduce(_ && _))
       .withColumn("fail_reason",
         rules.foldRight(lit(""): Column) { case ((name, ok), acc) =>
           when(!ok, lit(name)).otherwise(acc)
         })
+  }
+
+  // ---- config-driven curation stage (curation: block) ---------------------
+
+  /** The gate as a corpus FILTER: keeps rows passing the same rules
+    * `qualityFilter` audits, with every original column intact. Signals are
+    * recomputed inline on the row — zero shuffle, no join-back against the
+    * audit frame. */
+  def applyGate(df: DataFrame, g: QualityGateSpec): DataFrame = {
+    val Seq(n, ttr, avgLen, dup2) = signalCols(col(g.textColumn))
+    val passed = gateRules(n, avgLen, ttr, dup2, g.minTokens, g.maxTokens,
+      g.minAvgTokenLenE6, g.maxAvgTokenLenE6, g.minTtrE6, g.maxDup2E6)
+      .map(_._2).reduce(_ && _)
+    df.filter(passed)
+  }
+
+  /** Near-dup removal dispatch: every strategy resolves to candidate pairs →
+    * connected components → min-id survivor, using the scale-shaped pair
+    * generators (inverted index / banded / LSH-bucketed — never all-pairs). */
+  def applyDedup(df: DataFrame, d: NearDedupSpec): DataFrame = d.strategy match {
+    case "exact" =>
+      Dedup.dedupeExact(df, d.idColumn, d.contentColumn)
+    case "ngram_jaccard" =>
+      val pairs = Dedup.jaccardPairs(df, d.idColumn, d.contentColumn,
+          d.ngram, d.maxShingleFreq)
+        .filter(col("jaccard") > d.threshold).select("id_a", "id_b")
+      Dedup.removeNearDupes(df, d.idColumn, Dedup.dupClusters(pairs))
+    case "minhash_lsh" =>
+      val pairs = Dedup.lshJaccardPairs(df, d.idColumn, d.contentColumn,
+          d.ngram, d.threshold).select("id_a", "id_b")
+      Dedup.removeNearDupes(df, d.idColumn, Dedup.dupClusters(pairs))
+    case "simhash" =>
+      val pairs = Dedup.simHashPairs64(df, d.idColumn, d.contentColumn,
+          d.maxHamming).select("id_a", "id_b")
+      Dedup.removeNearDupes(df, d.idColumn, Dedup.dupClusters(pairs))
+    case "embedding_lsh" =>
+      Dedup.removeNearDupesLsh(df, d.idColumn, d.contentColumn,
+        d.threshold, d.numPlanes, d.dim)
+    case other => throw new IllegalArgumentException(
+      s"unknown dedup strategy '$other' (supported: " +
+        s"${NearDedupSpec.Strategies.toSeq.sorted.mkString(", ")})")
+  }
+
+  /** Domain mixing as a deterministic per-stratum hash sample — the
+    * up/down-sampling decision `domainMixingReport` informs, applied. */
+  def applyMixing(df: DataFrame, m: MixingSpec): DataFrame =
+    df.filter(Chunking.stratifiedHashSample(col(m.keyColumn),
+      col(m.domainColumn), m.rates, m.defaultPct))
+
+  /** The full config-driven stage in reference order: gate → dedup → mix.
+    * Each sub-stage is optional; absent blocks pass the frame through. */
+  def curate(df: DataFrame, spec: CurationSpec): DataFrame = {
+    val gated = spec.gate.fold(df)(applyGate(df, _))
+    val deduped = spec.dedup.fold(gated)(applyDedup(gated, _))
+    spec.mixing.fold(deduped)(applyMixing(deduped, _))
   }
 }

@@ -47,4 +47,101 @@ class PipelineSpec extends SparkSpec {
       goldSink = Some((name, df) => sunk += name -> df.count()))
     sunk shouldBe Map("by_vendor" -> 1L)
   }
+
+  test("curation from YAML alone: ingest → gate → dedupe → mix → gold") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |silver:
+        |  filters:
+        |    - "doc_id IS NOT NULL"
+        |curation:
+        |  quality_gate:
+        |    id_column: doc_id
+        |    text_column: text
+        |    min_tokens: 3
+        |    max_tokens: 100
+        |    min_avg_token_len_e6: 1000000
+        |    max_avg_token_len_e6: 20000000
+        |    min_ttr_e6: 0
+        |    max_dup_2gram_e6: 1000000
+        |  dedup:
+        |    strategy: exact
+        |    id_column: doc_id
+        |    content_column: text
+        |  mixing:
+        |    key_column: doc_id
+        |    domain_column: source
+        |    default_pct: 100
+        |    rates:
+        |      banned: 0
+        |gold:
+        |  - name: by_source
+        |    group_by:
+        |      - source
+        |    measures:
+        |      - name: docs
+        |        expression: count(1)
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.curation.flatMap(_.dedup).map(_.strategy) shouldBe Some("exact")
+
+    val docs = Seq(
+      (1L, "the quick brown fox jumps", "web"),
+      (2L, "the quick brown fox jumps", "web"),   // exact dup of 1 → dropped
+      (3L, "tiny", "web"),                         // < 3 tokens → gated out
+      (4L, "a completely different sentence here", "banned"), // mixed out (0%)
+      (5L, "another unique document with words", "books"))
+      .toDF("doc_id", "text", "source")
+
+    var sunk = Map.empty[String, Long]
+    val r = Pipeline.run(spark, cfg, docs,
+      goldSink = Some((name, df) => sunk += name -> df.count()))
+    val rows = r.stages.map(s => s.name -> s.rows).toMap
+    rows("silver") shouldBe 5L
+    rows("curated") shouldBe 2L // ids 1 and 5 survive
+    sunk shouldBe Map("by_source" -> 2L) // web + books
+    r.lineage.upstream("curated.docs") should contain("silver.docs")
+  }
+
+  test("curation config validation: bad dedup strategy fails at load") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |curation:
+        |  dedup:
+        |    strategy: fuzzy_wuzzy
+        |    id_column: doc_id
+        |    content_column: text
+        |""".stripMargin
+    val e = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yaml)
+    e.getMessage should include("fuzzy_wuzzy")
+  }
+
+  test("sessions block rolls up gap sessions from config") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: ev
+        |sessions:
+        |  key_column: user_id
+        |  ts_us_column: ts_us
+        |  tie_column: event_id
+        |  value_column: value
+        |  gap_sec: 30
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    val events = Seq(
+      (1L, "u1", 0L, 1.0), (2L, "u1", 10000000L, 2.0),   // session 1
+      (3L, "u1", 100000000L, 3.0),                        // gap > 30s → session 2
+      (4L, "u2", 0L, 4.0))
+      .toDF("event_id", "user_id", "ts_us", "value")
+    var sunk = Map.empty[String, Long]
+    val r = Pipeline.run(spark, cfg, events,
+      goldSink = Some((name, df) => sunk += name -> df.count()))
+    r.stages.map(s => s.name -> s.rows).toMap.apply("gold.sessions") shouldBe 3L
+    sunk shouldBe Map("sessions" -> 3L)
+  }
 }
