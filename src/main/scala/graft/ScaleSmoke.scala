@@ -1,0 +1,121 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.tables.Tables
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main behind SCALE.md: times the heavy curation queries at
+  * sf0.01 / sf0.1 / a synthetic ~sf1 and reports wall-times plus total
+  * shuffle-write bytes, turning the "linear shuffles" plan-reading claims
+  * into measured scaling ratios one order of magnitude above bench scale.
+  *
+  * The driver testdata tops out at sf0.1, so ~sf1 is a DETERMINISTIC 10×
+  * replication of sf0.1 documents/embeddings written under /tmp — perf
+  * smoke only, never a correctness input. Replication preserves the
+  * original's near-dup shape (cluster COUNT grows 10×, cluster SIZE stays
+  * flat) instead of manufacturing 10-cliques:
+  *  - replica K suffixes every 5th token with "xK": within-replica shingle
+  *    sets keep their similarity structure, while cross-replica 3-gram
+  *    jaccard drops to ~0.25 — below the 0.5 dedup threshold;
+  *  - replica K rotates each embedding left by K dims: norms and
+  *    within-replica cosines are exactly preserved, cross-replica cosines
+  *    are uncorrelated.
+  *
+  * Usage: sbt "runMain graft.ScaleSmoke" (env: SPARK_GRAFT_CPUS). */
+object ScaleSmoke {
+
+  private val HeavyQueries = Seq(
+    "q26_ngram_jaccard", "q45_near_dedup", "q47_simhash64_pairs",
+    "q51_tfidf_terms", "q64_embed_dedup_lsh")
+
+  private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(fs.resolve("documents.parquet"))) return
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val docBase = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val docReps = (0 until 10).map { k =>
+      val salted =
+        if (k == 0) col("text")
+        else concat_ws(" ", transform(split(trim(col("text")), " "),
+          (t, i) => when(i % 5 === 0, concat(t, lit(s"x$k"))).otherwise(t)))
+      docs.withColumn("doc_id", col("doc_id") + lit(k * docBase))
+        .withColumn("text", salted)
+    }
+    docReps.reduce(_.unionByName(_)).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val vecBase = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val embReps = (0 until 10).map { k =>
+      val rotated =
+        if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), 1, k))
+      emb.withColumn("vec_id", col("vec_id") + lit(k * vecBase))
+        .withColumn("embedding", rotated)
+    }
+    embReps.reduce(_.unionByName(_)).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.catalyst.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1Dir = "/tmp/graft_scale_sf1"
+    synthSf1(spark, "/root/testdata/sf0.1", sf1Dir)
+
+    // total shuffle-write bytes per measured run, via stage metrics
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+
+    // the numPlanes scale knob: at 10× the corpus, doubling the planes
+    // (16 → 256 buckets) keeps per-bucket pair counts flat — measured as
+    // its own row
+    val lshScaled: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => Dedup.removeNearDupesLsh(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, numPlanes = 8, dim = 64)
+
+    val dirs = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf1~" -> sf1Dir)
+    println("| query | sf | sec | shuffle_mb |")
+    println("|---|---|---|---|")
+    dirs.foreach { case (label, dir) =>
+      val qs = HeavyQueries.map(n => n -> SparkEntry.queries(n)) ++
+        (if (label == "sf1~") Seq("q64_lsh_numPlanes8" -> lshScaled) else Nil)
+      qs.foreach { case (name, fn) =>
+        // two runs, min: run 1 doubles as JIT/codegen warm-up at this scale
+        val (sec, mb) = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          Thread.sleep(500) // let the listener drain the previous run
+          shuffleBytes.set(0L)
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500)
+          (sec, shuffleBytes.get() / 1e6)
+        }.minBy(_._1)
+        println(f"| $name | $label | $sec%.2f | $mb%.1f |")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -76,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64Text(children.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "bpe_token_count takes 1 argument")
+        BpeTokenCount(children.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("vec_lsh_bucket"),
       new ExpressionInfo(classOf[VecLshBucket].getName, "vec_lsh_bucket"),
       (children: Seq[Expression]) => {

@@ -84,10 +84,17 @@ object TextAnalysis {
   def bpeTokens(c: Column): Column =
     regexp_extract_all(c, lit(bpePattern), lit(0))
 
-  /** `regexp_count`, not `size(regexp_extract_all(...))`: same Java-regex
-    * match count, but the counting form never materializes the token array
-    * (a document's worth of short strings per row, pure GC pressure). */
-  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(bpePattern))
+  /** Native `bpe_token_count` (graft.catalyst.BpeTokenCount): the pattern's
+    * match count as one compiled character scan — no regex engine on the
+    * hot path, no token array materialized. Spec-asserted equal to the
+    * builtin regex forms. */
+  def bpeTokenCount(c: Column): Column = call_function("bpe_token_count", c)
+
+  /** `regexp_count` form — same Java-regex match count, usable without
+    * GraftExtensions; still avoids materializing the token array that
+    * `size(regexp_extract_all(...))` would (a document's worth of short
+    * strings per row, pure GC pressure). */
+  def bpeTokenCountBuiltin(c: Column): Column = regexp_count(c, lit(bpePattern))
 
   /** Content fingerprint: md5 of the normalized text — identical hex in every
     * engine; the exact-dedup key. */

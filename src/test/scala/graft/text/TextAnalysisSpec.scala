@@ -129,14 +129,35 @@ class TextAnalysisSpec extends SparkSpec {
     native.map(_.toSeq) shouldBe builtin.map(_.toSeq)
   }
 
-  test("bpeTokenCount (regexp_count) matches size(regexp_extract_all)") {
-    val corpus = Seq((1L, "I can't stop, it's 42 miles!"), (2L, ""),
-      (3L, "  spaced   out  "), (4L, "digits123mixed456end."))
+  test("native bpeTokenCount ≡ the regex forms on edge inputs and the corpus") {
+    // adversarial inputs for the hand scan: every contraction suffix, an
+    // apostrophe that starts NO contraction (absorbed by the punct run),
+    // uppercase pseudo-contractions, multi-space gaps, trailing/leading
+    // spaces, punct runs with and without a space prefix, digit/letter
+    // boundaries, and empty text
+    val corpus = Seq(
+      (1L, "I can't stop, it's 42 miles!"), (2L, ""),
+      (3L, "  spaced   out  "), (4L, "digits123mixed456end."),
+      (5L, "we're you've I'm they'll he'd 'x ''s y'S"),
+      (6L, "'re alone 'l half ' lone-quote"),
+      (7L, "a b' c'' d''' ,.;: ,.;:x"),
+      (8L, "tab\tand\nnewline chars"))
       .toDF("doc_id", "text")
     val both = corpus.select(
       TextAnalysis.bpeTokenCount(col("text")).as("fast"),
+      TextAnalysis.bpeTokenCountBuiltin(col("text")).as("regex"),
       org.apache.spark.sql.functions.size(
         TextAnalysis.bpeTokens(col("text"))).as("ref")).collect()
-    both.foreach(r => r.getAs[Int]("fast") shouldBe r.getAs[Int]("ref"))
+    both.foreach { r =>
+      r.getAs[Int]("fast") shouldBe r.getAs[Int]("regex")
+      r.getAs[Int]("fast") shouldBe r.getAs[Int]("ref")
+    }
+    // and over the real documents table — the corpus the operator budgets
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        TextAnalysis.bpeTokenCount(col("text")).as("fast"),
+        TextAnalysis.bpeTokenCountBuiltin(col("text")).as("regex"))
+      .filter(col("fast") =!= col("regex")).count()
+    diff shouldBe 0L
   }
 }
