@@ -59,7 +59,13 @@ object Pipeline {
       case None => (silverDf, silverRows, Nil)
       case Some(spec) =>
         val curated = graft.text.Curation.curate(silverDf, spec)
-        val rows = curated.count()
+        // the curated frame feeds N gold marts (+ sessions); under
+        // cache_after_transform the post-dedup survivors are cached like
+        // silver, so the gate scan and the losers join run once, not per mart
+        val rows =
+          if (config.cacheSilver)
+            graft.config.PerfConf.cacheEager(curated, config.performance)
+          else curated.count()
         tracker.record(Lineage.EventType.Filter,
           "silver." + config.name, "curated." + config.name, silverRows, rows)
         (curated, rows, Seq(StageResult("curated", rows)))

@@ -805,7 +805,20 @@ object SparkEntry {
     "q66_regex_check" -> ((s, dir) =>
       Checks.regexMatchCounts(Tables.load(s, dir, "customer"), Seq(
         graft.config.RegexCheck("c_name", "^Customer#[0-9]+$"),
-        graft.config.RegexCheck("c_mktsegment", "^[A-Z]{5,9}$")))))
+        graft.config.RegexCheck("c_mktsegment", "^[A-Z]{5,9}$")))),
+
+    // LSH recall evaluation: the number a curation pipeline reads to size
+    // num_planes before a full-corpus dedup — exact cosine pairs vs the
+    // 4-plane LSH pair set, (n_exact, n_found, recall_e6). The exact side
+    // is the evaluation cost by definition; at scale this runs on a
+    // hash-sampled slice. Oracle replays both pair sets in SQL.
+    "q67_lsh_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.pairRecall(
+        Similarity.cosineDupes(emb, "vec_id", "embedding", 0.4),
+        Similarity.lshCosineDupes(emb, "vec_id", "embedding",
+          threshold = 0.4, numPlanes = 4, dim = 64))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1554,5 +1567,29 @@ object SparkEntry {
         |   '^Customer#[0-9]+$') THEN 1 END) AS c_name_regex_fail,
         | count(CASE WHEN c_mktsegment IS NOT NULL AND NOT
         |   regexp_matches(c_mktsegment, '^[A-Z]{5,9}$') THEN 1 END) AS c_mktsegment_regex_fail
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+    "q67_lsh_recall" ->
+      """WITH
+        |coefs AS (SELECT p, i,
+        |    (('0x' || substr(md5(p || ':' || i), 1, 4))::INT / 65536.0) - 0.5 AS c
+        |  FROM range(4) t1(p), range(64) t2(i)),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |dots AS (SELECT v.vec_id, coefs.p, sum(v.e[coefs.i + 1] * coefs.c) AS d
+        |  FROM v, coefs GROUP BY v.vec_id, coefs.p),
+        |buckets AS (SELECT vec_id,
+        |    sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.e, b.e) /
+        |   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) > 0.4),
+        |approx AS (SELECT e.id_a, e.id_b FROM exact e
+        |  JOIN buckets ba ON e.id_a = ba.vec_id
+        |  JOIN buckets bb ON e.id_b = bb.vec_id AND ba.bucket = bb.bucket)
+        |SELECT count(*) AS n_exact,
+        | (SELECT count(*) FROM approx) AS n_found,
+        | CASE WHEN count(*) = 0 THEN -1
+        |      ELSE CAST(round((SELECT count(*) FROM approx)::DOUBLE
+        |        / count(*)::DOUBLE * 1000000.0) AS BIGINT) END AS recall_e6
+        |FROM exact""".stripMargin)
 }

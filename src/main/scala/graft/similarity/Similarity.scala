@@ -271,6 +271,27 @@ object Similarity {
         round(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
+  /** Pair-recall report of an approximate near-dup pair set against the
+    * exact baseline: (n_exact, n_found, recall_e6) as one row. For
+    * verified-candidate generators (every emitted pair carries its exact
+    * similarity — lshCosineDupes, lshJaccardPairs) precision is 1 by
+    * construction, so recall is THE quality knob — the number a curation
+    * pipeline reads to size numPlanes/bands before a full-corpus run.
+    * Evaluation-time operator: the exact side is inherently quadratic, so
+    * at scale run it on a hash-sampled slice (recall estimation does not
+    * need the full corpus). recall_e6 is -1 when there are no exact pairs
+    * to recall (0/0 — distinguishable from genuine 0 recall). */
+  def pairRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select("id_a", "id_b")
+    val a = approx.select("id_a", "id_b").withColumn("_found", lit(1))
+    e.join(a, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("_found")).as("n_found"))
+      .withColumn("recall_e6",
+        when(col("n_exact") === 0, lit(-1L))
+          .otherwise(round(col("n_found").cast("double") /
+            col("n_exact").cast("double") * 1e6).cast("long")))
+  }
+
   /** LSH-bucketed approximate near-dup pairs: sign-hash each vector into a
     * bucket, then run the exact pair scan only within buckets. Recall is
     * tunable via numPlanes (fewer planes → bigger buckets → higher recall,

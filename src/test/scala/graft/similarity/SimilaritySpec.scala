@@ -231,6 +231,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pairRecall: full overlap → 1e6, half → 500000, empty exact → -1") {
+    import spark.implicits._
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val full = Similarity.pairRecall(exact, exact).head()
+    (full.getLong(0), full.getLong(1), full.getLong(2)) shouldBe (4L, 4L, 1000000L)
+    val half = Similarity.pairRecall(exact, approx).head()
+    (half.getLong(0), half.getLong(1), half.getLong(2)) shouldBe (4L, 2L, 500000L)
+    val none = Similarity.pairRecall(exact.limit(0), approx).head()
+    none.getLong(2) shouldBe -1L // 0/0 is "nothing to recall", not 0 recall
+  }
+
   test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
     val exact = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
