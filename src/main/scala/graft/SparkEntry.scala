@@ -1568,6 +1568,31 @@ object SparkEntry {
         | count(CASE WHEN c_mktsegment IS NOT NULL AND NOT
         |   regexp_matches(c_mktsegment, '^[A-Z]{5,9}$') THEN 1 END) AS c_mktsegment_regex_fail
         |FROM customer""".stripMargin,
+    // q39: the LSH pair set itself is deterministic (md5 hyperplanes), so
+    // it hash-compares like q64 — bucket equi-join + the same e6-rounded
+    // cosine the exact twin (q29) already proves bit-stable cross-engine.
+    "q39_lsh_cosine_dupes" ->
+      """WITH
+        |coefs AS (SELECT p, i,
+        |    (('0x' || substr(md5(p || ':' || i), 1, 4))::INT / 65536.0) - 0.5 AS c
+        |  FROM range(4) t1(p), range(64) t2(i)),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |dots AS (SELECT v.vec_id, coefs.p, sum(v.e[coefs.i + 1] * coefs.c) AS d
+        |  FROM v, coefs GROUP BY v.vec_id, coefs.p),
+        |buckets AS (SELECT vec_id,
+        |    sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id)
+        |SELECT va.vec_id AS id_a, vb.vec_id AS id_b,
+        |  CAST(round(list_dot_product(va.e, vb.e) /
+        |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))
+        |    * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM v va JOIN buckets ba ON va.vec_id = ba.vec_id
+        |  JOIN buckets bb ON ba.bucket = bb.bucket
+        |  JOIN v vb ON vb.vec_id = bb.vec_id
+        |WHERE va.vec_id < vb.vec_id
+        |  AND list_dot_product(va.e, vb.e) /
+        |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) > 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,
