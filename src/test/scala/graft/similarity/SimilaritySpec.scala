@@ -244,6 +244,25 @@ class SimilaritySpec extends SparkSpec {
     none.getLong(2) shouldBe -1L // 0/0 is "nothing to recall", not 0 recall
   }
 
+  test("topKRecall: IVF full probe recalls 1.0 per query; partial probe ≤ 1.0") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where("vec_id < 5")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+      cents, nProbe = 8)
+    Similarity.topKRecall(exact, full).collect()
+      .foreach(_.getAs[Long]("recall_e6") shouldBe 1000000L)
+    val partial = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+      cents, nProbe = 2)
+    val rows = Similarity.topKRecall(exact, partial).collect()
+    rows should have length 5
+    rows.foreach { r =>
+      r.getAs[Long]("recall_e6") should be <= 1000000L
+      r.getAs[Long]("n_exact") shouldBe 3L
+    }
+  }
+
   test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
     val exact = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
