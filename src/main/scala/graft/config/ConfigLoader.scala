@@ -305,7 +305,9 @@ object ConfigLoader {
             numPlanes = dm.get("num_planes").map(_.toString.toInt).getOrElse(4),
             dim = dm.get("dim").map(_.toString.toInt).getOrElse(0),
             maxShingleFreq = dm.get("max_shingle_freq").map(_.toString.toInt)
-              .getOrElse(Int.MaxValue))
+              .getOrElse(Int.MaxValue),
+            numHashes = dm.get("num_hashes").map(_.toString.toInt).getOrElse(8),
+            numBands = dm.get("num_bands").map(_.toString.toInt).getOrElse(4))
           if (spec.strategy == "embedding_lsh" && spec.dim < 1)
             throw new ConfigError(
               "curation.dedup.dim must be >= 1 for strategy embedding_lsh")

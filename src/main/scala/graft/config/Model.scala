@@ -106,7 +106,9 @@ final case class NearDedupSpec(
     maxHamming: Int = 6,
     numPlanes: Int = 4,
     dim: Int = 0,
-    maxShingleFreq: Int = Int.MaxValue)
+    maxShingleFreq: Int = Int.MaxValue,
+    numHashes: Int = 8,
+    numBands: Int = 4)
 
 object NearDedupSpec {
   /** Validated at config load AND at dispatch — a typo'd strategy fails

@@ -48,6 +48,44 @@ object Streaming {
       .start()
   }
 
+  /** Continuous corpus curation — the config-driven curation stage applied
+    * to a document stream. The quality gate and the domain-mixing hash
+    * sample are pure row-local deterministic predicates, so they stream
+    * unchanged; exact dedup becomes stateful `dropDuplicates` on the
+    * content fingerprint (first-seen wins, like the keyed silver dedupe —
+    * state is bounded by the watermark when the caller sets one upstream
+    * of this schema's event-time column, otherwise it grows with distinct
+    * content, the same contract as silverStream). Near-dup strategies need
+    * corpus-wide pair joins and belong to the batch stage by construction:
+    * configuring one here fails loudly rather than silently degrading. */
+  def curationStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      spec: graft.config.CurationSpec,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    spec.dedup.foreach(d => require(d.strategy == "exact",
+      s"streaming curation supports only exact dedup (got '${d.strategy}'); " +
+        "near-dup strategies need corpus-wide pair joins - run the batch stage"))
+    val src = spark.readStream.schema(schema).parquet(inputDir)
+    val gated = spec.gate.fold(src)(g => graft.text.Curation.applyGate(src, g))
+    val deduped = spec.dedup.fold(gated) { d =>
+      gated.withColumn("_fp",
+          graft.text.TextAnalysis.fingerprint(col(d.contentColumn)))
+        .dropDuplicates("_fp")
+        .drop("_fp")
+    }
+    val mixed = spec.mixing.fold(deduped)(m =>
+      graft.text.Curation.applyMixing(deduped, m))
+    mixed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregation (the streaming analogue of the
     * hourly gold mart): late data beyond `watermark` is dropped and window
     * state is reclaimed. */

@@ -108,7 +108,8 @@ object Curation {
       Dedup.removeNearDupes(df, d.idColumn, Dedup.dupClusters(pairs))
     case "minhash_lsh" =>
       val pairs = Dedup.lshJaccardPairs(df, d.idColumn, d.contentColumn,
-          d.ngram, d.threshold).select("id_a", "id_b")
+          d.ngram, d.threshold, d.numHashes, d.numBands)
+        .select("id_a", "id_b")
       Dedup.removeNearDupes(df, d.idColumn, Dedup.dupClusters(pairs))
     case "simhash" =>
       val pairs = Dedup.simHashPairs64(df, d.idColumn, d.contentColumn,

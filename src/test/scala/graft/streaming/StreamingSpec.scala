@@ -37,6 +37,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation stream gates, dedups by content across batches, and mixes") {
+    import graft.config.{CurationSpec, MixingSpec, NearDedupSpec, QualityGateSpec}
+    val in = Files.createTempDirectory("graft_cur_in").toString
+    val out = Files.createTempDirectory("graft_cur_out").toString
+    val chk = Files.createTempDirectory("graft_cur_chk").toString
+    val spec = CurationSpec(
+      gate = Some(QualityGateSpec("doc_id", "text", minTokens = 3L,
+        maxTokens = 100L, minAvgTokenLenE6 = 1000000L,
+        maxAvgTokenLenE6 = 20000000L, minTtrE6 = 0L, maxDup2E6 = 1000000L)),
+      dedup = Some(NearDedupSpec("exact", "doc_id", "text")),
+      mixing = Some(MixingSpec("doc_id", "source",
+        rates = Map("banned" -> 0), defaultPct = 100)))
+
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps", "web"),
+      (2L, "tiny", "web"),                      // gated (< 3 tokens)
+      (3L, "a different sentence entirely here", "banned")) // mixed out
+      .toDF("doc_id", "text", "source")
+    batch1.write.mode("append").parquet(in)
+
+    val q = Streaming.curationStream(spark, in, batch1.schema, spec, out, chk)
+    try {
+      q.processAllAvailable()
+      spark.read.parquet(out).select("doc_id").as[Long].collect()
+        .sorted shouldBe Array(1L)
+      // batch 2: same content as doc 1 (state dedups it) + one new doc
+      Seq((10L, "the quick brown fox jumps", "web"),
+          (11L, "another unique document with words", "web"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      spark.read.parquet(out).select("doc_id").as[Long].collect()
+        .sorted shouldBe Array(1L, 11L)
+    } finally q.stop()
+
+    // near-dup strategies are batch-only — fail loudly, don't degrade
+    val e = the[IllegalArgumentException] thrownBy Streaming.curationStream(
+      spark, in, batch1.schema,
+      spec.copy(dedup = Some(NearDedupSpec("minhash_lsh", "doc_id", "text"))),
+      out, chk)
+    e.getMessage should include("batch")
+  }
+
   test("watermarked windowed aggregation emits per-window counts") {
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val df = stream.toDF().toDF("ts", "event_type", "value")
