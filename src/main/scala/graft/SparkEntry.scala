@@ -807,6 +807,25 @@ object SparkEntry {
         graft.config.RegexCheck("c_name", "^Customer#[0-9]+$"),
         graft.config.RegexCheck("c_mktsegment", "^[A-Z]{5,9}$")))),
 
+    // Range join (point-in-interval): sessions active at each purchase
+    // instant — binned interval join (explode intervals to covering bins →
+    // ONE hash equi-join → exact containment filter), never the
+    // BroadcastNestedLoopJoin Spark plans for a raw BETWEEN theta-join.
+    // Bin width = the 4h session gap. Oracle: DuckDB inequality join over
+    // the same session CTE as q61.
+    "q68_interval_concurrency" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val sessions = Sessions.sessionStats(ev, "user_id", "ts_us",
+          "event_id", "value", gapSec = 14400L)
+        .select("start_us", "end_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts_us")
+      graft.ops.RangeJoin.concurrency(purchases, "event_id", "ts_us",
+          sessions, "start_us", "end_us", binWidth = 14400L * 1000000L)
+        .orderBy("event_id")
+    }),
+
     // LSH recall evaluation: the number a curation pipeline reads to size
     // num_planes before a full-corpus dedup — exact cosine pairs vs the
     // 4-plane LSH pair set, (n_exact, n_found, recall_e6). The exact side
@@ -1593,6 +1612,24 @@ object SparkEntry {
         |  AND list_dot_product(va.e, vb.e) /
         |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) > 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q68_interval_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL
+        |    OR ts_us - prev_us > 14400000000 THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM l),
+        |sess AS (SELECT min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM s GROUP BY user_id, session_seq),
+        |p AS (SELECT event_id, ts_us FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.ts_us,
+        |  CAST(count(sess.start_us) AS BIGINT) AS n_active
+        |FROM p LEFT JOIN sess
+        |  ON p.ts_us BETWEEN sess.start_us AND sess.end_us
+        |GROUP BY p.event_id, p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

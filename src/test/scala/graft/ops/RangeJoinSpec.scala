@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def intervals = Seq(
+    (1L, 0L, 100L),      // covers points 0..100
+    (2L, 50L, 150L),     // overlaps interval 1 on [50,100]
+    (3L, 400L, 400L),    // degenerate single-point interval
+    (4L, 300L, 200L))    // end < start: empty, never matches
+    .toDF("iv_id", "start", "end")
+
+  private def points = Seq(
+    (10L, 0L), (11L, 75L), (12L, 100L), (13L, 151L), (14L, 400L), (15L, 250L))
+    .toDF("pt_id", "ts")
+
+  test("pointInInterval ≡ brute-force theta join across bin widths") {
+    val brute = points.join(intervals,
+        col("ts") >= col("start") && col("ts") <= col("end"))
+      .select("pt_id", "iv_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    brute should contain allOf ((10L, 1L), (11L, 1L), (11L, 2L), (14L, 3L))
+    // widths smaller, comparable, and larger than the interval spans —
+    // binning must never change the result, only the replication factor
+    Seq(1L, 7L, 100L, 1000L).foreach { w =>
+      val binned = RangeJoin.pointInInterval(points, "ts",
+          intervals, "start", "end", binWidth = w)
+        .select("pt_id", "iv_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"binWidth=$w: ") { binned shouldBe brute }
+    }
+  }
+
+  test("concurrency counts containing intervals, 0 for uncovered points") {
+    val c = RangeJoin.concurrency(points, "pt_id", "ts",
+        intervals, "start", "end", binWidth = 50L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_active")).toMap
+    c shouldBe Map(10L -> 1L, 11L -> 2L, 12L -> 2L, 13L -> 0L,
+      14L -> 1L, 15L -> 0L)
+  }
+
+  test("binned join plans a hash equi-join — the raw BETWEEN would BNLJ") {
+    val binned = RangeJoin.pointInInterval(points, "ts",
+      intervals, "start", "end", binWidth = 50L)
+    val plan = binned.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    val naive = points.join(intervals,
+      col("ts") >= col("start") && col("ts") <= col("end"))
+    naive.queryExecution.executedPlan.toString should
+      include("BroadcastNestedLoopJoin")
+  }
+}
