@@ -807,6 +807,19 @@ object SparkEntry {
         graft.config.RegexCheck("c_name", "^Customer#[0-9]+$"),
         graft.config.RegexCheck("c_mktsegment", "^[A-Z]{5,9}$")))),
 
+    // IVF top-k with the deterministic SEED centroids (k lowest-id vectors,
+    // L2-normalized): no Lloyd refinement, so every arithmetic step — float
+    // normalization included — replays exactly in SQL and the whole ANN
+    // path gets a hash-compare (q40's Lloyd means stay rows-only: their
+    // float-sum order is engine-specific by nature).
+    "q69_ivf_seeded" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cents, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // Range join (point-in-interval): sessions active at each purchase
     // instant — binned interval join (explode intervals to covering bins →
     // ONE hash equi-join → exact containment filter), never the
@@ -1612,6 +1625,47 @@ object SparkEntry {
         |  AND list_dot_product(va.e, vb.e) /
         |    (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) > 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // q69 replays the seeded-IVF path end-to-end: seed centroids are the 16
+    // lowest-id vectors with FLOAT L2-normalization (the REAL casts
+    // reproduce Scala's Float division/rounding bit-for-bit), assignment
+    // and probing are argmax/top-4 by (-dot, idx), candidates rank by
+    // (sim desc, neighbor_id). Dots are sequential double folds on both
+    // engines (q28-proven bit-stable).
+    "q69_ivf_seeded" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |seed AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
+        |  FROM v ORDER BY vec_id LIMIT 16),
+        |cent AS (SELECT c_idx,
+        |  CASE WHEN nrm = 0 THEN e
+        |       ELSE list_transform(e, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE)) END AS ce
+        |  FROM (SELECT c_idx, e,
+        |    CAST(CAST(sqrt(list_dot_product(e, e)) AS REAL) AS DOUBLE) AS nrm
+        |    FROM seed)),
+        |assign AS (SELECT vec_id, c_idx FROM (
+        |  SELECT v.vec_id, cent.c_idx,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY -list_dot_product(v.e, cent.ce), cent.c_idx) AS rn
+        |  FROM v, cent) WHERE rn = 1),
+        |q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+        |probe AS (SELECT vec_id, c_idx FROM (
+        |  SELECT q.vec_id, cent.c_idx,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY -list_dot_product(q.e, cent.ce), cent.c_idx) AS rn
+        |  FROM q, cent) WHERE rn <= 4),
+        |cand AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, v.e) /
+        |      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))) AS sim
+        |  FROM q JOIN probe ON q.vec_id = probe.vec_id
+        |    JOIN assign ON assign.c_idx = probe.c_idx
+        |    JOIN v ON v.vec_id = assign.vec_id
+        |  WHERE q.vec_id <> v.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  CAST(round(sim * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q68_interval_concurrency" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),
