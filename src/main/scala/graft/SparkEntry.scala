@@ -839,6 +839,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Interval-overlap join: per-user count of OTHER users' sessions
+    // overlapping that user's sessions (cross-user concurrency). Binned
+    // overlap join with the exactly-once overlap-start-bin trick — no
+    // distinct, no BNLJ. Same-user sessions are disjoint by construction
+    // (gap-based), so excluding the identical session suffices.
+    "q70_session_overlap" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val sess = Sessions.sessionStats(ev, "user_id", "ts_us",
+        "event_id", "value", gapSec = 14400L)
+      val a = sess.select(col("user_id").as("a_user"),
+        col("session_seq").as("a_seq"),
+        col("start_us").as("a_start"), col("end_us").as("a_end"))
+      val b = sess.select(col("user_id").as("b_user"),
+        col("session_seq").as("b_seq"),
+        col("start_us").as("b_start"), col("end_us").as("b_end"))
+      graft.ops.RangeJoin.overlappingPairs(a, "a_start", "a_end",
+          b, "b_start", "b_end", binWidth = 14400L * 1000000L)
+        .filter(col("a_user") =!= col("b_user") ||
+          col("a_seq") =!= col("b_seq"))
+        .groupBy(col("a_user").as("user_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("user_id")
+    }),
+
     // LSH recall evaluation: the number a curation pipeline reads to size
     // num_planes before a full-corpus dedup — exact cosine pairs vs the
     // 4-plane LSH pair set, (n_exact, n_found, recall_e6). The exact side
@@ -1684,6 +1709,23 @@ object SparkEntry {
         |  ON p.ts_us BETWEEN sess.start_us AND sess.end_us
         |GROUP BY p.event_id, p.ts_us
         |ORDER BY p.event_id""".stripMargin,
+    "q70_session_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL
+        |    OR ts_us - prev_us > 14400000000 THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM l),
+        |sess AS (SELECT user_id, session_seq, min(ts_us) AS start_us,
+        |  max(ts_us) AS end_us FROM s GROUP BY user_id, session_seq)
+        |SELECT a.user_id, count(*) AS n_overlaps
+        |FROM sess a JOIN sess b
+        |  ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+        |  AND (a.user_id <> b.user_id OR a.session_seq <> b.session_seq)
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

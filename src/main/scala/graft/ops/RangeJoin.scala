@@ -61,6 +61,34 @@ object RangeJoin {
       .drop("_bin")
   }
 
+  /** Interval-overlap join: all (a, b) row pairs whose [start, end]
+    * intervals intersect (`a.start <= b.end AND b.start <= a.end`). Same
+    * binning as `pointInInterval`, with the exactly-once trick replacing a
+    * distinct: an overlapping pair meets in EVERY shared bin, so the join
+    * keeps a pair only in the bin containing the overlap's START
+    * (`greatest(a.start, b.start) div W`) — both intervals necessarily
+    * cover that instant, so the pair survives exactly once and the
+    * post-join distinct (a full extra shuffle of the result) disappears.
+    * Callers prefix their columns to avoid collisions and apply their own
+    * canonicalization (self-joins: filter `a.id < b.id` after). */
+  def overlappingPairs(
+      a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val ab = a.filter(col(aStart) <= col(aEnd)).withColumn("_bin",
+      explode(sequence(expr(s"`$aStart` div ${binWidth}L"),
+        expr(s"`$aEnd` div ${binWidth}L"))))
+    val bb = b.filter(col(bStart) <= col(bEnd)).withColumn("_bin",
+      explode(sequence(expr(s"`$bStart` div ${binWidth}L"),
+        expr(s"`$bEnd` div ${binWidth}L"))))
+    ab.join(bb, Seq("_bin"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(col("_bin") ===
+        expr(s"greatest(`$aStart`, `$bStart`) div ${binWidth}L"))
+      .drop("_bin")
+  }
+
   /** Concurrency count: how many intervals contain each point — the
     * classic interval-overlap analytic (sessions active at an instant,
     * orders in flight at a timestamp). Points matching no interval report

@@ -42,6 +42,27 @@ class RangeJoinSpec extends SparkSpec {
       14L -> 1L, 15L -> 0L)
   }
 
+  test("overlappingPairs ≡ brute theta join, exactly once, across bin widths") {
+    val a = intervals.select(col("iv_id").as("a_id"),
+      col("start").as("a_start"), col("end").as("a_end"))
+    val b = intervals.select(col("iv_id").as("b_id"),
+      col("start").as("b_start"), col("end").as("b_end"))
+    val brute = a.join(b,
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    brute should contain((1L, 2L)) // [0,100] × [50,150]
+    // multiset compare: a pair meeting in several shared bins must still
+    // appear exactly ONCE (the overlap-start-bin trick, not a distinct)
+    Seq(1L, 7L, 100L, 1000L).foreach { w =>
+      val binned = RangeJoin.overlappingPairs(a, "a_start", "a_end",
+          b, "b_start", "b_end", binWidth = w)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      withClue(s"binWidth=$w: ") { binned shouldBe brute }
+    }
+  }
+
   test("binned join plans a hash equi-join — the raw BETWEEN would BNLJ") {
     val binned = RangeJoin.pointInInterval(points, "ts",
       intervals, "start", "end", binWidth = 50L)
