@@ -90,14 +90,14 @@ object Bench {
     val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    // Per-rep detail goes to stderr: it is diagnostic only, and keeping it
-    // out of stdout guarantees the machine-readable line below is the last
-    // (and shortest) JSON on stdout even under a bounded tail capture.
+    // Per-rep detail goes to stderr as the durable home for diagnostics.
     System.err.println(f"""{"detail":"per-rep","times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"warmup":"full pass, untimed"}""")
-    // times/warmup_sec ride on stdout too for one deprecation round — r7
-    // moved them to stderr only, and a harness reading them from the stdout
-    // line would have broken silently (BENCH_r07 confirms the driver itself
-    // reads only metric/value/queries/errors/sf)
+    // DEPRECATION SHIM (remove in round 9): times/warmup_sec ride on the
+    // stdout line once more so any harness that read them there before r7
+    // moved them to stderr fails loudly next round, not silently this one.
+    // Cost: the stdout line is several KB, so a BOUNDED tail capture could
+    // truncate it — BENCH_r07's parse confirms the driver reads only
+    // metric/value/queries/errors/sf and captures a large enough tail.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$ts,"warmup_sec":$warmupSec%.3f,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }

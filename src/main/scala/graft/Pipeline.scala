@@ -54,7 +54,8 @@ object Pipeline {
       bronzeRows, silverRows, Lineage.columnLineage(config.silver))
 
     // curation: gate → dedupe → mix between silver and gold (absent block =
-    // pass-through, zero extra jobs)
+    // pass-through, zero extra jobs). Downstream lineage edges hang off the
+    // curated node when it exists — gold's true upstream.
     val (curatedDf, curatedRows, curationStages) = config.curation match {
       case None => (silverDf, silverRows, Nil)
       case Some(spec) =>
@@ -71,12 +72,15 @@ object Pipeline {
         (curated, rows, Seq(StageResult("curated", rows)))
     }
 
+    val upstreamNode =
+      (if (config.curation.isDefined) "curated." else "silver.") + config.name
+
     val goldStages = config.gold.map { model =>
       val mart = AggregationEngine.build(curatedDf, model)
       goldSink.foreach(sink => sink(model.name, mart))
       val martRows = mart.count()
       tracker.record(Lineage.EventType.Aggregation,
-        "silver." + config.name, "gold." + model.name, curatedRows, martRows)
+        upstreamNode, "gold." + model.name, curatedRows, martRows)
       StageResult("gold." + model.name, martRows)
     }
 
@@ -86,7 +90,7 @@ object Pipeline {
       goldSink.foreach(sink => sink("sessions", sess))
       val n = sess.count()
       tracker.record(Lineage.EventType.Aggregation,
-        "silver." + config.name, "gold.sessions", curatedRows, n)
+        upstreamNode, "gold.sessions", curatedRows, n)
       StageResult("gold.sessions", n)
     }.toSeq
 

@@ -31,8 +31,11 @@ object ScaleSmoke {
     "q51_tfidf_terms", "q64_embed_dedup_lsh")
 
   private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    // both outputs must exist — a crash between the two writes would
+    // otherwise leave a half-built dir that every later run trusts
     val fs = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(fs.resolve("documents.parquet"))) return
+    if (java.nio.file.Files.exists(fs.resolve("documents.parquet")) &&
+      java.nio.file.Files.exists(fs.resolve("embeddings.parquet"))) return
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docBase = docs.agg(max("doc_id")).head().getLong(0) + 1
     val docReps = (0 until 10).map { k =>

@@ -1334,7 +1334,12 @@ object SparkEntry {
     // unsigned signature folds back to Spark's signed long at the end.
     // Text is space-tokenized with empties kept (split(trim(text),' ')
     // semantics); whitespace-only docs yield null sigs on both engines and
-    // are excluded.
+    // are excluded. CAVEAT: the SQL iterates Unicode CODE POINTS while the
+    // native expression iterates UTF-16 CODE UNITS — identical for BMP
+    // text (the corpus is ASCII, asserted by the compare itself), but a
+    // supplementary-plane character (emoji) would hash as one round here
+    // and two rounds natively. A surrogate-exact SQL twin isn't worth the
+    // contortion; this note is the tripwire if the corpus ever changes.
     "q47_simhash64_pairs" -> {
       val bitSums = (0 until 64)
         .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS s$b")

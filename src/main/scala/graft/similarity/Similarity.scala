@@ -293,12 +293,13 @@ object Similarity {
   }
 
   /** Recall@k of an approximate top-k result against the exact baseline:
-    * per-query |approx ∩ exact| / |exact|, plus the corpus mean — the
-    * IVF/ANN twin of `pairRecall`, sizing nProbe/numCentroids before a
-    * full-corpus run. Both inputs are (query_id, neighbor_id, rank, …)
-    * frames (bruteForceTopK / ivfTopK shapes). Rank agreement is NOT
-    * required — recall counts membership, the metric ANN evaluation
-    * actually uses. */
+    * one row PER QUERY with |approx ∩ exact| / |exact| — the IVF/ANN twin
+    * of `pairRecall`, sizing nProbe/numCentroids before a full-corpus run
+    * (aggregate the rows for a corpus mean; the per-query distribution is
+    * what exposes pathological buckets a mean would hide). Both inputs are
+    * (query_id, neighbor_id, rank, …) frames (bruteForceTopK / ivfTopK
+    * shapes). Rank agreement is NOT required — recall counts membership,
+    * the metric ANN evaluation actually uses. */
   def topKRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))

@@ -259,26 +259,34 @@ object Streaming {
             // the batch twin's ts_us column (q61).
             def micros(t: java.sql.Timestamp): Long =
               Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.value))
-            val closed = Seq.newBuilder[ClosedSession]
-            var open = state.getOption
-            sorted.foreach { e =>
+            // INTERVAL-MERGE fold: the open session from state is just one
+            // more interval among the batch's events, all sorted by start.
+            // Each element chains off its PREDECESSOR interval (standard
+            // gap logic), so out-of-order (watermark-permitted) events that
+            // form their own earlier session chain together instead of
+            // fragmenting into singletons, and a chain that reaches within
+            // gap of the open session merges into it — matching the batch
+            // twin for all data present by the time it's processed. (What
+            // Append mode cannot do is retract an already-emitted session
+            // if a LATER batch bridges it; keep the watermark <= gap so
+            // such bridges are late-dropped rather than half-applied.)
+            val intervals = (rows.toSeq.map { e =>
               val us = micros(e.ts)
-              val v6 = Math.round(e.value * 1e6)
+              OpenSession(us, us, 1L, Math.round(e.value * 1e6))
+            } ++ state.getOption).sortBy(s => (s.startUs, s.lastUs, s.valueE6))
+            val closed = Seq.newBuilder[ClosedSession]
+            var open: Option[OpenSession] = None
+            intervals.foreach { iv =>
               open match {
-                case Some(s) if us - s.lastUs > gapUs =>
+                case Some(s) if iv.startUs - s.lastUs > gapUs =>
                   closed += close(s)
-                  open = Some(OpenSession(us, us, 1L, v6))
-                case Some(s) if s.startUs - us > gapUs =>
-                  // watermark-permitted straggler more than gap BEFORE the
-                  // open session: a completed session of its own — emitting
-                  // it directly keeps the open session's boundaries intact
-                  closed += ClosedSession(key, us, us, 1L, v6)
+                  open = Some(iv)
                 case Some(s) =>
-                  open = Some(OpenSession(math.min(s.startUs, us),
-                    math.max(s.lastUs, us), s.n + 1L, s.valueE6 + v6))
+                  open = Some(OpenSession(s.startUs,
+                    math.max(s.lastUs, iv.lastUs), s.n + iv.n,
+                    s.valueE6 + iv.valueE6))
                 case None =>
-                  open = Some(OpenSession(us, us, 1L, v6))
+                  open = Some(iv)
               }
             }
             open.foreach { s =>

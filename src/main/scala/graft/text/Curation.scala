@@ -46,34 +46,45 @@ object Curation {
     * signal columns, the verdict, and the FIRST failing rule's name (fixed
     * evaluation order, '' when passed) — the form a curation pipeline logs
     * for filter-rate audits. Row-local, zero shuffle. */
-  /** The four Gopher rules over (already-computed) signal columns — the ONE
-    * place the rule expressions and their audit order live, shared by the
-    * auditing `qualityFilter` and the filtering `applyGate`. */
-  private def gateRules(nTokens: Column, avgLenE6: Column, ttrE6: Column,
-      dup2E6: Column, minTokens: Long, maxTokens: Long,
+  /** The four signal columns in one fixed order, paired with the gate
+    * rules below through the Signals holder — a positional swap cannot
+    * silently cross the same-typed thresholds. */
+  private final case class Signals(nTokens: Column, ttrE6: Column,
+      avgLenE6: Column, dup2E6: Column) {
+    def toCols: Seq[Column] = Seq(nTokens.as("n_tokens"), ttrE6.as("ttr_e6"),
+      avgLenE6.as("avg_token_len_e6"), dup2E6.as("dup_2gram_frac_e6"))
+  }
+
+  /** The four Gopher rules over signal columns — the ONE place the rule
+    * expressions and their audit order live, shared by the auditing
+    * `qualityFilter` and the filtering `applyGate`. */
+  private def gateRules(s: Signals, minTokens: Long, maxTokens: Long,
       minAvgTokenLenE6: Long, maxAvgTokenLenE6: Long,
       minTtrE6: Long, maxDup2E6: Long): Seq[(String, Column)] = Seq(
-    "token_count" -> nTokens.between(minTokens, maxTokens),
-    "avg_token_len" -> avgLenE6.between(minAvgTokenLenE6, maxAvgTokenLenE6),
-    "ttr" -> (ttrE6 >= minTtrE6),
-    "dup_2gram" -> (dup2E6 <= maxDup2E6))
+    "token_count" -> s.nTokens.between(minTokens, maxTokens),
+    "avg_token_len" -> s.avgLenE6.between(minAvgTokenLenE6, maxAvgTokenLenE6),
+    "ttr" -> (s.ttrE6 >= minTtrE6),
+    "dup_2gram" -> (s.dup2E6 <= maxDup2E6))
 
-  private def signalCols(c: Column): Seq[Column] = {
+  private def signals(c: Column): Signals = {
     def e6(x: Column): Column = round(x * lit(1e6)).cast("long")
-    Seq(TextAnalysis.tokenCount(c).cast("long").as("n_tokens"),
-      e6(TextAnalysis.typeTokenRatio(c)).as("ttr_e6"),
-      e6(TextAnalysis.avgTokenLength(c)).as("avg_token_len_e6"),
-      call_function("dup_gram_frac_e6", c, lit(2)).as("dup_2gram_frac_e6"))
+    Signals(
+      nTokens = TextAnalysis.tokenCount(c).cast("long"),
+      ttrE6 = e6(TextAnalysis.typeTokenRatio(c)),
+      avgLenE6 = e6(TextAnalysis.avgTokenLength(c)),
+      dup2E6 = call_function("dup_gram_frac_e6", c, lit(2)))
   }
 
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
       minTokens: Long = 20L, maxTokens: Long = 90L,
       minAvgTokenLenE6: Long = 3000000L, maxAvgTokenLenE6: Long = 8000000L,
       minTtrE6: Long = 300000L, maxDup2E6: Long = 200000L): DataFrame = {
-    val rules = gateRules(col("n_tokens"), col("avg_token_len_e6"),
-      col("ttr_e6"), col("dup_2gram_frac_e6"), minTokens, maxTokens,
+    val rules = gateRules(
+      Signals(col("n_tokens"), col("ttr_e6"), col("avg_token_len_e6"),
+        col("dup_2gram_frac_e6")),
+      minTokens, maxTokens,
       minAvgTokenLenE6, maxAvgTokenLenE6, minTtrE6, maxDup2E6)
-    df.select(col(idCol) +: signalCols(col(textCol)): _*)
+    df.select(col(idCol) +: signals(col(textCol)).toCols: _*)
       .withColumn("passed", rules.map(_._2).reduce(_ && _))
       .withColumn("fail_reason",
         rules.foldRight(lit(""): Column) { case ((name, ok), acc) =>
@@ -88,9 +99,9 @@ object Curation {
     * recomputed inline on the row — zero shuffle, no join-back against the
     * audit frame. */
   def applyGate(df: DataFrame, g: QualityGateSpec): DataFrame = {
-    val Seq(n, ttr, avgLen, dup2) = signalCols(col(g.textColumn))
-    val passed = gateRules(n, avgLen, ttr, dup2, g.minTokens, g.maxTokens,
-      g.minAvgTokenLenE6, g.maxAvgTokenLenE6, g.minTtrE6, g.maxDup2E6)
+    val passed = gateRules(signals(col(g.textColumn)),
+      g.minTokens, g.maxTokens, g.minAvgTokenLenE6, g.maxAvgTokenLenE6,
+      g.minTtrE6, g.maxDup2E6)
       .map(_._2).reduce(_ && _)
     df.filter(passed)
   }

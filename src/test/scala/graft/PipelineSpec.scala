@@ -103,6 +103,9 @@ class PipelineSpec extends SparkSpec {
     rows("curated") shouldBe 2L // ids 1 and 5 survive
     sunk shouldBe Map("by_source" -> 2L) // web + books
     r.lineage.upstream("curated.docs") should contain("silver.docs")
+    // gold hangs off the CURATED node when curation ran — the silver→gold
+    // edge would carry inconsistent row counts
+    r.lineage.upstream("gold.by_source") should contain("curated.docs")
   }
 
   test("curation config validation: bad dedup strategy fails at load") {

@@ -277,16 +277,18 @@ class StreamingSpec extends SparkSpec {
         Streaming.SessionEvent("a", ts(110), 1.0))
       q.processAllAvailable()
       // batch 2: a straggler at 90 (within gap of start 100) must extend the
-      // session's START downward; a straggler at 10 (> gap before start) is
-      // its own earlier session, emitted closed
+      // session's START downward; stragglers at 5 and 10 (> gap before
+      // start, within gap of EACH OTHER) must chain into ONE earlier
+      // session — not fragment into singletons
       stream.addData(
         Streaming.SessionEvent("a", ts(90), 2.0),
-        Streaming.SessionEvent("a", ts(10), 5.0))
+        Streaming.SessionEvent("a", ts(5), 3.0),
+        Streaming.SessionEvent("a", ts(10), 2.0))
       q.processAllAvailable()
       val isolated = spark.table("sessions_late").as[Streaming.ClosedSession]
         .collect()
       isolated.map(s => (s.startUs, s.endUs, s.nEvents, s.valueSumE6))
-        .toSeq shouldBe Seq((1010000000L, 1010000000L, 1L, 5000000L))
+        .toSeq shouldBe Seq((1005000000L, 1010000000L, 2L, 5000000L))
       // flush the open session via the event-time timeout: advance the
       // watermark with a different key, then one more batch to commit
       stream.addData(Streaming.SessionEvent("b", ts(100000), 0.0))
@@ -297,6 +299,39 @@ class StreamingSpec extends SparkSpec {
         .filter(s => s.key == "a" && s.nEvents == 3L)
       a.map(s => (s.startUs, s.endUs, s.valueSumE6))
         .toSeq shouldBe Seq((1090000000L, 1110000000L, 4000000L))
+    } finally q.stop()
+  }
+
+  test("sessionStream: a straggler chain bridging into the open session merges whole") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp((1000 + sec) * 1000L)
+    val stream = MemoryStream[Streaming.SessionEvent](spark)
+    val sessions = Streaming.sessionStream(
+      stream.toDS().withWatermark("ts", "1 hour").as[Streaming.SessionEvent],
+      gapSec = 30L)
+    val q = sessions.writeStream.format("memory").queryName("sessions_chain")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        Streaming.SessionEvent("a", ts(100), 1.0),
+        Streaming.SessionEvent("a", ts(110), 1.0))
+      q.processAllAvailable()
+      // 60 → 85 → 100 all chain within the 30s gap: everything merges into
+      // the open session (batch semantics); NOTHING closes
+      stream.addData(
+        Streaming.SessionEvent("a", ts(60), 1.0),
+        Streaming.SessionEvent("a", ts(85), 1.0))
+      q.processAllAvailable()
+      spark.table("sessions_chain").count() shouldBe 0L
+      // flush via watermark advance + commit batch
+      stream.addData(Streaming.SessionEvent("b", ts(100000), 0.0))
+      q.processAllAvailable()
+      stream.addData(Streaming.SessionEvent("b", ts(100001), 0.0))
+      q.processAllAvailable()
+      val a = spark.table("sessions_chain").as[Streaming.ClosedSession]
+        .collect().filter(_.key == "a")
+      a.map(s => (s.startUs, s.endUs, s.nEvents, s.valueSumE6))
+        .toSeq shouldBe Seq((1060000000L, 1110000000L, 4L, 4000000L))
     } finally q.stop()
   }
 
