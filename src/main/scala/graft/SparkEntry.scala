@@ -839,6 +839,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Winsorization: clamp values to exact per-type [p05, p95] quantiles —
+    // one grouped percentile aggregate broadcast back onto the rows, clamp
+    // row-local. Spark `percentile` ≡ DuckDB `quantile_cont` (q35/q52).
+    "q71_winsorize" -> ((s, dir) =>
+      Anomaly.winsorize(
+        Tables.load(s, dir, "events")
+          .select("event_id", "event_type", "value"),
+        "value", "event_type", 0.05, 0.95)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 1000000.0) AS BIGINT)").as("value_e6"),
+          expr("CAST(round(value_wins * 1000000.0) AS BIGINT)").as("wins_e6"))
+        .orderBy("event_id")),
+
+    // Deterministic train/val/test split: md5 bucket through cumulative
+    // weights — disjoint-exhaustive, re-run-stable (no leakage when the
+    // corpus grows). Summary row per split with id-range fingerprints.
+    "q72_hash_split" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("split", Chunking.hashSplit(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")),
+
     // Interval-overlap join: per-user count of OTHER users' sessions
     // overlapping that user's sessions (cross-user concurrency). Binned
     // overlap join with the exactly-once overlap-start-bin trick — no
@@ -1714,6 +1739,24 @@ object SparkEntry {
         |  ON p.ts_us BETWEEN sess.start_us AND sess.end_us
         |GROUP BY p.event_id, p.ts_us
         |ORDER BY p.event_id""".stripMargin,
+    "q71_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        | CAST(round(e.value * 1000000.0) AS BIGINT) AS value_e6,
+        | CAST(round(least(greatest(e.value, b.lo), b.hi) * 1000000.0) AS BIGINT)
+        |   AS wins_e6
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+    "q72_hash_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q70_session_overlap" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

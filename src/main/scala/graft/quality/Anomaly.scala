@@ -190,6 +190,27 @@ object Anomaly {
       }: _*)
   }
 
+  /** Winsorization: clamp a numeric column to its exact per-group
+    * [pLo, pHi] interpolated quantiles — the standard heavy-tail guard
+    * before feature normalization or a z-score pass. The bounds come from
+    * one grouped percentile aggregate (a |groups|-sized result) broadcast
+    * back onto the rows; the clamp itself is row-local, so the whole
+    * operator is one corpus scan + one broadcast join at any scale.
+    * Appends `<valueCol>_wins`, everything else untouched. */
+  def winsorize(df: DataFrame, valueCol: String, byCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
+    val bounds = df.groupBy(col(byCol))
+      .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("_qs"))
+      .select(col(byCol), element_at(col("_qs"), 1).as("_lo"),
+        element_at(col("_qs"), 2).as("_hi"))
+    df.join(broadcast(bounds), Seq(byCol))
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   /** Q10 — categorical frequency profile: every category with its count,
     * frequency, and rare flag (frequency < minFreq). Total via scalar agg +
     * broadcast, not a global window. */

@@ -48,6 +48,25 @@ object Chunking {
     (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
       % lit(100L)) < lit(ratePct.toLong)
 
+  /** Deterministic train/validation/test assignment: the md5 bucket of the
+    * key (0..99, same hash as `hashSample`) mapped through cumulative split
+    * weights — disjoint and exhaustive by construction, and a row's split
+    * depends only on (key, weights): stable across runs, engines, and
+    * partitionings, so growing the corpus never moves an existing row
+    * between splits (the property a random split lacks, and the one that
+    * prevents silent train/test leakage across re-runs). */
+  def hashSplit(keyCol: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      weights.map(_._2).sum == 100,
+      s"split weights must be >= 0 and sum to 100, got $weights")
+    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % lit(100L)
+    val cums = weights.scanLeft(0)(_ + _._2).tail.zip(weights.map(_._1))
+    cums.init.foldRight(lit(cums.last._2): Column) {
+      case ((cum, name), acc) => when(bucket < cum, lit(name)).otherwise(acc)
+    }
+  }
+
   /** Per-stratum deterministic sampling — the domain/language MIXING knob
     * of corpus curation: each stratum keeps its own ratePct of rows
     * (strata absent from the map keep `defaultPct`), selected by the same

@@ -79,4 +79,18 @@ class AnomalySpec extends SparkSpec {
     out(330.0)._2 shouldBe "HIGH" // ~3.6 IQRs
     out(460.0)._2 shouldBe "CRITICAL" // ~6.2 IQRs
   }
+
+  test("winsorize clamps tails to per-group exact quantiles, keeps the body") {
+    import spark.implicits._
+    // group a: 1..10 → p10=1.9, p90=9.1 (interpolated); group b constant
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) :+ ("b" -> 5.0))
+      .toDF("grp", "v")
+    val w = Anomaly.winsorize(df, "v", "grp", 0.10, 0.90)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("v_wins")).toMap
+    w(("a", 1.0)) shouldBe 1.9 +- 1e-9  // low tail raised
+    w(("a", 10.0)) shouldBe 9.1 +- 1e-9 // high tail lowered
+    w(("a", 5.0)) shouldBe 5.0          // body untouched
+    w(("b", 5.0)) shouldBe 5.0          // constant group is a fixed point
+  }
 }

@@ -115,4 +115,28 @@ class ChunkingSpec extends SparkSpec {
     windows should not be empty
     all(windows.map(_.partitionSpec)) should not be empty
   }
+
+  test("hashSplit: disjoint-exhaustive, deterministic, weight-calibrated") {
+    import spark.implicits._
+    val keys = (0L until 1000L).toDF("id")
+    val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val split = keys.withColumn("split",
+      Chunking.hashSplit(org.apache.spark.sql.functions.col("id"), weights))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.values.sum shouldBe 1000L // exhaustive: every row gets a split
+    counts("train").toDouble should be(800.0 +- 60.0) // md5 is well-mixed
+    counts("val").toDouble should be(100.0 +- 40.0)
+    // deterministic: a second evaluation is bit-identical
+    val again = keys.withColumn("split",
+      Chunking.hashSplit(org.apache.spark.sql.functions.col("id"), weights))
+    split.except(again).count() shouldBe 0L
+    // growing the corpus never moves an existing key between splits
+    val grown = (0L until 2000L).toDF("id").withColumn("split",
+      Chunking.hashSplit(org.apache.spark.sql.functions.col("id"), weights))
+    grown.filter("id < 1000").except(split).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.hashSplit(org.apache.spark.sql.functions.col("id"),
+        Seq("train" -> 50, "test" -> 40)) // weights must sum to 100
+  }
 }
