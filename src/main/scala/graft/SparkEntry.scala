@@ -839,6 +839,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Embedding-space outlier signal: cosine of each vector to its seeded
+    // nearest centroid (q69's deterministic centroids), outlier below 0.2.
+    // The pre-training garbage-embedding filter; oracle replays centroid
+    // derivation, assignment, and the cosine in SQL.
+    "q74_embed_outliers" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+      Similarity.centroidCosines(emb, "vec_id", "embedding", cents)
+        .withColumn("is_outlier", col("centroid_cos_e6") < 200000L)
+        .orderBy("vec_id")
+    }),
+
+    // Unigram surprisal (LM-free perplexity proxy): per-token
+    // floor(log2(N/count)) in exact integer bits — no libm log anywhere,
+    // so the per-doc sums hash-compare. The CCNet-style frequency filter.
+    "q73_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Winsorization: clamp values to exact per-type [p05, p95] quantiles —
     // one grouped percentile aggregate broadcast back onto the rows, clamp
     // row-local. Spark `percentile` ≡ DuckDB `quantile_cont` (q35/q52).
@@ -1739,6 +1759,44 @@ object SparkEntry {
         |  ON p.ts_us BETWEEN sess.start_us AND sess.end_us
         |GROUP BY p.event_id, p.ts_us
         |ORDER BY p.event_id""".stripMargin,
+    "q74_embed_outliers" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |seed AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
+        |  FROM v ORDER BY vec_id LIMIT 16),
+        |cent AS (SELECT c_idx,
+        |  CASE WHEN nrm = 0 THEN e
+        |       ELSE list_transform(e, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE)) END AS ce
+        |  FROM (SELECT c_idx, e,
+        |    CAST(CAST(sqrt(list_dot_product(e, e)) AS REAL) AS DOUBLE) AS nrm
+        |    FROM seed)),
+        |assign AS (SELECT vec_id, c_idx FROM (
+        |  SELECT v.vec_id, cent.c_idx,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY -list_dot_product(v.e, cent.ce), cent.c_idx) AS rn
+        |  FROM v, cent) WHERE rn = 1)
+        |SELECT v.vec_id, assign.c_idx AS bucket,
+        |  CAST(round(list_dot_product(v.e, cent.ce) /
+        |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce)))
+        |    * 1000000.0) AS BIGINT) AS centroid_cos_e6,
+        |  CAST(round(list_dot_product(v.e, cent.ce) /
+        |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce)))
+        |    * 1000000.0) AS BIGINT) < 200000 AS is_outlier
+        |FROM v
+        |  JOIN assign ON v.vec_id = assign.vec_id
+        |  JOIN cent ON cent.c_idx = assign.c_idx
+        |ORDER BY v.vec_id""".stripMargin,
+    "q73_surprisal" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM f),
+        |s AS (SELECT t.doc_id,
+        |    CAST(length(bin(n.n_total // f.cnt)) - 1 AS BIGINT) AS bits
+        |  FROM t JOIN f USING (term), n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+        | (CAST(sum(bits) AS BIGINT) * 1000000) // count(*) AS mean_surprisal_e6
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q71_winsorize" ->
       """WITH b AS (SELECT event_type,
         |  quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi

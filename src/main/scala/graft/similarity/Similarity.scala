@@ -237,6 +237,28 @@ object Similarity {
     transform(slice(array_sort(centroidStructs(vecCol, centroids)), 1, nProbe),
       s => s.getField("c"))
 
+  /** Cosine of every vector to its assigned (nearest) centroid — the
+    * embedding-space QUALITY signal: vectors far from every cluster are
+    * candidate noise/garbage embeddings to drop before training, and
+    * per-bucket cosine distributions expose dead or overloaded centroids.
+    * Row-local assignment (native `vec_nearest_centroid`) + a broadcast
+    * join against the k-row centroid table — one corpus scan, no shuffle
+    * beyond the join's broadcast. Output: (id, bucket, centroid_cos_e6). */
+  def centroidCosines(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Float]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("bucket", "cent")
+    df.select(col(idCol), col(vecCol).as("_v"))
+      .withColumn("bucket", ivfBucket(col("_v"), centroids))
+      .join(broadcast(centDf), "bucket")
+      .select(col(idCol), col("bucket").cast("long").as("bucket"),
+        round(dot(col("_v"), col("cent")) /
+          (norm(col("_v")) * norm(col("cent"))) * 1e6)
+          .cast("long").as("centroid_cos_e6"))
+  }
+
   /** IVF top-k: corpus is bucketed by nearest centroid ONCE; each query
     * probes its `nProbe` nearest centroid buckets. nProbe = numCentroids
     * degenerates to exact brute force (the recall-1.0 bound the spec

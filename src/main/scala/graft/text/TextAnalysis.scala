@@ -112,6 +112,33 @@ object TextAnalysis {
         (acc * lit(31L) + conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
           % lit(1000000007L))
 
+  /** Unigram surprisal score — the LM-free perplexity proxy (CCNet-style
+    * frequency filtering): each token contributes its corpus surprisal
+    * floor(log2(N / count(token))) in WHOLE BITS, computed as the binary-
+    * string length of the exact integer ratio — never a libm log, whose
+    * last-ulp drift between engines would break the hash-compare (the q51
+    * idf lesson). Sums of exact integers are shuffle-order-free.
+    * Output: (id, n_tokens, surprisal_bits, mean_surprisal_e6) — high mean
+    * = rare-token-heavy (gibberish/boilerplate-free but possibly noise),
+    * low mean = stopword-heavy; both tails are filter candidates.
+    *
+    * Shuffles: one keyed aggregate for the term frequencies + one for the
+    * per-doc rollup. The frequency side is |vocabulary|-sized and
+    * broadcast (same contract as tfidfTopTerms: swap to a sort-merge join
+    * for unbounded vocabularies). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val n = freq.agg(sum("cnt").as("n_total"))
+    toks.join(broadcast(freq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("bits", (length(bin(expr("n_total div cnt"))) - 1).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("surprisal_bits"))
+      .withColumn("mean_surprisal_e6",
+        expr("surprisal_bits * 1000000L div n_tokens"))
+  }
+
   /** Per-document term frequencies: (doc, term, tf). One explode + one
     * keyed aggregate. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -231,6 +231,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidCosines: a centroid's own vector scores 1e6; buckets match ivfBucket") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val out = Similarity.centroidCosines(emb, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the 8 seed vectors ARE (normalized) centroids: each must land in its
+    // own bucket with cosine exactly 1 (up to e6 rounding)
+    (0L until 8L).foreach { id =>
+      out(id)._1 shouldBe id
+      out(id)._2 shouldBe 1000000L
+    }
+    // every vector is bucketed and cosine is a valid cosine
+    out.values.foreach { case (b, c) =>
+      b should (be >= 0L and be < 8L)
+      c should (be >= -1000000L and be <= 1000000L)
+    }
+  }
+
   test("pairRecall: full overlap → 1e6, half → 500000, empty exact → -1") {
     import spark.implicits._
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))

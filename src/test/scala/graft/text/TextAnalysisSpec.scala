@@ -129,6 +129,18 @@ class TextAnalysisSpec extends SparkSpec {
     native.map(_.toSeq) shouldBe builtin.map(_.toSeq)
   }
 
+  test("unigramSurprisal: integer bits of corpus frequency, hand-checked") {
+    // corpus: N=5 tokens, counts a:3 b:1 c:1 → bits(a)=len(bin(5 div 3))-1=0,
+    // bits(b)=bits(c)=len(bin(5))-1=2
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("surprisal_bits"),
+          r.getAs[Long]("mean_surprisal_e6"))).toMap
+    out(1L) shouldBe ((3L, 2L, 666666L)) // a+a+b = 0+0+2; 2e6 div 3
+    out(2L) shouldBe ((2L, 2L, 1000000L)) // a+c = 0+2
+  }
+
   test("native bpeTokenCount ≡ the regex forms on edge inputs and the corpus") {
     // adversarial inputs for the hand scan: every contraction suffix, an
     // apostrophe that starts NO contraction (absorbed by the punct run),
