@@ -201,14 +201,17 @@ object Anomaly {
       pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
       s"need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
-    val bounds = df.groupBy(col(byCol))
+    // null-safe join key: a NULL group still gets (and is clamped to) its
+    // own bounds — a plain equi-join would silently DROP every null-keyed
+    // row, which breaks the "everything else untouched" contract
+    val bounds = df.groupBy(col(byCol).as("_by"))
       .agg(expr(s"percentile($valueCol, array($pLo, $pHi))").as("_qs"))
-      .select(col(byCol), element_at(col("_qs"), 1).as("_lo"),
+      .select(col("_by"), element_at(col("_qs"), 1).as("_lo"),
         element_at(col("_qs"), 2).as("_hi"))
-    df.join(broadcast(bounds), Seq(byCol))
+    df.join(broadcast(bounds), col(byCol) <=> col("_by"), "left")
       .withColumn(s"${valueCol}_wins",
         least(greatest(col(valueCol), col("_lo")), col("_hi")))
-      .drop("_lo", "_hi")
+      .drop("_by", "_lo", "_hi")
   }
 
   /** Q10 — categorical frequency profile: every category with its count,

@@ -250,12 +250,19 @@ object Similarity {
     import spark.implicits._
     val centDf = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("bucket", "cent")
+    // null vectors are dropped EXPLICITLY (they have no bucket — the inner
+    // join would drop them anyway, silently); a zero-norm vector reports a
+    // null cosine instead of NaN (0/0), which round+cast would otherwise
+    // turn into engine-divergent garbage
+    val vNorm = norm(col("_v"))
+    val cNorm = norm(col("cent"))
     df.select(col(idCol), col(vecCol).as("_v"))
+      .filter(col("_v").isNotNull)
       .withColumn("bucket", ivfBucket(col("_v"), centroids))
       .join(broadcast(centDf), "bucket")
       .select(col(idCol), col("bucket").cast("long").as("bucket"),
-        round(dot(col("_v"), col("cent")) /
-          (norm(col("_v")) * norm(col("cent"))) * 1e6)
+        when(vNorm === 0 || cNorm === 0, lit(null))
+          .otherwise(round(dot(col("_v"), col("cent")) / (vNorm * cNorm) * 1e6))
           .cast("long").as("centroid_cos_e6"))
   }
 

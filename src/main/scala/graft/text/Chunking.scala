@@ -62,9 +62,13 @@ object Chunking {
     val bucket = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
       .cast("long") % lit(100L)
     val cums = weights.scanLeft(0)(_ + _._2).tail.zip(weights.map(_._1))
-    cums.init.foldRight(lit(cums.last._2): Column) {
+    val split = cums.init.foldRight(lit(cums.last._2): Column) {
       case ((cum, name), acc) => when(bucket < cum, lit(name)).otherwise(acc)
     }
+    // NULL key → NULL split, never the fall-through last bucket: a null-id
+    // corpus slice silently concentrating in the eval split is exactly the
+    // train/test contamination this operator exists to prevent
+    when(keyCol.isNotNull, split)
   }
 
   /** Per-stratum deterministic sampling — the domain/language MIXING knob

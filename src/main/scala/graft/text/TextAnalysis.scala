@@ -129,10 +129,15 @@ object TextAnalysis {
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-    val n = freq.agg(sum("cnt").as("n_total"))
-    toks.join(broadcast(freq), "term")
-      .crossJoin(broadcast(n))
-      .withColumn("bits", (length(bin(expr("n_total div cnt"))) - 1).cast("long"))
+    // N from a row-local re-scan of the source (one cheap pass, no
+    // shuffle) rather than re-aggregating freq's explode+shuffle subtree
+    val n = df.agg(sum(tokenCount(col(textCol)).cast("long")).as("n_total"))
+    // bits depend only on (N, cnt): compute them |vocabulary| times on the
+    // freq side, not once per token occurrence after the join
+    val freqBits = freq.crossJoin(broadcast(n))
+      .select(col("term"),
+        (length(bin(expr("n_total div cnt"))) - 1).cast("long").as("bits"))
+    toks.join(broadcast(freqBits), "term")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("surprisal_bits"))
       .withColumn("mean_surprisal_e6",

@@ -93,4 +93,17 @@ class AnomalySpec extends SparkSpec {
     w(("a", 5.0)) shouldBe 5.0          // body untouched
     w(("b", 5.0)) shouldBe 5.0          // constant group is a fixed point
   }
+
+  test("winsorize keeps and clamps the NULL group instead of dropping it") {
+    import spark.implicits._
+    val df = Seq(Some("a") -> 1.0, Some("a") -> 10.0,
+      None -> 1.0, None -> 5.0, None -> 100.0)
+      .map { case (g, v) => (g, v) }.toDF("grp", "v")
+    val out = Anomaly.winsorize(df, "v", "grp", 0.25, 0.75).collect()
+    out should have length 5 // no silent row loss on NULL keys
+    val nulls = out.filter(_.isNullAt(0)).map(r =>
+      r.getAs[Double]("v") -> r.getAs[Double]("v_wins")).toMap
+    nulls(100.0) should be < 100.0 // clamped to the NULL group's own p75
+    nulls(5.0) shouldBe 5.0
+  }
 }

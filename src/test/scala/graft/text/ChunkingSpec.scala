@@ -138,5 +138,10 @@ class ChunkingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Chunking.hashSplit(org.apache.spark.sql.functions.col("id"),
         Seq("train" -> 50, "test" -> 40)) // weights must sum to 100
+    // NULL key → NULL split, never the fall-through last bucket (silent
+    // eval-split contamination)
+    val withNull = Seq(Some(1L), None).toDF("id").withColumn("split",
+      Chunking.hashSplit(org.apache.spark.sql.functions.col("id"), weights))
+    withNull.filter("id IS NULL").head().isNullAt(1) shouldBe true
   }
 }
