@@ -839,6 +839,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Incremental ingest dedup: even-id docs are the historical corpus,
+    // odd-id docs the arriving batch — drop arrivals whose content
+    // fingerprint exists in the corpus. Bloom prefilter + verifying
+    // anti-join: the bloom affects cost, never the result, so the oracle
+    // is the plain fingerprint set difference.
+    "q75_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.dedupeAgainstCorpus(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", expectedItems = 100000L)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Embedding-space outlier signal: cosine of each vector to its seeded
     // nearest centroid (q69's deterministic centroids), outlier below 0.2.
     // The pre-training garbage-embedding filter; oracle replays centroid
@@ -1759,6 +1774,13 @@ object SparkEntry {
         |  ON p.ts_us BETWEEN sess.start_us AND sess.end_us
         |GROUP BY p.event_id, p.ts_us
         |ORDER BY p.event_id""".stripMargin,
+    "q75_incremental_dedup" ->
+      """WITH c AS (SELECT md5(lower(trim(text))) AS fp FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |n AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT doc_id FROM n WHERE fp NOT IN (SELECT fp FROM c)
+        |ORDER BY doc_id""".stripMargin,
     "q74_embed_outliers" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |seed AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx

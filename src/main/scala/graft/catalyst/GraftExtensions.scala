@@ -83,6 +83,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeTokenCount(children.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "bloom_might_contain takes (str, filter-bytes literal)")
+        val bytes = children(1) match {
+          case e if e.foldable && e.dataType ==
+              org.apache.spark.sql.types.BinaryType =>
+            e.eval(null).asInstanceOf[Array[Byte]]
+          case _ => throw new IllegalArgumentException(
+            "bloom_might_contain filter must be a binary literal")
+        }
+        BloomContains(children.head, bytes)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("vec_lsh_bucket"),
       new ExpressionInfo(classOf[VecLshBucket].getName, "vec_lsh_bucket"),
       (children: Seq[Expression]) => {

@@ -54,6 +54,47 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Incremental exact dedup for CONTINUOUS INGEST: drop new docs whose
+    * content fingerprint already exists in the historical corpus, without
+    * anti-joining the full new batch against the full corpus. A Bloom
+    * filter over the corpus fingerprints (built distributively by
+    * `stat.bloomFilter` — one corpus pass, a driver-held sketch) rides the
+    * plan as a binary literal into the native `bloom_might_contain` probe:
+    * definite-new rows (bloom miss — no false negatives) pass immediately;
+    * only bloom HITS (true dupes + ~fpp·|new| false positives) pay the
+    * verifying anti-join against the corpus fingerprint set. The bloom can
+    * therefore never change the RESULT — output is exactly the
+    * fingerprint set difference — only the anti-join's size.
+    *
+    * Scale shape: |corpus| enters one aggregate (the sketch) and one
+    * anti-join whose PROBE side is the small hit subset; at 1M expected
+    * items / 1% fpp the literal is ~1.2 MB — task-closure mass, like the
+    * IVF centroid matrix. */
+  def dedupeAgainstCorpus(
+      newDf: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val corpusFps = corpus.select(fp.as("_fp"))
+    val bloom = corpusFps.stat.bloomFilter("_fp", expectedItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val tagged = newDf
+      .withColumn("_fp", fp)
+      .withColumn("_hit", call_function("bloom_might_contain", col("_fp"),
+        lit(bytes)))
+    val definiteNew = tagged.filter(!col("_hit"))
+    val verified = tagged.filter(col("_hit"))
+      .join(corpusFps.distinct(), Seq("_fp"), "left_anti")
+    definiteNew.unionByName(verified).drop("_fp", "_hit")
+  }
+
   /** Exact pairwise n-gram Jaccard over candidate pairs that share at least
     * one shingle. Returns (id_a, id_b, inter, size_a, size_b, jaccard) with
     * id_a < id_b. `maxShingleFreq` drops shingles appearing in more than

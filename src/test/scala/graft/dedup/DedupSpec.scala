@@ -191,6 +191,32 @@ class DedupSpec extends SparkSpec {
     d should be > 4 // unrelated docs differ in many bits
   }
 
+  test("dedupeAgainstCorpus ≡ exact fingerprint set difference, even at fpp 0.5") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma"), (101L, "one two three"), (102L, "unique old"))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      (1L, "alpha beta gamma"),   // exact dup of 100 → dropped
+      (2L, "ALPHA  beta gamma"),  // different fingerprint (inner spaces) → kept
+      (3L, "one two three"),      // dup of 101 → dropped
+      (4L, "fresh content here"), (5L, "more fresh content"))
+      .toDF("doc_id", "text")
+    val exact = arriving
+      .withColumn("_fp", graft.text.TextAnalysis.fingerprint(col("text")))
+      .join(corpus.select(graft.text.TextAnalysis.fingerprint(col("text"))
+        .as("_fp")), Seq("_fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // a deliberately terrible fpp floods the verify path with false
+    // positives — the RESULT must not move (bloom is cost-only)
+    Seq(0.01, 0.5).foreach { fpp =>
+      val out = Dedup.dedupeAgainstCorpus(arriving, corpus, "doc_id", "text",
+          expectedItems = 10L, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      withClue(s"fpp=$fpp: ") { out shouldBe exact }
+    }
+    exact shouldBe Array(2L, 4L, 5L)
+  }
+
   test("removeNearDupesLsh ≡ exact composition at a recall-complete setting") {
     // three tight same-direction clusters + singletons: within-cluster
     // cosine ≈ 1 (every pair above threshold), clusters mutually below it.
