@@ -58,20 +58,36 @@ object Streaming {
     * content, the same contract as silverStream). Near-dup strategies need
     * corpus-wide pair joins and belong to the batch stage by construction:
     * configuring one here fails loudly rather than silently degrading. */
+  /** @param corpus optional HISTORICAL corpus: arriving docs whose content
+    *               fingerprint already exists there are dropped via the
+    *               Bloom prefilter + verifying stream-static anti-join
+    *               (`Dedup.dedupeAgainstCorpus` — the sketch is built once
+    *               at query start and rides the plan; result-exact, the
+    *               bloom only prunes the join). Within-stream dups are
+    *               still the stateful dropDuplicates' job. */
   def curationStream(
       spark: SparkSession,
       inputDir: String,
       schema: StructType,
       spec: graft.config.CurationSpec,
       outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      corpus: Option[org.apache.spark.sql.DataFrame] = None): StreamingQuery = {
     spec.dedup.foreach(d => require(d.strategy == "exact",
       s"streaming curation supports only exact dedup (got '${d.strategy}'); " +
         "near-dup strategies need corpus-wide pair joins - run the batch stage"))
+    require(corpus.isEmpty || spec.dedup.isDefined,
+      "corpus dedup needs curation.dedup (its content_column names the text)")
     val src = spark.readStream.schema(schema).parquet(inputDir)
     val gated = spec.gate.fold(src)(g => graft.text.Curation.applyGate(src, g))
-    val deduped = spec.dedup.fold(gated) { d =>
-      gated.withColumn("_fp",
+    val historical = (corpus, spec.dedup) match {
+      case (Some(c), Some(d)) =>
+        graft.dedup.Dedup.dedupeAgainstCorpus(gated, c, d.idColumn,
+          d.contentColumn, expectedItems = math.max(100L, c.count()))
+      case _ => gated
+    }
+    val deduped = spec.dedup.fold(historical) { d =>
+      historical.withColumn("_fp",
           graft.text.TextAnalysis.fingerprint(col(d.contentColumn)))
         .dropDuplicates("_fp")
         .drop("_fp")

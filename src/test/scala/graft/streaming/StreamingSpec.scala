@@ -80,6 +80,29 @@ class StreamingSpec extends SparkSpec {
     e.getMessage should include("batch")
   }
 
+  test("curation stream drops arrivals already in a historical corpus") {
+    import graft.config.{CurationSpec, NearDedupSpec}
+    val in = Files.createTempDirectory("graft_curc_in").toString
+    val out = Files.createTempDirectory("graft_curc_out").toString
+    val chk = Files.createTempDirectory("graft_curc_chk").toString
+    val corpus = Seq((100L, "seen before content", "web"))
+      .toDF("doc_id", "text", "source")
+    val spec = CurationSpec(
+      dedup = Some(NearDedupSpec("exact", "doc_id", "text")))
+    val batch = Seq(
+      (1L, "seen before content", "web"),   // in corpus → dropped
+      (2L, "genuinely new content", "web"))
+      .toDF("doc_id", "text", "source")
+    batch.write.mode("append").parquet(in)
+    val q = Streaming.curationStream(spark, in, batch.schema, spec, out, chk,
+      corpus = Some(corpus))
+    try {
+      q.processAllAvailable()
+      spark.read.parquet(out).select("doc_id").as[Long].collect()
+        .sorted shouldBe Array(2L)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation emits per-window counts") {
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val df = stream.toDF().toDF("ts", "event_type", "value")
