@@ -854,6 +854,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental FUZZY dedup: same corpus/arrival split as q75, but drops
+    // arrivals whose 3-gram Jaccard against any corpus doc exceeds 0.5 —
+    // near-dups included, not just byte-identical content. MinHash bands
+    // prune the cross-corpus join; every drop is exact-verified, so the
+    // oracle replays bands + verification in SQL (q27's signature CTEs).
+    "q76_fuzzy_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.fuzzyDedupeAgainstCorpus(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Embedding-space outlier signal: cosine of each vector to its seeded
     // nearest centroid (q69's deterministic centroids), outlier below 0.2.
     // The pre-training garbage-embedding filter; oracle replays centroid
@@ -1780,6 +1795,45 @@ object SparkEntry {
         |n AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |  WHERE doc_id % 2 = 1)
         |SELECT doc_id FROM n WHERE fp NOT IN (SELECT fp FROM c)
+        |ORDER BY doc_id""".stripMargin,
+    // q76 replays the fuzzy incremental dedup: q27's signature/band CTEs on
+    // the full corpus, candidates restricted to odd(arrival)×even(corpus),
+    // each verified by exact jaccard on the 32-bit shingle-hash sets.
+    "q76_fuzzy_incremental" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(string_split(trim(text),' ')) - 1),
+        |  i -> string_split(trim(text),' ')[i] || ' ' ||
+        |       string_split(trim(text),' ')[i+1] || ' ' ||
+        |       string_split(trim(text),' ')[i+2])) AS sh FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(sh, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs
+        | FROM t WHERE len(sh) > 0),
+        |sig AS (SELECT doc_id,
+        | list_min(list_transform(hs, x -> (1000000007 * x + 0) % 4294967311)) AS m0,
+        | list_min(list_transform(hs, x -> (998244353 * x + 1) % 4294967311)) AS m1,
+        | list_min(list_transform(hs, x -> (754974721 * x + 2) % 4294967311)) AS m2,
+        | list_min(list_transform(hs, x -> (167772161 * x + 3) % 4294967311)) AS m3,
+        | list_min(list_transform(hs, x -> (469762049 * x + 4) % 4294967311)) AS m4,
+        | list_min(list_transform(hs, x -> (595591169 * x + 5) % 4294967311)) AS m5,
+        | list_min(list_transform(hs, x -> (645922817 * x + 6) % 4294967311)) AS m6,
+        | list_min(list_transform(hs, x -> (897581057 * x + 7) % 4294967311)) AS m7
+        | FROM h),
+        |bands AS (
+        | SELECT doc_id, 0 AS bi, md5(m0 || '|' || m1) AS bk FROM sig
+        | UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+        | UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+        | UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+        |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM bands n JOIN bands c ON n.bi = c.bi AND n.bk = c.bk
+        |  WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0),
+        |dropped AS (SELECT DISTINCT cand.new_id FROM cand
+        |  JOIN h hn ON hn.doc_id = cand.new_id
+        |  JOIN h hc ON hc.doc_id = cand.corpus_id
+        |  WHERE len(list_intersect(hn.hs, hc.hs))::DOUBLE /
+        |    (len(hn.hs) + len(hc.hs) - len(list_intersect(hn.hs, hc.hs)))::DOUBLE
+        |    > 0.5)
+        |SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+        |  AND doc_id NOT IN (SELECT new_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
     "q74_embed_outliers" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -95,6 +95,64 @@ object Dedup {
     definiteNew.unionByName(verified).drop("_fp", "_hit")
   }
 
+  /** Incremental FUZZY dedup for continuous ingest — the near-dup twin of
+    * `dedupeAgainstCorpus`: drop arriving docs whose n-gram Jaccard against
+    * ANY historical-corpus doc exceeds `threshold` (exact duplicates are
+    * jaccard 1, so this strictly supersedes the fingerprint check at the
+    * cost of the signature pass). MinHash-LSH band buckets prune the
+    * cross-corpus candidate join — a batch doc pays an exact verification
+    * only against corpus docs sharing at least one full signature band,
+    * never the whole corpus. Approximate only in LSH recall (a true near-dup
+    * agreeing on no band slips through); every DROP is exact-verified.
+    *
+    * Scale shape: one signature pass per side, the candidate join keyed on
+    * (band, bucket) — linear shuffles in |batch| + |corpus|. For continuous
+    * ingest, persist `minhashBands(corpus, …)` (and the corpus shingle-hash
+    * sets) once and reuse across batches; this convenience form re-bands the
+    * corpus per call. `maxBucketSize` caps corpus-side bucket membership
+    * (boilerplate guard) before the candidate explosion. */
+  def fuzzyDedupeAgainstCorpus(
+      newDf: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val newBands = minhashBands(newDf, idCol, textCol, numHashes, numBands,
+      shingleN)
+    val corpusBuckets = minhashBands(corpus, idCol, textCol, numHashes,
+        numBands, shingleN)
+      .groupBy("band_idx", "bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) corpusBuckets
+      else corpusBuckets.filter(size(col("ids")) <= maxBucketSize)
+    val cands = newBands.join(capped, Seq("band_idx", "bucket"))
+      .select(col("doc_id").as("new_id"), explode(col("ids")).as("corpus_id"))
+      .distinct() // a pair may agree on several bands; verify it once
+    // exact verification on the 32-bit shingle-hash sets (one compiled pass
+    // per side, same contract as lshJaccardPairs); candidates exist only for
+    // docs with >= 1 shingle, so the union denominator is never 0
+    val newSets = newDf.select(col(idCol).as("new_id"),
+      call_function("shingle_hashes", col(textCol), lit(shingleN)).as("_sh_n"))
+    val corpusSets = corpus.select(col(idCol).as("corpus_id"),
+      call_function("shingle_hashes", col(textCol), lit(shingleN)).as("_sh_c"))
+    val dropped = cands
+      .join(newSets, "new_id")
+      .join(corpusSets, "corpus_id")
+      .withColumn("_inter",
+        size(array_intersect(col("_sh_n"), col("_sh_c"))).cast("long"))
+      .filter(col("_inter").cast("double") /
+        (size(col("_sh_n")) + size(col("_sh_c")) - col("_inter")).cast("double")
+        > threshold)
+      .select(col("new_id").as(idCol))
+      .distinct()
+    newDf.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Exact pairwise n-gram Jaccard over candidate pairs that share at least
     * one shingle. Returns (id_a, id_b, inter, size_a, size_b, jaccard) with
     * id_a < id_b. `maxShingleFreq` drops shingles appearing in more than
@@ -210,6 +268,32 @@ object Dedup {
       md5(concat_ws("|", cols: _*)).as(s"band$b")
     }
 
+  /** Long-format MinHash band memberships (doc_id, band_idx, bucket) — the
+    * LSH blocking key stream shared by the self-join (`lshCandidates`) and
+    * cross-corpus (`fuzzyDedupeAgainstCorpus`) paths. Row-local until the
+    * caller's first groupBy/join; docs too short to produce any shingle get
+    * null signatures and are dropped here (they can't be near-dups of
+    * anything by construction). At 100 TB this is the frame to PERSIST as a
+    * silver table keyed by (band_idx, bucket): incremental ingest then bands
+    * only the arriving batch instead of re-signing the corpus per batch. */
+  def minhashBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      numBands: Int,
+      shingleN: Int): DataFrame = {
+    require(numHashes % numBands == 0, "numBands must divide numHashes")
+    val rows = numHashes / numBands
+    val sig = withMinHash(df.select(col(idCol).as("doc_id"), col(textCol)),
+      textCol, numHashes, shingleN)
+      .filter(col("mh0").isNotNull)
+    sig.select(col("doc_id") +: bandKeys(numBands, rows): _*)
+      .select(col("doc_id"), posexplode(
+        array((0 until numBands).map(b => col(s"band$b")): _*)))
+      .toDF("doc_id", "band_idx", "bucket")
+  }
+
   /** Candidate near-dup pairs via MinHash-LSH: docs agreeing on at least one
     * full band. Returns distinct (id_a, id_b), id_a < id_b. The join key is
     * (band index, bucket key); `maxBucketSize` drops degenerate buckets. */
@@ -221,18 +305,7 @@ object Dedup {
       numBands: Int = 4,
       shingleN: Int = 1,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    require(numHashes % numBands == 0, "numBands must divide numHashes")
-    val rows = numHashes / numBands
-    // docs too short to produce any shingle get null signatures — drop them
-    // (they can't be near-dups of anything by construction).
-    val sig = withMinHash(df.select(col(idCol).as("doc_id"), col(textCol)),
-      textCol, numHashes, shingleN)
-      .filter(col("mh0").isNotNull)
-    val banded = sig.select(
-      col("doc_id") +: bandKeys(numBands, rows): _*)
-    val long = banded.select(col("doc_id"), posexplode(
-      array((0 until numBands).map(b => col(s"band$b")): _*)))
-      .toDF("doc_id", "band_idx", "bucket")
+    val long = minhashBands(df, idCol, textCol, numHashes, numBands, shingleN)
     // one shuffle groups each (band, bucket); the size cap is a filter on
     // the member list; pairs explode in place (no self-join, so the md5
     // signature pass runs once, not once per join side).

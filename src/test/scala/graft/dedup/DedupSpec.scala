@@ -217,6 +217,55 @@ class DedupSpec extends SparkSpec {
     exact shouldBe Array(2L, 4L, 5L)
   }
 
+  test("fuzzyDedupeAgainstCorpus drops near-dups, keeps fresh and short docs") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven"),
+      (102L, "unique old content nothing shares this"))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // exact dup of 100 → drop
+      (2L, "alpha beta gamma delta epsilon eta"),   // near-dup of 100 (j=0.6) → drop
+      (3L, "totally fresh arriving document text"), // no overlap → keep
+      (4L, "one two three nine ten eleven twelve"), // j vs 101 = 1/9 → keep
+      (5L, "xy"))                                   // too short to shingle → keep
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyDedupeAgainstCorpus(arriving, corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    out shouldBe Array(3L, 4L, 5L)
+  }
+
+  test("fuzzyDedupeAgainstCorpus ≡ brute-force cross jaccard when recall-complete") {
+    // exact dups and heavy-overlap near-dups always share every/most bands;
+    // with single-token shingles the signature IS the token-set signature,
+    // and these constructed pairs agree on at least one of 4 bands, so the
+    // LSH path must reproduce the brute-force cross-join result exactly.
+    val corpus = Seq(
+      (100L, "a b c d e f g h"), (101L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val arriving = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "p q r s t u v w x y z zz"), (4L, "fresh new words only here now"))
+      .toDF("doc_id", "text")
+    val thr = 0.5
+    val brute = arriving.as("n").join(corpus.as("c"),
+        org.apache.spark.sql.functions.expr(
+          """size(array_intersect(split(n.text, ' '), split(c.text, ' '))) /
+            |CAST(size(array_union(split(n.text, ' '), split(c.text, ' ')))
+            |  AS DOUBLE) > 0.5""".stripMargin))
+      .select(col("n.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = arriving.select("doc_id").collect().map(_.getLong(0))
+      .filterNot(brute).sorted
+    val out = Dedup.fuzzyDedupeAgainstCorpus(arriving, corpus, "doc_id", "text",
+        shingleN = 1, threshold = thr)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    out shouldBe expected
+    // 1: j=1; 2: j=7/9; 3: j=8/12 — all > 0.5, dropped; only 4 is fresh
+    expected shouldBe Array(4L)
+  }
+
   test("removeNearDupesLsh ≡ exact composition at a recall-complete setting") {
     // three tight same-direction clusters + singletons: within-cluster
     // cosine ≈ 1 (every pair above threshold), clusters mutually below it.
