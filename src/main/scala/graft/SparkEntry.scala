@@ -869,6 +869,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII redaction audit: digit-run ids scrubbed from the name (every row
+    // matches once), emails from the segment (the all-pass case), with the
+    // per-row redaction count a scrub-rate report aggregates. Pure row-local
+    // regex; the oracle replays both rules with RE2 regexp_replace.
+    "q77_pii_redact" -> ((s, dir) =>
+      Curation.redactPii(Tables.load(s, dir, "customer"), Seq(
+        graft.text.PiiRule("c_name", "[0-9]{4,}", "[ID]"),
+        graft.text.PiiRule("c_mktsegment", Curation.PiiPatterns.Email,
+          "[EMAIL]")))
+        .select("c_custkey", "c_name", "c_mktsegment", "n_redactions")
+        .orderBy("c_custkey")),
+
     // Embedding-space outlier signal: cosine of each vector to its seeded
     // nearest centroid (q69's deterministic centroids), outlier below 0.2.
     // The pre-training garbage-embedding filter; oracle replays centroid
@@ -937,6 +949,29 @@ object SparkEntry {
         .groupBy(col("a_user").as("user_id"))
         .agg(count(lit(1)).as("n_overlaps"))
         .orderBy("user_id")
+    }),
+
+    // Product quantization encode: 4 subspaces × 16 seeded centroids — the
+    // m-byte compression that makes a 100 TB embedding corpus scannable.
+    // Codes + integer micro-unit reconstruction errors; the oracle replays
+    // subvector slicing, the x·x−2x·c+c·c distance, and argmin in SQL.
+    "q78_pq_encode" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 4, k = 16)
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+        .select("vec_id", "code0", "code1", "code2", "code3", "err_e6")
+        .orderBy("vec_id")
+    }),
+
+    // PQ asymmetric-distance top-k: exact queries scan the corpus's PQ
+    // codes via per-query distance tables — integer table-entry sums rank
+    // candidates, so the whole ANN path hash-compares like q69.
+    "q79_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 4, k = 16)
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cb)
+        .orderBy("query_id", "rank")
     }),
 
     // LSH recall evaluation: the number a curation pipeline reads to size
@@ -1796,6 +1831,72 @@ object SparkEntry {
         |  WHERE doc_id % 2 = 1)
         |SELECT doc_id FROM n WHERE fp NOT IN (SELECT fp FROM c)
         |ORDER BY doc_id""".stripMargin,
+    // q78/q79 replay the PQ path: seed centroids are the 16 lowest-id
+    // vectors' 16-dim slices; distances are the same left-assoc double
+    // x·x − 2x·c + c·c; per-subspace errors round to micro-units BEFORE
+    // summing, so totals are integer sums (order-free across engines).
+    "q78_pq_encode" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |seed AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.s, seed.j, seed.e[t.s*16+1 : t.s*16+16] AS c
+        |  FROM seed, range(4) t(s)),
+        |xs AS (SELECT v.vec_id, t.s, v.e[t.s*16+1 : t.s*16+16] AS x
+        |  FROM v, range(4) t(s)),
+        |scored AS (SELECT xs.vec_id, xs.s, cb.j,
+        |    list_dot_product(xs.x, xs.x) - 2.0*list_dot_product(xs.x, cb.c)
+        |      + list_dot_product(cb.c, cb.c) AS d2
+        |  FROM xs JOIN cb ON xs.s = cb.s),
+        |best AS (SELECT vec_id, s, j, d2,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |  FROM scored),
+        |b AS (SELECT vec_id, s, j, CAST(round(d2 * 1000000.0) AS BIGINT) AS e6
+        |  FROM best WHERE rn = 1)
+        |SELECT vec_id,
+        | CAST(max(CASE WHEN s = 0 THEN j END) AS BIGINT) AS code0,
+        | CAST(max(CASE WHEN s = 1 THEN j END) AS BIGINT) AS code1,
+        | CAST(max(CASE WHEN s = 2 THEN j END) AS BIGINT) AS code2,
+        | CAST(max(CASE WHEN s = 3 THEN j END) AS BIGINT) AS code3,
+        | CAST(sum(e6) AS BIGINT) AS err_e6
+        |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q79_pq_adc_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |seed AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.s, seed.j, seed.e[t.s*16+1 : t.s*16+16] AS c
+        |  FROM seed, range(4) t(s)),
+        |xs AS (SELECT v.vec_id, t.s, v.e[t.s*16+1 : t.s*16+16] AS x
+        |  FROM v, range(4) t(s)),
+        |scored AS (SELECT xs.vec_id, xs.s, cb.j,
+        |    list_dot_product(xs.x, xs.x) - 2.0*list_dot_product(xs.x, cb.c)
+        |      + list_dot_product(cb.c, cb.c) AS d2
+        |  FROM xs JOIN cb ON xs.s = cb.s),
+        |codes AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |qtab AS (SELECT vec_id AS query_id, s, j,
+        |    CAST(round(d2 * 1000000.0) AS BIGINT) AS d_e6
+        |  FROM scored WHERE vec_id < 20),
+        |adc AS (SELECT qtab.query_id, codes.vec_id AS neighbor_id,
+        |    CAST(sum(qtab.d_e6) AS BIGINT) AS adc_e6
+        |  FROM codes JOIN qtab ON codes.s = qtab.s AND codes.j = qtab.j
+        |  WHERE qtab.query_id <> codes.vec_id
+        |  GROUP BY qtab.query_id, codes.vec_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_e6
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_e6, neighbor_id) AS rank FROM adc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q77_pii_redact" ->
+      """SELECT c_custkey,
+        | regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS c_name,
+        | regexp_replace(c_mktsegment,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+        |   AS c_mktsegment,
+        | CAST(len(regexp_extract_all(c_name, '[0-9]{4,}'))
+        |   + len(regexp_extract_all(c_mktsegment,
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_redactions
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // q76 replays the fuzzy incremental dedup: q27's signature/band CTEs on
     // the full corpus, candidates restricted to odd(arrival)×even(corpus),
     // each verified by exact jaccard on the 32-bit shingle-hash sets.

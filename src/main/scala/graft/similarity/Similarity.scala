@@ -300,6 +300,114 @@ object Similarity {
         round(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
+  // ---- Product quantization (PQ) ----------------------------------------
+
+  /** PQ codebook: `m` subspaces × `k` centroids per subspace, seeded
+    * deterministically from the k lowest-id vectors' subvectors — the PQ
+    * analogue of `sampleCentroids` (refine per-subspace with Lloyd when
+    * bucket balance matters more than SQL replayability; the encode/ADC
+    * plumbing below is codebook-agnostic). Shape: codebook(s)(j) = centroid
+    * j of subspace s. */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Seq[Seq[Array[Float]]] = {
+    val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "pqCodebook needs a non-empty frame")
+    val dim = seeds.head.length
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    (0 until m).map(s => seeds.toSeq.map(_.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ encode — the m-byte-per-vector compression that makes a 100 TB
+    * embedding corpus ADC-scannable: per subspace, the L2-nearest centroid
+    * index (ties to the lowest index) plus the squared reconstruction error
+    * in micro-units. Distances use ‖x−c‖² = x·x − 2·x·c + c·c with c·c a
+    * driver-side double constant per centroid — x·x is computed once per
+    * subspace instead of once per (subspace, centroid), and every arithmetic
+    * step replays exactly in SQL (same left-assoc double ops). Row-local,
+    * zero shuffle. Output: (id…, code0..code{m-1}, err_e6) with err_e6 the
+    * INTEGER sum of per-subspace micro-unit errors (order-free, so the total
+    * hash-compares across engines). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebook.length
+    val sub = codebook.head.head.length
+    val base = (0 until m).foldLeft(
+      df.select(col(idCol), col(vecCol).as("_v"))) { case (d, s) =>
+      d.withColumn(s"_x$s", slice(col("_v"), s * sub + 1, sub))
+        .withColumn(s"_xx$s", dot(col(s"_x$s"), col(s"_x$s")))
+    }
+    val scored = (0 until m).foldLeft(base) { case (d, s) =>
+      val cands = codebook(s).zipWithIndex.map { case (c, j) =>
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        struct(
+          (col(s"_xx$s") - lit(2.0) * dot(col(s"_x$s"), typedlit(c.toSeq))
+            + lit(cc)).as("d"),
+          lit(j).as("c"))
+      }
+      d.withColumn(s"_best$s", array_min(array(cands: _*)))
+    }
+    val out = (0 until m).foldLeft(scored) { case (d, s) =>
+      d.withColumn(s"code$s", col(s"_best$s").getField("c").cast("long"))
+        .withColumn(s"_err$s",
+          round(col(s"_best$s").getField("d") * lit(1e6)).cast("long"))
+    }
+    out
+      .withColumn("err_e6",
+        (0 until m).map(s => col(s"_err$s")).reduce(_ + _))
+      .drop("_v")
+      .drop((0 until m).flatMap(s =>
+        Seq(s"_x$s", s"_xx$s", s"_best$s", s"_err$s")): _*)
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries stay exact, the corpus is
+    * its PQ codes — the memory shape that lets one executor scan millions of
+    * candidates. Each query precomputes an m×k table of exact
+    * query-subvector ↔ centroid distances (micro-unit ints); a candidate's
+    * approximate distance is the INTEGER sum of its codes' table entries, so
+    * ranking is deterministic across engines (ties to the lower neighbor
+    * id). Shuffle shape: codes explode to m rows per corpus vector, join a
+    * BROADCAST |Q|·m·k table on (subspace, code), then one grouped sum —
+    * linear in the corpus, no pairwise vector math anywhere. */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebook: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = codebook.length
+    val sub = codebook.head.head.length
+    val codes = pqEncode(corpus, idCol, vecCol, codebook)
+      .select(col(idCol).as("neighbor_id"), posexplode(
+        array((0 until m).map(s => col(s"code$s")): _*)))
+      .toDF("neighbor_id", "s", "code")
+    val qBase = (0 until m).foldLeft(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_v"))) {
+      case (d, s) =>
+        d.withColumn(s"_x$s", slice(col("_v"), s * sub + 1, sub))
+          .withColumn(s"_xx$s", dot(col(s"_x$s"), col(s"_x$s")))
+    }
+    val tableCols = (0 until m).flatMap { s =>
+      codebook(s).zipWithIndex.map { case (c, j) =>
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        struct(lit(s).as("s"), lit(j).cast("long").as("code"),
+          round((col(s"_xx$s") - lit(2.0) * dot(col(s"_x$s"), typedlit(c.toSeq))
+            + lit(cc)) * lit(1e6)).cast("long").as("d_e6"))
+      }
+    }
+    val qTable = qBase
+      .select(col("query_id"), explode(array(tableCols: _*)).as("t"))
+      .select(col("query_id"), col("t.s").as("s"), col("t.code").as("code"),
+        col("t.d_e6").as("d_e6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_e6"), col("neighbor_id"))
+    codes.join(broadcast(qTable), Seq("s", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d_e6")).as("adc_e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("adc_e6"))
+  }
+
   /** Pair-recall report of an approximate near-dup pair set against the
     * exact baseline: (n_exact, n_found, recall_e6) as one row. For
     * verified-candidate generators (every emitted pair carries its exact

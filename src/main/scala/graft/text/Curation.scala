@@ -15,7 +15,46 @@ import org.apache.spark.sql.functions._
   * division of exact integers rounded to a micro-unit long; every rule
   * compares those integer micro-units against integer thresholds, so pass/
   * fail verdicts can never straddle an ulp between engines. */
+/** One PII scrubbing rule: substrings of `column` matching `pattern` are
+  * replaced by `replacement`. Rules apply in sequence, so a later rule on the
+  * same column sees the earlier rule's output. */
+final case class PiiRule(column: String, pattern: String, replacement: String)
+
 object Curation {
+
+  /** Baseline PII patterns (standard published regex shapes, intersection of
+    * Java-regex and RE2 syntax so redaction replays identically in
+    * SQL-engine audits). Production deployments tune per jurisdiction. */
+  object PiiPatterns {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    /** Long digit runs, optionally dash/space-separated (phone numbers,
+      * account ids, SSN-shaped groups). */
+    val NumericId = "[0-9][0-9 -]{6,}[0-9]"
+  }
+
+  /** Scrub PII from string columns before a corpus enters training: each
+    * rule's matches are counted (on the value that rule actually sees) and
+    * replaced, and the per-row total lands in `n_redactions` — the audit
+    * column a curation pipeline aggregates for scrub-rate reports. Row-local
+    * regex work, zero shuffle, embarrassingly parallel; the regexes
+    * themselves are the whole cost, so anchor-free catastrophic-backtracking
+    * patterns are the thing to avoid at 100 TB. Null values redact to null
+    * and count 0. */
+  def redactPii(df: DataFrame, rules: Seq[PiiRule]): DataFrame = {
+    require(rules.nonEmpty, "redactPii needs at least one rule")
+    val counted = rules.zipWithIndex.foldLeft(df) { case (d, (r, i)) =>
+      d.withColumn(s"_n_redact_$i",
+          coalesce(regexp_count(col(r.column), lit(r.pattern)).cast("long"),
+            lit(0L)))
+        .withColumn(r.column,
+          regexp_replace(col(r.column), r.pattern, r.replacement))
+    }
+    counted
+      .withColumn("n_redactions",
+        rules.indices.map(i => col(s"_n_redact_$i")).reduce(_ + _))
+      .drop(rules.indices.map(i => s"_n_redact_$i"): _*)
+  }
 
   /** Per-domain corpus composition: document count, token mass, tokens per
     * document, and each domain's share of the corpus token mass — the input

@@ -249,6 +249,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pq: seed vectors encode to their own codes with zero error") {
+    // dim 4, m 2, k 2: codebook = slices of vectors 0 and 1
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 2f)),
+      (1L, Array(0f, 3f, 1f, 0f)),
+      (2L, Array(1f, 0f, 1f, 0f)), // sub0 = seed0's, sub1 = seed1's
+      (3L, Array(10f, 10f, 10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 2, k = 2)
+    cb.length shouldBe 2
+    cb(0).map(_.toSeq) shouldBe Seq(Seq(1f, 0f), Seq(0f, 3f))
+    val out = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .orderBy("vec_id")
+      .select("vec_id", "code0", "code1", "err_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out(0) shouldBe ((0L, 0L, 0L, 0L)) // seed 0: exact reconstruction
+    out(1) shouldBe ((1L, 1L, 1L, 0L)) // seed 1: exact reconstruction
+    // vec 2: sub0 (1,0) = seed0 sub0; sub1 (1,0) nearer seed1's (1,0) than
+    // seed0's (0,2): d((1,0),(1,0))=0 vs d((1,0),(0,2))=5
+    out(2) shouldBe ((2L, 0L, 1L, 0L))
+    // vec 3 reconstructs imperfectly: every err strictly positive
+    out(3)._4 should be > 0L
+  }
+
+  test("pq ADC: with every corpus vector a centroid, ADC ≡ exact squared L2") {
+    // k = |corpus| makes each vector its own codeword → code distances ARE
+    // the true subspace distances and ADC reduces to exact L2² ranking
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 1f)),
+      (2L, Array(1f, 1f, 0f, 0f)),
+      (3L, Array(5f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 2, k = 4)
+    val adc = Similarity.pqAdcTopK(emb, emb.where("vec_id = 0"),
+      "vec_id", "embedding", k = 3, cb)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_e6")))
+    // exact L2² from 0: →2 is 1, →1 is 3, →3 is 17
+    adc shouldBe Array((2L, 1000000L), (1L, 3000000L), (3L, 17000000L))
+  }
+
   test("pairRecall: full overlap → 1e6, half → 500000, empty exact → -1") {
     import spark.implicits._
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))

@@ -19,6 +19,27 @@ class CurationSpec extends SparkSpec {
       ("web", 2L, 6L, 3000000L, 500000L))
   }
 
+  test("redactPii: rules chain in order, counts audit per row, nulls safe") {
+    val rows = Seq(
+      (1L, Some("mail me at jo.doe+x@test.org or x@y.io"), "call 555-123-4567"),
+      (2L, Some("ip 10.0.0.1 visited"), "clean text"),
+      (3L, None, "192.168.0.1 and 555 7654321"))
+      .toDF("id", "a", "b")
+    val out = Curation.redactPii(rows, Seq(
+      PiiRule("a", Curation.PiiPatterns.Email, "[EMAIL]"),
+      PiiRule("a", Curation.PiiPatterns.Ipv4, "[IP]"),
+      PiiRule("b", Curation.PiiPatterns.NumericId, "[NUM]"),
+      PiiRule("b", Curation.PiiPatterns.Ipv4, "[IP]")))
+      .orderBy("id").collect()
+    out.map(r => (r.getAs[String]("a"), r.getAs[String]("b"),
+      r.getAs[Long]("n_redactions"))).toSeq shouldBe Seq(
+      ("mail me at [EMAIL] or [EMAIL]", "call [NUM]", 3L),
+      ("ip [IP] visited", "clean text", 1L),
+      // null column: redacts to null, counts 0; the IP rule on b runs on
+      // the NumericId rule's output (chained), "555 7654321" matched first
+      (null, "[IP] and [NUM]", 2L))
+  }
+
   test("qualityFilter gates on token count, word length, ttr, repetition") {
     val docs = Seq(
       (1L, (1 to 30).map(i => s"tok$i").mkString(" ")), // passes every rule
