@@ -974,6 +974,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Inter-document boilerplate signal: fraction of each doc's 5-gram
+    // shingles shared with ≥2 docs corpus-wide — the cross-corpus
+    // complement of q56's intra-doc repetition. Linear shuffles on 8-byte
+    // shingle hashes; exact integer micro-unit fractions.
+    "q80_boilerplate" -> ((s, dir) =>
+      TextAnalysis.interDocRepetition(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
+
     // LSH recall evaluation: the number a curation pipeline reads to size
     // num_planes before a full-corpus dedup — exact cosine pairs vs the
     // 4-plane LSH pair set, (n_exact, n_found, recall_e6). The exact side
@@ -1831,6 +1840,29 @@ object SparkEntry {
         |  WHERE doc_id % 2 = 1)
         |SELECT doc_id FROM n WHERE fp NOT IN (SELECT fp FROM c)
         |ORDER BY doc_id""".stripMargin,
+    "q80_boilerplate" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(string_split(trim(text),' ')) - 3),
+        |  i -> string_split(trim(text),' ')[i] || ' ' ||
+        |       string_split(trim(text),' ')[i+1] || ' ' ||
+        |       string_split(trim(text),' ')[i+2] || ' ' ||
+        |       string_split(trim(text),' ')[i+3] || ' ' ||
+        |       string_split(trim(text),' ')[i+4])) AS sh FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(sh, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs
+        | FROM t),
+        |ex AS (SELECT doc_id, unnest(hs) AS hh FROM h),
+        |dfreq AS (SELECT hh, count(*) AS df FROM ex GROUP BY hh),
+        |shared AS (SELECT ex.doc_id,
+        |    count(CASE WHEN dfreq.df >= 2 THEN 1 END) AS n_shared
+        |  FROM ex JOIN dfreq USING (hh) GROUP BY ex.doc_id)
+        |SELECT h.doc_id, CAST(len(h.hs) AS BIGINT) AS n_shingles,
+        | CAST(coalesce(shared.n_shared, 0) AS BIGINT) AS n_shared,
+        | CASE WHEN len(h.hs) = 0 THEN 0
+        |      ELSE CAST(coalesce(shared.n_shared, 0) * 1000000 // len(h.hs)
+        |        AS BIGINT) END AS shared_frac_e6
+        |FROM h LEFT JOIN shared ON h.doc_id = shared.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
     // q78/q79 replay the PQ path: seed centroids are the 16 lowest-id
     // vectors' 16-dim slices; distances are the same left-assoc double
     // x·x − 2x·c + c·c; per-subspace errors round to micro-units BEFORE

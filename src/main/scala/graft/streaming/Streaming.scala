@@ -55,16 +55,24 @@ object Streaming {
     * content fingerprint (first-seen wins, like the keyed silver dedupe —
     * state is bounded by the watermark when the caller sets one upstream
     * of this schema's event-time column, otherwise it grows with distinct
-    * content, the same contract as silverStream). Near-dup strategies need
-    * corpus-wide pair joins and belong to the batch stage by construction:
-    * configuring one here fails loudly rather than silently degrading. */
-  /** @param corpus optional HISTORICAL corpus: arriving docs whose content
-    *               fingerprint already exists there are dropped via the
-    *               Bloom prefilter + verifying stream-static anti-join
-    *               (`Dedup.dedupeAgainstCorpus` — the sketch is built once
-    *               at query start and rides the plan; result-exact, the
-    *               bloom only prunes the join). Within-stream dups are
-    *               still the stateful dropDuplicates' job. */
+    * content, the same contract as silverStream). WITHIN-STREAM near-dup
+    * strategies need corpus-wide pair joins and belong to the batch stage
+    * by construction: configuring one here without a historical corpus
+    * fails loudly rather than silently degrading. */
+  /** @param corpus optional HISTORICAL corpus. With `exact` dedup, arriving
+    *               docs whose content fingerprint already exists there are
+    *               dropped via the Bloom prefilter + verifying stream-static
+    *               anti-join (`Dedup.dedupeAgainstCorpus` — the sketch is
+    *               built once at query start and rides the plan;
+    *               result-exact, the bloom only prunes the join). With
+    *               `minhash_lsh` dedup, arrivals that are NEAR-dups of any
+    *               corpus doc are dropped (`Dedup.fuzzyDedupeAgainstCorpus`)
+    *               — that path's candidate aggregation can't ride a
+    *               streaming plan, so each micro-batch runs the batch
+    *               operator inside foreachBatch against the static corpus;
+    *               within-stream dups remain exact-fingerprint (stateful
+    *               dropDuplicates), the only within-stream dedup an
+    *               unbounded stream admits. */
   def curationStream(
       spark: SparkSession,
       inputDir: String,
@@ -73,15 +81,19 @@ object Streaming {
       outDir: String,
       checkpointDir: String,
       corpus: Option[org.apache.spark.sql.DataFrame] = None): StreamingQuery = {
-    spec.dedup.foreach(d => require(d.strategy == "exact",
-      s"streaming curation supports only exact dedup (got '${d.strategy}'); " +
+    spec.dedup.foreach(d => require(d.strategy == "exact" ||
+      (d.strategy == "minhash_lsh" && corpus.isDefined),
+      s"streaming curation supports exact dedup, or minhash_lsh against a " +
+        s"historical corpus (got '${d.strategy}'" +
+        s"${if (corpus.isEmpty) " with no corpus" else ""}); other " +
         "near-dup strategies need corpus-wide pair joins - run the batch stage"))
     require(corpus.isEmpty || spec.dedup.isDefined,
       "corpus dedup needs curation.dedup (its content_column names the text)")
     val src = spark.readStream.schema(schema).parquet(inputDir)
     val gated = spec.gate.fold(src)(g => graft.text.Curation.applyGate(src, g))
+    val fuzzy = spec.dedup.filter(_.strategy == "minhash_lsh")
     val historical = (corpus, spec.dedup) match {
-      case (Some(c), Some(d)) =>
+      case (Some(c), Some(d)) if d.strategy == "exact" =>
         graft.dedup.Dedup.dedupeAgainstCorpus(gated, c, d.idColumn,
           d.contentColumn, expectedItems = math.max(100L, c.count()))
       case _ => gated
@@ -94,12 +106,31 @@ object Streaming {
     }
     val mixed = spec.mixing.fold(deduped)(m =>
       graft.text.Curation.applyMixing(deduped, m))
-    mixed.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .start()
+    fuzzy match {
+      case None =>
+        mixed.writeStream
+          .format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", checkpointDir)
+          .outputMode(OutputMode.Append())
+          .start()
+      case Some(d) =>
+        val staticCorpus = corpus.get
+        mixed.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .outputMode(OutputMode.Append())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              graft.dedup.Dedup.fuzzyDedupeAgainstCorpus(batch.toDF(),
+                  staticCorpus, d.idColumn, d.contentColumn,
+                  shingleN = d.ngram, threshold = d.threshold,
+                  numHashes = d.numHashes, numBands = d.numBands)
+                .write.mode("append").parquet(outDir)
+              ()
+          }
+          .start()
+    }
   }
 
   /** Watermarked tumbling-window aggregation (the streaming analogue of the

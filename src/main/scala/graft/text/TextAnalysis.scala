@@ -261,6 +261,41 @@ object TextAnalysis {
             col("total_grams").cast("double") * 1e6).cast("long")))
   }
 
+  /** Inter-document repetition — the cross-corpus complement of
+    * [[repetitionProfile]]: per document, how many of its distinct n-gram
+    * shingles appear in at least `minDf` documents corpus-wide, and the
+    * micro-unit fraction of its shingles that are such shared boilerplate.
+    * High scores mark templated/boilerplate content (headers, navigation,
+    * license blurbs) that per-document signals can't see; curation drops or
+    * down-weights them before training.
+    *
+    * Scale shape: distinct shingles hash row-locally (native
+    * `shingle_hashes`), document frequency is ONE groupBy on the 8-byte
+    * hash, membership joins back on the same key, and the per-doc rollup is
+    * one more keyed shuffle — all linear, no pair expansion anywhere (this
+    * reads document frequency only, never which documents share a shingle).
+    * The fraction is floor-division micro-units of exact integers, so the
+    * output hash-compares across engines. */
+  def interDocRepetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int = 2): DataFrame = {
+    require(n >= 1 && minDf >= 1, s"bad interDocRepetition params: n=$n minDf=$minDf")
+    val sets = df.select(col(idCol).as("doc_id"),
+      call_function("shingle_hashes", col(textCol), lit(n)).as("_sh"))
+    val ex = sets.select(col("doc_id"), explode(col("_sh")).as("h"))
+    // shingles are distinct per doc, so count(*) per hash IS document freq
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("_df"))
+    val shared = ex.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(when(col("_df") >= minDf, 1)).as("n_shared"))
+    sets.select(col("doc_id"), size(col("_sh")).cast("long").as("n_shingles"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_frac_e6",
+        when(col("n_shingles") === 0, lit(0L))
+          .otherwise(expr("n_shared * 1000000L div n_shingles")))
+  }
+
   /** One-pass text profile of a corpus: the per-document quality columns.
     * Ratio columns are micro-unit integers (`round(x*1e6)` of a
     * deterministic double) — integer-rounding a shared double is identical

@@ -103,6 +103,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation stream fuzzy-dedups arrivals against a historical corpus") {
+    import graft.config.{CurationSpec, NearDedupSpec}
+    val in = Files.createTempDirectory("graft_curf_in").toString
+    val out = Files.createTempDirectory("graft_curf_out").toString
+    val chk = Files.createTempDirectory("graft_curf_chk").toString
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta", "web"),
+      (101L, "one two three four five six seven", "web"))
+      .toDF("doc_id", "text", "source")
+    val spec = CurationSpec(dedup = Some(NearDedupSpec(
+      "minhash_lsh", "doc_id", "text", threshold = 0.5, ngram = 3)))
+    val batch1 = Seq(
+      (1L, "alpha beta gamma delta epsilon eta", "web"), // NEAR-dup → dropped
+      (2L, "genuinely new arriving content here", "web"))
+      .toDF("doc_id", "text", "source")
+    batch1.write.mode("append").parquet(in)
+    val q = Streaming.curationStream(spark, in, batch1.schema, spec, out, chk,
+      corpus = Some(corpus))
+    try {
+      q.processAllAvailable()
+      spark.read.parquet(out).select("doc_id").as[Long].collect()
+        .sorted shouldBe Array(2L)
+      // a later micro-batch is fuzzy-checked against the corpus too, and
+      // within-stream exact dups are still dropped by state
+      Seq((10L, "one two three four five six eight", "web"), // near-dup → drop
+          (11L, "genuinely new arriving content here", "web"), // exact dup of 2
+          (12L, "completely fresh second batch words", "web"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      spark.read.parquet(out).select("doc_id").as[Long].collect()
+        .sorted shouldBe Array(2L, 12L)
+    } finally q.stop()
+    // fuzzy WITHOUT a corpus is still batch-only — fail loudly
+    val e = the[IllegalArgumentException] thrownBy Streaming.curationStream(
+      spark, in, batch1.schema, spec, out, chk)
+    e.getMessage should include("corpus")
+  }
+
   test("watermarked windowed aggregation emits per-window counts") {
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val df = stream.toDF().toDF("ts", "event_type", "value")

@@ -141,6 +141,30 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((2L, 2L, 1000000L)) // a+c = 0+2
   }
 
+  test("interDocRepetition: shared shingles counted corpus-wide, short docs 0") {
+    val docs = Seq(
+      // docs 1 and 2 share "a b c" (their only common trigram);
+      // doc 3 shares nothing; doc 4 too short to shingle
+      (1L, "a b c d e"), // trigrams: abc bcd cde
+      (2L, "a b c x y"), // trigrams: abc bcx cxy
+      (3L, "p q r s"),   // trigrams: pqr qrs
+      (4L, "t u"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.interDocRepetition(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("shared_frac_e6"))).toMap
+    out(1L) shouldBe ((3L, 1L, 333333L)) // 1 of 3 shared, floor(1e6/3)
+    out(2L) shouldBe ((3L, 1L, 333333L))
+    out(3L) shouldBe ((2L, 0L, 0L))
+    out(4L) shouldBe ((0L, 0L, 0L)) // no shingles → present with zeros
+    // a doc duplicated verbatim shares EVERY shingle
+    val dup = docs.union(Seq((5L, "a b c d e")).toDF("doc_id", "text"))
+    val d1 = TextAnalysis.interDocRepetition(dup, "doc_id", "text", n = 3)
+      .where("doc_id = 1").collect().head
+    d1.getAs[Long]("shared_frac_e6") shouldBe 1000000L
+  }
+
   test("native bpeTokenCount ≡ the regex forms on edge inputs and the corpus") {
     // adversarial inputs for the hand scan: every contraction suffix, an
     // apostrophe that starts NO contraction (absorbed by the punct run),
