@@ -875,8 +875,8 @@ object SparkEntry {
     // regex; the oracle replays both rules with RE2 regexp_replace.
     "q77_pii_redact" -> ((s, dir) =>
       Curation.redactPii(Tables.load(s, dir, "customer"), Seq(
-        graft.text.PiiRule("c_name", "[0-9]{4,}", "[ID]"),
-        graft.text.PiiRule("c_mktsegment", Curation.PiiPatterns.Email,
+        graft.config.PiiRule("c_name", "[0-9]{4,}", "[ID]"),
+        graft.config.PiiRule("c_mktsegment", Curation.PiiPatterns.Email,
           "[EMAIL]")))
         .select("c_custkey", "c_name", "c_mktsegment", "n_redactions")
         .orderBy("c_custkey")),
@@ -972,6 +972,21 @@ object SparkEntry {
       Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, cb)
         .orderBy("query_id", "rank")
+    }),
+
+    // Token-budget selection: highest-quality-first greedy prefix under a
+    // 10k-token budget — the final cut of a scored corpus to a target
+    // training size. Decomposed windows (per-score summary + within-tie
+    // prefix), never one global-order window; ≡ the naive global cumsum the
+    // oracle runs.
+    "q81_token_budget" -> ((s, dir) => {
+      val prof = TextAnalysis.profile(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "n_tokens", "quality_score_e6")
+      Curation.selectUnderTokenBudget(prof, "doc_id", "quality_score_e6",
+          "n_tokens", budget = 10000L)
+        .select("doc_id", "n_tokens", "quality_score_e6", "cum_tokens")
+        .orderBy("doc_id")
     }),
 
     // Inter-document boilerplate signal: fraction of each doc's 5-gram
@@ -1839,6 +1854,30 @@ object SparkEntry {
         |n AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
         |  WHERE doc_id % 2 = 1)
         |SELECT doc_id FROM n WHERE fp NOT IN (SELECT fp FROM c)
+        |ORDER BY doc_id""".stripMargin,
+    // q81's oracle runs the NAIVE single-window form of the budget cut (the
+    // engine decomposes it; the semantics are the global cumsum).
+    "q81_token_budget" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS n,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) AS u,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS sl
+        | FROM t),
+        |q AS (SELECT doc_id, n, u / n AS ttr, sl / n AS awl,
+        |  least(n / 100.0, 1.0) AS lensat FROM p),
+        |r AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(round((ttr * 0.4 + lensat * 0.3 +
+        |    greatest(0.0, 1.0 - greatest(0.0, greatest(3.0 - awl, awl - 8.0)) / 5.0) * 0.3)
+        |    * 1000000.0) AS BIGINT) AS quality_score_e6
+        | FROM q),
+        |c AS (SELECT doc_id, n_tokens, quality_score_e6,
+        |  sum(n_tokens) OVER (ORDER BY quality_score_e6 DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        | FROM r)
+        |SELECT doc_id, n_tokens, quality_score_e6,
+        | CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 10000
         |ORDER BY doc_id""".stripMargin,
     "q80_boilerplate" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(

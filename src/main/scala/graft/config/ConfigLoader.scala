@@ -289,6 +289,22 @@ object ConfigLoader {
             minTtrE6 = long("min_ttr_e6", 300000L),
             maxDup2E6 = long("max_dup_2gram_e6", 200000L))
         },
+        pii = asList(cm.getOrElse("pii", null)).map { r =>
+          val rm = asMap(r, "curation.pii[]")
+          val pattern = (rm.get("pattern"), rm.get("preset")) match {
+            case (Some(p), None) => p.toString
+            case (None, Some(name)) => PiiRule.Presets.getOrElse(name.toString,
+              throw new ConfigError(s"curation.pii[].preset '$name' not in " +
+                PiiRule.Presets.keys.toSeq.sorted.mkString("|")))
+            case _ => throw new ConfigError(
+              "curation.pii[] rules need exactly one of pattern | preset")
+          }
+          PiiRule(
+            column = str(rm, "column", "curation.pii[]"),
+            pattern = pattern,
+            replacement = rm.get("replacement").map(_.toString)
+              .getOrElse("[REDACTED]"))
+        },
         dedup = cm.get("dedup").map { d =>
           val dm = asMap(d, "curation.dedup")
           val strategy = str(dm, "strategy", "curation.dedup")

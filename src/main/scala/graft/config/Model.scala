@@ -49,6 +49,24 @@ final case class InSetCheck(column: String, allowed: Seq[String])
   * (unanchored search — anchor explicitly for full-match). */
 final case class RegexCheck(column: String, pattern: String)
 
+/** One PII scrubbing rule (curation.pii[]): substrings of `column` matching
+  * `pattern` are replaced by `replacement`. Rules apply in sequence, so a
+  * later rule on the same column sees the earlier rule's output. */
+final case class PiiRule(column: String, pattern: String, replacement: String)
+
+object PiiRule {
+  /** Named baseline patterns for `curation.pii[].preset` (standard published
+    * regex shapes, restricted to the Java-regex/RE2 syntax intersection so
+    * SQL-engine audits replay redaction identically). Production deployments
+    * tune per jurisdiction via raw `pattern`. */
+  val Presets: Map[String, String] = Map(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    // long digit runs, optionally dash/space-separated (phone numbers,
+    // account ids, SSN-shaped groups)
+    "numeric_id" -> "[0-9][0-9 -]{6,}[0-9]")
+}
+
 /** Q5-Q7 — a great-expectations-style aggregate expectation: the observed
   * scalar of `kind` ("mean_between" | "row_count_between" |
   * "unique_count_between") over `column` must land in [lo, hi]
@@ -127,6 +145,7 @@ final case class MixingSpec(
 
 final case class CurationSpec(
     gate: Option[QualityGateSpec] = None,
+    pii: Seq[PiiRule] = Nil,
     dedup: Option[NearDedupSpec] = None,
     mixing: Option[MixingSpec] = None)
 

@@ -90,7 +90,13 @@ object Streaming {
     require(corpus.isEmpty || spec.dedup.isDefined,
       "corpus dedup needs curation.dedup (its content_column names the text)")
     val src = spark.readStream.schema(schema).parquet(inputDir)
-    val gated = spec.gate.fold(src)(g => graft.text.Curation.applyGate(src, g))
+    val gatedOnly = spec.gate.fold(src)(g =>
+      graft.text.Curation.applyGate(src, g))
+    // PII scrub is row-local regex — it streams unchanged, in the same
+    // gate → scrub → dedup order as the batch stage
+    val gated =
+      if (spec.pii.isEmpty) gatedOnly
+      else graft.text.Curation.redactPii(gatedOnly, spec.pii)
     val fuzzy = spec.dedup.filter(_.strategy == "minhash_lsh")
     val historical = (corpus, spec.dedup) match {
       case (Some(c), Some(d)) if d.strategy == "exact" =>

@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.config.{CurationSpec, MixingSpec, NearDedupSpec, QualityGateSpec}
+import graft.config.{CurationSpec, MixingSpec, NearDedupSpec, PiiRule, QualityGateSpec}
 import graft.dedup.Dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -15,22 +15,14 @@ import org.apache.spark.sql.functions._
   * division of exact integers rounded to a micro-unit long; every rule
   * compares those integer micro-units against integer thresholds, so pass/
   * fail verdicts can never straddle an ulp between engines. */
-/** One PII scrubbing rule: substrings of `column` matching `pattern` are
-  * replaced by `replacement`. Rules apply in sequence, so a later rule on the
-  * same column sees the earlier rule's output. */
-final case class PiiRule(column: String, pattern: String, replacement: String)
-
 object Curation {
 
-  /** Baseline PII patterns (standard published regex shapes, intersection of
-    * Java-regex and RE2 syntax so redaction replays identically in
-    * SQL-engine audits). Production deployments tune per jurisdiction. */
+  /** Baseline PII patterns — the Scala-API view of the config presets
+    * (`graft.config.PiiRule.Presets`, `curation.pii[].preset`). */
   object PiiPatterns {
-    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val Ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-    /** Long digit runs, optionally dash/space-separated (phone numbers,
-      * account ids, SSN-shaped groups). */
-    val NumericId = "[0-9][0-9 -]{6,}[0-9]"
+    val Email = PiiRule.Presets("email")
+    val Ipv4 = PiiRule.Presets("ipv4")
+    val NumericId = PiiRule.Presets("numeric_id")
   }
 
   /** Scrub PII from string columns before a corpus enters training: each
@@ -131,6 +123,42 @@ object Curation {
         })
   }
 
+  /** Greedy best-first selection under a corpus token budget: keep the
+    * prefix of documents, ordered by (score desc, id asc), whose running
+    * token total stays within `budget` — how a curation pipeline cuts a
+    * scored corpus down to a target training-token count. Output is the
+    * selected rows plus their `cum_tokens` audit column (the running total
+    * INCLUDING the row). Greedy prefix semantics, not knapsack: the first
+    * document that would cross the budget is dropped even if a smaller,
+    * lower-scored one would still fit.
+    *
+    * Scale shape — the naive form is ONE global-order window (single
+    * reducer, the q44 anti-pattern); this decomposes it into (1) a
+    * per-score token-mass aggregate whose running sum runs over the
+    * |distinct scores|-sized summary (scores are micro-unit ints by
+    * convention — bounded, broadcast back), and (2) a within-score prefix
+    * window PARTITIONED by score, so the only serial work is the largest
+    * tie class. Score granularity is the knob: coarser scores → bigger tie
+    * classes → more parallel-summary work, finer → bigger summary. */
+  def selectUnderTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val masses = df.groupBy(col(scoreCol))
+      .agg(sum(col(tokenCol)).cast("long").as("_mass"))
+    val wScore = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = masses
+      .withColumn("_cum_before", sum(col("_mass")).over(wScore) - col("_mass"))
+      .select(col(scoreCol), col("_cum_before"))
+    val wIn = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(cumBefore), Seq(scoreCol))
+      .withColumn("cum_tokens",
+        col("_cum_before") + sum(col(tokenCol).cast("long")).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .drop("_cum_before")
+  }
+
   // ---- config-driven curation stage (curation: block) ---------------------
 
   /** The gate as a corpus FILTER: keeps rows passing the same rules
@@ -179,11 +207,15 @@ object Curation {
     df.filter(Chunking.stratifiedHashSample(col(m.keyColumn),
       col(m.domainColumn), m.rates, m.defaultPct))
 
-  /** The full config-driven stage in reference order: gate → dedup → mix.
-    * Each sub-stage is optional; absent blocks pass the frame through. */
+  /** The full config-driven stage in reference order: gate → PII scrub →
+    * dedup → mix. Each sub-stage is optional; absent blocks pass the frame
+    * through. Redaction runs after the gate (no regex cost on rejected
+    * docs) and before dedup (fingerprints see the text that ships); its
+    * `n_redactions` audit column rides through to the output. */
   def curate(df: DataFrame, spec: CurationSpec): DataFrame = {
     val gated = spec.gate.fold(df)(applyGate(df, _))
-    val deduped = spec.dedup.fold(gated)(applyDedup(gated, _))
+    val scrubbed = if (spec.pii.isEmpty) gated else redactPii(gated, spec.pii)
+    val deduped = spec.dedup.fold(scrubbed)(applyDedup(scrubbed, _))
     spec.mixing.fold(deduped)(applyMixing(deduped, _))
   }
 }

@@ -66,6 +66,12 @@ class PipelineSpec extends SparkSpec {
         |    max_avg_token_len_e6: 20000000
         |    min_ttr_e6: 0
         |    max_dup_2gram_e6: 1000000
+        |  pii:
+        |    - column: text
+        |      preset: email
+        |      replacement: "[EMAIL]"
+        |    - column: text
+        |      pattern: "fox"
         |  dedup:
         |    strategy: exact
         |    id_column: doc_id
@@ -86,6 +92,11 @@ class PipelineSpec extends SparkSpec {
         |""".stripMargin
     val cfg = ConfigLoader.parse(yaml)
     cfg.curation.flatMap(_.dedup).map(_.strategy) shouldBe Some("exact")
+    // preset expands to the named pattern; replacement defaults
+    cfg.curation.map(_.pii).get shouldBe Seq(
+      graft.config.PiiRule("text", graft.config.PiiRule.Presets("email"),
+        "[EMAIL]"),
+      graft.config.PiiRule("text", "fox", "[REDACTED]"))
 
     val docs = Seq(
       (1L, "the quick brown fox jumps", "web"),
@@ -121,6 +132,24 @@ class PipelineSpec extends SparkSpec {
         |""".stripMargin
     val e = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yaml)
     e.getMessage should include("fuzzy_wuzzy")
+  }
+
+  test("curation pii validation: unknown preset / pattern+preset fail at load") {
+    def yamlWith(rule: String) =
+      s"""version: "1.0"
+         |pipeline:
+         |  name: docs
+         |curation:
+         |  pii:
+         |    - column: text
+         |$rule
+         |""".stripMargin
+    val e1 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      yamlWith("      preset: no_such_preset"))
+    e1.getMessage should include("no_such_preset")
+    val e2 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      yamlWith("      preset: email\n      pattern: x"))
+    e2.getMessage should include("exactly one")
   }
 
   test("sessions block rolls up gap sessions from config") {

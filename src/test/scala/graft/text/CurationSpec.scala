@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import graft.config.PiiRule
 
 class CurationSpec extends SparkSpec {
   import spark.implicits._
@@ -38,6 +39,26 @@ class CurationSpec extends SparkSpec {
       // null column: redacts to null, counts 0; the IP rule on b runs on
       // the NumericId rule's output (chained), "555 7654321" matched first
       (null, "[IP] and [NUM]", 2L))
+  }
+
+  test("selectUnderTokenBudget ≡ global greedy prefix, ties by id") {
+    // scores force the order (30,2) (10,5) (10,9) (10,4) (5,...) — note ids
+    // 5 and 9 share score 10, so the within-score prefix must go id-first
+    val docs = Seq(
+      (2L, 30L, 40L), (5L, 10L, 30L), (9L, 10L, 25L), (4L, 10L, 50L),
+      (7L, 5L, 10L))
+      .toDF("doc_id", "score", "n_tokens")
+    def run(budget: Long) =
+      Curation.selectUnderTokenBudget(docs, "doc_id", "score", "n_tokens",
+          budget)
+        .select("doc_id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // order by (score desc, id): 2(40) 4(90) 5(120) 9(145) 7(155)
+    run(200L).toSeq shouldBe Seq((2L, 40L), (4L, 90L), (5L, 120L),
+      (7L, 155L), (9L, 145L))
+    run(120L).toSeq shouldBe Seq((2L, 40L), (4L, 90L), (5L, 120L))
+    run(119L).toSeq shouldBe Seq((2L, 40L), (4L, 90L)) // greedy, not knapsack
+    run(10L).toSeq shouldBe Seq.empty
   }
 
   test("qualityFilter gates on token count, word length, ttr, repetition") {
