@@ -28,7 +28,11 @@ object ScaleSmoke {
 
   private val HeavyQueries = Seq(
     "q26_ngram_jaccard", "q45_near_dedup", "q47_simhash64_pairs",
-    "q51_tfidf_terms", "q64_embed_dedup_lsh")
+    "q51_tfidf_terms", "q64_embed_dedup_lsh",
+    // round-8 additions whose linear-shuffle claims deserve the same
+    // measured backing: cross-corpus fuzzy dedup, PQ code-scan ANN, and
+    // the corpus-wide boilerplate signal
+    "q76_fuzzy_incremental", "q79_pq_adc_topk", "q80_boilerplate")
 
   private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     // both outputs must exist — a crash between the two writes would

@@ -974,6 +974,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR re-rank: brute-force top-20 pools diversified down to 5 — the
+    // redundancy-pruning step between ANN retrieval and a context window.
+    // The greedy per-query loop runs in mapGroups (never on the driver);
+    // iterative selection has no SQL analogue, so like q40's Lloyd path
+    // this is a rows-only entry; MMR semantics are spec-asserted.
+    "q82_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cands = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 20)
+      Similarity.mmrRerank(cands, emb, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // Token-budget selection: highest-quality-first greedy prefix under a
     // 10k-token budget — the final cut of a scored corpus to a target
     // training size. Decomposed windows (per-score summary + within-tie

@@ -408,6 +408,88 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("adc_e6"))
   }
 
+  /** One MMR-selected row: rank is the greedy selection order. */
+  final case class MmrResult(query_id: Long, neighbor_id: Long, rank: Long,
+      mmr_e6: Long)
+
+  /** Maximal-marginal-relevance re-rank of a top-k candidate set: greedily
+    * pick the candidate maximizing λ·relevance − (1−λ)·max-cosine-to-an-
+    * already-picked candidate — the standard redundancy-pruning step between
+    * ANN retrieval and a RAG/context window, so near-duplicate hits don't
+    * crowd out coverage. Relevance is the candidate frame's own `sim_e6`
+    * (bruteForceTopK / ivfTopK / pqAdcTopK shape, long ids); diversity
+    * cosines come from `corpus` vectors.
+    *
+    * The greedy loop is inherently sequential PER QUERY, so it runs inside
+    * `mapGroups` over the query key — never on the driver: each group is one
+    * candidate pool (≤ the generator's k, typically ≤ a few hundred rows),
+    * the k·|pool| dot products are plain JVM float math, and queries
+    * parallelize across the cluster. All scoring is integer micro-units
+    * (λ in e6, floor-divided), ties to the lower neighbor id —
+    * deterministic at any parallelism. */
+  def mmrRerank(candidates: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambdaE6: Long = 500000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambdaE6 >= 0L && lambdaE6 <= 1000000L,
+      s"lambdaE6 must be in [0, 1e6], got $lambdaE6")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val withVecs = candidates
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim_e6").cast("long"))
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("_vec")), "neighbor_id")
+      .as[(Long, Long, Long, Seq[Float])]
+    // the join moved its key first: tuples are (neighbor_id, query_id,
+    // sim_e6, vec) — group by the QUERY id and run the greedy loop per pool
+    val pools = withVecs.groupByKey(_._2)
+    pools.flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Float])]) =>
+      // bounded by the candidate generator's k — materializing the pool is
+      // the operator's contract
+      val pool = it.map { case (nid, _, rel, vec) =>
+        (nid, rel, vec.toArray)
+      }.toArray.sortBy(p => (-p._2, p._1)) // deterministic scan order
+      def cosE6(a: Array[Float], b: Array[Float]): Long = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0L
+        else math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[MmrResult]
+      val taken = new Array[Boolean](pool.length)
+      while (selected.length < math.min(k, pool.length)) {
+        var bestIdx = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < pool.length) {
+          if (!taken(i)) {
+            val maxDiv =
+              if (selected.isEmpty) 0L
+              else selected.map(s => cosE6(pool(i)._3, pool(s)._3)).max
+            val score =
+              (lambdaE6 * pool(i)._2 - (1000000L - lambdaE6) * maxDiv) / 1000000L
+            // strict > plus ascending (-rel, id) scan order = ties to the
+            // higher-relevance then lower-id candidate
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        taken(bestIdx) = true
+        selected += bestIdx
+        out += MmrResult(qid, pool(bestIdx)._1, selected.length.toLong,
+          bestScore)
+      }
+      out.iterator
+    }.toDF()
+  }
+
   /** Pair-recall report of an approximate near-dup pair set against the
     * exact baseline: (n_exact, n_found, recall_e6) as one row. For
     * verified-candidate generators (every emitted pair carries its exact

@@ -291,6 +291,33 @@ class SimilaritySpec extends SparkSpec {
     adc shouldBe Array((2L, 1000000L), (1L, 3000000L), (3L, 17000000L))
   }
 
+  test("mmr: redundant near-duplicate hit is displaced by a diverse one") {
+    // corpus: 1 and 2 nearly parallel (cos ≈ 1), 3 orthogonal to both.
+    // plain top-3 relevance order is 1, 2, 3; MMR at λ=0.5 must demote the
+    // duplicate 2 below the diverse 3.
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.04f, 0f)),
+      (3L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cands = Seq(
+      (0L, 1L, 990000L), (0L, 2L, 980000L), (0L, 3L, 500000L))
+      .toDF("query_id", "neighbor_id", "sim_e6")
+    val out = Similarity.mmrRerank(cands, corpus, "vec_id", "embedding",
+        k = 3, lambdaE6 = 500000L)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("neighbor_id")))
+    out.map(_._2).toSeq shouldBe Seq(1L, 3L, 2L)
+    // λ=1 degenerates to pure relevance order
+    val rel = Similarity.mmrRerank(cands, corpus, "vec_id", "embedding",
+        k = 3, lambdaE6 = 1000000L)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id"))
+    rel.toSeq shouldBe Seq(1L, 2L, 3L)
+    // k truncates the selection, per query
+    Similarity.mmrRerank(cands, corpus, "vec_id", "embedding", k = 1)
+      .count() shouldBe 1L
+  }
+
   test("pairRecall: full overlap → 1e6, half → 500000, empty exact → -1") {
     import spark.implicits._
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
