@@ -974,6 +974,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Containment pairs: near-superset detection symmetric jaccard misses
+    // (short doc swallowed by a long one) — either direction's
+    // |A∩B|/|A| ≥ 0.6 on 3-gram shingles, same inverted index + freq cap
+    // as q26, floor-division micro-units.
+    "q83_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 3, thresholdE6 = 600000L, maxShingleFreq = 100)
+        .orderBy("id_a", "id_b")),
+
     // MMR re-rank: brute-force top-20 pools diversified down to 5 — the
     // redundancy-pruning step between ANN retrieval and a context window.
     // The greedy per-query loop runs in mapGroups (never on the driver);
@@ -1255,6 +1264,23 @@ object SparkEntry {
         | CAST(round(CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) * 1000000.0) AS BIGINT) AS jaccard_e6
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q83_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.ss AS size_a, sb.ss AS size_b,
+        | inter * 1000000 // sa.ss AS containment_a_e6,
+        | inter * 1000000 // sb.ss AS containment_b_e6
+        |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE greatest(inter * 1000000 // sa.ss, inter * 1000000 // sb.ss) >= 600000
         |ORDER BY id_a, id_b""".stripMargin,
     "q27_minhash_lsh" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(

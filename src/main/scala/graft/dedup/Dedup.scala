@@ -217,6 +217,30 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Asymmetric near-CONTAINMENT pairs: containment(A in B) = |A∩B| / |A| —
+    * the signal symmetric Jaccard MISSES when a short document is swallowed
+    * whole by a longer one (a quoted article inside a commentary page, a
+    * license block inside every file of a repo): jaccard dilutes with the
+    * big doc's size while containment of the small side stays ≈ 1. Returns
+    * every shingle-sharing pair where EITHER direction's containment
+    * reaches `thresholdE6`, with both directions as floor-division
+    * micro-units (exact integers — hash-comparable). Same inverted-index
+    * shape and `maxShingleFreq` skew cap as [[jaccardPairs]]; dedup policy
+    * (usually: drop the contained side) is the caller's. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      thresholdE6: Long,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame =
+    jaccardPairs(df, idCol, textCol, n, maxShingleFreq)
+      .withColumn("containment_a_e6", expr("inter * 1000000L div size_a"))
+      .withColumn("containment_b_e6", expr("inter * 1000000L div size_b"))
+      .filter(greatest(col("containment_a_e6"), col("containment_b_e6"))
+        >= thresholdE6)
+      .drop("jaccard")
+
   /** Universal-hash MinHash family: ONE 32-bit md5 base hash per shingle,
     * then k cheap integer permutations h ↦ (aⱼ·h + bⱼ) mod p. This is the
     * standard scheme (one expensive hash, k O(1) permutations) — 8× fewer

@@ -45,6 +45,28 @@ class DedupSpec extends SparkSpec {
     pairs.keySet should not contain ((1L, 3L)) // no shared shingle
   }
 
+  test("containmentPairs flags near-supersets that jaccard dilutes away") {
+    val corpus = Seq(
+      // doc 2 contains ALL of doc 1's trigrams plus 12 more of its own:
+      // containment(1 in 2) = 1.0 while jaccard = 4/16 = 0.25
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta one two three four five " +
+        "six seven eight nine ten eleven twelve"),
+      (3L, "unrelated text goes here entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3,
+        thresholdE6 = 900000L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("containment_a_e6"), r.getAs[Long]("containment_b_e6")))
+      .toMap
+    pairs.keySet shouldBe Set((1L, 2L))
+    pairs((1L, 2L))._1 shouldBe 1000000L // 1 fully inside 2
+    pairs((1L, 2L))._2 shouldBe (4L * 1000000L / 16L) // 250000
+    // the symmetric jaccard path would NOT flag this pair at 0.5
+    Dedup.jaccardPairs(corpus, "doc_id", "text", 3)
+      .filter(col("jaccard") > 0.5).count() shouldBe 0L
+  }
+
   test("minhash: identical docs → identical signatures; lsh finds dups") {
     val sig = Dedup.withMinHash(
       docs.select(col("doc_id"), col("text")), "text", 8, 3)
