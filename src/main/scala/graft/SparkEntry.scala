@@ -974,6 +974,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Distribution drift: view-event values as the baseline snapshot,
+    // purchase-event values as the current batch — fixed 10-bin histogram
+    // over [0,100) with under/overflow bins, integer micro-unit shares and
+    // deltas. The per-ingest-batch shift monitor; PSI/alerting composes on
+    // delta_e6 downstream.
+    "q84_histogram_drift" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      Anomaly.histogramDrift(
+        ev.filter(col("event_type") === "view").select("value"),
+        ev.filter(col("event_type") === "purchase").select("value"),
+        "value", lo = 0.0, hi = 100.0, nBins = 10)
+        .orderBy("bucket")
+    }),
+
     // Containment pairs: near-superset detection symmetric jaccard misses
     // (short doc swallowed by a long one) — either direction's
     // |A∩B|/|A| ≥ 0.6 on 3-gram shingles, same inverted index + freq cap
@@ -1265,6 +1279,32 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // q84 replays the explicit width_bucket formula (floor of the identical
+    // double) and the integer share math.
+    "q84_histogram_drift" ->
+      """WITH bb AS (SELECT CASE WHEN value < 0.0 THEN 0
+        |    WHEN value >= 100.0 THEN 11
+        |    ELSE CAST(floor((value - 0.0) / 100.0 * 10.0) AS BIGINT) + 1 END AS bucket,
+        |  count(*) AS n_base
+        | FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        | GROUP BY 1),
+        |cc AS (SELECT CASE WHEN value < 0.0 THEN 0
+        |    WHEN value >= 100.0 THEN 11
+        |    ELSE CAST(floor((value - 0.0) / 100.0 * 10.0) AS BIGINT) + 1 END AS bucket,
+        |  count(*) AS n_cur
+        | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        | GROUP BY 1),
+        |j AS (SELECT coalesce(bb.bucket, cc.bucket) AS bucket,
+        |  coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        | FROM bb FULL OUTER JOIN cc ON bb.bucket = cc.bucket),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+        |SELECT j.bucket, CAST(j.n_base AS BIGINT) AS n_base,
+        | CAST(j.n_cur AS BIGINT) AS n_cur,
+        | CAST(CASE WHEN t.tb = 0 THEN 0 ELSE j.n_base * 1000000 // t.tb END AS BIGINT) AS share_base_e6,
+        | CAST(CASE WHEN t.tc = 0 THEN 0 ELSE j.n_cur * 1000000 // t.tc END AS BIGINT) AS share_cur_e6,
+        | CAST(CASE WHEN t.tc = 0 THEN 0 ELSE j.n_cur * 1000000 // t.tc END
+        |   - CASE WHEN t.tb = 0 THEN 0 ELSE j.n_base * 1000000 // t.tb END AS BIGINT) AS delta_e6
+        |FROM j, t ORDER BY j.bucket""".stripMargin,
     "q83_containment" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(

@@ -214,6 +214,49 @@ object Anomaly {
       .drop("_by", "_lo", "_hi")
   }
 
+  /** Fixed-bin bucket id for a value: 0 below `lo`, nBins+1 at/above `hi`,
+    * else floor((x−lo)/(hi−lo)·n)+1 — the width_bucket formula written out
+    * explicitly so every engine computes the identical double before the
+    * floor (builtin width_bucket implementations differ at boundaries). */
+  private def bucketOf(c: Column, lo: Double, hi: Double, nBins: Int): Column =
+    when(c < lo, lit(0L))
+      .when(c >= hi, lit(nBins + 1L))
+      .otherwise(floor((c - lit(lo)) / lit(hi - lo) * lit(nBins.toDouble))
+        .cast("long") + 1L)
+
+  /** Histogram drift between two corpus snapshots — the distribution-shift
+    * monitor a continuously-ingested 100 TB corpus needs per batch: both
+    * sides bucket into the same fixed bins (under/overflow as buckets 0 and
+    * nBins+1), and each bin reports counts, integer micro-unit shares, and
+    * the share delta. Everything integer after the bucket floor, so the
+    * report hash-compares across engines; feed `delta_e6` into a threshold
+    * alert or a PSI-style score downstream. One groupBy per side on the
+    * bin id — linear, no window, no join back to row data. Bins with no
+    * rows on either side are omitted (outer-join semantics, zero-filled). */
+  def histogramDrift(baseline: DataFrame, current: DataFrame, column: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, s"bad histogram params [$lo, $hi) x $nBins")
+    def side(df: DataFrame, cnt: String): DataFrame =
+      df.filter(col(column).isNotNull)
+        .groupBy(bucketOf(col(column), lo, hi, nBins).as("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    val b = side(baseline, "n_base")
+    val c = side(current, "n_cur")
+    val joined = b.join(c, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("_tb"),
+      sum(col("n_cur")).as("_tc"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        when(col("_tb") === 0, lit(0L))
+          .otherwise(expr("n_base * 1000000L div _tb")).as("share_base_e6"),
+        when(col("_tc") === 0, lit(0L))
+          .otherwise(expr("n_cur * 1000000L div _tc")).as("share_cur_e6"))
+      .withColumn("delta_e6", col("share_cur_e6") - col("share_base_e6"))
+  }
+
   /** Q10 — categorical frequency profile: every category with its count,
     * frequency, and rare flag (frequency < minFreq). Total via scalar agg +
     * broadcast, not a global window. */

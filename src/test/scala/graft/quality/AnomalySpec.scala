@@ -94,6 +94,24 @@ class AnomalySpec extends SparkSpec {
     w(("b", 5.0)) shouldBe 5.0          // constant group is a fixed point
   }
 
+  test("histogramDrift: shared bins, under/overflow, integer shares") {
+    import spark.implicits._
+    val base = Seq(-5.0, 1.0, 1.5, 25.0, 99.9).toDF("v")  // buckets 0,1,1,3,10
+    val cur = Seq(1.0, 105.0, 105.0, 55.0).toDF("v")      // buckets 1,11,11,6
+    val out = Anomaly.histogramDrift(base, cur, "v", 0.0, 100.0, nBins = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_cur"), r.getAs[Long]("share_base_e6"),
+        r.getAs[Long]("share_cur_e6"), r.getAs[Long]("delta_e6")))
+    out.toSeq shouldBe Seq(
+      (0L, 1L, 0L, 200000L, 0L, -200000L),
+      (1L, 2L, 1L, 400000L, 250000L, -150000L),
+      (3L, 1L, 0L, 200000L, 0L, -200000L),
+      (6L, 0L, 1L, 0L, 250000L, 250000L),
+      (10L, 1L, 0L, 200000L, 0L, -200000L),
+      (11L, 0L, 2L, 0L, 500000L, 500000L))
+  }
+
   test("winsorize keeps and clamps the NULL group instead of dropping it") {
     import spark.implicits._
     val df = Seq(Some("a") -> 1.0, Some("a") -> 10.0,
