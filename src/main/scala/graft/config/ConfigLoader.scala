@@ -338,6 +338,18 @@ object ConfigLoader {
                 new java.util.LinkedHashMap[String, Any]()), "curation.mixing.rates")
               .map { case (k, v) => k -> v.toString.toInt }.toMap,
             defaultPct = mm.get("default_pct").map(_.toString.toInt).getOrElse(100))
+        },
+        budget = cm.get("budget").map { b =>
+          val bm = asMap(b, "curation.budget")
+          val spec = BudgetSpec(
+            idColumn = str(bm, "id_column", "curation.budget"),
+            scoreColumn = str(bm, "score_column", "curation.budget"),
+            tokenColumn = str(bm, "token_column", "curation.budget"),
+            maxTokens = bm.get("max_tokens").map(_.toString.toLong).getOrElse(
+              throw new ConfigError("curation.budget.max_tokens is required")))
+          if (spec.maxTokens < 0)
+            throw new ConfigError("curation.budget.max_tokens must be >= 0")
+          spec
         })
     }
 

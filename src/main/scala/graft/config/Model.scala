@@ -143,11 +143,22 @@ final case class MixingSpec(
     rates: Map[String, Int] = Map.empty,
     defaultPct: Int = 100)
 
+/** curation.budget — the final corpus cut to a target training-token count:
+  * greedy best-first prefix ordered by (scoreColumn desc, idColumn asc)
+  * whose running tokenColumn total stays within `maxTokens`
+  * (Curation.selectUnderTokenBudget). */
+final case class BudgetSpec(
+    idColumn: String,
+    scoreColumn: String,
+    tokenColumn: String,
+    maxTokens: Long)
+
 final case class CurationSpec(
     gate: Option[QualityGateSpec] = None,
     pii: Seq[PiiRule] = Nil,
     dedup: Option[NearDedupSpec] = None,
-    mixing: Option[MixingSpec] = None)
+    mixing: Option[MixingSpec] = None,
+    budget: Option[BudgetSpec] = None)
 
 /** sessions: block — gap-based sessionization over the silver output
   * (ops.Sessions.sessionStats's parameters); `tsUsColumn` must be exact

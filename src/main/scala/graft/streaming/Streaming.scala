@@ -89,6 +89,9 @@ object Streaming {
         "near-dup strategies need corpus-wide pair joins - run the batch stage"))
     require(corpus.isEmpty || spec.dedup.isDefined,
       "corpus dedup needs curation.dedup (its content_column names the text)")
+    require(spec.budget.isEmpty,
+      "curation.budget is batch-only: the greedy best-first cut needs a " +
+        "total order over the corpus, which an unbounded stream cannot have")
     val src = spark.readStream.schema(schema).parquet(inputDir)
     val gatedOnly = spec.gate.fold(src)(g =>
       graft.text.Curation.applyGate(src, g))

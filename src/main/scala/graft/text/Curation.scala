@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.config.{CurationSpec, MixingSpec, NearDedupSpec, PiiRule, QualityGateSpec}
+import graft.config.{BudgetSpec, CurationSpec, MixingSpec, NearDedupSpec, PiiRule, QualityGateSpec}
 import graft.dedup.Dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -208,14 +208,26 @@ object Curation {
       col(m.domainColumn), m.rates, m.defaultPct))
 
   /** The full config-driven stage in reference order: gate → PII scrub →
-    * dedup → mix. Each sub-stage is optional; absent blocks pass the frame
-    * through. Redaction runs after the gate (no regex cost on rejected
-    * docs) and before dedup (fingerprints see the text that ships); its
-    * `n_redactions` audit column rides through to the output. */
+    * dedup → mix → budget cut. Each sub-stage is optional; absent blocks
+    * pass the frame through. Redaction runs after the gate (no regex cost
+    * on rejected docs) and before dedup (fingerprints see the text that
+    * ships); its `n_redactions` audit column rides through to the output.
+    * The budget cut runs LAST — it is the final size control over whatever
+    * survived every other filter (its `cum_tokens` audit column rides
+    * through too). */
   def curate(df: DataFrame, spec: CurationSpec): DataFrame = {
     val gated = spec.gate.fold(df)(applyGate(df, _))
     val scrubbed = if (spec.pii.isEmpty) gated else redactPii(gated, spec.pii)
     val deduped = spec.dedup.fold(scrubbed)(applyDedup(scrubbed, _))
-    spec.mixing.fold(deduped)(applyMixing(deduped, _))
+    val mixed = spec.mixing.fold(deduped)(applyMixing(deduped, _))
+    spec.budget.fold(mixed)(applyBudget(mixed, _))
   }
+
+  /** The budget cut from config. `scoreColumn`/`tokenColumn` must exist on
+    * the frame as numeric columns — derive them in silver
+    * (`derived_columns`) the same way `sessions:` sources its ts_us column;
+    * a missing name fails in Spark's analyzer with the column list. */
+  def applyBudget(df: DataFrame, b: BudgetSpec): DataFrame =
+    selectUnderTokenBudget(df, b.idColumn, b.scoreColumn, b.tokenColumn,
+      b.maxTokens)
 }

@@ -56,6 +56,9 @@ class PipelineSpec extends SparkSpec {
         |silver:
         |  filters:
         |    - "doc_id IS NOT NULL"
+        |  derived_columns:
+        |    - name: n_tokens
+        |      expression: "size(split(trim(text), ' '))"
         |curation:
         |  quality_gate:
         |    id_column: doc_id
@@ -82,6 +85,11 @@ class PipelineSpec extends SparkSpec {
         |    default_pct: 100
         |    rates:
         |      banned: 0
+        |  budget:
+        |    id_column: doc_id
+        |    score_column: n_tokens
+        |    token_column: n_tokens
+        |    max_tokens: 6
         |gold:
         |  - name: by_source
         |    group_by:
@@ -111,8 +119,10 @@ class PipelineSpec extends SparkSpec {
       goldSink = Some((name, df) => sunk += name -> df.count()))
     val rows = r.stages.map(s => s.name -> s.rows).toMap
     rows("silver") shouldBe 5L
-    rows("curated") shouldBe 2L // ids 1 and 5 survive
-    sunk shouldBe Map("by_source" -> 2L) // web + books
+    // gate/dedup/mix leave ids 1 and 5 (5 tokens each, equal scores); the
+    // 6-token budget then keeps only the tie-break winner, id 1
+    rows("curated") shouldBe 1L
+    sunk shouldBe Map("by_source" -> 1L) // web only
     r.lineage.upstream("curated.docs") should contain("silver.docs")
     // gold hangs off the CURATED node when curation ran — the silver→gold
     // edge would carry inconsistent row counts
