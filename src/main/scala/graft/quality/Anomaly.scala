@@ -242,10 +242,13 @@ object Anomaly {
         .agg(count(lit(1)).as(cnt))
     val b = side(baseline, "n_base")
     val c = side(current, "n_cur")
+    // ≤ nBins+2 rows: materialize once so the totals aggregate below does
+    // not re-run both input scans and the outer join a second time
     val joined = b.join(c, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint()
     val totals = joined.agg(sum(col("n_base")).as("_tb"),
       sum(col("n_cur")).as("_tc"))
     joined.crossJoin(broadcast(totals))

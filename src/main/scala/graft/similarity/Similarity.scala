@@ -434,20 +434,25 @@ object Similarity {
       s"lambdaE6 must be in [0, 1e6], got $lambdaE6")
     val spark = candidates.sparkSession
     import spark.implicits._
+    // LEFT join: a candidate whose id has no vector in `corpus` (re-rank
+    // against a newer/filtered snapshot) keeps its relevance and simply
+    // contributes no diversity signal (empty vector → cosine 0) — an inner
+    // join would silently shrink a query's results below k, or drop the
+    // query entirely
     val withVecs = candidates
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
         col("sim_e6").cast("long"))
       .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).as("_vec")), "neighbor_id")
-      .as[(Long, Long, Long, Seq[Float])]
+        col(vecCol).as("_vec")), Seq("neighbor_id"), "left")
+      .as[(Long, Long, Long, Option[Seq[Float]])]
     // the join moved its key first: tuples are (neighbor_id, query_id,
     // sim_e6, vec) — group by the QUERY id and run the greedy loop per pool
     val pools = withVecs.groupByKey(_._2)
-    pools.flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Float])]) =>
+    pools.flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Option[Seq[Float]])]) =>
       // bounded by the candidate generator's k — materializing the pool is
       // the operator's contract
       val pool = it.map { case (nid, _, rel, vec) =>
-        (nid, rel, vec.toArray)
+        (nid, rel, vec.fold(Array.empty[Float])(_.toArray))
       }.toArray.sortBy(p => (-p._2, p._1)) // deterministic scan order
       def cosE6(a: Array[Float], b: Array[Float]): Long = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

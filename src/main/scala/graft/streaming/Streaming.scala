@@ -130,12 +130,24 @@ object Streaming {
           .outputMode(OutputMode.Append())
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-             _: Long) =>
+             batchId: Long) =>
+              // foreachBatch is at-least-once: a crash between a successful
+              // write and the checkpoint commit replays the batch. Writing
+              // each batch into its own partition with DYNAMIC overwrite
+              // makes the replay idempotent (the retry rewrites exactly its
+              // own partition) — the same guarantee the non-fuzzy path gets
+              // from the file sink's _spark_metadata log. Readers see the
+              // extra `batch_id` partition column (no underscore prefix:
+              // `_`-led paths are hidden from Spark's file listing).
               graft.dedup.Dedup.fuzzyDedupeAgainstCorpus(batch.toDF(),
                   staticCorpus, d.idColumn, d.contentColumn,
                   shingleN = d.ngram, threshold = d.threshold,
                   numHashes = d.numHashes, numBands = d.numBands)
-                .write.mode("append").parquet(outDir)
+                .withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(outDir)
               ()
           }
           .start()

@@ -40,7 +40,11 @@ object Curation {
           coalesce(regexp_count(col(r.column), lit(r.pattern)).cast("long"),
             lit(0L)))
         .withColumn(r.column,
-          regexp_replace(col(r.column), r.pattern, r.replacement))
+          // replacement is LITERAL text by contract: quoteReplacement
+          // neutralizes `$`/`\` group references, which would otherwise
+          // crash every task ("$RED") or re-insert the matched PII ("$0")
+          regexp_replace(col(r.column), r.pattern,
+            java.util.regex.Matcher.quoteReplacement(r.replacement)))
     }
     counted
       .withColumn("n_redactions",
@@ -143,20 +147,24 @@ object Curation {
   def selectUnderTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
       tokenCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val masses = df.groupBy(col(scoreCol))
+    // null-safe throughout (the winsorize lesson): a NULL score forms its
+    // own group, sorts LAST in the desc order (lowest priority, matching
+    // the naive window's desc_nulls_last), and joins back via <=> — a plain
+    // equi-join would silently drop every null-scored row
+    val masses = df.groupBy(col(scoreCol).as("_s"))
       .agg(sum(col(tokenCol)).cast("long").as("_mass"))
-    val wScore = Window.orderBy(col(scoreCol).desc)
+    val wScore = Window.orderBy(col("_s").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumBefore = masses
       .withColumn("_cum_before", sum(col("_mass")).over(wScore) - col("_mass"))
-      .select(col(scoreCol), col("_cum_before"))
+      .select(col("_s"), col("_cum_before"))
     val wIn = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(cumBefore), Seq(scoreCol))
+    df.join(broadcast(cumBefore), col(scoreCol) <=> col("_s"))
       .withColumn("cum_tokens",
         col("_cum_before") + sum(col(tokenCol).cast("long")).over(wIn))
       .filter(col("cum_tokens") <= budget)
-      .drop("_cum_before")
+      .drop("_s", "_cum_before")
   }
 
   // ---- config-driven curation stage (curation: block) ---------------------

@@ -279,8 +279,12 @@ object TextAnalysis {
   def interDocRepetition(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int = 2): DataFrame = {
     require(n >= 1 && minDf >= 1, s"bad interDocRepetition params: n=$n minDf=$minDf")
+    // null text → empty set (zeros in the output), not NULL-propagating
+    // arithmetic: size(NULL) is NULL under ANSI mode, which would skip the
+    // zero-shingle guard and null the fraction
     val sets = df.select(col(idCol).as("doc_id"),
-      call_function("shingle_hashes", col(textCol), lit(n)).as("_sh"))
+      coalesce(call_function("shingle_hashes", col(textCol), lit(n)),
+        typedlit(Seq.empty[Long])).as("_sh"))
     val ex = sets.select(col("doc_id"), explode(col("_sh")).as("h"))
     // shingles are distinct per doc, so count(*) per hash IS document freq
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("_df"))

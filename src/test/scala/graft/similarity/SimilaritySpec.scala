@@ -316,6 +316,14 @@ class SimilaritySpec extends SparkSpec {
     // k truncates the selection, per query
     Similarity.mmrRerank(cands, corpus, "vec_id", "embedding", k = 1)
       .count() shouldBe 1L
+    // a candidate with no vector in the corpus snapshot keeps its
+    // relevance (diversity 0) instead of silently vanishing below k
+    val stale = cands.union(Seq((0L, 99L, 995000L))
+      .toDF("query_id", "neighbor_id", "sim_e6"))
+    val kept = Similarity.mmrRerank(stale, corpus, "vec_id", "embedding",
+        k = 4).collect().map(_.getAs[Long]("neighbor_id"))
+    kept should contain(99L)
+    kept should have length 4
   }
 
   test("pairRecall: full overlap → 1e6, half → 500000, empty exact → -1") {

@@ -41,6 +41,27 @@ class CurationSpec extends SparkSpec {
       (null, "[IP] and [NUM]", 2L))
   }
 
+  test("redactPii: replacement is literal — $ and \\ are not group refs") {
+    val rows = Seq((1L, "id 123456789 here")).toDF("id", "t")
+    val out = Curation.redactPii(rows,
+        Seq(PiiRule("t", Curation.PiiPatterns.NumericId, "<$0\\REDACTED>")))
+      .collect().head
+    out.getAs[String]("t") shouldBe "id <$0\\REDACTED> here"
+    out.getAs[Long]("n_redactions") shouldBe 1L
+  }
+
+  test("selectUnderTokenBudget: NULL scores survive at lowest priority") {
+    val docs = Seq(
+      (1L, Some(10L), 30L), (2L, None, 20L), (3L, Some(5L), 40L))
+      .toDF("doc_id", "score", "n_tokens")
+    def ids(budget: Long) =
+      Curation.selectUnderTokenBudget(docs, "doc_id", "score", "n_tokens",
+        budget).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    ids(100L) shouldBe Seq(1L, 2L, 3L) // null row NOT silently dropped
+    ids(70L) shouldBe Seq(1L, 3L)      // null sorts last (lowest priority)
+    ids(30L) shouldBe Seq(1L)
+  }
+
   test("selectUnderTokenBudget ≡ global greedy prefix, ties by id") {
     // scores force the order (30,2) (10,5) (10,9) (10,4) (5,...) — note ids
     // 5 and 9 share score 10, so the within-score prefix must go id-first

@@ -158,6 +158,13 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((3L, 1L, 333333L))
     out(3L) shouldBe ((2L, 0L, 0L))
     out(4L) shouldBe ((0L, 0L, 0L)) // no shingles → present with zeros
+    // null text behaves like the too-short doc: present with zeros
+    val withNull = TextAnalysis.interDocRepetition(
+      docs.union(Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")),
+      "doc_id", "text", n = 3)
+      .where("doc_id = 9").collect().head
+    (withNull.getAs[Long]("n_shingles"), withNull.getAs[Long]("n_shared"),
+      withNull.getAs[Long]("shared_frac_e6")) shouldBe ((0L, 0L, 0L))
     // a doc duplicated verbatim shares EVERY shingle
     val dup = docs.union(Seq((5L, "a b c d e")).toDF("doc_id", "text"))
     val d1 = TextAnalysis.interDocRepetition(dup, "doc_id", "text", n = 3)
