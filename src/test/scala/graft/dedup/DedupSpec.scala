@@ -288,6 +288,16 @@ class DedupSpec extends SparkSpec {
     expected shouldBe Array(4L)
   }
 
+  test("fuzzyDedupeAgainstCorpus plans band-keyed joins — no pair scan") {
+    val corpus = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val arriving = Seq((1L, "alpha beta gamma echo")).toDF("doc_id", "text")
+    val plan = Dedup.fuzzyDedupeAgainstCorpus(arriving, corpus, "doc_id",
+        "text", shingleN = 3, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("removeNearDupesLsh ≡ exact composition at a recall-complete setting") {
     // three tight same-direction clusters + singletons: within-cluster
     // cosine ≈ 1 (every pair above threshold), clusters mutually below it.

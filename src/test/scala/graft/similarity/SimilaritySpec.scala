@@ -326,6 +326,18 @@ class SimilaritySpec extends SparkSpec {
     kept should have length 4
   }
 
+  test("pq ADC plans a broadcast hash join on (subspace, code) — no BNLJ") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 2, k = 2)
+    val plan = Similarity.pqAdcTopK(emb, emb, "vec_id", "embedding", k = 1, cb)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("pairRecall: full overlap → 1e6, half → 500000, empty exact → -1") {
     import spark.implicits._
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
