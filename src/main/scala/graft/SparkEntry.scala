@@ -974,6 +974,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Curriculum buckets: documents ranked by token count into 4 stages
+    // (shortest first) — the schedule a curriculum trainer reads. Global
+    // ntile semantics via the decomposed rank (summary window + tie-class
+    // windows), never a global window over row data; explicit integer
+    // bucket formula so both engines agree on remainders.
+    "q85_curriculum" -> ((s, dir) =>
+      Curation.curriculumBuckets(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", nBuckets = 4)
+        .select("doc_id", "n_tokens", "rank", "bucket")
+        .orderBy("doc_id")),
+
     // Distribution drift: view-event values as the baseline snapshot,
     // purchase-event values as the current batch — fixed 10-bin histogram
     // over [0,100) with under/overflow bins, integer micro-unit shares and
@@ -1279,6 +1293,17 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q85_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |  CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rank
+        | FROM d),
+        |t AS (SELECT count(*) AS total FROM d)
+        |SELECT doc_id, n_tokens, rank,
+        | CAST((rank - 1) * 4 // t.total AS BIGINT) AS bucket
+        |FROM r, t ORDER BY doc_id""".stripMargin,
     // q84 replays the explicit width_bucket formula (floor of the identical
     // double) and the integer share math.
     "q84_histogram_drift" ->

@@ -154,6 +154,43 @@ object Streaming {
     }
   }
 
+  /** Continuous distribution-drift monitor: every micro-batch of the value
+    * stream is histogrammed against a STATIC baseline snapshot
+    * (`Anomaly.histogramDrift` — fixed bins, integer micro-unit shares and
+    * deltas) and each batch's report lands in its own `batch_id` partition
+    * with dynamic overwrite, so an at-least-once replay rewrites rather
+    * than duplicates (same idempotency shape as the fuzzy curation sink).
+    * This is the per-ingest-batch shift alarm: alerting reads the newest
+    * partition and thresholds `delta_e6`. */
+  def driftStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      column: String,
+      baseline: org.apache.spark.sql.DataFrame,
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.quality.Anomaly.histogramDrift(baseline, batch.toDF(),
+              column, lo, hi, nBins)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation (the streaming analogue of the
     * hourly gold mart): late data beyond `watermark` is dropped and window
     * state is reclaimed. */

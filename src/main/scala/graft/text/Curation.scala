@@ -167,6 +167,39 @@ object Curation {
       .drop("_s", "_cum_before")
   }
 
+  /** Curriculum buckets: every row's global rank under (orderCol asc,
+    * id asc) mapped to one of `nBuckets` contiguous stages —
+    * `bucket = (rank−1)·n div total` — the length/difficulty-ordered
+    * bucketing a curriculum-training schedule reads (stage 0 = shortest/
+    * easiest first). The explicit floor formula is used instead of SQL
+    * `ntile` because ntile's remainder-distribution rule varies by engine
+    * while this is pure integer math on both sides.
+    *
+    * Scale shape: same decomposition as [[selectUnderTokenBudget]] — global
+    * rank = (rows in earlier order-values, from the \|distinct values\|-sized
+    * summary) + (row_number within the tie class, partitioned window). No
+    * global-order window ever touches row data. */
+  def curriculumBuckets(df: DataFrame, idCol: String, orderCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val counts = df.groupBy(col(orderCol).as("_o"))
+      .agg(count(lit(1)).as("_n"))
+    val wOrder = Window.orderBy(col("_o").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = counts
+      .withColumn("_rank_before", sum(col("_n")).over(wOrder) - col("_n"))
+      .select(col("_o"), col("_rank_before"))
+    val total = df.agg(count(lit(1)).as("_total"))
+    val wIn = Window.partitionBy(col(orderCol)).orderBy(col(idCol))
+    df.join(broadcast(cumBefore), col(orderCol) <=> col("_o"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank",
+        col("_rank_before") + row_number().over(wIn).cast("long"))
+      .withColumn("bucket",
+        expr(s"(rank - 1L) * ${nBuckets}L div _total"))
+      .drop("_o", "_rank_before", "_total")
+  }
+
   // ---- config-driven curation stage (curation: block) ---------------------
 
   /** The gate as a corpus FILTER: keeps rows passing the same rules

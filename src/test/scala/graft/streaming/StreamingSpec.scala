@@ -142,6 +142,31 @@ class StreamingSpec extends SparkSpec {
     e.getMessage should include("corpus")
   }
 
+  test("driftStream reports per-batch histogram drift against a baseline") {
+    val in = Files.createTempDirectory("graft_drift_in").toString
+    val out = Files.createTempDirectory("graft_drift_out").toString
+    val chk = Files.createTempDirectory("graft_drift_chk").toString
+    val baseline = Seq(5.0, 15.0, 25.0, 35.0).toDF("v") // buckets 1..4 of 10
+    val batch1 = Seq(5.0, 5.0).toDF("v")                // all in bucket 1
+    batch1.write.mode("append").parquet(in)
+    val q = Streaming.driftStream(spark, in, batch1.schema, "v", baseline,
+      lo = 0.0, hi = 100.0, nBins = 10, out, chk)
+    try {
+      q.processAllAvailable()
+      val r1 = spark.read.parquet(out).where("batch_id = 0")
+        .collect().map(r => r.getAs[Long]("bucket") ->
+          (r.getAs[Long]("n_cur"), r.getAs[Long]("delta_e6"))).toMap
+      r1(1L) shouldBe ((2L, 750000L))  // share 1.0 vs baseline 0.25
+      r1(2L)._1 shouldBe 0L            // baseline-only bins still reported
+      // a second micro-batch lands in its own partition
+      Seq(95.0).toDF("v").write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val batches = spark.read.parquet(out).select("batch_id").distinct()
+        .as[Long].collect().sorted
+      batches shouldBe Array(0L, 1L)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation emits per-window counts") {
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val df = stream.toDF().toDF("ts", "event_type", "value")

@@ -82,6 +82,24 @@ class CurationSpec extends SparkSpec {
     run(10L).toSeq shouldBe Seq.empty
   }
 
+  test("curriculumBuckets ≡ global (rank-1)*n div total, nulls last") {
+    // 6 rows, 4 buckets: sizes 2,1,2,1 by the floor formula; ties (10,10)
+    // break by id; the null orders last
+    val docs = Seq(
+      (1L, Some(10L)), (2L, Some(5L)), (3L, Some(10L)),
+      (4L, Some(1L)), (5L, None), (6L, Some(7L)))
+      .toDF("doc_id", "len")
+    val out = Curation.curriculumBuckets(docs, "doc_id", "len", nBuckets = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("bucket"))).toMap
+    out(4L) shouldBe ((1L, 0L)) // len 1
+    out(2L) shouldBe ((2L, 0L)) // len 5
+    out(6L) shouldBe ((3L, 1L)) // len 7
+    out(1L) shouldBe ((4L, 2L)) // len 10, id tiebreak
+    out(3L) shouldBe ((5L, 2L))
+    out(5L) shouldBe ((6L, 3L)) // null last, not dropped
+  }
+
   test("qualityFilter gates on token count, word length, ttr, repetition") {
     val docs = Seq(
       (1L, (1 to 30).map(i => s"tok$i").mkString(" ")), // passes every rule
