@@ -974,6 +974,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-domain token budgets: each source cut to its own token target
+    // (src0/src1 get bespoke budgets, the rest a default) — the domain-
+    // mixing weights applied as hard corpus targets. Same greedy-prefix
+    // semantics as q81, windows partitioned by domain throughout.
+    "q86_domain_budget" -> ((s, dir) => {
+      val prof = TextAnalysis.profile(
+        Tables.load(s, dir, "documents").select("doc_id", "text", "source"),
+        "text")
+        .select("doc_id", "source", "n_tokens", "quality_score_e6")
+      Curation.selectUnderTokenBudgetPerDomain(prof, "doc_id", "source",
+          "quality_score_e6", "n_tokens",
+          budgets = Map("src0" -> 300L, "src1" -> 0L), defaultBudget = 500L)
+        .select("doc_id", "source", "n_tokens", "quality_score_e6",
+          "cum_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Curriculum buckets: documents ranked by token count into 4 stages
     // (shortest first) — the schedule a curriculum trainer reads. Global
     // ntile semantics via the decomposed rank (summary window + tie-class
@@ -1293,6 +1310,31 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q86_domain_budget" ->
+      """WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, source,
+        |  CAST(len(toks) AS DOUBLE) AS n,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) AS u,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) AS sl
+        | FROM t),
+        |q AS (SELECT doc_id, source, n, u / n AS ttr, sl / n AS awl,
+        |  least(n / 100.0, 1.0) AS lensat FROM p),
+        |r AS (SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(round((ttr * 0.4 + lensat * 0.3 +
+        |    greatest(0.0, 1.0 - greatest(0.0, greatest(3.0 - awl, awl - 8.0)) / 5.0) * 0.3)
+        |    * 1000000.0) AS BIGINT) AS quality_score_e6
+        | FROM q),
+        |c AS (SELECT doc_id, source, n_tokens, quality_score_e6,
+        |  sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality_score_e6 DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        | FROM r)
+        |SELECT doc_id, source, n_tokens, quality_score_e6,
+        | CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 300
+        |                                WHEN 'src1' THEN 0 ELSE 500 END
+        |ORDER BY doc_id""".stripMargin,
     "q85_curriculum" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens

@@ -167,6 +167,41 @@ object Curation {
       .drop("_s", "_cum_before")
   }
 
+  /** Per-domain token budgets — the domain-mixing decision APPLIED as hard
+    * token targets: within each domain, the greedy best-first prefix under
+    * that domain's budget (`budgets`, else `defaultBudget`). This is how a
+    * mixing weight from [[domainMixingReport]] becomes an actual corpus:
+    * share × total-token-target = the domain's `maxTokens`. Same semantics
+    * per domain as [[selectUnderTokenBudget]]; the score-summary window is
+    * PARTITIONED by domain here, so even the summary pass parallelizes. */
+  def selectUnderTokenBudgetPerDomain(df: DataFrame, idCol: String,
+      domainCol: String, scoreCol: String, tokenCol: String,
+      budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be >= 0")
+    val masses = df.groupBy(col(domainCol).as("_d"), col(scoreCol).as("_s"))
+      .agg(sum(col(tokenCol)).cast("long").as("_mass"))
+    val wScore = Window.partitionBy(col("_d"))
+      .orderBy(col("_s").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumBefore = masses
+      .withColumn("_cum_before", sum(col("_mass")).over(wScore) - col("_mass"))
+      .select(col("_d"), col("_s"), col("_cum_before"))
+    val wIn = Window.partitionBy(col(domainCol), col(scoreCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (domain, b)) =>
+        when(col(domainCol) === lit(domain), lit(b)).otherwise(acc)
+    }
+    df.join(broadcast(cumBefore),
+        col(domainCol) <=> col("_d") && col(scoreCol) <=> col("_s"))
+      .withColumn("cum_tokens",
+        col("_cum_before") + sum(col(tokenCol).cast("long")).over(wIn))
+      .filter(col("cum_tokens") <= budgetCol)
+      .drop("_d", "_s", "_cum_before")
+  }
+
   /** Curriculum buckets: every row's global rank under (orderCol asc,
     * id asc) mapped to one of `nBuckets` contiguous stages —
     * `bucket = (rank−1)·n div total` — the length/difficulty-ordered

@@ -82,6 +82,20 @@ class CurationSpec extends SparkSpec {
     run(10L).toSeq shouldBe Seq.empty
   }
 
+  test("selectUnderTokenBudgetPerDomain: per-domain prefixes, zero budget") {
+    val docs = Seq(
+      (1L, "web", 10L, 30L), (2L, "web", 5L, 30L), (3L, "web", 1L, 30L),
+      (4L, "books", 9L, 50L), (5L, "books", 8L, 50L),
+      (6L, "banned", 99L, 10L))
+      .toDF("doc_id", "src", "score", "n_tokens")
+    val out = Curation.selectUnderTokenBudgetPerDomain(docs, "doc_id", "src",
+        "score", "n_tokens",
+        budgets = Map("web" -> 60L, "banned" -> 0L), defaultBudget = 50L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // web: top-2 by score fit 60; books(default 50): only doc 4; banned: none
+    out shouldBe Seq(1L, 2L, 4L)
+  }
+
   test("curriculumBuckets ≡ global (rank-1)*n div total, nulls last") {
     // 6 rows, 4 buckets: sizes 2,1,2,1 by the floor formula; ties (10,10)
     // break by id; the null orders last
