@@ -974,6 +974,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Novelty vs the historical corpus: odd-id docs are the arriving batch
+    // (q75/q76's split), novelty = fraction of each arrival's 3-gram
+    // shingles unseen in the even-id corpus — the ingest-prioritization
+    // signal (inverse of q57's contamination, against history).
+    "q87_novelty" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.noveltyScore(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // Per-domain token budgets: each source cut to its own token target
     // (src0/src1 get bespoke budgets, the rest a default) — the domain-
     // mixing weights applied as hard corpus targets. Same greedy-prefix
@@ -1310,6 +1323,29 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q87_novelty" ->
+      """WITH t AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, len(string_split(trim(text),' ')) - 1),
+        |  i -> string_split(trim(text),' ')[i] || ' ' ||
+        |       string_split(trim(text),' ')[i+1] || ' ' ||
+        |       string_split(trim(text),' ')[i+2])) AS sh FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_transform(sh, s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS hs
+        | FROM t),
+        |seen AS (SELECT DISTINCT unnest(hs) AS hh FROM h WHERE doc_id % 2 = 0),
+        |ng AS (SELECT doc_id, unnest(hs) AS hh FROM h WHERE doc_id % 2 = 1),
+        |agg AS (SELECT ng.doc_id, count(*) AS n_shingles,
+        |    count(*) - count(seen.hh) AS n_novel
+        |  FROM ng LEFT JOIN seen ON ng.hh = seen.hh GROUP BY ng.doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(agg.n_shingles, 0) AS BIGINT) AS n_shingles,
+        | CAST(coalesce(agg.n_novel, 0) AS BIGINT) AS n_novel,
+        | CAST(CASE WHEN coalesce(agg.n_shingles, 0) = 0 THEN 0
+        |      ELSE agg.n_novel * 1000000 // agg.n_shingles END AS BIGINT)
+        |   AS novelty_e6
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q86_domain_budget" ->
       """WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM documents),
         |p AS (SELECT doc_id, source,

@@ -300,6 +300,43 @@ object TextAnalysis {
           .otherwise(expr("n_shared * 1000000L div n_shingles")))
   }
 
+  /** Novelty score of arriving documents against a historical corpus: the
+    * fraction of each new doc's distinct n-gram shingles that appear
+    * NOWHERE in the corpus — the data-value signal an ingest pipeline reads
+    * to prioritize genuinely-new content (the inverse of
+    * [[contaminationScore]], against history instead of an eval set).
+    * Scores are floor-division micro-units of exact integers.
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT 8-byte shingle
+    * hashes (one shuffle, reused across batches when persisted), the batch
+    * explodes its shingles and LEFT-joins that set on the hash — corpus
+    * gram sets are far too big to broadcast, so this is a keyed shuffle
+    * join by design; the per-doc rollup is one more keyed shuffle. Docs
+    * with no shingles (short/null text) report 0 novelty — "nothing new",
+    * matching the gate-them-out posture. */
+  def noveltyScore(newDf: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bad n-gram size: $n")
+    val corpusGrams = corpus
+      .select(explode(coalesce(
+        call_function("shingle_hashes", col(textCol), lit(n)),
+        typedlit(Seq.empty[Long]))).as("h"))
+      .distinct()
+      .withColumn("_seen", lit(1))
+    val newGrams = newDf
+      .select(col(idCol).as("doc_id"),
+        coalesce(call_function("shingle_hashes", col(textCol), lit(n)),
+          typedlit(Seq.empty[Long])).as("_sh"))
+      .select(col("doc_id"), explode_outer(col("_sh")).as("h"))
+    newGrams.join(corpusGrams, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("h")).as("n_shingles"),
+        (count(col("h")) - count(col("_seen"))).as("n_novel"))
+      .withColumn("novelty_e6",
+        when(col("n_shingles") === 0, lit(0L))
+          .otherwise(expr("n_novel * 1000000L div n_shingles")))
+  }
+
   /** One-pass text profile of a corpus: the per-document quality columns.
     * Ratio columns are micro-unit integers (`round(x*1e6)` of a
     * deterministic double) — integer-rounding a shared double is identical

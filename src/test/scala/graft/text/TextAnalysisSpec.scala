@@ -172,6 +172,24 @@ class TextAnalysisSpec extends SparkSpec {
     d1.getAs[Long]("shared_frac_e6") shouldBe 1000000L
   }
 
+  test("noveltyScore: unseen shingle fraction vs corpus, zeros for short docs") {
+    val corpus = Seq((100L, "a b c d e")).toDF("doc_id", "text") // abc bcd cde
+    val arriving = Seq(
+      (1L, "a b c d e"),     // all 3 trigrams seen → novelty 0
+      (2L, "a b c x y z"),   // abc seen; bcx cxy xyz novel → 3/4
+      (3L, "p q r s"),       // all novel → 1.0
+      (4L, "t u"))           // no trigram → zeros
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(arriving, corpus, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Long]("novelty_e6"))).toMap
+    out(1L) shouldBe ((3L, 0L, 0L))
+    out(2L) shouldBe ((4L, 3L, 750000L))
+    out(3L) shouldBe ((2L, 2L, 1000000L))
+    out(4L) shouldBe ((0L, 0L, 0L))
+  }
+
   test("native bpeTokenCount ≡ the regex forms on edge inputs and the corpus") {
     // adversarial inputs for the hand scan: every contraction suffix, an
     // apostrophe that starts NO contraction (absorbed by the punct run),
