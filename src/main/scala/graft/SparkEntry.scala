@@ -974,6 +974,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVFPQ: the production ANN composition — IVF buckets prune candidates
+    // to 4 probed cells, PQ ADC scores them from codes alone. Both stages
+    // seeded/deterministic, so the full composite hash-compares; nProbe=K
+    // ≡ plain ADC is spec-asserted.
+    "q88_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 4, k = 16)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cents, nProbe = 4, cb)
+        .orderBy("query_id", "rank")
+    }),
+
     // Novelty vs the historical corpus: odd-id docs are the arriving batch
     // (q75/q76's split), novelty = fraction of each arrival's 3-gram
     // shingles unseen in the even-id corpus — the ingest-prioritization
@@ -1323,6 +1336,59 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // q88 composes q69's IVF CTEs (REAL-cast normalized centroids, argmax
+    // assignment, top-4 probes) with q79's PQ CTEs (subvector codes, query
+    // distance tables) — candidates from probed buckets, integer ADC sums.
+    "q88_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |seed AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS j
+        |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+        |cb AS (SELECT t.s, seed.j, seed.e[t.s*16+1 : t.s*16+16] AS c
+        |  FROM seed, range(4) t(s)),
+        |xs AS (SELECT v.vec_id, t.s, v.e[t.s*16+1 : t.s*16+16] AS x
+        |  FROM v, range(4) t(s)),
+        |pqscored AS (SELECT xs.vec_id, xs.s, cb.j,
+        |    list_dot_product(xs.x, xs.x) - 2.0*list_dot_product(xs.x, cb.c)
+        |      + list_dot_product(cb.c, cb.c) AS d2
+        |  FROM xs JOIN cb ON xs.s = cb.s),
+        |codes AS (SELECT vec_id, s, j FROM (SELECT vec_id, s, j,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |  FROM pqscored) WHERE rn = 1),
+        |qtab AS (SELECT vec_id AS query_id, s, j,
+        |    CAST(round(d2 * 1000000.0) AS BIGINT) AS d_e6
+        |  FROM pqscored WHERE vec_id < 20),
+        |iseed AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
+        |  FROM v ORDER BY vec_id LIMIT 16),
+        |cent AS (SELECT c_idx,
+        |  CASE WHEN nrm = 0 THEN e
+        |       ELSE list_transform(e, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE)) END AS ce
+        |  FROM (SELECT c_idx, e,
+        |    CAST(CAST(sqrt(list_dot_product(e, e)) AS REAL) AS DOUBLE) AS nrm
+        |    FROM iseed)),
+        |assign AS (SELECT vec_id, c_idx FROM (
+        |  SELECT v.vec_id, cent.c_idx,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY -list_dot_product(v.e, cent.ce), cent.c_idx) AS rn
+        |  FROM v, cent) WHERE rn = 1),
+        |q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+        |probe AS (SELECT vec_id, c_idx FROM (
+        |  SELECT q.vec_id, cent.c_idx,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY -list_dot_product(q.e, cent.ce), cent.c_idx) AS rn
+        |  FROM q, cent) WHERE rn <= 4),
+        |cand AS (SELECT probe.vec_id AS query_id, assign.vec_id AS neighbor_id
+        |  FROM probe JOIN assign ON probe.c_idx = assign.c_idx
+        |  WHERE probe.vec_id <> assign.vec_id),
+        |adc AS (SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(sum(qtab.d_e6) AS BIGINT) AS adc_e6
+        |  FROM cand JOIN codes ON codes.vec_id = cand.neighbor_id
+        |  JOIN qtab ON qtab.query_id = cand.query_id
+        |    AND qtab.s = codes.s AND qtab.j = codes.j
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_e6
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_e6, neighbor_id) AS rank FROM adc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q87_novelty" ->
       """WITH t AS (SELECT doc_id, list_distinct(list_transform(
         |  range(1, len(string_split(trim(text),' ')) - 1),

@@ -333,10 +333,12 @@ object Similarity {
       codebook: Seq[Seq[Array[Float]]]): DataFrame = {
     val m = codebook.length
     val sub = codebook.head.head.length
-    val base = (0 until m).foldLeft(
-      df.select(col(idCol), col(vecCol).as("_v"))) { case (d, s) =>
-      d.withColumn(s"_x$s", slice(col("_v"), s * sub + 1, sub))
-        .withColumn(s"_xx$s", dot(col(s"_x$s"), col(s"_x$s")))
+    // all input columns ride through (bucket ids, metadata…): only the
+    // temp columns are dropped at the end
+    val base = (0 until m).foldLeft(df.withColumn("_v", col(vecCol))) {
+      case (d, s) =>
+        d.withColumn(s"_x$s", slice(col("_v"), s * sub + 1, sub))
+          .withColumn(s"_xx$s", dot(col(s"_x$s"), col(s"_x$s")))
     }
     val scored = (0 until m).foldLeft(base) { case (d, s) =>
       val cands = codebook(s).zipWithIndex.map { case (c, j) =>
@@ -370,14 +372,13 @@ object Similarity {
     * id). Shuffle shape: codes explode to m rows per corpus vector, join a
     * BROADCAST |Q|·m·k table on (subspace, code), then one grouped sum —
     * linear in the corpus, no pairwise vector math anywhere. */
-  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, codebook: Seq[Seq[Array[Float]]]): DataFrame = {
+  /** Per-query PQ distance table, long format (query_id, s, code, d_e6):
+    * exact query-subvector ↔ centroid squared distances as micro-unit
+    * ints — |Q|·m·k rows, the broadcast side of every ADC scan. */
+  private def pqQueryTable(queries: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Array[Float]]]): DataFrame = {
     val m = codebook.length
     val sub = codebook.head.head.length
-    val codes = pqEncode(corpus, idCol, vecCol, codebook)
-      .select(col(idCol).as("neighbor_id"), posexplode(
-        array((0 until m).map(s => col(s"code$s")): _*)))
-      .toDF("neighbor_id", "s", "code")
     val qBase = (0 until m).foldLeft(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("_v"))) {
       case (d, s) =>
@@ -392,13 +393,27 @@ object Similarity {
             + lit(cc)) * lit(1e6)).cast("long").as("d_e6"))
       }
     }
-    val qTable = qBase
+    qBase
       .select(col("query_id"), explode(array(tableCols: _*)).as("t"))
       .select(col("query_id"), col("t.s").as("s"), col("t.code").as("code"),
         col("t.d_e6").as("d_e6"))
+  }
+
+  /** PQ codes in long format (…, s, code), one row per subspace. */
+  private def pqCodesLong(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: Seq[Seq[Array[Float]]], extraCols: Seq[String] = Nil): DataFrame = {
+    val m = codebook.length
+    pqEncode(corpus, idCol, vecCol, codebook)
+      .select(col(idCol).as("neighbor_id") +: extraCols.map(col) :+ posexplode(
+        array((0 until m).map(s => col(s"code$s")): _*)): _*)
+      .toDF(Seq("neighbor_id") ++ extraCols ++ Seq("s", "code"): _*)
+  }
+
+  /** The rank-and-trim tail shared by the ADC scans. */
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_e6"), col("neighbor_id"))
-    codes.join(broadcast(qTable), Seq("s", "code"))
+    scored
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("d_e6")).as("adc_e6"))
@@ -406,6 +421,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), col("adc_e6"))
+  }
+
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, codebook: Seq[Seq[Array[Float]]]): DataFrame = {
+    val codes = pqCodesLong(corpus, idCol, vecCol, codebook)
+    val qTable = pqQueryTable(queries, idCol, vecCol, codebook)
+    adcRank(codes.join(broadcast(qTable), Seq("s", "code")), k)
+  }
+
+  /** IVFPQ top-k — the production ANN composition: IVF coarse quantization
+    * prunes the corpus to each query's nProbe nearest centroid buckets,
+    * then PQ ADC scores ONLY those candidates from their codes — no exact
+    * vector math ever touches the corpus at query time. nProbe =
+    * numCentroids degenerates to `pqAdcTopK` exactly (spec-asserted), the
+    * recall ceiling of the PQ approximation; both prune levers (nProbe for
+    * candidates, m×k for code resolution) compose independently.
+    *
+    * Scale shape: codes + bucket id per corpus row (row-local), candidates
+    * from a bucket equi-join against the broadcast |Q|·nProbe probe set,
+    * ADC from the broadcast |Q|·m·k table, one grouped integer sum — the
+    * corpus never shuffles on anything wider than its bucket id. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Array[Float]], nProbe: Int,
+      codebook: Seq[Seq[Array[Float]]]): DataFrame = {
+    val codes = pqCodesLong(
+      corpus.select(col(idCol), col(vecCol))
+        .withColumn("bucket", ivfBucket(col(vecCol), centroids)),
+      idCol, vecCol, codebook, extraCols = Seq("bucket"))
+    val qProbes = queries
+      .select(col(idCol).as("query_id"),
+        explode(topCentroids(col(vecCol), centroids, nProbe)).as("bucket"))
+    val qTable = pqQueryTable(queries, idCol, vecCol, codebook)
+    adcRank(
+      codes.join(broadcast(qProbes), Seq("bucket"))
+        .join(broadcast(qTable), Seq("query_id", "s", "code")),
+      k)
   }
 
   /** One MMR-selected row: rank is the greedy selection order. */

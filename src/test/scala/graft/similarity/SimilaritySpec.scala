@@ -326,6 +326,33 @@ class SimilaritySpec extends SparkSpec {
     kept should have length 4
   }
 
+  test("ivfpq: full probe ≡ plain ADC; partial probe candidates ⊆ full") {
+    val emb = (0L until 12L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11).toFloat - 5f))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", 4)
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", m = 2, k = 4)
+    val queries = emb.where("vec_id < 3")
+    val adc = Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding",
+        k = 4, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._3))
+    val full = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 4, cents, nProbe = 4, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._3))
+    full shouldBe adc // nProbe = numCentroids degenerates to the ADC scan
+    // partial probe returns fewer (never more) candidates, with contiguous
+    // ranks from 1 per query
+    val partial = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 4, cents, nProbe = 1, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    partial.length should be <= adc.length
+    partial.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._2).sorted shouldBe (1L to rs.length).toArray
+    }
+  }
+
   test("pq ADC plans a broadcast hash join on (subspace, code) — no BNLJ") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 1f)))
