@@ -32,7 +32,8 @@ object ScaleSmoke {
     // round-8 additions whose linear-shuffle claims deserve the same
     // measured backing: cross-corpus fuzzy dedup, PQ code-scan ANN, and
     // the corpus-wide boilerplate signal
-    "q76_fuzzy_incremental", "q79_pq_adc_topk", "q80_boilerplate")
+    "q76_fuzzy_incremental", "q79_pq_adc_topk", "q80_boilerplate",
+    "q88_ivfpq_topk")
 
   private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     // both outputs must exist — a crash between the two writes would
