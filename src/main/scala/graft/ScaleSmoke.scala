@@ -30,8 +30,9 @@ object ScaleSmoke {
     "q26_ngram_jaccard", "q45_near_dedup", "q47_simhash64_pairs",
     "q51_tfidf_terms", "q64_embed_dedup_lsh",
     // round-8 additions whose linear-shuffle claims deserve the same
-    // measured backing: cross-corpus fuzzy dedup, PQ code-scan ANN, and
-    // the corpus-wide boilerplate signal
+    // measured backing: cross-corpus fuzzy dedup, the flat and
+    // bucket-pruned (IVFPQ) code-scan ANN paths, and the corpus-wide
+    // boilerplate signal
     "q76_fuzzy_incremental", "q79_pq_adc_topk", "q80_boilerplate",
     "q88_ivfpq_topk")
 

@@ -224,6 +224,18 @@ object Anomaly {
       .otherwise(floor((c - lit(lo)) / lit(hi - lo) * lit(nBins.toDouble))
         .cast("long") + 1L)
 
+  /** Fixed-bin histogram counts (bucket, n) — the reusable side of the
+    * drift report. A static baseline computes this ONCE (persist or
+    * localCheckpoint the ≤ nBins+2-row result) and feeds
+    * [[histogramDriftFromCounts]] per batch. */
+  def histogramCounts(df: DataFrame, column: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, s"bad histogram params [$lo, $hi) x $nBins")
+    df.filter(col(column).isNotNull)
+      .groupBy(bucketOf(col(column), lo, hi, nBins).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Histogram drift between two corpus snapshots — the distribution-shift
     * monitor a continuously-ingested 100 TB corpus needs per batch: both
     * sides bucket into the same fixed bins (under/overflow as buckets 0 and
@@ -234,14 +246,19 @@ object Anomaly {
     * bin id — linear, no window, no join back to row data. Bins with no
     * rows on either side are omitted (outer-join semantics, zero-filled). */
   def histogramDrift(baseline: DataFrame, current: DataFrame, column: String,
-      lo: Double, hi: Double, nBins: Int): DataFrame = {
-    require(nBins >= 1 && hi > lo, s"bad histogram params [$lo, $hi) x $nBins")
-    def side(df: DataFrame, cnt: String): DataFrame =
-      df.filter(col(column).isNotNull)
-        .groupBy(bucketOf(col(column), lo, hi, nBins).as("bucket"))
-        .agg(count(lit(1)).as(cnt))
-    val b = side(baseline, "n_base")
-    val c = side(current, "n_cur")
+      lo: Double, hi: Double, nBins: Int): DataFrame =
+    histogramDriftFromCounts(
+      histogramCounts(baseline, column, lo, hi, nBins), current, column,
+      lo, hi, nBins)
+
+  /** Drift against PRECOMPUTED baseline counts (`histogramCounts` shape) —
+    * what a long-running monitor calls per batch so the static baseline is
+    * never re-scanned. */
+  def histogramDriftFromCounts(baselineCounts: DataFrame, current: DataFrame,
+      column: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val b = baselineCounts.withColumnRenamed("n", "n_base")
+    val c = histogramCounts(current, column, lo, hi, nBins)
+      .withColumnRenamed("n", "n_cur")
     // ≤ nBins+2 rows: materialize once so the totals aggregate below does
     // not re-run both input scans and the outer join a second time
     val joined = b.join(c, Seq("bucket"), "full_outer")

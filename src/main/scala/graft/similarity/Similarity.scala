@@ -363,15 +363,6 @@ object Similarity {
         Seq(s"_x$s", s"_xx$s", s"_best$s", s"_err$s")): _*)
   }
 
-  /** PQ asymmetric-distance (ADC) top-k: queries stay exact, the corpus is
-    * its PQ codes — the memory shape that lets one executor scan millions of
-    * candidates. Each query precomputes an m×k table of exact
-    * query-subvector ↔ centroid distances (micro-unit ints); a candidate's
-    * approximate distance is the INTEGER sum of its codes' table entries, so
-    * ranking is deterministic across engines (ties to the lower neighbor
-    * id). Shuffle shape: codes explode to m rows per corpus vector, join a
-    * BROADCAST |Q|·m·k table on (subspace, code), then one grouped sum —
-    * linear in the corpus, no pairwise vector math anywhere. */
   /** Per-query PQ distance table, long format (query_id, s, code, d_e6):
     * exact query-subvector ↔ centroid squared distances as micro-unit
     * ints — |Q|·m·k rows, the broadcast side of every ADC scan. */
@@ -423,6 +414,15 @@ object Similarity {
         col("rank").cast("long").as("rank"), col("adc_e6"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: queries stay exact, the corpus is
+    * its PQ codes — the memory shape that lets one executor scan millions of
+    * candidates. Each query precomputes an m×k table of exact
+    * query-subvector ↔ centroid distances (micro-unit ints); a candidate's
+    * approximate distance is the INTEGER sum of its codes' table entries, so
+    * ranking is deterministic across engines (ties to the lower neighbor
+    * id). Shuffle shape: codes explode to m rows per corpus vector, join a
+    * BROADCAST |Q|·m·k table on (subspace, code), then one grouped sum —
+    * linear in the corpus, no pairwise vector math anywhere. */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, codebook: Seq[Seq[Array[Float]]]): DataFrame = {
     val codes = pqCodesLong(corpus, idCol, vecCol, codebook)

@@ -172,7 +172,13 @@ object Streaming {
       hi: Double,
       nBins: Int,
       outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    // the baseline is static: histogram it ONCE at query start (the
+    // ≤ nBins+2-row result pins via localCheckpoint) instead of re-running
+    // its scan + groupBy on every micro-batch forever
+    val baseCounts = graft.quality.Anomaly
+      .histogramCounts(baseline, column, lo, hi, nBins)
+      .localCheckpoint()
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -180,8 +186,8 @@ object Streaming {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-          graft.quality.Anomaly.histogramDrift(baseline, batch.toDF(),
-              column, lo, hi, nBins)
+          graft.quality.Anomaly.histogramDriftFromCounts(baseCounts,
+              batch.toDF(), column, lo, hi, nBins)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -190,6 +196,7 @@ object Streaming {
           ()
       }
       .start()
+  }
 
   /** Watermarked tumbling-window aggregation (the streaming analogue of the
     * hourly gold mart): late data beyond `watermark` is dropped and window

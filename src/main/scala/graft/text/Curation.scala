@@ -147,24 +147,13 @@ object Curation {
   def selectUnderTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
       tokenCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    // null-safe throughout (the winsorize lesson): a NULL score forms its
-    // own group, sorts LAST in the desc order (lowest priority, matching
-    // the naive window's desc_nulls_last), and joins back via <=> — a plain
-    // equi-join would silently drop every null-scored row
-    val masses = df.groupBy(col(scoreCol).as("_s"))
-      .agg(sum(col(tokenCol)).cast("long").as("_mass"))
-    val wScore = Window.orderBy(col("_s").desc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumBefore = masses
-      .withColumn("_cum_before", sum(col("_mass")).over(wScore) - col("_mass"))
-      .select(col("_s"), col("_cum_before"))
-    val wIn = Window.partitionBy(col(scoreCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(cumBefore), col(scoreCol) <=> col("_s"))
-      .withColumn("cum_tokens",
-        col("_cum_before") + sum(col(tokenCol).cast("long")).over(wIn))
-      .filter(col("cum_tokens") <= budget)
-      .drop("_s", "_cum_before")
+    // one core, two surfaces: the global cut is the per-domain cut over a
+    // single constant domain
+    selectUnderTokenBudgetPerDomain(
+      df.withColumn("_budget_domain", lit("_all")),
+      idCol, "_budget_domain", scoreCol, tokenCol,
+      budgets = Map.empty, defaultBudget = budget)
+      .drop("_budget_domain")
   }
 
   /** Per-domain token budgets — the domain-mixing decision APPLIED as hard
@@ -179,6 +168,10 @@ object Curation {
       budgets: Map[String, Long], defaultBudget: Long): DataFrame = {
     require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
       "budgets must be >= 0")
+    // null-safe throughout (the winsorize lesson): NULL scores/domains form
+    // their own groups, a NULL score sorts LAST in the desc order (lowest
+    // priority, matching the naive window's desc_nulls_last), and the join
+    // back is <=> — a plain equi-join would silently drop null-keyed rows
     val masses = df.groupBy(col(domainCol).as("_d"), col(scoreCol).as("_s"))
       .agg(sum(col(tokenCol)).cast("long").as("_mass"))
     val wScore = Window.partitionBy(col("_d"))
