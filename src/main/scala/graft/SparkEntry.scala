@@ -974,6 +974,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Corpus report card: per-source doc/token mass, hard-gate pass rate,
+    // and exact p50/p90 quality score — the daily health dashboard of a
+    // curated corpus. One grouped aggregate; integer micro-units and the
+    // proven exact-percentile contract keep it hash-comparable.
+    "q89_corpus_report" -> ((s, dir) =>
+      Curation.corpusReport(Tables.load(s, dir, "documents"),
+        "source", "text")
+        .orderBy("domain")),
+
     // IVFPQ: the production ANN composition — IVF buckets prune candidates
     // to 4 probed cells, PQ ADC scores them from codes alone. Both stages
     // seeded/deterministic, so the full composite hash-compares; nProbe=K
@@ -1336,6 +1345,45 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // q89 groups q60's signal CTEs and q21's score formula by source.
+    "q89_corpus_report" ->
+      """WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, source, toks,
+        |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1]) AS bg FROM t),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS ttr_e6,
+        |  CAST(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS avg_token_len_e6,
+        |  CASE WHEN len(toks) < 2 THEN 0
+        |   ELSE CAST(round((1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE)
+        |     * 1000000.0) AS BIGINT)
+        |  END AS dup_2gram_frac_e6,
+        |  CAST(round((
+        |    (CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) * 0.4
+        |    + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + greatest(0.0, 1.0 - greatest(0.0, greatest(
+        |        3.0 - CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE),
+        |        CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) - 8.0)) / 5.0) * 0.3)
+        |    * 1000000.0) AS BIGINT) AS score_e6
+        | FROM g),
+        |p AS (SELECT *,
+        |  (n_tokens BETWEEN 20 AND 90)
+        |   AND (avg_token_len_e6 BETWEEN 3000000 AND 8000000)
+        |   AND (ttr_e6 >= 300000) AND (dup_2gram_frac_e6 <= 200000) AS passed
+        | FROM s)
+        |SELECT source AS domain, count(*) AS docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(count(CASE WHEN passed THEN 1 END) AS BIGINT) AS passed_docs,
+        | CAST(count(CASE WHEN passed THEN 1 END) * 1000000 // count(*) AS BIGINT)
+        |   AS pass_rate_e6,
+        | CAST(round(quantile_cont(score_e6, 0.5)) AS BIGINT) AS p50_score_e6,
+        | CAST(round(quantile_cont(score_e6, 0.9)) AS BIGINT) AS p90_score_e6
+        |FROM p GROUP BY source ORDER BY domain""".stripMargin,
     // q88 composes q69's IVF CTEs (REAL-cast normalized centroids, argmax
     // assignment, top-4 probes) with q79's PQ CTEs (subvector codes, query
     // distance tables) — candidates from probed buckets, integer ADC sums.

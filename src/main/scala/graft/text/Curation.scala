@@ -156,6 +156,38 @@ object Curation {
       .drop("_budget_domain")
   }
 
+  /** Per-domain corpus report card — the daily health dashboard of a
+    * continuously-curated corpus: per domain, document count, token mass,
+    * the hard-gate pass rate (same rules as [[qualityFilter]]), and exact
+    * interpolated p50/p90 of the quality score. One grouped aggregate over
+    * the corpus; every ratio is integer micro-units, quantiles are the
+    * q35/q52-proven exact-percentile contract, so the report
+    * hash-compares across engines. */
+  def corpusReport(df: DataFrame, domainCol: String, textCol: String,
+      minTokens: Long = 20L, maxTokens: Long = 90L,
+      minAvgTokenLenE6: Long = 3000000L, maxAvgTokenLenE6: Long = 8000000L,
+      minTtrE6: Long = 300000L, maxDup2E6: Long = 200000L): DataFrame = {
+    val s = signals(col(textCol))
+    val passed = gateRules(s, minTokens, maxTokens,
+      minAvgTokenLenE6, maxAvgTokenLenE6, minTtrE6, maxDup2E6)
+      .map(_._2).reduce(_ && _)
+    df.select(col(domainCol).as("domain"),
+        s.nTokens.as("_nt"),
+        round(TextAnalysis.qualityScore(col(textCol)) * lit(1e6)).cast("long")
+          .as("_score_e6"),
+        passed.as("_passed"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("_nt")).as("total_tokens"),
+        count(when(col("_passed"), 1)).as("passed_docs"),
+        expr("percentile(_score_e6, array(0.5, 0.9))").as("_qs"))
+      .select(col("domain"), col("docs"), col("total_tokens"),
+        col("passed_docs"),
+        expr("passed_docs * 1000000L div docs").as("pass_rate_e6"),
+        round(element_at(col("_qs"), 1)).cast("long").as("p50_score_e6"),
+        round(element_at(col("_qs"), 2)).cast("long").as("p90_score_e6"))
+  }
+
   /** Per-domain token budgets — the domain-mixing decision APPLIED as hard
     * token targets: within each domain, the greedy best-first prefix under
     * that domain's budget (`budgets`, else `defaultBudget`). This is how a

@@ -96,6 +96,21 @@ class CurationSpec extends SparkSpec {
     out shouldBe Seq(1L, 2L, 4L)
   }
 
+  test("corpusReport: per-domain mass, pass rate, score quantiles") {
+    val good = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, good, "web"), (2L, "too short", "web"),
+      (3L, good, "books"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.corpusReport(docs, "source", "text")
+      .orderBy("domain").collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("passed_docs"),
+          r.getAs[Long]("pass_rate_e6"))).toMap
+    out("web") shouldBe ((2L, 1L, 500000L))  // the short doc fails the gate
+    out("books") shouldBe ((1L, 1L, 1000000L))
+  }
+
   test("curriculumBuckets ≡ global (rank-1)*n div total, nulls last") {
     // 6 rows, 4 buckets: sizes 2,1,2,1 by the floor formula; ties (10,10)
     // break by id; the null orders last
