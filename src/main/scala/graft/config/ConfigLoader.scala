@@ -275,6 +275,16 @@ object ConfigLoader {
     val curation = root.get("curation").map { c =>
       val cm = asMap(c, "curation")
       CurationSpec(
+        language = cm.get("language_filter").map { l =>
+          val lm = asMap(l, "curation.language_filter")
+          val spec = LanguageFilterSpec(
+            textColumn = str(lm, "text_column", "curation.language_filter"),
+            keep = strList(lm, "keep"))
+          if (spec.keep.isEmpty)
+            throw new ConfigError(
+              "curation.language_filter.keep must list at least one language")
+          spec
+        },
         gate = cm.get("quality_gate").map { g =>
           val gm = asMap(g, "curation.quality_gate")
           def long(key: String, dflt: Long): Long =

@@ -153,7 +153,13 @@ final case class BudgetSpec(
     tokenColumn: String,
     maxTokens: Long)
 
+/** curation.language_filter — keep only documents whose heuristic language
+  * ID (TextAnalysis.langId over `textColumn`) is in `keep`; "und"
+  * (undetermined) is kept only when listed. */
+final case class LanguageFilterSpec(textColumn: String, keep: Seq[String])
+
 final case class CurationSpec(
+    language: Option[LanguageFilterSpec] = None,
     gate: Option[QualityGateSpec] = None,
     pii: Seq[PiiRule] = Nil,
     dedup: Option[NearDedupSpec] = None,

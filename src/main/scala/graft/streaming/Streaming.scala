@@ -93,8 +93,12 @@ object Streaming {
       "curation.budget is batch-only: the greedy best-first cut needs a " +
         "total order over the corpus, which an unbounded stream cannot have")
     val src = spark.readStream.schema(schema).parquet(inputDir)
-    val gatedOnly = spec.gate.fold(src)(g =>
-      graft.text.Curation.applyGate(src, g))
+    // language filter and gate are row-local predicates — they stream
+    // unchanged, in the same order as the batch stage
+    val inLang = spec.language.fold(src)(l =>
+      graft.text.Curation.applyLanguageFilter(src, l))
+    val gatedOnly = spec.gate.fold(inLang)(g =>
+      graft.text.Curation.applyGate(inLang, g))
     // PII scrub is row-local regex — it streams unchanged, in the same
     // gate → scrub → dedup order as the batch stage
     val gated =

@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.config.{BudgetSpec, CurationSpec, MixingSpec, NearDedupSpec, PiiRule, QualityGateSpec}
+import graft.config.{BudgetSpec, CurationSpec, LanguageFilterSpec, MixingSpec, NearDedupSpec, PiiRule, QualityGateSpec}
 import graft.dedup.Dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -317,12 +317,19 @@ object Curation {
     * survived every other filter (its `cum_tokens` audit column rides
     * through too). */
   def curate(df: DataFrame, spec: CurationSpec): DataFrame = {
-    val gated = spec.gate.fold(df)(applyGate(df, _))
+    val inLang = spec.language.fold(df)(applyLanguageFilter(df, _))
+    val gated = spec.gate.fold(inLang)(applyGate(inLang, _))
     val scrubbed = if (spec.pii.isEmpty) gated else redactPii(gated, spec.pii)
     val deduped = spec.dedup.fold(scrubbed)(applyDedup(scrubbed, _))
     val mixed = spec.mixing.fold(deduped)(applyMixing(deduped, _))
     spec.budget.fold(mixed)(applyBudget(mixed, _))
   }
+
+  /** Language gate — runs FIRST (the cheapest reliable row-local filter,
+    * and every later signal assumes a known language). Keep-list
+    * semantics: "und" survives only when explicitly listed. */
+  def applyLanguageFilter(df: DataFrame, l: LanguageFilterSpec): DataFrame =
+    df.filter(TextAnalysis.langId(col(l.textColumn)).isin(l.keep: _*))
 
   /** The budget cut from config. `scoreColumn`/`tokenColumn` must exist on
     * the frame as numeric columns — derive them in silver

@@ -60,6 +60,11 @@ class PipelineSpec extends SparkSpec {
         |    - name: n_tokens
         |      expression: "size(split(trim(text), ' '))"
         |curation:
+        |  language_filter:
+        |    text_column: text
+        |    keep:
+        |      - en
+        |      - und
         |  quality_gate:
         |    id_column: doc_id
         |    text_column: text
@@ -100,6 +105,7 @@ class PipelineSpec extends SparkSpec {
         |""".stripMargin
     val cfg = ConfigLoader.parse(yaml)
     cfg.curation.flatMap(_.dedup).map(_.strategy) shouldBe Some("exact")
+    cfg.curation.flatMap(_.language).map(_.keep) shouldBe Some(Seq("en", "und"))
     // preset expands to the named pattern; replacement defaults
     cfg.curation.map(_.pii).get shouldBe Seq(
       graft.config.PiiRule("text", graft.config.PiiRule.Presets("email"),

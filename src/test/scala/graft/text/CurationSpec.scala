@@ -96,6 +96,21 @@ class CurationSpec extends SparkSpec {
     out shouldBe Seq(1L, 2L, 4L)
   }
 
+  test("applyLanguageFilter keeps listed languages; und only when listed") {
+    import graft.config.LanguageFilterSpec
+    val docs = Seq(
+      (1L, "the cat and the dog in the house"),   // en
+      (2L, "el gato y la casa de la que es"),     // es
+      (3L, "zxq wvv qqq"))                        // und
+      .toDF("doc_id", "text")
+    Curation.applyLanguageFilter(docs, LanguageFilterSpec("text", Seq("en")))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    Curation.applyLanguageFilter(docs,
+        LanguageFilterSpec("text", Seq("en", "und")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq shouldBe Seq(1L, 3L)
+  }
+
   test("corpusReport: per-domain mass, pass rate, score quantiles") {
     val good = (1 to 30).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
