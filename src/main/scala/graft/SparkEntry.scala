@@ -974,6 +974,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // As-of join with staleness tolerance: q63's purchase↔click join, but
+    // a click more than 30 minutes old is NO match — the feature-join
+    // bound that keeps stale snapshots from enriching fresh events. The
+    // oracle post-filters DuckDB's native ASOF by the same gap.
+    "q90_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("value_e6", expr("CAST(round(value * 1000000.0) AS BIGINT)"))
+        .select("event_id", "user_id", "event_type", "ts_us", "value_e6")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val clicks = ev.filter(col("event_type") === "click")
+        .drop("event_type")
+      AsofJoin.asofJoin(purchases, clicks,
+          "user_id", "ts_us", "ts_us", tieCol = "event_id",
+          rightPrefix = "click_", maxGap = 1800L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value_e6"),
+          coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"),
+          coalesce(col("click_ts_us"), lit(-1L)).as("click_ts_us"),
+          coalesce(col("click_value_e6"), lit(0L)).as("click_value_e6"),
+          coalesce(col("ts_us") - col("click_ts_us"), lit(-1L)).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // Corpus report card: per-source doc/token mass, hard-gate pass rate,
     // and exact p50/p90 quality score — the daily health dashboard of a
     // curated corpus. One grouped aggregate; integer micro-units and the
@@ -2017,6 +2041,26 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
         |ORDER BY vec_id""".stripMargin,
+    "q90_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |  CAST(round(value * 1000000.0) AS BIGINT) AS value_e6 FROM events),
+        |p AS (SELECT event_id, user_id, ts_us, value_e6 FROM e
+        |  WHERE event_type = 'purchase'),
+        |c0 AS (SELECT event_id, user_id, ts_us, value_e6 FROM e
+        |  WHERE event_type = 'click'),
+        |c AS (SELECT event_id, user_id, ts_us, value_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts_us
+        |    ORDER BY event_id DESC) AS rn FROM c0) WHERE rn = 1),
+        |m AS (SELECT p.event_id, p.user_id, p.ts_us, p.value_e6,
+        |  c.event_id AS ce, c.ts_us AS cts, c.value_e6 AS cv
+        | FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us)
+        |SELECT event_id, user_id, ts_us, value_e6,
+        | CASE WHEN ts_us - cts <= 1800000000 THEN ce ELSE -1 END AS click_event_id,
+        | CASE WHEN ts_us - cts <= 1800000000 THEN cts ELSE -1 END AS click_ts_us,
+        | CASE WHEN ts_us - cts <= 1800000000 THEN cv ELSE 0 END AS click_value_e6,
+        | CASE WHEN ts_us - cts <= 1800000000 THEN ts_us - cts ELSE -1 END AS gap_us
+        |FROM m ORDER BY event_id""".stripMargin,
     "q63_asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  CAST(round(value * 1000000.0) AS BIGINT) AS value_e6 FROM events),

@@ -42,6 +42,13 @@ object AsofJoin {
     *                    dropped (it equals the left key on every match).
     * @param inclusive   true → match right.ts <= left.ts; false (strict) →
     *                    right.ts < left.ts.
+    * @param maxGap      staleness tolerance in the timestamp's unit: a
+    *                    carried match older than `maxGap` before the left
+    *                    row becomes NO match (null payload) — the
+    *                    point-in-time feature-join bound that stops a
+    *                    months-stale snapshot from silently enriching
+    *                    today's event. Row-local post-check on the carried
+    *                    struct; the plan shape is unchanged.
     */
   def asofJoin(
       left: DataFrame,
@@ -51,7 +58,8 @@ object AsofJoin {
       rightTsCol: String,
       tieCol: String,
       rightPrefix: String,
-      inclusive: Boolean = true): DataFrame = {
+      inclusive: Boolean = true,
+      maxGap: Long = Long.MaxValue): DataFrame = {
     // dedupe right per (key, ts): highest tie wins
     val dw = Window.partitionBy(col(keyCol), col(rightTsCol))
       .orderBy(col(tieCol).desc)
@@ -86,8 +94,14 @@ object AsofJoin {
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val joined = lTagged.unionByName(rTagged)
+    val carried = lTagged.unionByName(rTagged)
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+    val joined = (if (maxGap == Long.MaxValue) carried
+      else carried.withColumn("_match",
+        // when() without otherwise nulls stale matches; an already-null
+        // match stays null (null condition → null branch)
+        when(col("_ts") - col(s"_match.$rightTsCol") <= maxGap,
+          col("_match"))))
       .filter(col("_side") === leftSide)
 
     val leftOut = left.columns.toSeq.map(c => col(s"_l.$c").as(c))

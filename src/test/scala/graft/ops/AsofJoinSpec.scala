@@ -59,6 +59,20 @@ class AsofJoinSpec extends SparkSpec {
     run(inclusive = false)(3L) shouldBe Some(20L) // 300 hidden, falls back to 200
   }
 
+  test("maxGap tolerance nulls stale matches, keeps fresh ones and rows") {
+    val out = AsofJoin.asofJoin(left, right, "key", "ts", "ts",
+        tieCol = "rid", rightPrefix = "r_", maxGap = 60L)
+      .select("id", "r_rid").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    out(1L) shouldBe Some(10L) // gap 10 ≤ 60 → kept
+    out(2L) shouldBe Some(20L) // gap 50 ≤ 60 → kept
+    out(3L) shouldBe Some(30L) // gap 0
+    out(5L) shouldBe None      // r41 is 400 stale → tolerance nulls it
+    out(4L) shouldBe None      // genuinely no prior row
+    out.keySet should have size 6 // every left row survives
+  }
+
   test("right payload columns arrive prefixed, left schema unchanged") {
     val out = AsofJoin.asofJoin(left, right, "key", "ts", "ts", "rid", "r_")
     out.columns.toSeq shouldBe Seq("id", "key", "ts", "r_rid", "r_ts", "r_v")
