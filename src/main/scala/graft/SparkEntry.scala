@@ -974,6 +974,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Stratified resample WITH upsampling: src0 at 250% (every doc 2×,
+    // md5-chosen half 3×), src1 dropped, others kept 1× — the mixing
+    // weights > 1 that the boolean keep-predicate (q58) can't express.
+    // Row-local explode; the copy index makes replicas distinct rows.
+    "q91_resample" -> ((s, dir) =>
+      Chunking.stratifiedResample(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        ratesPct = Map("src0" -> 250, "src1" -> 0), defaultPct = 100)
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")),
+
     // As-of join with staleness tolerance: q63's purchase↔click join, but
     // a click more than 30 minutes old is NO match — the feature-join
     // bound that keeps stale snapshots from enriching fresh events. The
@@ -2041,6 +2052,17 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
         |ORDER BY vec_id""".stripMargin,
+    "q91_resample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 0 ELSE 100 END AS rate,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+        | FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  rate // 100 + CASE WHEN b < rate % 100 THEN 1 ELSE 0 END AS n_copies
+        | FROM r)
+        |SELECT doc_id, source, CAST(unnest(range(n_copies)) AS BIGINT) AS copy
+        |FROM n WHERE n_copies > 0
+        |ORDER BY doc_id, copy""".stripMargin,
     "q90_asof_tolerance" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
         |  CAST(round(value * 1000000.0) AS BIGINT) AS value_e6 FROM events),

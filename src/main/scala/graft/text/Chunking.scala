@@ -91,6 +91,38 @@ object Chunking {
       % lit(100L)) < rate
   }
 
+  /** Stratified RESAMPLE — the upsampling half of domain mixing that the
+    * boolean predicate form can't express: each stratum's rate is a PERCENT
+    * THAT MAY EXCEED 100, and every row is replicated `rate div 100` times
+    * plus one more when its md5 bucket falls under `rate mod 100`. Rate 250
+    * → every row 2×, half the rows (deterministically chosen) 3×. Output
+    * rows carry a `copy` index (0-based) so downstream shuffles/splits
+    * treat replicas as distinct rows; expected stratum mass = rate/100 ×
+    * input mass, exact in the hash-bucket sense of `hashSample`.
+    *
+    * Scale shape: one row-local `explode(sequence(...))` — no shuffle, no
+    * join; a row's replica count depends only on (key, stratum rate), so
+    * re-curating a grown corpus reproduces every earlier replica.
+    * Downsampling (rate < 100) degenerates to `stratifiedHashSample` plus a
+    * copy=0 column. */
+  def stratifiedResample(df: DataFrame, keyCol: Column, strataCol: Column,
+      ratesPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: ratesPct.values.toSeq).forall(_ >= 0),
+      s"rates must be >= 0: $ratesPct default=$defaultPct")
+    val rate = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct.toLong)) {
+      case (acc, (k, v)) => when(strataCol === lit(k), lit(v.toLong)).otherwise(acc)
+    }
+    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % lit(100L)
+    val copies = (rate / lit(100L)).cast("long") +
+      when(bucket < rate % lit(100L), lit(1L)).otherwise(lit(0L))
+    df.withColumn("_n_copies", copies)
+      .filter(col("_n_copies") > 0)
+      .withColumn("copy",
+        explode(sequence(lit(0L), col("_n_copies") - 1)))
+      .drop("_n_copies")
+  }
+
   /** Greedy sequence packing WITHIN id-range shards: shard = id div
     * `docsPerShard`, then inside each shard docs (ordered by id) go to
     * fixed-budget bins by cumulative token count — bin = ⌊(cumsum −

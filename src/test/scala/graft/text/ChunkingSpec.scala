@@ -39,6 +39,30 @@ class ChunkingSpec extends SparkSpec {
     ids.filter(Chunking.hashSample(col("id"), 100)).count() shouldBe 1000
   }
 
+  test("stratifiedResample: upsampling replicates, 0 drops, copy indexes") {
+    val docs = (1L to 100L).map(i =>
+      (i, if (i <= 40) "up" else if (i <= 60) "drop" else "keep"))
+      .toDF("id", "src")
+    def run() = Chunking.stratifiedResample(docs, col("id"), col("src"),
+      ratesPct = Map("up" -> 250, "drop" -> 0), defaultPct = 100)
+    val out = run()
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.get("drop") shouldBe None            // rate 0 empties the stratum
+    bySrc("keep") shouldBe 40L                 // 1 copy each
+    bySrc("up") should (be >= 80L and be <= 120L) // 2-3 copies of 40 docs
+    // replicas are distinct rows with contiguous copy indexes
+    val copies = out.where("src = 'up'").groupBy("id")
+      .agg(org.apache.spark.sql.functions.collect_list(col("copy")).as("cs"))
+      .collect().map(_.getSeq[Long](1).sorted)
+    copies.foreach(cs => cs shouldBe (0L until cs.length.toLong))
+    // deterministic: a second run reproduces exactly
+    run().select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted shouldBe
+      out.select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+  }
+
   test("stratified sampling applies per-stratum rates and stays a subset") {
     val rows = (0L until 1000L).map(i =>
       (i, Seq("en", "de", "zh", "fr")(i.toInt % 4))).toDF("id", "lang")
