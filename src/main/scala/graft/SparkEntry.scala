@@ -934,8 +934,12 @@ object SparkEntry {
     "q70_session_overlap" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
         .withColumn("ts_us", expr("ts div 1000"))
+      // materialize the session rollup ONCE: both self-join sides read it,
+      // and without the cut each side re-runs the full window+agg chain
+      // (the exchanges differ after the a/b projections, so Spark's
+      // ReuseExchange can't help)
       val sess = Sessions.sessionStats(ev, "user_id", "ts_us",
-        "event_id", "value", gapSec = 14400L)
+        "event_id", "value", gapSec = 14400L).localCheckpoint()
       val a = sess.select(col("user_id").as("a_user"),
         col("session_seq").as("a_seq"),
         col("start_us").as("a_start"), col("end_us").as("a_end"))
