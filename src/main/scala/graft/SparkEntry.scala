@@ -978,6 +978,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Session conversion funnel: within each 4h session, did a purchase
+    // happen at/after the first click? Entry/conversion timestamps,
+    // converted flag, integer time-to-convert with -1 sentinels.
+    "q92_funnel" -> ((s, dir) =>
+      Sessions.funnel(
+        Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", "event_type",
+        entryType = "click", conversionType = "purchase", gapSec = 14400L)
+        .orderBy("user_id", "session_seq")),
+
     // Stratified resample WITH upsampling: src0 at 250% (every doc 2×,
     // md5-chosen half 3×), src1 dropped, others kept 1× — the mixing
     // weights > 1 that the boolean keep-predicate (q58) can't express.
@@ -2056,6 +2066,30 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
         |ORDER BY vec_id""".stripMargin,
+    "q92_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL
+        |    OR ts_us - prev_us > 14400000000 THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM l),
+        |p AS (SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(CASE WHEN event_type = 'click' THEN ts_us END) AS fe
+        | FROM s GROUP BY user_id, session_seq),
+        |c AS (SELECT p.user_id, p.session_seq, p.n_events, p.fe,
+        |  min(CASE WHEN s.event_type = 'purchase' AND s.ts_us >= p.fe
+        |    THEN s.ts_us END) AS fc
+        | FROM p LEFT JOIN s ON p.user_id = s.user_id
+        |   AND p.session_seq = s.session_seq
+        | GROUP BY p.user_id, p.session_seq, p.n_events, p.fe)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, n_events,
+        | coalesce(fe, -1) AS first_entry_us,
+        | coalesce(fc, -1) AS first_conv_us,
+        | fe IS NOT NULL AND fc IS NOT NULL AS converted,
+        | coalesce(fc - fe, -1) AS time_to_convert_us
+        |FROM c ORDER BY user_id, session_seq""".stripMargin,
     "q91_resample" ->
       """WITH r AS (SELECT doc_id, source,
         |  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 0 ELSE 100 END AS rate,

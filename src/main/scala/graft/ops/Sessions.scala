@@ -50,4 +50,46 @@ object Sessions {
       .withColumn("duration_sec", expr("(end_us - start_us) div 1000000L"))
       .select(col(keyCol), col("session_seq"), col("n_events"),
         col("start_us"), col("end_us"), col("duration_sec"), col("value_sum_e6"))
+
+  /** Two-step conversion funnel per session: did a `conversionType` event
+    * happen AT OR AFTER the session's first `entryType` event? One grouped
+    * aggregate on top of `sessionize` — per session, the first entry
+    * timestamp, the first conversion at-or-after it (conditional min — no
+    * second window, no self-join), the converted flag, and the integer
+    * time-to-convert (-1 sentinel when unconverted, so the column stays
+    * hash-comparable). Sessions with no entry event report converted=false.
+    *
+    * The at-or-after comparison uses the ENTRY-side minimum inside the same
+    * aggregate: min(conv_ts | conv_ts >= min(entry_ts)) can't be one pass,
+    * so the rollup is two chained aggregations over the (key, session)
+    * grouped frame — still only the sessionize shuffle plus one more on the
+    * (already-small) session keys. */
+  def funnel(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, entryType: String,
+      conversionType: String, gapSec: Long): DataFrame = {
+    val sess = sessionize(events, keyCol, tsUsCol, tieCol, gapSec)
+    val perSession = sess.groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(when(col(typeCol) === entryType, col(tsUsCol)))
+          .as("first_entry_us"))
+    // conversions join back against the session's first entry, then the
+    // conditional min keeps only at-or-after conversions
+    val convs = sess.filter(col(typeCol) === conversionType)
+      .select(col(keyCol), col("session_seq"), col(tsUsCol).as("_conv_us"))
+    perSession
+      .join(convs, Seq(keyCol, "session_seq"), "left")
+      .groupBy(col(keyCol), col("session_seq"), col("n_events"),
+        col("first_entry_us"))
+      .agg(min(when(col("_conv_us") >= col("first_entry_us"), col("_conv_us")))
+        .as("first_conv_us"))
+      .withColumn("converted",
+        col("first_entry_us").isNotNull && col("first_conv_us").isNotNull)
+      .select(col(keyCol), col("session_seq"), col("n_events"),
+        coalesce(col("first_entry_us"), lit(-1L)).as("first_entry_us"),
+        coalesce(col("first_conv_us"), lit(-1L)).as("first_conv_us"),
+        col("converted"),
+        coalesce(col("first_conv_us") - col("first_entry_us"), lit(-1L))
+          .as("time_to_convert_us"))
+  }
 }

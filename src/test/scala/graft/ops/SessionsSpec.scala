@@ -34,6 +34,30 @@ class SessionsSpec extends SparkSpec {
       (2L, 1L, 1L, 0L, 3000000L))
   }
 
+  test("funnel: conversion at/after first entry, sentinels otherwise") {
+    val ev = Seq(
+      // session A: click@100 → purchase@300: converted, ttc 200
+      (1L, 1L, 100L, "click"), (1L, 2L, 200L, "view"),
+      (1L, 3L, 300L, "purchase"),
+      // session B (same user, after gap): purchase BEFORE the click — the
+      // at-or-after rule must NOT count it
+      (1L, 4L, 10000000000L, "purchase"), (1L, 5L, 10000000100L, "click"),
+      // user 2: clicks only → unconverted
+      (2L, 6L, 100L, "click"),
+      // user 3: purchase only, no entry → unconverted
+      (3L, 7L, 100L, "purchase"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val out = Sessions.funnel(ev, "user_id", "ts_us", "event_id",
+        "event_type", "click", "purchase", gapSec = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Boolean]("converted"), r.getAs[Long]("time_to_convert_us")))
+      .toMap
+    out((1L, 1L)) shouldBe ((true, 200L))
+    out((1L, 2L)) shouldBe ((false, -1L)) // purchase precedes the click
+    out((2L, 1L)) shouldBe ((false, -1L))
+    out((3L, 1L)) shouldBe ((false, -1L)) // no entry at all
+  }
+
   test("boundary gap exactly equal to gapSec does NOT split") {
     val ev = Seq((1L, 1L, 0L, 1.0), (1L, 2L, 1800000000L, 1.0))
       .toDF("user_id", "event_id", "ts_us", "value")
