@@ -978,6 +978,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Percentile-rank normalization: each doc's quality score mapped to
+    // its corpus percentile (cume_dist semantics, exact integer
+    // micro-units) — transferable thresholds without raw-score cuts. No
+    // window over row data, only the score-summary pass.
+    "q93_pct_rank" -> ((s, dir) => {
+      val prof = TextAnalysis.profile(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "quality_score_e6")
+      Curation.percentileRank(prof, "quality_score_e6")
+        .select("doc_id", "quality_score_e6", "pct_rank_e6")
+        .orderBy("doc_id")
+    }),
+
     // Session conversion funnel: within each 4h session, did a purchase
     // happen at/after the first click? Entry/conversion timestamps,
     // converted flag, integer time-to-convert with -1 sentinels.
@@ -2066,6 +2079,27 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
         |ORDER BY vec_id""".stripMargin,
+    "q93_pct_rank" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  CAST(len(toks) AS DOUBLE) AS n,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS ttr,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS awl
+        | FROM t),
+        |r AS (SELECT doc_id,
+        |  CAST(round((ttr * 0.4 + least(n / 100.0, 1.0) * 0.3 +
+        |    greatest(0.0, 1.0 - greatest(0.0, greatest(3.0 - awl, awl - 8.0)) / 5.0) * 0.3)
+        |    * 1000000.0) AS BIGINT) AS quality_score_e6
+        | FROM q),
+        |c AS (SELECT quality_score_e6 AS v, count(*) AS n FROM r GROUP BY 1),
+        |cum AS (SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ct
+        |  FROM c),
+        |tot AS (SELECT count(*) AS total FROM r)
+        |SELECT r.doc_id, r.quality_score_e6,
+        | CAST(cum.ct * 1000000 // tot.total AS BIGINT) AS pct_rank_e6
+        |FROM r JOIN cum ON r.quality_score_e6 = cum.v, tot
+        |ORDER BY r.doc_id""".stripMargin,
     "q92_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
         |  FROM events),

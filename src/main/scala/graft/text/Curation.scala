@@ -227,6 +227,30 @@ object Curation {
       .drop("_d", "_s", "_cum_before")
   }
 
+  /** Percentile rank of every row's value within the corpus —
+    * `cume_dist` semantics (fraction of rows with value <= mine) in exact
+    * integer micro-units, the normalization that makes quality thresholds
+    * transferable across corpora ("drop the bottom 10%" instead of a raw
+    * score cut). NO window ever touches row data: counts per distinct
+    * value, a running sum over that summary, and a broadcast join back.
+    * Null values rank highest (nulls-last order), matching the desc-based
+    * selection operators' lowest-priority convention. */
+  def percentileRank(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_n"))
+    val wVal = Window.orderBy(col("_v").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("_cum_through", sum(col("_n")).over(wVal))
+      .select(col("_v"), col("_cum_through"))
+    val total = df.agg(count(lit(1)).as("_total"))
+    df.join(broadcast(cum), col(valueCol) <=> col("_v"))
+      .crossJoin(broadcast(total))
+      .withColumn("pct_rank_e6",
+        expr("_cum_through * 1000000L div _total"))
+      .drop("_v", "_cum_through", "_total")
+  }
+
   /** Curriculum buckets: every row's global rank under (orderCol asc,
     * id asc) mapped to one of `nBuckets` contiguous stages —
     * `bucket = (rank−1)·n div total` — the length/difficulty-ordered

@@ -111,6 +111,21 @@ class CurationSpec extends SparkSpec {
       .toSeq shouldBe Seq(1L, 3L)
   }
 
+  test("percentileRank: cume_dist in micro-units, ties share, nulls last") {
+    val rows = Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)), (4L, Some(30L)),
+      (5L, None))
+      .toDF("id", "v")
+    val out = Curation.percentileRank(rows, "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pct_rank_e6"))
+      .toMap
+    out(1L) shouldBe 200000L  // 1 of 5 ≤ 10
+    out(2L) shouldBe 600000L  // ties share the through-rank (3 of 5)
+    out(3L) shouldBe 600000L
+    out(4L) shouldBe 800000L
+    out(5L) shouldBe 1000000L // null ranks last, never dropped
+  }
+
   test("corpusReport: per-domain mass, pass rate, score quantiles") {
     val good = (1 to 30).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
