@@ -978,6 +978,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Weekly cohort retention triangle: users by first-activity week ×
+    // weeks-since-cohort × distinct active users. Integer period math.
+    "q94_retention" -> ((s, dir) =>
+      graft.ops.Retention.cohortRetention(
+        Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", periodUs = 7L * 86400L * 1000000L)
+        .orderBy("cohort_period", "age")),
+
     // Percentile-rank normalization: each doc's quality score mapped to
     // its corpus percentile (cume_dist semantics, exact integer
     // micro-units) — transferable thresholds without raw-score cuts. No
@@ -2079,6 +2087,14 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
         |ORDER BY vec_id""".stripMargin,
+    "q94_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+        |cohort AS (SELECT user_id, min(p) AS cohort_period FROM e GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, p FROM e)
+        |SELECT cohort.cohort_period, active.p - cohort.cohort_period AS age,
+        | CAST(count(DISTINCT active.user_id) AS BIGINT) AS n_users
+        |FROM active JOIN cohort ON active.user_id = cohort.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q93_pct_rank" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |q AS (SELECT doc_id,

@@ -1,0 +1,25 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohortRetention: triangle counts distinct users per cohort-age cell") {
+    // period 100: user 1 joins p0, active p0+p2; user 2 joins p0, active
+    // p0 only (two events in p0 count once); user 3 joins p2, active p2+p3
+    val events = Seq(
+      (1L, 10L), (1L, 250L),
+      (2L, 20L), (2L, 30L),
+      (3L, 210L), (3L, 399L))
+      .toDF("user_id", "ts_us")
+    val out = Retention.cohortRetention(events, "user_id", "ts_us", 100L)
+      .orderBy("cohort_period", "age").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      (0L, 0L, 2L), // cohort p0: users 1 and 2 at age 0
+      (0L, 2L, 1L), // only user 1 returns two periods later
+      (2L, 0L, 1L), // cohort p2: user 3
+      (2L, 1L, 1L))
+  }
+}
