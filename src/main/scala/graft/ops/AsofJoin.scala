@@ -60,6 +60,9 @@ object AsofJoin {
       rightPrefix: String,
       inclusive: Boolean = true,
       maxGap: Long = Long.MaxValue): DataFrame = {
+    require(maxGap > 0,
+      s"maxGap must be positive (a negative tolerance would null every " +
+        s"match), got $maxGap")
     // dedupe right per (key, ts): highest tie wins
     val dw = Window.partitionBy(col(keyCol), col(rightTsCol))
       .orderBy(col(tieCol).desc)

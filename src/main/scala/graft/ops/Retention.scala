@@ -23,8 +23,12 @@ object Retention {
   def cohortRetention(events: DataFrame, userCol: String, tsUsCol: String,
       periodUs: Long): DataFrame = {
     require(periodUs > 0, s"periodUs must be positive, got $periodUs")
-    // integer floor division (`/` on longs would go through double)
-    val period = expr(s"CAST(`$tsUsCol` AS BIGINT) div ${periodUs}L")
+    // integer FLOOR division (`div` truncates toward zero, which would
+    // disagree with the oracle's `//` and fold pre-epoch timestamps into
+    // period 0): subtracting the positive pmod remainder first makes the
+    // div exact-and-floored for any sign
+    val period = expr(s"(CAST(`$tsUsCol` AS BIGINT) - " +
+      s"pmod(CAST(`$tsUsCol` AS BIGINT), ${periodUs}L)) div ${periodUs}L")
     val cohorts = events
       .groupBy(col(userCol).as("_u"))
       .agg(min(period).as("cohort_period"))

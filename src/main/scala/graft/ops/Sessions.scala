@@ -60,29 +60,28 @@ object Sessions {
     * hash-comparable). Sessions with no entry event report converted=false.
     *
     * The at-or-after comparison uses the ENTRY-side minimum inside the same
-    * aggregate: min(conv_ts | conv_ts >= min(entry_ts)) can't be one pass,
-    * so the rollup is two chained aggregations over the (key, session)
-    * grouped frame — still only the sessionize shuffle plus one more on the
-    * (already-small) session keys. */
+    * aggregate: min(conv_ts | conv_ts >= min(entry_ts)) can't be one flat
+    * aggregate, so the first entry is broadcast onto the session's rows by
+    * a (key, session) window first, and ONE grouped pass then computes
+    * everything — the sessionized frame is never evaluated twice (a
+    * join-back of two branches would re-run the sessionize window per
+    * branch), and the final groupBy reuses the window's partitioning. */
   def funnel(events: DataFrame, keyCol: String, tsUsCol: String,
       tieCol: String, typeCol: String, entryType: String,
       conversionType: String, gapSec: Long): DataFrame = {
     val sess = sessionize(events, keyCol, tsUsCol, tieCol, gapSec)
-    val perSession = sess.groupBy(col(keyCol), col("session_seq"))
+    val wSess = Window.partitionBy(col(keyCol), col("session_seq"))
+    sess
+      .withColumn("_first_entry_us",
+        min(when(col(typeCol) === entryType, col(tsUsCol))).over(wSess))
+      .groupBy(col(keyCol), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(when(col(typeCol) === entryType, col(tsUsCol)))
-          .as("first_entry_us"))
-    // conversions join back against the session's first entry, then the
-    // conditional min keeps only at-or-after conversions
-    val convs = sess.filter(col(typeCol) === conversionType)
-      .select(col(keyCol), col("session_seq"), col(tsUsCol).as("_conv_us"))
-    perSession
-      .join(convs, Seq(keyCol, "session_seq"), "left")
-      .groupBy(col(keyCol), col("session_seq"), col("n_events"),
-        col("first_entry_us"))
-      .agg(min(when(col("_conv_us") >= col("first_entry_us"), col("_conv_us")))
-        .as("first_conv_us"))
+        // constant within the partition — min() just extracts it
+        min(col("_first_entry_us")).as("first_entry_us"),
+        min(when(col(typeCol) === conversionType &&
+            col(tsUsCol) >= col("_first_entry_us"), col(tsUsCol)))
+          .as("first_conv_us"))
       .withColumn("converted",
         col("first_entry_us").isNotNull && col("first_conv_us").isNotNull)
       .select(col(keyCol), col("session_seq"), col("n_events"),

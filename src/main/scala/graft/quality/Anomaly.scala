@@ -253,9 +253,17 @@ object Anomaly {
 
   /** Drift against PRECOMPUTED baseline counts (`histogramCounts` shape) —
     * what a long-running monitor calls per batch so the static baseline is
-    * never re-scanned. */
+    * never re-scanned. CONTRACT: `baselineCounts` must have been produced
+    * by `histogramCounts` with the SAME (lo, hi, nBins) passed here —
+    * bucket ids are only comparable under identical binning, and a
+    * mismatch produces silently meaningless deltas (the schema is checked;
+    * the binning parameters cannot be, so they are the caller's
+    * responsibility). */
   def histogramDriftFromCounts(baselineCounts: DataFrame, current: DataFrame,
       column: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(baselineCounts.columns.toSeq == Seq("bucket", "n"),
+      s"baselineCounts must be a histogramCounts frame (bucket, n), got " +
+        baselineCounts.columns.mkString("(", ", ", ")"))
     val b = baselineCounts.withColumnRenamed("n", "n_base")
     val c = histogramCounts(current, column, lo, hi, nBins)
       .withColumnRenamed("n", "n_cur")

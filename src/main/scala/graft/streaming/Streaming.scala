@@ -177,12 +177,18 @@ object Streaming {
       nBins: Int,
       outDir: String,
       checkpointDir: String): StreamingQuery = {
-    // the baseline is static: histogram it ONCE at query start (the
-    // ≤ nBins+2-row result pins via localCheckpoint) instead of re-running
-    // its scan + groupBy on every micro-batch forever
-    val baseCounts = graft.quality.Anomaly
+    // the baseline is static: histogram it ONCE at query start, COLLECT the
+    // <= nBins+2-row result, and rebuild it as a local DataFrame. A
+    // localCheckpoint would also skip the per-batch re-scan, but its blocks
+    // die with their executors and cannot be recomputed — on a cluster with
+    // dynamic allocation that kills an unbounded monitor at the first
+    // decommission. A driver-local literal frame survives anything.
+    val baseRows = graft.quality.Anomaly
       .histogramCounts(baseline, column, lo, hi, nBins)
-      .localCheckpoint()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sparkForImplicits = spark
+    import sparkForImplicits.implicits._
+    val baseCounts = baseRows.toDF("bucket", "n")
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)

@@ -40,13 +40,28 @@ object Chunking {
           .cast("long").as("n_chunk_tokens"))
   }
 
+  /** The ONE percent-bucket hash every sampling operator shares:
+    * md5(key) first-8-hex mod 100. Keeping a single definition is what
+    * makes replica/keep decisions stable ACROSS the operator family — a
+    * row kept by `hashSample` at 30% is exactly a row `stratifiedResample`
+    * would give an extra copy at rate 130. */
+  private def keyBucket(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long") %
+      lit(100L)
+
+  /** Per-stratum rate resolution shared by the mixing operators. */
+  private def rateFor(strataCol: Column, ratesPct: Map[String, Int],
+      defaultPct: Int): Column =
+    ratesPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct.toLong)) {
+      case (acc, (k, v)) => when(strataCol === lit(k), lit(v.toLong)).otherwise(acc)
+    }
+
   /** Deterministic hash sampling: keep a row iff
     * md5(key) mod 100 < ratePct. Reproducible across runs, engines, and
     * partitionings — the property random/reservoir sampling lacks — and a
     * plain pushable predicate. */
   def hashSample(keyCol: Column, ratePct: Int): Column =
-    (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
-      % lit(100L)) < lit(ratePct.toLong)
+    keyBucket(keyCol) < lit(ratePct.toLong)
 
   /** Deterministic train/validation/test assignment: the md5 bucket of the
     * key (0..99, same hash as `hashSample`) mapped through cumulative split
@@ -59,8 +74,7 @@ object Chunking {
     require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
       weights.map(_._2).sum == 100,
       s"split weights must be >= 0 and sum to 100, got $weights")
-    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
-      .cast("long") % lit(100L)
+    val bucket = keyBucket(keyCol)
     val cums = weights.scanLeft(0)(_ + _._2).tail.zip(weights.map(_._1))
     val split = cums.init.foldRight(lit(cums.last._2): Column) {
       case ((cum, name), acc) => when(bucket < cum, lit(name)).otherwise(acc)
@@ -84,11 +98,7 @@ object Chunking {
       ratesPct: Map[String, Int], defaultPct: Int = 0): Column = {
     require((defaultPct +: ratesPct.values.toSeq).forall(p => p >= 0 && p <= 100),
       s"rates must be 0..100: $ratesPct default=$defaultPct")
-    val rate = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct.toLong)) {
-      case (acc, (k, v)) => when(strataCol === lit(k), lit(v.toLong)).otherwise(acc)
-    }
-    (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
-      % lit(100L)) < rate
+    keyBucket(keyCol) < rateFor(strataCol, ratesPct, defaultPct)
   }
 
   /** Stratified RESAMPLE — the upsampling half of domain mixing that the
@@ -109,18 +119,16 @@ object Chunking {
       ratesPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
     require((defaultPct +: ratesPct.values.toSeq).forall(_ >= 0),
       s"rates must be >= 0: $ratesPct default=$defaultPct")
-    val rate = ratesPct.toSeq.sortBy(_._1).foldLeft(lit(defaultPct.toLong)) {
-      case (acc, (k, v)) => when(strataCol === lit(k), lit(v.toLong)).otherwise(acc)
-    }
-    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
-      .cast("long") % lit(100L)
-    val copies = (rate / lit(100L)).cast("long") +
-      when(bucket < rate % lit(100L), lit(1L)).otherwise(lit(0L))
-    df.withColumn("_n_copies", copies)
+    df.withColumn("_rate", rateFor(strataCol, ratesPct, defaultPct))
+      .withColumn("_n_copies",
+        // integer div (house rule: `/` on longs routes through double)
+        expr("_rate div 100L") +
+          when(keyBucket(keyCol) < col("_rate") % lit(100L), lit(1L))
+            .otherwise(lit(0L)))
       .filter(col("_n_copies") > 0)
       .withColumn("copy",
         explode(sequence(lit(0L), col("_n_copies") - 1)))
-      .drop("_n_copies")
+      .drop("_rate", "_n_copies")
   }
 
   /** Greedy sequence packing WITHIN id-range shards: shard = id div

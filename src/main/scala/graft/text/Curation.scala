@@ -332,14 +332,15 @@ object Curation {
     df.filter(Chunking.stratifiedHashSample(col(m.keyColumn),
       col(m.domainColumn), m.rates, m.defaultPct))
 
-  /** The full config-driven stage in reference order: gate → PII scrub →
-    * dedup → mix → budget cut. Each sub-stage is optional; absent blocks
-    * pass the frame through. Redaction runs after the gate (no regex cost
-    * on rejected docs) and before dedup (fingerprints see the text that
-    * ships); its `n_redactions` audit column rides through to the output.
-    * The budget cut runs LAST — it is the final size control over whatever
-    * survived every other filter (its `cum_tokens` audit column rides
-    * through too). */
+  /** The full config-driven stage in reference order: language filter →
+    * gate → PII scrub → dedup → mix → budget cut. Each sub-stage is
+    * optional; absent blocks pass the frame through. The language filter
+    * runs first (cheapest row-local cut, and later signals assume a known
+    * language); redaction runs after the gate (no regex cost on rejected
+    * docs) and before dedup (fingerprints see the text that ships); its
+    * `n_redactions` audit column rides through to the output. The budget
+    * cut runs LAST — the final size control over whatever survived every
+    * other filter (its `cum_tokens` audit column rides through too). */
   def curate(df: DataFrame, spec: CurationSpec): DataFrame = {
     val inLang = spec.language.fold(df)(applyLanguageFilter(df, _))
     val gated = spec.gate.fold(inLang)(applyGate(inLang, _))
