@@ -978,6 +978,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Bigram conditional surprisal: integer bit-cost of each token given
+    // its predecessor under the corpus bigram model — near-0 for templated
+    // text whose bigrams are predictable even when unigrams are rare.
+    "q95_bigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Weekly cohort retention triangle: users by first-activity week ×
     // weeks-since-cohort × distinct active users. Integer period math.
     "q94_retention" -> ((s, dir) =>
@@ -2087,6 +2095,30 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
         |ORDER BY vec_id""".stripMargin,
+    "q95_bigram_surprisal" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])
+        |  ELSE [] END AS grams FROM t),
+        |b AS (SELECT doc_id, unnest(grams) AS bigram FROM g WHERE len(grams) > 0),
+        |c12 AS (SELECT bigram, count(*) AS c12,
+        |  string_split(bigram, ' ')[1] AS w1 FROM b GROUP BY bigram),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |bits AS (SELECT c12.bigram,
+        |  CAST(length(bin(c1.c1 // c12.c12)) - 1 AS BIGINT) AS bits
+        | FROM c12 JOIN c1 ON c12.w1 = c1.w1),
+        |agg AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |    sum(bits.bits) AS surprisal_bits
+        |  FROM b JOIN bits ON b.bigram = bits.bigram GROUP BY b.doc_id)
+        |SELECT t.doc_id,
+        | CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | CAST(coalesce(agg.surprisal_bits, 0) AS BIGINT) AS surprisal_bits,
+        | CAST(CASE WHEN coalesce(agg.n_bigrams, 0) = 0 THEN 0
+        |      ELSE agg.surprisal_bits * 1000000 // agg.n_bigrams END AS BIGINT)
+        |   AS mean_surprisal_e6
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q94_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
         |cohort AS (SELECT user_id, min(p) AS cohort_period FROM e GROUP BY user_id),

@@ -144,6 +144,47 @@ object TextAnalysis {
         expr("surprisal_bits * 1000000L div n_tokens"))
   }
 
+  /** Bigram conditional surprisal — the context-sensitive upgrade of
+    * [[unigramSurprisal]]: per document, Σ floor(log₂(c(w₁·)/c(w₁w₂)))
+    * over its bigrams, where c(w₁w₂) is the corpus bigram count and c(w₁·)
+    * the count of bigrams starting with w₁ (so each term is the integer
+    * bit-cost of w₂ given w₁ under the corpus bigram model). Formulaic or
+    * templated text (every bigram highly predictable from its prefix)
+    * scores near 0 even when its unigrams are rare — the signal that
+    * separates genuinely novel prose from shuffled boilerplate. Exact
+    * integer bits via binary-string length (no libm log), so sums
+    * hash-compare.
+    *
+    * Scale shape: one bigram explode, the count side aggregates to the
+    * \|bigram vocabulary\| and joins back by key — bigram vocabularies are
+    * NOT broadcast (they grow ~linearly with corpus size, unlike the
+    * unigram table); the prefix counts reduce from the bigram counts, not
+    * from a second corpus pass. Docs with < 2 tokens report 0 bigrams and
+    * 0 bits. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_grams",
+        when(size(col("_toks")) >= 2, gramsOf("_toks", 2))
+          .otherwise(array().cast("array<string>")))
+      .select(col(idCol), explode_outer(col("_grams")).as("bigram"))
+    val c12 = base.filter(col("bigram").isNotNull)
+      .groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("_w1", substring_index(col("bigram"), " ", 1))
+    // prefix counts reduce from the (already aggregated) bigram counts
+    val c1 = c12.groupBy("_w1").agg(sum(col("c12")).as("c1"))
+    val bits = c12.join(c1, "_w1")
+      .select(col("bigram"),
+        (length(bin(expr("c1 div c12"))) - 1).cast("long").as("bits"))
+    base.join(bits, Seq("bigram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("bigram")).as("n_bigrams"),
+        coalesce(sum(col("bits")), lit(0L)).as("surprisal_bits"))
+      .withColumn("mean_surprisal_e6",
+        when(col("n_bigrams") === 0, lit(0L))
+          .otherwise(expr("surprisal_bits * 1000000L div n_bigrams")))
+  }
+
   /** Per-document term frequencies: (doc, term, tf). One explode + one
     * keyed aggregate. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -172,6 +172,23 @@ class TextAnalysisSpec extends SparkSpec {
     d1.getAs[Long]("shared_frac_e6") shouldBe 1000000L
   }
 
+  test("bigramSurprisal: predictable bigrams cost 0 bits, branches cost more") {
+    // corpus bigrams: "a b" ×3, "a c" ×1 → c(a·)=4; "b a" ×2 → c(b·)=2
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: ab, ba, ab
+      (2L, "a b a c"),   // bigrams: ab, ba, ac
+      (3L, "x"))         // too short → zeros
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("surprisal_bits"))).toMap
+    // bits(ab) = len(bin(4 div 3))-1 = 0; bits(ba) = len(bin(2 div 2))-1 = 0
+    // bits(ac) = len(bin(4 div 1))-1 = 2
+    out(1L) shouldBe ((3L, 0L))
+    out(2L) shouldBe ((3L, 2L))
+    out(3L) shouldBe ((0L, 0L))
+  }
+
   test("noveltyScore: unseen shingle fraction vs corpus, zeros for short docs") {
     val corpus = Seq((100L, "a b c d e")).toDF("doc_id", "text") // abc bcd cde
     val arriving = Seq(
