@@ -978,6 +978,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Cross-source duplication: q45's near-dup clusters, reported instead
+    // of removed — clusters spanning ≥2 sources expose domains mirroring
+    // each other's content. The oracle extends q45's recursive closure
+    // with the source rollup.
+    "q96_cross_source" -> ((s, dir) =>
+      Dedup.crossSourceDupReport(Tables.load(s, dir, "documents"),
+        "doc_id", "text", "source", n = 3, threshold = 0.5,
+        maxShingleFreq = 100)
+        .orderBy("label")),
+
     // Bigram conditional surprisal: integer bit-cost of each token given
     // its predecessor under the corpus bigram model — near-0 for templated
     // text whose bigrams are predictable even when unigrams are rare.
@@ -2095,6 +2105,35 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> label)
         |ORDER BY vec_id""".stripMargin,
+    "q96_cross_source" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5),
+        |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src),
+        |rep AS (SELECT labels.label, count(*) AS n_docs,
+        |    count(DISTINCT d.source) AS n_sources
+        |  FROM labels JOIN documents d ON labels.id = d.doc_id
+        |  GROUP BY labels.label)
+        |SELECT label, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(n_sources AS BIGINT) AS n_sources
+        |FROM rep WHERE n_sources >= 2 ORDER BY label""".stripMargin,
     "q95_bigram_surprisal" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN

@@ -458,6 +458,29 @@ object Dedup {
       .filter(col("jaccard") > threshold)
   }
 
+  /** Cross-source duplication report: near-dup clusters annotated with how
+    * many documents and distinct SOURCES they span, keeping only clusters
+    * that cross a source boundary — the "which domains mirror each other"
+    * signal that decides whether deduplication should run per-source or
+    * corpus-wide, and which crawls are republishing each other's content.
+    * Output: (label, n_docs, n_sources), label = the cluster's min doc id.
+    * One join of the (clusters-sized) label frame back to the corpus plus
+    * one grouped count — everything upstream is the standard linear-shuffle
+    * pair/closure machinery. */
+  def crossSourceDupReport(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int, threshold: Double,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, maxShingleFreq)
+      .filter(col("jaccard") > threshold)
+      .select("id_a", "id_b")
+    dupClusters(pairs)
+      .join(df.select(col(idCol).as("id"), col(sourceCol).as("_src")), "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("_src")).as("n_sources"))
+      .filter(col("n_sources") >= 2)
+  }
+
   /** The dedup ACTION: drop every doc that belongs to a near-dup cluster
     * but is not its canonical (min-id) member. Docs in no cluster are kept. */
   def removeNearDupes(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {

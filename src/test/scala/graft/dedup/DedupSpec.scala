@@ -239,6 +239,24 @@ class DedupSpec extends SparkSpec {
     exact shouldBe Array(2L, 4L, 5L)
   }
 
+  test("crossSourceDupReport keeps only clusters spanning several sources") {
+    val corpus = Seq(
+      // cluster {1,2}: same-source near-dups → excluded from the report
+      (1L, "alpha beta gamma delta epsilon zeta", "web"),
+      (2L, "alpha beta gamma delta epsilon eta", "web"),
+      // cluster {3,4,5}: spans web+books → reported with label 3
+      (3L, "one two three four five six seven", "web"),
+      (4L, "one two three four five six eight", "books"),
+      (5L, "one two three four five six nine", "books"),
+      (6L, "entirely unrelated content here now", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceDupReport(corpus, "doc_id", "text", "source",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("label"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sources")))
+    out.toSeq shouldBe Seq((3L, 3L, 2L))
+  }
+
   test("fuzzyDedupeAgainstCorpus drops near-dups, keeps fresh and short docs") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta"),
