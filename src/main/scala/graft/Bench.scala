@@ -92,13 +92,12 @@ object Bench {
     val total = results.collect { case (_, v, true, _) => v }.sum
     // Per-rep detail goes to stderr as the durable home for diagnostics.
     System.err.println(f"""{"detail":"per-rep","times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"warmup":"full pass, untimed"}""")
-    // DEPRECATION SHIM (remove in round 9): times/warmup_sec ride on the
-    // stdout line once more so any harness that read them there before r7
-    // moved them to stderr fails loudly next round, not silently this one.
-    // Cost: the stdout line is several KB, so a BOUNDED tail capture could
-    // truncate it — BENCH_r07's parse confirms the driver reads only
-    // metric/value/queries/errors/sf and captures a large enough tail.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"times":$ts,"warmup_sec":$warmupSec%.3f,"errors":$errors,"sf":"$sfDir"}""")
+    // The stdout line must stay SMALL: the driver captures a bounded tail
+    // of stdout and parses the last JSON line. Round 8's shim (per-rep
+    // times duplicated here) grew the line past the capture window at 96
+    // queries and the driver recorded parsed=null — so only the contract
+    // fields (metric/value/unit/queries/errors/sf) ride on stdout.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

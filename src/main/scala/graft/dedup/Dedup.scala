@@ -106,10 +106,14 @@ object Dedup {
     * agreeing on no band slips through); every DROP is exact-verified.
     *
     * Scale shape: one signature pass per side, the candidate join keyed on
-    * (band, bucket) — linear shuffles in |batch| + |corpus|. For continuous
-    * ingest, persist `minhashBands(corpus, …)` (and the corpus shingle-hash
-    * sets) once and reuse across batches; this convenience form re-bands the
-    * corpus per call. `maxBucketSize` caps corpus-side bucket membership
+    * (band, bucket) — linear shuffles in |batch| + |corpus|. This
+    * convenience form derives the corpus state per call, which evaluates
+    * the corpus text scan twice (band pass + verification-set pass) and
+    * repeats both on every call — for continuous ingest build the state
+    * ONCE with [[corpusFuzzyState]], persist/localCheckpoint it, and call
+    * [[fuzzyDedupePrepared]] per batch (the streaming curation sink does
+    * exactly this). The batch side's own two passes are over the arriving
+    * micro-batch only. `maxBucketSize` caps corpus-side bucket membership
     * (boilerplate guard) before the candidate explosion. */
   def fuzzyDedupeAgainstCorpus(
       newDf: DataFrame,
@@ -121,16 +125,54 @@ object Dedup {
       numHashes: Int = 8,
       numBands: Int = 4,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val newBands = minhashBands(newDf, idCol, textCol, numHashes, numBands,
-      shingleN)
-    val corpusBuckets = minhashBands(corpus, idCol, textCol, numHashes,
-        numBands, shingleN)
+    val (buckets, sets) = corpusFuzzyState(corpus, idCol, textCol, shingleN,
+      numHashes, numBands, maxBucketSize)
+    fuzzyDedupePrepared(newDf, buckets, sets, idCol, textCol, shingleN,
+      threshold, numHashes, numBands)
+  }
+
+  /** Corpus-side state for [[fuzzyDedupePrepared]]: the capped LSH band
+    * buckets `(band_idx, bucket, ids)` and the shingle-hash verification
+    * sets `(corpus_id, _sh_c)`. The historical corpus is static across an
+    * ingest run, so build this once, persist/localCheckpoint both frames,
+    * and reuse them for every arriving batch — the corpus text is then
+    * scanned once per RUN instead of twice per BATCH. */
+  def corpusFuzzyState(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+    val buckets = minhashBands(corpus, idCol, textCol, numHashes, numBands,
+        shingleN)
       .groupBy("band_idx", "bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
     val capped =
-      if (maxBucketSize == Int.MaxValue) corpusBuckets
-      else corpusBuckets.filter(size(col("ids")) <= maxBucketSize)
-    val cands = newBands.join(capped, Seq("band_idx", "bucket"))
+      if (maxBucketSize == Int.MaxValue) buckets
+      else buckets.filter(size(col("ids")) <= maxBucketSize)
+    val sets = corpus.select(col(idCol).as("corpus_id"),
+      call_function("shingle_hashes", col(textCol), lit(shingleN)).as("_sh_c"))
+    (capped, sets)
+  }
+
+  /** [[fuzzyDedupeAgainstCorpus]] against precomputed corpus state from
+    * [[corpusFuzzyState]] — the continuous-ingest form: only the arriving
+    * batch is signed/shingled here. */
+  def fuzzyDedupePrepared(
+      newDf: DataFrame,
+      corpusBuckets: DataFrame,
+      corpusSets: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      numHashes: Int = 8,
+      numBands: Int = 4): DataFrame = {
+    val newBands = minhashBands(newDf, idCol, textCol, numHashes, numBands,
+      shingleN)
+    val cands = newBands.join(corpusBuckets, Seq("band_idx", "bucket"))
       .select(col("doc_id").as("new_id"), explode(col("ids")).as("corpus_id"))
       .distinct() // a pair may agree on several bands; verify it once
     // exact verification on the 32-bit shingle-hash sets (one compiled pass
@@ -138,8 +180,6 @@ object Dedup {
     // docs with >= 1 shingle, so the union denominator is never 0
     val newSets = newDf.select(col(idCol).as("new_id"),
       call_function("shingle_hashes", col(textCol), lit(shingleN)).as("_sh_n"))
-    val corpusSets = corpus.select(col(idCol).as("corpus_id"),
-      call_function("shingle_hashes", col(textCol), lit(shingleN)).as("_sh_c"))
     val dropped = cands
       .join(newSets, "new_id")
       .join(corpusSets, "corpus_id")

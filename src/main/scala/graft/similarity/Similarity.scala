@@ -312,7 +312,10 @@ object Similarity {
       m: Int, k: Int): Seq[Seq[Array[Float]]] = {
     val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
-    require(seeds.nonEmpty, "pqCodebook needs a non-empty frame")
+    require(seeds.length == k,
+      s"pqCodebook needs >= k rows to seed k=$k centroids per subspace, " +
+        s"got ${seeds.length} — codes would occupy a smaller range than " +
+        "requested with no signal to the caller")
     val dim = seeds.head.length
     require(m >= 1 && dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
@@ -529,8 +532,12 @@ object Similarity {
             val maxDiv =
               if (selected.isEmpty) 0L
               else selected.map(s => cosE6(pool(i)._3, pool(s)._3)).max
-            val score =
-              (lambdaE6 * pool(i)._2 - (1000000L - lambdaE6) * maxDiv) / 1000000L
+            // floorDiv, not `/`: Long `/` truncates toward zero, which
+            // disagrees with the documented floor contract by 1 for
+            // negative scores (negative sim_e6 or diversity-dominated
+            // picks) and could flip a tie
+            val score = Math.floorDiv(
+              lambdaE6 * pool(i)._2 - (1000000L - lambdaE6) * maxDiv, 1000000L)
             // strict > plus ascending (-rel, id) scan order = ties to the
             // higher-relevance then lower-id candidate
             if (score > bestScore) { bestScore = score; bestIdx = i }

@@ -119,43 +119,55 @@ object Streaming {
     }
     val mixed = spec.mixing.fold(deduped)(m =>
       graft.text.Curation.applyMixing(deduped, m))
-    fuzzy match {
+    // ONE sink layout for every dedup strategy: each micro-batch lands in
+    // its own `batch_id` partition with DYNAMIC overwrite. foreachBatch is
+    // at-least-once — a crash between a successful write and the checkpoint
+    // commit replays the batch, and the retry then rewrites exactly its own
+    // partition, so the sink is idempotent without a _spark_metadata log.
+    // Readers get the SAME schema and commit semantics regardless of the
+    // configured strategy (before round 9 the exact path used the file sink
+    // with no batch_id while the fuzzy path partitioned — a per-config read
+    // contract). `batch_id` has no underscore prefix: `_`-led paths are
+    // hidden from Spark's file listing.
+    def sinkBatch(frame: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      frame.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outDir)
+    val writer = fuzzy match {
       case None =>
         mixed.writeStream
-          .format("parquet")
-          .option("path", outDir)
           .option("checkpointLocation", checkpointDir)
           .outputMode(OutputMode.Append())
-          .start()
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             batchId: Long) => sinkBatch(batch.toDF(), batchId)
+          }
       case Some(d) =>
-        val staticCorpus = corpus.get
+        // The historical corpus is STATIC for the life of the query: build
+        // its band buckets + verification sets once and localCheckpoint
+        // them, so each micro-batch signs only its own arrivals instead of
+        // re-scanning the corpus text twice per batch
+        // (Dedup.corpusFuzzyState doc).
+        val (cb, cs) = graft.dedup.Dedup.corpusFuzzyState(corpus.get,
+          d.idColumn, d.contentColumn, shingleN = d.ngram,
+          numHashes = d.numHashes, numBands = d.numBands)
+        val corpusBuckets = cb.localCheckpoint()
+        val corpusSets = cs.localCheckpoint()
         mixed.writeStream
           .option("checkpointLocation", checkpointDir)
           .outputMode(OutputMode.Append())
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              batchId: Long) =>
-              // foreachBatch is at-least-once: a crash between a successful
-              // write and the checkpoint commit replays the batch. Writing
-              // each batch into its own partition with DYNAMIC overwrite
-              // makes the replay idempotent (the retry rewrites exactly its
-              // own partition) — the same guarantee the non-fuzzy path gets
-              // from the file sink's _spark_metadata log. Readers see the
-              // extra `batch_id` partition column (no underscore prefix:
-              // `_`-led paths are hidden from Spark's file listing).
-              graft.dedup.Dedup.fuzzyDedupeAgainstCorpus(batch.toDF(),
-                  staticCorpus, d.idColumn, d.contentColumn,
-                  shingleN = d.ngram, threshold = d.threshold,
-                  numHashes = d.numHashes, numBands = d.numBands)
-                .withColumn("batch_id", lit(batchId))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(outDir)
-              ()
+              sinkBatch(graft.dedup.Dedup.fuzzyDedupePrepared(batch.toDF(),
+                corpusBuckets, corpusSets, d.idColumn, d.contentColumn,
+                shingleN = d.ngram, threshold = d.threshold,
+                numHashes = d.numHashes, numBands = d.numBands), batchId)
           }
-          .start()
     }
+    writer.start()
   }
 
   /** Continuous distribution-drift monitor: every micro-batch of the value

@@ -234,7 +234,15 @@ object Curation {
     * score cut). NO window ever touches row data: counts per distinct
     * value, a running sum over that summary, and a broadcast join back.
     * Null values rank highest (nulls-last order), matching the desc-based
-    * selection operators' lowest-priority convention. */
+    * selection operators' lowest-priority convention.
+    *
+    * CARDINALITY CONTRACT (same as [[selectUnderTokenBudget]]): the
+    * broadcast summary is \|distinct values\|-sized, so `valueCol` must be
+    * bounded-cardinality — the micro-unit integer scores every signal in
+    * this library emits (quality_score_e6, surprisal bits, token counts)
+    * qualify; a continuous raw double does not (its summary is \|rows\|-
+    * sized and the broadcast/driver blows up). Quantize continuous scores
+    * to e6 micro-units first. */
   def percentileRank(df: DataFrame, valueCol: String): DataFrame = {
     val counts = df.groupBy(col(valueCol).as("_v"))
       .agg(count(lit(1)).as("_n"))
@@ -262,7 +270,10 @@ object Curation {
     * Scale shape: same decomposition as [[selectUnderTokenBudget]] — global
     * rank = (rows in earlier order-values, from the \|distinct values\|-sized
     * summary) + (row_number within the tie class, partitioned window). No
-    * global-order window ever touches row data. */
+    * global-order window ever touches row data. Same CARDINALITY CONTRACT
+    * as [[percentileRank]]: `orderCol` must be bounded-cardinality (the
+    * broadcast summary is \|distinct values\|-sized) — quantized micro-unit
+    * scores and token counts qualify, continuous raw doubles do not. */
   def curriculumBuckets(df: DataFrame, idCol: String, orderCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")

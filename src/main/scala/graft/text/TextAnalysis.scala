@@ -155,12 +155,14 @@ object TextAnalysis {
     * integer bits via binary-string length (no libm log), so sums
     * hash-compare.
     *
-    * Scale shape: one bigram explode, the count side aggregates to the
-    * \|bigram vocabulary\| and joins back by key — bigram vocabularies are
-    * NOT broadcast (they grow ~linearly with corpus size, unlike the
-    * unigram table); the prefix counts reduce from the bigram counts, not
-    * from a second corpus pass. Docs with < 2 tokens report 0 bigrams and
-    * 0 bits. */
+    * Scale shape: ONE bigram explode — the tokenize+gram scan is the
+    * dominant cost at corpus scale, so both counts come from count windows
+    * over the exploded frame (partition by bigram for c(w₁w₂), partition by
+    * prefix for c(w₁·) — occurrence counts, identical to the aggregate-and-
+    * join-back values) instead of vocabulary aggregates joined back, which
+    * would evaluate the full-text scan subtree twice. Bigram vocabularies
+    * are never broadcast or collected. Docs with < 2 tokens report 0
+    * bigrams and 0 bits. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df
       .withColumn("_toks", tokens(col(textCol)))
@@ -168,18 +170,18 @@ object TextAnalysis {
         when(size(col("_toks")) >= 2, gramsOf("_toks", 2))
           .otherwise(array().cast("array<string>")))
       .select(col(idCol), explode_outer(col("_grams")).as("bigram"))
-    val c12 = base.filter(col("bigram").isNotNull)
-      .groupBy("bigram").agg(count(lit(1)).as("c12"))
       .withColumn("_w1", substring_index(col("bigram"), " ", 1))
-    // prefix counts reduce from the (already aggregated) bigram counts
-    val c1 = c12.groupBy("_w1").agg(sum(col("c12")).as("c1"))
-    val bits = c12.join(c1, "_w1")
-      .select(col("bigram"),
-        (length(bin(expr("c1 div c12"))) - 1).cast("long").as("bits"))
-    base.join(bits, Seq("bigram"), "left")
+    val wBg = org.apache.spark.sql.expressions.Window.partitionBy(col("bigram"))
+    val wW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("_w1"))
+    base
+      .withColumn("_c12", count(col("bigram")).over(wBg))
+      .withColumn("_c1", count(col("bigram")).over(wW1))
+      .withColumn("_bits",
+        when(col("bigram").isNotNull,
+          (length(bin(expr("_c1 div _c12"))) - 1).cast("long")))
       .groupBy(col(idCol))
       .agg(count(col("bigram")).as("n_bigrams"),
-        coalesce(sum(col("bits")), lit(0L)).as("surprisal_bits"))
+        coalesce(sum(col("_bits")), lit(0L)).as("surprisal_bits"))
       .withColumn("mean_surprisal_e6",
         when(col("n_bigrams") === 0, lit(0L))
           .otherwise(expr("surprisal_bits * 1000000L div n_bigrams")))
@@ -311,30 +313,33 @@ object TextAnalysis {
     * down-weights them before training.
     *
     * Scale shape: distinct shingles hash row-locally (native
-    * `shingle_hashes`), document frequency is ONE groupBy on the 8-byte
-    * hash, membership joins back on the same key, and the per-doc rollup is
-    * one more keyed shuffle — all linear, no pair expansion anywhere (this
-    * reads document frequency only, never which documents share a shingle).
-    * The fraction is floor-division micro-units of exact integers, so the
-    * output hash-compares across engines. */
+    * `shingle_hashes`) in ONE pass over the text — document frequency is a
+    * count window over the 8-byte hash partition (shingles are distinct per
+    * doc, so partition size IS df), which keeps the scan subtree single-use
+    * where a groupBy-then-join-back would evaluate the full-corpus shingle
+    * pass twice. The per-doc rollup is one keyed shuffle; zero-shingle docs
+    * re-enter from a column-pruned id-only scan (text never read). All
+    * linear, no pair expansion anywhere (this reads document frequency
+    * only, never which documents share a shingle). The fraction is
+    * floor-division micro-units of exact integers, so the output
+    * hash-compares across engines. */
   def interDocRepetition(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int = 2): DataFrame = {
     require(n >= 1 && minDf >= 1, s"bad interDocRepetition params: n=$n minDf=$minDf")
-    // null text → empty set (zeros in the output), not NULL-propagating
-    // arithmetic: size(NULL) is NULL under ANSI mode, which would skip the
-    // zero-shingle guard and null the fraction
-    val sets = df.select(col(idCol).as("doc_id"),
-      coalesce(call_function("shingle_hashes", col(textCol), lit(n)),
-        typedlit(Seq.empty[Long])).as("_sh"))
-    val ex = sets.select(col("doc_id"), explode(col("_sh")).as("h"))
-    // shingles are distinct per doc, so count(*) per hash IS document freq
-    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("_df"))
-    val shared = ex.join(dfreq, "h")
+    // null text → empty set via coalesce (explode of empty drops the row;
+    // the id-only left join below restores it with zeros)
+    val ex = df.select(col(idCol).as("doc_id"),
+      explode(coalesce(call_function("shingle_hashes", col(textCol), lit(n)),
+        typedlit(Seq.empty[Long]))).as("h"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val perDoc = ex.withColumn("_df", count(lit(1)).over(wH))
       .groupBy("doc_id")
-      .agg(count(when(col("_df") >= minDf, 1)).as("n_shared"))
-    sets.select(col("doc_id"), size(col("_sh")).cast("long").as("n_shingles"))
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("_df") >= minDf, 1)).as("n_shared"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("shared_frac_e6",
         when(col("n_shingles") === 0, lit(0L))
