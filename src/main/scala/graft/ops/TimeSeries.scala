@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series densification: calendar gap-fill + forward fill — the
+  * operator that turns a sparse per-(key, day) metric table into the dense
+  * series a dashboard, anomaly monitor, or training-curriculum scheduler
+  * reads ("what was the last known value on every calendar day"). The
+  * reference's daily marts (daily_trip_stats) leave silent holes on days
+  * with no rows; this makes the holes explicit and carries the last
+  * observation forward.
+  */
+object TimeSeries {
+
+  /** Densify `df` to one row per (key, calendar day) over each key's own
+    * [min(day), max(day)] span, forward-filling `valueCol` across the
+    * introduced gap days. `is_gap` marks introduced rows (true = the value
+    * is carried, not observed). The first day of every key is an observed
+    * row by construction (the span starts at an existing day), so the
+    * filled value is never null.
+    *
+    * No extrapolation outside a key's own span: a key absent for the last
+    * month simply ends early — trailing fills against a global calendar are
+    * a reporting choice, done by joining a global day dimension instead.
+    *
+    * Scale shape: the span aggregate reads only (key, day) — column-pruned
+    * scan — and its output is \|keys\|-sized; the calendar explode is
+    * row-local on that small frame; then ONE keyed join and ONE keyed
+    * window (same key partitioning). Day spans explode at most
+    * span-per-key rows per key — calendar-bounded, never corpus-bounded.
+    * `dayCol` must be a DATE column. */
+  def gapFillDaily(df: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val span = df.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
+    val cal = span.select(col(keyCol),
+      explode(expr("sequence(_lo, _hi, interval 1 day)")).as(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(df, Seq(keyCol, dayCol), "left")
+      .withColumn("is_gap", col(valueCol).isNull)
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+}
