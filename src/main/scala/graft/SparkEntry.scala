@@ -996,6 +996,25 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Calendar gap-fill + forward fill: sparse daily order counts per
+    // priority densified over each key's own span; is_gap marks introduced
+    // days (join presence, not value nullness), value carried forward.
+    // The oracle replays the span explode with generate_series and the
+    // fill with last_value IGNORE NULLS.
+    "q97_gap_fill" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .groupBy(col("o_orderpriority").as("key"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      graft.ops.TimeSeries.gapFillDaily(daily, "key", "day", "n_orders")
+        // DATE → string at the compare boundary only: the oracle harness
+        // reads Spark date32 as python objects but DuckDB DATE as
+        // datetime64, so raw DATE columns never dtype-match
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("key", "day")
+    }),
+
     // Weekly cohort retention triangle: users by first-activity week ×
     // weeks-since-cohort × distinct active users. Integer period math.
     "q94_retention" -> ((s, dir) =>
@@ -2158,6 +2177,23 @@ object SparkEntry {
         |   AS mean_surprisal_e6
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q97_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
+        |         count(*) AS n_orders
+        |  FROM orders WHERE o_orderkey % 50 = 0 GROUP BY 1, 2),
+        |span AS (SELECT key, min(day) AS lo, max(day) AS hi FROM daily GROUP BY key),
+        |cal AS (SELECT key,
+        |  CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span)
+        |SELECT cal.key, strftime(cal.day, '%Y-%m-%d') AS day,
+        |  last_value(daily.n_orders IGNORE NULLS) OVER (PARTITION BY cal.key
+        |    ORDER BY cal.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_orders,
+        |  daily.n_orders IS NULL AS is_gap
+        |FROM cal LEFT JOIN daily ON cal.key = daily.key AND cal.day = daily.day
+        |ORDER BY 1, 2""".stripMargin,
     "q94_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
         |cohort AS (SELECT user_id, min(p) AS cohort_period FROM e GROUP BY user_id),

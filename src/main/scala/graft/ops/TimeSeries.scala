@@ -16,10 +16,13 @@ object TimeSeries {
 
   /** Densify `df` to one row per (key, calendar day) over each key's own
     * [min(day), max(day)] span, forward-filling `valueCol` across the
-    * introduced gap days. `is_gap` marks introduced rows (true = the value
-    * is carried, not observed). The first day of every key is an observed
-    * row by construction (the span starts at an existing day), so the
-    * filled value is never null.
+    * introduced gap days. `is_gap` marks introduced rows — rows with NO
+    * observation in `df` for that (key, day) — decided by join presence,
+    * never by value nullness, so an observed row whose value is genuinely
+    * null keeps `is_gap = false`. Forward fill carries the last non-null
+    * value over BOTH introduced days and observed-null days (standard
+    * last-observation-carried-forward); a key whose earliest observations
+    * are all null stays null until its first non-null value appears.
     *
     * No extrapolation outside a key's own span: a key absent for the last
     * month simply ends early — trailing fills against a global calendar are
@@ -39,8 +42,11 @@ object TimeSeries {
       explode(expr("sequence(_lo, _hi, interval 1 day)")).as(dayCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cal.join(df, Seq(keyCol, dayCol), "left")
-      .withColumn("is_gap", col(valueCol).isNull)
+    // presence marker: non-null on every observed row regardless of the
+    // observed value, so is_gap never conflates "no row" with "null value"
+    cal.join(df.withColumn("_observed", lit(1)), Seq(keyCol, dayCol), "left")
+      .withColumn("is_gap", col("_observed").isNull)
+      .drop("_observed")
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = java.sql.Date.valueOf(_: String)
+
+  // key a: observed 01, 04 (value null!), 06 — gaps 02,03,05
+  // key b: single day — no gaps, no explode beyond itself
+  // key c: FIRST value null, then 10 on day 03 — leading nulls stay null
+  private def sparse = Seq(
+    ("a", "2024-01-01", Some(1L)),
+    ("a", "2024-01-04", None: Option[Long]),
+    ("a", "2024-01-06", Some(6L)),
+    ("b", "2024-02-10", Some(9L)),
+    ("c", "2024-03-01", None: Option[Long]),
+    ("c", "2024-03-03", Some(10L))
+  ).toDF("key", "day", "v").withColumn("day", to_date($"day"))
+
+  private lazy val filled =
+    TimeSeries.gapFillDaily(sparse, "key", "day", "v")
+      .orderBy("key", "day")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+
+  test("densifies each key over its own [min, max] span, no extrapolation") {
+    filled.count(_._1 == "a") shouldBe 6 // 01..06 inclusive
+    filled.count(_._1 == "b") shouldBe 1 // single-day span stays single
+    filled.count(_._1 == "c") shouldBe 3 // 01..03
+    // no rows before a key's first or after its last observed day
+    filled.filter(_._1 == "a").map(_._2).min shouldBe "2024-01-01"
+    filled.filter(_._1 == "a").map(_._2).max shouldBe "2024-01-06"
+  }
+
+  test("is_gap reflects join presence, not value nullness") {
+    val a = filled.filter(_._1 == "a").map(r => r._2 -> r._4).toMap
+    a("2024-01-01") shouldBe false
+    a("2024-01-02") shouldBe true  // introduced
+    a("2024-01-03") shouldBe true  // introduced
+    a("2024-01-04") shouldBe false // observed even though its value is null
+    a("2024-01-05") shouldBe true  // introduced
+    a("2024-01-06") shouldBe false
+  }
+
+  test("forward fill carries last non-null across gaps and observed nulls") {
+    val a = filled.filter(_._1 == "a").map(r => r._2 -> r._3).toMap
+    a("2024-01-01") shouldBe Some(1L)
+    a("2024-01-02") shouldBe Some(1L) // gap carried
+    a("2024-01-04") shouldBe Some(1L) // observed null carried (LOCF)
+    a("2024-01-05") shouldBe Some(1L)
+    a("2024-01-06") shouldBe Some(6L) // fresh observation replaces carry
+  }
+
+  test("leading null values stay null until the first non-null observation") {
+    val c = filled.filter(_._1 == "c").map(r => r._2 -> (r._3, r._4)).toMap
+    c("2024-03-01") shouldBe (None, false)     // observed, value unknown
+    c("2024-03-02") shouldBe (None, true)      // gap before any known value
+    c("2024-03-03") shouldBe (Some(10L), false)
+  }
+}
