@@ -80,14 +80,24 @@ object Bench {
     }
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.
+    // Stdout keys are the qNN prefix only (full names live on the stderr
+    // detail line): at ~96 queries the full-name map alone exceeded the
+    // driver's bounded tail capture two rounds running (r8/r9 recorded
+    // parsed=null with the line's head clipped mid-query). qNN prefixes
+    // are unique by construction; if that ever breaks, fall back to full
+    // names rather than emit colliding keys.
+    val shortKey: String => String = {
+      val pref = results.map { case (k, _, _, _) => k -> k.takeWhile(_ != '_') }
+      if (pref.map(_._2).distinct.size == pref.size) pref.toMap else identity[String]
+    }
     val qs = results.map { case (k, v, ok, _) =>
-      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }.mkString("{", ",", "}")
+      "\"" + shortKey(k) + "\":" + (if (ok) f"$v%.3f" else "-1") }.mkString("{", ",", "}")
     // every rep's time per query, so min-of-N can't silently mask a
     // regression between rounds
     val ts = results.map { case (k, _, _, all) =>
       "\"" + k + "\":" + all.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false, _) => "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
     // Per-rep detail goes to stderr as the durable home for diagnostics.
