@@ -1183,6 +1183,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR oracle anchor at λ=1: the diversity term is zeroed, so the greedy
+    // loop must reproduce relevance-order top-5 exactly (score ≡ sim_e6,
+    // ties to lower id) — SQL-replayable, pinning the same mapGroups code
+    // path q82 exercises to a full hash compare at one config point.
+    "q98_mmr_lambda1" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cands = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 20)
+      Similarity.mmrRerank(cands, emb, "vec_id", "embedding", k = 5,
+        lambdaE6 = 1000000L)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal metadata oracle: the synthetic payloads are REAL encoded
+    // PNG/WAV/MP4 whose dimensions/frames/sample-rate are closed-form in
+    // media_id, so the REAL decoders (ImageIO pixel dims, WAV header
+    // parse, ISO-BMFF box walk) hash-compare against a pure-SQL replay of
+    // the generator parameters. Payload-derived columns (size, content
+    // hash) stay in q41's rows-only check.
+    "q99_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.synthetic(s, 1000))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("media_id")
+    }),
+
     // Token-budget selection: highest-quality-first greedy prefix under a
     // 10k-token budget — the final cut of a scored corpus to a target
     // training size. Decomposed windows (per-score summary + within-tie
@@ -2177,6 +2207,28 @@ object SparkEntry {
         |   AS mean_surprisal_e6
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q98_mmr_lambda1" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE qid <> nid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank, sim FROM s)
+        |SELECT query_id, neighbor_id, rank,
+        | CAST(round(sim * 1000000.0) AS BIGINT) AS mmr_e6
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q99_media_meta" ->
+      """SELECT i AS media_id,
+        | CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CASE i % 3 WHEN 0 THEN 2 + i % 14
+        |   WHEN 1 THEN 8000 ELSE 160 + (i % 8) * 40 END AS width,
+        | CASE i % 3 WHEN 0 THEN 2 + i % 9
+        |   WHEN 1 THEN 1 + i % 2 ELSE 120 + (i % 6) * 30 END AS height,
+        | CASE i % 3 WHEN 0 THEN 1
+        |   WHEN 1 THEN 64 + i % 512 ELSE 1 + i % 300 END AS n_frames
+        |FROM range(1000) t(i) ORDER BY media_id""".stripMargin,
     "q97_gap_fill" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
