@@ -110,7 +110,7 @@ object Dedup {
     * convenience form derives the corpus state per call, which evaluates
     * the corpus text scan twice (band pass + verification-set pass) and
     * repeats both on every call — for continuous ingest build the state
-    * ONCE with [[corpusFuzzyState]], persist/localCheckpoint it, and call
+    * ONCE with [[corpusFuzzyState]], materialize it durably, and call
     * [[fuzzyDedupePrepared]] per batch (the streaming curation sink does
     * exactly this). The batch side's own two passes are over the arriving
     * micro-batch only. `maxBucketSize` caps corpus-side bucket membership
@@ -134,9 +134,13 @@ object Dedup {
   /** Corpus-side state for [[fuzzyDedupePrepared]]: the capped LSH band
     * buckets `(band_idx, bucket, ids)` and the shingle-hash verification
     * sets `(corpus_id, _sh_c)`. The historical corpus is static across an
-    * ingest run, so build this once, persist/localCheckpoint both frames,
-    * and reuse them for every arriving batch — the corpus text is then
-    * scanned once per RUN instead of twice per BATCH. */
+    * ingest run, so build this once, materialize both frames, and reuse
+    * them for every arriving batch — the corpus text is then scanned once
+    * per RUN instead of twice per BATCH. For a bounded job a replicated
+    * `persist` suffices; for an UNBOUNDED query write them to durable
+    * storage and re-read (the streaming curation sink does — a
+    * localCheckpoint's executor-resident blocks have truncated lineage, so
+    * one executor loss would fail every later micro-batch). */
   def corpusFuzzyState(
       corpus: DataFrame,
       idCol: String,

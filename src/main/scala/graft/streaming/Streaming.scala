@@ -129,6 +129,20 @@ object Streaming {
     // with no batch_id while the fuzzy path partitioned — a per-config read
     // contract). `batch_id` has no underscore prefix: `_`-led paths are
     // hidden from Spark's file listing.
+    // Upgrade guard: before the unified batch_id layout, the non-fuzzy path
+    // used Spark's file sink, which leaves a _spark_metadata transaction log
+    // in outDir. Batch readers of a dir holding that log list ONLY the files
+    // it records — every new foreachBatch file would be silently invisible.
+    // Refuse loudly instead of writing unreadable output; remediation is a
+    // fresh outDir (or removing the stale log, after which readers also see
+    // the new batch_id partition column in the schema).
+    val legacyLog = new org.apache.hadoop.fs.Path(outDir, "_spark_metadata")
+    val fsOut = legacyLog.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fsOut.exists(legacyLog),
+      s"$outDir carries a _spark_metadata log from the legacy file-sink " +
+        "layout; batch readers would ignore all new batch_id-partitioned " +
+        "output written beside it. Use a fresh outDir, or delete the stale " +
+        "_spark_metadata log (readers then gain a batch_id partition column).")
     def sinkBatch(frame: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
       frame.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -146,15 +160,25 @@ object Streaming {
           }
       case Some(d) =>
         // The historical corpus is STATIC for the life of the query: build
-        // its band buckets + verification sets once and localCheckpoint
-        // them, so each micro-batch signs only its own arrivals instead of
+        // its band buckets + verification sets ONCE, materialize them to
+        // DURABLE storage under the checkpoint dir, and re-read — each
+        // micro-batch then signs only its own arrivals instead of
         // re-scanning the corpus text twice per batch
-        // (Dedup.corpusFuzzyState doc).
+        // (Dedup.corpusFuzzyState doc). NOT localCheckpoint: its blocks
+        // live only in executor memory/disk with lineage truncated, so one
+        // executor loss (dynamic allocation, preemption) would permanently
+        // fail every subsequent micro-batch of an unbounded query. The
+        // checkpoint dir is already required durable storage for the
+        // query's own state, so the corpus state inherits that guarantee
+        // and survives any executor topology change.
+        val stateDir = s"$checkpointDir/graft_corpus_state"
         val (cb, cs) = graft.dedup.Dedup.corpusFuzzyState(corpus.get,
           d.idColumn, d.contentColumn, shingleN = d.ngram,
           numHashes = d.numHashes, numBands = d.numBands)
-        val corpusBuckets = cb.localCheckpoint()
-        val corpusSets = cs.localCheckpoint()
+        cb.write.mode("overwrite").parquet(s"$stateDir/buckets")
+        cs.write.mode("overwrite").parquet(s"$stateDir/sets")
+        val corpusBuckets = spark.read.parquet(s"$stateDir/buckets")
+        val corpusSets = spark.read.parquet(s"$stateDir/sets")
         mixed.writeStream
           .option("checkpointLocation", checkpointDir)
           .outputMode(OutputMode.Append())

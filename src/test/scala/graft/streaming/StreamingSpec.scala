@@ -140,6 +140,26 @@ class StreamingSpec extends SparkSpec {
     val e = the[IllegalArgumentException] thrownBy Streaming.curationStream(
       spark, in, batch1.schema, spec, out, chk)
     e.getMessage should include("corpus")
+    // the corpus band buckets + verification sets were materialized to
+    // DURABLE storage under the checkpoint dir (never localCheckpoint:
+    // executor-resident blocks with truncated lineage die with their
+    // executors and would permanently fail an unbounded query)
+    new java.io.File(s"$chk/graft_corpus_state/buckets").exists() shouldBe true
+    new java.io.File(s"$chk/graft_corpus_state/sets").exists() shouldBe true
+  }
+
+  test("curationStream refuses an outDir holding a legacy _spark_metadata log") {
+    import graft.config.CurationSpec
+    val in = Files.createTempDirectory("graft_curm_in").toString
+    val out = Files.createTempDirectory("graft_curm_out").toString
+    val chk = Files.createTempDirectory("graft_curm_chk").toString
+    val batch = Seq((1L, "some content", "web")).toDF("doc_id", "text", "source")
+    batch.write.mode("append").parquet(in)
+    // simulate a dir written by the pre-batch_id file sink
+    new java.io.File(s"$out/_spark_metadata").mkdirs()
+    val e = the[IllegalArgumentException] thrownBy Streaming.curationStream(
+      spark, in, batch.schema, CurationSpec(), out, chk)
+    e.getMessage should include("_spark_metadata")
   }
 
   test("driftStream reports per-batch histogram drift against a baseline") {
