@@ -307,7 +307,13 @@ object Similarity {
     * analogue of `sampleCentroids` (refine per-subspace with Lloyd when
     * bucket balance matters more than SQL replayability; the encode/ADC
     * plumbing below is codebook-agnostic). Shape: codebook(s)(j) = centroid
-    * j of subspace s. */
+    * j of subspace s.
+    *
+    * Behavior change (round 9): a frame with FEWER than `k` rows now
+    * throws instead of silently proceeding with a smaller codebook —
+    * callers that relied on degraded-k operation must pass a smaller `k`
+    * (codes would otherwise occupy a narrower range than the caller sized
+    * downstream structures for, with no signal). */
   def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int): Seq[Seq[Array[Float]]] = {
     val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()

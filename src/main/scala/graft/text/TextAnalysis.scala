@@ -155,33 +155,40 @@ object TextAnalysis {
     * integer bits via binary-string length (no libm log), so sums
     * hash-compare.
     *
-    * Scale shape: ONE bigram explode — the tokenize+gram scan is the
-    * dominant cost at corpus scale, so both counts come from count windows
-    * over the exploded frame (partition by bigram for c(w₁w₂), partition by
-    * prefix for c(w₁·) — occurrence counts, identical to the aggregate-and-
-    * join-back values) instead of vocabulary aggregates joined back, which
-    * would evaluate the full-text scan subtree twice. Bigram vocabularies
-    * are never broadcast or collected. Docs with < 2 tokens report 0
-    * bigrams and 0 bits. */
+    * Scale shape: the exploded bigrams reduce immediately to per-(doc,
+    * bigram) occurrence counts — partial-aggregating, keys bounded by doc
+    * content, no hot key possible. Both corpus counts then live in
+    * VOCABULARY space (c(w₁w₂) by one more reduce, c(w₁·) by reducing
+    * c(w₁w₂)) and join back by bigram. Chosen over a count window over the
+    * raw occurrence frame, which is measurably faster single-node (0.79×
+    * at sf0.1 — one text scan vs this form's two, column pruning diverges
+    * the branches so ReuseExchange cannot merge them) but buffers EVERY
+    * occurrence of a hot key ("of the" at corpus scale, the null bigram of
+    * short docs) in a single unsplittable window partition — a guaranteed
+    * straggler/spill at 100 TB. Joins split hot keys under AQE skew
+    * handling; the measured 1.3× single-node cost is the price of that
+    * bound. Bigram vocabularies are never broadcast or collected. Docs
+    * with < 2 tokens report 0 bigrams and 0 bits. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = df
+    val grouped = df
       .withColumn("_toks", tokens(col(textCol)))
       .withColumn("_grams",
         when(size(col("_toks")) >= 2, gramsOf("_toks", 2))
           .otherwise(array().cast("array<string>")))
       .select(col(idCol), explode_outer(col("_grams")).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(col("bigram")).as("_n")) // 0 on a short doc's null-bigram row
+    val c12 = grouped.filter(col("bigram").isNotNull)
+      .groupBy("bigram").agg(sum(col("_n")).as("_c12"))
       .withColumn("_w1", substring_index(col("bigram"), " ", 1))
-    val wBg = org.apache.spark.sql.expressions.Window.partitionBy(col("bigram"))
-    val wW1 = org.apache.spark.sql.expressions.Window.partitionBy(col("_w1"))
-    base
-      .withColumn("_c12", count(col("bigram")).over(wBg))
-      .withColumn("_c1", count(col("bigram")).over(wW1))
-      .withColumn("_bits",
-        when(col("bigram").isNotNull,
-          (length(bin(expr("_c1 div _c12"))) - 1).cast("long")))
+    val c1 = c12.groupBy("_w1").agg(sum(col("_c12")).as("_c1"))
+    val bits = c12.join(c1, "_w1")
+      .select(col("bigram"),
+        (length(bin(expr("_c1 div _c12"))) - 1).cast("long").as("_bits"))
+    grouped.join(bits, Seq("bigram"), "left")
       .groupBy(col(idCol))
-      .agg(count(col("bigram")).as("n_bigrams"),
-        coalesce(sum(col("_bits")), lit(0L)).as("surprisal_bits"))
+      .agg(sum(col("_n")).as("n_bigrams"),
+        coalesce(sum(col("_n") * col("_bits")), lit(0L)).as("surprisal_bits"))
       .withColumn("mean_surprisal_e6",
         when(col("n_bigrams") === 0, lit(0L))
           .otherwise(expr("surprisal_bits * 1000000L div n_bigrams")))
@@ -313,16 +320,21 @@ object TextAnalysis {
     * down-weights them before training.
     *
     * Scale shape: distinct shingles hash row-locally (native
-    * `shingle_hashes`) in ONE pass over the text — document frequency is a
-    * count window over the 8-byte hash partition (shingles are distinct per
-    * doc, so partition size IS df), which keeps the scan subtree single-use
-    * where a groupBy-then-join-back would evaluate the full-corpus shingle
-    * pass twice. The per-doc rollup is one keyed shuffle; zero-shingle docs
-    * re-enter from a column-pruned id-only scan (text never read). All
-    * linear, no pair expansion anywhere (this reads document frequency
-    * only, never which documents share a shingle). The fraction is
-    * floor-division micro-units of exact integers, so the output
-    * hash-compares across engines. */
+    * `shingle_hashes`); document frequency is a grouped count in
+    * vocabulary space (shingles are distinct per doc, so count IS df)
+    * joined back onto the exploded rows by hash. Chosen over a count
+    * window over the hash partition, which is faster single-node (0.76× at
+    * sf0.1 — one text scan vs two, column pruning diverges the branches so
+    * ReuseExchange cannot merge them) but buffers every document carrying
+    * a hot boilerplate shingle in ONE unsplittable window partition — a
+    * guaranteed straggler at 100 TB, where the join form stays
+    * AQE-skew-splittable (and the df side broadcasts whenever the
+    * vocabulary fits). The per-doc rollup is one keyed shuffle;
+    * zero-shingle docs re-enter from a column-pruned id-only scan (text
+    * never read). All linear, no pair expansion anywhere (this reads
+    * document frequency only, never which documents share a shingle). The
+    * fraction is floor-division micro-units of exact integers, so the
+    * output hash-compares across engines. */
   def interDocRepetition(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int = 2): DataFrame = {
     require(n >= 1 && minDf >= 1, s"bad interDocRepetition params: n=$n minDf=$minDf")
@@ -331,8 +343,8 @@ object TextAnalysis {
     val ex = df.select(col(idCol).as("doc_id"),
       explode(coalesce(call_function("shingle_hashes", col(textCol), lit(n)),
         typedlit(Seq.empty[Long]))).as("h"))
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val perDoc = ex.withColumn("_df", count(lit(1)).over(wH))
+    val dfCounts = ex.groupBy("h").agg(count(lit(1)).as("_df"))
+    val perDoc = ex.join(dfCounts, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("_df") >= minDf, 1)).as("n_shared"))
