@@ -1196,6 +1196,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Reciprocal-rank fusion: cosine top-20 and MIPS (dot-product) top-20
+    // fused with 1/(60+rank) integer points, re-ranked to top-10 — the
+    // zero-tuning retriever combiner. The oracle replays both rankings and
+    // the fusion in SQL.
+    "q100_rrf_fusion" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.rrfFuse(Seq(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 20),
+        Similarity.bruteForceTopKDot(emb, queries, "vec_id", "embedding", k = 20)),
+        k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Robust MAD anomalies (exact twin): |value| outliers by
+    // 0.6745·|x−median|/MAD > τ — median-based, so the detector's own
+    // scale survives the outliers it hunts (unlike Q8's mean/σ).
+    "q101_mad_anomalies" -> ((s, dir) =>
+      Anomaly.madAnomaliesExact(
+        Tables.load(s, dir, "events"), "value", tau = 2.5)
+        .select("event_id", "value", "robust_z_e6")
+        .orderBy("event_id")),
+
     // Multimodal metadata oracle: the synthetic payloads are REAL encoded
     // PNG/WAV/MP4 whose dimensions/frames/sample-rate are closed-form in
     // media_id, so the REAL decoders (ImageIO pixel dims, WAV header
@@ -2207,6 +2230,39 @@ object SparkEntry {
         |   AS mean_surprisal_e6
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "q100_rrf_fusion" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_dot_product(qv, cv) AS dp,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE qid <> nid),
+        |cosr AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s),
+        |dotr AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY dp DESC, nid) AS rank FROM s),
+        |u AS (SELECT * FROM cosr WHERE rank <= 20
+        |  UNION ALL SELECT * FROM dotr WHERE rank <= 20),
+        |f AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |   sum(1000000 // (60 + rank)) AS rrf_e6, count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, rrf_e6, n_lists,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, neighbor_id) AS rank
+        |  FROM f)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+        | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q101_mad_anomalies" ->
+      """WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+        |dev AS (SELECT event_id, value, abs(value - med.m) AS absdev
+        |  FROM events, med),
+        |mad AS (SELECT quantile_cont(absdev, 0.5) AS d FROM dev)
+        |SELECT dev.event_id, dev.value,
+        | CAST(round(0.6745 * dev.absdev / mad.d * 1000000.0) AS BIGINT) AS robust_z_e6
+        |FROM dev, mad
+        |WHERE mad.d > 0 AND 0.6745 * dev.absdev / mad.d > 2.5
+        |ORDER BY dev.event_id""".stripMargin,
     "q98_mmr_lambda1" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),

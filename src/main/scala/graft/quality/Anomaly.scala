@@ -179,6 +179,46 @@ object Anomaly {
       .drop("iqr", "lo", "hi")
   }
 
+  /** Robust (MAD) anomalies — the median-based complement of the z-score
+    * (Q8, mean/σ both corrupted by the outliers they hunt) and IQR (Q9)
+    * detectors: flag rows whose robust z-score 0.6745·|x−median|/MAD
+    * exceeds `tau` (0.6745 normalizes MAD to σ under normality; τ=3.5 is
+    * the Iglewicz–Hoaglin convention). The 100-TB path: both medians from
+    * Greenwald–Khanna sketches (`approxQuantile` — no global sort, same
+    * posture as `iqrBounds`), flagging row-local. Approximate medians →
+    * no cross-engine oracle; the exact twin below is oracle-gated.
+    * MAD = 0 (≥half the values identical) flags nothing — the detector
+    * has no scale to normalize by, matching iqr<=0's LOW posture. */
+  def madAnomalies(df: DataFrame, column: String, tau: Double = 3.5,
+      relErr: Double = 0.01): DataFrame = {
+    val Array(med) = df.stat.approxQuantile(column, Array(0.5), relErr)
+    val devCol = abs(col(column) - lit(med))
+    val Array(mad) = df.withColumn("_absdev", devCol)
+      .stat.approxQuantile("_absdev", Array(0.5), relErr)
+    if (mad <= 0) df.withColumn("robust_z", lit(0.0)).filter(lit(false))
+    else df.withColumn("robust_z", lit(0.6745) * devCol / lit(mad))
+      .filter(col("robust_z") > lit(tau))
+  }
+
+  /** MAD anomalies from EXACT interpolated medians — the cross-engine-
+    * deterministic twin of [[madAnomalies]] (same split as
+    * iqrAnomalies/iqrAnomaliesExact): two global `percentile` aggregates
+    * broadcast back onto the rows, flagging row-local. `robust_z_e6`
+    * micro-units round away last-ulp interpolation drift between engines
+    * (the q52 lesson). */
+  def madAnomaliesExact(df: DataFrame, column: String, tau: Double = 3.5): DataFrame = {
+    val med = df.agg(expr(s"percentile($column, 0.5)").as("_med"))
+    val dev = df.crossJoin(broadcast(med))
+      .withColumn("_absdev", abs(col(column) - col("_med")))
+    val mad = dev.agg(expr("percentile(_absdev, 0.5)").as("_mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("_mad") > 0 &&
+        lit(0.6745) * col("_absdev") / col("_mad") > lit(tau))
+      .withColumn("robust_z_e6",
+        round(lit(0.6745) * col("_absdev") / col("_mad") * 1e6).cast("long"))
+      .drop("_med", "_absdev", "_mad")
+  }
+
   /** Exact interpolated quantiles (SQL `percentile`) — the deterministic
     * counterpart of iqrBounds, used by the correctness oracle. */
   def exactQuantiles(df: DataFrame, column: String, ps: Seq[Double]): DataFrame = {

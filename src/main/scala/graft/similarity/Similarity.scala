@@ -71,6 +71,64 @@ object Similarity {
         round(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
+  /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors (MIPS) for each query
+    * vector — the ranking retrieval systems use when embeddings are
+    * trained with dot-product scoring (unnormalized: a long vector can
+    * outrank a closer-angled short one, which is the point). Same
+    * broadcast + per-query window shape as [[bruteForceTopK]]; score in
+    * micro-units. Self-matches excluded. */
+  def bruteForceTopKDot(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("score") * 1e6).cast("long").as("dot_e6"))
+  }
+
+  /** Reciprocal-rank fusion of multiple ranked candidate lists — the
+    * standard zero-tuning way to combine heterogeneous retrievers (cosine +
+    * MIPS, dense + LSH, ANN + keyword): each list contributes
+    * floor(10⁶ / (rrfK + rank)) points per (query, neighbor), summed across
+    * lists, re-ranked per query. Integer points, so scores hash-compare
+    * across engines (the classic 1/(60+r) with k=60 default, Cormack &
+    * Clarke SIGIR'09). Each input needs (query_id, neighbor_id, rank)
+    * columns; `n_lists` reports how many lists surfaced the neighbor.
+    *
+    * Scale shape: a narrow union of k-bounded lists, ONE keyed aggregate
+    * on (query, neighbor), and a per-query window whose partitions are
+    * bounded by Σ list sizes (≤ lists × k rows), never corpus-sized —
+    * fusion cost is independent of corpus scale by construction. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Long = 60L): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 1L, s"rrfK must be >= 1, got $rrfK")
+    val contrib = rankings.map(r => r.select(
+        col("query_id").cast("long").as("query_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_.unionByName(_))
+      .withColumn("_pts", expr(s"1000000L div (${rrfK}L + rank)"))
+    val fused = contrib.groupBy("query_id", "neighbor_id")
+      .agg(sum(col("_pts")).as("rrf_e6"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_e6").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("rrf_e6"), col("n_lists"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine
     * above `threshold`. Exact full pair scan — the LSH variant below prunes
     * the same search. */

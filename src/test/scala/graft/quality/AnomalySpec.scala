@@ -54,6 +54,27 @@ class AnomalySpec extends SparkSpec {
     Anomaly.iqrAnomalies(df, "v").count() shouldBe 1
   }
 
+  test("madAnomalies: median/MAD survive the outlier; exact twin agrees") {
+    // 1..99 + one huge outlier (100 values): interpolated median 50.5,
+    // MAD 25 (both essentially UNMOVED by the outlier — the point of
+    // robust stats), robust z of 10000 ≈ 268
+    val df = ((1 to 99).map(_.toDouble) :+ 10000.0).toDF("v")
+    val approx = Anomaly.madAnomalies(df, "v", tau = 3.5)
+    approx.count() shouldBe 1
+    approx.head().getAs[Double]("v") shouldBe 10000.0
+    val exact = Anomaly.madAnomaliesExact(df, "v", tau = 3.5).head()
+    exact.getAs[Double]("v") shouldBe 10000.0
+    // 0.6745 * |10000-50.5| / 25 * 1e6, rounded
+    exact.getAs[Long]("robust_z_e6") shouldBe
+      math.round(0.6745 * 9949.5 / 25.0 * 1e6)
+  }
+
+  test("madAnomalies: MAD=0 (constant majority) flags nothing, not everything") {
+    val df = (Seq.fill(10)(5.0) :+ 9999.0).toDF("v")
+    Anomaly.madAnomalies(df, "v").count() shouldBe 0
+    Anomaly.madAnomaliesExact(df, "v").count() shouldBe 0
+  }
+
   test("zScoreAnomalies tiers severity CRITICAL>5σ / HIGH>4σ / MEDIUM>3σ") {
     // 1000 background values at ±1 keep σ ≈ 1, so planted outliers land in
     // predictable z bands (reference tiers, anomaly_detection.py:108-116)

@@ -365,6 +365,40 @@ class SimilaritySpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("bruteForceTopKDot ranks by inner product: long vector outranks closer angle") {
+    // query (1,0,0): cosine prefers id 0-direction; dot prefers the LONG
+    // vector along the same axis (id 1, dot=2) over diverse ones
+    val top = Similarity.bruteForceTopKDot(vecs, vecs.where("vec_id = 0"),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    top.map(_.getLong(1)).toSeq shouldBe Seq(1L, 4L) // dot 2.0, then 1.0
+    top.map(_.getLong(3)).toSeq shouldBe Seq(2000000L, 1000000L)
+  }
+
+  test("rrfFuse sums 1e6/(60+rank) per list and re-ranks; n_lists counts sources") {
+    val listA = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val listB = Seq((0L, 11L, 1L), (0L, 12L, 2L), (0L, 13L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(listA, listB), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 11: 1e6/62 + 1e6/61 = 16129+16393 = 32522 — consensus wins over
+    // either list's top hit; 12: 1e6/63+1e6/62 = 15873+16129 = 32002
+    fused.map(_._1).toSeq shouldBe Seq(11L, 12L, 10L, 13L)
+    fused.head shouldBe ((11L, 1L, 32522L, 2L))
+    fused(2) shouldBe ((10L, 3L, 16393L, 1L)) // single-list, rank 1 → 1e6/61
+  }
+
+  test("rrfFuse with one list degenerates to that list's order") {
+    val listA = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(listA), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    fused.toSeq shouldBe Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L))
+  }
+
   test("pairRecall: full overlap → 1e6, half → 500000, empty exact → -1") {
     import spark.implicits._
     val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
