@@ -34,7 +34,11 @@ object ScaleSmoke {
     // bucket-pruned (IVFPQ) code-scan ANN paths, and the corpus-wide
     // boilerplate signal
     "q76_fuzzy_incremental", "q79_pq_adc_topk", "q80_boilerplate",
-    "q88_ivfpq_topk")
+    "q88_ivfpq_topk",
+    // round-10 additions: the cross-source duplication report (pair +
+    // closure machinery under a rollup) and the bigram-surprisal join form
+    // that replaced round 9's hot-key count windows
+    "q96_cross_source", "q95_bigram_surprisal")
 
   private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     // both outputs must exist — a crash between the two writes would
