@@ -1210,6 +1210,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining: per query, the top-5 most-similar vectors with
+    // a DIFFERENT label — the near-boundary negatives contrastive training
+    // feeds on. Label predicate inside the join, never after the window.
+    "q102_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // kNN label-agreement probe: majority label of the 5 nearest
+    // neighbors vs own label — the embedding-space coherence canary.
+    "q103_knn_label_eval" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.knnLabelAgreement(emb, emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("vec_id")
+    }),
+
     // Robust MAD anomalies (exact twin): |value| outliers by
     // 0.6745·|x−median|/MAD > τ — median-based, so the detector's own
     // scale survives the outliers it hunts (unlike Q8's mean/σ).
@@ -2253,6 +2272,39 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q102_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
+        |s AS (SELECT qid, nid, ql, cl,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE qid <> nid AND ql <> cl),
+        |r AS (SELECT qid, nid, ql, cl, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s)
+        |SELECT qid AS query_id, nid AS neighbor_id,
+        | CAST(ql AS BIGINT) AS query_label, CAST(cl AS BIGINT) AS neighbor_label,
+        | CAST(rank AS BIGINT) AS rank,
+        | CAST(round(sim * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q103_knn_label_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv, label AS cl FROM embeddings),
+        |s AS (SELECT qid, nid, ql, cl,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE qid <> nid),
+        |r AS (SELECT qid, ql, cl,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM s),
+        |v AS (SELECT qid, ql, cl, count(*) AS n_votes
+        |  FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+        |p AS (SELECT qid, ql, cl, n_votes,
+        |  row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, cl) AS vr FROM v)
+        |SELECT qid AS vec_id, CAST(ql AS BIGINT) AS label,
+        | CAST(cl AS BIGINT) AS pred_label, CAST(n_votes AS BIGINT) AS n_votes,
+        | (ql = cl) AS correct
+        |FROM p WHERE vr = 1 ORDER BY vec_id""".stripMargin,
     "q101_mad_anomalies" ->
       """WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
         |dev AS (SELECT event_id, value, abs(value - med.m) AS absdev

@@ -96,6 +96,75 @@ object Similarity {
         round(col("score") * 1e6).cast("long").as("dot_e6"))
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar corpus vectors whose label DIFFERS — the near-boundary
+    * negatives that make embedding models learn (random negatives are too
+    * easy; same-label hits are positives, not negatives). Same broadcast +
+    * per-query window shape as [[bruteForceTopK]] with the label predicate
+    * pushed into the join, so disqualified pairs never reach the window. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("query_label"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("neighbor_label"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val sims = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("query_label") =!= col("neighbor_label"))
+      .withColumn("sim",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("query_label").cast("long").as("query_label"),
+        col("neighbor_label").cast("long").as("neighbor_label"),
+        col("rank").cast("long").as("rank"),
+        round(col("sim") * 1e6).cast("long").as("sim_e6"))
+  }
+
+  /** kNN label-agreement probe — the standard embedding-space coherence
+    * eval: predict each query's label by majority vote of its k nearest
+    * corpus neighbors and report the vote. High agreement = labels cluster
+    * in the space; a drop after a pipeline change (new encoder, quantizer,
+    * dedup pass) is the canary. Ties break to (more votes, smaller label)
+    * deterministically. Output: (vec_id, label, pred_label, n_votes,
+    * correct).
+    *
+    * Scale shape: the neighbor search is [[bruteForceTopK]]'s exact
+    * baseline (swap in the IVF/PQ paths for production corpora); the vote
+    * itself is one k-bounded grouped count + a per-query window over ≤
+    * `|labels|` rows — nothing beyond the candidate generator depends on
+    * corpus size. */
+  def knnLabelAgreement(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col(labelCol).cast("long").as("label"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).cast("long").as("neighbor_label"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val wSim = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val topk = sims.withColumn("rank", row_number().over(wSim))
+      .filter(col("rank") <= k)
+    val votes = topk.groupBy("query_id", "label", "neighbor_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("neighbor_label"))
+    votes.withColumn("_vr", row_number().over(wVote))
+      .filter(col("_vr") === 1)
+      .select(col("query_id").as("vec_id"), col("label"),
+        col("neighbor_label").as("pred_label"), col("n_votes"),
+        (col("label") === col("neighbor_label")).as("correct"))
+  }
+
   /** Reciprocal-rank fusion of multiple ranked candidate lists — the
     * standard zero-tuning way to combine heterogeneous retrievers (cosine +
     * MIPS, dense + LSH, ANN + keyword): each list contributes

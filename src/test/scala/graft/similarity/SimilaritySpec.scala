@@ -390,6 +390,41 @@ class SimilaritySpec extends SparkSpec {
     fused(2) shouldBe ((10L, 3L, 16393L, 1L)) // single-list, rank 1 → 1e6/61
   }
 
+  test("hardNegatives excludes same-label neighbors before ranking") {
+    // labels: 0,1 share label A; 2,3,4 label B. Query 0's nearest overall
+    // is 1 (identical direction) but it's a positive — the top hard
+    // negative must be 4 (cos 0.707), then 2 (0.0), then 3 (-1).
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(1.0f, 1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val negs = Similarity.hardNegatives(labeled, labeled.where("vec_id = 0"),
+      "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect()
+    negs.map(_.getLong(1)).toSeq shouldBe Seq(4L, 2L, 3L)
+    negs.map(_.getLong(3)).toSeq shouldBe Seq(1L, 1L, 1L) // all label B
+  }
+
+  test("knnLabelAgreement votes the majority neighbor label, ties to smaller") {
+    // 0 queries: neighbors 1 (label 0), 2,4 (label 1), 3 (label 1, opposite
+    // direction, rank 4 — outside k=3). k=3 pool = {1:label0, 4:label1,
+    // 2:label1} → majority label 1, 2 votes; true label 0 → incorrect.
+    val labeled = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(2.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(1.0f, 1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelAgreement(labeled, labeled.where("vec_id = 0"),
+      "vec_id", "embedding", "label", k = 3).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getBoolean(4)) shouldBe ((0L, 0L, 1L, 2L, false))
+  }
+
   test("rrfFuse with one list degenerates to that list's order") {
     val listA = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 1L))
       .toDF("query_id", "neighbor_id", "rank")
