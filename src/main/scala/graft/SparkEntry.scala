@@ -1210,6 +1210,22 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Temperature-scaled domain sampling (α=0.5): keep-rate
+    // (c_min/c_d)^0.5 per domain — the p^α corpus-flattening trick,
+    // deterministic md5-bucket gate, sqrt-exact across engines. The
+    // generator's sources are deliberately balanced, so the query folds
+    // all but two into one heavy macro-domain (18:1 skew) to exercise the
+    // gate: small domains keep rate 10⁶, the heavy one sheds ~76%.
+    "q104_temperature_mix" -> ((s, dir) =>
+      Curation.temperatureSample(
+        Tables.load(s, dir, "documents")
+          .withColumn("domain",
+            when(col("source").isin("src0", "src1"), col("source"))
+              .otherwise(lit("web"))),
+        "doc_id", "domain", alpha = 0.5)
+        .select("doc_id", "domain", "rate_e6")
+        .orderBy("doc_id")),
+
     // Hard-negative mining: per query, the top-5 most-similar vectors with
     // a DIFFERENT label — the near-boundary negatives contrastive training
     // feeds on. Label predicate inside the join, never after the window.
@@ -2272,6 +2288,20 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q104_temperature_mix" ->
+      """WITH doms AS (SELECT doc_id,
+        |  CASE WHEN source IN ('src0', 'src1') THEN source ELSE 'web' END AS domain
+        |  FROM documents),
+        |counts AS (SELECT domain, count(*) AS n FROM doms GROUP BY domain),
+        |mn AS (SELECT min(n) AS mn FROM counts),
+        |rates AS (SELECT domain,
+        |  CAST(floor(sqrt(CAST(mn.mn AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS rate_e6
+        |  FROM counts, mn)
+        |SELECT d.doc_id, d.domain, rates.rate_e6
+        |FROM doms d JOIN rates USING (domain)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+        |  < rates.rate_e6
+        |ORDER BY d.doc_id""".stripMargin,
     "q102_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS ql
         |  FROM embeddings WHERE vec_id < 20),

@@ -343,6 +343,47 @@ object Curation {
     df.filter(Chunking.stratifiedHashSample(col(m.keyColumn),
       col(m.domainColumn), m.rates, m.defaultPct))
 
+  /** Temperature-scaled domain keep-rates — the `p^α` sampling trick of
+    * multilingual/multi-domain LLM training (XLM, mT5): flatten the domain
+    * distribution toward uniform without hand-picking rates. Target share
+    * ∝ count^α, realized as downsampling with keep-rate
+    * (c_min/c_d)^(1−α) in e6 micro-units — the smallest domain keeps
+    * everything (rate 10⁶), larger domains shed mass; α=1 keeps the corpus
+    * untouched, α=0 equalizes domains. α=0.5 (the common setting) computes
+    * via `sqrt` — IEEE-correctly-rounded in every engine, so rates
+    * hash-compare; other α go through `pow`, whose last ulp is
+    * libm-specific (engine-local — don't oracle them). One grouped count;
+    * output is |domains|-sized. */
+  def temperatureSampleRates(df: DataFrame, domainCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("_min"))
+    val ratio = col("_min").cast("double") / col("n_docs").cast("double")
+    val scaled =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    counts.crossJoin(broadcast(minN))
+      .withColumn("rate_e6", floor(scaled * 1e6).cast("long"))
+      .drop("_min")
+  }
+
+  /** [[temperatureSampleRates]] APPLIED: deterministic md5-bucket gate per
+    * row (a row's fate depends only on its key and its domain's corpus
+    * count — stable across runs, engines, partitionings). The rates frame
+    * is |domains|-sized and broadcast; the gate is row-local — one grouped
+    * count + one broadcast join at any corpus scale. `rate_e6` rides along
+    * as the audit column. */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double): DataFrame = {
+    val rates = temperatureSampleRates(df, domainCol, alpha)
+      .select(col(domainCol), col("rate_e6"))
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % lit(1000000L)
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(bucket < col("rate_e6"))
+  }
+
   /** The full config-driven stage in reference order: language filter →
     * gate → PII scrub → dedup → mix → budget cut. Each sub-stage is
     * optional; absent blocks pass the frame through. The language filter

@@ -159,6 +159,41 @@ class CurationSpec extends SparkSpec {
     out(5L) shouldBe ((6L, 3L)) // null last, not dropped
   }
 
+  test("temperatureSampleRates: min domain keeps all; alpha bounds hold") {
+    // 100 web docs vs 25 niche docs
+    val docs = ((1 to 100).map(i => (i.toLong, "web")) ++
+      (101 to 125).map(i => (i.toLong, "niche")))
+      .toDF("doc_id", "source")
+    val r05 = Curation.temperatureSampleRates(docs, "source", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    r05("niche") shouldBe 1000000L          // smallest domain: keep all
+    r05("web") shouldBe 500000L             // sqrt(25/100) = 0.5
+    // alpha=1: untouched corpus — every rate 1e6
+    Curation.temperatureSampleRates(docs, "source", alpha = 1.0)
+      .collect().map(_.getLong(2)).toSet shouldBe Set(1000000L)
+    // alpha=0: full flattening — web rate = 25/100
+    Curation.temperatureSampleRates(docs, "source", alpha = 0.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      .apply("web") shouldBe 250000L
+  }
+
+  test("temperatureSample keeps the whole min domain, downsamples the big one") {
+    val docs = ((1 to 100).map(i => (i.toLong, "web")) ++
+      (101 to 125).map(i => (i.toLong, "niche")))
+      .toDF("doc_id", "source")
+    val kept = Curation.temperatureSample(docs, "doc_id", "source", alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("niche") shouldBe 25L // rate 1e6 → every row survives the gate
+    // web keeps roughly half (md5 buckets ≈ uniform); exact count is
+    // deterministic — pin it so any hash/gate change is loud
+    kept("web") should (be >= 35L and be <= 65L)
+    val again = Curation.temperatureSample(docs, "doc_id", "source", alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    again shouldBe kept // same keys + rates → same rows, always
+  }
+
   test("qualityFilter gates on token count, word length, ttr, repetition") {
     val docs = Seq(
       (1L, (1 to 30).map(i => s"tok$i").mkString(" ")), // passes every rule
