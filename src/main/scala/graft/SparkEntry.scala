@@ -1210,6 +1210,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Per-batch novelty curve: docs in ingest batches of 100, 3-gram
+    // shingles attributed to their first batch — the marginal-new-content
+    // signal that says when a source is exhausted.
+    "q105_novelty_curve" -> ((s, dir) =>
+      TextAnalysis.noveltyCurve(
+        Tables.load(s, dir, "documents")
+          .withColumn("batch", expr("doc_id div 100")),
+        "text", "batch", n = 3)
+        .orderBy("batch")),
+
     // Temperature-scaled domain sampling (α=0.5): keep-rate
     // (c_min/c_d)^0.5 per domain — the p^α corpus-flattening trick,
     // deterministic md5-bucket gate, sqrt-exact across engines. The
@@ -2288,6 +2298,23 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q105_novelty_curve" ->
+      """WITH t AS (SELECT doc_id // 100 AS batch,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT DISTINCT batch, unnest(list_transform(list_distinct(
+        |  list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS h FROM t),
+        |per AS (SELECT batch, count(*) AS n_shingles FROM sh GROUP BY batch),
+        |fs AS (SELECT h, min(batch) AS batch FROM sh GROUP BY h),
+        |nw AS (SELECT batch, count(*) AS new_shingles FROM fs GROUP BY batch)
+        |SELECT per.batch, CAST(per.n_shingles AS BIGINT) AS n_shingles,
+        | CAST(coalesce(nw.new_shingles, 0) AS BIGINT) AS new_shingles,
+        | CAST(CASE WHEN per.n_shingles = 0 THEN 0
+        |   ELSE coalesce(nw.new_shingles, 0) * 1000000 // per.n_shingles END AS BIGINT)
+        |  AS novelty_e6
+        |FROM per LEFT JOIN nw USING (batch)
+        |ORDER BY per.batch""".stripMargin,
     "q104_temperature_mix" ->
       """WITH doms AS (SELECT doc_id,
         |  CASE WHEN source IN ('src0', 'src1') THEN source ELSE 'web' END AS domain

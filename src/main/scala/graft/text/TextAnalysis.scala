@@ -395,6 +395,40 @@ object TextAnalysis {
           .otherwise(expr("n_novel * 1000000L div n_shingles")))
   }
 
+  /** Per-batch novelty curve — the ingest-value signal over TIME instead
+    * of per document ([[noveltyScore]]'s batch-level integral): for each
+    * ingest batch, how many of its distinct n-gram shingles appear for the
+    * FIRST time in that batch (attribution by min batch — ties go to the
+    * earliest, so a shingle is "new" exactly once). A flattening curve
+    * says the source is exhausted — stop paying for it; a step says a new
+    * content vein. `batchCol` is any integer batch assignment (ingest day,
+    * crawl id, doc_id div N).
+    *
+    * Scale shape: shingles hash row-locally, reduce to distinct (batch,
+    * hash) pairs (partial-aggregating), then ALL counting happens in
+    * vocabulary space (min-batch per hash, count per batch) — no windows,
+    * no pair joins, nothing corpus-frequency-keyed in one task. Integer
+    * micro-unit ratios. */
+  def noveltyCurve(df: DataFrame, textCol: String, batchCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"bad n-gram size: $n")
+    val batchShingles = df.select(col(batchCol).cast("long").as("batch"),
+        explode(coalesce(call_function("shingle_hashes", col(textCol), lit(n)),
+          typedlit(Seq.empty[Long]))).as("h"))
+      .distinct()
+    val perBatch = batchShingles.groupBy("batch")
+      .agg(count(lit(1)).as("n_shingles"))
+    val newPerBatch = batchShingles.groupBy("h")
+      .agg(min(col("batch")).as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("new_shingles"))
+    perBatch.join(newPerBatch, Seq("batch"), "left")
+      .select(col("batch"), col("n_shingles"),
+        coalesce(col("new_shingles"), lit(0L)).as("new_shingles"))
+      .withColumn("novelty_e6",
+        when(col("n_shingles") === 0, lit(0L))
+          .otherwise(expr("new_shingles * 1000000L div n_shingles")))
+  }
+
   /** One-pass text profile of a corpus: the per-document quality columns.
     * Ratio columns are micro-unit integers (`round(x*1e6)` of a
     * deterministic double) — integer-rounding a shared double is identical

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
@@ -205,6 +205,29 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((4L, 3L, 750000L))
     out(3L) shouldBe ((2L, 2L, 1000000L))
     out(4L) shouldBe ((0L, 0L, 0L))
+  }
+
+  test("noveltyCurve attributes each shingle to its first batch exactly once") {
+    // batch 0: "a b c d" → shingles {abc, bcd}; batch 1 doc repeats "a b c"
+    // (seen) and adds "x y z" (new); batch 2 is all repeats → novelty 0
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c"), (1L, "x y z"),
+      (2L, "a b c d x y z"))
+      .toDF("batch", "text")
+    val curve = TextAnalysis.noveltyCurve(docs, "text", "batch", n = 3)
+      .orderBy("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    curve(0) shouldBe ((0L, 2L, 2L, 1000000L)) // abc, bcd — all new
+    curve(1) shouldBe ((1L, 2L, 1L, 500000L))  // abc seen, xyz new
+    // batch 2's 5 shingles: abc,bcd + cdx,dxy,xyz... cdx/dxy ARE new here
+    curve(2)._1 shouldBe 2L
+    curve(2)._2 shouldBe 5L
+    curve(2)._3 shouldBe 2L // cdx, dxy first appear in batch 2
+    // every shingle is new in exactly one batch
+    curve.map(_._3).sum shouldBe
+      TextAnalysis.noveltyCurve(docs.withColumn("batch", lit(0L)),
+        "text", "batch", 3).head().getLong(1)
   }
 
   test("native bpeTokenCount ≡ the regex forms on edge inputs and the corpus") {
