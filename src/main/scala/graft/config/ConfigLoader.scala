@@ -341,13 +341,22 @@ object ConfigLoader {
         },
         mixing = cm.get("mixing").map { m =>
           val mm = asMap(m, "curation.mixing")
-          MixingSpec(
+          val spec = MixingSpec(
             keyColumn = str(mm, "key_column", "curation.mixing"),
             domainColumn = str(mm, "domain_column", "curation.mixing"),
             rates = asMap(mm.getOrElse("rates",
                 new java.util.LinkedHashMap[String, Any]()), "curation.mixing.rates")
               .map { case (k, v) => k -> v.toString.toInt }.toMap,
-            defaultPct = mm.get("default_pct").map(_.toString.toInt).getOrElse(100))
+            defaultPct = mm.get("default_pct").map(_.toString.toInt).getOrElse(100),
+            temperature = mm.get("temperature").map(_.toString.toDouble))
+          spec.temperature.foreach { a =>
+            if (a < 0.0 || a > 1.0) throw new ConfigError(
+              s"curation.mixing.temperature must be in [0,1], got $a")
+            if (spec.rates.nonEmpty) throw new ConfigError(
+              "curation.mixing: temperature and explicit rates are exclusive " +
+                "(temperature DERIVES the rates from corpus counts)")
+          }
+          spec
         },
         budget = cm.get("budget").map { b =>
           val bm = asMap(b, "curation.budget")

@@ -136,12 +136,18 @@ object NearDedupSpec {
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;
-  * strata absent from `rates` keep `defaultPct`. */
+  * strata absent from `rates` keep `defaultPct`. Alternatively set
+  * `temperature` (α ∈ [0,1]) to DERIVE rates from corpus counts as
+  * (c_min/c_d)^(1−α) (`Curation.temperatureSample` — the p^α flattening
+  * trick) instead of hand-picking them; exclusive with `rates`, and
+  * batch-only (the rate derivation is a corpus aggregate an unbounded
+  * stream cannot host). */
 final case class MixingSpec(
     keyColumn: String,
     domainColumn: String,
     rates: Map[String, Int] = Map.empty,
-    defaultPct: Int = 100)
+    defaultPct: Int = 100,
+    temperature: Option[Double] = None)
 
 /** curation.budget — the final corpus cut to a target training-token count:
   * greedy best-first prefix ordered by (scoreColumn desc, idColumn asc)

@@ -92,6 +92,11 @@ object Streaming {
     require(spec.budget.isEmpty,
       "curation.budget is batch-only: the greedy best-first cut needs a " +
         "total order over the corpus, which an unbounded stream cannot have")
+    require(spec.mixing.forall(_.temperature.isEmpty),
+      "curation.mixing.temperature is batch-only: deriving rates needs a " +
+        "corpus-wide domain count an unbounded stream cannot host — " +
+        "configure explicit rates for streaming, or derive them in batch " +
+        "with Curation.temperatureSampleRates and paste the percentages")
     val src = spark.readStream.schema(schema).parquet(inputDir)
     // language filter and gate are row-local predicates — they stream
     // unchanged, in the same order as the batch stage

@@ -338,10 +338,18 @@ object Curation {
   }
 
   /** Domain mixing as a deterministic per-stratum hash sample — the
-    * up/down-sampling decision `domainMixingReport` informs, applied. */
+    * up/down-sampling decision `domainMixingReport` informs, applied.
+    * With `temperature` set, the rates are DERIVED from corpus counts via
+    * [[temperatureSample]] instead (its `rate_e6` audit column rides
+    * through, like redactPii's n_redactions). */
   def applyMixing(df: DataFrame, m: MixingSpec): DataFrame =
-    df.filter(Chunking.stratifiedHashSample(col(m.keyColumn),
-      col(m.domainColumn), m.rates, m.defaultPct))
+    m.temperature match {
+      case Some(alpha) =>
+        temperatureSample(df, m.keyColumn, m.domainColumn, alpha)
+      case None =>
+        df.filter(Chunking.stratifiedHashSample(col(m.keyColumn),
+          col(m.domainColumn), m.rates, m.defaultPct))
+    }
 
   /** Temperature-scaled domain keep-rates — the `p^α` sampling trick of
     * multilingual/multi-domain LLM training (XLM, mT5): flatten the domain

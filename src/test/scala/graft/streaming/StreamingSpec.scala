@@ -148,6 +148,20 @@ class StreamingSpec extends SparkSpec {
     new java.io.File(s"$chk/graft_corpus_state/sets").exists() shouldBe true
   }
 
+  test("curationStream rejects temperature mixing (corpus aggregate, batch-only)") {
+    import graft.config.{CurationSpec, MixingSpec}
+    val in = Files.createTempDirectory("graft_curt_in").toString
+    val out = Files.createTempDirectory("graft_curt_out").toString
+    val chk = Files.createTempDirectory("graft_curt_chk").toString
+    val batch = Seq((1L, "some content", "web")).toDF("doc_id", "text", "source")
+    batch.write.mode("append").parquet(in)
+    val spec = CurationSpec(mixing =
+      Some(MixingSpec("doc_id", "source", temperature = Some(0.5))))
+    val e = the[IllegalArgumentException] thrownBy Streaming.curationStream(
+      spark, in, batch.schema, spec, out, chk)
+    e.getMessage should include("batch-only")
+  }
+
   test("curationStream refuses an outDir holding a legacy _spark_metadata log") {
     import graft.config.CurationSpec
     val in = Files.createTempDirectory("graft_curm_in").toString

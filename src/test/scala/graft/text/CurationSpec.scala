@@ -194,6 +194,42 @@ class CurationSpec extends SparkSpec {
     again shouldBe kept // same keys + rates → same rows, always
   }
 
+  test("applyMixing with temperature derives rates instead of reading them") {
+    import graft.config.MixingSpec
+    val docs = ((1 to 100).map(i => (i.toLong, "web")) ++
+      (101 to 125).map(i => (i.toLong, "niche")))
+      .toDF("doc_id", "source")
+    val mixed = Curation.applyMixing(docs,
+      MixingSpec("doc_id", "source", temperature = Some(0.5)))
+    mixed.columns should contain("rate_e6") // audit column rides through
+    val kept = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept("niche") shouldBe 25L
+    kept("web") should be < 100L
+    // config validation: temperature and explicit rates are exclusive
+    val bad =
+      """version: "1.0"
+        |pipeline:
+        |  name: t
+        |silver: {}
+        |curation:
+        |  mixing:
+        |    key_column: doc_id
+        |    domain_column: source
+        |    temperature: 0.5
+        |    rates:
+        |      web: 50
+        |""".stripMargin
+    val e = the[graft.config.ConfigLoader.ConfigError] thrownBy
+      graft.config.ConfigLoader.parse(bad)
+    e.getMessage should include("exclusive")
+    val bad2 = bad.replace("    rates:\n      web: 50\n", "")
+      .replace("temperature: 0.5", "temperature: 1.5")
+    val e2 = the[graft.config.ConfigLoader.ConfigError] thrownBy
+      graft.config.ConfigLoader.parse(bad2)
+    e2.getMessage should include("[0,1]")
+  }
+
   test("qualityFilter gates on token count, word length, ttr, repetition") {
     val docs = Seq(
       (1L, (1 to 30).map(i => s"tok$i").mkString(" ")), // passes every rule
