@@ -1210,6 +1210,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Matryoshka truncation recall: top-5 under the first 32 of 64 dims
+    // vs full-dim top-5 per query — the storage/recall tradeoff curve for
+    // truncatable (MRL-style) embeddings, composed entirely from existing
+    // operators (slice → bruteForceTopK → topKRecall).
+    "q106_matryoshka_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val truncated = emb.withColumn("embedding",
+        slice(col("embedding"), 1, 32))
+      val queries = (e: org.apache.spark.sql.DataFrame) =>
+        e.filter(col("vec_id") < 20)
+      Similarity.topKRecall(
+        Similarity.bruteForceTopK(emb, queries(emb),
+          "vec_id", "embedding", k = 5),
+        Similarity.bruteForceTopK(truncated, queries(truncated),
+          "vec_id", "embedding", k = 5))
+        .orderBy("query_id")
+    }),
+
     // Per-batch novelty curve: docs in ingest batches of 100, 3-gram
     // shingles attributed to their first batch — the marginal-new-content
     // signal that says when a source is exhausted.
@@ -2298,6 +2316,29 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q106_matryoshka_recall" ->
+      """WITH full_v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |tr AS (SELECT vec_id, (embedding[1:32])::DOUBLE[] AS e FROM embeddings),
+        |fs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_dot_product(q.e, c.e) /
+        |    (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM full_v q, full_v c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |ts AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_dot_product(q.e, c.e) /
+        |    (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM tr q, tr c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |fr AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM fs),
+        |trr AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM ts),
+        |e AS (SELECT qid, nid FROM fr WHERE rank <= 5),
+        |a AS (SELECT qid, nid, 1 AS found FROM trr WHERE rank <= 5)
+        |SELECT e.qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        | CAST(count(a.found) AS BIGINT) AS n_found,
+        | CAST(round(CAST(count(a.found) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |   * 1000000.0) AS BIGINT) AS recall_e6
+        |FROM e LEFT JOIN a USING (qid, nid)
+        |GROUP BY e.qid ORDER BY query_id""".stripMargin,
     "q105_novelty_curve" ->
       """WITH t AS (SELECT doc_id // 100 AS batch,
         |  string_split(trim(text), ' ') AS toks FROM documents),
