@@ -1210,6 +1210,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Quality-aware near-dedup: q45's clusters, but each keeps its
+    // LONGEST member (n_chars desc, ties min id) instead of the min-id
+    // one — the clean-original-over-degraded-mirror selection.
+    "q107_keep_best_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
+          maxShingleFreq = 100)
+        .filter(col("jaccard") > 0.5)
+      Dedup.removeNearDupesKeepBest(docs, "doc_id",
+        Dedup.dupClusters(pairs), "n_chars")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Matryoshka truncation recall: top-5 under the first 32 of 64 dims
     // vs full-dim top-5 per query — the storage/recall tradeoff curve for
     // truncatable (MRL-style) embeddings, composed entirely from existing
@@ -2316,6 +2330,34 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q107_keep_best_dedup" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5),
+        |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src),
+        |rk AS (SELECT labels.id, row_number() OVER (PARTITION BY labels.label
+        |    ORDER BY d.n_chars DESC, labels.id) AS rk
+        |  FROM labels JOIN documents d ON labels.id = d.doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM rk WHERE rk > 1)
+        |ORDER BY doc_id""".stripMargin,
     "q106_matryoshka_recall" ->
       """WITH full_v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |tr AS (SELECT vec_id, (embedding[1:32])::DOUBLE[] AS e FROM embeddings),

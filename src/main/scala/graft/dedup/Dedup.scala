@@ -533,6 +533,32 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware canonical selection: keep each near-dup cluster's
+    * HIGHEST-`scoreCol` member (ties to the smallest id) instead of
+    * [[removeNearDupes]]'s min-id representative — near-dup groups usually
+    * hold one clean original and N degraded mirrors, and min-id keeps
+    * whichever crawled first, not whichever is best. Non-clustered rows
+    * pass through untouched.
+    *
+    * Scale shape: `clusters` is dup-membership-sized (≪ corpus); the
+    * cluster frame joins by id, and the per-cluster argmax window
+    * partitions by label — bounded by cluster size, which near-dup
+    * semantics keep small (a giant cluster means the threshold is wrong,
+    * not the engine). One broadcast-eligible join + one bounded window +
+    * one anti-join. */
+  def removeNearDupesKeepBest(df: DataFrame, idCol: String,
+      clusters: DataFrame, scoreCol: String): DataFrame = {
+    val members = df.select(col(idCol).as("id"), col(scoreCol).as("_score"))
+      .join(clusters, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      .orderBy(col("_score").desc, col("id"))
+    val losers = members
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end embedding near-dedup AT SCALE — the production path: LSH
     * sign-hash buckets (deterministic md5-derived hyperplanes, native
     * `vec_lsh_bucket`) prune cosine pair generation to within-bucket joins,

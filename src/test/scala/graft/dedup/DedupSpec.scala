@@ -140,6 +140,25 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(1L, 3L, 4L) // canonical members + untouched singleton
   }
 
+  test("removeNearDupesKeepBest keeps the argmax-score member, ties to min id") {
+    // cluster {1,2,6}: best score is 6's; cluster {3,5}: tie → min id 3;
+    // singleton 4 untouched
+    val pairs = Seq((1L, 2L), (2L, 6L), (3L, 5L)).toDF("id_a", "id_b")
+    val corpus = Seq(
+      (1L, 10L), (2L, 30L), (6L, 90L),
+      (3L, 40L), (5L, 40L),
+      (4L, 1L))
+      .toDF("doc_id", "score")
+    val kept = Dedup.removeNearDupesKeepBest(corpus, "doc_id",
+        Dedup.dupClusters(pairs), "score")
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(3L, 4L, 6L) // NOT the min-id members 1 and 3-only
+    // and the min-id form keeps a different set — the operators disagree
+    // exactly on clusters whose best member isn't the min id
+    Dedup.removeNearDupes(corpus, "doc_id", Dedup.dupClusters(pairs))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L, 4L)
+  }
+
   test("dup clusters: pointer jumping converges on chains deeper than maxIter") {
     // a 40-node path: linear propagation needs 39 rounds; doubling ~6
     val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
