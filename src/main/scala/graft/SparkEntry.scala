@@ -1210,6 +1210,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Dense-series anomaly: q97's gap-filled calendar series under a
+    // trailing-7-day moving z-test — densification first means quiet days
+    // exist as rows and a spike after a gap is judged against the true
+    // calendar window, not the last 7 OBSERVED days. The z² > τ²
+    // comparison is replayed as an exact integer inequality
+    // (n·v − s)²·(n−1) > τ²·n·(n·q − s²), so no stddev/sqrt ever runs and
+    // both engines agree bit-for-bit.
+    "q108_dense_anomaly" -> ((s, dir) => {
+      val daily = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .groupBy(col("o_orderpriority").as("key"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val dense = graft.ops.TimeSeries.gapFillDaily(daily, "key", "day", "n_orders")
+      val w = Window.partitionBy("key").orderBy("day").rowsBetween(-7, -1)
+      dense
+        .withColumn("win_n", count(col("n_orders")).over(w))
+        .withColumn("win_sum", sum(col("n_orders")).over(w))
+        .withColumn("win_sumsq",
+          sum(col("n_orders") * col("n_orders")).over(w))
+        .withColumn("is_anomaly",
+          col("win_n") >= 3 &&
+            expr("""(n_orders * win_n - win_sum) * (n_orders * win_n - win_sum)
+                    * (win_n - 1) > 9 * win_n * (win_n * win_sumsq - win_sum * win_sum)"""))
+        .filter(col("is_anomaly"))
+        .select(col("key"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_orders"), col("win_n"), col("win_sum"))
+        .orderBy("key", "day")
+    }),
+
     // Quality-aware near-dedup: q45's clusters, but each keeps its
     // LONGEST member (n_chars desc, ties min id) instead of the min-id
     // one — the clean-original-over-degraded-mirror selection.
@@ -2330,6 +2360,36 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q108_dense_anomaly" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,
+        |         count(*) AS n_orders
+        |  FROM orders WHERE o_orderkey % 50 = 0 GROUP BY 1, 2),
+        |span AS (SELECT key, min(day) AS lo, max(day) AS hi FROM daily GROUP BY key),
+        |cal AS (SELECT key,
+        |  CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |dense AS (SELECT cal.key, cal.day,
+        |  last_value(daily.n_orders IGNORE NULLS) OVER (PARTITION BY cal.key
+        |    ORDER BY cal.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_orders
+        |  FROM cal LEFT JOIN daily ON cal.key = daily.key AND cal.day = daily.day),
+        |win AS (SELECT key, day, n_orders,
+        |  count(n_orders) OVER w AS win_n,
+        |  sum(n_orders) OVER w AS win_sum,
+        |  sum(n_orders * n_orders) OVER w AS win_sumsq
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY key ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT key, strftime(day, '%Y-%m-%d') AS day,
+        | CAST(n_orders AS BIGINT) AS n_orders,
+        | CAST(win_n AS BIGINT) AS win_n, CAST(win_sum AS BIGINT) AS win_sum
+        |FROM win
+        |WHERE win_n >= 3 AND
+        |  (n_orders * win_n - win_sum) * (n_orders * win_n - win_sum) * (win_n - 1)
+        |    > 9 * win_n * (win_n * win_sumsq - win_sum * win_sum)
+        |ORDER BY key, day""".stripMargin,
     "q107_keep_best_dedup" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
