@@ -159,6 +159,15 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L, 4L)
   }
 
+  test("removeNearDupesKeepBest plans an anti-join — losers never materialize wide") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val corpus = Seq((1L, 10L), (2L, 30L)).toDF("doc_id", "score")
+    val plan = Dedup.removeNearDupesKeepBest(corpus, "doc_id",
+        Dedup.dupClusters(pairs), "score")
+      .queryExecution.executedPlan.toString
+    plan should include("LeftAnti")
+  }
+
   test("dup clusters: pointer jumping converges on chains deeper than maxIter") {
     // a 40-node path: linear propagation needs 39 rounds; doubling ~6
     val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")

@@ -194,6 +194,16 @@ class CurationSpec extends SparkSpec {
     again shouldBe kept // same keys + rates → same rows, always
   }
 
+  test("temperatureSample plans a broadcast join of the domains-sized rates") {
+    val docs = ((1 to 50).map(i => (i.toLong, "web")) ++
+      (51 to 60).map(i => (i.toLong, "niche")))
+      .toDF("doc_id", "source")
+    val plan = Curation.temperatureSample(docs, "doc_id", "source", 0.5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin") // rates never shuffle the corpus
+    plan should not include "SortMergeJoin"
+  }
+
   test("applyMixing with temperature derives rates instead of reading them") {
     import graft.config.MixingSpec
     val docs = ((1 to 100).map(i => (i.toLong, "web")) ++
