@@ -1317,6 +1317,15 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Per-group robust MAD anomalies: each event_type scored against ITS
+    // OWN median/MAD — a value normal globally can be wildly anomalous
+    // for its stratum.
+    "q109_mad_by_group" -> ((s, dir) =>
+      Anomaly.madAnomaliesByGroup(
+        Tables.load(s, dir, "events"), "value", "event_type", tau = 2.5)
+        .select("event_id", "event_type", "value", "robust_z_e6")
+        .orderBy("event_id")),
+
     // Robust MAD anomalies (exact twin): |value| outliers by
     // 0.6745·|x−median|/MAD > τ — median-based, so the detector's own
     // scale survives the outliers it hunts (unlike Q8's mean/σ).
@@ -2360,6 +2369,19 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q109_mad_by_group" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY event_type),
+        |dev AS (SELECT e.event_id, e.event_type, e.value,
+        |  abs(e.value - med.m) AS absdev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS d
+        |  FROM dev GROUP BY event_type)
+        |SELECT dev.event_id, dev.event_type, dev.value,
+        | CAST(round(0.6745 * dev.absdev / mad.d * 1000000.0) AS BIGINT) AS robust_z_e6
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE mad.d > 0 AND 0.6745 * dev.absdev / mad.d > 2.5
+        |ORDER BY dev.event_id""".stripMargin,
     "q108_dense_anomaly" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS key, CAST(o_orderdate AS DATE) AS day,

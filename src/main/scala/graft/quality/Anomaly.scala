@@ -219,6 +219,31 @@ object Anomaly {
       .drop("_med", "_absdev", "_mad")
   }
 
+  /** Per-GROUP robust MAD anomalies — [[madAnomaliesExact]] stratified by
+    * `byCol` (per-domain / per-event-type monitoring: a value normal
+    * globally can be wildly anomalous for ITS stratum, and one stratum's
+    * outliers must not widen another's scale). Same bounded-cardinality
+    * contract on `byCol` as `winsorize` (grouped percentile state is
+    * per-group-buffered); null-keyed groups are scored against their own
+    * median, not dropped (null-safe joins, the winsorize lesson). MAD = 0
+    * strata flag nothing. Two grouped percentile aggregates broadcast back;
+    * flagging row-local. */
+  def madAnomaliesByGroup(df: DataFrame, column: String, byCol: String,
+      tau: Double = 3.5): DataFrame = {
+    val med = df.groupBy(col(byCol).as("_by"))
+      .agg(expr(s"percentile($column, 0.5)").as("_med"))
+    val dev = df.join(broadcast(med), col(byCol) <=> col("_by")).drop("_by")
+      .withColumn("_absdev", abs(col(column) - col("_med")))
+    val mad = dev.groupBy(col(byCol).as("_by"))
+      .agg(expr("percentile(_absdev, 0.5)").as("_mad"))
+    dev.join(broadcast(mad), col(byCol) <=> col("_by")).drop("_by")
+      .filter(col("_mad") > 0 &&
+        lit(0.6745) * col("_absdev") / col("_mad") > lit(tau))
+      .withColumn("robust_z_e6",
+        round(lit(0.6745) * col("_absdev") / col("_mad") * 1e6).cast("long"))
+      .drop("_med", "_absdev", "_mad")
+  }
+
   /** Exact interpolated quantiles (SQL `percentile`) — the deterministic
     * counterpart of iqrBounds, used by the correctness oracle. */
   def exactQuantiles(df: DataFrame, column: String, ps: Seq[Double]): DataFrame = {

@@ -69,6 +69,21 @@ class AnomalySpec extends SparkSpec {
       math.round(0.6745 * 9949.5 / 25.0 * 1e6)
   }
 
+  test("madAnomaliesByGroup scores each stratum against its own scale") {
+    // group a: tight around 10 (MAD 1) with one 100 → anomalous IN a;
+    // group b: wide scale — the same 100 is an ordinary b value;
+    // null group: gets its own median, not dropped
+    val df = ((1 to 20).map(i => (Some("a"), 10.0 + (i % 3) - 1)) :+
+      ((Some("a"), 100.0)) :+
+      ((Some("b"), 100.0)) :+ ((Some("b"), 200.0)) :+
+      ((Some("b"), 300.0)) :+ ((Some("b"), 400.0)) :+
+      ((None: Option[String], 5.0)) :+ ((None: Option[String], 5.5)))
+      .toDF("g", "v")
+    val out = Anomaly.madAnomaliesByGroup(df, "v", "g", tau = 3.5)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Double]("v")))
+    out.toSeq shouldBe Seq(("a", 100.0)) // only vs a's own tight scale
+  }
+
   test("madAnomalies: MAD=0 (constant majority) flags nothing, not everything") {
     val df = (Seq.fill(10)(5.0) :+ 9999.0).toDF("v")
     Anomaly.madAnomalies(df, "v").count() shouldBe 0
