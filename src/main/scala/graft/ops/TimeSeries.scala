@@ -36,6 +36,14 @@ object TimeSeries {
     * `dayCol` must be a DATE column. */
   def gapFillDaily(df: DataFrame, keyCol: String, dayCol: String,
       valueCol: String): DataFrame = {
+    // a TIMESTAMP dayCol would silently break the semantics (the calendar
+    // explode emits midnights that never equi-join sub-day observations,
+    // so every real row would be resurrected as a gap) — reject loudly
+    val dayType = df.schema(dayCol).dataType
+    require(dayType == org.apache.spark.sql.types.DateType,
+      s"gapFillDaily needs a DATE day column; '$dayCol' is $dayType " +
+        "(to_date() it first — sub-day timestamps would never match the " +
+        "generated calendar days)")
     val span = df.groupBy(col(keyCol))
       .agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
     val cal = span.select(col(keyCol),

@@ -173,6 +173,9 @@ object Similarity {
     * across engines (the classic 1/(60+r) with k=60 default, Cormack &
     * Clarke SIGIR'09). Each input needs (query_id, neighbor_id, rank)
     * columns; `n_lists` reports how many lists surfaced the neighbor.
+    * Each list must hold one row per (query, neighbor) — the standard
+    * ranked-retrieval contract; a list with duplicates would contribute
+    * points once per occurrence (garbage in, weighted garbage out).
     *
     * Scale shape: a narrow union of k-bounded lists, ONE keyed aggregate
     * on (query, neighbor), and a per-query window whose partitions are

@@ -55,6 +55,14 @@ class TimeSeriesSpec extends SparkSpec {
     a("2024-01-06") shouldBe Some(6L) // fresh observation replaces carry
   }
 
+  test("rejects a TIMESTAMP day column loudly (sub-day rows would all become gaps)") {
+    val ts = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 1L))
+      .toDF("key", "day", "v")
+    val e = the[IllegalArgumentException] thrownBy
+      TimeSeries.gapFillDaily(ts, "key", "day", "v")
+    e.getMessage should include("DATE")
+  }
+
   test("leading null values stay null until the first non-null observation") {
     val c = filled.filter(_._1 == "c").map(r => r._2 -> (r._3, r._4)).toMap
     c("2024-03-01") shouldBe (None, false)     // observed, value unknown
