@@ -1317,6 +1317,21 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Per-group completeness matrix: null rates per (event_type, column)
+    // in long form — a column 100% complete globally can be 100% null for
+    // one event type (the generator has no nulls, so the query derives
+    // semantically-null columns: error events carry no valid value, every
+    // 7th user id is an unresolvable reference).
+    "q110_completeness_matrix" -> ((s, dir) =>
+      Checks.completenessByGroup(
+        Tables.load(s, dir, "events")
+          .withColumn("value_valid",
+            when(col("event_type") =!= "error", col("value")))
+          .withColumn("user_ref",
+            when(col("user_id") % 7 =!= 0, col("user_id"))),
+        Seq("value_valid", "user_ref"), "event_type")
+        .orderBy("group_key", "column_name")),
+
     // Per-group robust MAD anomalies: each event_type scored against ITS
     // OWN median/MAD — a value normal globally can be wildly anomalous
     // for its stratum.
@@ -2369,6 +2384,23 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
         | CAST(rrf_e6 AS BIGINT) AS rrf_e6, CAST(n_lists AS BIGINT) AS n_lists
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q110_completeness_matrix" ->
+      """WITH e AS (SELECT event_type,
+        |  CASE WHEN event_type <> 'error' THEN value END AS value_valid,
+        |  CASE WHEN user_id % 7 <> 0 THEN user_id END AS user_ref
+        |  FROM events),
+        |w AS (SELECT event_type AS group_key, count(*) AS n_rows,
+        |  count(value_valid) AS nn_value, count(user_ref) AS nn_user
+        |  FROM e GROUP BY event_type),
+        |l AS (
+        |  SELECT group_key, 'value_valid' AS column_name, n_rows,
+        |    n_rows - nn_value AS n_nulls FROM w
+        |  UNION ALL
+        |  SELECT group_key, 'user_ref', n_rows, n_rows - nn_user FROM w)
+        |SELECT group_key, column_name, CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_nulls AS BIGINT) AS n_nulls,
+        | CAST(n_nulls * 1000000 // n_rows AS BIGINT) AS null_rate_e6
+        |FROM l ORDER BY group_key, column_name""".stripMargin,
     "q109_mad_by_group" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
         |  FROM events GROUP BY event_type),

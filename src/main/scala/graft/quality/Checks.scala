@@ -35,6 +35,33 @@ object Checks {
     aggRow(df, aggs, "nullCounts")
   }
 
+  /** Per-GROUP completeness matrix in LONG form: (group_key, column_name,
+    * n_rows, n_nulls, null_rate_e6) — the stratified upgrade of
+    * [[nullCounts]]: a column 100% complete globally can be 100% null for
+    * one source/event-type, which is how a broken upstream feed hides
+    * inside a healthy global rate. One grouped pass over the data (count +
+    * one count per column), then a row-local `stack` unpivot of the
+    * \|groups\|-sized result — never a per-column scan. Null group keys
+    * form their own group (groupBy semantics), integer micro-unit rates. */
+  def completenessByGroup(df: DataFrame, columns: Seq[String],
+      byCol: String): DataFrame = {
+    val present = columns.filter(df.columns.contains)
+    require(present.nonEmpty,
+      s"completenessByGroup: none of $columns exist in " +
+        s"[${df.columns.mkString(",")}]")
+    val aggs = count(lit(1)).as("_n") +:
+      present.map(c => count(col(c)).as(s"_nn_$c"))
+    val wide = df.groupBy(col(byCol).as("group_key"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${present.length}, " +
+      present.map(c => s"'$c', _nn_$c").mkString(", ") +
+      ") AS (column_name, _n_non_null)"
+    wide.select(col("group_key"), col("_n").as("n_rows"), expr(stackExpr))
+      .withColumn("n_nulls", col("n_rows") - col("_n_non_null"))
+      .withColumn("null_rate_e6", expr("n_nulls * 1000000L div n_rows"))
+      .select("group_key", "column_name", "n_rows", "n_nulls", "null_rate_e6")
+  }
+
   /** Q2 — count of values <= 0 per column, one pass. */
   def nonPositiveCounts(df: DataFrame, columns: Seq[String]): DataFrame = {
     val aggs = columns.filter(df.columns.contains).map(c =>

@@ -27,6 +27,24 @@ class ChecksSpec extends SparkSpec {
       ("in_set", "etype") -> 1L)
   }
 
+  test("completenessByGroup: long-form rates per stratum, null group kept") {
+    val df = Seq(
+      (Some("a"), Some(1.0), Some(10L)),
+      (Some("a"), None, Some(11L)),
+      (Some("b"), None, None),
+      (None: Option[String], Some(3.0), None: Option[Long]))
+      .toDF("g", "v", "k")
+    val out = Checks.completenessByGroup(df, Seq("v", "k", "missing"), "g")
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out(("a", "v")) shouldBe ((2L, 1L, 500000L))
+    out(("a", "k")) shouldBe ((2L, 0L, 0L))
+    out(("b", "v")) shouldBe ((1L, 1L, 1000000L)) // 100% null IN b only
+    out(("<null>", "k")) shouldBe ((1L, 1L, 1000000L)) // null group kept
+    out.keySet.map(_._2) shouldBe Set("v", "k") // absent column skipped
+  }
+
   test("zero-row input reports 0 failures, not NPE") {
     val empty = dirty.where("qty > 1000")
     val results = Checks.run(empty, QualitySpec(nullCheckColumns = Seq("value")))
