@@ -33,6 +33,13 @@ object Ingest {
           case "csv" =>
             spark.read.option("header", "true").option("inferSchema", "true")
               .csv(source.path)
+          // beyond the reference's parquet/csv: JSONL is the dominant
+          // LLM-corpus interchange format (one JSON doc per line — what
+          // spark.read.json natively expects), `text` the rawest (one
+          // line per row, a single `value` column) — both land here so
+          // web-corpus drops ingest through the same bronze path
+          case "json" | "jsonl" => spark.read.json(source.path)
+          case "text" => spark.read.text(source.path)
           case other =>
             throw new UnsupportedOperationException(s"unsupported format: $other")
         }

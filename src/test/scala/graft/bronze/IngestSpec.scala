@@ -17,6 +17,28 @@ class IngestSpec extends SparkSpec {
     df.schema("LocationID").dataType.typeName shouldBe "integer"
   }
 
+  test("jsonl source reads one doc per line with inferred schema") {
+    val dir = Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("docs.jsonl")
+    Files.writeString(f,
+      """{"doc_id": 1, "text": "hello world", "source": "web"}
+        |{"doc_id": 2, "text": "second doc", "source": "books"}
+        |""".stripMargin)
+    val df = Ingest.readSource(spark, SourceSpec("file", f.toString, "jsonl"))
+    df.count() shouldBe 2
+    df.columns.sorted shouldBe Array("doc_id", "source", "text")
+    df.schema("doc_id").dataType.typeName shouldBe "long"
+  }
+
+  test("text source reads one line per row into a value column") {
+    val dir = Files.createTempDirectory("graft_text")
+    val f = dir.resolve("corpus.txt")
+    Files.writeString(f, "first line\nsecond line\nthird\n")
+    val df = Ingest.readSource(spark, SourceSpec("file", f.toString, "text"))
+    df.count() shouldBe 3
+    df.columns.toSeq shouldBe Seq("value")
+  }
+
   test("unsupported source types raise like the reference") {
     an[UnsupportedOperationException] should be thrownBy
       Ingest.readSource(spark, SourceSpec("postgres", "jdbc:...", "parquet"))
