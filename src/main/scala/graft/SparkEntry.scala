@@ -2577,7 +2577,9 @@ object SparkEntry {
         |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
         |  FROM q, c WHERE qid <> nid),
         |r AS (SELECT qid AS query_id, nid AS neighbor_id,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank, sim FROM s)
+        |  row_number() OVER (PARTITION BY qid
+        |    ORDER BY CAST(round(sim * 1000000.0) AS BIGINT) DESC, nid) AS rank,
+        |  sim FROM s)
         |SELECT query_id, neighbor_id, rank,
         | CAST(round(sim * 1000000.0) AS BIGINT) AS mmr_e6
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

@@ -33,7 +33,8 @@ object TimeSeries {
     * row-local on that small frame; then ONE keyed join and ONE keyed
     * window (same key partitioning). Day spans explode at most
     * span-per-key rows per key — calendar-bounded, never corpus-bounded.
-    * `dayCol` must be a DATE column. */
+    * `dayCol` must be a DATE column; rows with a NULL day are excluded
+    * (no calendar position) — see the in-body contract comment. */
   def gapFillDaily(df: DataFrame, keyCol: String, dayCol: String,
       valueCol: String): DataFrame = {
     // a TIMESTAMP dayCol would silently break the semantics (the calendar
@@ -44,7 +45,13 @@ object TimeSeries {
       s"gapFillDaily needs a DATE day column; '$dayCol' is $dayType " +
         "(to_date() it first — sub-day timestamps would never match the " +
         "generated calendar days)")
-    val span = df.groupBy(col(keyCol))
+    // null-day rows have no calendar position: min/max would skip them and
+    // the calendar equi-join could never match them, so they'd vanish as
+    // an accident of join semantics. Exclude them EXPLICITLY here instead
+    // — documented contract: a row with a null day is not an observation
+    // on any day (filter or repair nulls upstream if they carry meaning).
+    val obs = df.filter(col(dayCol).isNotNull)
+    val span = obs.groupBy(col(keyCol))
       .agg(min(col(dayCol)).as("_lo"), max(col(dayCol)).as("_hi"))
     val cal = span.select(col(keyCol),
       explode(expr("sequence(_lo, _hi, interval 1 day)")).as(dayCol))
@@ -52,7 +59,7 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // presence marker: non-null on every observed row regardless of the
     // observed value, so is_gap never conflates "no row" with "null value"
-    cal.join(df.withColumn("_observed", lit(1)), Seq(keyCol, dayCol), "left")
+    cal.join(obs.withColumn("_observed", lit(1)), Seq(keyCol, dayCol), "left")
       .withColumn("is_gap", col("_observed").isNull)
       .drop("_observed")
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))

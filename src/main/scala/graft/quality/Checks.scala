@@ -53,8 +53,15 @@ object Checks {
       present.map(c => count(col(c)).as(s"_nn_$c"))
     val wide = df.groupBy(col(byCol).as("group_key"))
       .agg(aggs.head, aggs.tail: _*)
+    // names are interpolated into SQL text: backtick-escape the _nn_
+    // identifiers and quote-escape the label literal, so a column named
+    // with a quote/space/hyphen can't break or silently misparse stack()
     val stackExpr = s"stack(${present.length}, " +
-      present.map(c => s"'$c', _nn_$c").mkString(", ") +
+      present.map { c =>
+        val label = c.replace("\\", "\\\\").replace("'", "\\'")
+        val ident = c.replace("`", "``")
+        s"'$label', `_nn_$ident`"
+      }.mkString(", ") +
       ") AS (column_name, _n_non_null)"
     wide.select(col("group_key"), col("_n").as("n_rows"), expr(stackExpr))
       .withColumn("n_nulls", col("n_rows") - col("_n_non_null"))

@@ -380,15 +380,22 @@ object Curation {
     * count — stable across runs, engines, partitionings). The rates frame
     * is |domains|-sized and broadcast; the gate is row-local — one grouped
     * count + one broadcast join at any corpus scale. `rate_e6` rides along
-    * as the audit column. */
+    * as the audit column.
+    *
+    * Null domains: rates come from the same groupBy that formed a null
+    * group, so the join back is NULL-SAFE (`<=>`) — null-domain rows keep
+    * their own group's rate instead of silently vanishing through a plain
+    * equi-join (matching the explicit-rates mixing path, where null strata
+    * keep defaultPct). */
   def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
       alpha: Double): DataFrame = {
     val rates = temperatureSampleRates(df, domainCol, alpha)
-      .select(col(domainCol), col("rate_e6"))
+      .select(col(domainCol).as("_rate_domain"), col("rate_e6"))
     val bucket =
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
         .cast("long") % lit(1000000L)
-    df.join(broadcast(rates), Seq(domainCol))
+    df.join(broadcast(rates), col(domainCol) <=> col("_rate_domain"))
+      .drop("_rate_domain")
       .filter(bucket < col("rate_e6"))
   }
 

@@ -63,6 +63,20 @@ class TimeSeriesSpec extends SparkSpec {
     e.getMessage should include("DATE")
   }
 
+  test("null-day rows are excluded by contract, not by join accident") {
+    // a null day has no calendar position; it must not widen the span,
+    // become an observation, or leak its value into the fill
+    val withNullDay = sparse.unionByName(
+      Seq(("a", Option.empty[String], Some(99L)))
+        .toDF("key", "day", "v").withColumn("day", to_date($"day")))
+    val out = TimeSeries.gapFillDaily(withNullDay, "key", "day", "v")
+      .filter($"key" === "a").orderBy("day").collect()
+      .map(r => (r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    out.length shouldBe 6 // same span as without the null-day row
+    out.map(_._2) should not contain Some(99L)
+  }
+
   test("leading null values stay null until the first non-null observation") {
     val c = filled.filter(_._1 == "c").map(r => r._2 -> (r._3, r._4)).toMap
     c("2024-03-01") shouldBe (None, false)     // observed, value unknown

@@ -45,6 +45,19 @@ class ChecksSpec extends SparkSpec {
     out.keySet.map(_._2) shouldBe Set("v", "k") // absent column skipped
   }
 
+  test("completenessByGroup survives hostile column names (escaping)") {
+    // a hyphen/space/quote in a column name must not break or misparse the
+    // generated stack() SQL
+    val df = Seq((Some("a"), Some(1.0), Option.empty[Long]),
+      (Some("a"), None, Some(2L)))
+      .toDF("g", "my-col", "it's a col")
+    val out = Checks.completenessByGroup(
+      df, Seq("my-col", "it's a col"), "g").collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
+    out("my-col") shouldBe ((1L, 500000L))
+    out("it's a col") shouldBe ((1L, 500000L))
+  }
+
   test("zero-row input reports 0 failures, not NPE") {
     val empty = dirty.where("qty > 1000")
     val results = Checks.run(empty, QualitySpec(nullCheckColumns = Seq("value")))

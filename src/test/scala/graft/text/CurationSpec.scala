@@ -194,6 +194,20 @@ class CurationSpec extends SparkSpec {
     again shouldBe kept // same keys + rates → same rows, always
   }
 
+  test("temperatureSample keeps null-domain rows (null-safe rate join)") {
+    // the null stratum is its own group: it must keep its own rate, not
+    // silently vanish through a plain equi-join
+    val docs = ((1 to 100).map(i => (i.toLong, Some("web"))) ++
+      (101 to 110).map(i => (i.toLong, Option.empty[String])))
+      .toDF("doc_id", "source")
+    val kept = Curation.temperatureSample(docs, "doc_id", "source", alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    kept(None) shouldBe 10L // smallest domain → rate 1e6 → all survive
+    // web rate = sqrt(10/100) ≈ 0.316 — roughly a third survives the gate
+    kept(Some("web")) should (be >= 15L and be <= 45L)
+  }
+
   test("temperatureSample plans a broadcast join of the domains-sized rates") {
     val docs = ((1 to 50).map(i => (i.toLong, "web")) ++
       (51 to 60).map(i => (i.toLong, "niche")))
