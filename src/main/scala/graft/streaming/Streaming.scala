@@ -292,28 +292,39 @@ object Streaming {
     * group), so each micro-batch emits COMPLETE cumulative values for the
     * groups it touched — per-batch-aggregate-then-merge would corrupt
     * groups spanning batches. foreachBatch then upserts the touched keys
-    * into the mart parquet with `IncrementalMaterializer.merge` semantics.
+    * into a PARTITIONED mart with `IncrementalMaterializer.merge`
+    * semantics, rewriting ONLY the partitions the batch touched (dynamic
+    * partition overwrite) — the same partition-scoped shape as the
+    * reference's dbt merge (revenue_by_payment_type.sql:3-11).
     *
-    * State = one row per group: bounded when mart keys derive from event
-    * time (year/month/hour marts). The mart read-merge-rewrite per batch is
-    * bounded by mart size, not stream volume.
+    * `partitionKeys` must be a non-empty subset of `keys` with stable
+    * values (year/month-style derivations of event time are the natural
+    * choice). Per batch the cost is O(touched partitions), not O(mart):
+    * the merge reads only the touched partition dirs (partition-pruned
+    * scan) and the overwrite replaces only the partition dirs present in
+    * the merged frame — untouched partitions are never read or rewritten,
+    * so a years-deep mart absorbs a steady stream at current-month cost.
     *
-    * Durability: each batch lands in `<mart>__refresh_tmp`, then swaps via
-    * two renames (tmp is never the live mart, and the live mart is never
-    * half-written). A crash between the renames leaves the data at
-    * `<mart>__refresh_bak`; [[recoverMart]] runs at stream start AND at
-    * every batch, so the next attempt restores it before merging — the
-    * exact-once state store then replays the lost batch. All path checks go
-    * through Hadoop `FileSystem`, so the swap works on HDFS/object stores,
-    * not just the local FS. */
+    * Durability: partition replacement commits per-partition through the
+    * file committer (no whole-mart rename swap — S3 renames are copies). A
+    * writer death mid-commit can leave a half-replaced batch, but the
+    * exactly-once state store replays it and the merge is idempotent
+    * (complete cumulative values per group), so the replay converges. */
   def goldRefreshStream(
       events: DataFrame,
       model: graft.config.GoldModel,
       keys: Seq[String],
+      partitionKeys: Seq[String],
       martPath: String,
       checkpointDir: String): StreamingQuery = {
     require(model.orderBy.isEmpty && model.limit.isEmpty,
       "streaming gold models cannot sort/limit — order the mart at read time")
+    require(partitionKeys.nonEmpty,
+      "goldRefreshStream needs at least one partition key — partition-scoped " +
+        "overwrite is the durability story; any stable group-key subset works")
+    require(partitionKeys.forall(keys.contains),
+      s"partitionKeys [${partitionKeys.mkString(",")}] must be a subset of " +
+        s"merge keys [${keys.mkString(",")}]")
     val agg = graft.gold.AggregationEngine.build(events, model)
     agg.writeStream
       .outputMode(OutputMode.Update()) // only touched groups per micro-batch
@@ -322,41 +333,48 @@ object Streaming {
         val spark = updated.sparkSession
         val mart = new org.apache.hadoop.fs.Path(martPath)
         val fs = mart.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        recoverMart(fs, martPath)
+        // per-batch localCheckpoint is retry-safe: if an executor dies the
+        // checkpointed blocks are lost, the batch FAILS, and the state
+        // store replays the whole batch on restart — unlike lineage state
+        // (which round 10 made durable, :172) nothing here outlives the
+        // batch, so block-store persistence is exactly enough
         val upd = updated.toDF().localCheckpoint()
-        val merged =
-          if (!fs.exists(mart)) upd
-          else graft.gold.IncrementalMaterializer.merge(
-            spark.read.parquet(martPath), upd, keys)
-        // rewrite via a temp dir: the source parquet can't be overwritten
-        // while it is being read, and a direct overwrite would corrupt the
-        // mart if the writer died mid-write
-        val tmp = new org.apache.hadoop.fs.Path(martPath + "__refresh_tmp")
-        val bak = new org.apache.hadoop.fs.Path(martPath + "__refresh_bak")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(mart))
-          require(fs.rename(mart, bak), s"could not move $mart aside")
-        require(fs.rename(tmp, mart), s"could not publish refreshed mart $mart")
-        fs.delete(bak, true)
+        if (!upd.isEmpty) {
+          val top = if (fs.exists(mart)) fs.listStatus(mart) else Array.empty[org.apache.hadoop.fs.FileStatus]
+          // a flat (non-partitioned, legacy) mart at this path would be
+          // silently shadowed by dynamic overwrite — refuse loudly, same
+          // posture as the legacy-sink-dir guard at the curation sink
+          require(!top.exists(st => st.isFile && st.getPath.getName.endsWith(".parquet")),
+            s"$martPath holds a non-partitioned mart; migrate it first by " +
+              s"rewriting with partitionBy(${partitionKeys.mkString(",")})")
+          val martExists = top.exists(st => st.isDirectory &&
+            st.getPath.getName.contains("="))
+          // touched partitions: |partitions-per-batch|-sized — bounded by
+          // the stream's event-time spread, not by stream volume
+          val touched = upd.select(partitionKeys.map(col): _*).distinct().collect()
+          val merged =
+            if (!martExists) upd
+            else {
+              val pred = touched.map(r =>
+                partitionKeys.zipWithIndex
+                  .map { case (k, i) => col(k) <=> lit(r.get(i)) }
+                  .reduce(_ && _)).reduce(_ || _)
+              // the filter is on partition columns only → partition-pruned
+              // scan; untouched partition dirs are never opened
+              val existing = spark.read.parquet(martPath).filter(pred)
+              graft.gold.IncrementalMaterializer.merge(existing, upd, keys)
+            }
+          // merged reads the same dirs the write replaces: cut lineage so
+          // every row is materialized before any partition dir is touched
+          merged.localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partitionKeys: _*)
+            .parquet(martPath)
+        }
         ()
       }
       .start()
-  }
-
-  /** Repair the mart swap after a crash, in any state the two-rename
-    * protocol can leave behind: a bak with no live mart (crash between
-    * renames) is restored; a bak alongside a live mart (crash before the
-    * final delete) is dropped; a leftover tmp is always dropped — it is
-    * either already published or from an incomplete write. Idempotent. */
-  def recoverMart(fs: org.apache.hadoop.fs.FileSystem, martPath: String): Unit = {
-    val mart = new org.apache.hadoop.fs.Path(martPath)
-    val tmp = new org.apache.hadoop.fs.Path(martPath + "__refresh_tmp")
-    val bak = new org.apache.hadoop.fs.Path(martPath + "__refresh_bak")
-    if (fs.exists(bak)) {
-      if (!fs.exists(mart)) require(fs.rename(bak, mart), s"could not restore $mart from $bak")
-      else fs.delete(bak, true)
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   final case class KeyedEvent(key: String, value: Double)

@@ -264,7 +264,7 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[(String, Double)](spark)
     val q = Streaming.goldRefreshStream(
       stream.toDF().toDF("event_type", "value"), model,
-      keys = Seq("event_type"), mart, chk)
+      keys = Seq("event_type"), partitionKeys = Seq("event_type"), mart, chk)
     try {
       stream.addData(("click", 1.0), ("click", 2.0), ("view", 5.0))
       q.processAllAvailable()
@@ -279,53 +279,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("goldRefreshStream recovers the mart after a crash mid-swap") {
+  test("goldRefreshStream rewrites ONLY the partitions a batch touched") {
     import graft.config.{GoldModel, Measure}
     import org.apache.hadoop.fs.Path
-    val mart = Files.createTempDirectory("graft_mart_crash").toString + "/m"
-    val chk = Files.createTempDirectory("graft_mart_crash_chk").toString
+    val mart = Files.createTempDirectory("graft_mart_part").toString + "/m"
+    val chk = Files.createTempDirectory("graft_mart_part_chk").toString
     val model = GoldModel(name = "by_type",
       groupBy = Seq("event_type"),
       measures = Seq(Measure("n", "count(1)"),
         Measure("total", "cast(sum(cast(value as decimal(18,2))) as double)")))
     val fs = new Path(mart).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(p: String): Set[(String, Long, Long)] =
+      fs.listStatus(new Path(s"$mart/event_type=$p"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .toSet
 
     val stream = MemoryStream[(String, Double)](spark)
     val q = Streaming.goldRefreshStream(
       stream.toDF().toDF("event_type", "value"), model,
-      keys = Seq("event_type"), mart, chk)
+      keys = Seq("event_type"), partitionKeys = Seq("event_type"), mart, chk)
     try {
-      stream.addData(("click", 1.0), ("click", 2.0), ("view", 5.0))
+      stream.addData(("click", 1.0), ("view", 5.0))
       q.processAllAvailable()
-    } finally q.stop()
-
-    // simulate a crash between the two renames: the live mart was moved
-    // aside to __refresh_bak, the publish rename never ran, and a
-    // half-written tmp from the dead batch is still on disk
-    val bak = new Path(mart + "__refresh_bak")
-    val tmp = new Path(mart + "__refresh_tmp")
-    require(fs.rename(new Path(mart), bak))
-    fs.mkdirs(tmp)
-    fs.create(new Path(tmp, "part-garbage.parquet")).close()
-    fs.exists(new Path(mart)) shouldBe false
-
-    // restart against the same checkpoint (same source, as on a real
-    // restart): recovery restores the mart from bak, drops the tmp, and the
-    // next batch merges into the restored state
-    val q2 = Streaming.goldRefreshStream(
-      stream.toDF().toDF("event_type", "value"), model,
-      keys = Seq("event_type"), mart, chk)
-    try {
-      stream.addData(("click", 4.0))
-      q2.processAllAvailable()
+      val viewBefore = partFiles("view")
+      val clickBefore = partFiles("click")
+      Thread.sleep(20) // mtime tick so an (unexpected) rewrite is visible
+      stream.addData(("click", 4.0)) // touches ONLY the click partition
+      q.processAllAvailable()
+      partFiles("view") shouldBe viewBefore // untouched dir: bit-for-bit alone
+      partFiles("click") should not be clickBefore
+      // no whole-mart swap debris from the old rename protocol
+      fs.exists(new Path(mart + "__refresh_tmp")) shouldBe false
+      fs.exists(new Path(mart + "__refresh_bak")) shouldBe false
       val out = spark.read.parquet(mart).collect()
-        .map(r => r.getAs[String]("event_type") ->
-          (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
-      out("click") shouldBe ((3L, 7.0)) // cumulative values intact
-      out("view") shouldBe ((1L, 5.0))
-      fs.exists(bak) shouldBe false // swap debris cleaned up
-      fs.exists(tmp) shouldBe false
-    } finally q2.stop()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      out("click") shouldBe 2L // merged cumulative, not clobbered
+      out("view") shouldBe 1L
+    } finally q.stop()
+  }
+
+  test("goldRefreshStream refuses a legacy non-partitioned mart dir") {
+    import graft.config.{GoldModel, Measure}
+    val mart = Files.createTempDirectory("graft_mart_legacy").toString + "/m"
+    val chk = Files.createTempDirectory("graft_mart_legacy_chk").toString
+    // a flat mart written by some earlier job occupies the path
+    Seq(("click", 1L)).toDF("event_type", "n").write.parquet(mart)
+    val model = GoldModel(name = "by_type",
+      groupBy = Seq("event_type"),
+      measures = Seq(Measure("n", "count(1)")))
+    val stream = MemoryStream[(String, Double)](spark)
+    val q = Streaming.goldRefreshStream(
+      stream.toDF().toDF("event_type", "value"), model,
+      keys = Seq("event_type"), partitionKeys = Seq("event_type"), mart, chk)
+    try {
+      stream.addData(("click", 1.0))
+      val e = the[org.apache.spark.sql.streaming.StreamingQueryException] thrownBy
+        q.processAllAvailable()
+      e.getMessage should include("non-partitioned")
+    } finally q.stop()
   }
 
   test("mapGroupsWithState keeps running totals across micro-batches") {
