@@ -621,10 +621,29 @@ object SparkEntry {
 
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
+    // Media features, FULL hash-compare: every emitted column is derived
+    // from the REAL payload path in Spark (ImageIO decode, WAV header
+    // parse, ISO-BMFF walk) and independently replayed by the oracle —
+    // dimensions/frames from the generator's closed-form arithmetic (the
+    // q99 pattern), exact byte sizes for WAV (44 + frames·ch·2) and MP4
+    // (fixed box tree + one replayed java.util.Random LCG step for the
+    // mdat length), and a bounds check for deflate-sized PNGs (the one
+    // non-closed-form size). The engine-local FNV feature_hash stays
+    // spec-asserted in MultimodalSpec.
     "q41_media_features" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractFeatures(Multimodal.synthetic(s, 1000))
-        .toDF().orderBy("media_id")
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          when(col("kind") === "image", lit(null).cast("long"))
+            .otherwise(col("size_bytes")).as("size_bytes_exact"),
+          when(col("kind") === "image",
+            col("size_bytes").between(57L, 2000L))
+            .otherwise(lit(true)).as("size_in_bounds"))
+        .orderBy("media_id")
     }),
 
     // Overlapping token-window chunking (size 32, overlap 8) — the
@@ -1173,8 +1192,9 @@ object SparkEntry {
     // MMR re-rank: brute-force top-20 pools diversified down to 5 — the
     // redundancy-pruning step between ANN retrieval and a context window.
     // The greedy per-query loop runs in mapGroups (never on the driver);
-    // iterative selection has no SQL analogue, so like q40's Lloyd path
-    // this is a rows-only entry; MMR semantics are spec-asserted.
+    // the oracle replays the FULL greedy selection with a recursive CTE
+    // (integer micro-unit scoring makes each pick engine-exact), so this
+    // is a complete hash-compare; q98 pins the λ=1 edge.
     "q82_mmr_rerank" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val cands = Similarity.bruteForceTopK(emb,
@@ -2569,6 +2589,49 @@ object SparkEntry {
         |FROM dev, mad
         |WHERE mad.d > 0 AND 0.6745 * dev.absdev / mad.d > 2.5
         |ORDER BY dev.event_id""".stripMargin,
+    // q82: FULL greedy-MMR replay via a recursive CTE — the working table
+    // carries one row per query (last pick + the chosen-id list); each
+    // iteration scores the remaining pool with the same integer contract
+    // as mmrRerank (floorDiv micro-units over e6-rounded cosines, ties to
+    // higher relevance then lower id) and QUALIFY keeps the argmax. All
+    // engine-varying float work reduces to the e6 cosine rounding already
+    // proven green in q28/q98.
+    "q82_mmr_rerank" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT qid, nid, cv,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE qid <> nid),
+        |pool AS (SELECT qid, nid, cv, CAST(round(sim * 1000000.0) AS BIGINT) AS rel_e6
+        |  FROM s QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 20),
+        |pairs AS (SELECT a.qid, a.nid AS i, b.nid AS j,
+        |  CAST(round(list_dot_product(a.cv, b.cv) /
+        |    (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.nid <> b.nid),
+        |sel AS (
+        |  (SELECT qid, nid, CAST(1 AS BIGINT) AS rank,
+        |     (500000 * rel_e6) // 1000000 AS mmr_e6, [nid] AS chosen
+        |   FROM pool
+        |   QUALIFY row_number() OVER (PARTITION BY qid
+        |     ORDER BY (500000 * rel_e6) // 1000000 DESC, rel_e6 DESC, nid) = 1)
+        |  UNION ALL
+        |  (SELECT qid, nid, rank + 1 AS rank, score AS mmr_e6,
+        |     list_append(chosen, nid) AS chosen
+        |   FROM (
+        |     SELECT sel.qid, p.nid, p.rel_e6, sel.rank, sel.chosen,
+        |       (500000 * p.rel_e6 - 500000 * (
+        |          SELECT max(pr.cos_e6) FROM pairs pr
+        |          WHERE pr.qid = p.qid AND pr.i = p.nid
+        |            AND list_contains(sel.chosen, pr.j))) // 1000000 AS score
+        |     FROM sel JOIN pool p ON p.qid = sel.qid
+        |       AND NOT list_contains(sel.chosen, p.nid)
+        |     WHERE sel.rank < 5)
+        |   QUALIFY row_number() OVER (PARTITION BY qid
+        |     ORDER BY score DESC, rel_e6 DESC, nid) = 1))
+        |SELECT qid AS query_id, nid AS neighbor_id, rank, mmr_e6
+        |FROM sel ORDER BY query_id, rank""".stripMargin,
     "q98_mmr_lambda1" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -2583,6 +2646,31 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rank,
         | CAST(round(sim * 1000000.0) AS BIGINT) AS mmr_e6
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q41: width/height/n_frames replay the generator's closed-form
+    // arithmetic; WAV size = 44-byte canonical header + PCM bytes; MP4
+    // size = 244 fixed box bytes + mdat payload whose length replays ONE
+    // java.util.Random step (seed scramble ^0x5DEECE66D, one LCG advance,
+    // power-of-two nextInt(512) = (512·(seed>>>17))>>31 — exact integer
+    // arithmetic via HUGEINT); PNG sizes are deflate-dependent → bounds.
+    "q41_media_features" ->
+      """WITH g AS (SELECT i,
+        |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  ((xor(i, 25214903917) % 281474976710656) * CAST(25214903917 AS HUGEINT) + 11)
+        |    % 281474976710656 AS s1
+        |  FROM range(1000) t(i))
+        |SELECT i AS media_id, kind,
+        | CASE i % 3 WHEN 0 THEN 2 + i % 14
+        |   WHEN 1 THEN 8000 ELSE 160 + (i % 8) * 40 END AS width,
+        | CASE i % 3 WHEN 0 THEN 2 + i % 9
+        |   WHEN 1 THEN 1 + i % 2 ELSE 120 + (i % 6) * 30 END AS height,
+        | CASE i % 3 WHEN 0 THEN 1
+        |   WHEN 1 THEN 64 + i % 512 ELSE 1 + i % 300 END AS n_frames,
+        | CASE i % 3 WHEN 0 THEN NULL
+        |   WHEN 1 THEN 44 + (64 + i % 512) * (1 + i % 2) * 2
+        |   ELSE 244 + (512 * (CAST(s1 AS BIGINT) // 131072)) // 2147483648
+        | END AS size_bytes_exact,
+        | TRUE AS size_in_bounds
+        |FROM g ORDER BY media_id""".stripMargin,
     "q99_media_meta" ->
       """SELECT i AS media_id,
         | CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
