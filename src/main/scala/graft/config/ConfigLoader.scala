@@ -333,10 +333,19 @@ object ConfigLoader {
             maxShingleFreq = dm.get("max_shingle_freq").map(_.toString.toInt)
               .getOrElse(Int.MaxValue),
             numHashes = dm.get("num_hashes").map(_.toString.toInt).getOrElse(8),
-            numBands = dm.get("num_bands").map(_.toString.toInt).getOrElse(4))
+            numBands = dm.get("num_bands").map(_.toString.toInt).getOrElse(4),
+            scoreColumn = dm.get("score_column").map(_.toString))
           if (spec.strategy == "embedding_lsh" && spec.dim < 1)
             throw new ConfigError(
               "curation.dedup.dim must be >= 1 for strategy embedding_lsh")
+          if (spec.strategy == "keep_best" && spec.scoreColumn.isEmpty)
+            throw new ConfigError(
+              "curation.dedup.score_column is required for strategy keep_best " +
+                "(it decides which cluster member survives)")
+          if (spec.strategy != "keep_best" && spec.scoreColumn.nonEmpty)
+            throw new ConfigError(
+              s"curation.dedup.score_column only applies to strategy keep_best " +
+                s"(got strategy '${spec.strategy}' — min-id survivors ignore scores)")
           spec
         },
         mixing = cm.get("mixing").map { m =>
@@ -364,10 +373,36 @@ object ConfigLoader {
             idColumn = str(bm, "id_column", "curation.budget"),
             scoreColumn = str(bm, "score_column", "curation.budget"),
             tokenColumn = str(bm, "token_column", "curation.budget"),
-            maxTokens = bm.get("max_tokens").map(_.toString.toLong).getOrElse(
-              throw new ConfigError("curation.budget.max_tokens is required")))
-          if (spec.maxTokens < 0)
+            maxTokens = bm.get("max_tokens").map(_.toString.toLong),
+            domainColumn = bm.get("domain_column").map(_.toString),
+            perDomain = bm.get("per_domain").map(pd =>
+              asMap(pd, "curation.budget.per_domain")
+                .map { case (k, v) => k -> v.toString.toLong }.toMap)
+              .getOrElse(Map.empty),
+            defaultDomainTokens =
+              bm.get("default_domain_tokens").map(_.toString.toLong))
+          (spec.maxTokens, spec.perDomain.nonEmpty) match {
+            case (Some(_), true) => throw new ConfigError(
+              "curation.budget: max_tokens and per_domain are exclusive " +
+                "(one global cut or per-domain cuts, not both)")
+            case (None, false) => throw new ConfigError(
+              "curation.budget needs max_tokens or per_domain")
+            case _ => ()
+          }
+          if (spec.maxTokens.exists(_ < 0))
             throw new ConfigError("curation.budget.max_tokens must be >= 0")
+          if (spec.perDomain.nonEmpty) {
+            if (spec.domainColumn.isEmpty) throw new ConfigError(
+              "curation.budget.domain_column is required with per_domain")
+            if (spec.defaultDomainTokens.isEmpty) throw new ConfigError(
+              "curation.budget.default_domain_tokens is required with " +
+                "per_domain — an unlisted domain must be an explicit " +
+                "decision, not a silent drop or free pass")
+            if (spec.perDomain.values.exists(_ < 0) ||
+                spec.defaultDomainTokens.exists(_ < 0))
+              throw new ConfigError(
+                "curation.budget per-domain budgets must be >= 0")
+          }
           spec
         })
     }

@@ -114,7 +114,11 @@ final case class QualityGateSpec(
 /** Near-duplicate removal strategy + parameters. `contentColumn` is text for
   * the text strategies, the embedding array for `embedding_lsh`. Every
   * strategy resolves to candidate pairs → connected components → min-id
-  * survivor (exact dedup short-circuits to the fingerprint window). */
+  * survivor (exact dedup short-circuits to the fingerprint window), except
+  * `keep_best`: n-gram Jaccard pairs → components → the HIGHEST-`scoreColumn`
+  * member survives (ties to lower id) — keep the best page of a mirror set,
+  * not the lowest-id one (`Dedup.removeNearDupesKeepBest`). `scoreColumn`
+  * is required for (and only meaningful to) `keep_best`. */
 final case class NearDedupSpec(
     strategy: String,
     idColumn: String,
@@ -126,13 +130,15 @@ final case class NearDedupSpec(
     dim: Int = 0,
     maxShingleFreq: Int = Int.MaxValue,
     numHashes: Int = 8,
-    numBands: Int = 4)
+    numBands: Int = 4,
+    scoreColumn: Option[String] = None)
 
 object NearDedupSpec {
   /** Validated at config load AND at dispatch — a typo'd strategy fails
     * loudly instead of silently skipping the dedup stage. */
   val Strategies: Set[String] =
-    Set("exact", "ngram_jaccard", "minhash_lsh", "simhash", "embedding_lsh")
+    Set("exact", "ngram_jaccard", "minhash_lsh", "simhash", "embedding_lsh",
+      "keep_best")
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;
@@ -151,13 +157,21 @@ final case class MixingSpec(
 
 /** curation.budget — the final corpus cut to a target training-token count:
   * greedy best-first prefix ordered by (scoreColumn desc, idColumn asc)
-  * whose running tokenColumn total stays within `maxTokens`
-  * (Curation.selectUnderTokenBudget). */
+  * whose running tokenColumn total stays within the budget
+  * (Curation.selectUnderTokenBudget). Two exclusive modes:
+  *   - GLOBAL: `maxTokens` caps the whole corpus;
+  *   - PER-DOMAIN: `perDomain` caps each `domainColumn` stratum
+  *     independently (Curation.selectUnderTokenBudgetPerDomain); domains
+  *     absent from the map get `defaultDomainTokens` — required, so an
+  *     unlisted domain is an explicit decision, never a silent one. */
 final case class BudgetSpec(
     idColumn: String,
     scoreColumn: String,
     tokenColumn: String,
-    maxTokens: Long)
+    maxTokens: Option[Long] = None,
+    domainColumn: Option[String] = None,
+    perDomain: Map[String, Long] = Map.empty,
+    defaultDomainTokens: Option[Long] = None)
 
 /** curation.language_filter — keep only documents whose heuristic language
   * ID (TextAnalysis.langId over `textColumn`) is in `keep`; "und"

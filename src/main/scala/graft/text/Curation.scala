@@ -332,6 +332,15 @@ object Curation {
     case "embedding_lsh" =>
       Dedup.removeNearDupesLsh(df, d.idColumn, d.contentColumn,
         d.threshold, d.numPlanes, d.dim)
+    case "keep_best" =>
+      // same pair machinery as ngram_jaccard; the survivor policy changes
+      // from min-id to best-score (config guarantees scoreColumn is set)
+      val pairs = Dedup.jaccardPairs(df, d.idColumn, d.contentColumn,
+          d.ngram, d.maxShingleFreq)
+        .filter(col("jaccard") > d.threshold).select("id_a", "id_b")
+      Dedup.removeNearDupesKeepBest(df, d.idColumn, Dedup.dupClusters(pairs),
+        d.scoreColumn.getOrElse(throw new IllegalArgumentException(
+          "keep_best dedup needs score_column")))
     case other => throw new IllegalArgumentException(
       s"unknown dedup strategy '$other' (supported: " +
         s"${NearDedupSpec.Strategies.toSeq.sorted.mkString(", ")})")
@@ -426,8 +435,22 @@ object Curation {
   /** The budget cut from config. `scoreColumn`/`tokenColumn` must exist on
     * the frame as numeric columns — derive them in silver
     * (`derived_columns`) the same way `sessions:` sources its ts_us column;
-    * a missing name fails in Spark's analyzer with the column list. */
+    * a missing name fails in Spark's analyzer with the column list.
+    * Global (`max_tokens`) and per-domain (`per_domain`) modes are
+    * exclusive — the loader validates; the dispatch re-checks loudly. */
   def applyBudget(df: DataFrame, b: BudgetSpec): DataFrame =
-    selectUnderTokenBudget(df, b.idColumn, b.scoreColumn, b.tokenColumn,
-      b.maxTokens)
+    (b.maxTokens, b.perDomain.nonEmpty) match {
+      case (Some(max), false) =>
+        selectUnderTokenBudget(df, b.idColumn, b.scoreColumn, b.tokenColumn,
+          max)
+      case (None, true) =>
+        selectUnderTokenBudgetPerDomain(df, b.idColumn,
+          b.domainColumn.getOrElse(throw new IllegalArgumentException(
+            "per-domain budget needs domain_column")),
+          b.scoreColumn, b.tokenColumn, b.perDomain,
+          b.defaultDomainTokens.getOrElse(throw new IllegalArgumentException(
+            "per-domain budget needs default_domain_tokens")))
+      case _ => throw new IllegalArgumentException(
+        "curation.budget needs exactly one of max_tokens | per_domain")
+    }
 }

@@ -135,6 +135,66 @@ class PipelineSpec extends SparkSpec {
     r.lineage.upstream("gold.by_source") should contain("curated.docs")
   }
 
+  test("keep_best dedup + per-domain budgets drive from YAML alone") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |silver:
+        |  derived_columns:
+        |    - name: n_tokens
+        |      expression: "size(split(trim(text), ' '))"
+        |curation:
+        |  dedup:
+        |    strategy: keep_best
+        |    id_column: doc_id
+        |    content_column: text
+        |    score_column: n_tokens
+        |    ngram: 3
+        |    threshold: 0.5
+        |  budget:
+        |    id_column: doc_id
+        |    score_column: n_tokens
+        |    token_column: n_tokens
+        |    domain_column: source
+        |    default_domain_tokens: 0
+        |    per_domain:
+        |      web: 8
+        |      books: 6
+        |gold:
+        |  - name: survivors
+        |    group_by:
+        |      - doc_id
+        |    measures:
+        |      - name: docs
+        |        expression: count(1)
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.curation.flatMap(_.dedup).flatMap(_.scoreColumn) shouldBe Some("n_tokens")
+    cfg.curation.flatMap(_.budget).map(_.perDomain) shouldBe
+      Some(Map("web" -> 8L, "books" -> 6L))
+
+    val docs = Seq(
+      // near-dup pair: 2 is a longer (better-scoring) variant of 1 —
+      // keep_best must keep 2 where min-id would keep 1
+      (1L, "alpha beta gamma delta epsilon zeta", "web"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (3L, "totally unrelated words live here now", "web"),
+      (4L, "short books doc", "books"),
+      (5L, "the other books document sits here", "books"),
+      (6L, "a lone misc row", "misc"))
+      .toDF("doc_id", "text", "source")
+    var kept = Set.empty[Long]
+    Pipeline.run(spark, cfg, docs, goldSink = Some((_, df) =>
+      kept = df.select("doc_id").collect().map(_.getLong(0)).toSet))
+    // web (budget 8): keep_best keeps 2 (8 tokens — min-id would keep 1);
+    //   cum prefix: 2 fits exactly (8), 3 overflows (14) → {2}
+    // books (budget 6): 5 (6 tokens, best) fits exactly; 4 overflows via
+    //   the prefix (cum 9) → {5}
+    // misc: default_domain_tokens 0 → dropped
+    kept shouldBe Set(2L, 5L)
+  }
+
   test("curation config validation: bad dedup strategy fails at load") {
     val yaml =
       """version: "1.0"
@@ -148,6 +208,53 @@ class PipelineSpec extends SparkSpec {
         |""".stripMargin
     val e = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yaml)
     e.getMessage should include("fuzzy_wuzzy")
+  }
+
+  test("keep_best / per-domain budget validation fails loudly at load") {
+    def yamlWith(block: String) =
+      s"""version: "1.0"
+         |pipeline:
+         |  name: docs
+         |curation:
+         |$block
+         |""".stripMargin
+    // keep_best without the survivor score
+    val e1 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yamlWith(
+      """  dedup:
+        |    strategy: keep_best
+        |    id_column: doc_id
+        |    content_column: text""".stripMargin))
+    e1.getMessage should include("score_column")
+    // score_column on a min-id strategy would be silently ignored — refuse
+    val e2 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yamlWith(
+      """  dedup:
+        |    strategy: exact
+        |    id_column: doc_id
+        |    content_column: text
+        |    score_column: n_tokens""".stripMargin))
+    e2.getMessage should include("keep_best")
+    // global and per-domain budgets are exclusive
+    val e3 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yamlWith(
+      """  budget:
+        |    id_column: doc_id
+        |    score_column: s
+        |    token_column: t
+        |    max_tokens: 10
+        |    domain_column: source
+        |    default_domain_tokens: 5
+        |    per_domain:
+        |      web: 5""".stripMargin))
+    e3.getMessage should include("exclusive")
+    // per_domain without an explicit default for unlisted domains
+    val e4 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yamlWith(
+      """  budget:
+        |    id_column: doc_id
+        |    score_column: s
+        |    token_column: t
+        |    domain_column: source
+        |    per_domain:
+        |      web: 5""".stripMargin))
+    e4.getMessage should include("default_domain_tokens")
   }
 
   test("curation pii validation: unknown preset / pattern+preset fail at load") {
