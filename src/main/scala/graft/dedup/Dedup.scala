@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.text.TextAnalysis
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -160,6 +160,41 @@ object Dedup {
       call_function("shingle_hashes", col(textCol), lit(shingleN)).as("_sh_c"))
     (capped, sets)
   }
+
+  /** [[corpusFuzzyState]] persisted DURABLY as bucketed catalog tables —
+    * the batch re-ingest story: the band buckets land bucketed by their
+    * join keys `(band_idx, bucket)` and the verification sets by
+    * `corpus_id`, so every later [[fuzzyDedupePrepared]] call plans its
+    * corpus-side joins WITHOUT an Exchange (the shuffle was paid once at
+    * this write; only the arriving batch shuffles, into the corpus's
+    * bucket layout). At 100 TB the corpus state dwarfs every batch —
+    * re-shuffling it per ingest run would be the dominant cost, and a
+    * cached/checkpointed copy dies with the app; a bucketed table
+    * survives restarts AND carries its partitioning into the plan. */
+  def persistCorpusFuzzyState(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      tablePrefix: String,
+      buckets: Int,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): Unit = {
+    val (b, s) = corpusFuzzyState(corpus, idCol, textCol, shingleN,
+      numHashes, numBands, maxBucketSize)
+    graft.ops.Scale.writeBucketed(b, s"${tablePrefix}_buckets", buckets,
+      Seq("band_idx", "bucket"))
+    graft.ops.Scale.writeBucketed(s, s"${tablePrefix}_sets", buckets,
+      Seq("corpus_id"))
+  }
+
+  /** The read side of [[persistCorpusFuzzyState]]: catalog-backed frames
+    * whose bucket layout feeds [[fuzzyDedupePrepared]] shuffle-free on the
+    * corpus side. */
+  def loadCorpusFuzzyState(spark: SparkSession,
+      tablePrefix: String): (DataFrame, DataFrame) =
+    (spark.table(s"${tablePrefix}_buckets"), spark.table(s"${tablePrefix}_sets"))
 
   /** [[fuzzyDedupeAgainstCorpus]] against precomputed corpus state from
     * [[corpusFuzzyState]] — the continuous-ingest form: only the arriving

@@ -299,4 +299,74 @@ class PipelineSpec extends SparkSpec {
     r.stages.map(s => s.name -> s.rows).toMap.apply("gold.sessions") shouldBe 3L
     sunk shouldBe Map("sessions" -> 3L)
   }
+
+  test("persisted-corpus continuous ingest: corpus side joins with NO Exchange") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    // the historical corpus: boilerplate variants + unique docs
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely different historical document with its own words"),
+      (3L, "yet another unique corpus entry written some time ago"))
+      .toDF("doc_id", "text")
+    // an arriving batch: 11 near-dups the corpus already has, 12 is fresh
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "completely novel arrival that matches nothing in history"))
+      .toDF("doc_id", "text")
+
+    val bcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    // force real shuffle planning (tiny frames broadcast otherwise — which
+    // SHIPS the corpus, the opposite of the bucketed contract) and a plain
+    // plan tree for the traversal
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // ingest run 0: build + persist the corpus state ONCE, durably
+      Dedup.persistCorpusFuzzyState(corpus, "doc_id", "text", shingleN = 3,
+        tablePrefix = "corpus_fuzzy", buckets = 4)
+      // a later run (fresh lineage, catalog only): re-ingest a batch
+      val (cb, cs) = Dedup.loadCorpusFuzzyState(spark, "corpus_fuzzy")
+      val out = Dedup.fuzzyDedupePrepared(batch, cb, cs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      out.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(12L)
+      // same answer as the derive-per-call convenience form
+      Dedup.fuzzyDedupeAgainstCorpus(batch, corpus, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(12L)
+
+      val plan = out.queryExecution.executedPlan
+      // the corpus state must be read as bucketed scans...
+      plan.toString should include("SelectedBucketsCount")
+      // ...and no Exchange may sit BETWEEN a corpus-state scan and the
+      // join that consumes it — the batch side shuffles into the corpus's
+      // bucket layout, never the reverse. (An exchange ABOVE a join is a
+      // different frame: the candidate set derived from that join — its
+      // subtree mentions the corpus scan but doesn't move the corpus.)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def corpusScanNotBehindJoin(p: SparkPlan): Boolean = p match {
+        case _: BaseJoinExec => false // crossed into a pre-join frame
+        case s: FileSourceScanExec =>
+          s.toString.contains("corpus_fuzzy")
+        case other => other.children.exists(corpusScanNotBehindJoin)
+      }
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e
+        case e: BroadcastExchangeExec => e
+      }
+      exchanges should not be empty // the batch side DOES shuffle
+      exchanges.foreach { e =>
+        withClue(s"corpus state re-shuffled by:\n$e") {
+          corpusScanNotBehindJoin(e.children.head) shouldBe false
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.sql("DROP TABLE IF EXISTS corpus_fuzzy_buckets")
+      spark.sql("DROP TABLE IF EXISTS corpus_fuzzy_sets")
+    }
+  }
 }
