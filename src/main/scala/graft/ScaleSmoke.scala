@@ -38,14 +38,26 @@ object ScaleSmoke {
     // round-10 additions: the cross-source duplication report (pair +
     // closure machinery under a rollup) and the bigram-surprisal join form
     // that replaced round 9's hot-key count windows
-    "q96_cross_source", "q95_bigram_surprisal")
+    "q96_cross_source", "q95_bigram_surprisal",
+    // round-11 additions: keep-best dedup (the #2-hottest bench query —
+    // pair index + closure + membership window + anti-join), the funnel
+    // and interval-overlap session paths (one keyed window each), and the
+    // gap-fill + moving-z composition (span agg + calendar explode)
+    "q107_keep_best_dedup", "q92_funnel", "q70_session_overlap",
+    "q108_dense_anomaly")
+
+  /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
+    * rewrites paid single-node cost specifically to survive key skew —
+    * measured balanced (sf0.1) vs one domain replicated 50× (skew~). */
+  private val SkewQueries = Seq(
+    "q104_temperature_mix", "q59_domain_mixing", "q95_bigram_surprisal")
 
   private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    // both outputs must exist — a crash between the two writes would
+    // every output must exist — a crash between the writes would
     // otherwise leave a half-built dir that every later run trusts
     val fs = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(fs.resolve("documents.parquet")) &&
-      java.nio.file.Files.exists(fs.resolve("embeddings.parquet"))) return
+    if (Seq("documents", "embeddings", "events", "orders")
+      .forall(t => java.nio.file.Files.exists(fs.resolve(s"$t.parquet")))) return
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docBase = docs.agg(max("doc_id")).head().getLong(0) + 1
     val docReps = (0 until 10).map { k =>
@@ -72,6 +84,45 @@ object ScaleSmoke {
     }
     embReps.reduce(_.unionByName(_)).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
+
+    // events: replica K remaps users (and event ids) — session/funnel
+    // COUNT grows 10×, per-user session shape stays flat, timestamps
+    // untouched (replicated users are concurrent, like a bigger site)
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val evBase = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userBase = ev.agg(max("user_id")).head().getLong(0) + 1
+    (0 until 10).map { k =>
+      ev.withColumn("event_id", col("event_id") + lit(k * evBase))
+        .withColumn("user_id", col("user_id") + lit(k * userBase))
+    }.reduce(_.unionByName(_)).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+
+    // orders: replica K shifts keys by a MULTIPLE OF 50 so q108's
+    // `o_orderkey % 50` sampling keeps its exact rate; per-(priority, day)
+    // counts grow 10×, the calendar span stays identical
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    val rawBase = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    val ordBase = ((rawBase + 49) / 50) * 50
+    (0 until 10).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordBase))
+    }.reduce(_.unionByName(_)).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
+  }
+
+  /** One domain replicated 50×: real key skew for the domain-grouped
+    * curation operators (the generator's sources are balanced, so skew has
+    * to be synthesized). Only `documents` — the three SkewQueries read
+    * nothing else. */
+  private def synthSkew(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val fs = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(fs.resolve("documents.parquet"))) return
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val base = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val hot = docs.filter(col("source") === "src0")
+    ((docs +: (1 until 50).map(k =>
+      hot.withColumn("doc_id", col("doc_id") + lit(k * base))))
+      .reduce(_.unionByName(_)))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,6 +180,35 @@ object ScaleSmoke {
         println(f"| $name | $label | $sec%.2f | $mb%.1f |")
       }
     }
+
+    // skew stress: balanced sf0.1 vs one domain ×50. Triggered via
+    // count() (results are grouped summaries — tiny), so the df's OWN
+    // queryExecution holds the final adaptive plan and we can count AQE
+    // skew-split joins (a noop write would have a separate queryExecution).
+    val skewDir = "/tmp/graft_scale_skew"
+    synthSkew(spark, "/root/testdata/sf0.1", skewDir)
+    println("| query | variant | sec | shuffle_mb | aqe_skew_joins |")
+    println("|---|---|---|---|---|")
+    Seq("balanced" -> "/root/testdata/sf0.1", "skew50x" -> skewDir)
+      .foreach { case (label, dir) =>
+        SkewQueries.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          val (sec, mb, splits) = (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            Thread.sleep(500)
+            shuffleBytes.set(0L)
+            val t0 = System.nanoTime()
+            val df = fn(spark, dir)
+            df.count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(500)
+            val plan = df.queryExecution.executedPlan.toString
+            (sec, shuffleBytes.get() / 1e6,
+              "skew=true".r.findAllIn(plan).length)
+          }.minBy(_._1)
+          println(f"| $name | $label | $sec%.2f | $mb%.1f | $splits |")
+        }
+      }
     spark.stop()
   }
 }
