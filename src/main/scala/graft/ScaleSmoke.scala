@@ -52,12 +52,18 @@ object ScaleSmoke {
   private val SkewQueries = Seq(
     "q104_temperature_mix", "q59_domain_mixing", "q95_bigram_surprisal")
 
+  /** A table dir counts as built only once its _SUCCESS marker landed —
+    * the dir itself exists BEFORE job commit finishes, so a bare
+    * existence check would trust a half-committed table after a crash. */
+  private def committed(outDir: String, table: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(outDir, s"$table.parquet", "_SUCCESS"))
+
   private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    // every output must exist — a crash between the writes would
-    // otherwise leave a half-built dir that every later run trusts
-    val fs = java.nio.file.Paths.get(outDir)
+    // every output must be COMMITTED — a crash between/inside the writes
+    // would otherwise leave a half-built dir that every later run trusts
     if (Seq("documents", "embeddings", "events", "orders")
-      .forall(t => java.nio.file.Files.exists(fs.resolve(s"$t.parquet")))) return
+      .forall(committed(outDir, _))) return
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docBase = docs.agg(max("doc_id")).head().getLong(0) + 1
     val docReps = (0 until 10).map { k =>
@@ -114,8 +120,7 @@ object ScaleSmoke {
     * to be synthesized). Only `documents` — the three SkewQueries read
     * nothing else. */
   private def synthSkew(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    val fs = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(fs.resolve("documents.parquet"))) return
+    if (committed(outDir, "documents")) return
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val base = docs.agg(max("doc_id")).head().getLong(0) + 1
     val hot = docs.filter(col("source") === "src0")
@@ -182,9 +187,12 @@ object ScaleSmoke {
     }
 
     // skew stress: balanced sf0.1 vs one domain ×50. Triggered via
-    // count() (results are grouped summaries — tiny), so the df's OWN
-    // queryExecution holds the final adaptive plan and we can count AQE
-    // skew-split joins (a noop write would have a separate queryExecution).
+    // collect() — NOT count(), which builds its own groupBy().count()
+    // QueryExecution and would leave the df's adaptive plan unexecuted
+    // (always printing 0 skew joins); collect() runs the df's OWN
+    // queryExecution, so the final adaptive plan is inspectable (a noop
+    // write would also have a separate queryExecution). Results are
+    // grouped summaries — small enough to collect.
     val skewDir = "/tmp/graft_scale_skew"
     synthSkew(spark, "/root/testdata/sf0.1", skewDir)
     println("| query | variant | sec | shuffle_mb | aqe_skew_joins |")
@@ -199,7 +207,7 @@ object ScaleSmoke {
             shuffleBytes.set(0L)
             val t0 = System.nanoTime()
             val df = fn(spark, dir)
-            df.count()
+            df.collect()
             val sec = (System.nanoTime() - t0) / 1e9
             Thread.sleep(500)
             val plan = df.queryExecution.executedPlan.toString

@@ -391,6 +391,12 @@ object ConfigLoader {
           }
           if (spec.maxTokens.exists(_ < 0))
             throw new ConfigError("curation.budget.max_tokens must be >= 0")
+          if (spec.perDomain.isEmpty &&
+              (spec.domainColumn.nonEmpty || spec.defaultDomainTokens.nonEmpty))
+            throw new ConfigError(
+              "curation.budget.domain_column/default_domain_tokens only " +
+                "apply with per_domain (in global max_tokens mode they " +
+                "would be silently ignored)")
           if (spec.perDomain.nonEmpty) {
             if (spec.domainColumn.isEmpty) throw new ConfigError(
               "curation.budget.domain_column is required with per_domain")

@@ -654,7 +654,15 @@ object Similarity {
           i += 1
         }
         if (na == 0.0 || nb == 0.0) 0L
-        else math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6)
+        else {
+          // HALF-AWAY-FROM-ZERO, not math.round (which is half-UP): a
+          // negative cosine landing exactly on a .5 micro-unit must round
+          // the same way as Spark SQL round() and DuckDB round() — the
+          // q82 oracle replays this exact value, and a one-unit divergence
+          // could flip a greedy argmax tie
+          val v = dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6
+          if (v >= 0) math.round(v) else -math.round(-v)
+        }
       }
       val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
       val out = scala.collection.mutable.ArrayBuffer.empty[MmrResult]

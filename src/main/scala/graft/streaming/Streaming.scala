@@ -304,12 +304,24 @@ object Streaming {
     * scan) and the overwrite replaces only the partition dirs present in
     * the merged frame — untouched partitions are never read or rewritten,
     * so a years-deep mart absorbs a steady stream at current-month cost.
+    * (DATA cost, precisely: partition DISCOVERY still lists the dir tree
+    * once per batch — O(partition count) metadata ops, not O(rows). If a
+    * mart accretes thousands of partitions, archive cold ones or split
+    * the mart by year; listing, not reading, becomes the ceiling.)
     *
     * Durability: partition replacement commits per-partition through the
-    * file committer (no whole-mart rename swap — S3 renames are copies). A
-    * writer death mid-commit can leave a half-replaced batch, but the
-    * exactly-once state store replays it and the merge is idempotent
-    * (complete cumulative values per group), so the replay converges. */
+    * file committer (no whole-mart rename swap — S3 renames are copies).
+    * The committer's delete-then-rename per partition has a crash window
+    * that could lose UNTOUCHED groups sharing a touched partition, so
+    * before overwriting, the pre-batch rows of the touched partitions are
+    * snapshotted to `<mart>__bak` (touched-partition-sized, tiny for gold
+    * aggregates). [[recoverMartPartitions]] runs at every batch start: a
+    * committed bak is merged back over the mart (idempotent — bak is
+    * immutable until its delete), then the exactly-once state store
+    * replays the interrupted batch and the merge converges. An
+    * uncommitted bak (no _SUCCESS) means the mart was never touched —
+    * dropped. Old-protocol debris (`__refresh_bak`/`__refresh_tmp` from
+    * pre-r11 deployments) is restored/cleaned the same way. */
   def goldRefreshStream(
       events: DataFrame,
       model: graft.config.GoldModel,
@@ -333,6 +345,7 @@ object Streaming {
         val spark = updated.sparkSession
         val mart = new org.apache.hadoop.fs.Path(martPath)
         val fs = mart.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverMartPartitions(spark, fs, martPath, partitionKeys)
         // per-batch localCheckpoint is retry-safe: if an executor dies the
         // checkpointed blocks are lost, the batch FAILS, and the state
         // store replays the whole batch on restart — unlike lineage state
@@ -349,19 +362,32 @@ object Streaming {
               s"rewriting with partitionBy(${partitionKeys.mkString(",")})")
           val martExists = top.exists(st => st.isDirectory &&
             st.getPath.getName.contains("="))
-          // touched partitions: |partitions-per-batch|-sized — bounded by
-          // the stream's event-time spread, not by stream volume
-          val touched = upd.select(partitionKeys.map(col): _*).distinct().collect()
+          val bak = new org.apache.hadoop.fs.Path(martPath + "__bak")
           val merged =
             if (!martExists) upd
             else {
+              // touched partitions: |partitions-per-batch|-sized — bounded
+              // by the stream's event-time spread, not by stream volume
+              val touched = upd.select(partitionKeys.map(col): _*).distinct().collect()
               val pred = touched.map(r =>
                 partitionKeys.zipWithIndex
                   .map { case (k, i) => col(k) <=> lit(r.get(i)) }
                   .reduce(_ && _)).reduce(_ || _)
-              // the filter is on partition columns only → partition-pruned
-              // scan; untouched partition dirs are never opened
-              val existing = spark.read.parquet(martPath).filter(pred)
+              // schema-pinned read: upd's schema covers the whole mart row
+              // (merge requires identical columns), and a user-specified
+              // schema DISABLES partition-column type inference — a string
+              // key like "01" stays "01" instead of round-tripping through
+              // int 1 and splitting one logical group into two dirs. The
+              // filter is on partition columns only → partition-pruned
+              // scan; untouched partition dirs are never opened.
+              val existing = spark.read.schema(upd.schema).parquet(martPath)
+                .filter(pred)
+                .localCheckpoint() // materialize once: feeds bak AND merge
+              // snapshot the pre-batch touched partitions: the dynamic
+              // overwrite below deletes-then-renames each touched dir, and
+              // a crash between those two steps would otherwise lose the
+              // partition's UNTOUCHED groups (they exist nowhere else)
+              existing.write.mode("overwrite").parquet(bak.toString)
               graft.gold.IncrementalMaterializer.merge(existing, upd, keys)
             }
           // merged reads the same dirs the write replaces: cut lineage so
@@ -371,10 +397,51 @@ object Streaming {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partitionKeys: _*)
             .parquet(martPath)
+          fs.delete(bak, true) // batch fully published; snapshot obsolete
         }
         ()
       }
       .start()
+  }
+
+  /** Crash repair for [[goldRefreshStream]], idempotent, run per batch:
+    * a COMMITTED bak snapshot (`_SUCCESS` present) holds the pre-batch
+    * rows of the partitions a dead batch was overwriting — write them
+    * back (dynamic overwrite; bak survives until this succeeds, so the
+    * repair itself is crash-retryable), then let the state store replay
+    * the batch. An uncommitted bak means the mart was never touched.
+    * Also migrates pre-r11 whole-mart swap debris: a `__refresh_bak`
+    * with no live mart is the old protocol's crash-between-renames state
+    * — restored wholesale rather than silently orphaned. */
+  def recoverMartPartitions(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, martPath: String,
+      partitionKeys: Seq[String]): Unit = {
+    val mart = new org.apache.hadoop.fs.Path(martPath)
+    val legacyBak = new org.apache.hadoop.fs.Path(martPath + "__refresh_bak")
+    val legacyTmp = new org.apache.hadoop.fs.Path(martPath + "__refresh_tmp")
+    if (fs.exists(legacyBak)) {
+      if (!fs.exists(mart))
+        require(fs.rename(legacyBak, mart),
+          s"could not restore $mart from pre-r11 $legacyBak")
+      else fs.delete(legacyBak, true)
+    }
+    if (fs.exists(legacyTmp)) fs.delete(legacyTmp, true)
+    val bak = new org.apache.hadoop.fs.Path(martPath + "__bak")
+    if (fs.exists(bak)) {
+      // a committed-but-dataless bak (the touched partitions were new —
+      // nothing pre-existed) restores nothing; reading it would fail
+      // schema inference, so check for data files, not just _SUCCESS
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(bak, "_SUCCESS"))
+      val hasData = committed && fs.listStatus(bak).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (hasData)
+        spark.read.parquet(bak.toString).localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionKeys: _*)
+          .parquet(martPath)
+      fs.delete(bak, true)
+    }
   }
 
   final case class KeyedEvent(key: String, value: Double)

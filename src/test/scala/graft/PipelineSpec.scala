@@ -255,6 +255,15 @@ class PipelineSpec extends SparkSpec {
         |    per_domain:
         |      web: 5""".stripMargin))
     e4.getMessage should include("default_domain_tokens")
+    // domain knobs in global mode would be silently ignored — refuse
+    val e5 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yamlWith(
+      """  budget:
+        |    id_column: doc_id
+        |    score_column: s
+        |    token_column: t
+        |    max_tokens: 10
+        |    domain_column: source""".stripMargin))
+    e5.getMessage should include("per_domain")
   }
 
   test("curation pii validation: unknown preset / pattern+preset fail at load") {

@@ -319,6 +319,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("recoverMartPartitions restores a half-committed partition from bak") {
+    import graft.config.{GoldModel, Measure}
+    import org.apache.hadoop.fs.Path
+    val mart = Files.createTempDirectory("graft_mart_crash").toString + "/m"
+    val chk = Files.createTempDirectory("graft_mart_crash_chk").toString
+    // two GROUPS share the click partition — the crash window must not
+    // lose the group the dead batch wasn't updating
+    val model = GoldModel(name = "by_type_sub",
+      groupBy = Seq("event_type", "sub"),
+      measures = Seq(Measure("n", "count(1)")))
+    val fs = new Path(mart).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stream = MemoryStream[(String, String, Double)](spark)
+    val q = Streaming.goldRefreshStream(
+      stream.toDF().toDF("event_type", "sub", "value"), model,
+      keys = Seq("event_type", "sub"), partitionKeys = Seq("event_type"),
+      mart, chk)
+    try {
+      stream.addData(("click", "a", 1.0), ("click", "b", 2.0), ("view", "x", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // simulate a crash inside the dynamic-overwrite commit of a batch that
+    // touched (click, a): the pre-batch click rows were snapshotted to
+    // __bak (committed), then the committer deleted the click dir and died
+    // before renaming the staged replacement in
+    spark.read.parquet(mart).filter($"event_type" === "click")
+      .write.mode("overwrite").parquet(mart + "__bak")
+    fs.delete(new Path(mart + "/event_type=click"), true)
+    spark.read.parquet(mart).count() shouldBe 1 // only view survives the crash
+
+    Streaming.recoverMartPartitions(spark, fs, mart, Seq("event_type"))
+    val out = spark.read.parquet(mart).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("sub")) ->
+        r.getAs[Long]("n")).toMap
+    out(("click", "a")) shouldBe 1L // the batch's own group: pre-batch value,
+    out(("click", "b")) shouldBe 1L // the INNOCENT group: not lost
+    out(("view", "x")) shouldBe 1L
+    fs.exists(new Path(mart + "__bak")) shouldBe false
+    // pre-r11 whole-mart swap debris migrates instead of orphaning
+    require(fs.rename(new Path(mart), new Path(mart + "__refresh_bak")))
+    Streaming.recoverMartPartitions(spark, fs, mart, Seq("event_type"))
+    spark.read.parquet(mart).count() shouldBe 3
+  }
+
+  test("goldRefreshStream keeps numeric-looking string partition keys intact") {
+    import graft.config.{GoldModel, Measure}
+    val mart = Files.createTempDirectory("graft_mart_str").toString + "/m"
+    val chk = Files.createTempDirectory("graft_mart_str_chk").toString
+    val model = GoldModel(name = "by_month",
+      groupBy = Seq("month"),
+      measures = Seq(Measure("n", "count(1)")))
+    val stream = MemoryStream[(String, Double)](spark)
+    val q = Streaming.goldRefreshStream(
+      stream.toDF().toDF("month", "value"), model,
+      keys = Seq("month"), partitionKeys = Seq("month"), mart, chk)
+    try {
+      // "01" would round-trip as int 1 under partition type inference and
+      // split into month=01 + month=1 dirs; the schema-pinned merge read
+      // must keep ONE logical group
+      stream.addData(("01", 1.0))
+      q.processAllAvailable()
+      stream.addData(("01", 2.0))
+      q.processAllAvailable()
+      val dirs = new java.io.File(mart).listFiles
+        .filter(_.isDirectory).map(_.getName).toSet
+      dirs shouldBe Set("month=01")
+      val out = spark.read.schema("month STRING, n LONG").parquet(mart)
+        .collect()
+        .map(r => r.getAs[String]("month") -> r.getAs[Long]("n")).toMap
+      out shouldBe Map("01" -> 2L)
+    } finally q.stop()
+  }
+
   test("goldRefreshStream refuses a legacy non-partitioned mart dir") {
     import graft.config.{GoldModel, Measure}
     val mart = Files.createTempDirectory("graft_mart_legacy").toString + "/m"
