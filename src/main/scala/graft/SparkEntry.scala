@@ -610,9 +610,14 @@ object SparkEntry {
     // variant of q28; full-probe ≡ brute-force equivalence is spec-asserted.
     // Two Lloyd rounds tighten the quantizer (each round: one scan + one
     // keyed shuffle; only k×dim aggregates reach the driver).
+    // IVF with TRAINED coarse centroids — fixed-point Lloyd
+    // (kMeansCentroidsExact): integer micro-unit bucket sums make the
+    // training loop order-independent, so the oracle unrolls BOTH Lloyd
+    // iterations in SQL (seed → assign → exact mean → renormalize, twice)
+    // and the whole path hash-compares — formerly the last rows-only entry.
     "q40_ivf_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val cents = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+      val cents = Similarity.kMeansCentroidsExact(emb, "vec_id", "embedding",
         k = 16, iters = 2)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, cents, nProbe = 4)
@@ -2856,6 +2861,87 @@ object SparkEntry {
     // and probing are argmax/top-4 by (-dot, idx), candidates rank by
     // (sim desc, neighbor_id). Dots are sequential double folds on both
     // engines (q28-proven bit-stable).
+    // q40: the TRAINED-IVF path fully replayed — both fixed-point Lloyd
+    // iterations unroll as SQL (seed-normalize with REAL casts → argmax
+    // assignment → e6-BIGINT component sums → floor-division means →
+    // renormalize, twice), then q69's assignment/probe/rank machinery on
+    // the trained centroids. Integer bucket sums are what make this
+    // possible: they commute, so Spark's partitioned aggregation and
+    // DuckDB's serial sum land on identical bits. range(64) = the
+    // generator's embedding dim (fixed, like q99's range(1000)).
+    "q40_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |seed AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
+        |  FROM v ORDER BY vec_id LIMIT 16),
+        |cent0 AS (SELECT c_idx,
+        |  CASE WHEN nrm = 0 THEN e
+        |       ELSE list_transform(e, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE)) END AS ce
+        |  FROM (SELECT c_idx, e,
+        |    CAST(CAST(sqrt(list_dot_product(e, e)) AS REAL) AS DOUBLE) AS nrm
+        |    FROM seed)),
+        |assign0 AS (SELECT vec_id, c_idx FROM (
+        |  SELECT v.vec_id, c.c_idx,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY -list_dot_product(v.e, c.ce), c.c_idx) AS rn
+        |  FROM v, cent0 c) WHERE rn = 1),
+        |sums1 AS (SELECT a.c_idx, t.pos,
+        |    sum(CAST(round(v.e[t.pos + 1] * 1000000.0) AS BIGINT)) AS s_e6,
+        |    count(*) AS n
+        |  FROM v JOIN assign0 a USING (vec_id), range(64) t(pos)
+        |  GROUP BY a.c_idx, t.pos),
+        |mv1 AS (SELECT c_idx,
+        |    list(CAST(s_e6 // n AS DOUBLE) / 1000000.0 ORDER BY pos) AS ml
+        |  FROM sums1 GROUP BY c_idx),
+        |nm1 AS (SELECT c_idx, ml, sqrt(list_dot_product(ml, ml)) AS nrm FROM mv1),
+        |cent1 AS (SELECT c.c_idx,
+        |    CASE WHEN n.c_idx IS NULL OR n.nrm = 0 THEN c.ce
+        |         ELSE list_transform(n.ml, x -> CAST(CAST(x / n.nrm AS REAL) AS DOUBLE))
+        |    END AS ce
+        |  FROM cent0 c LEFT JOIN nm1 n ON c.c_idx = n.c_idx),
+        |assign1 AS (SELECT vec_id, c_idx FROM (
+        |  SELECT v.vec_id, c.c_idx,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY -list_dot_product(v.e, c.ce), c.c_idx) AS rn
+        |  FROM v, cent1 c) WHERE rn = 1),
+        |sums2 AS (SELECT a.c_idx, t.pos,
+        |    sum(CAST(round(v.e[t.pos + 1] * 1000000.0) AS BIGINT)) AS s_e6,
+        |    count(*) AS n
+        |  FROM v JOIN assign1 a USING (vec_id), range(64) t(pos)
+        |  GROUP BY a.c_idx, t.pos),
+        |mv2 AS (SELECT c_idx,
+        |    list(CAST(s_e6 // n AS DOUBLE) / 1000000.0 ORDER BY pos) AS ml
+        |  FROM sums2 GROUP BY c_idx),
+        |nm2 AS (SELECT c_idx, ml, sqrt(list_dot_product(ml, ml)) AS nrm FROM mv2),
+        |cent2 AS (SELECT c.c_idx,
+        |    CASE WHEN n.c_idx IS NULL OR n.nrm = 0 THEN c.ce
+        |         ELSE list_transform(n.ml, x -> CAST(CAST(x / n.nrm AS REAL) AS DOUBLE))
+        |    END AS ce
+        |  FROM cent1 c LEFT JOIN nm2 n ON c.c_idx = n.c_idx),
+        |assignF AS (SELECT vec_id, c_idx FROM (
+        |  SELECT v.vec_id, c.c_idx,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY -list_dot_product(v.e, c.ce), c.c_idx) AS rn
+        |  FROM v, cent2 c) WHERE rn = 1),
+        |q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+        |probe AS (SELECT vec_id, c_idx FROM (
+        |  SELECT q.vec_id, c.c_idx,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY -list_dot_product(q.e, c.ce), c.c_idx) AS rn
+        |  FROM q, cent2 c) WHERE rn <= 4),
+        |cand AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+        |    list_dot_product(q.e, v.e) /
+        |      (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))) AS sim
+        |  FROM q JOIN probe ON q.vec_id = probe.vec_id
+        |    JOIN assignF ON assignF.c_idx = probe.c_idx
+        |    JOIN v ON v.vec_id = assignF.vec_id
+        |  WHERE q.vec_id <> v.vec_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(rank AS BIGINT) AS rank,
+        |  CAST(round(sim * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q69_ivf_seeded" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |seed AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx

@@ -324,6 +324,53 @@ object Similarity {
     cents
   }
 
+  /** [[kMeansCentroids]] in FIXED-POINT: per-bucket component sums
+    * accumulate as e6 micro-unit BIGINTs (each Float component rounds once
+    * to round(x·1e6)), means are floor-divisions, and only the final
+    * normalize runs in floating point — so the trained centroids are
+    * ORDER-INDEPENDENT (integer addition commutes; a repartition, a
+    * speculative retry, or a different engine sums the same bucket to the
+    * same bits, where the double-sum variant drifts with reduction order).
+    * The micro-unit quantization perturbs each mean by < 1e-6 per
+    * component — noise far below Lloyd's own seed sensitivity — and buys
+    * an end-to-end replayable training loop: q40's oracle unrolls these
+    * exact iterations in SQL. Same scale shape as the double variant (one
+    * scan + one keyed shuffle per round, k×dim scalars to the driver). */
+  def kMeansCentroidsExact(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[Array[Float]] = {
+    var cents = sampleCentroids(df, idCol, vecCol, k)
+    val dim = cents.headOption.map(_.length).getOrElse(return cents)
+    for (_ <- 0 until iters) {
+      val sums = df.select(col(vecCol).as("v"))
+        .withColumn("bucket", ivfBucket(col("v"), cents))
+        .select(col("bucket"), posexplode(col("v")))
+        .toDF("bucket", "pos", "x")
+        .groupBy("bucket", "pos")
+        .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s_e6"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = Array.fill(k)(new Array[Double](dim))
+      val filled = new Array[Boolean](k)
+      sums.foreach { r =>
+        val b = r.getInt(0)
+        // floorDiv, not /: Long division truncates toward zero, which
+        // disagrees with the replaying SQL's floor `//` on negative sums
+        next(b)(r.getInt(1)) =
+          Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble / 1e6
+        filled(b) = true
+      }
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (!filled(i)) old
+        else {
+          val m = next(i)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) old else m.map(x => (x / n).toFloat)
+        }
+      }
+    }
+    cents
+  }
+
   /** The centroid matrix as ONE nested-array literal plan node (the
     * registered builders in GraftExtensions extract it to a flat float[]
     * at plan construction) — versus k×dim literal expression nodes for the

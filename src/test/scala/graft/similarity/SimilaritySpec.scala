@@ -60,6 +60,28 @@ class SimilaritySpec extends SparkSpec {
     partial.map(_._1).distinct.length shouldBe 5 // every query answered
   }
 
+  test("kMeansCentroidsExact is partition-order-independent, near the double form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kMeansCentroidsExact(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    // integer micro-unit sums commute: a different partitioning must land
+    // on the SAME BITS — the property the double-sum variant can't offer,
+    // and what makes q40's oracle replay possible
+    val b = Similarity.kMeansCentroidsExact(emb.repartition(7), "vec_id",
+      "embedding", k = 8, iters = 2)
+    a.zip(b).foreach { case (ca, cb) => ca.toSeq shouldBe cb.toSeq }
+    // quantization noise stays < 1e-6 per mean component: the trained
+    // centroids track the double variant closely
+    val dbl = Similarity.kMeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    a.zip(dbl).foreach { case (ca, cd) =>
+      ca.zip(cd).foreach { case (x, y) =>
+        x.toDouble shouldBe y.toDouble +- 1e-4 }
+    }
+    all(a.map(c =>
+      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum))) shouldBe 1.0 +- 1e-4
+  }
+
   test("kMeans centroids: unit-norm, objective non-decreasing, full probe still exact") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val seed = Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
