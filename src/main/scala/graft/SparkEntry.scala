@@ -624,6 +624,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SemDeDup-style semantic dedup: fixed-point k-means cells → within-
+    // cell cosine pairs → min-id survivors. The clustering carries the
+    // semantic prior LSH sign-buckets lack (paraphrases land together
+    // because they are CLOSE); exact Lloyd makes the whole pipeline —
+    // training included — SQL-replayable.
+    "q111_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 16, iters = 1, thresholdE6 = 400000L)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
+
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
     // Media features, FULL hash-compare: every emitted column is derived
@@ -2861,6 +2872,61 @@ object SparkEntry {
     // and probing are argmax/top-4 by (-dot, idx), candidates rank by
     // (sim desc, neighbor_id). Dots are sequential double folds on both
     // engines (q28-proven bit-stable).
+    // q111: one fixed-point Lloyd iteration (q40's machinery), within-cell
+    // pair generation, q45's recursive min-label closure, min-id anti.
+    "q111_semantic_dedup" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |seed AS (SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
+        |  FROM v ORDER BY vec_id LIMIT 16),
+        |cent0 AS (SELECT c_idx,
+        |  CASE WHEN nrm = 0 THEN e
+        |       ELSE list_transform(e, x -> CAST(CAST(x / nrm AS REAL) AS DOUBLE)) END AS ce
+        |  FROM (SELECT c_idx, e,
+        |    CAST(CAST(sqrt(list_dot_product(e, e)) AS REAL) AS DOUBLE) AS nrm
+        |    FROM seed)),
+        |assign0 AS (SELECT vec_id, c_idx FROM (
+        |  SELECT v.vec_id, c.c_idx,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY -list_dot_product(v.e, c.ce), c.c_idx) AS rn
+        |  FROM v, cent0 c) WHERE rn = 1),
+        |sums1 AS (SELECT a.c_idx, t.pos,
+        |    sum(CAST(round(v.e[t.pos + 1] * 1000000.0) AS BIGINT)) AS s_e6,
+        |    count(*) AS n
+        |  FROM v JOIN assign0 a USING (vec_id), range(64) t(pos)
+        |  GROUP BY a.c_idx, t.pos),
+        |mv1 AS (SELECT c_idx,
+        |    list(CAST(s_e6 // n AS DOUBLE) / 1000000.0 ORDER BY pos) AS ml
+        |  FROM sums1 GROUP BY c_idx),
+        |nm1 AS (SELECT c_idx, ml, sqrt(list_dot_product(ml, ml)) AS nrm FROM mv1),
+        |cent1 AS (SELECT c.c_idx,
+        |    CASE WHEN n.c_idx IS NULL OR n.nrm = 0 THEN c.ce
+        |         ELSE list_transform(n.ml, x -> CAST(CAST(x / n.nrm AS REAL) AS DOUBLE))
+        |    END AS ce
+        |  FROM cent0 c LEFT JOIN nm1 n ON c.c_idx = n.c_idx),
+        |cell AS (SELECT vec_id, c_idx FROM (
+        |  SELECT v.vec_id, c.c_idx,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY -list_dot_product(v.e, c.ce), c.c_idx) AS rn
+        |  FROM v, cent1 c) WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cell ca JOIN cell cb ON ca.c_idx = cb.c_idx
+        |    JOIN v a ON a.vec_id = ca.vec_id
+        |    JOIN v b ON b.vec_id = cb.vec_id
+        |  WHERE a.vec_id < b.vec_id
+        |    AND CAST(round(list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        |      * 1000000.0) AS BIGINT) > 400000),
+        |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS lbl
+        |  FROM reach GROUP BY src)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> lbl)
+        |ORDER BY vec_id""".stripMargin,
     // q40: the TRAINED-IVF path fully replayed — both fixed-point Lloyd
     // iterations unroll as SQL (seed-normalize with REAL casts → argmax
     // assignment → e6-BIGINT component sums → floor-division means →

@@ -614,6 +614,42 @@ object Dedup {
     removeNearDupes(df, idCol, dupClusters(pairs))
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): k-means clusters
+    * the embedding space (fixed-point Lloyd — deterministic, oracle-able),
+    * then cosine pairs are generated only WITHIN each cluster and
+    * above-threshold components keep their min-id survivor. The clustering
+    * carries the semantic prior LSH sign-buckets lack: two paraphrases
+    * land in one k-means cell because they are CLOSE, not because they
+    * share random hyperplane signs — the trade is a training pass (one
+    * scan + one keyed shuffle per Lloyd round) for bucket boundaries that
+    * follow the data.
+    *
+    * Scale shape: assignment is row-local against broadcast centroids; the
+    * pair join shuffles on the cluster id; within-cluster pairing is
+    * quadratic in CELL size — k is the knob (grow it with the corpus to
+    * hold cells flat, exactly like num_planes for LSH; the paper runs
+    * k≈corpus/10k). No all-pairs stage anywhere. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, thresholdE6: Long): DataFrame = {
+    import graft.similarity.Similarity
+    val cents = Similarity.kMeansCentroidsExact(df, idCol, vecCol, k, iters)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", Similarity.ivfBucket(col("vec"), cents))
+      .withColumn("nrm", Similarity.norm(col("vec")))
+    val a = bucketed.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("norm_a"))
+    val b = bucketed.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("norm_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_e6",
+        round(Similarity.dot(col("vec_a"), col("vec_b"))
+          / (col("norm_a") * col("norm_b")) * 1e6).cast("long"))
+      .filter(col("sim_e6") > thresholdE6)
+      .select("id_a", "id_b")
+    removeNearDupes(df, idCol, dupClusters(pairs))
+  }
+
   /** (id, sig) table of 32-bit simhashes via the native expression. */
   private def simHashSigs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("_th", tokenHashes(col(textCol)))

@@ -372,6 +372,32 @@ class DedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("semanticDedup prunes within k-means cells; cross-cell pairs survive") {
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + eps * (i + 1) }
+    val a = Array(1f, 0f, 0f, 2f)
+    val b = Array(-1f, 3f, 0.5f, 0f)
+    // seeds are the k lowest ids — put one representative of each tight
+    // cluster first so the 3 cells span the 3 directions, then the
+    // near-dups (higher ids) assign into their representative's cell
+    val c = Array(0f, 0f, 1f, 0f)
+    val vecs = Seq(
+      0L -> a, 1L -> b, 2L -> c,
+      3L -> jitter(a, 1e-3f), 4L -> jitter(a, -1e-3f),
+      5L -> jitter(b, 1e-3f))
+      .toDF("id", "vec")
+    val out = Dedup.semanticDedup(vecs, "id", "vec",
+        k = 3, iters = 1, thresholdE6 = 900000L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    out shouldBe Array(0L, 1L, 2L) // min-id survivor per tight cluster
+    // cells also BOUND the pair search: with every vector in its own cell
+    // (k large, well-separated seeds) nothing pairs, nothing drops
+    val solo = Seq(0L -> a, 1L -> b, 2L -> c).toDF("id", "vec")
+    Dedup.semanticDedup(solo, "id", "vec", k = 3, iters = 1,
+        thresholdE6 = 100000L)
+      .count() shouldBe 3
+  }
+
   test("LSH pair stage plans a bucket equi-join — never an all-pairs scan") {
     val vecs = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f)).toDF("id", "vec")
     val pairPlan = graft.similarity.Similarity
