@@ -334,10 +334,16 @@ object ConfigLoader {
               .getOrElse(Int.MaxValue),
             numHashes = dm.get("num_hashes").map(_.toString.toInt).getOrElse(8),
             numBands = dm.get("num_bands").map(_.toString.toInt).getOrElse(4),
-            scoreColumn = dm.get("score_column").map(_.toString))
+            scoreColumn = dm.get("score_column").map(_.toString),
+            kmeansK = dm.get("kmeans_k").map(_.toString.toInt).getOrElse(256),
+            kmeansIters =
+              dm.get("kmeans_iters").map(_.toString.toInt).getOrElse(2))
           if (spec.strategy == "embedding_lsh" && spec.dim < 1)
             throw new ConfigError(
               "curation.dedup.dim must be >= 1 for strategy embedding_lsh")
+          if (spec.kmeansK < 1 || spec.kmeansIters < 0)
+            throw new ConfigError(
+              "curation.dedup needs kmeans_k >= 1 and kmeans_iters >= 0")
           if (spec.strategy == "keep_best" && spec.scoreColumn.isEmpty)
             throw new ConfigError(
               "curation.dedup.score_column is required for strategy keep_best " +

@@ -118,7 +118,10 @@ final case class QualityGateSpec(
   * `keep_best`: n-gram Jaccard pairs → components → the HIGHEST-`scoreColumn`
   * member survives (ties to lower id) — keep the best page of a mirror set,
   * not the lowest-id one (`Dedup.removeNearDupesKeepBest`). `scoreColumn`
-  * is required for (and only meaningful to) `keep_best`. */
+  * is required for (and only meaningful to) `keep_best`. `semantic` is the
+  * SemDeDup-style embedding path: fixed-point k-means cells (`kmeansK`,
+  * `kmeansIters`) bound within-cell cosine pairing (`Dedup.semanticDedup`);
+  * `contentColumn` is the embedding array, `threshold` the cosine cut. */
 final case class NearDedupSpec(
     strategy: String,
     idColumn: String,
@@ -131,14 +134,16 @@ final case class NearDedupSpec(
     maxShingleFreq: Int = Int.MaxValue,
     numHashes: Int = 8,
     numBands: Int = 4,
-    scoreColumn: Option[String] = None)
+    scoreColumn: Option[String] = None,
+    kmeansK: Int = 256,
+    kmeansIters: Int = 2)
 
 object NearDedupSpec {
   /** Validated at config load AND at dispatch — a typo'd strategy fails
     * loudly instead of silently skipping the dedup stage. */
   val Strategies: Set[String] =
     Set("exact", "ngram_jaccard", "minhash_lsh", "simhash", "embedding_lsh",
-      "keep_best")
+      "keep_best", "semantic")
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;

@@ -210,6 +210,35 @@ class PipelineSpec extends SparkSpec {
     e.getMessage should include("fuzzy_wuzzy")
   }
 
+  test("semantic dedup strategy drives from YAML (embedding column)") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: vecs
+        |curation:
+        |  dedup:
+        |    strategy: semantic
+        |    id_column: id
+        |    content_column: vec
+        |    threshold: 0.9
+        |    kmeans_k: 3
+        |    kmeans_iters: 1
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.curation.flatMap(_.dedup).map(d => (d.kmeansK, d.kmeansIters)) shouldBe
+      Some((3, 1))
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + eps * (i + 1) }
+    val a = Array(1f, 0f, 0f, 2f)
+    val b = Array(-1f, 3f, 0.5f, 0f)
+    val vecs = Seq(
+      0L -> a, 1L -> b, 2L -> Array(0f, 0f, 1f, 0f),
+      3L -> jitter(a, 1e-3f), 4L -> jitter(b, 1e-3f))
+      .toDF("id", "vec")
+    val r = Pipeline.run(spark, cfg, vecs)
+    r.stages.map(s => s.name -> s.rows).toMap.apply("curated") shouldBe 3L
+  }
+
   test("keep_best / per-domain budget validation fails loudly at load") {
     def yamlWith(block: String) =
       s"""version: "1.0"
