@@ -44,7 +44,7 @@ object ScaleSmoke {
     // and interval-overlap session paths (one keyed window each), and the
     // gap-fill + moving-z composition (span agg + calendar explode)
     "q107_keep_best_dedup", "q92_funnel", "q70_session_overlap",
-    "q108_dense_anomaly")
+    "q108_dense_anomaly", "q111_semantic_dedup")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
@@ -160,6 +160,11 @@ object ScaleSmoke {
     val lshScaled: (SparkSession, String) => org.apache.spark.sql.DataFrame =
       (s, dir) => Dedup.removeNearDupesLsh(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4, numPlanes = 8, dim = 64)
+    // the kmeans_k scale knob: 4× the cells at 10× the corpus holds
+    // within-cell pair counts near flat — semanticDedup's num_planes analogue
+    val semScaled: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 64, iters = 1, thresholdE6 = 400000L)
 
     val dirs = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
@@ -169,7 +174,10 @@ object ScaleSmoke {
     println("|---|---|---|---|")
     dirs.foreach { case (label, dir) =>
       val qs = HeavyQueries.map(n => n -> SparkEntry.queries(n)) ++
-        (if (label == "sf1~") Seq("q64_lsh_numPlanes8" -> lshScaled) else Nil)
+        (if (label == "sf1~")
+          Seq("q64_lsh_numPlanes8" -> lshScaled,
+            "q111_semantic_k64" -> semScaled)
+        else Nil)
       qs.foreach { case (name, fn) =>
         // two runs, min: run 1 doubles as JIT/codegen warm-up at this scale
         val (sec, mb) = (1 to 2).map { _ =>
