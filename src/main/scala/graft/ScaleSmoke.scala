@@ -164,7 +164,7 @@ object ScaleSmoke {
     // within-cell pair counts near flat — semanticDedup's num_planes analogue
     val semScaled: (SparkSession, String) => org.apache.spark.sql.DataFrame =
       (s, dir) => Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 64, iters = 1, thresholdE6 = 400000L)
+        "vec_id", "embedding", k = 64, iters = 1, threshold = 0.4)
 
     val dirs = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",

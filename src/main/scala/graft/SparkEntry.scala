@@ -631,7 +631,7 @@ object SparkEntry {
     // training included — SQL-replayable.
     "q111_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 16, iters = 1, thresholdE6 = 400000L)
+        "vec_id", "embedding", k = 16, iters = 1, threshold = 0.4)
         .select("vec_id", "label")
         .orderBy("vec_id")),
 
@@ -2914,9 +2914,9 @@ object SparkEntry {
         |    JOIN v a ON a.vec_id = ca.vec_id
         |    JOIN v b ON b.vec_id = cb.vec_id
         |  WHERE a.vec_id < b.vec_id
-        |    AND CAST(round(list_dot_product(a.e, b.e) /
+        |    AND list_dot_product(a.e, b.e) /
         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-        |      * 1000000.0) AS BIGINT) > 400000),
+        |      > 0.4),
         |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
         |reach(src, dst) AS (
         |  SELECT id_a, id_b FROM sym

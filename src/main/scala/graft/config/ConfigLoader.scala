@@ -341,7 +341,14 @@ object ConfigLoader {
           if (spec.strategy == "embedding_lsh" && spec.dim < 1)
             throw new ConfigError(
               "curation.dedup.dim must be >= 1 for strategy embedding_lsh")
-          if (spec.kmeansK < 1 || spec.kmeansIters < 0)
+          if (spec.strategy != "semantic" &&
+              (dm.contains("kmeans_k") || dm.contains("kmeans_iters")))
+            throw new ConfigError(
+              "curation.dedup.kmeans_k/kmeans_iters only apply to strategy " +
+                s"semantic (got strategy '${spec.strategy}' — they would be " +
+                "silently ignored)")
+          if (spec.strategy == "semantic" &&
+              (spec.kmeansK < 1 || spec.kmeansIters < 0))
             throw new ConfigError(
               "curation.dedup needs kmeans_k >= 1 and kmeans_iters >= 0")
           if (spec.strategy == "keep_best" && spec.scoreColumn.isEmpty)

@@ -628,9 +628,13 @@ object Dedup {
     * pair join shuffles on the cluster id; within-cluster pairing is
     * quadratic in CELL size — k is the knob (grow it with the corpus to
     * hold cells flat, exactly like num_planes for LSH; the paper runs
-    * k≈corpus/10k). No all-pairs stage anywhere. */
+    * k≈corpus/10k). No all-pairs stage anywhere.
+    *
+    * `threshold` compares the RAW double cosine, same boundary semantics
+    * as [[removeNearDupesLsh]] / `Similarity.cosineDupes` — switching
+    * strategies in config never shifts which boundary pairs count. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, thresholdE6: Long): DataFrame = {
+      k: Int, iters: Int, threshold: Double): DataFrame = {
     import graft.similarity.Similarity
     val cents = Similarity.kMeansCentroidsExact(df, idCol, vecCol, k, iters)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -642,10 +646,10 @@ object Dedup {
       col("vec").as("vec_b"), col("nrm").as("norm_b"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim_e6",
-        round(Similarity.dot(col("vec_a"), col("vec_b"))
-          / (col("norm_a") * col("norm_b")) * 1e6).cast("long"))
-      .filter(col("sim_e6") > thresholdE6)
+      .withColumn("sim",
+        Similarity.dot(col("vec_a"), col("vec_b"))
+          / (col("norm_a") * col("norm_b")))
+      .filter(col("sim") > lit(threshold))
       .select("id_a", "id_b")
     removeNearDupes(df, idCol, dupClusters(pairs))
   }

@@ -292,41 +292,22 @@ object Similarity {
     * ENGINE-side (posexplode → one groupBy per round), renormalize the k×dim
     * result driver-side. Only k×dim aggregate scalars ever reach the driver —
     * never row data — so each round is one scan + one keyed shuffle at any
-    * corpus size. Empty buckets keep their previous centroid. */
+    * corpus size. Empty buckets keep their previous centroid.
+    *
+    * Bucket means are DOUBLE sums: fastest, but the reduction order (and
+    * so the last ulp of every centroid) depends on partitioning — use
+    * [[kMeansCentroidsExact]] when training must be reproducible. */
   def kMeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[Array[Float]] = {
-    var cents = sampleCentroids(df, idCol, vecCol, k)
-    val dim = cents.headOption.map(_.length).getOrElse(return cents)
-    for (_ <- 0 until iters) {
-      val sums = df.select(col(vecCol).as("v"))
-        .withColumn("bucket", ivfBucket(col("v"), cents))
-        .select(col("bucket"), posexplode(col("v")))
-        .toDF("bucket", "pos", "x")
-        .groupBy("bucket", "pos")
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = Array.fill(k)(new Array[Double](dim))
-      val filled = new Array[Boolean](k)
-      sums.foreach { r =>
-        val b = r.getInt(0)
-        next(b)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
-        filled(b) = true
-      }
-      cents = cents.zipWithIndex.map { case (old, i) =>
-        if (!filled(i)) old
-        else {
-          val m = next(i)
-          val n = math.sqrt(m.map(x => x * x).sum)
-          if (n == 0.0) old else m.map(x => (x / n).toFloat)
-        }
-      }
-    }
-    cents
-  }
+      k: Int, iters: Int): Seq[Array[Float]] =
+    lloyd(df, idCol, vecCol, k, iters,
+      sumExpr = sum(col("x").cast("double")).as("s"),
+      meanOf = r => r.getDouble(2) / r.getLong(3))
 
   /** [[kMeansCentroids]] in FIXED-POINT: per-bucket component sums
     * accumulate as e6 micro-unit BIGINTs (each Float component rounds once
-    * to round(x·1e6)), means are floor-divisions, and only the final
+    * to round(x·1e6)), means are truncating integer divisions (≡ Spark
+    * `div` ≡ DuckDB `//` — all toward zero; floorDiv would sit 1 below
+    * the SQL replay on negative non-divisible sums), and only the final
     * normalize runs in floating point — so the trained centroids are
     * ORDER-INDEPENDENT (integer addition commutes; a repartition, a
     * speculative retry, or a different engine sums the same bucket to the
@@ -334,10 +315,21 @@ object Similarity {
     * The micro-unit quantization perturbs each mean by < 1e-6 per
     * component — noise far below Lloyd's own seed sensitivity — and buys
     * an end-to-end replayable training loop: q40's oracle unrolls these
-    * exact iterations in SQL. Same scale shape as the double variant (one
-    * scan + one keyed shuffle per round, k×dim scalars to the driver). */
+    * exact iterations in SQL. Same scale shape as the double variant. */
   def kMeansCentroidsExact(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): Seq[Array[Float]] = {
+      k: Int, iters: Int): Seq[Array[Float]] =
+    lloyd(df, idCol, vecCol, k, iters,
+      sumExpr = sum(round(col("x").cast("double") * 1e6).cast("long")).as("s_e6"),
+      meanOf = r => (r.getLong(2) / r.getLong(3)).toDouble / 1e6)
+
+  /** The shared Lloyd driver: one scan + one keyed shuffle per round,
+    * parameterized by the bucket-sum aggregate and the mean extraction —
+    * the ONLY two points where the double and fixed-point variants differ
+    * (assignment, empty-bucket policy, and renormalization stay in one
+    * place). */
+  private def lloyd(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, sumExpr: Column,
+      meanOf: org.apache.spark.sql.Row => Double): Seq[Array[Float]] = {
     var cents = sampleCentroids(df, idCol, vecCol, k)
     val dim = cents.headOption.map(_.length).getOrElse(return cents)
     for (_ <- 0 until iters) {
@@ -346,17 +338,13 @@ object Similarity {
         .select(col("bucket"), posexplode(col("v")))
         .toDF("bucket", "pos", "x")
         .groupBy("bucket", "pos")
-        .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as("s_e6"),
-          count(lit(1)).as("n"))
+        .agg(sumExpr, count(lit(1)).as("n"))
         .collect()
       val next = Array.fill(k)(new Array[Double](dim))
       val filled = new Array[Boolean](k)
       sums.foreach { r =>
         val b = r.getInt(0)
-        // floorDiv, not /: Long division truncates toward zero, which
-        // disagrees with the replaying SQL's floor `//` on negative sums
-        next(b)(r.getInt(1)) =
-          Math.floorDiv(r.getLong(2), r.getLong(3)).toDouble / 1e6
+        next(b)(r.getInt(1)) = meanOf(r)
         filled(b) = true
       }
       cents = cents.zipWithIndex.map { case (old, i) =>
@@ -662,7 +650,8 @@ object Similarity {
     * candidate pool (≤ the generator's k, typically ≤ a few hundred rows),
     * the k·|pool| dot products are plain JVM float math, and queries
     * parallelize across the cluster. All scoring is integer micro-units
-    * (λ in e6, floor-divided), ties to the lower neighbor id —
+    * (λ in e6, integral-divided — truncation, ≡ Spark `div`/DuckDB `//`),
+    * ties to the lower neighbor id —
     * deterministic at any parallelism. */
   def mmrRerank(candidates: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, lambdaE6: Long = 500000L): DataFrame = {
@@ -723,12 +712,16 @@ object Similarity {
             val maxDiv =
               if (selected.isEmpty) 0L
               else selected.map(s => cosE6(pool(i)._3, pool(s)._3)).max
-            // floorDiv, not `/`: Long `/` truncates toward zero, which
-            // disagrees with the documented floor contract by 1 for
-            // negative scores (negative sim_e6 or diversity-dominated
-            // picks) and could flip a tie
-            val score = Math.floorDiv(
-              lambdaE6 * pool(i)._2 - (1000000L - lambdaE6) * maxDiv, 1000000L)
+            // TRUNCATING Long `/`, deliberately: "integer division" in
+            // this library means truncation toward zero — what Spark SQL
+            // `div` and DuckDB `//` (which replays this score in the q82
+            // oracle) both do. floorDiv would sit 1 below the replay on
+            // every negative non-divisible score (negative sim_e6 or
+            // diversity-dominated picks) and could flip a tie one
+            // engine's way only.
+            val score =
+              (lambdaE6 * pool(i)._2 - (1000000L - lambdaE6) * maxDiv) /
+                1000000L
             // strict > plus ascending (-rel, id) scan order = ties to the
             // higher-relevance then lower-id candidate
             if (score > bestScore) { bestScore = score; bestIdx = i }

@@ -334,8 +334,7 @@ object Curation {
         d.threshold, d.numPlanes, d.dim)
     case "semantic" =>
       Dedup.semanticDedup(df, d.idColumn, d.contentColumn,
-        d.kmeansK, d.kmeansIters,
-        thresholdE6 = math.round(d.threshold * 1e6))
+        d.kmeansK, d.kmeansIters, d.threshold)
     case "keep_best" =>
       // same pair machinery as ngram_jaccard; the survivor policy changes
       // from min-id to best-score (config guarantees scoreColumn is set)

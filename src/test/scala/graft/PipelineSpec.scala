@@ -262,6 +262,14 @@ class PipelineSpec extends SparkSpec {
         |    content_column: text
         |    score_column: n_tokens""".stripMargin))
     e2.getMessage should include("keep_best")
+    // kmeans knobs on a non-semantic strategy would be silently ignored
+    val ek = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yamlWith(
+      """  dedup:
+        |    strategy: exact
+        |    id_column: doc_id
+        |    content_column: text
+        |    kmeans_k: 64""".stripMargin))
+    ek.getMessage should include("semantic")
     // global and per-domain budgets are exclusive
     val e3 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(yamlWith(
       """  budget:

@@ -387,14 +387,14 @@ class DedupSpec extends SparkSpec {
       5L -> jitter(b, 1e-3f))
       .toDF("id", "vec")
     val out = Dedup.semanticDedup(vecs, "id", "vec",
-        k = 3, iters = 1, thresholdE6 = 900000L)
+        k = 3, iters = 1, threshold = 0.9)
       .select("id").collect().map(_.getLong(0)).sorted
     out shouldBe Array(0L, 1L, 2L) // min-id survivor per tight cluster
     // cells also BOUND the pair search: with every vector in its own cell
     // (k large, well-separated seeds) nothing pairs, nothing drops
     val solo = Seq(0L -> a, 1L -> b, 2L -> c).toDF("id", "vec")
     Dedup.semanticDedup(solo, "id", "vec", k = 3, iters = 1,
-        thresholdE6 = 100000L)
+        threshold = 0.1)
       .count() shouldBe 3
   }
 
