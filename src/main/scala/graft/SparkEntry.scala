@@ -2608,7 +2608,9 @@ object SparkEntry {
     // q82: FULL greedy-MMR replay via a recursive CTE — the working table
     // carries one row per query (last pick + the chosen-id list); each
     // iteration scores the remaining pool with the same integer contract
-    // as mmrRerank (floorDiv micro-units over e6-rounded cosines, ties to
+    // as mmrRerank (truncating integer division — Spark `div` / plain Long
+    // `/` / DuckDB `//` all truncate toward zero, NOT floorDiv; see the
+    // Similarity.mmrRerank contract — over e6-rounded cosines, ties to
     // higher relevance then lower id) and QUALIFY keeps the argmax. All
     // engine-varying float work reduces to the e6 cosine rounding already
     // proven green in q28/q98.
@@ -2914,6 +2916,8 @@ object SparkEntry {
         |    JOIN v a ON a.vec_id = ca.vec_id
         |    JOIN v b ON b.vec_id = cb.vec_id
         |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.e, a.e) > 0
+        |    AND list_dot_product(b.e, b.e) > 0
         |    AND list_dot_product(a.e, b.e) /
         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
         |      > 0.4),

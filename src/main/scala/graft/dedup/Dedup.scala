@@ -21,6 +21,17 @@ import org.apache.spark.sql.functions._
   *  - Jaccard self-join explodes distinct shingles; frequency-capping drops
   *    stop-shingles that would otherwise produce O(df²) candidate pairs.
   */
+/** The MinHash signing parameters a persisted fuzzy-dedup corpus state was
+  * built with. Band buckets only collide for arrivals signed with the SAME
+  * (shingleN, numHashes, numBands) — a mismatch yields near-zero collisions
+  * and silently misses near-duplicates, so the parameters travel with the
+  * state as table properties instead of being re-supplied from memory. */
+final case class FuzzySigningParams(
+    shingleN: Int,
+    numHashes: Int,
+    numBands: Int,
+    maxBucketSize: Int)
+
 object Dedup {
 
   /** n-gram shingles over whitespace tokens, distinct, order-preserving
@@ -187,14 +198,57 @@ object Dedup {
       Seq("band_idx", "bucket"))
     graft.ops.Scale.writeBucketed(s, s"${tablePrefix}_sets", buckets,
       Seq("corpus_id"))
+    // The signing parameters ARE part of the state: a later ingest that
+    // re-signs arrivals with different numHashes/numBands/shingleN gets
+    // near-zero band collisions against these buckets and silently misses
+    // near-duplicates. Stamp them on the table so the read side can hand
+    // them back (or fail loudly) instead of trusting the caller to agree.
+    corpus.sparkSession.sql(
+      s"ALTER TABLE ${tablePrefix}_buckets SET TBLPROPERTIES (" +
+        s"'graft.fuzzy.shingle_n'='$shingleN'," +
+        s"'graft.fuzzy.num_hashes'='$numHashes'," +
+        s"'graft.fuzzy.num_bands'='$numBands'," +
+        s"'graft.fuzzy.max_bucket_size'='$maxBucketSize')")
   }
 
   /** The read side of [[persistCorpusFuzzyState]]: catalog-backed frames
     * whose bucket layout feeds [[fuzzyDedupePrepared]] shuffle-free on the
-    * corpus side. */
+    * corpus side, PLUS the signing parameters the state was built with —
+    * sign arrivals with exactly these (or call
+    * [[fuzzyDedupeAgainstPersisted]], which cannot disagree). Fails loudly
+    * on state missing the parameter stamp (persisted by hand or by a
+    * pre-stamp version) rather than letting a silent parameter mismatch
+    * turn the dedup into a no-op. */
   def loadCorpusFuzzyState(spark: SparkSession,
-      tablePrefix: String): (DataFrame, DataFrame) =
-    (spark.table(s"${tablePrefix}_buckets"), spark.table(s"${tablePrefix}_sets"))
+      tablePrefix: String): (DataFrame, DataFrame, FuzzySigningParams) = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${tablePrefix}_buckets")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def p(key: String): Int = props.getOrElse(s"graft.fuzzy.$key",
+      throw new IllegalStateException(
+        s"${tablePrefix}_buckets lacks table property graft.fuzzy.$key — " +
+          "this corpus state predates parameter stamping (or was written " +
+          "by hand); re-run persistCorpusFuzzyState so later ingests " +
+          "cannot silently sign with mismatched parameters")).toInt
+    val params = FuzzySigningParams(p("shingle_n"), p("num_hashes"),
+      p("num_bands"), p("max_bucket_size"))
+    (spark.table(s"${tablePrefix}_buckets"),
+      spark.table(s"${tablePrefix}_sets"), params)
+  }
+
+  /** [[fuzzyDedupePrepared]] against a persisted corpus state, signing the
+    * arriving batch with the parameters STORED alongside that state — the
+    * misconfiguration-proof continuous-ingest entry point. */
+  def fuzzyDedupeAgainstPersisted(
+      newDf: DataFrame,
+      spark: SparkSession,
+      tablePrefix: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val (cb, cs, p) = loadCorpusFuzzyState(spark, tablePrefix)
+    fuzzyDedupePrepared(newDf, cb, cs, idCol, textCol, p.shingleN, threshold,
+      p.numHashes, p.numBands)
+  }
 
   /** [[fuzzyDedupeAgainstCorpus]] against precomputed corpus state from
     * [[corpusFuzzyState]] — the continuous-ingest form: only the arriving
@@ -632,14 +686,23 @@ object Dedup {
     *
     * `threshold` compares the RAW double cosine, same boundary semantics
     * as [[removeNearDupesLsh]] / `Similarity.cosineDupes` — switching
-    * strategies in config never shifts which boundary pairs count. */
+    * strategies in config never shifts which boundary pairs count.
+    *
+    * Zero-norm vectors are EXCLUDED from pairing explicitly (and therefore
+    * always survive): cosine is undefined at norm 0, and leaving the
+    * division to the engine would make the outcome an accident of division
+    * semantics (Spark's non-ANSI divide yields null → never pairs; DuckDB
+    * yields NaN/inf) — the explicit filter makes "zero vectors keep
+    * themselves" the documented cross-engine contract, the same posture
+    * gapFillDaily takes on null days. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, threshold: Double): DataFrame = {
     import graft.similarity.Similarity
     val cents = Similarity.kMeansCentroidsExact(df, idCol, vecCol, k, iters)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", Similarity.ivfBucket(col("vec"), cents))
       .withColumn("nrm", Similarity.norm(col("vec")))
+      .filter(col("nrm") > lit(0.0))
+      .withColumn("cell", Similarity.ivfBucket(col("vec"), cents))
     val a = bucketed.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("norm_a"))
     val b = bucketed.select(col("cell"), col("id").as("id_b"),

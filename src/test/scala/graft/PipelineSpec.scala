@@ -372,15 +372,35 @@ class PipelineSpec extends SparkSpec {
       // ingest run 0: build + persist the corpus state ONCE, durably
       Dedup.persistCorpusFuzzyState(corpus, "doc_id", "text", shingleN = 3,
         tablePrefix = "corpus_fuzzy", buckets = 4)
-      // a later run (fresh lineage, catalog only): re-ingest a batch
-      val (cb, cs) = Dedup.loadCorpusFuzzyState(spark, "corpus_fuzzy")
+      // a later run (fresh lineage, catalog only): re-ingest a batch. The
+      // signing parameters ride with the state — a run that "remembered"
+      // different numHashes/numBands would get near-zero band collisions
+      // and silently miss dups, so load hands back the stored truth.
+      val (cb, cs, params) = Dedup.loadCorpusFuzzyState(spark, "corpus_fuzzy")
+      params shouldBe graft.dedup.FuzzySigningParams(
+        shingleN = 3, numHashes = 8, numBands = 4,
+        maxBucketSize = Int.MaxValue)
       val out = Dedup.fuzzyDedupePrepared(batch, cb, cs, "doc_id", "text",
-        shingleN = 3, threshold = 0.5)
+        params.shingleN, threshold = 0.5, params.numHashes, params.numBands)
       out.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(12L)
       // same answer as the derive-per-call convenience form
       Dedup.fuzzyDedupeAgainstCorpus(batch, corpus, "doc_id", "text",
           shingleN = 3, threshold = 0.5)
         .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(12L)
+      // ...and as the misconfiguration-proof persisted entry point
+      Dedup.fuzzyDedupeAgainstPersisted(batch, spark, "corpus_fuzzy",
+          "doc_id", "text", threshold = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(12L)
+      // hand-written state without the stamp must fail loudly, not sign
+      // with whatever defaults happen to be in scope
+      spark.sql("ALTER TABLE corpus_fuzzy_buckets UNSET TBLPROPERTIES " +
+        "('graft.fuzzy.num_bands')")
+      val err = intercept[IllegalStateException] {
+        Dedup.loadCorpusFuzzyState(spark, "corpus_fuzzy")
+      }
+      err.getMessage should include("graft.fuzzy.num_bands")
+      spark.sql("ALTER TABLE corpus_fuzzy_buckets SET TBLPROPERTIES " +
+        "('graft.fuzzy.num_bands'='4')")
 
       val plan = out.queryExecution.executedPlan
       // the corpus state must be read as bucketed scans...

@@ -398,6 +398,22 @@ class DedupSpec extends SparkSpec {
       .count() shouldBe 3
   }
 
+  test("semanticDedup: zero-norm vectors never pair and always survive") {
+    // cosine is undefined at norm 0 — the documented contract excludes
+    // zero vectors from pairing EXPLICITLY (not via the engine's
+    // divide-by-zero behavior), so they survive even among themselves and
+    // never suppress (or get suppressed by) a real vector
+    val z = Array(0f, 0f, 0f, 0f)
+    val a = Array(1f, 0f, 0f, 2f)
+    val vecs = Seq(0L -> a, 1L -> z, 2L -> z,
+      3L -> a.map(_ * 2f)) // exact-direction dup of 0, pairs and drops
+      .toDF("id", "vec")
+    val out = Dedup.semanticDedup(vecs, "id", "vec",
+        k = 2, iters = 1, threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).sorted
+    out shouldBe Array(0L, 1L, 2L)
+  }
+
   test("LSH pair stage plans a bucket equi-join — never an all-pairs scan") {
     val vecs = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f)).toDF("id", "vec")
     val pairPlan = graft.similarity.Similarity
