@@ -4,7 +4,7 @@ import graft.config._
 import graft.dedup.Dedup
 import graft.gold.{AggregationEngine, IncrementalMaterializer}
 import graft.ops.{AsofJoin, Joins, Sessions}
-import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation}
+import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation, Sketches}
 import graft.multimodal.Multimodal
 import graft.silver.Transform
 import graft.similarity.Similarity
@@ -634,6 +634,61 @@ object SparkEntry {
         "vec_id", "embedding", k = 16, iters = 1, threshold = 0.4)
         .select("vec_id", "label")
         .orderBy("vec_id")),
+
+    // EXACT two-sample KS distance between the view and purchase value
+    // distributions — the unbinned twin of q84's histogram drift on the
+    // same split. Integer deviations |n_b·cum_a − n_a·cum_b| per distinct
+    // value; D divides two exact integers, bit-identical across engines.
+    "q112_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Anomaly.ksDrift(
+        ev.filter(col("event_type") === "view").select("value"),
+        ev.filter(col("event_type") === "purchase").select("value"),
+        "value")
+    }),
+
+    // Per-event-type least-squares trend of daily value totals — is the
+    // metric drifting and how fast. x = epoch day (ts div 86400e9 on
+    // exact nanos), y = exact e6 micro-unit daily sums; the fit's
+    // sufficient statistics are all-BIGINT, the slope a double over two
+    // small exact integers.
+    "q113_trend_slopes" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("y_e6"))
+      Anomaly.linearTrend(daily, Seq("event_type"), "day", "y_e6")
+        .orderBy("event_type")
+    }),
+
+    // Incremental cardinality via mergeable HLL sketches: per-day sketches
+    // union-merged per event_type must estimate IDENTICALLY to a one-shot
+    // sketch (union is register-wise max — lossless for same lgK), and the
+    // estimate must sit within 5% of the exact distinct count. Estimates
+    // are engine-local (DataSketches), so the oracle compares the exact
+    // count and the two invariant booleans — the q41 bounds-check pattern.
+    "q114_cardinality_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = Sketches.distinctSketches(
+        ev.withColumn("day", expr("ts div 86400000000000")),
+        Seq("event_type", "day"), "user_id")
+      val merged = Sketches.mergeSketches(daily, Seq("event_type"))
+        .select(col("event_type"), Sketches.estimate(col("sketch")).as("n_merged"))
+      Sketches.cardinalityAudit(ev, Seq("event_type"), "user_id")
+        .join(merged, "event_type")
+        .select(col("event_type"), col("n_exact"), col("within_tol"),
+          (col("n_merged") === col("n_est")).as("merge_exact"))
+        .orderBy("event_type")
+    }),
+
+    // Crosstab: docs per (lang × source) as one row per lang with one
+    // column per source — explicit pivot values, so the plan is ONE
+    // grouped aggregate with a stable schema (no discovery scan). Absent
+    // combinations stay null on both engines.
+    "q115_crosstab" -> ((s, dir) =>
+      Transform.crosstab(Tables.load(s, dir, "documents"),
+        "lang", "source", (0 until 20).map(i => s"src$i"), count(lit(1)))
+        .orderBy("lang")),
 
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
@@ -2931,6 +2986,62 @@ object SparkEntry {
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM labels WHERE id <> lbl)
         |ORDER BY vec_id""".stripMargin,
+    // q112: exact KS — counts per distinct value per side, running sums up
+    // the merged value axis, D = max |n_b·cum_a − n_a·cum_b| / (n_a·n_b).
+    // Every comparison integer; the final division is double over exact
+    // integers < 2^53. DuckDB's default RANGE frame ≡ Spark's rows frame
+    // here because v is distinct after the GROUP BY.
+    "q112_ks_drift" ->
+      """WITH a AS (SELECT value AS v, count(*) AS ca FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT value AS v, count(*) AS cb FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+        |m AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+        |    coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |c AS (SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cb) OVER (ORDER BY v) AS cum_b FROM m),
+        |t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM m)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(max(abs(n_b * cum_a - n_a * cum_b)) AS BIGINT) AS ks_num,
+        | CAST(round(CAST(max(abs(n_b * cum_a - n_a * cum_b)) AS DOUBLE)
+        |   / CAST(n_a * n_b AS DOUBLE) * 1000000.0) AS BIGINT) AS ks_e6
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
+    // q113: the least-squares fit from exact BIGINT sufficient statistics;
+    // epoch day via integer nanos division (both engines truncate, ts > 0).
+    "q113_trend_slopes" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    sum(CAST(round(value * 1000000.0) AS BIGINT)) AS y_e6
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(day) AS sx, sum(y_e6) AS sy,
+        |    sum(day * day) AS sxx, sum(day * y_e6) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        | CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        | CASE WHEN n * sxx - sx * sx <> 0
+        |   THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE)
+        | END AS slope
+        |FROM st ORDER BY event_type""".stripMargin,
+    // q114: the exact count hash-compares; the sketch estimate is
+    // engine-local (DataSketches HLL), so its invariants — within 5% of
+    // exact, and merged-per-day ≡ one-shot — ride as oracle-TRUE booleans
+    // (the q41 bounds-check pattern).
+    "q114_cardinality_audit" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_tol, TRUE AS merge_exact
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q115: crosstab ≡ 20 conditional sums; absent (lang, source) cells
+    // are NULL on both engines (sum over no rows / pivot over no rows).
+    "q115_crosstab" ->
+      ("SELECT lang,\n" +
+        (0 until 20).map(i =>
+          s" CAST(sum(CASE WHEN source = 'src$i' THEN 1 END) AS BIGINT)" +
+            s" AS src$i").mkString(",\n") +
+        "\nFROM documents GROUP BY lang ORDER BY lang"),
     // q40: the TRAINED-IVF path fully replayed — both fixed-point Lloyd
     // iterations unroll as SQL (seed-normalize with REAL casts → argmax
     // assignment → e6-BIGINT component sums → floor-division means →

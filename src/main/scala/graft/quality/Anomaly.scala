@@ -411,4 +411,79 @@ object Anomaly {
             abs(col(valueCol) - col("roll_mean")) > lit(k) * col("roll_std"),
           lit(false)))
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov distance — the unbinned complement
+    * to [[histogramDrift]]: D = max over all observed values of
+    * |ECDF_a(x) − ECDF_b(x)|, with no binning loss and no (lo, hi, nBins)
+    * to get wrong. All comparison arithmetic is integer: at each distinct
+    * value the deviation is |n_b·cum_a − n_a·cum_b| (both products BIGINT),
+    * and D itself divides two exact integers < 2⁵³ — bit-identical on
+    * every engine.
+    *
+    * One row out: (n_a, n_b, ks_num, ks_e6) where D = ks_num/(n_a·n_b).
+    *
+    * Scale shape: one groupBy per side in VALUE space (counts per distinct
+    * value), then a running sum over the merged value summary — the same
+    * summary-space posture as `Curation.percentileRank`; row data is never
+    * windowed. The summary is bounded by value CARDINALITY, not row count;
+    * for unbounded-cardinality columns at 100 TB, bin first
+    * ([[histogramDrift]]) or quantize to fixed precision — an exact ECDF
+    * over genuinely unique doubles is inherently a sort of the distinct
+    * values, on any engine. Nulls are excluded from both sides. */
+  def ksDrift(dfA: DataFrame, dfB: DataFrame, column: String): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.filter(col(column).isNotNull)
+        .groupBy(col(column).as("v")).agg(count(lit(1)).as(as))
+    val merged = counts(dfA, "ca").join(counts(dfB, "cb"), Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // the distinct-value summary: cumulative counts up each side's ECDF
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cums = merged.select(
+      sum("ca").over(w).as("cum_a"), sum("cb").over(w).as("cum_b"))
+    val totals = merged.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cums.crossJoin(broadcast(totals)) // 1-row stat frame, same as zScore
+      .select(col("n_a"), col("n_b"),
+        abs(col("n_b") * col("cum_a") - col("n_a") * col("cum_b")).as("dev"))
+      .groupBy("n_a", "n_b").agg(max(col("dev")).as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        round(col("ks_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double") * lit(1e6))
+          .cast("long").as("ks_e6"))
+  }
+
+  /** Per-group least-squares trend over an INTEGER (x, y) series — the
+    * drift-direction detector over daily mart series: is this metric
+    * rising, and how fast? Slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), both
+    * sides exact BIGINT sufficient statistics from one grouped pass, so
+    * the fit is partition-order-independent and hash-compares across
+    * engines (the final division is double over exact integers; the
+    * cancelled numerator/denominator are small). Emits the exact rational
+    * (`slope_num`, `slope_den`) plus `slope` as double; a single-x group
+    * has den 0 → null slope, never a division error.
+    *
+    * Overflow contract: |x|·|y|·rows per group must stay within BIGINT —
+    * true for day-index x (~2·10⁴) against e6 micro-unit daily aggregates;
+    * rebase x (subtract a constant epoch) if feeding wider series.
+    *
+    * Scale shape: ONE groupBy over the input — no window, no join; output
+    * is |groups| rows. Feed it aggregated series (e.g. daily totals), not
+    * raw events, and the input is summary-sized too. */
+  def linearTrend(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        den.as("slope_den"),
+        when(den =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            den.cast("double")).as("slope")): _*)
+  }
 }

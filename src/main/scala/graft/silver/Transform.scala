@@ -91,6 +91,28 @@ object Transform {
       .drop("_row_num")
   }
 
+  /** Crosstab / pivot: one row per `rowCol` value, one aggregate column
+    * per EXPLICIT `pivotValues` entry (missing combinations are null —
+    * coalesce downstream if 0 is wanted). Values are required up front by
+    * design: Spark's
+    * value-less `pivot` runs an extra distinct-collect job over the data
+    * to discover columns — at 100 TB that is a full scan just to name the
+    * schema, and a drifting category set silently changes it between runs.
+    * With explicit values the plan is ONE grouped aggregate (map-side
+    * partials, |rowCol values| result rows) and the schema is stable.
+    * Rows whose pivot value is outside `pivotValues` are dropped before
+    * the aggregate (pushable predicate), matching pivot semantics. */
+  def crosstab(df: DataFrame, rowCol: String, pivotCol: String,
+      pivotValues: Seq[String], agg: Column): DataFrame = {
+    require(pivotValues.nonEmpty, "crosstab needs explicit pivot values")
+    require(pivotValues.distinct.size == pivotValues.size,
+      s"duplicate pivot values in $pivotValues")
+    df.filter(col(pivotCol).isin(pivotValues.map(lit): _*))
+      .groupBy(col(rowCol))
+      .pivot(pivotCol, pivotValues)
+      .agg(agg)
+  }
+
   /** The full chain in reference order. */
   def apply(spec: SilverSpec)(df: DataFrame): DataFrame = {
     val chain: Seq[DataFrame => DataFrame] = Seq(

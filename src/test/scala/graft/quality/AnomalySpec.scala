@@ -148,6 +148,39 @@ class AnomalySpec extends SparkSpec {
       (11L, 0L, 2L, 0L, 500000L, 500000L))
   }
 
+  test("ksDrift: exact D on a hand-computed case; 0 for identical, 1 for disjoint") {
+    import spark.implicits._
+    // A = {1,2,3}, B = {2,4}: ECDFs diverge most at x=3 (A 3/3, B 1/2)
+    // → D = 1/2, ks_num = |n_b·cum_a − n_a·cum_b| = |2·3 − 3·1| = 3
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 4.0).toDF("v")
+    val r = Anomaly.ksDrift(a, b, "v").head()
+    (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Long]("ks_num"), r.getAs[Long]("ks_e6")) shouldBe
+      (3L, 2L, 3L, 500000L)
+    // same sample → D = 0
+    Anomaly.ksDrift(a, a, "v").head().getAs[Long]("ks_e6") shouldBe 0L
+    // disjoint supports → D = 1
+    val hi = Seq(100.0, 101.0).toDF("v")
+    Anomaly.ksDrift(a, hi, "v").head().getAs[Long]("ks_e6") shouldBe 1000000L
+  }
+
+  test("linearTrend: exact rational slope; single-x group yields null, not an error") {
+    import spark.implicits._
+    // perfect line y = 7x + 3 over x ∈ {0,1,2} → slope exactly 7
+    val line = Seq(("a", 0L, 3L), ("a", 1L, 10L), ("a", 2L, 17L),
+      ("b", 5L, 100L)) // one point: den = 0
+      .toDF("grp", "x", "y")
+    val out = Anomaly.linearTrend(line, Seq("grp"), "x", "y")
+      .orderBy("grp").collect()
+    out(0).getAs[Double]("slope") shouldBe 7.0
+    // the exact rational is exposed too: num/den = 42/6
+    out(0).getAs[Long]("slope_num") shouldBe 42L
+    out(0).getAs[Long]("slope_den") shouldBe 6L
+    out(1).isNullAt(out(1).fieldIndex("slope")) shouldBe true
+    out(1).getAs[Long]("slope_den") shouldBe 0L
+  }
+
   test("winsorize keeps and clamps the NULL group instead of dropping it") {
     import spark.implicits._
     val df = Seq(Some("a") -> 1.0, Some("a") -> 10.0,

@@ -51,6 +51,26 @@ class TransformSpec extends SparkSpec {
     Transform.dedupe(DedupeSpec(Nil, Nil))(trips).count() shouldBe 4
   }
 
+  test("crosstab pivots explicit values; absent cells null; out-of-list rows dropped") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(("en", "a"), ("en", "a"), ("en", "b"), ("fr", "b"),
+      ("fr", "zz")) // zz is not a requested pivot value
+      .toDF("lang", "src")
+    val out = Transform.crosstab(docs, "lang", "src", Seq("a", "b"),
+      count(lit(1)))
+    out.columns.toSeq shouldBe Seq("lang", "a", "b")
+    val rows = out.orderBy("lang").collect()
+    (rows(0).getString(0), rows(0).getLong(1), rows(0).getLong(2)) shouldBe
+      (("en", 2L, 1L))
+    rows(1).getString(0) shouldBe "fr"
+    rows(1).isNullAt(1) shouldBe true // fr×a never occurs
+    rows(1).getLong(2) shouldBe 1L // and the zz row contributed nowhere
+    an[IllegalArgumentException] should be thrownBy
+      Transform.crosstab(docs, "lang", "src", Seq("a", "a"), count(lit(1)))
+    an[IllegalArgumentException] should be thrownBy
+      Transform.crosstab(docs, "lang", "src", Nil, count(lit(1)))
+  }
+
   test("full chain runs rename→cast→derive→filter→dedupe in order") {
     val spec = SilverSpec(
       renames = Seq("fare" -> "fare_amount"),
