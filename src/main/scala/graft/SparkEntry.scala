@@ -690,6 +690,40 @@ object SparkEntry {
         "lang", "source", (0 until 20).map(i => s"src$i"), count(lit(1)))
         .orderBy("lang")),
 
+    // CCNet/C4-style segment-level boilerplate REMOVAL: 2-token segments
+    // appearing in ≥ 25 documents are dropped and the surviving segments
+    // reassemble in order — the destructive twin of q80's scoring. The
+    // whole rewrite (segmentation, df counting, reassembly, micro-unit
+    // fraction) hash-compares against the SQL replay.
+    "q116_strip_boilerplate" -> ((s, dir) =>
+      Curation.stripBoilerplateSegments(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        segTokens = 2, maxDf = 25)
+        .orderBy("doc_id")),
+
+    // Key-skew profile of events.user_id — the measurement that sizes
+    // saltedJoin: top-20 heaviest keys with exact counts, micro-unit
+    // shares, the max/avg skew ratio, and the salt factor capping the
+    // hottest key at 500 rows/task (small target so the factor is
+    // non-trivial at test SF).
+    "q117_key_skew" -> ((s, dir) =>
+      graft.ops.Scale.keySkewProfile(Tables.events(s, dir),
+        Seq("user_id"), topK = 20, targetPartitionRows = 500L)
+        .orderBy("rnk")),
+
+    // Embedding centroid drift between two snapshots (vec_id parity split)
+    // per label: cosine of exact e6-integer mean vectors + mean-norm
+    // ratio. A full-corpus self-drift would be 1.0; the parity split
+    // exercises real per-group divergence.
+    "q118_centroid_drift" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+        .orderBy("label")
+    }),
+
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
     // Media features, FULL hash-compare: every emitted column is derived
@@ -3042,6 +3076,98 @@ object SparkEntry {
           s" CAST(sum(CASE WHEN source = 'src$i' THEN 1 END) AS BIGINT)" +
             s" AS src$i").mkString(",\n") +
         "\nFROM documents GROUP BY lang ORDER BY lang"),
+    // q116: the full destructive rewrite replayed — 1-based ordinality
+    // grouped by (ord-1)//2 reproduces Spark's 0-based slice boundaries;
+    // string_agg ORDER BY restores order where Spark array_sorts structs;
+    // Spark keys df on md5(seg), the oracle on seg itself (same counts —
+    // md5 is collision-free at corpus scale).
+    "q116_strip_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |    THEN CAST([] AS VARCHAR[]) ELSE string_split(trim(text), ' ')
+        |    END AS lst FROM documents),
+        |s0 AS (
+        |  SELECT doc_id, list_transform(range((len(lst) + 1) // 2),
+        |    i -> array_to_string(lst[(i*2+1):(i*2+2)], ' ')) AS segs FROM d),
+        |segs AS (
+        |  SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_idx,
+        |    unnest(segs) AS seg FROM s0),
+        |dfc AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+        |reb AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM segs JOIN dfc USING (seg) WHERE df < 25 GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(segs) AS n_segments FROM s0)
+        |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(b.n_segments AS BIGINT) AS n_segments,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN b.n_segments = 0 THEN 0
+        |    ELSE ((b.n_segments - coalesce(r.n_kept, 0)) * 1000000)
+        |      // b.n_segments END AS BIGINT) AS boiler_frac_e6
+        |FROM base b LEFT JOIN reb r USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    // q117: counts/summary/top-k replay; ASC NULLS FIRST matches Spark's
+    // asc null ordering (user_id has no nulls, but the contract is
+    // explicit); user_id is unique so the rank order is total.
+    "q117_key_skew" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |summ AS (
+        |  SELECT sum(cnt) AS n_rows, count(*) AS n_keys, max(cnt) AS max_cnt
+        |  FROM counts),
+        |top AS (
+        |  SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id ASC NULLS FIRST) AS rnk
+        |  FROM counts ORDER BY cnt DESC, user_id ASC NULLS FIRST LIMIT 20)
+        |SELECT t.user_id, CAST(t.rnk AS BIGINT) AS rnk,
+        |  CAST(t.cnt AS BIGINT) AS cnt,
+        |  CAST((t.cnt * 1000000) // s.n_rows AS BIGINT) AS share_e6,
+        |  CAST(s.n_rows AS BIGINT) AS n_rows,
+        |  CAST(s.n_keys AS BIGINT) AS n_keys,
+        |  CAST((s.max_cnt * s.n_keys * 1000000) // s.n_rows AS BIGINT)
+        |    AS skew_ratio_e6,
+        |  CAST((s.max_cnt + 499) // 500 AS BIGINT) AS salt_factor
+        |FROM top t, summ s ORDER BY rnk""".stripMargin,
+    // q118: per-(label, side, dim) e6-BIGINT sums (exact, commutative —
+    // the q40 fixed-point contract), then cosine/norms fold the exact
+    // integer sums as doubles in index order (list_dot_product ≡ the
+    // Spark sequential fold). REAL→DOUBLE cast before rounding matches
+    // Spark's float→double widening.
+    "q118_centroid_drift" ->
+      """WITH v AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |ex AS (
+        |  SELECT label, vec_id % 2 AS side,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding) AS x FROM v),
+        |sums AS (
+        |  SELECT label, side, pos,
+        |    sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM ex GROUP BY 1, 2, 3),
+        |a AS (SELECT label, pos, s AS s_a, n AS n_a FROM sums WHERE side = 0),
+        |b AS (SELECT label, pos, s AS s_b, n AS n_b FROM sums WHERE side = 1),
+        |j AS (SELECT coalesce(a.label, b.label) AS label,
+        |    coalesce(a.pos, b.pos) AS pos,
+        |    coalesce(s_a, 0) AS s_a, coalesce(s_b, 0) AS s_b,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.label = b.label AND a.pos = b.pos),
+        |g AS (SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+        |    list(CAST(s_a AS DOUBLE) ORDER BY pos) AS va,
+        |    list(CAST(s_b AS DOUBLE) ORDER BY pos) AS vb
+        |  FROM j GROUP BY 1)
+        |SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN sqrt(list_dot_product(va, va)) = 0
+        |      OR sqrt(list_dot_product(vb, vb)) = 0 THEN NULL
+        |    ELSE CAST(round(list_dot_product(va, vb)
+        |      / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+        |      * 1000000.0) AS BIGINT) END AS cos_e6,
+        |  CASE WHEN sqrt(list_dot_product(va, va)) = 0
+        |      OR sqrt(list_dot_product(vb, vb)) = 0 THEN NULL
+        |    ELSE CAST(round(sqrt(list_dot_product(va, va)) * n_b
+        |      / (sqrt(list_dot_product(vb, vb)) * n_a)
+        |      * 1000000.0) AS BIGINT) END AS norm_ratio_e6
+        |FROM g ORDER BY label""".stripMargin,
     // q40: the TRAINED-IVF path fully replayed — both fixed-point Lloyd
     // iterations unroll as SQL (seed-normalize with REAL casts → argmax
     // assignment → e6-BIGINT component sums → floor-division means →

@@ -43,6 +43,46 @@ object Scale {
     saltedFact.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Key-skew profiler — the measurement that decides between a plain
+    * shuffle join, AQE skew-split, and [[saltedJoin]] (and sizes the salt):
+    * the top-`topK` heaviest keys of a prospective join/groupBy key, each
+    * with its exact row count, micro-unit share of the table, the global
+    * max-over-avg skew ratio, and the salt factor that would cap the
+    * hottest key at `targetPartitionRows` rows per task. Run it on a
+    * sample or the full table BEFORE committing a 100 TB job to a key
+    * that holds a partition-sized share of the rows.
+    *
+    * Scale shape: ONE grouped count over the data (map-side partials);
+    * everything after lives in KEY space — the top-k is orderBy+limit
+    * (TakeOrderedAndProject, never a global sort), the rank window runs
+    * over the ≤topK surviving rows, and the 1-row summary broadcasts.
+    * Null keys count like any other key (they hash to one partition in a
+    * real join — exactly the skew this report exists to surface).
+    *
+    * Determinism: counts are exact longs; shares and ratios are
+    * floor-division micro-units; ties rank by key ascending (nulls
+    * first, Spark's asc order — the oracle replays NULLS FIRST). */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String], topK: Int,
+      targetPartitionRows: Long = 10000000L): DataFrame = {
+    require(keyCols.nonEmpty && topK >= 1 && targetPartitionRows >= 1,
+      s"bad keySkewProfile params: keys=$keyCols topK=$topK target=$targetPartitionRows")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+    val order = col("cnt").desc +: keyCols.map(col(_).asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    counts.orderBy(order: _*).limit(topK)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(summary))
+      .withColumn("share_e6", expr("cnt * 1000000L div n_rows"))
+      .withColumn("skew_ratio_e6", expr("max_cnt * n_keys * 1000000L div n_rows"))
+      .withColumn("salt_factor",
+        expr(s"(max_cnt + ${targetPartitionRows - 1}L) div ${targetPartitionRows}L"))
+      .select(keyCols.map(col) ++ Seq(col("rnk"), col("cnt"), col("share_e6"),
+        col("n_rows"), col("n_keys"), col("skew_ratio_e6"),
+        col("salt_factor")): _*)
+  }
+
   /** Convenience: register a DataFrame as a bucketed table and return the
     * catalog-backed frame (the co-located read side). */
   def asBucketedTable(spark: SparkSession, df: DataFrame, table: String,

@@ -431,6 +431,67 @@ object Similarity {
           .cast("long").as("centroid_cos_e6"))
   }
 
+  /** Embedding centroid DRIFT between two corpus snapshots — the canary
+    * that fires when an encoder upgrade, a quantizer change, or a data-mix
+    * shift moves a stratum's embedding mass: per group (label, domain,
+    * language …), the cosine between snapshot A's and snapshot B's mean
+    * vectors, plus the mean-norm ratio (direction drift and magnitude
+    * drift separate — a re-scaled encoder keeps cosine 1.0 but moves the
+    * ratio). Downstream ANN indexes (IVF centroids, PQ codebooks, LSH
+    * planes) are trained on the OLD geometry; a low group cosine says
+    * retrain before recall quietly rots.
+    *
+    * Determinism: per-(group, dim) sums accumulate as e6 micro-unit
+    * BIGINTs (exact, order-free — the kMeansCentroidsExact contract), and
+    * cosine is scale-invariant, so cos(mean_a, mean_b) IS cos(sum_a,
+    * sum_b) — counts never divide anything. The final cosine folds the
+    * exact integer sums in index order as doubles (the vec_dot ≡
+    * list_dot_product sequential-fold contract), so the output
+    * hash-compares. BIGINT bound: |sum_e6| < n·1e6·max|x| and the fold's
+    * integer→double squares stay exact below 2^53 — at larger scales,
+    * shift the micro-unit down (e3) per the linearTrend overflow contract.
+    *
+    * Scale shape: one grouped sum per side in (group × dim) space —
+    * map-side partials, dim is fixed and small; the dim-space full-outer
+    * join + per-group array rebuild touch |groups|·dim rows, never corpus
+    * rows. Groups present on one side only report a null cosine with the
+    * other side's n = 0 (zero-norm guard — never NaN), the
+    * centroidCosines posture.
+    *
+    * Output: (group, n_a, n_b, cos_e6, norm_ratio_e6). */
+  def centroidDrift(dfA: DataFrame, dfB: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    def sums(df: DataFrame, side: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("g", "pos")
+        .agg(sum(round(col("x").cast("double") * 1e6).cast("long")).as(s"s_$side"),
+          count(lit(1)).as(s"n_$side"))
+    val joined = sums(dfA, "a").join(sums(dfB, "b"), Seq("g", "pos"), "full_outer")
+    val perGroup = joined.groupBy("g")
+      .agg(
+        max(coalesce(col("n_a"), lit(0L))).as("n_a"),
+        max(coalesce(col("n_b"), lit(0L))).as("n_b"),
+        transform(array_sort(collect_list(struct(col("pos"),
+          coalesce(col("s_a"), lit(0L)).as("s")))),
+          s => s.getField("s").cast("double")).as("va"),
+        transform(array_sort(collect_list(struct(col("pos"),
+          coalesce(col("s_b"), lit(0L)).as("s")))),
+          s => s.getField("s").cast("double")).as("vb"))
+    val normA = sqrt(dotFold(col("va"), col("va")))
+    val normB = sqrt(dotFold(col("vb"), col("vb")))
+    perGroup.select(
+      col("g").as(groupCol), col("n_a"), col("n_b"),
+      when(normA === 0 || normB === 0, lit(null))
+        .otherwise(round(dotFold(col("va"), col("vb")) / (normA * normB) * 1e6))
+        .cast("long").as("cos_e6"),
+      // mean-norm ratio: (||sum_a||/n_a) / (||sum_b||/n_b)
+      when(normA === 0 || normB === 0, lit(null))
+        .otherwise(round(normA * col("n_b").cast("double")
+          / (normB * col("n_a").cast("double")) * 1e6))
+        .cast("long").as("norm_ratio_e6"))
+  }
+
   /** IVF top-k: corpus is bucketed by nearest centroid ONCE; each query
     * probes its `nProbe` nearest centroid buckets. nProbe = numCentroids
     * degenerates to exact brute force (the recall-1.0 bound the spec

@@ -435,6 +435,79 @@ object Curation {
   def applyLanguageFilter(df: DataFrame, l: LanguageFilterSpec): DataFrame =
     df.filter(TextAnalysis.langId(col(l.textColumn)).isin(l.keep: _*))
 
+  /** Segment-level boilerplate REMOVAL — the CCNet/C4 curation step that
+    * [[TextAnalysis.interDocRepetition]] only scores: split each document
+    * into non-overlapping `segTokens`-token segments, count each distinct
+    * segment's document frequency corpus-wide, DROP segments appearing in
+    * `maxDf`-or-more documents (navigation bars, license blurbs, templated
+    * headers — the text that repeats across pages verbatim), and reassemble
+    * the surviving segments in original order. Emits the rewritten text
+    * plus the audit columns a curation report aggregates:
+    * (id, clean_text, n_segments, n_kept, boiler_frac_e6).
+    *
+    * Scale shape: segmentation is row-local (one `transform` over a
+    * `sequence` of segment indices — the text never explodes to one row
+    * per TOKEN, only per segment). Document frequency is a grouped
+    * count-distinct in SEGMENT-VOCABULARY space keyed by the md5 of the
+    * segment (fixed-width shuffle keys; distinct-per-doc first, so the df
+    * count is one exact grouped count, never a count(distinct) over raw
+    * rows), joined back onto the exploded segments by hash — the same
+    * AQE-skew-splittable join posture as interDocRepetition; a count
+    * window over the hash partition would buffer every document carrying
+    * a hot boilerplate segment in ONE task. Reassembly is one keyed
+    * grouped aggregate (`array_sort` of (seg_idx, seg) structs — order
+    * restored inside the agg, no window). Docs whose every segment was
+    * boilerplate (or with null/empty text) re-enter from a column-pruned
+    * id-only left join with clean_text = '' — dropped-to-empty is a
+    * visible outcome, not a lost row.
+    *
+    * Determinism: segment boundaries are integer arithmetic on token
+    * positions; the fraction is floor-division micro-units of exact
+    * integers; md5 is identical hex on every engine — the whole output
+    * hash-compares (oracle q116). */
+  def stripBoilerplateSegments(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int, maxDf: Int): DataFrame = {
+    require(segTokens >= 1 && maxDf >= 2,
+      s"bad stripBoilerplateSegments params: segTokens=$segTokens maxDf=$maxDf")
+    val toks = when(coalesce(length(trim(col(textCol))), lit(0)) === 0,
+      typedlit(Seq.empty[String])).otherwise(split(trim(col(textCol)), " "))
+    // row-local segmentation: seg i = tokens [i*W, i*W+W)
+    val segsCol = when(size(col("_toks")) === 0, typedlit(Seq.empty[String]))
+      .otherwise(transform(
+        sequence(lit(0), expr(s"(size(_toks) - 1) div $segTokens").cast("int")),
+        i => array_join(
+          slice(col("_toks"), i * segTokens + 1, lit(segTokens)), " ")))
+    val segs = df
+      .select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .select(col("doc_id"), posexplode(segsCol).as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+    // df in segment-vocabulary space: distinct (h, doc) first, then one
+    // exact grouped count per h
+    val dfCounts = segs.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("_df"))
+    val rebuilt = segs.join(dfCounts, Seq("h"))
+      .filter(col("_df") < maxDf)
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("doc_id"),
+        size(toks).as("n_segments_toks"))
+      .withColumn("n_segments",
+        expr(s"(n_segments_toks + ${segTokens - 1}) div $segTokens").cast("long"))
+      .drop("n_segments_toks")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .withColumn("boiler_frac_e6",
+        when(col("n_segments") === 0, lit(0L))
+          .otherwise(expr("(n_segments - n_kept) * 1000000L div n_segments")))
+  }
+
   /** The budget cut from config. `scoreColumn`/`tokenColumn` must exist on
     * the frame as numeric columns — derive them in silver
     * (`derived_columns`) the same way `sessions:` sources its ts_us column;

@@ -29,6 +29,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("keySkewProfile: counts, shares, ratio, salt factor, tie order") {
+    val rows = (
+      (1 to 6).map(_ => Some(7L)) ++   // hot key: 6 rows
+      (1 to 3).map(_ => Some(2L)) ++   // warm: 3
+      (1 to 3).map(_ => Some(9L)) ++   // warm tie: 3
+      Seq(Some(5L), None)              // cold + null key
+    ).zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val out = Scale.keySkewProfile(rows, Seq("k"), topK = 3,
+      targetPartitionRows = 2L).orderBy("rnk").collect()
+    // n_rows=14, n_keys=5, max_cnt=6
+    out.map(r => (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+      r.getAs[Long]("rnk"), r.getAs[Long]("cnt"),
+      r.getAs[Long]("share_e6"))).toSeq shouldBe Seq(
+      (Some(7L), 1L, 6L, 428571L),
+      // tie at cnt=3 breaks by key asc: 2 before 9
+      (Some(2L), 2L, 3L, 214285L),
+      (Some(9L), 3L, 3L, 214285L))
+    val r0 = out.head
+    r0.getAs[Long]("n_rows") shouldBe 14L
+    r0.getAs[Long]("n_keys") shouldBe 5L
+    // max/avg = 6 / (14/5): 6*5*1e6 div 14
+    r0.getAs[Long]("skew_ratio_e6") shouldBe 2142857L
+    // cap the hot key at 2 rows/task: ceil(6/2) = 3
+    r0.getAs[Long]("salt_factor") shouldBe 3L
+  }
+
+  test("keySkewProfile: null key counts like any key and ranks first on ties") {
+    val rows = (Seq(None, None, Some(1L), Some(1L))).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val out = Scale.keySkewProfile(rows, Seq("k"), topK = 2).collect()
+    // both keys have cnt=2; Spark asc puts null first — rnk 1 is the null key
+    out.find(_.getAs[Long]("rnk") == 1L).get.isNullAt(0) shouldBe true
+    out.find(_.getAs[Long]("rnk") == 2L).get.getAs[Long]("k") shouldBe 1L
+    out.foreach(_.getAs[Long]("cnt") shouldBe 2L)
+  }
+
   test("salted join equals the plain join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = ((1 to 900).map(_ => 7L) ++ (1 to 100).map(_.toLong + 100))

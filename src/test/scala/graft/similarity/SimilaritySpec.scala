@@ -488,6 +488,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidDrift: identical, scaled, opposite, and one-sided groups") {
+    val a = Seq(
+      (1L, "same", Seq(1f, 0f, 0f)), (2L, "same", Seq(0f, 1f, 0f)),
+      (3L, "scaled", Seq(1f, 2f, 0f)),
+      (4L, "flip", Seq(1f, 1f, 1f)),
+      (5L, "only_a", Seq(1f, 0f, 1f)))
+      .toDF("id", "g", "v")
+    val b = Seq(
+      (6L, "same", Seq(1f, 0f, 0f)), (7L, "same", Seq(0f, 1f, 0f)),
+      // same direction, 2x magnitude -> cos 1.0, mean-norm ratio a/b = 0.5
+      (8L, "scaled", Seq(2f, 4f, 0f)),
+      (9L, "flip", Seq(-1f, -1f, -1f)))
+      .toDF("id", "g", "v")
+    val out = Similarity.centroidDrift(a, b, "g", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    out("same").getAs[Long]("cos_e6") shouldBe 1000000L
+    out("same").getAs[Long]("norm_ratio_e6") shouldBe 1000000L
+    out("same").getAs[Long]("n_a") shouldBe 2L
+    out("scaled").getAs[Long]("cos_e6") shouldBe 1000000L
+    out("scaled").getAs[Long]("norm_ratio_e6") shouldBe 500000L
+    out("flip").getAs[Long]("cos_e6") shouldBe -1000000L
+    // group absent on one side: n_b = 0, null metrics (never NaN)
+    out("only_a").getAs[Long]("n_a") shouldBe 1L
+    out("only_a").getAs[Long]("n_b") shouldBe 0L
+    out("only_a").isNullAt(out("only_a").fieldIndex("cos_e6")) shouldBe true
+  }
+
+  test("centroidDrift: cosine compares MEANS — count imbalance is invisible") {
+    // B holds the same direction twice; cos(mean, mean) must still be 1.0
+    val a = Seq((1L, "g", Seq(3f, 4f))).toDF("id", "g", "v")
+    val b = Seq((2L, "g", Seq(3f, 4f)), (3L, "g", Seq(3f, 4f)))
+      .toDF("id", "g", "v")
+    val r = Similarity.centroidDrift(a, b, "g", "v").collect().head
+    r.getAs[Long]("cos_e6") shouldBe 1000000L
+    r.getAs[Long]("norm_ratio_e6") shouldBe 1000000L // mean norms equal
+    r.getAs[Long]("n_b") shouldBe 2L
+  }
+
   test("lsh: identical-direction vectors share a bucket; dupes ⊆ exact") {
     val exact = Similarity.cosineDupes(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -274,6 +274,58 @@ class CurationSpec extends SparkSpec {
     out.head.getAs[Long]("ttr_e6") shouldBe 1000000L
   }
 
+  test("stripBoilerplateSegments drops shared segments, keeps order") {
+    val docs = Seq(
+      (1L, "nav bar hello world"),
+      (2L, "nav bar other text"),
+      (3L, "solo words only here"))
+      .toDF("doc_id", "text")
+    val out = Curation.stripBoilerplateSegments(docs, "doc_id", "text",
+      segTokens = 2, maxDf = 2).orderBy("doc_id").collect()
+    out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+      r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"),
+      r.getAs[Long]("boiler_frac_e6"))).toSeq shouldBe Seq(
+      // "nav bar" appears in 2 docs >= maxDf -> dropped from both
+      (1L, "hello world", 2L, 1L, 500000L),
+      (2L, "other text", 2L, 1L, 500000L),
+      (3L, "solo words only here", 2L, 2L, 0L))
+  }
+
+  test("stripBoilerplateSegments: df is DOC frequency, not occurrences") {
+    // "nav bar" occurs 3 times total but in only 2 docs; maxDf=3 keeps it —
+    // occurrence counting would have dropped it
+    val docs = Seq(
+      (1L, "nav bar nav bar xx yy"),
+      (2L, "nav bar zz ww"))
+      .toDF("doc_id", "text")
+    val out = Curation.stripBoilerplateSegments(docs, "doc_id", "text",
+      segTokens = 2, maxDf = 3).orderBy("doc_id").collect()
+    out.map(r => (r.getAs[String]("clean_text"),
+      r.getAs[Long]("n_kept"))).toSeq shouldBe Seq(
+      ("nav bar nav bar xx yy", 3L), ("nav bar zz ww", 2L))
+  }
+
+  test("stripBoilerplateSegments: empty, null, all-boilerplate, odd tail") {
+    val docs = Seq(
+      (1L, "shared pair shared pair"), // every segment boilerplate
+      (2L, "shared pair"),
+      (3L, "shared pair tail"),        // odd count: 1-token tail segment kept
+      (4L, ""),
+      (5L, null))
+      .toDF("doc_id", "text")
+    val out = Curation.stripBoilerplateSegments(docs, "doc_id", "text",
+      segTokens = 2, maxDf = 2).orderBy("doc_id").collect()
+    out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+      r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"),
+      r.getAs[Long]("boiler_frac_e6"))).toSeq shouldBe Seq(
+      // doc dropped to EMPTY stays a visible row, not a lost one
+      (1L, "", 2L, 0L, 1000000L),
+      (2L, "", 1L, 0L, 1000000L),
+      (3L, "tail", 2L, 1L, 500000L),
+      (4L, "", 0L, 0L, 0L),
+      (5L, "", 0L, 0L, 0L))
+  }
+
   test("qualityFilter dup_2gram rule fires on repetitive long-word docs") {
     val docs = Seq((1L, ("alpha beta " * 15).trim)).toDF("doc_id", "text")
     val r = Curation.qualityFilter(docs, "doc_id", "text").head()
