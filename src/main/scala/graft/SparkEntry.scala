@@ -724,6 +724,55 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // Cumulative-distinct growth curve: distinct users seen by each epoch
+    // day. First-activity attribution makes per-day new_entities partition
+    // the user set, so the running sum IS the exact cumulative distinct
+    // count — the exact batch twin of the q114 HLL tracker, at one groupBy
+    // on the entity key plus a summary-sized window.
+    "q119_distinct_growth" -> ((s, dir) =>
+      graft.ops.Retention.distinctGrowth(
+        Tables.events(s, dir)
+          .withColumn("day", expr("ts div 86400000000000")),
+        "user_id", "day")
+        .orderBy("period")),
+
+    // CUSUM changepoint per event_type over the q113 daily series: WHERE
+    // did the metric shift (argmax of the exact integer deviation
+    // |n·cum_t − t·total|) to go with q113's how-fast. Ties break on the
+    // earliest day — deterministic on both engines.
+    "q120_changepoints" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(sum(round(col("value") * lit(1e6)).cast("long")).as("y_e6"))
+      Anomaly.changepoints(daily, Seq("event_type"), "day", "y_e6")
+        .orderBy("event_type")
+    }),
+
+    // Exact-size stratified sample: the first 5 docs of each source in
+    // salted-md5 order — a deterministic eval-set draw with exact stratum
+    // sizes (q43's hash sample keeps a RATE; this keeps a COUNT).
+    "q121_stratified_sample" -> ((s, dir) =>
+      Chunking.stratifiedFixedSample(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "lang"),
+        col("source"), col("doc_id"), n = 5)
+        .orderBy("source", "sample_rank")),
+
+    // Inverted-index keyword search: every 97th doc reissued as a query,
+    // top-5 matches under the q51 integer TF-IDF contract, ultra-common
+    // terms (df > 200) dropped from scoring entirely, self-matches
+    // excluded. The lexical complement of the vector top-k family — its
+    // (query_id, neighbor_id, rank) output feeds rrfFuse for hybrid
+    // retrieval.
+    "q122_keyword_search" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.keywordSearchTopK(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", "doc_id", "text",
+        k = 5, maxDf = 200L, excludeSelf = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
     // Media features, FULL hash-compare: every emitted column is derived
@@ -3168,6 +3217,89 @@ object SparkEntry {
         |      / (sqrt(list_dot_product(vb, vb)) * n_a)
         |      * 1000000.0) AS BIGINT) END AS norm_ratio_e6
         |FROM g ORDER BY label""".stripMargin,
+    // q119: first-activity attribution (min day per user) then one
+    // summary-space running sum — per-day new users partition the user
+    // set, so the cumsum is the exact cumulative distinct count.
+    "q119_distinct_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_ns(ts) // 86400000000000) AS period
+        |  FROM events GROUP BY user_id),
+        |per AS (SELECT period, count(*) AS new_entities FROM f GROUP BY 1)
+        |SELECT period, CAST(new_entities AS BIGINT) AS new_entities,
+        |  CAST(sum(new_entities) OVER (ORDER BY period
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_entities
+        |FROM per ORDER BY period""".stripMargin,
+    // q120: the CUSUM argmax replayed over the q113 daily series — all
+    // statistics exact integers (row_number / running sum / group total),
+    // the deviation |n·cum − t·total| identical BIGINT math on both
+    // engines; argmax tie breaks on the earliest day.
+    "q120_changepoints" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    sum(CAST(round(value * 1000000.0) AS BIGINT)) AS y_e6
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t_index,
+        |    sum(y_e6) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cum_before,
+        |    count(*) OVER (PARTITION BY event_type) AS n_points,
+        |    sum(y_e6) OVER (PARTITION BY event_type) AS total
+        |  FROM daily),
+        |d AS (SELECT *,
+        |    abs(n_points * cum_before - t_index * total) AS d_stat,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(n_points * cum_before - t_index * total) DESC,
+        |        day) AS r
+        |  FROM w)
+        |SELECT event_type, day AS change_point,
+        |  CAST(t_index AS BIGINT) AS t_index,
+        |  CAST(n_points AS BIGINT) AS n_points,
+        |  CAST(cum_before AS BIGINT) AS cum_before,
+        |  CAST(total AS BIGINT) AS total, CAST(d_stat AS BIGINT) AS d_stat
+        |FROM d WHERE r = 1 ORDER BY event_type""".stripMargin,
+    // q121: the salted-md5 draw replayed — 'sample:' || doc_id is exactly
+    // Spark's concat_ws(":", salt, key); md5 hex is lowercase on both
+    // engines, so the (hash, key) sort order is identical.
+    "q121_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, lang,
+        |    md5('sample:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id)
+        |      AS sample_rank
+        |  FROM h)
+        |SELECT doc_id, source, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+    // q122: the q51 tf/df machinery plus a query-term probe — scores are
+    // sums of exact integer floor divisions (tf·10⁹ // df), the rank
+    // order total on (score DESC, doc_id). df > 200 terms never score.
+    "q122_keyword_search" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents) t GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+        |  HAVING count(*) <= 200),
+        |q AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split(trim(text), ' '))) AS term
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    sum(tf.tf * 1000000000 // d.df) AS score,
+        |    count(*) AS n_terms_hit
+        |  FROM tf JOIN dfreq d USING (term) JOIN q USING (term)
+        |  WHERE q.query_id <> tf.doc_id
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, n_terms_hit,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM hits)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(doc_id AS BIGINT) AS neighbor_id,
+        |  CAST(rank AS BIGINT) AS rank, CAST(score AS BIGINT) AS score,
+        |  CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q40: the TRAINED-IVF path fully replayed — both fixed-point Lloyd
     // iterations unroll as SQL (seed-normalize with REAL casts → argmax
     // assignment → e6-BIGINT component sums → floor-division means →

@@ -13,7 +13,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.catalyst.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); read as long (see Tables)
+      // events.ts normalizes to epoch-nanos long; the legacy conf only
+      // matters for TIMESTAMP(NANOS)-era files (see Tables.load)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

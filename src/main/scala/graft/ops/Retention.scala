@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cohort retention over an event stream: users grouped by their FIRST
@@ -39,5 +40,33 @@ object Retention {
       .groupBy(col("cohort_period"),
         (col("_p") - col("cohort_period")).as("age"))
       .agg(count_distinct(col("_u")).as("n_users"))
+  }
+
+  /** Cumulative-distinct growth curve: how many DISTINCT entities (users,
+    * documents, domains) the corpus has seen by each period — the
+    * accumulation curve that says whether a source is still yielding new
+    * entities or has saturated (the exact-count batch twin of the HLL
+    * sketch tracker in `quality/Sketches`). Each entity is attributed to
+    * its FIRST period only — the same first-activity attribution as the
+    * cohort triangle — so per-period `new_entities` partition the entity
+    * set and the running sum IS the exact cumulative distinct count; a
+    * naive per-period `count_distinct` over growing prefixes would
+    * rescan history per period and double-count nothing but cost
+    * O(periods·rows).
+    *
+    * Scale shape: one groupBy on the entity key (the only shuffle that
+    * sees row data), then a |periods|-sized summary; the running sum is
+    * a single-partition window over that summary — the percentileRank
+    * posture, row data never windowed. */
+  def distinctGrowth(events: DataFrame, entityCol: String,
+      periodCol: String): DataFrame = {
+    val w = Window.orderBy("period")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .groupBy(col(entityCol).as("_e"))
+      .agg(min(col(periodCol)).as("period"))
+      .groupBy("period")
+      .agg(count(lit(1)).as("new_entities"))
+      .withColumn("cum_entities", sum("new_entities").over(w))
   }
 }

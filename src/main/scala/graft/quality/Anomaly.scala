@@ -486,4 +486,52 @@ object Anomaly {
           (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
             den.cast("double")).as("slope")): _*)
   }
+
+  /** Per-group CUSUM changepoint over an ordered INTEGER series — WHERE
+    * did this metric shift, to go with [[linearTrend]]'s how-fast. For
+    * each prefix t of the series the statistic is the exact integer
+    * D_t = |n·cum_t − t·total| (the mean-shift CUSUM deviation scaled by
+    * n so no rational mean is ever materialized); the changepoint is the
+    * argmax — by the CUSUM convention the LAST point of the pre-shift
+    * regime. Ties break on the earliest order value, and a perfectly
+    * flat series reports its first point with d_stat 0 — callers
+    * threshold on `d_stat` (or the emitted exact integers) to decide
+    * whether a shift is real.
+    *
+    * Overflow contract: n·|cum| per group must stay within BIGINT — true
+    * for daily e6 micro-unit series over years (10⁴ days × 10¹⁴ mass);
+    * pre-aggregate coarser if feeding wider series.
+    *
+    * Scale shape: the input is an already-aggregated series (e.g. the
+    * daily totals fed to linearTrend), so every window here runs over
+    * summary-sized per-group frames — days per key, never row data. Two
+    * keyed windows (running sum + argmax) and one whole-group frame, all
+    * sharing the group-key shuffle.
+    *
+    * Output: group cols + (change_point, t_index, n_points, cum_before,
+    * total, d_stat) — cum_before/total are the exact regime masses, so
+    * before/after means are one division away in the caller's precision
+    * of choice. */
+  def changepoints(df: DataFrame, groupCols: Seq[String],
+      orderCol: String, yCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gcols: _*)
+    val wBest = Window.partitionBy(gcols: _*)
+      .orderBy(col("d_stat").desc, col(orderCol))
+    df.select(gcols :+ col(orderCol) :+ col(yCol).cast("long").as("_y"): _*)
+      .withColumn("t_index", row_number().over(
+        Window.partitionBy(gcols: _*).orderBy(col(orderCol))).cast("long"))
+      .withColumn("cum_before", sum(col("_y")).over(wOrd))
+      .withColumn("n_points", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("_y")).over(wAll))
+      .withColumn("d_stat",
+        abs(col("n_points") * col("cum_before") - col("t_index") * col("total")))
+      .withColumn("_r", row_number().over(wBest))
+      .filter(col("_r") === 1)
+      .select(gcols ++ Seq(col(orderCol).as("change_point"),
+        col("t_index"), col("n_points"), col("cum_before"), col("total"),
+        col("d_stat")): _*)
+  }
 }

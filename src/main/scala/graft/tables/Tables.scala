@@ -17,24 +17,42 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a plain
-    * long (exact — no precision loss) and expose a derived micro-precision
-    * timestamp column for calendar functions. DuckDB oracles use
-    * `epoch_ns(ts)` for the long and the native ts for calendar functions;
-    * both engines truncate ns→µs identically (floor, all values positive).
+  /** The `events` table's `ts` column has shipped in two physical forms:
+    * parquet TIMESTAMP(NANOS) (which Spark's reader only accepts as a plain
+    * long via `spark.sql.legacy.parquet.nanosAsLong`) and plain µs
+    * TIMESTAMP/TIMESTAMP_NTZ. Every operator and every DuckDB oracle is
+    * written against ONE contract — `ts` = exact epoch NANOS as BIGINT — so
+    * this loader normalizes both forms to it: nanos-long passes through,
+    * µs timestamps widen ×1000 (exact; DuckDB's `epoch_ns` on a µs
+    * timestamp is the same ×1000 widening, so the engines stay
+    * bit-identical). NTZ values are interpreted in the session timezone,
+    * which callers must pin to UTC (Bench/Verify/tests all do) — that is
+    * exactly DuckDB's naive-timestamp reading, so the oracle gate cannot
+    * drift. The normalization is a row-local projection: scans under it
+    * still prune columns, and predicates on OTHER columns still push down
+    * (a pushed filter on a widened `ts` would be lost, but every hot
+    * filter here keys on event_type/value/user_id).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      // Fail fast instead of mutating global session state from a loader:
-      // the conf must be set in the SparkSession builder (Bench/Verify and
-      // the test harness all do), not as a plan-construction side effect.
-      require(
-        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-        "set spark.sql.legacy.parquet.nanosAsLong=true in the SparkSession " +
-          "builder before reading the events table (TIMESTAMP(NANOS) parquet)")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventsTs(spark, df) else df
   }
+
+  private def normalizeEventsTs(spark: SparkSession, df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // already raw nanos
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType =>
+        require(
+          spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is a timestamp; set spark.sql.session.timeZone=UTC in " +
+            "the SparkSession builder so naive timestamps read as UTC " +
+            "instants (the DuckDB oracle semantics)")
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected a nanos BIGINT " +
+          "or a (µs) timestamp")
+    }
 
   /** events with `ts` = raw nanos long plus `ts_utc` = µs-truncated timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame =

@@ -131,6 +131,34 @@ object Chunking {
       .drop("_rate", "_n_copies")
   }
 
+  /** EXACT-SIZE per-stratum sample: the first `n` rows of each stratum in
+    * salted-md5 order of the (unique, non-null) key — the eval-set /
+    * human-review draw where "about 10%" isn't acceptable and the rate
+    * form's binomial stratum sizes are (`stratifiedHashSample` keeps a
+    * hash-bucket FRACTION; this keeps a COUNT). Strata smaller than n
+    * survive whole. The hash order makes the draw uniform-ish yet fully
+    * deterministic: a row's `sample_rank` depends only on (salt, key,
+    * stratum membership), so re-draws reproduce — though unlike the rate
+    * form, GROWING a stratum can displace a previously-sampled row (a new
+    * key can hash below an old one); that is inherent to fixed-n. Change
+    * `salt` for an independent re-draw.
+    *
+    * Scale shape: ONE window per stratum over row data — the dedupe
+    * row_number posture, skew-bounded by the largest stratum. For a
+    * stratum too large to sort in one task, pre-thin with
+    * `stratifiedHashSample` at a rate safely above n/|stratum| and draw
+    * the exact n from the survivors — hash order is preserved under
+    * hash-predicate thinning, so the two-pass draw equals the direct one
+    * as long as the thinning keeps ≥ n rows per stratum. */
+  def stratifiedFixedSample(df: DataFrame, strataCol: Column, keyCol: Column,
+      n: Int, salt: String = "sample"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val h = md5(concat_ws(":", lit(salt), keyCol.cast("string")))
+    val w = Window.partitionBy(strataCol).orderBy(h, keyCol)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Greedy sequence packing WITHIN id-range shards: shard = id div
     * `docsPerShard`, then inside each shard docs (ordered by id) go to
     * fixed-budget bins by cumulative token count — bin = ⌊(cumsum −

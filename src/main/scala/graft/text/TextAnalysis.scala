@@ -234,6 +234,62 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Inverted-index keyword search: top-k documents per query under the
+    * same integer TF-IDF contract as [[tfidfTopTerms]] (score = Σ over
+    * matched terms of tf·10⁹ div df — exact longs, so rankings
+    * hash-compare across engines; see that method for why the corpus-size
+    * factor is dropped). The lexical complement of the vector-search
+    * family: emits (query_id, neighbor_id, rank, …) so a keyword ranking
+    * plugs straight into `Similarity.rrfFuse` for hybrid
+    * lexical+semantic retrieval.
+    *
+    * Scale shape: the query set is small by contract (it is broadcast),
+    * so the corpus is only touched through the inverted-index probe — the
+    * per-doc term table joins the query terms on `term` and ONLY postings
+    * of query terms survive into the (query, doc) partial-sum aggregate.
+    * The candidate set per query is bounded by the document frequency of
+    * its terms; `maxDf` caps that fan-out by dropping ultra-common terms
+    * from scoring entirely (the stopword posting list that would
+    * otherwise pull the whole corpus in — same knob role as
+    * `jaccardPairs.maxShingleFreq`, exercised by the oracle's HAVING).
+    * The vocabulary side broadcasts like tfidfTopTerms; pass
+    * `broadcastVocab = false` for unbounded vocabularies.
+    *
+    * `excludeSelf` drops hits whose doc id equals the query id — for
+    * more-like-this search where the query IS a corpus document and a
+    * rank-1 self-match is noise (mirrors bruteForceTopK's qid ≠ nid). */
+  def keywordSearchTopK(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      queryIdCol: String, queryTextCol: String,
+      k: Int, maxDf: Long = Long.MaxValue,
+      excludeSelf: Boolean = false,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val qterms = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val hits = tf
+      .join(if (broadcastVocab) broadcast(dfreq) else dfreq, "term")
+      .join(broadcast(qterms), "term")
+    val scored = (if (excludeSelf)
+        hits.filter(col("query_id") =!= col(idCol)) else hits)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(expr("tf * 1000000000L div df")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).cast("long").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score"),
+        col("n_terms_hit"))
+  }
+
   /** Word n-grams of a token-array column, space-joined. Callers guard
     * `size(toksCol) >= n`; below that the greatest() floor yields one
     * partial gram that the guard discards. */

@@ -22,4 +22,15 @@ class RetentionSpec extends SparkSpec {
       (2L, 0L, 1L), // cohort p2: user 3
       (2L, 1L, 1L))
   }
+
+  test("distinctGrowth: first-activity attribution, exact running distinct") {
+    val events = Seq((1L, 0L), (1L, 2L), (2L, 0L), (3L, 2L), (4L, 5L))
+      .toDF("user_id", "day")
+    val out = Retention.distinctGrowth(events, "user_id", "day")
+      .orderBy("period").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // day 2 re-activity of user 1 adds nothing; the curve is the exact
+    // cumulative distinct count at every period
+    out.toSeq shouldBe Seq((0L, 2L, 2L), (2L, 1L, 3L), (5L, 1L, 4L))
+  }
 }

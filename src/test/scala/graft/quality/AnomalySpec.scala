@@ -193,4 +193,22 @@ class AnomalySpec extends SparkSpec {
     nulls(100.0) should be < 100.0 // clamped to the NULL group's own p75
     nulls(5.0) shouldBe 5.0
   }
+
+  test("changepoints: CUSUM argmax marks the last pre-shift point; flat series reports first point with d 0") {
+    // group a: 10,10 then 50,50 — shift after day 1; D_t = |4·cum − t·120|
+    // is 80,160,80,0, so the argmax lands on day 1 with d_stat 160
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 1L, 10L), ("a", 2L, 50L), ("a", 3L, 50L),
+      ("b", 7L, 5L), ("b", 8L, 5L), ("b", 9L, 5L))
+      .toDF("grp", "day", "y")
+    val out = Anomaly.changepoints(df, Seq("grp"), "day", "y")
+      .orderBy("grp").collect()
+    out(0).getAs[Long]("change_point") shouldBe 1L
+    out(0).getAs[Long]("d_stat") shouldBe 160L
+    out(0).getAs[Long]("cum_before") shouldBe 20L
+    out(0).getAs[Long]("total") shouldBe 120L
+    out(0).getAs[Long]("n_points") shouldBe 4L
+    out(1).getAs[Long]("change_point") shouldBe 7L
+    out(1).getAs[Long]("d_stat") shouldBe 0L
+  }
 }

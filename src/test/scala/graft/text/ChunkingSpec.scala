@@ -168,4 +168,19 @@ class ChunkingSpec extends SparkSpec {
       Chunking.hashSplit(org.apache.spark.sql.functions.col("id"), weights))
     withNull.filter("id IS NULL").head().isNullAt(1) shouldBe true
   }
+
+  test("stratifiedFixedSample: exact n per stratum, small strata whole, deterministic") {
+    val df = ((1L to 5L).map(i => (i, "a")) :+ (6L, "b")).toDF("id", "s")
+    val out = Chunking.stratifiedFixedSample(df, col("s"), col("id"), n = 2)
+    val byStratum = out.collect().groupBy(_.getString(1))
+    byStratum("a") should have length 2
+    byStratum("b") should have length 1 // smaller than n survives whole
+    byStratum("a").map(_.getAs[Long]("sample_rank")).sorted shouldBe
+      Array(1L, 2L)
+    // re-draw with the same salt is bit-identical
+    val again = Chunking.stratifiedFixedSample(df, col("s"), col("id"), n = 2)
+    out.except(again).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.stratifiedFixedSample(df, col("s"), col("id"), n = 0)
+  }
 }

@@ -261,4 +261,35 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("fast") =!= col("regex")).count()
     diff shouldBe 0L
   }
+
+  test("keywordSearchTopK: integer tf-idf ranking, self-exclusion, df cap") {
+    val corpus = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana cherry cherry"), (4L, "the the the"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana")).toDF("qid", "qtext")
+    // tf·1e9 div df: d1 = 2e9/2 + 1e9/2 = 1.5e9 over both terms; d2 and
+    // d3 tie at 5e8 on one term each → doc-id order breaks the tie
+    val out = TextAnalysis.keywordSearchTopK(corpus, qs, "doc_id", "text",
+      "qid", "qtext", k = 5)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(1L, 2L, 3L)
+    out(0).getAs[Long]("score") shouldBe 1500000000L
+    out(0).getAs[Long]("n_terms_hit") shouldBe 2L
+    out(1).getAs[Long]("score") shouldBe 500000000L
+    // excludeSelf drops the query document itself
+    val self = TextAnalysis.keywordSearchTopK(corpus, qs, "doc_id", "text",
+      "qid", "qtext", k = 5, excludeSelf = true)
+      .orderBy("rank").collect()
+    self.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 3L)
+    // maxDf = 1 drops every df-2 term from scoring; only "the" survives
+    val capped = TextAnalysis.keywordSearchTopK(corpus,
+      Seq((9L, "the apple")).toDF("qid", "qtext"), "doc_id", "text",
+      "qid", "qtext", k = 5, maxDf = 1L).collect()
+    capped.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(4L)
+    capped(0).getAs[Long]("score") shouldBe 3000000000L
+    // k truncates the ranking
+    TextAnalysis.keywordSearchTopK(corpus, qs, "doc_id", "text",
+      "qid", "qtext", k = 1).count() shouldBe 1L
+  }
 }
