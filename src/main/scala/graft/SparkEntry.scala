@@ -758,6 +758,28 @@ object SparkEntry {
         col("source"), col("doc_id"), n = 5)
         .orderBy("source", "sample_rank")),
 
+    // Frequent-items audit: exact top-10 heaviest users per event_type
+    // (total order, replayable) vs the merged approx_top_k sketch — the
+    // heavy-hitters sibling of q114's HLL loop. est_exact rides as an
+    // oracle-TRUE boolean: the tracked map (65536) exceeds user
+    // cardinality, so the sketch never purges and estimates ARE counts.
+    "q123_heavy_hitters" -> ((s, dir) =>
+      Sketches.frequencyAudit(Tables.events(s, dir), Seq("event_type"),
+        "user_id", k = 10, maxItemsTracked = 65536)
+        .orderBy("event_type", "rnk")),
+
+    // Z-order layout report: Morton keys over (l_partkey, l_suppkey) at
+    // 16 bits, level-8 quadtree tiles (256-wide squares — sized so the
+    // test-SF key ranges actually split into multiple tiles) — per-tile
+    // row counts and BOTH dimensions' min/max, the file-statistics bounds
+    // a z-ordered layout would give. Pure integer bit-interleave
+    // arithmetic, bit-identical on both engines.
+    "q124_zorder_layout" -> ((s, dir) =>
+      graft.ops.Scale.zorderLayoutReport(
+        Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+        bits = 16, level = 8)
+        .orderBy("cell")),
+
     // Inverted-index keyword search: every 97th doc reissued as a query,
     // top-5 matches under the q51 integer TF-IDF contract, ultra-common
     // terms (df > 200) dropped from scoring entirely, self-matches
@@ -3272,6 +3294,44 @@ object SparkEntry {
         |  FROM h)
         |SELECT doc_id, source, lang, CAST(sample_rank AS BIGINT) AS sample_rank
         |FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+    // q123: exact heavy-hitter replay; est_exact is the oracle-TRUE
+    // invariant (no-purge mode), the q114 bounds pattern.
+    "q123_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id AS item, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, item, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, item) AS rnk
+        |  FROM c)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, item,
+        |  CAST(cnt AS BIGINT) AS cnt, TRUE AS est_exact
+        |FROM r WHERE rnk <= 10 ORDER BY event_type, rnk""".stripMargin,
+    // q124: the magic-mask spread cascade replayed step for step — all
+    // BIGINT &/|/<< arithmetic, so zkey/cell/minmax are bit-identical.
+    "q124_zorder_layout" ->
+      """WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+        |    CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+        |s1 AS (SELECT x, y,
+        |  (x | (x << 16)) & 281470681808895 AS xs,
+        |  (y | (y << 16)) & 281470681808895 AS ys FROM b),
+        |s2 AS (SELECT x, y,
+        |  (xs | (xs << 8)) & 71777214294589695 AS xs,
+        |  (ys | (ys << 8)) & 71777214294589695 AS ys FROM s1),
+        |s3 AS (SELECT x, y,
+        |  (xs | (xs << 4)) & 1085102592571150095 AS xs,
+        |  (ys | (ys << 4)) & 1085102592571150095 AS ys FROM s2),
+        |s4 AS (SELECT x, y,
+        |  (xs | (xs << 2)) & 3689348814741910323 AS xs,
+        |  (ys | (ys << 2)) & 3689348814741910323 AS ys FROM s3),
+        |s5 AS (SELECT x, y,
+        |  (xs | (xs << 1)) & 6148914691236517205 AS xs,
+        |  (ys | (ys << 1)) & 6148914691236517205 AS ys FROM s4),
+        |z AS (SELECT x, y, xs | (ys << 1) AS zkey FROM s5)
+        |SELECT zkey >> 16 AS cell, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+        |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
+        |  CAST(min(zkey) AS BIGINT) AS z_min, CAST(max(zkey) AS BIGINT) AS z_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
     // q122: the q51 tf/df machinery plus a query-term probe — scores are
     // sums of exact integer floor divisions (tf·10⁹ // df), the rank
     // order total on (score DESC, doc_id). df > 200 terms never score.

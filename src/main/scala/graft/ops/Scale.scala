@@ -83,6 +83,71 @@ object Scale {
         col("salt_factor")): _*)
   }
 
+  /** 2-D Morton (z-order) key: interleaves the low `bits` bits of two
+    * non-negative integer columns (x in the even positions, y odd) via the
+    * classic magic-mask bit spread — pure integer &/|/<< arithmetic, so
+    * the key is bit-identical on any engine. Sorting or range-partitioning
+    * a table by this key clusters rows that are close in BOTH dimensions
+    * into the same file, so min/max file statistics prune scans for
+    * predicates on EITHER column — the multi-dimensional layout story a
+    * single-column sort can't give at 100 TB (a table sorted by x alone
+    * scatters every y range across all files). Prefix cells of the key
+    * (`zorderCell`) are exactly quadtree tiles: `zkey >> (2·(bits − L))`
+    * is the level-L tile containing the row.
+    *
+    * Contract: both inputs must lie in [0, 2^bits) with bits ≤ 31 — out of
+    * range would silently interleave garbage, so callers clamp or shift
+    * first (scaling values into the range is part of layout design, not
+    * hidden here). Inputs are validated row-locally and raise on
+    * violation. */
+  def zorderKey2(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val lim = 1L << bits
+    val guard = (c: org.apache.spark.sql.Column) =>
+      when(c.isNull || c < 0 || c >= lim,
+        raise_error(concat(lit(s"zorderKey2: input out of [0, $lim): "),
+          c.cast("string")))).otherwise(c.cast("long"))
+    spread(guard(x)).bitwiseOR(shiftleft(spread(guard(y)), 1))
+  }
+
+  /** Spread a 31-bit value's bits into the even positions of a long:
+    * the standard mask cascade (each step doubles the gap). */
+  private def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = Seq(
+      0x0000ffff0000ffffL -> 16, 0x00ff00ff00ff00ffL -> 8,
+      0x0f0f0f0f0f0f0f0fL -> 4, 0x3333333333333333L -> 2,
+      0x5555555555555555L -> 1)
+    m.foldLeft(c) { case (v, (mask, s)) =>
+      v.bitwiseOR(shiftleft(v, s)).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** The level-`level` quadtree tile of a z-order key built with `bits`:
+    * the key's top 2·level bits. Rows sharing a tile are within the same
+    * 2^(bits−level)-sized square in BOTH dimensions. */
+  def zorderCell(zkey: org.apache.spark.sql.Column, bits: Int,
+      level: Int): org.apache.spark.sql.Column = {
+    require(level >= 1 && level <= bits, s"level must be in [1,$bits], got $level")
+    shiftright(zkey, 2 * (bits - level))
+  }
+
+  /** Layout-quality report for a prospective z-order: per level-`level`
+    * tile, the row count and both dimensions' min/max — the bounds a
+    * file-level min/max statistic would carry if files were cut on tile
+    * boundaries. Tight per-tile ranges on BOTH columns are the evidence
+    * that scans filtered on either one prune. Summary-sized output
+    * (≤ 4^level rows) off one grouped pass. */
+  def zorderLayoutReport(df: DataFrame, xCol: String, yCol: String,
+      bits: Int, level: Int): DataFrame =
+    df.withColumn("zkey", zorderKey2(col(xCol), col(yCol), bits))
+      .withColumn("cell", zorderCell(col("zkey"), bits, level))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"),
+        min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"))
+
   /** Convenience: register a DataFrame as a bucketed table and return the
     * catalog-backed frame (the co-located read side). */
   def asBucketedTable(spark: SparkSession, df: DataFrame, table: String,

@@ -76,4 +76,41 @@ class ScaleSpec extends SparkSpec {
     salted.select("k", "payload", "name").orderBy("payload").collect() shouldBe
       plain.select("k", "payload", "name").orderBy("payload").collect()
   }
+
+  test("zorderKey2: hand-computed interleave, quadrant cells, range guard") {
+    import org.apache.spark.sql.functions.col
+    // x=3 (bits 0,1 → even slots 0,2) = 5; y=5 (bits 0,2 → odd slots
+    // 1,5) = 34; z = 39. The unit square orders 0,1,2,3.
+    val df = Seq((3L, 5L), (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L))
+      .toDF("x", "y")
+    val z = df.select(Scale.zorderKey2(col("x"), col("y"), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    z shouldBe Seq(39L, 0L, 1L, 2L, 3L)
+    // level-1 cells are the four quadrants
+    val quads = Seq((0L, 0L), (7L, 0L), (0L, 7L), (7L, 7L)).toDF("x", "y")
+      .select(Scale.zorderCell(
+        Scale.zorderKey2(col("x"), col("y"), 3), 3, 1).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    quads shouldBe Seq(0L, 1L, 2L, 3L)
+    // out-of-range input raises instead of interleaving garbage
+    an[Exception] should be thrownBy
+      Seq((8L, 0L)).toDF("x", "y")
+        .select(Scale.zorderKey2(col("x"), col("y"), 3)).collect()
+    an[IllegalArgumentException] should be thrownBy
+      Scale.zorderKey2(col("x"), col("y"), 40)
+  }
+
+  test("zorderLayoutReport: every tile bounds BOTH dimensions within its square") {
+    import org.apache.spark.sql.functions.col
+    val pts = (for (x <- 0L until 64L; y <- 0L until 64L if (x + y) % 7 == 0)
+      yield (x, y)).toDF("x", "y")
+    val rep = Scale.zorderLayoutReport(pts, "x", "y", bits = 6, level = 2)
+      .collect()
+    rep.length should be <= 16 // 4^2 tiles
+    val side = 1L << (6 - 2) // 16-wide squares
+    all(rep.map(r => r.getAs[Long]("x_max") - r.getAs[Long]("x_min"))) should
+      be < side
+    all(rep.map(r => r.getAs[Long]("y_max") - r.getAs[Long]("y_min"))) should
+      be < side
+  }
 }
