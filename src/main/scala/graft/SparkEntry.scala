@@ -795,6 +795,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HYBRID retrieval end-to-end: the q122 lexical ranking and a
+    // brute-force cosine ranking (each top-20, the same %97 query sets)
+    // fused by reciprocal rank — the standard two-tower + BM25-ish
+    // production layout, here as one composed plan of three already-
+    // oracle-gated operators. Queries present in only one modality fuse
+    // from that list alone (the ids don't fully overlap — that asymmetry
+    // is exercised deliberately).
+    "q125_hybrid_retrieval" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = TextAnalysis.keywordSearchTopK(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", "doc_id", "text",
+        k = 20, maxDf = 200L, excludeSelf = true)
+      val sem = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 20)
+      Similarity.rrfFuse(Seq(lex, sem), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Collocation mining: adjacent-pair LIFT (the log-free exact-rational
+    // PMI) over the document corpus, pairs seen >= 5 times, top-100. The
+    // marginals reduce from the bigram counts in vocab space — one
+    // row-data pass total.
+    "q126_collocations" -> ((s, dir) =>
+      TextAnalysis.collocationLift(
+        Tables.load(s, dir, "documents"), "text",
+        minCount = 5L, topK = 100)
+        .orderBy("rnk")),
+
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
     // Media features, FULL hash-compare: every emitted column is derived
@@ -3332,6 +3362,77 @@ object SparkEntry {
         |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max,
         |  CAST(min(zkey) AS BIGINT) AS z_min, CAST(max(zkey) AS BIGINT) AS z_max
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q125: q122's lexical CTEs (k=20) + q100's cosine/fusion CTEs on the
+    // matching %97 query sets; the double cosine compares identically
+    // (list_dot_product ≡ the Spark fold), rrf points are integer floor
+    // divisions.
+    "q125_hybrid_retrieval" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents) t GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+        |  HAVING count(*) <= 200),
+        |qt AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(trim(text), ' '))) AS term
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |lexh AS (
+        |  SELECT qt.qid, tf.doc_id AS nid,
+        |    sum(tf.tf * 1000000000 // d.df) AS score
+        |  FROM tf JOIN dfreq d USING (term) JOIN qt USING (term)
+        |  WHERE qt.qid <> tf.doc_id GROUP BY 1, 2),
+        |lexr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, nid) AS rank FROM lexh),
+        |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |cv AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings),
+        |sem AS (SELECT qid, nid,
+        |  list_dot_product(qv.v, cv.v) /
+        |    (sqrt(list_dot_product(qv.v, qv.v)) *
+        |     sqrt(list_dot_product(cv.v, cv.v))) AS sim
+        |  FROM qv, cv WHERE qid <> nid),
+        |semr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, nid) AS rank FROM sem),
+        |u AS (SELECT qid, nid, rank FROM lexr WHERE rank <= 20
+        |  UNION ALL SELECT qid, nid, rank FROM semr WHERE rank <= 20),
+        |f AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |    sum(1000000 // (60 + rank)) AS rrf_e6, count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, rrf_e6, n_lists,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_e6 DESC, neighbor_id) AS rank FROM f)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(rank AS BIGINT) AS rank, CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+        |  CAST(n_lists AS BIGINT) AS n_lists
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q126: bigrams via 1-based list slots; marginals/total reduce from
+    // the bigram counts; lift divides two exact BIGINT products as
+    // doubles — identical on both engines; ties rank by (x, y).
+    "q126_collocations" ->
+      """WITH d AS (SELECT string_split(trim(text), ' ') AS lst
+        |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+        |big AS (SELECT u.x AS x, u.y AS y FROM (
+        |  SELECT unnest(list_transform(range(len(lst) - 1),
+        |    i -> struct_pack(x := lst[i + 1], y := lst[i + 2]))) AS u
+        |  FROM d) t),
+        |bi AS (SELECT x, y, count(*) AS c_xy FROM big GROUP BY 1, 2),
+        |cx AS (SELECT x, sum(c_xy) AS c_x FROM bi GROUP BY 1),
+        |cy AS (SELECT y, sum(c_xy) AS c_y FROM bi GROUP BY 1),
+        |tot AS (SELECT sum(c_xy) AS n_bigrams FROM bi),
+        |j AS (SELECT bi.x, bi.y, c_xy, c_x, c_y, n_bigrams,
+        |    c_xy * n_bigrams AS lift_num, c_x * c_y AS lift_den,
+        |    CAST(c_xy * n_bigrams AS DOUBLE) / CAST(c_x * c_y AS DOUBLE)
+        |      AS lift
+        |  FROM bi JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+        |  WHERE c_xy >= 5),
+        |r AS (SELECT *, row_number() OVER (ORDER BY lift DESC, x, y) AS rnk
+        |  FROM j)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, x, y,
+        |  CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+        |  CAST(c_y AS BIGINT) AS c_y, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(lift_num AS BIGINT) AS lift_num,
+        |  CAST(lift_den AS BIGINT) AS lift_den, lift
+        |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     // q122: the q51 tf/df machinery plus a query-term probe — scores are
     // sums of exact integer floor divisions (tf·10⁹ // df), the rank
     // order total on (score DESC, doc_id). df > 200 terms never score.

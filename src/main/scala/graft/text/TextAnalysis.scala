@@ -290,6 +290,54 @@ object TextAnalysis {
         col("n_terms_hit"))
   }
 
+  /** Collocation mining: adjacent token pairs ranked by PMI-style LIFT =
+    * P(x,y) / (P(x)·P(y)) — how much more often the pair occurs than its
+    * parts predict, the classic new-term/named-entity miner. The log is
+    * deliberately dropped (PMI = log lift is monotone in it) so the score
+    * stays an EXACT rational: lift_num = c_xy·N and lift_den = c_x·c_y are
+    * BIGINT products of exact counts, and the double `lift` divides two
+    * exact integers < 2⁵³ — bit-identical on every engine (the linearTrend
+    * determinism pattern). `minCount` kills the low-count noise PMI is
+    * notorious for (hapax pairs score astronomically).
+    *
+    * Overflow contract: c_xy·N < 2⁶³ needs N < ~3·10⁹ bigrams; shard the
+    * corpus (scores are per-shard exact) or pre-scale counts beyond that.
+    *
+    * Scale shape: one row-data groupBy to bigram counts; marginals c_x /
+    * c_y REDUCE from those counts in vocabulary space (never a second scan
+    * of row data), join back by vocab key — AQE-skew-splittable — and the
+    * 1-row total broadcasts. Top-k is orderBy+limit
+    * (TakeOrderedAndProject), with rnk from a window over ≤ topK rows. */
+  def collocationLift(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val big = df.select(tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(_toks) - 2), " +
+          "i -> struct(_toks[i] AS x, _toks[i + 1] AS y))")).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+    val bi = big.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val cx = bi.groupBy("x").agg(sum(col("c_xy")).as("c_x"))
+    val cy = bi.groupBy("y").agg(sum(col("c_xy")).as("c_y"))
+    val tot = bi.agg(sum(col("c_xy")).as("n_bigrams"))
+    val scored = bi.filter(col("c_xy") >= minCount)
+      .join(cx, "x").join(cy, "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_num", col("c_xy") * col("n_bigrams"))
+      .withColumn("lift_den", col("c_x") * col("c_y"))
+      .withColumn("lift",
+        col("lift_num").cast("double") / col("lift_den").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("x"), col("y"))
+    scored.orderBy(col("lift").desc, col("x"), col("y")).limit(topK)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("x"), col("y"), col("c_xy"), col("c_x"),
+        col("c_y"), col("n_bigrams"), col("lift_num"), col("lift_den"),
+        col("lift"))
+  }
+
   /** Word n-grams of a token-array column, space-joined. Callers guard
     * `size(toksCol) >= n`; below that the greatest() floor yields one
     * partial gram that the guard discards. */

@@ -292,4 +292,28 @@ class TextAnalysisSpec extends SparkSpec {
     TextAnalysis.keywordSearchTopK(corpus, qs, "doc_id", "text",
       "qid", "qtext", k = 1).count() shouldBe 1L
   }
+
+  test("collocationLift: exact rational lift, min-count floor, tie order") {
+    // bigrams: (a,b) x2, (a,c) x1, N = 3; c_a = 3, c_b = 2, c_c = 1
+    // lift(a,b) = 2*3/(3*2) = 1.0; lift(a,c) = 1*3/(3*1) = 1.0 — a tie,
+    // broken by (x, y)
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocationLift(corpus, "text",
+      minCount = 1L, topK = 10).collect()
+    out.map(r => (r.getAs[Long]("rnk"), r.getAs[String]("x"),
+      r.getAs[String]("y"), r.getAs[Long]("c_xy"), r.getAs[Long]("lift_num"),
+      r.getAs[Long]("lift_den"))).toSeq shouldBe Seq(
+      (1L, "a", "b", 2L, 6L, 6L), (2L, "a", "c", 1L, 3L, 3L))
+    out(0).getAs[Double]("lift") shouldBe 1.0
+    // the hapax pair vanishes under the count floor
+    TextAnalysis.collocationLift(corpus, "text", minCount = 2L, topK = 10)
+      .collect().map(_.getAs[String]("y")).toSeq shouldBe Seq("b")
+    // single-token docs contribute nothing (no partial bigrams)
+    TextAnalysis.collocationLift(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "text",
+      minCount = 1L).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.collocationLift(corpus, "text", minCount = 0L)
+  }
 }
