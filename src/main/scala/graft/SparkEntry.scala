@@ -825,6 +825,26 @@ object SparkEntry {
         minCount = 5L, topK = 100)
         .orderBy("rnk")),
 
+    // Deterministic epoch shuffle: every doc assigned a shard (8 workers)
+    // and an in-shard position for epoch 1 — a pure function of
+    // (epoch, doc_id), so re-runs and engines derive the identical
+    // training order and each epoch permutes independently. Replaces
+    // ORDER BY rand().
+    "q127_epoch_shuffle" -> ((s, dir) =>
+      Chunking.epochShuffle(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        col("doc_id"), epoch = 1, numShards = 8)
+        .orderBy("shard", "position")),
+
+    // Tokenizer-fertility report per language: chars per BPE token and
+    // BPE tokens per whitespace word — the per-language context-budget
+    // numbers behind sampling weights. One grouped pass, native token
+    // counting.
+    "q128_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(
+        Tables.load(s, dir, "documents"), "text", Seq("lang"))
+        .orderBy("lang")),
+
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
     // Media features, FULL hash-compare: every emitted column is derived
@@ -3433,6 +3453,42 @@ object SparkEntry {
         |  CAST(lift_num AS BIGINT) AS lift_num,
         |  CAST(lift_den AS BIGINT) AS lift_den, lift
         |FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
+    // q127: md5('epoch:1:' || id) replays concat_ws exactly; shard from
+    // the q72 first-8-hex bucket idiom; position ordered by (hash, id).
+    "q127_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    md5('epoch:1:' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, hx,
+        |    ('0x' || substr(hx, 1, 8))::BIGINT % 8 AS shard
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+        |    AS BIGINT) AS position
+        |FROM s ORDER BY shard, position""".stripMargin,
+    // q128: q48's BPE regex summed per language; ratios are exact-long
+    // floor divisions.
+    "q128_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, length(text) AS n_chars,
+        |  len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+'))
+        |    AS n_bpe,
+        |  len(string_split(trim(text), ' ')) AS n_ws
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars,
+        |    sum(n_bpe) AS n_bpe_tokens, sum(n_ws) AS n_ws_tokens
+        |  FROM t GROUP BY lang)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+        |  CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+        |  CAST(CASE WHEN n_bpe_tokens = 0 THEN NULL
+        |    ELSE n_chars * 1000000 // n_bpe_tokens END AS BIGINT)
+        |    AS chars_per_bpe_e6,
+        |  CAST(CASE WHEN n_ws_tokens = 0 THEN NULL
+        |    ELSE n_bpe_tokens * 1000000 // n_ws_tokens END AS BIGINT)
+        |    AS bpe_per_ws_e6
+        |FROM g ORDER BY lang""".stripMargin,
     // q122: the q51 tf/df machinery plus a query-term probe — scores are
     // sums of exact integer floor divisions (tf·10⁹ // df), the rank
     // order total on (score DESC, doc_id). df > 200 terms never score.

@@ -159,6 +159,34 @@ object Chunking {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Deterministic epoch shuffle + shard assignment — the training-order
+    * table: each row gets a shard (for W data-parallel workers) and a
+    * position within its shard, both functions of ONLY (epoch, key), so
+    * every re-run and every engine derives the identical order, and each
+    * epoch is an independent permutation (the salt includes the epoch).
+    * This replaces "ORDER BY rand()" epoch shuffling, which is
+    * non-reproducible and plans a global sort; here ordering work is
+    * per-shard.
+    *
+    * Scale shape: shard is a row-local hash (uniform by construction — no
+    * skew), and position is ONE window per shard over row data, ~|rows|/W
+    * per task. For shards too big to sort in one task, cut the corpus
+    * into position ranges per shard with a second-level range id before
+    * windowing; the hash order is stable under any such refinement. */
+  def epochShuffle(df: DataFrame, keyCol: Column, epoch: Int,
+      numShards: Int): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val h = md5(concat_ws(":", lit("epoch"), lit(epoch), keyCol.cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), keyCol)
+    df.withColumn("_h", h)
+      .withColumn("shard",
+        conv(substring(col("_h"), 1, 8), 16, 10).cast("long") %
+          lit(numShards.toLong))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Greedy sequence packing WITHIN id-range shards: shard = id div
     * `docsPerShard`, then inside each shard docs (ordered by id) go to
     * fixed-budget bins by cumulative token count — bin = ⌊(cumsum −

@@ -290,6 +290,34 @@ object TextAnalysis {
         col("n_terms_hit"))
   }
 
+  /** Tokenizer-fertility report: per group (language, source, …), how many
+    * characters a BPE-style token carries and how many BPE tokens a
+    * whitespace word splits into — the per-language tokenizer-efficiency
+    * numbers that decide sampling weights and cost models (a language at
+    * 2× fertility pays 2× the context budget for the same text). Exact
+    * integer sums, floor-division micro-unit ratios; groups with zero
+    * tokens yield null ratios via an EXPLICIT zero-divisor guard — never
+    * an error, independent of the session's ANSI mode (bare `div` raises
+    * under ANSI, nulls under legacy: exactly the conf-dependent surface
+    * to keep out of a report).
+    *
+    * Scale shape: ONE grouped aggregate with map-side partials; the
+    * per-row token counts are codegen'd scans (native bpe_token_count —
+    * no regex engine in the hot path). */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(bpeTokenCount(col(textCol)).cast("long")).as("n_bpe_tokens"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_ws_tokens"))
+      .withColumn("chars_per_bpe_e6",
+        when(col("n_bpe_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_chars * 1000000L div n_bpe_tokens")))
+      .withColumn("bpe_per_ws_e6",
+        when(col("n_ws_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(expr("n_bpe_tokens * 1000000L div n_ws_tokens")))
+
   /** Collocation mining: adjacent token pairs ranked by PMI-style LIFT =
     * P(x,y) / (P(x)·P(y)) — how much more often the pair occurs than its
     * parts predict, the classic new-term/named-entity miner. The log is

@@ -183,4 +183,24 @@ class ChunkingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Chunking.stratifiedFixedSample(df, col("s"), col("id"), n = 0)
   }
+
+  test("epochShuffle: reproducible per-epoch permutation, contiguous in-shard positions") {
+    val df = (1L to 100L).toDF("id")
+    val a = Chunking.epochShuffle(df, col("id"), epoch = 1, numShards = 4)
+    // bit-identical re-run
+    a.except(Chunking.epochShuffle(df, col("id"), 1, 4)).count() shouldBe 0L
+    // a different epoch is an independent permutation
+    a.except(Chunking.epochShuffle(df, col("id"), 2, 4))
+      .count() should be > 0L
+    val rows = a.collect()
+    all(rows.map(_.getAs[Long]("shard"))) should (be >= 0L and be < 4L)
+    // positions are contiguous 1..n within every shard — a gap would
+    // starve a worker mid-epoch
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { g =>
+      g.map(_.getAs[Long]("position")).sorted.toSeq shouldBe
+        (1L to g.length).toSeq
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.epochShuffle(df, col("id"), epoch = -1, numShards = 4)
+  }
 }

@@ -316,4 +316,20 @@ class TextAnalysisSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.collocationLift(corpus, "text", minCount = 0L)
   }
+
+  test("tokenizerFertility: exact sums, floor ratios, zero-token group yields null") {
+    // "don't stop" pre-tokenizes as don | 't |  stop = 3 BPE tokens
+    val df = Seq(("en", "don't stop"), ("en", "ab cd"), ("de", "x"),
+      ("zz", "")).toDF("lang", "text")
+    val out = TextAnalysis.tokenizerFertility(df, "text", Seq("lang"))
+      .orderBy("lang").collect()
+    out.map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_chars"), r.getAs[Long]("n_bpe_tokens"),
+      r.getAs[Long]("n_ws_tokens"))).toSeq shouldBe Seq(
+      ("de", 1L, 1L, 1L, 1L), ("en", 2L, 15L, 5L, 4L), ("zz", 1L, 0L, 0L, 1L))
+    out(1).getAs[Long]("chars_per_bpe_e6") shouldBe 3000000L
+    out(1).getAs[Long]("bpe_per_ws_e6") shouldBe 1250000L
+    // zero BPE tokens → null ratio (div-by-zero contract), not an error
+    out(2).isNullAt(out(2).fieldIndex("chars_per_bpe_e6")) shouldBe true
+  }
 }
