@@ -44,7 +44,13 @@ object ScaleSmoke {
     // and interval-overlap session paths (one keyed window each), and the
     // gap-fill + moving-z composition (span agg + calendar explode)
     "q107_keep_best_dedup", "q92_funnel", "q70_session_overlap",
-    "q108_dense_anomaly", "q111_semantic_dedup")
+    "q108_dense_anomaly", "q111_semantic_dedup",
+    // round-12 additions: the segment-vocab boilerplate rewrite (the
+    // hottest new query), the inverted-index keyword probe and its rrf
+    // composition with the cosine scan, and collocation mining's
+    // vocab-space marginals
+    "q116_strip_boilerplate", "q122_keyword_search",
+    "q125_hybrid_retrieval", "q126_collocations")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

@@ -845,6 +845,30 @@ object SparkEntry {
         Tables.load(s, dir, "documents"), "text", Seq("lang"))
         .orderBy("lang")),
 
+    // Truncation dedup: every 10th doc re-ingested cut to its first 97
+    // chars (the crawler-artifact shape the generator lacks — synthesized
+    // deterministically, the q118 split pattern), then prefix-pair
+    // detection: bucket on the first 32 chars, verify the full prefix
+    // row-locally. Children of exact-dup parents pair with BOTH parents.
+    "q129_truncation_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val children = docs
+        .filter(col("doc_id") % 10 === 0 && length(col("text")) > 97)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          substring(col("text"), 1, 97).as("text"))
+      Dedup.prefixDupes(docs.unionByName(children), "doc_id", "text",
+        prefixLen = 32)
+        .orderBy("child_id", "parent_id")
+    }),
+
+    // Skip-gram cooccurrence: (center, context) pair counts within ±2
+    // tokens, pairs seen >= 5 times — the word2vec training-pair
+    // generator. Row-local pair explode, map-side-combinable count.
+    "q130_skipgrams" -> ((s, dir) =>
+      TextAnalysis.skipgramPairs(Tables.load(s, dir, "documents"), "text",
+        window = 2, minCount = 5L)
+        .orderBy("center", "context")),
+
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
     // Media features, FULL hash-compare: every emitted column is derived
@@ -3489,6 +3513,39 @@ object SparkEntry {
         |    ELSE n_bpe_tokens * 1000000 // n_ws_tokens END AS BIGINT)
         |    AS bpe_per_ws_e6
         |FROM g ORDER BY lang""".stripMargin,
+    // q129: the synthesized children + prefix-join replay; the md5 bucket
+    // is pure pruning, so the oracle joins on the RAW 32-char prefix
+    // (same pairs — md5 is collision-free at corpus scale, q116 note).
+    "q129_truncation_dedup" ->
+      """WITH kids AS (SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, 97) AS text
+        |  FROM documents WHERE doc_id % 10 = 0 AND length(text) > 97),
+        |c AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM kids),
+        |f AS (SELECT doc_id, text, length(text) AS len FROM c
+        |  WHERE text IS NOT NULL AND length(text) >= 32)
+        |SELECT CAST(a.doc_id AS BIGINT) AS child_id,
+        |  CAST(b.doc_id AS BIGINT) AS parent_id,
+        |  CAST(a.len AS BIGINT) AS child_len,
+        |  CAST(b.len AS BIGINT) AS parent_len
+        |FROM f a JOIN f b ON substr(a.text, 1, 32) = substr(b.text, 1, 32)
+        |  AND a.len < b.len AND substr(b.text, 1, a.len) = a.text
+        |ORDER BY child_id, parent_id""".stripMargin,
+    // q130: the ±2 position-pair explode replayed with range() (exclusive
+    // end ≡ sequence()'s inclusive end + 1); both directions of each
+    // cooccurrence count, positions i = j excluded.
+    "q130_skipgrams" ->
+      """WITH d AS (SELECT string_split(trim(text), ' ') AS lst
+        |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+        |p AS (SELECT u.center AS center, u.context AS context FROM (
+        |  SELECT unnest(flatten(list_transform(range(len(lst)), i ->
+        |    list_transform(range(greatest(0, i - 2), least(len(lst), i + 3)),
+        |      j -> struct_pack(center := lst[i + 1], context := lst[j + 1],
+        |        ci := i, cj := j))))) AS u
+        |  FROM d) t WHERE u.ci <> u.cj)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY center, context""".stripMargin,
     // q122: the q51 tf/df machinery plus a query-term probe — scores are
     // sums of exact integer floor divisions (tf·10⁹ // df), the rank
     // order total on (score DESC, doc_id). df > 200 terms never score.

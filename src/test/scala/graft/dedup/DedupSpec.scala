@@ -429,4 +429,28 @@ class DedupSpec extends SparkSpec {
     (exactPlan.contains("BroadcastNestedLoopJoin") ||
       exactPlan.contains("CartesianProduct")) shouldBe true
   }
+
+  test("prefixDupes: strict prefixes only, chains drop to the longest, bucket cap") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "aaaa bbbb cccc dddd"), // full doc
+      (2L, "aaaa bbbb cc"),        // strict prefix of 1
+      (3L, "aaaa bbbb"),           // strict prefix of 1 and 2
+      (4L, "aaaa bxxx cccc"),      // shares 6-char prefix, diverges → no pair
+      (5L, "aa"),                  // shorter than prefixLen → excluded
+      (6L, "aaaa bbbb cccc dddd")) // equal text to 1 → exact dedup's job
+      .toDF("doc_id", "text")
+    val pairs = Dedup.prefixDupes(docs, "doc_id", "text", prefixLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((2L, 1L), (3L, 1L), (3L, 2L), (2L, 6L), (3L, 6L))
+    // removal keeps the longest of each chain (and both exact twins)
+    Dedup.removePrefixDupes(docs, "doc_id", "text", prefixLen = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 4L, 5L, 6L)
+    // a capped-out bucket produces no pairs from that bucket
+    Dedup.prefixDupes(docs, "doc_id", "text", prefixLen = 6,
+      maxBucketSize = 2).collect() shouldBe empty
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.prefixDupes(docs, "doc_id", "text", prefixLen = 0)
+  }
 }

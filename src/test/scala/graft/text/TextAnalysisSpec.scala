@@ -332,4 +332,22 @@ class TextAnalysisSpec extends SparkSpec {
     // zero BPE tokens → null ratio (div-by-zero contract), not an error
     out(2).isNullAt(out(2).fieldIndex("chars_per_bpe_e6")) shouldBe true
   }
+
+  test("skipgramPairs: symmetric window pairs, self excluded, count floor") {
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val w1 = TextAnalysis.skipgramPairs(one, "text", window = 1)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("cnt"))).toMap
+    w1 shouldBe Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L)
+    val w2 = TextAnalysis.skipgramPairs(one, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    w2 should contain allOf(("a", "c"), ("c", "a"))
+    w2 should have size 6
+    // repeated tokens accumulate counts; minCount floors them
+    val rep = Seq((1L, "x y x y x")).toDF("doc_id", "text")
+    TextAnalysis.skipgramPairs(rep, "text", window = 1, minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("x", "y"), ("y", "x")) // 4 each; (x,x)/(y,y) never at w=1
+  }
 }
