@@ -869,6 +869,13 @@ object SparkEntry {
         window = 2, minCount = 5L)
         .orderBy("center", "context")),
 
+    // Vocabulary spectrum + Good-Turing missing mass: terms per
+    // occurrence count, hapax share of tokens — the Zipf-tail corpus
+    // fingerprint, all exact integers.
+    "q131_vocab_spectrum" -> ((s, dir) =>
+      TextAnalysis.vocabSpectrum(Tables.load(s, dir, "documents"), "text")
+        .orderBy("cnt")),
+
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
     // Media features, FULL hash-compare: every emitted column is derived
@@ -3546,6 +3553,23 @@ object SparkEntry {
         |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY center, context""".stripMargin,
+    // q131: term counts → frequency-of-frequencies + one global summary;
+    // all counts and floor-division shares exact.
+    "q131_vocab_spectrum" ->
+      """WITH tf AS (SELECT term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents) t GROUP BY term),
+        |spec AS (SELECT cnt, count(*) AS n_terms FROM tf GROUP BY cnt),
+        |summ AS (SELECT sum(cnt) AS n_tokens, count(*) AS v_size,
+        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax FROM tf)
+        |SELECT CAST(cnt AS BIGINT) AS cnt, CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(n_terms * 1000000 // v_size AS BIGINT) AS vocab_share_e6,
+        |  CAST(cnt * n_terms * 1000000 // n_tokens AS BIGINT) AS token_share_e6,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(v_size AS BIGINT) AS v_size,
+        |  CAST(n_hapax AS BIGINT) AS n_hapax,
+        |  CAST(n_hapax * 1000000 // n_tokens AS BIGINT) AS missing_mass_e6
+        |FROM spec, summ ORDER BY cnt""".stripMargin,
     // q122: the q51 tf/df machinery plus a query-term probe — scores are
     // sums of exact integer floor divisions (tf·10⁹ // df), the rank
     // order total on (score DESC, doc_id). df > 200 terms never score.

@@ -290,6 +290,36 @@ object TextAnalysis {
         col("n_terms_hit"))
   }
 
+  /** Vocabulary spectrum (frequency of frequencies) + Good–Turing missing
+    * mass: for each occurrence count c, how many distinct terms occur
+    * exactly c times — the Zipf-tail fingerprint of a corpus — plus the
+    * classic Good–Turing estimate of UNSEEN-vocabulary probability mass,
+    * n₁/N (hapax share of tokens), as exact micro-units. Rising missing
+    * mass across ingest batches means the source still yields new
+    * vocabulary; collapsing n₁ means saturation (the vocabulary-level
+    * twin of `noveltyCurve`). Every number is an exact integer — counts,
+    * floor-division shares — so the report hash-compares anywhere.
+    *
+    * Scale shape: one row-data pass to term counts (vocab space), then
+    * the spectrum reduces vocab → |distinct counts| (summary space) and
+    * the 1-row total broadcasts; no windows, no row-data joins. */
+  def vocabSpectrum(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val spec = tf.groupBy("cnt").agg(count(lit(1)).as("n_terms"))
+    val summ = tf.agg(sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("v_size"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    spec.crossJoin(broadcast(summ))
+      .withColumn("vocab_share_e6", expr("n_terms * 1000000L div v_size"))
+      .withColumn("token_share_e6",
+        expr("cnt * n_terms * 1000000L div n_tokens"))
+      .withColumn("missing_mass_e6", expr("n_hapax * 1000000L div n_tokens"))
+      .select(col("cnt"), col("n_terms"), col("vocab_share_e6"),
+        col("token_share_e6"), col("n_tokens"), col("v_size"),
+        col("n_hapax"), col("missing_mass_e6"))
+  }
+
   /** Skip-gram (center, context) pair counts within a ±`window` token
     * radius — the word2vec/GloVe training-pair generator and the
     * cooccurrence statistic behind distributional similarity. Pair

@@ -350,4 +350,21 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
       Set(("x", "y"), ("y", "x")) // 4 each; (x,x)/(y,y) never at w=1
   }
+
+  test("vocabSpectrum: frequency of frequencies and Good-Turing hapax mass") {
+    // tokens: a a a b b c → counts {a:3, b:2, c:1}; spectrum 1→1, 2→1,
+    // 3→1; N=6, V=3, hapax=1, missing mass = 166666 e6-units
+    val df = Seq((1L, "a a a b b"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabSpectrum(df, "text").orderBy("cnt").collect()
+    out.map(r => (r.getAs[Long]("cnt"), r.getAs[Long]("n_terms"))).toSeq shouldBe
+      Seq((1L, 1L), (2L, 1L), (3L, 1L))
+    val r0 = out(0)
+    r0.getAs[Long]("n_tokens") shouldBe 6L
+    r0.getAs[Long]("v_size") shouldBe 3L
+    r0.getAs[Long]("n_hapax") shouldBe 1L
+    r0.getAs[Long]("missing_mass_e6") shouldBe 166666L
+    r0.getAs[Long]("vocab_share_e6") shouldBe 333333L
+    // token_share: the cnt=3 row carries 3·1/6 of all tokens
+    out(2).getAs[Long]("token_share_e6") shouldBe 500000L
+  }
 }
