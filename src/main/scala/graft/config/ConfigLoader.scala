@@ -337,7 +337,10 @@ object ConfigLoader {
             scoreColumn = dm.get("score_column").map(_.toString),
             kmeansK = dm.get("kmeans_k").map(_.toString.toInt).getOrElse(256),
             kmeansIters =
-              dm.get("kmeans_iters").map(_.toString.toInt).getOrElse(2))
+              dm.get("kmeans_iters").map(_.toString.toInt).getOrElse(2),
+            prefixLen = dm.get("prefix_len").map(_.toString.toInt).getOrElse(32),
+            maxBucketSize = dm.get("max_bucket_size").map(_.toString.toInt)
+              .getOrElse(Int.MaxValue))
           if (spec.strategy == "embedding_lsh" && spec.dim < 1)
             throw new ConfigError(
               "curation.dedup.dim must be >= 1 for strategy embedding_lsh")
@@ -351,6 +354,16 @@ object ConfigLoader {
               (spec.kmeansK < 1 || spec.kmeansIters < 0))
             throw new ConfigError(
               "curation.dedup needs kmeans_k >= 1 and kmeans_iters >= 0")
+          if (spec.strategy != "prefix" &&
+              (dm.contains("prefix_len") || dm.contains("max_bucket_size")))
+            throw new ConfigError(
+              "curation.dedup.prefix_len/max_bucket_size only apply to " +
+                s"strategy prefix (got strategy '${spec.strategy}' — they " +
+                "would be silently ignored)")
+          if (spec.strategy == "prefix" &&
+              (spec.prefixLen < 1 || spec.maxBucketSize < 2))
+            throw new ConfigError(
+              "curation.dedup needs prefix_len >= 1 and max_bucket_size >= 2")
           if (spec.strategy == "keep_best" && spec.scoreColumn.isEmpty)
             throw new ConfigError(
               "curation.dedup.score_column is required for strategy keep_best " +

@@ -121,7 +121,11 @@ final case class QualityGateSpec(
   * is required for (and only meaningful to) `keep_best`. `semantic` is the
   * SemDeDup-style embedding path: fixed-point k-means cells (`kmeansK`,
   * `kmeansIters`) bound within-cell cosine pairing (`Dedup.semanticDedup`);
-  * `contentColumn` is the embedding array, `threshold` the cosine cut. */
+  * `contentColumn` is the embedding array, `threshold` the cosine cut.
+  * `prefix` drops docs whose whole text strictly prefixes a longer doc
+  * (truncation artifacts — `Dedup.removePrefixDupes`); `prefixLen` is its
+  * candidate-bucket width and `maxBucketSize` its hot-bucket cap, both
+  * meaningful only to it. */
 final case class NearDedupSpec(
     strategy: String,
     idColumn: String,
@@ -136,14 +140,16 @@ final case class NearDedupSpec(
     numBands: Int = 4,
     scoreColumn: Option[String] = None,
     kmeansK: Int = 256,
-    kmeansIters: Int = 2)
+    kmeansIters: Int = 2,
+    prefixLen: Int = 32,
+    maxBucketSize: Int = Int.MaxValue)
 
 object NearDedupSpec {
   /** Validated at config load AND at dispatch — a typo'd strategy fails
     * loudly instead of silently skipping the dedup stage. */
   val Strategies: Set[String] =
     Set("exact", "ngram_jaccard", "minhash_lsh", "simhash", "embedding_lsh",
-      "keep_best", "semantic")
+      "keep_best", "semantic", "prefix")
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;

@@ -335,6 +335,9 @@ object Curation {
     case "semantic" =>
       Dedup.semanticDedup(df, d.idColumn, d.contentColumn,
         d.kmeansK, d.kmeansIters, d.threshold)
+    case "prefix" =>
+      Dedup.removePrefixDupes(df, d.idColumn, d.contentColumn,
+        d.prefixLen, d.maxBucketSize)
     case "keep_best" =>
       // same pair machinery as ngram_jaccard; the survivor policy changes
       // from min-id to best-score (config guarantees scoreColumn is set)

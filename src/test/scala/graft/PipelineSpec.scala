@@ -435,4 +435,39 @@ class PipelineSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS corpus_fuzzy_sets")
     }
   }
+
+  test("prefix dedup drives from YAML; its knobs are rejected elsewhere") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |curation:
+        |  dedup:
+        |    strategy: prefix
+        |    id_column: doc_id
+        |    content_column: text
+        |    prefix_len: 6
+        |gold:
+        |  - name: survivors
+        |    group_by:
+        |      - doc_id
+        |    measures:
+        |      - name: docs
+        |        expression: count(1)
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.curation.flatMap(_.dedup).map(_.prefixLen) shouldBe Some(6)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta"),           // strict prefix of 1 → dropped
+      (3L, "alpha bxx unrelated"))  // shares 6 chars, diverges → kept
+      .toDF("doc_id", "text")
+    var kept = Set.empty[Long]
+    Pipeline.run(spark, cfg, docs, goldSink = Some((_, df) =>
+      kept = df.select("doc_id").collect().map(_.getLong(0)).toSet))
+    kept shouldBe Set(1L, 3L)
+    // the prefix knobs on another strategy fail at load, not silently
+    val bad = yaml.replace("strategy: prefix", "strategy: exact")
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(bad)
+  }
 }
