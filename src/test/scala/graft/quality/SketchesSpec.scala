@@ -84,4 +84,23 @@ class SketchesSpec extends SparkSpec {
       ("g1", 1L, 20L, 4L))
     all(audit.map(_.getAs[Boolean]("est_exact"))) shouldBe true
   }
+
+  test("topK sketch state survives a parquet round-trip (the persisted-batch loop)") {
+    val df = (0 until 300).map(i => (i.toLong % 5, i.toLong % 23))
+      .toDF("grp", "item")
+    val dir = java.nio.file.Files.createTempDirectory("topk").toString
+    Sketches.topKSketches(df, Seq("grp"), "item")
+      .write.mode("overwrite").parquet(dir)
+    val merged = Sketches.mergeTopKSketches(
+      spark.read.parquet(dir), Seq("grp"))
+      .select(col("grp"),
+        explode(Sketches.topKEstimate(col("topk_state"), 30)).as("e"))
+      .select(col("grp"), col("e.item").as("item"), col("e.count").as("est"))
+    val direct = Sketches.topKSketches(df, Seq("grp"), "item")
+      .select(col("grp"),
+        explode(Sketches.topKEstimate(col("topk_state"), 30)).as("e"))
+      .select(col("grp"), col("e.item").as("item"), col("e.count").as("est"))
+    merged.orderBy("grp", "item").collect().toSeq shouldBe
+      direct.orderBy("grp", "item").collect().toSeq
+  }
 }

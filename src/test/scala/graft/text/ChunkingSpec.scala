@@ -203,4 +203,14 @@ class ChunkingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Chunking.epochShuffle(df, col("id"), epoch = -1, numShards = 4)
   }
+
+  test("epochShuffle windows per shard — no global single-task sort") {
+    val df = (1L to 50L).toDF("id")
+    val out = Chunking.epochShuffle(df, col("id"), epoch = 0, numShards = 4)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows should not be empty
+    all(windows.map(_.partitionSpec)) should not be empty
+  }
 }

@@ -367,4 +367,14 @@ class TextAnalysisSpec extends SparkSpec {
     // token_share: the cnt=3 row carries 3·1/6 of all tokens
     out(2).getAs[Long]("token_share_e6") shouldBe 500000L
   }
+
+  test("keywordSearchTopK plans a broadcast probe, never a cartesian") {
+    val corpus = (1L to 200L).map(i => (i, s"w$i common a b c")).toDF("doc_id", "text")
+    val qs = Seq((1L, "w5 a")).toDF("qid", "qtext")
+    val plan = TextAnalysis.keywordSearchTopK(corpus, qs, "doc_id", "text",
+      "qid", "qtext", k = 3).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
