@@ -166,7 +166,9 @@ object Chunking {
     * epoch is an independent permutation (the salt includes the epoch).
     * This replaces "ORDER BY rand()" epoch shuffling, which is
     * non-reproducible and plans a global sort; here ordering work is
-    * per-shard.
+    * per-shard. `keyCol` must be UNIQUE and NON-NULL (the
+    * stratifiedFixedSample contract): null keys would all hash to one
+    * salt-only value and tie-break nondeterministically.
     *
     * Scale shape: shard is a row-local hash (uniform by construction — no
     * skew), and position is ONE window per shard over row data, ~|rows|/W
