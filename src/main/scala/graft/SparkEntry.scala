@@ -876,6 +876,19 @@ object SparkEntry {
       TextAnalysis.vocabSpectrum(Tables.load(s, dir, "documents"), "text")
         .orderBy("cnt")),
 
+    // INCREMENTAL spectrum: the corpus split into two deterministic
+    // batches (doc_id parity), per-batch vocab counts merged, spectrum
+    // from the merged state — counts sum exactly, so this must equal the
+    // one-shot q131 BIT-FOR-BIT (the q34 merge ≡ rebuild pattern); the
+    // oracle is the one-shot replay.
+    "q132_vocab_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val merged = TextAnalysis.mergeVocabCounts(Seq(
+        TextAnalysis.vocabCounts(docs.filter(col("doc_id") % 2 === 0), "text"),
+        TextAnalysis.vocabCounts(docs.filter(col("doc_id") % 2 === 1), "text")))
+      TextAnalysis.spectrumFromCounts(merged).orderBy("cnt")
+    }),
+
     // Multimodal plumbing: per-partition feature extraction over binary
     // payloads (stub decoder — deterministic FNV features).
     // Media features, FULL hash-compare: every emitted column is derived
@@ -3553,6 +3566,23 @@ object SparkEntry {
         |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY center, context""".stripMargin,
+    // q132: the incremental (merged-per-batch) path must equal the
+    // one-shot scan exactly — the oracle IS the one-shot replay.
+    "q132_vocab_incremental" ->
+      """WITH tf AS (SELECT term, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents) t GROUP BY term),
+        |spec AS (SELECT cnt, count(*) AS n_terms FROM tf GROUP BY cnt),
+        |summ AS (SELECT sum(cnt) AS n_tokens, count(*) AS v_size,
+        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax FROM tf)
+        |SELECT CAST(cnt AS BIGINT) AS cnt, CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(n_terms * 1000000 // v_size AS BIGINT) AS vocab_share_e6,
+        |  CAST(cnt * n_terms * 1000000 // n_tokens AS BIGINT) AS token_share_e6,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(v_size AS BIGINT) AS v_size,
+        |  CAST(n_hapax AS BIGINT) AS n_hapax,
+        |  CAST(n_hapax * 1000000 // n_tokens AS BIGINT) AS missing_mass_e6
+        |FROM spec, summ ORDER BY cnt""".stripMargin,
     // q131: term counts → frequency-of-frequencies + one global summary;
     // all counts and floor-division shares exact.
     "q131_vocab_spectrum" ->

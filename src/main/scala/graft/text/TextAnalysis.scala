@@ -303,9 +303,30 @@ object TextAnalysis {
     * Scale shape: one row-data pass to term counts (vocab space), then
     * the spectrum reduces vocab → |distinct counts| (summary space) and
     * the 1-row total broadcasts; no windows, no row-data joins. */
-  def vocabSpectrum(df: DataFrame, textCol: String): DataFrame = {
-    val tf = df.select(explode(tokens(col(textCol))).as("term"))
+  def vocabSpectrum(df: DataFrame, textCol: String): DataFrame =
+    spectrumFromCounts(vocabCounts(df, textCol))
+
+  /** Per-term occurrence counts — the MERGEABLE vocabulary state behind
+    * [[vocabSpectrum]]: counts sum exactly, so per-batch count tables
+    * merged with [[mergeVocabCounts]] reproduce the one-shot spectrum
+    * BIT-FOR-BIT (unlike a spectrum, which is not mergeable from itself —
+    * a term at count 2 in two batches is a count-4 term, not two count-2
+    * terms). Persist per batch, merge on report; history is rescanned in
+    * VOCAB space only, never row data. */
+  def vocabCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** Merge persisted per-batch term-count tables (one groupBy-sum in
+    * vocabulary space). */
+  def mergeVocabCounts(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeVocabCounts needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy("term").agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Spectrum + Good–Turing summary from a term-count table. */
+  def spectrumFromCounts(tf: DataFrame): DataFrame = {
     val spec = tf.groupBy("cnt").agg(count(lit(1)).as("n_terms"))
     val summ = tf.agg(sum(col("cnt")).as("n_tokens"),
       count(lit(1)).as("v_size"),

@@ -377,4 +377,19 @@ class TextAnalysisSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("vocabCounts merge reproduces the one-shot spectrum bit-for-bit") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "a c d"))
+      .toDF("doc_id", "text")
+    val merged = TextAnalysis.mergeVocabCounts(Seq(
+      TextAnalysis.vocabCounts(docs.filter("doc_id <= 1"), "text"),
+      TextAnalysis.vocabCounts(docs.filter("doc_id = 2"), "text"),
+      TextAnalysis.vocabCounts(docs.filter("doc_id >= 3"), "text")))
+    TextAnalysis.spectrumFromCounts(merged).orderBy("cnt").collect().toSeq shouldBe
+      TextAnalysis.vocabSpectrum(docs, "text").orderBy("cnt").collect().toSeq
+    // a cross-batch term's count is the SUM (a: 2+0+1=3), not two entries
+    merged.filter("term = 'a'").head().getAs[Long]("cnt") shouldBe 3L
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.mergeVocabCounts(Seq.empty)
+  }
 }
