@@ -207,6 +207,53 @@ object Streaming {
     * than duplicates (same idempotency shape as the fuzzy curation sink).
     * This is the per-ingest-batch shift alarm: alerting reads the newest
     * partition and thresholds `delta_e6`. */
+  /** CONTINUOUS frequent-items tracking: each micro-batch reduces to its
+    * own per-group `approx_top_k_accumulate` state rows, landed in a
+    * `batch_id` partition with dynamic overwrite (the driftStream
+    * idempotency shape — an at-least-once replay rewrites its partition
+    * rather than double-counting, which a read-merge-write running state
+    * would). Reports merge ALL batch states with
+    * `Sketches.mergeTopKSketches` at read time — history is touched in
+    * sketch space only (|batches|·|groups| few-KB rows), never row data,
+    * and merge ≡ one-shot exactly while the tracked map never fills
+    * (SketchesSpec). The streaming complement of the batch
+    * frequencyAudit. */
+  def topKStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      groupCols: Seq[String],
+      itemCol: String,
+      outDir: String,
+      checkpointDir: String,
+      maxItemsTracked: Int = 10000): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.quality.Sketches
+            .topKSketches(batch.toDF(), groupCols, itemCol, maxItemsTracked)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+
+  /** Read side of [[topKStream]]: merge every persisted batch state down
+    * to one sketch per group. */
+  def mergedTopK(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String],
+      maxItemsTracked: Int = 10000): org.apache.spark.sql.DataFrame =
+    graft.quality.Sketches.mergeTopKSketches(
+      spark.read.parquet(stateDir), groupCols,
+      maxItemsTracked = maxItemsTracked)
+
   def driftStream(
       spark: SparkSession,
       inputDir: String,

@@ -590,4 +590,34 @@ class StreamingSpec extends SparkSpec {
       streamed shouldBe batch
     } finally q.stop()
   }
+
+  test("topKStream accumulates per-batch sketch state whose merge equals one-shot") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val in = Files.createTempDirectory("graft_topk_in").toString
+    val out = Files.createTempDirectory("graft_topk_out").toString
+    val chk = Files.createTempDirectory("graft_topk_chk").toString
+    val b1 = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "u")
+    b1.write.mode("append").parquet(in)
+    val q = Streaming.topKStream(spark, in, b1.schema, Seq("g"), "u", out, chk)
+    try {
+      q.processAllAvailable()
+      Seq(("a", 1L), ("a", 3L), ("b", 9L)).toDF("g", "u")
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      spark.read.parquet(out).select("batch_id").distinct().count() shouldBe 2L
+      def estOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("g"),
+          explode(graft.quality.Sketches.topKEstimate(col("topk_state"), 10))
+            .as("e"))
+        .select(col("g"), col("e.item").as("item"), col("e.count").as("est"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val merged = estOf(Streaming.mergedTopK(spark, out, Seq("g")))
+      merged(("a", 1L)) shouldBe 3L // 2 in batch 0 + 1 in batch 1
+      merged(("b", 9L)) shouldBe 2L
+      val oneShot = estOf(graft.quality.Sketches.topKSketches(
+        spark.read.parquet(in), Seq("g"), "u"))
+      merged shouldBe oneShot
+    } finally q.stop()
+  }
 }
