@@ -876,6 +876,23 @@ object SparkEntry {
       TextAnalysis.vocabSpectrum(Tables.load(s, dir, "documents"), "text")
         .orderBy("cnt")),
 
+    // User-journey transition matrix: (prev event -> event) counts over
+    // each user's time-ordered stream with a '^' start pseudo-state, plus
+    // exact micro-unit row probabilities — the map behind funnel design.
+    "q133_transition_matrix" -> ((s, dir) =>
+      graft.ops.Sessions.transitionMatrix(
+        Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
+
+    // Dedup impact per source: docs, removals under the global min-id
+    // survivor rule, distinct texts, micro-unit dup rate — the curation
+    // dashboard row that catches a source re-crawling itself.
+    "q134_dedup_impact" -> ((s, dir) =>
+      Dedup.dedupImpactReport(Tables.load(s, dir, "documents"),
+        "doc_id", "text", Seq("source"))
+        .orderBy("source")),
+
     // INCREMENTAL spectrum: the corpus split into two deterministic
     // batches (doc_id parity), per-batch vocab counts merged, spectrum
     // from the merged state — counts sum exactly, so this must equal the
@@ -3566,6 +3583,36 @@ object SparkEntry {
         |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY center, context""".stripMargin,
+    // q133: lag over (ts_us, event_id) — the q70 total-order contract —
+    // with the start pseudo-state coalesced identically.
+    "q133_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |l AS (SELECT coalesce(lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id), '^') AS from_type,
+        |  event_type AS to_type FROM e),
+        |m AS (SELECT from_type, to_type, count(*) AS n FROM l GROUP BY 1, 2),
+        |t AS (SELECT from_type, to_type, n,
+        |  sum(n) OVER (PARTITION BY from_type) AS row_total FROM m)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(row_total AS BIGINT) AS row_total,
+        |  CAST(n * 1000000 // row_total AS BIGINT) AS p_e6
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
+    // q134: the q24 fingerprint with a global min-id survivor join,
+    // rolled up per source.
+    "q134_dedup_impact" ->
+      """WITH f AS (SELECT source, doc_id, md5(lower(trim(text))) AS fp
+        |  FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
+        |j AS (SELECT f.source, f.doc_id, f.fp,
+        |  f.doc_id <> k.keep_id AS removed FROM f JOIN k USING (fp))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS dup_rate_e6
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // q132: the incremental (merged-per-batch) path must equal the
     // one-shot scan exactly — the oracle IS the one-shot replay.
     "q132_vocab_incremental" ->

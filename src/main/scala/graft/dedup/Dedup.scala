@@ -300,6 +300,36 @@ object Dedup {
     * Two chained explodes (posexplode + slice + explode) rather than a
     * nested `transform(...struct...)` lambda: explode/slice whole-stage-
     * codegen, higher-order lambdas don't. */
+  /** Per-group exact-duplicate IMPACT report — the dedup observability
+    * row a curation dashboard tracks per source/language/batch: how many
+    * docs the group contributes, how many exact dedup would REMOVE under
+    * the global min-id survivor rule (computed corpus-wide first, so a
+    * duplicate pair spanning two sources attributes its loss to the
+    * source holding the higher id — per-group dedup rates that sum
+    * consistently with the global dedup), distinct texts, and the
+    * micro-unit removal rate. A source suddenly jumping in dup_rate is
+    * re-crawling itself; one near 0 everywhere else's overlap is the
+    * canonical holder.
+    *
+    * Scale shape: one fingerprint groupBy (the dedupeExact shuffle), one
+    * fingerprint-keyed join back, one grouped rollup — no row-data
+    * windows, no pair expansion. */
+  def dedupImpactReport(df: DataFrame, idCol: String, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "dedupImpactReport needs group columns")
+    val gcols = groupCols.map(col)
+    val fpd = df.select(gcols ++ Seq(col(idCol).as("_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("_fp")): _*)
+    val keep = fpd.groupBy("_fp").agg(min(col("_id")).as("_keep_id"))
+    fpd.join(keep, "_fp")
+      .withColumn("_removed", col("_id") =!= col("_keep_id"))
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_removed"), 1L).otherwise(0L)).as("n_removed"),
+        count_distinct(col("_fp")).as("n_distinct_texts"))
+      .withColumn("dup_rate_e6", expr("n_removed * 1000000L div n_docs"))
+  }
+
   /** Truncation-duplicate pairs: documents whose ENTIRE text is a strict
     * prefix of a longer document's — the crawler/connector artifact
     * (cut-off fetches, re-crawls with more content) that exact dedup

@@ -91,4 +91,35 @@ object Sessions {
         coalesce(col("first_conv_us") - col("first_entry_us"), lit(-1L))
           .as("time_to_convert_us"))
   }
+
+  /** Per-key event-transition matrix (first-order Markov counts): how
+    * often each (prev_type → type) step occurs across all keys' ordered
+    * event streams, plus the row-normalized transition probability in
+    * exact micro-units — the user-journey map behind funnel design (which
+    * steps actually follow which) and a drift surface for behavior change
+    * (compare matrices between windows with the q84/q112 machinery). The
+    * '^' pseudo-state marks stream starts, so "first event of a journey"
+    * is a first-class row rather than a dropped lag-null.
+    *
+    * Scale shape: ONE per-key window in time order (the sessionize
+    * posture — bounded by the hottest key's event count), then counting
+    * lives in |types|² state space: a grouped count plus a row-sum window
+    * over the ≤ |types|²-row matrix. Probabilities are floor-division
+    * micro-units of two exact longs.
+    *
+    * `tieCol` must totally order equal timestamps (an id) — without it
+    * the lag order, and thus the matrix, is partition-luck. */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val wKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+    val wFrom = Window.partitionBy(col("from_type"))
+    events
+      .withColumn("from_type",
+        coalesce(lag(col(typeCol), 1).over(wKey), lit("^")))
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wFrom))
+      .withColumn("p_e6", expr("n * 1000000L div row_total"))
+  }
 }

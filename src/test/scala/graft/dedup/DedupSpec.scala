@@ -453,4 +453,26 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.prefixDupes(docs, "doc_id", "text", prefixLen = 0)
   }
+
+  test("dedupImpactReport: cross-group dupes attribute loss to the non-canonical holder") {
+    import org.apache.spark.sql.functions.col
+    // "same" exists in web (id 1, canonical) and mirror (ids 5, 6):
+    // mirror loses 2 docs, web loses 0 — rates must sum with the global
+    val docs = Seq(
+      (1L, "same", "web"), (2L, "unique a", "web"),
+      (5L, "same", "mirror"), (6L, "same", "mirror"), (7L, "unique b", "mirror"))
+      .toDF("doc_id", "text", "source")
+    val rep = Dedup.dedupImpactReport(docs, "doc_id", "text", Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_removed"),
+         r.getAs[Long]("n_distinct_texts"), r.getAs[Long]("dup_rate_e6"))).toMap
+    rep("web") shouldBe ((2L, 0L, 2L, 0L))
+    rep("mirror") shouldBe ((3L, 2L, 2L, 666666L))
+    // total removed matches the global exact dedup
+    val globalRemoved = docs.count() -
+      Dedup.dedupeExact(docs, "doc_id", "text").count()
+    rep.values.map(_._2).sum shouldBe globalRemoved
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.dedupImpactReport(docs, "doc_id", "text", Seq.empty)
+  }
 }

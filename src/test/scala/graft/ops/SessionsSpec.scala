@@ -65,4 +65,21 @@ class SessionsSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max(col("session_seq"))).head().getLong(0)
     out shouldBe 1L
   }
+
+  test("transitionMatrix: lagged pair counts with start pseudo-state and exact row probabilities") {
+    // u1: a,b,a → ^→a, a→b, b→a; u2: a,a → ^→a, a→a
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (2L, 10L, 4L, "a"), (2L, 20L, 5L, "a"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val m = Sessions.transitionMatrix(ev, "user_id", "ts_us", "event_id",
+      "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p_e6"))).toMap
+    m(("^", "a")) shouldBe ((2L, 1000000L))
+    m(("a", "b")) shouldBe ((1L, 500000L))
+    m(("a", "a")) shouldBe ((1L, 500000L))
+    m(("b", "a")) shouldBe ((1L, 1000000L))
+    m should have size 4
+  }
 }
