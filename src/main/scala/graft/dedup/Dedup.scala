@@ -313,7 +313,13 @@ object Dedup {
     *
     * Scale shape: one fingerprint groupBy (the dedupeExact shuffle), one
     * fingerprint-keyed join back, one grouped rollup — no row-data
-    * windows, no pair expansion. */
+    * windows, no pair expansion.
+    *
+    * NULL-text rows are EXCLUDED from the report (their fingerprint is
+    * null and null keys never join — the same explicit-exclusion contract
+    * as gapFillDaily's null days): dup accounting over absent content is
+    * meaningless; route those rows through the completeness checks
+    * instead. */
   def dedupImpactReport(df: DataFrame, idCol: String, textCol: String,
       groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "dedupImpactReport needs group columns")

@@ -108,7 +108,10 @@ object Sessions {
     * micro-units of two exact longs.
     *
     * `tieCol` must totally order equal timestamps (an id) — without it
-    * the lag order, and thus the matrix, is partition-luck. */
+    * the lag order, and thus the matrix, is partition-luck. `typeCol`
+    * must be NON-NULL: a null type's successor would coalesce into the
+    * '^' start state (lag returns null for both "first row" and "null
+    * predecessor") — map nulls to an explicit label first. */
   def transitionMatrix(events: DataFrame, keyCol: String, tsUsCol: String,
       tieCol: String, typeCol: String): DataFrame = {
     val wKey = Window.partitionBy(col(keyCol))

@@ -487,7 +487,10 @@ object Anomaly {
             den.cast("double")).as("slope")): _*)
   }
 
-  /** Per-group CUSUM changepoint over an ordered INTEGER series — WHERE
+  /** Per-group CUSUM changepoint over an ordered INTEGER series (yCol
+    * must be NON-NULL: a null y would be skipped by the running sum but
+    * still counted by n_points, silently skewing D — filter or
+    * zero-fill first, as q120's daily aggregation does) — WHERE
     * did this metric shift, to go with [[linearTrend]]'s how-fast. For
     * each prefix t of the series the statistic is the exact integer
     * D_t = |n·cum_t − t·total| (the mean-shift CUSUM deviation scaled by
