@@ -781,8 +781,11 @@ object SparkEntry {
         .orderBy("cell")),
 
     // Inverted-index keyword search: every 97th doc reissued as a query,
-    // top-5 matches under the q51 integer TF-IDF contract, ultra-common
-    // terms (df > 200) dropped from scoring entirely, self-matches
+    // top-5 matches under the q51 integer TF-IDF contract, terms in more
+    // than 78% of the corpus dropped from scoring entirely (the cap is
+    // corpus-PROPORTIONAL: this generator's 31-term vocabulary saturates
+    // df at every SF, so an absolute cap either empties the ranking or
+    // never fires depending on scale — r12 review), self-matches
     // excluded. The lexical complement of the vector top-k family — its
     // (query_id, neighbor_id, rank) output feeds rrfFuse for hybrid
     // retrieval.
@@ -791,7 +794,7 @@ object SparkEntry {
       TextAnalysis.keywordSearchTopK(docs,
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", "doc_id", "text",
-        k = 5, maxDf = 200L, excludeSelf = true)
+        k = 5, excludeSelf = true, maxDfFracE6 = 780000L)
         .orderBy("query_id", "rank")
     }),
 
@@ -808,7 +811,7 @@ object SparkEntry {
       val lex = TextAnalysis.keywordSearchTopK(docs,
         docs.filter(col("doc_id") % 97 === 0),
         "doc_id", "text", "doc_id", "text",
-        k = 20, maxDf = 200L, excludeSelf = true)
+        k = 20, excludeSelf = true, maxDfFracE6 = 780000L)
       val sem = Similarity.bruteForceTopK(emb,
         emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 20)
       Similarity.rrfFuse(Seq(lex, sem), k = 10)
@@ -884,6 +887,22 @@ object SparkEntry {
         Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000")),
         "user_id", "ts_us", "event_id", "event_type")
         .orderBy("from_type", "to_type")),
+
+    // Modality agreement: per-query overlap between the q122 lexical and
+    // the cosine top-20 rankings — near-0 Jaccard is the evidence that
+    // hybrid fusion (q125) has complementary signals to fuse. Only
+    // queries present in both modalities report (inner-join contract).
+    "q135_modality_agreement" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = TextAnalysis.keywordSearchTopK(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", "doc_id", "text",
+        k = 20, excludeSelf = true, maxDfFracE6 = 780000L)
+      val sem = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 20)
+      Similarity.rankingOverlap(lex, sem).orderBy("query_id")
+    }),
 
     // Dedup impact per source: docs, removals under the global min-id
     // survivor rule, distinct texts, micro-unit dup rate — the curation
@@ -3452,7 +3471,8 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
         |  FROM documents) t GROUP BY doc_id, term),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
-        |  HAVING count(*) <= 200),
+        |  HAVING count(*) * 1000000 <=
+        |    780000 * (SELECT count(*) FROM documents)),
         |qt AS (SELECT doc_id AS qid,
         |    unnest(list_distinct(string_split(trim(text), ' '))) AS term
         |  FROM documents WHERE doc_id % 97 = 0),
@@ -3598,6 +3618,49 @@ object SparkEntry {
         |  CAST(row_total AS BIGINT) AS row_total,
         |  CAST(n * 1000000 // row_total AS BIGINT) AS p_e6
         |FROM t ORDER BY from_type, to_type""".stripMargin,
+    // q135: the q125 ranking CTEs with an overlap tail instead of the
+    // fusion tail; inner join on query ids present in both modalities.
+    "q135_modality_agreement" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents) t GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+        |  HAVING count(*) * 1000000 <=
+        |    780000 * (SELECT count(*) FROM documents)),
+        |qt AS (SELECT doc_id AS qid,
+        |    unnest(list_distinct(string_split(trim(text), ' '))) AS term
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |lexh AS (
+        |  SELECT qt.qid, tf.doc_id AS nid,
+        |    sum(tf.tf * 1000000000 // d.df) AS score
+        |  FROM tf JOIN dfreq d USING (term) JOIN qt USING (term)
+        |  WHERE qt.qid <> tf.doc_id GROUP BY 1, 2),
+        |lexr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, nid) AS rank FROM lexh),
+        |qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |cv AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings),
+        |sem AS (SELECT qid, nid,
+        |  list_dot_product(qv.v, cv.v) /
+        |    (sqrt(list_dot_product(qv.v, qv.v)) *
+        |     sqrt(list_dot_product(cv.v, cv.v))) AS sim
+        |  FROM qv, cv WHERE qid <> nid),
+        |semr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim DESC, nid) AS rank FROM sem),
+        |la AS (SELECT qid, nid FROM lexr WHERE rank <= 20),
+        |sa AS (SELECT qid, nid FROM semr WHERE rank <= 20),
+        |na AS (SELECT qid, count(*) AS n_a FROM la GROUP BY qid),
+        |nb AS (SELECT qid, count(*) AS n_b FROM sa GROUP BY qid),
+        |ov AS (SELECT la.qid, count(*) AS n_overlap
+        |  FROM la JOIN sa ON la.qid = sa.qid AND la.nid = sa.nid
+        |  GROUP BY la.qid)
+        |SELECT CAST(na.qid AS BIGINT) AS query_id,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(n_overlap, 0) * 1000000
+        |    // (n_a + n_b - coalesce(n_overlap, 0)) AS BIGINT) AS jaccard_e6
+        |FROM na JOIN nb USING (qid) LEFT JOIN ov USING (qid)
+        |ORDER BY query_id""".stripMargin,
     // q134: the q24 fingerprint with a global min-id survivor join,
     // rolled up per source.
     "q134_dedup_impact" ->
@@ -3655,7 +3718,8 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
         |  FROM documents) t GROUP BY doc_id, term),
         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
-        |  HAVING count(*) <= 200),
+        |  HAVING count(*) * 1000000 <=
+        |    780000 * (SELECT count(*) FROM documents)),
         |q AS (SELECT doc_id AS query_id,
         |    unnest(list_distinct(string_split(trim(text), ' '))) AS term
         |  FROM documents WHERE doc_id % 97 = 0),

@@ -839,6 +839,31 @@ object Similarity {
           col("n_exact").cast("double") * 1e6).cast("long"))
   }
 
+  /** Per-query overlap between two (query_id, neighbor_id) rankings —
+    * the modality-agreement diagnostic behind hybrid retrieval: near-1
+    * Jaccard means the second ranker is redundant, near-0 means the two
+    * see different corpora slices and fusion (rrfFuse) has something to
+    * fuse. Only queries present in BOTH rankings report (an id absent
+    * from one modality has no agreement to measure — the inner-join
+    * contract, deliberate); overlap of 0 reports as a 0-row, not a drop.
+    * Counts and the floor-division Jaccard are exact integers.
+    *
+    * Scale shape: two |queries·k|-sized grouped counts + one keyed join —
+    * everything downstream of the rankers is candidate-sized. */
+  def rankingOverlap(a: DataFrame, b: DataFrame): DataFrame = {
+    val ja = a.select(col("query_id"), col("neighbor_id"))
+    val jb = b.select(col("query_id"), col("neighbor_id"))
+    val na = ja.groupBy("query_id").agg(count(lit(1)).as("n_a"))
+    val nb = jb.groupBy("query_id").agg(count(lit(1)).as("n_b"))
+    val inter = ja.join(jb, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    na.join(nb, "query_id")
+      .join(inter, Seq("query_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("jaccard_e6",
+        expr("n_overlap * 1000000L div (n_a + n_b - n_overlap)"))
+  }
+
   /** LSH-bucketed approximate near-dup pairs: sign-hash each vector into a
     * bucket, then run the exact pair scan only within buckets. Recall is
     * tunable via numPlanes (fewer planes → bigger buckets → higher recall,

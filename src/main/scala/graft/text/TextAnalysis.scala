@@ -263,12 +263,29 @@ object TextAnalysis {
       queryIdCol: String, queryTextCol: String,
       k: Int, maxDf: Long = Long.MaxValue,
       excludeSelf: Boolean = false,
-      broadcastVocab: Boolean = true): DataFrame = {
+      broadcastVocab: Boolean = true,
+      maxDfFracE6: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxDf >= 1L, s"maxDf must be >= 1, got $maxDf")
+    require(maxDfFracE6 >= 0L && maxDfFracE6 <= 1000000L,
+      s"maxDfFracE6 must be in [0, 1000000], got $maxDfFracE6")
+    require(maxDf == Long.MaxValue || maxDfFracE6 == 0L,
+      "set maxDf (absolute) or maxDfFracE6 (corpus-proportional), not both")
     val tf = termFrequencies(docs, idCol, textCol)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    // the stopword cap: absolute df, or a corpus-PROPORTIONAL share —
+    // an absolute cap is scale-brittle (the same corpus at 10× has every
+    // df 10× higher, silently emptying or disarming the cap); the
+    // proportional form compares exact integers df·10⁶ ≤ frac·N with N
+    // from a broadcast 1-row count, no driver action
+    val rawDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq =
+      if (maxDfFracE6 > 0L)
+        rawDf.crossJoin(broadcast(
+            docs.agg(count_distinct(col(idCol)).as("_n_docs"))))
+          .filter(col("df") * lit(1000000L) <=
+            lit(maxDfFracE6) * col("_n_docs"))
+          .drop("_n_docs")
+      else rawDf.filter(col("df") <= maxDf)
     val qterms = queries.select(
       col(queryIdCol).cast("long").as("query_id"),
       explode(array_distinct(tokens(col(queryTextCol)))).as("term"))

@@ -535,4 +535,18 @@ class SimilaritySpec extends SparkSpec {
     approx subsetOf exact shouldBe true
     approx should contain((0L, 1L)) // same direction → same sign pattern
   }
+
+  test("rankingOverlap: exact jaccard per query, zero-overlap reported, one-sided queries dropped") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (1L, 11L), (2L, 20L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val b = Seq((1L, 11L), (1L, 12L), (2L, 99L))
+      .toDF("query_id", "neighbor_id") // q3 absent from b
+    val out = Similarity.rankingOverlap(a, b).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_overlap"),
+        r.getAs[Long]("jaccard_e6"))).toMap
+    out(1L) shouldBe ((1L, 333333L)) // |{11}| / |{10,11,12}|
+    out(2L) shouldBe ((0L, 0L))      // disjoint → 0 row, not a drop
+    out.contains(3L) shouldBe false  // inner-join contract
+  }
 }

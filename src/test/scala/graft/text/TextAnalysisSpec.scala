@@ -288,6 +288,14 @@ class TextAnalysisSpec extends SparkSpec {
       "qid", "qtext", k = 5, maxDf = 1L).collect()
     capped.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(4L)
     capped(0).getAs[Long]("score") shouldBe 3000000000L
+    // the corpus-proportional form: 25% of 4 docs = df <= 1 — same cut
+    val frac = TextAnalysis.keywordSearchTopK(corpus,
+      Seq((9L, "the apple")).toDF("qid", "qtext"), "doc_id", "text",
+      "qid", "qtext", k = 5, maxDfFracE6 = 250000L).collect()
+    frac.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(4L)
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.keywordSearchTopK(corpus, qs, "doc_id", "text",
+        "qid", "qtext", k = 5, maxDf = 10L, maxDfFracE6 = 250000L)
     // k truncates the ranking
     TextAnalysis.keywordSearchTopK(corpus, qs, "doc_id", "text",
       "qid", "qtext", k = 1).count() shouldBe 1L
