@@ -309,10 +309,17 @@ object SparkEntry {
     }),
 
     // SET1 — EXCEPT on distinct keys
+    // EXCEPT over day-1 signup vs error user sets — scoped to one
+    // calendar day so the difference is genuinely non-empty (the r12
+    // vacuity audit caught the original all-users form returning 0 rows
+    // at every SF: this generator gives every user an error event).
     "q19_except_users" -> ((s, dir) => {
       val ev = Tables.load(s, dir, "events")
-      ev.select("user_id").distinct()
-        .except(ev.filter(col("event_type") === "error").select("user_id").distinct())
+        .withColumn("day", expr("ts div 86400000000000"))
+      ev.filter(col("event_type") === "signup" && col("day") === 19723L)
+        .select("user_id").distinct()
+        .except(ev.filter(col("event_type") === "error" && col("day") === 19723L)
+          .select("user_id").distinct())
         .orderBy("user_id")
     }),
 
@@ -1868,7 +1875,11 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q19_except_users" ->
       """SELECT DISTINCT user_id FROM events
-        |EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |  WHERE event_type = 'signup'
+        |    AND epoch_ns(ts) // 86400000000000 = 19723
+        |EXCEPT SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'error'
+        |    AND epoch_ns(ts) // 86400000000000 = 19723
         |ORDER BY user_id""".stripMargin,
     "q20_scalar_funcs" ->
       """SELECT event_id,
