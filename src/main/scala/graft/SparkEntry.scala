@@ -895,6 +895,24 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Quality-gate failure crosstab: per source, docs by first-failing
+    // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
+    // dashboard, composing the Gopher gate's audit column with the
+    // explicit-values pivot. Absent (source, rule) cells are null on
+    // both engines.
+    "q136_gate_crosstab" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val gated = Curation.qualityFilter(docs, "doc_id", "text")
+        .withColumn("rule", when(col("fail_reason") === "", lit("passed"))
+          .otherwise(col("fail_reason")))
+        .select(col("doc_id"), col("rule"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      Transform.crosstab(gated, "source", "rule",
+        Seq("passed", "token_count", "avg_token_len", "ttr", "dup_2gram"),
+        count(lit(1)))
+        .orderBy("source")
+    }),
+
     // Modality agreement: per-query overlap between the q122 lexical and
     // the cosine top-20 rankings — near-0 Jaccard is the evidence that
     // hybrid fusion (q125) has complementary signals to fuse. Only
@@ -3629,6 +3647,39 @@ object SparkEntry {
         |  CAST(row_total AS BIGINT) AS row_total,
         |  CAST(n * 1000000 // row_total AS BIGINT) AS p_e6
         |FROM t ORDER BY from_type, to_type""".stripMargin,
+    // q136: the q60 signal/rule CTEs rolled up as conditional sums per
+    // source (the q115 crosstab-replay pattern; absent cells null).
+    "q136_gate_crosstab" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1]) AS bg FROM t),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS ttr_e6,
+        |  CAST(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS avg_token_len_e6,
+        |  CASE WHEN len(toks) < 2 THEN 0
+        |   ELSE CAST(round((1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE)
+        |     * 1000000.0) AS BIGINT)
+        |  END AS dup_2gram_frac_e6
+        | FROM g),
+        |r AS (SELECT doc_id,
+        |  CASE WHEN n_tokens NOT BETWEEN 20 AND 90 THEN 'token_count'
+        |   WHEN avg_token_len_e6 NOT BETWEEN 3000000 AND 8000000 THEN 'avg_token_len'
+        |   WHEN ttr_e6 < 300000 THEN 'ttr'
+        |   WHEN dup_2gram_frac_e6 > 200000 THEN 'dup_2gram'
+        |   ELSE 'passed' END AS rule
+        | FROM s),
+        |j AS (SELECT d.source, r.rule FROM r JOIN documents d USING (doc_id))
+        |SELECT source,
+        | CAST(sum(CASE WHEN rule = 'passed' THEN 1 END) AS BIGINT) AS passed,
+        | CAST(sum(CASE WHEN rule = 'token_count' THEN 1 END) AS BIGINT) AS token_count,
+        | CAST(sum(CASE WHEN rule = 'avg_token_len' THEN 1 END) AS BIGINT) AS avg_token_len,
+        | CAST(sum(CASE WHEN rule = 'ttr' THEN 1 END) AS BIGINT) AS ttr,
+        | CAST(sum(CASE WHEN rule = 'dup_2gram' THEN 1 END) AS BIGINT) AS dup_2gram
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // q135: the q125 ranking CTEs with an overlap tail instead of the
     // fusion tail; inner join on query ids present in both modalities.
     "q135_modality_agreement" ->
