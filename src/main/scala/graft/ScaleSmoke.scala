@@ -50,7 +50,10 @@ object ScaleSmoke {
     // composition with the cosine scan, and collocation mining's
     // vocab-space marginals
     "q116_strip_boilerplate", "q122_keyword_search",
-    "q125_hybrid_retrieval", "q126_collocations")
+    "q125_hybrid_retrieval", "q126_collocations",
+    // late-r12 additions: the ±2 skip-gram pair explode (the heaviest of
+    // the new text statistics) and the transition matrix's keyed window
+    "q130_skipgrams", "q133_transition_matrix")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
