@@ -895,6 +895,19 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type")
         .orderBy("from_type", "to_type")),
 
+    // Contributor capping: at most 3 events per (user, day), drawn
+    // deterministically by the salted-hash order — the "no contributor
+    // dominates the training set" op, here as stratifiedFixedSample with
+    // a COMPOSITE stratum (the operator takes any stratum expression).
+    "q137_contributor_cap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("day", expr("ts div 86400000000000"))
+      Chunking.stratifiedFixedSample(
+        ev.select("event_id", "user_id", "day", "event_type"),
+        struct(col("user_id"), col("day")), col("event_id"), n = 3)
+        .orderBy("user_id", "day", "sample_rank")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -3647,6 +3660,20 @@ object SparkEntry {
         |  CAST(row_total AS BIGINT) AS row_total,
         |  CAST(n * 1000000 // row_total AS BIGINT) AS p_e6
         |FROM t ORDER BY from_type, to_type""".stripMargin,
+    // q137: the q121 draw with a (user_id, day) composite stratum.
+    "q137_contributor_cap" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 86400000000000 AS day,
+        |    md5('sample:' || CAST(event_id AS VARCHAR)) AS hx
+        |  FROM events),
+        |r AS (SELECT event_id, user_id, day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY hx, event_id) AS sample_rank
+        |  FROM e)
+        |SELECT event_id, user_id, day, event_type,
+        |  CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM r WHERE sample_rank <= 3
+        |ORDER BY user_id, day, sample_rank""".stripMargin,
     // q136: the q60 signal/rule CTEs rolled up as conditional sums per
     // source (the q115 crosstab-replay pattern; absent cells null).
     "q136_gate_crosstab" ->
