@@ -494,6 +494,45 @@ object Streaming {
   final case class KeyedEvent(key: String, value: Double)
   final case class RunningStat(key: String, n: Long, total: Double)
 
+  final case class TypedEvent(key: Long, tsUs: Long, tie: Long, typ: String)
+  final case class Transition(key: Long, from_type: String, to_type: String)
+  final case class LastSeen(tsUs: Long, tie: Long, typ: String)
+
+  /** CONTINUOUS transition emission — the streaming twin of
+    * `Sessions.transitionMatrix`: per-key state holds the last event seen,
+    * each micro-batch sorts ITS OWN rows per key by (tsUs, tie) and emits
+    * one (from_type, to_type) row per event, with '^' for a key's very
+    * first event ever. Downstream aggregation (count by pair, the batch
+    * matrix tail) composes on the emitted stream.
+    *
+    * Ordering contract: equals the batch matrix when each key's events
+    * arrive in event-time order ACROSS micro-batches (within a batch the
+    * sort handles any order). A late event — older than the key's state —
+    * is chained in ARRIVAL order, diverging from the batch matrix; bound
+    * lateness upstream with a watermark + dedupedStream if that matters.
+    * The per-key sort buffers only that key's rows OF THIS BATCH (not
+    * history — the state is one event), the same bound as the gap
+    * sessionizer. */
+  def transitionStream(events: org.apache.spark.sql.Dataset[TypedEvent])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LastSeen, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[TypedEvent], state: GroupState[LastSeen]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.tie))
+          var prev = state.getOption
+          val out = sorted.map { e =>
+            val from = prev.map(_.typ).getOrElse("^")
+            prev = Some(LastSeen(e.tsUs, e.tie, e.typ))
+            Transition(key, from, e.typ)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Keyed running aggregate via mapGroupsWithState — the custom-state
     * primitive (per-key counters, sessionization, online quality stats). */
   def runningTotals(events: org.apache.spark.sql.Dataset[KeyedEvent])

@@ -620,4 +620,33 @@ class StreamingSpec extends SparkSpec {
       merged shouldBe oneShot
     } finally q.stop()
   }
+
+  test("transitionStream chains across micro-batches and matches the batch matrix") {
+    val stream = MemoryStream[Streaming.TypedEvent](spark)
+    val q = Streaming.transitionStream(stream.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1 batch 1: a(10), b(20) — out-of-order arrival inside the batch
+      stream.addData(Streaming.TypedEvent(1L, 20L, 2L, "b"),
+        Streaming.TypedEvent(1L, 10L, 1L, "a"),
+        Streaming.TypedEvent(2L, 10L, 3L, "a"))
+      q.processAllAvailable()
+      // u1 batch 2: a(30) — must chain from the b held in state
+      stream.addData(Streaming.TypedEvent(1L, 30L, 4L, "a"),
+        Streaming.TypedEvent(2L, 20L, 5L, "a"))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .groupBy("from_type", "to_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.Sessions.transitionMatrix(
+        Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 4L, "a"),
+          (2L, 10L, 3L, "a"), (2L, 20L, 5L, "a"))
+          .toDF("user_id", "ts_us", "event_id", "event_type"),
+        "user_id", "ts_us", "event_id", "event_type").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      streamed shouldBe batch
+      streamed(("b", "a")) shouldBe 1L // the cross-batch chain
+    } finally q.stop()
+  }
 }
