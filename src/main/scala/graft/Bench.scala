@@ -51,17 +51,25 @@ object Bench {
       Thread.sleep(sleepMs)
     }
     settle(8000L)
-    // Min over SPARK_GRAFT_REPS repetitions (default 5): single-shot
+    // Min over SPARK_GRAFT_REPS repetitions (default 3): single-shot
     // timings on shared hardware swing ±50% with scheduler/GC noise; the
     // minimum is the standard low-noise estimator of a query's true cost.
     // Reps are INTERLEAVED — each rep is one full round-robin pass over all
     // queries — so a transient stall (GC pause, scheduler preemption) can
     // poison at most one rep of any given query, never all of them.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
+    // Each timing is SETTLED (ScaleSmoke's posture: cache cleared + a short
+    // quiet gap before the clock starts): r12 showed min-of-5 UNsettled reps
+    // still carrying 5× per-query artifacts (q122 = 1.885 s in bench, 0.36 s
+    // settled in ScaleSmoke, all five bench reps slow) — debt from the
+    // PREVIOUS query (broadcast cleanup, cached-relation eviction, GC) lands
+    // in the next timing, and interleaving can't help because the
+    // round-robin neighbor is the same every rep.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[(Double, Boolean)]]
       .withDefaultValue(Vector.empty)
     (1 to reps).foreach { rep =>
       names.foreach { case (name, fn) =>
+        settle(300L)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -71,8 +79,6 @@ object Bench {
           }
         samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
       }
-      // collect between rounds so debt from round N is paid before N+1's timings
-      if (rep < reps) settle(1000L)
     }
     val results = names.map { case (name, _) =>
       val times = samples(name)

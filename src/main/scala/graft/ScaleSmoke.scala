@@ -53,7 +53,13 @@ object ScaleSmoke {
     "q125_hybrid_retrieval", "q126_collocations",
     // late-r12 additions: the ±2 skip-gram pair explode (the heaviest of
     // the new text statistics) and the transition matrix's keyed window
-    "q130_skipgrams", "q133_transition_matrix")
+    "q130_skipgrams", "q133_transition_matrix",
+    // round-13 additions: the bounded session-overlap (q70 with its
+    // minOverlap/top-k knobs — the row that shows the quadratic output
+    // tamed), and the two r12 windows-over-rows draws whose largest-
+    // stratum skew bound was argued but not yet measured
+    "q138_session_overlap_topk", "q121_stratified_sample",
+    "q137_contributor_cap")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
@@ -181,11 +187,17 @@ object ScaleSmoke {
       "sf1~" -> sf1Dir)
     println("| query | sf | sec | shuffle_mb |")
     println("|---|---|---|---|")
+    // local-iteration filter (same contract as Bench/Verify):
+    // comma-separated name substrings; unset runs the full list
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     dirs.foreach { case (label, dir) =>
-      val qs = HeavyQueries.map(n => n -> SparkEntry.queries(n)) ++
+      val qs = (HeavyQueries
+        .filter(n => only.forall(_.exists(n.contains)))
+        .map(n => n -> SparkEntry.queries(n))) ++
         (if (label == "sf1~")
           Seq("q64_lsh_numPlanes8" -> lshScaled,
             "q111_semantic_k64" -> semScaled)
+            .filter { case (n, _) => only.forall(_.exists(n.contains)) }
         else Nil)
       qs.foreach { case (name, fn) =>
         // two runs, min: run 1 doubles as JIT/codegen warm-up at this scale
@@ -216,7 +228,8 @@ object ScaleSmoke {
     println("|---|---|---|---|---|")
     Seq("balanced" -> "/root/testdata/sf0.1", "skew50x" -> skewDir)
       .foreach { case (label, dir) =>
-        SkewQueries.foreach { name =>
+        SkewQueries.filter(n => only.forall(_.exists(n.contains)))
+          .foreach { name =>
           val fn = SparkEntry.queries(name)
           val (sec, mb, splits) = (1 to 2).map { _ =>
             spark.catalog.clearCache()

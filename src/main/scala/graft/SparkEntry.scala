@@ -908,6 +908,39 @@ object SparkEntry {
         .orderBy("user_id", "day", "sample_rank")
     }),
 
+    // Bounded session overlap: q70's pair join with its two quadratic-
+    // output knobs engaged — pairs overlapping < 1 h die INSIDE the join
+    // stage (never reach an exchange), and each session keeps only its
+    // top-3 partners by overlap length (deterministic tiebreak). Output
+    // is ≤ k rows per session however dense the hour, so a 100× dense
+    // region no longer dominates the job with rows nobody reads.
+    "q138_session_overlap_topk" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val sess = Sessions.sessionStats(ev, "user_id", "ts_us",
+        "event_id", "value", gapSec = 14400L).localCheckpoint()
+      val a = sess.select(col("user_id").as("a_user"),
+        col("session_seq").as("a_seq"),
+        col("start_us").as("a_start"), col("end_us").as("a_end"))
+      val b = sess.select(col("user_id").as("b_user"),
+        col("session_seq").as("b_seq"),
+        col("start_us").as("b_start"), col("end_us").as("b_end"))
+      val pairs = graft.ops.RangeJoin.overlappingPairs(
+          a, "a_start", "a_end", b, "b_start", "b_end",
+          binWidth = 14400L * 1000000L,
+          minOverlap = 3600L * 1000000L, overlapCol = Some("overlap_us"))
+        .filter(col("a_user") =!= col("b_user") ||
+          col("a_seq") =!= col("b_seq"))
+      val w = Window.partitionBy("a_user", "a_seq")
+        .orderBy(col("overlap_us").desc, col("b_user"), col("b_seq"))
+      pairs.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("a_user").as("user_id"),
+          col("a_seq").as("session_seq"), col("rank"),
+          col("b_user"), col("b_seq"), col("overlap_us"))
+        .orderBy("user_id", "session_seq", "rank")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4194,6 +4227,37 @@ object SparkEntry {
         |  AND (a.user_id <> b.user_id OR a.session_seq <> b.session_seq)
         |GROUP BY a.user_id
         |ORDER BY a.user_id""".stripMargin,
+    // q138: q70's sessions, but the pair set bounded by the two knobs —
+    // overlap >= 1h (the WHERE replays minOverlap) and top-3 per session
+    // (row_number over overlap DESC with the same deterministic tiebreak).
+    "q138_session_overlap_topk" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL
+        |    OR ts_us - prev_us > 14400000000 THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM l),
+        |sess AS (SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  min(ts_us) AS start_us,
+        |  max(ts_us) AS end_us FROM s GROUP BY user_id, session_seq),
+        |pairs AS (SELECT a.user_id, a.session_seq,
+        |  b.user_id AS b_user, b.session_seq AS b_seq,
+        |  least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+        |    AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.start_us <= b.end_us AND b.start_us <= a.end_us
+        |  AND (a.user_id <> b.user_id OR a.session_seq <> b.session_seq)
+        |WHERE least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+        |  >= 3600000000),
+        |ranked AS (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id, session_seq
+        |   ORDER BY overlap_us DESC, b_user, b_seq) AS rn FROM pairs)
+        |SELECT user_id, session_seq, CAST(rn AS BIGINT) AS rank,
+        | b_user, b_seq, overlap_us
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY user_id, session_seq, rank""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

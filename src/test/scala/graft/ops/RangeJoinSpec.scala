@@ -63,6 +63,67 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("bounded overlappingPairs: minOverlap filters, overlapCol is exact") {
+    val a = intervals.select(col("iv_id").as("a_id"),
+      col("start").as("a_start"), col("end").as("a_end"))
+    val b = intervals.select(col("iv_id").as("b_id"),
+      col("start").as("b_start"), col("end").as("b_end"))
+    // threshold 10: the [0,100]×[50,150] pair (overlap 50) survives, the
+    // degenerate self-pair of [400,400] (overlap 0) dies — self-pairs of
+    // the wide intervals (overlap = own span) survive
+    val got = RangeJoin.overlappingPairs(a, "a_start", "a_end",
+        b, "b_start", "b_end", binWidth = 7L,
+        minOverlap = 10L, overlapCol = Some("ov"))
+      .select("a_id", "b_id", "ov")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set(
+      (1L, 1L, 100L), (2L, 2L, 100L),
+      (1L, 2L, 50L), (2L, 1L, 50L))
+    // minOverlap = 0 keeps instant-touch pairs; Long.MinValue ≡ unbounded
+    val zero = RangeJoin.overlappingPairs(a, "a_start", "a_end",
+        b, "b_start", "b_end", binWidth = 7L,
+        minOverlap = 0L, overlapCol = None)
+      .count()
+    val unbounded = RangeJoin.overlappingPairs(a, "a_start", "a_end",
+        b, "b_start", "b_end", binWidth = 7L).count()
+    zero shouldBe unbounded // all interval bounds here are non-negative spans
+  }
+
+  test("shrunken-interval threshold ≡ brute post-filter on random intervals") {
+    // the rewrite (join on [s, e−T] instead of filtering overlap >= T
+    // after) must find EXACTLY the brute-force pairs, for thresholds
+    // below, at, and above every span in the data
+    val rnd = new scala.util.Random(7)
+    val ivs = (1L to 60L).map { id =>
+      val s = rnd.nextInt(500).toLong
+      (id, s, s + rnd.nextInt(40).toLong)
+    }.toDF("iv_id", "start", "end")
+    val a = ivs.select(col("iv_id").as("a_id"),
+      col("start").as("a_start"), col("end").as("a_end"))
+    val b = ivs.select(col("iv_id").as("b_id"),
+      col("start").as("b_start"), col("end").as("b_end"))
+    Seq(0L, 5L, 25L, 45L).foreach { t =>
+      val brute = a.join(b,
+          col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+        .filter(least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start")) >= t)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      Seq(3L, 17L, 1000L).foreach { w =>
+        val got = RangeJoin.overlappingPairs(a, "a_start", "a_end",
+            b, "b_start", "b_end", binWidth = w,
+            minOverlap = t, overlapCol = Some("ov"))
+        val pairs = got.select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        withClue(s"t=$t w=$w: ") { pairs shouldBe brute }
+        // the appended overlap length must be >= t and exact
+        got.filter(col("ov") !== (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start")))).count() shouldBe 0L
+        got.filter(col("ov") < t).count() shouldBe 0L
+      }
+    }
+  }
+
   test("binned join plans a hash equi-join — the raw BETWEEN would BNLJ") {
     val binned = RangeJoin.pointInInterval(points, "ts",
       intervals, "start", "end", binWidth = 50L)
