@@ -59,7 +59,7 @@ object ScaleSmoke {
     // tamed), and the two r12 windows-over-rows draws whose largest-
     // stratum skew bound was argued but not yet measured
     "q138_session_overlap_topk", "q121_stratified_sample",
-    "q137_contributor_cap")
+    "q137_contributor_cap", "q139_span_dedup")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

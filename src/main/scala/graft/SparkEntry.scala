@@ -941,6 +941,19 @@ object SparkEntry {
         .orderBy("user_id", "session_seq", "rank")
     }),
 
+    // Substring-level (interior-span) dedup: repeated >= 5-token runs
+    // inside otherwise-distinct documents, masked everywhere but their
+    // first occurrence — the Lee-et-al step document-level MinHash
+    // misses. Per-doc masked-token and merged-run counts; the oracle
+    // replays the positional gram hash, the keep-first survivor rule,
+    // the hot-span cap, and the gaps-and-islands run merge.
+    "q139_span_dedup" -> ((s, dir) =>
+      Dedup.maskDuplicateSpans(
+        Tables.load(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", k = 5, minCopies = 2, maxSpanFreq = 50)
+        .select("doc_id", "n_tokens", "n_masked", "n_spans")
+        .orderBy("doc_id")),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4258,6 +4271,35 @@ object SparkEntry {
         | b_user, b_seq, overlap_us
         |FROM ranked WHERE rn <= 3
         |ORDER BY user_id, session_seq, rank""".stripMargin,
+    // q139: positional 5-gram 60-bit hashes → global copy counts with the
+    // keep-first (min doc, pos) survivor exempt → covered positions →
+    // gaps-and-islands merged runs, per doc.
+    "q139_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(1, len(toks) - 5 + 2)) AS pos,
+        |  toks FROM t WHERE len(toks) >= 5),
+        |occ AS (SELECT doc_id, pos,
+        |  ('0x' || substr(md5(array_to_string(toks[pos:pos+4], ' ')), 1, 15))
+        |    ::BIGINT AS gram FROM g),
+        |w AS (SELECT doc_id, pos,
+        |  count(*) OVER (PARTITION BY gram) AS copies,
+        |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |  FROM occ),
+        |flagged AS (SELECT doc_id, pos FROM w
+        |  WHERE copies BETWEEN 2 AND 50 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + u AS mpos
+        |  FROM flagged, (SELECT unnest(range(0, 5)) AS u) s),
+        |isl AS (SELECT doc_id, mpos,
+        |  mpos - row_number() OVER (PARTITION BY doc_id ORDER BY mpos) AS grp
+        |  FROM cov),
+        |pd AS (SELECT doc_id, count(*) AS n_masked,
+        |  count(DISTINCT grp) AS n_spans FROM isl GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(pd.n_masked, 0) AS BIGINT) AS n_masked,
+        | CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

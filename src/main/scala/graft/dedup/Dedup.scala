@@ -394,6 +394,115 @@ object Dedup {
     df.join(children, Seq(idCol), "left_anti")
   }
 
+  /** Substring-level (interior-span) duplicate detection — the
+    * Lee-et-al-style step AFTER document-level MinHash: repeated runs of
+    * >= k tokens INSIDE otherwise-distinct documents (license headers,
+    * quoted passages, templated paragraphs). Document-level dedup never
+    * sees them; `prefixDupes` only catches whole-document truncations.
+    *
+    * Every k-token window of every document is fingerprinted POSITIONALLY
+    * (60-bit md5 prefix of the space-joined gram — 8-byte shuffle keys,
+    * collision odds ~n²/2^61, and exactly replayable in the oracle). One
+    * hash aggregate counts global copies per gram and elects the survivor
+    * occurrence (lexicographic min (doc, pos) — the standard keep-first
+    * rule, as in exactDedupe); one join back flags every NON-survivor
+    * occurrence of a gram with copies in [minCopies, maxSpanFreq].
+    *
+    * No pair stage exists anywhere: detection is per-gram counting, so the
+    * work is linear in corpus tokens however many documents share a span.
+    * `maxSpanFreq` is the hot-span knob: a gram above it is a stop-phrase
+    * ("all rights reserved" at 10^8 df) — masking it everywhere would
+    * shred ordinary prose, and it would be the one skewed join key, so it
+    * is excluded from flagging (same posture as `maxShingleFreq` in
+    * jaccardPairs).
+    *
+    * Output: one row per flagged occurrence `(idCol, span_pos, copies)` —
+    * span_pos is the 1-based token index of the window start; the covered
+    * tokens are [span_pos, span_pos + k). Feed to `maskDuplicateSpans`
+    * for mask semantics, or aggregate per doc for a contamination score. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCopies: Int = 2,
+      maxSpanFreq: Int = Int.MaxValue): DataFrame = {
+    require(k >= 2, s"span gram size must be >= 2, got $k")
+    require(minCopies >= 2, s"minCopies must be >= 2, got $minCopies")
+    require(maxSpanFreq >= minCopies,
+      s"maxSpanFreq ($maxSpanFreq) must be >= minCopies ($minCopies)")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // short docs are filtered BEFORE the window transform: sequence(1, x)
+    // descends for x < 1 (same guard as shingles())
+    val occ = df
+      .select(col(idCol).as("_id"), toks.as("_toks"))
+      .filter(size(col("_toks")) >= k)
+      .select(col("_id"), explode(transform(
+        sequence(lit(1), size(col("_toks")) - lit(k - 1)),
+        i => struct(i.as("pos"),
+          conv(substring(md5(concat_ws(" ",
+            slice(col("_toks"), i, lit(k)))), 1, 15), 16, 10)
+            .cast("long").as("gram")))).as("_o"))
+      .select(col("_id"), col("_o.pos").as("_pos"), col("_o.gram").as("_gram"))
+    val dupGrams = occ.groupBy("_gram")
+      .agg(count(lit(1)).as("copies"),
+        min(struct(col("_id"), col("_pos"))).as("_surv"))
+      .filter(col("copies") >= minCopies && col("copies") <= maxSpanFreq)
+    occ.join(dupGrams, "_gram")
+      .filter(col("_surv._id") =!= col("_id") ||
+        col("_surv._pos") =!= col("_pos"))
+      .select(col("_id").as(idCol), col("_pos").as("span_pos"),
+        col("copies"))
+  }
+
+  /** Mask repeated interior spans: every token covered by a flagged
+    * occurrence (see `duplicateSpans` — non-survivor, copies within
+    * [minCopies, maxSpanFreq]) is removed, and each MAXIMAL run of removed
+    * tokens is replaced by a single `maskToken`. The survivor occurrence
+    * keeps its text, so one copy of every repeated span remains in the
+    * corpus (the Lee-et-al drop-all-but-one contract, at span granularity).
+    *
+    * Per-doc state is bounded by the doc's own token count (the masked-
+    * position list lives inside one row, like every other row-local text
+    * op), so scale follows the detection stage: linear in corpus tokens.
+    *
+    * Output: the input row plus `n_tokens`, `n_masked`, `n_spans` (maximal
+    * merged masked runs), and `masked_text`. Docs with nothing flagged
+    * pass through with n_masked = 0 and masked_text = the original tokens
+    * re-joined. */
+  def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCopies: Int = 2, maxSpanFreq: Int = Int.MaxValue,
+      maskToken: String = "[DUP]"): DataFrame = {
+    val flagged = duplicateSpans(df, idCol, textCol, k, minCopies, maxSpanFreq)
+    // overlapping flagged windows cover the same token: distinct BEFORE the
+    // per-doc rollup so a token masks once however many windows hit it
+    val covered = flagged.select(col(idCol),
+        explode(sequence(col("span_pos"),
+          col("span_pos") + lit(k - 1))).as("_mpos"))
+      .distinct()
+    val perDoc = covered.groupBy(idCol)
+      .agg(sort_array(collect_set(col("_mpos"))).as("_mlist"))
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("_mlist",
+        coalesce(col("_mlist"), typedLit(Seq.empty[Int])))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_masked", size(col("_mlist")).cast("long"))
+      // islands count: fold over the sorted positions, +1 whenever the
+      // predecessor isn't pos-1 (row-local, no window)
+      .withColumn("n_spans", aggregate(col("_mlist"),
+        struct(lit(-2).as("prev"), lit(0L).as("cnt")),
+        (acc, x) => struct(x.as("prev"),
+          (acc("cnt") + when(x - acc("prev") === 1, 0L).otherwise(1L))
+            .as("cnt")),
+        acc => acc("cnt")))
+      // run collapse: a masked token emits the sentinel only when its
+      // predecessor position is NOT masked; interior masked tokens emit
+      // null, which concat_ws skips
+      .withColumn("masked_text", concat_ws(" ", transform(toks,
+        (t, i0) => when(array_contains(col("_mlist"), i0 + lit(1)),
+          when(array_contains(col("_mlist"), i0), lit(null))
+            .otherwise(lit(maskToken)))
+          .otherwise(t))))
+      .drop("_mlist")
+  }
+
   private def bucketPairs(buckets: DataFrame, memberCol: String): DataFrame =
     buckets.select(col(memberCol).as("_ids"))
       .select(col("_ids"), posexplode(col("_ids")))

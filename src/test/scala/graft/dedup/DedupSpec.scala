@@ -475,4 +475,57 @@ class DedupSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Dedup.dedupImpactReport(docs, "doc_id", "text", Seq.empty)
   }
+
+  test("maskDuplicateSpans: keep-first survivor, run collapse, within-doc repeats, hot cap") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),            // survivor copy of the shared span
+      (2L, "x y a b c d e f q"),          // non-survivor: span masked
+      (3L, "unique words only here now"), // untouched
+      (4L, "p q r z z p q r"),            // within-doc repeat: 2nd copy masked
+      (5L, "hot hot1 hot2 one"), (6L, "hot hot1 hot2 two"),
+      (7L, "hot hot1 hot2 three")         // 3 copies > maxSpanFreq=2: exempt
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicateSpans(docs, "doc_id", "text",
+        k = 3, minCopies = 2, maxSpanFreq = 2)
+      .select("doc_id", "n_tokens", "n_masked", "n_spans", "masked_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc1 is the (min doc, pos) survivor of every shared gram: untouched
+    out(1L) shouldBe ((8L, 0L, 0L, "a b c d e f g h"))
+    // doc2 shares "a b c d e f": grams at pos 3..6 all flagged, covered
+    // positions 3..8 merge to ONE run replaced by ONE sentinel
+    out(2L) shouldBe ((9L, 6L, 1L, "x y [DUP] q"))
+    out(3L) shouldBe ((5L, 0L, 0L, "unique words only here now"))
+    // within-doc repeat of "p q r": pos-1 occurrence survives, pos-6
+    // occurrence masks positions 6..8
+    out(4L) shouldBe ((8L, 3L, 1L, "p q r z z [DUP]"))
+    // "hot hot1 hot2" has 3 copies > maxSpanFreq: stop-phrase exempt
+    out(5L) shouldBe ((4L, 0L, 0L, "hot hot1 hot2 one"))
+    out(6L) shouldBe ((4L, 0L, 0L, "hot hot1 hot2 two"))
+    out(7L) shouldBe ((4L, 0L, 0L, "hot hot1 hot2 three"))
+  }
+
+  test("maskDuplicateSpans: disjoint repeated spans mask as separate runs") {
+    val docs = Seq(
+      (1L, "one two three mid four five six"),
+      (2L, "one two three g1 g2 g3 g4 four five six")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_masked", "n_spans", "masked_text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L)._3 shouldBe "one two three mid four five six"
+    // doc2 repeats two disjoint 3-gram spans of doc1 → two masked runs
+    out(2L) shouldBe ((6L, 2L, "[DUP] g1 g2 g3 g4 [DUP]"))
+  }
+
+  test("duplicateSpans detection is linear-shaped: no pair join, no window") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // survivor election is a grouped min, never a per-gram window sort
+    plan should not include "WindowExec"
+  }
 }
