@@ -3526,9 +3526,17 @@ object SparkEntry {
         |FROM r WHERE rnk <= 10 ORDER BY event_type, rnk""".stripMargin,
     // q124: the magic-mask spread cascade replayed step for step — all
     // BIGINT &/|/<< arithmetic, so zkey/cell/minmax are bit-identical.
+    // both engines FAIL loudly past 2^16 keys (Spark raise_errors in
+    // zorderKey2's guard; error() here) instead of the mask cascade
+    // silently truncating on one side only — r12 review
     "q124_zorder_layout" ->
-      """WITH b AS (SELECT CAST(l_partkey AS BIGINT) AS x,
-        |    CAST(l_suppkey AS BIGINT) AS y FROM lineitem),
+      """WITH b AS (SELECT
+        |    CASE WHEN l_partkey < 0 OR l_partkey >= 65536
+        |      THEN error('zorder input out of [0, 65536): ' || l_partkey)
+        |      ELSE CAST(l_partkey AS BIGINT) END AS x,
+        |    CASE WHEN l_suppkey < 0 OR l_suppkey >= 65536
+        |      THEN error('zorder input out of [0, 65536): ' || l_suppkey)
+        |      ELSE CAST(l_suppkey AS BIGINT) END AS y FROM lineitem),
         |s1 AS (SELECT x, y,
         |  (x | (x << 16)) & 281470681808895 AS xs,
         |  (y | (y << 16)) & 281470681808895 AS ys FROM b),

@@ -510,9 +510,16 @@ object Streaming {
     * sort handles any order). A late event — older than the key's state —
     * is chained in ARRIVAL order, diverging from the batch matrix; bound
     * lateness upstream with a watermark + dedupedStream if that matters.
-    * The per-key sort buffers only that key's rows OF THIS BATCH (not
-    * history — the state is one event), the same bound as the gap
-    * sessionizer. */
+    *
+    * MEMORY BOUND: `rows.toSeq` materializes one key's micro-batch slice
+    * on its executor before sorting — the bound is rows-per-key-per-
+    * TRIGGER, not history (state is one event). That bound is only as
+    * good as the trigger: a replay/backfill that crams a hot key's whole
+    * history into one micro-batch buffers all of it. Cap micro-batch size
+    * at the source (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`) when
+    * feeding this operator from a backlog — then the buffer is
+    * (trigger cap) × (that key's share), the same bound the gap
+    * sessionizer carries. */
   def transitionStream(events: org.apache.spark.sql.Dataset[TypedEvent])
       : org.apache.spark.sql.Dataset[Transition] = {
     import events.sparkSession.implicits._

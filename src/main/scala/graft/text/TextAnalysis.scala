@@ -280,8 +280,12 @@ object TextAnalysis {
     val rawDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dfreq =
       if (maxDfFracE6 > 0L)
+        // count(1), not count_distinct(id): the proportional cap's corpus
+        // size must match the oracle's COUNT(*) FROM documents — under
+        // duplicated or null ids the two diverge (r12 review); unique
+        // non-null ids are the caller's contract, not this cap's input
         rawDf.crossJoin(broadcast(
-            docs.agg(count_distinct(col(idCol)).as("_n_docs"))))
+            docs.agg(count(lit(1)).as("_n_docs"))))
           .filter(col("df") * lit(1000000L) <=
             lit(maxDfFracE6) * col("_n_docs"))
           .drop("_n_docs")
