@@ -94,6 +94,34 @@ object Pipeline {
       StageResult("gold.sessions", n)
     }.toSeq
 
+    // retrieval: the q125 composition config-driven — lexical keyword
+    // top-k over the curated corpus, optionally RRF-fused with a cosine
+    // top-k when an embedding column rides the frame. Queries are corpus
+    // rows selected by the block's SQL predicate, so the stage needs no
+    // second source.
+    val retrievalStages = config.retrieval.map { rs =>
+      val queries = curatedDf.filter(
+        org.apache.spark.sql.functions.expr(rs.queriesFilter))
+      val lex = graft.text.TextAnalysis.keywordSearchTopK(
+        curatedDf, queries, rs.idColumn, rs.textColumn,
+        rs.idColumn, rs.textColumn, rs.k,
+        maxDf = rs.maxDf, excludeSelf = rs.excludeSelf,
+        maxDfFracE6 = rs.maxDfFracE6)
+      val ranking = rs.embeddingColumn match {
+        case None => lex
+        case Some(embCol) =>
+          val sem = graft.similarity.Similarity.bruteForceTopK(
+            curatedDf, queries, rs.idColumn, embCol, rs.k)
+          graft.similarity.Similarity.rrfFuse(Seq(lex, sem),
+            k = rs.fuseK.getOrElse(rs.k), rrfK = rs.rrfK.getOrElse(60L))
+      }
+      goldSink.foreach(sink => sink("retrieval", ranking))
+      val n = ranking.count()
+      tracker.record(Lineage.EventType.Aggregation,
+        upstreamNode, "gold.retrieval", curatedRows, n)
+      StageResult("gold.retrieval", n)
+    }.toSeq
+
     val report = Orchestrator.run(silverDf, config.quality)
     tracker.record(Lineage.EventType.Validation,
       "silver." + config.name, "silver." + config.name, silverRows, silverRows)
@@ -108,7 +136,7 @@ object Pipeline {
 
     RunResult(
       StageResult("bronze", bronzeRows) +: StageResult("silver", silverRows) +:
-        (curationStages ++ goldStages ++ sessionStages),
+        (curationStages ++ goldStages ++ sessionStages ++ retrievalStages),
       report,
       tracker)
   }

@@ -39,7 +39,8 @@ object ConfigLoader {
       performance: PerformanceSpec = PerformanceSpec(),
       cacheSilver: Boolean = false,
       curation: Option[CurationSpec] = None,
-      sessions: Option[SessionSpec] = None)
+      sessions: Option[SessionSpec] = None,
+      retrieval: Option[RetrievalSpec] = None)
 
   /** §1.5 — one entry of the multi-dataset registry
     * (config/datasets/datasets.yaml:6-76: per-dataset source, target,
@@ -450,6 +451,39 @@ object ConfigLoader {
           throw new ConfigError("sessions.gap_sec is required")))
     }
 
+    val retrieval = root.get("retrieval").map { r =>
+      val rm = asMap(r, "retrieval")
+      val spec = RetrievalSpec(
+        idColumn = str(rm, "id_column", "retrieval"),
+        textColumn = str(rm, "text_column", "retrieval"),
+        queriesFilter = str(rm, "queries_filter", "retrieval"),
+        k = rm.get("k").map(_.toString.toInt).getOrElse(10),
+        maxDf = rm.get("max_df").map(_.toString.toLong)
+          .getOrElse(Long.MaxValue),
+        maxDfFracE6 = rm.get("max_df_frac_e6").map(_.toString.toLong)
+          .getOrElse(0L),
+        embeddingColumn = optStr(rm, "embedding_column"),
+        fuseK = rm.get("fuse_k").map(_.toString.toInt),
+        rrfK = rm.get("rrf_k").map(_.toString.toLong),
+        excludeSelf =
+          rm.get("exclude_self").forall(_.asInstanceOf[Boolean]))
+      if (spec.k < 1)
+        throw new ConfigError(s"retrieval.k must be >= 1, got ${spec.k}")
+      if (spec.maxDf != Long.MaxValue && spec.maxDfFracE6 > 0L)
+        throw new ConfigError("retrieval: set max_df (absolute) or " +
+          "max_df_frac_e6 (corpus-proportional), not both")
+      if (spec.maxDfFracE6 < 0L || spec.maxDfFracE6 > 1000000L)
+        throw new ConfigError("retrieval.max_df_frac_e6 must be in " +
+          s"[0, 1000000], got ${spec.maxDfFracE6}")
+      if (spec.embeddingColumn.isEmpty &&
+          (spec.fuseK.nonEmpty || spec.rrfK.nonEmpty))
+        throw new ConfigError("retrieval.fuse_k/rrf_k only apply to a " +
+          "hybrid run — set embedding_column, or drop the fusion knobs")
+      if (spec.fuseK.exists(_ < 1) || spec.rrfK.exists(_ < 1L))
+        throw new ConfigError("retrieval.fuse_k and rrf_k must be >= 1")
+      spec
+    }
+
     // the reference performance: block (lakehouse_config.yaml:163-173)
     val (perf, cacheSilver) = root.get("performance").map { p =>
       val pm = asMap(p, "performance")
@@ -464,6 +498,6 @@ object ConfigLoader {
     }.getOrElse((PerformanceSpec(), false))
 
     PipelineConfig(version, name, bronze, silver, gold, quality, perf,
-      cacheSilver, curation, sessions)
+      cacheSilver, curation, sessions, retrieval)
   }
 }

@@ -206,3 +206,24 @@ final case class SessionSpec(
     tieColumn: String,
     valueColumn: String,
     gapSec: Long)
+
+/** retrieval: block — the hybrid retrieval stage over the curated corpus
+  * (TextAnalysis.keywordSearchTopK, optionally fused with a cosine top-k
+  * over `embeddingColumn` via Similarity.rrfFuse — the q125 composition,
+  * config-driven). `queriesFilter` is a SQL predicate selecting the query
+  * rows FROM the corpus itself (eval probes, sampled docs); the df cap is
+  * absolute (`maxDf`) or corpus-proportional (`maxDfFracE6`), exclusive,
+  * matching the operator's contract. `fuseK`/`rrfK` only apply when an
+  * embedding column makes the run hybrid — set on a lexical-only block
+  * they are rejected, not ignored. */
+final case class RetrievalSpec(
+    idColumn: String,
+    textColumn: String,
+    queriesFilter: String,
+    k: Int = 10,
+    maxDf: Long = Long.MaxValue,
+    maxDfFracE6: Long = 0L,
+    embeddingColumn: Option[String] = None,
+    fuseK: Option[Int] = None,
+    rrfK: Option[Long] = None,
+    excludeSelf: Boolean = true)

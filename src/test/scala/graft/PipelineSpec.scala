@@ -2,6 +2,8 @@ package graft
 
 import graft.config._
 import graft.config.ConfigLoader.PipelineConfig
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -344,6 +346,103 @@ class PipelineSpec extends SparkSpec {
       goldSink = Some((name, df) => sunk += name -> df.count()))
     r.stages.map(s => s.name -> s.rows).toMap.apply("gold.sessions") shouldBe 3L
     sunk shouldBe Map("sessions" -> 3L)
+  }
+
+  test("retrieval block drives hybrid lexical+semantic ranking from YAML") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |retrieval:
+        |  id_column: doc_id
+        |  text_column: text
+        |  queries_filter: "doc_id % 2 = 0"
+        |  k: 3
+        |  embedding_column: vec
+        |  fuse_k: 2
+        |  rrf_k: 60
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.retrieval.map(r => (r.k, r.embeddingColumn, r.fuseK, r.rrfK)) shouldBe
+      Some((3, Some("vec"), Some(2), Some(60L)))
+    val docs = Seq(
+      (0L, "spark shuffle join plan", Array(1f, 0f, 0f)),
+      (1L, "spark shuffle agg stage", Array(0.9f, 0.1f, 0f)),
+      (2L, "python pandas join frame", Array(0f, 1f, 0f)),
+      (3L, "python pandas frame index", Array(0.1f, 0.9f, 0f)),
+      (4L, "rust tokio async runtime", Array(0f, 0f, 1f)))
+      .toDF("doc_id", "text", "vec")
+    var sunk = Map.empty[String, DataFrame]
+    val r = Pipeline.run(spark, cfg, docs,
+      goldSink = Some((name, df) => sunk += name -> df))
+    // the stage must equal the hand-built q125 composition exactly
+    val queries = docs.filter(expr("doc_id % 2 = 0"))
+    val lex = graft.text.TextAnalysis.keywordSearchTopK(docs, queries,
+      "doc_id", "text", "doc_id", "text", k = 3, excludeSelf = true)
+    val sem = graft.similarity.Similarity.bruteForceTopK(docs, queries,
+      "doc_id", "vec", k = 3)
+    val expected = graft.similarity.Similarity.rrfFuse(Seq(lex, sem),
+        k = 2, rrfK = 60L)
+      .collect().map(_.toSeq).toSet
+    sunk.keySet shouldBe Set("retrieval")
+    sunk("retrieval").collect().map(_.toSeq).toSet shouldBe expected
+    r.stages.map(s => s.name -> s.rows).toMap
+      .apply("gold.retrieval") shouldBe expected.size.toLong
+  }
+
+  test("retrieval block: lexical-only when no embedding column") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |retrieval:
+        |  id_column: doc_id
+        |  text_column: text
+        |  queries_filter: "doc_id = 0"
+        |  k: 2
+        |""".stripMargin
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta delta"),
+      (2L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    var sunk = Map.empty[String, DataFrame]
+    Pipeline.run(spark, ConfigLoader.parse(yaml), docs,
+      goldSink = Some((name, df) => sunk += name -> df))
+    // doc 1 shares two terms with the query doc; doc 2 shares none
+    val hits = sunk("retrieval").select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    hits shouldBe Array((0L, 1L))
+  }
+
+  test("retrieval validation fails loudly at load") {
+    def yamlWith(block: String) =
+      s"""version: "1.0"
+         |pipeline:
+         |  name: docs
+         |retrieval:
+         |$block
+         |""".stripMargin
+    val base =
+      """  id_column: doc_id
+        |  text_column: text
+        |  queries_filter: "doc_id = 0"""".stripMargin
+    // fusion knobs on a lexical-only block would be silently dead — refuse
+    val e1 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      yamlWith(base + "\n  fuse_k: 5"))
+    e1.getMessage should include("embedding_column")
+    // both df caps at once contradict the operator contract
+    val e2 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      yamlWith(base + "\n  max_df: 10\n  max_df_frac_e6: 500000"))
+    e2.getMessage should include("not both")
+    val e3 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      yamlWith(base + "\n  k: 0"))
+    e3.getMessage should include("k must be >= 1")
+    // queries_filter is required — a retrieval stage with no queries is
+    // a config mistake, not an empty result
+    val e4 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      yamlWith("""  id_column: doc_id
+                 |  text_column: text""".stripMargin))
+    e4.getMessage should include("queries_filter")
   }
 
   test("persisted-corpus continuous ingest: corpus side joins with NO Exchange") {
