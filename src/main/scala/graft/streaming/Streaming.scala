@@ -560,6 +560,66 @@ object Streaming {
       }
   }
 
+  final case class TransitionBuffer(last: Option[LastSeen],
+      pending: Seq[TypedEvent])
+
+  /** `transitionStream` with a WATERMARK-DELAY reorder buffer — the
+    * late-event hardening option. The low-latency default chains late
+    * events in arrival order (documented divergence from the batch
+    * matrix); this variant holds each event until the event-time
+    * watermark (max event time seen − `delayUs`) passes it, then emits
+    * buffered events in (tsUs, tie) order. An event arriving up to
+    * `delayUs` after later events therefore reorders BEFORE emission and
+    * the emitted chain equals the batch matrix; only events later than
+    * the delay still diverge (and are dropped by the watermark, the
+    * standard contract). Latency cost: every transition emits at least
+    * `delayUs` behind the stream's max event time.
+    *
+    * State per key = the last emitted event plus the pending buffer; the
+    * buffer holds only events inside the delay window, so its bound is
+    * that key's arrival rate × `delayUs`, NOT history. An event-time
+    * timeout flushes keys that go quiet (watermark advance alone releases
+    * their buffer — no new rows needed). Watermark granularity is
+    * milliseconds, so `delayUs` is truncated to whole ms. */
+  def transitionStreamBuffered(
+      events: org.apache.spark.sql.Dataset[TypedEvent],
+      delayUs: Long): org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    require(delayUs >= 0L, s"delayUs must be >= 0, got $delayUs")
+    val withTs = events
+      .withColumn("_ts", timestamp_micros(col("tsUs")))
+      .withWatermark("_ts", s"${delayUs / 1000L} milliseconds")
+      .as[TypedEvent]
+    withTs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TransitionBuffer, Transition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[TypedEvent],
+         state: GroupState[TransitionBuffer]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(TransitionBuffer(None, Nil))
+          val all = st.pending ++ (if (state.hasTimedOut) Nil else rows.toSeq)
+          val (ready, hold) = all.partition(_.tsUs <= wmUs)
+          var prev = st.last
+          val out = ready.sortBy(e => (e.tsUs, e.tie)).map { e =>
+            val from = prev.map(_.typ).getOrElse("^")
+            prev = Some(LastSeen(e.tsUs, e.tie, e.typ))
+            Transition(key, from, e.typ)
+          }
+          if (hold.isEmpty && prev.isEmpty) state.remove()
+          else {
+            state.update(TransitionBuffer(prev, hold))
+            if (hold.nonEmpty)
+              // wake when the watermark passes the earliest held event
+              // (must be strictly ahead of the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(hold.map(_.tsUs).min / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   final case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double)
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long, valueE6: Long)
   final case class ClosedSession(key: String, startUs: Long, endUs: Long,

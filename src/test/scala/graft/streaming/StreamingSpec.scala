@@ -649,4 +649,46 @@ class StreamingSpec extends SparkSpec {
       streamed(("b", "a")) shouldBe 1L // the cross-batch chain
     } finally q.stop()
   }
+
+  test("transitionStreamBuffered: a late event inside the delay matches the batch matrix") {
+    val stream = MemoryStream[Streaming.TypedEvent](spark)
+    // 15 s reorder buffer (event times in seconds-as-µs)
+    val q = Streaming.transitionStreamBuffered(stream.toDS(), 15000000L)
+      .writeStream.format("memory").queryName("trans_buf_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ev(key: Long, sec: Long, tie: Long, typ: String) =
+        Streaming.TypedEvent(key, sec * 1000000L, tie, typ)
+      // batch 1: a(10s) and c(30s) — b is missing
+      stream.addData(ev(1L, 10L, 1L, "a"), ev(1L, 30L, 3L, "c"))
+      q.processAllAvailable()
+      // batch 2: b(20s) arrives LATE — after c — but within the 15 s
+      // delay (watermark is 30−15 = 15 s < 20 s). The unbuffered variant
+      // would chain c→b; the buffer must reorder it to a→b→c.
+      stream.addData(ev(1L, 20L, 2L, "b"))
+      q.processAllAvailable()
+      // batch 3: d(50s) — advances nothing yet (watermark still 15 s)
+      stream.addData(ev(1L, 50L, 4L, "d"))
+      q.processAllAvailable()
+      // watermark advances on OTHER keys' data: key 1 flushes via the
+      // event-time timeout path, no new key-1 rows needed
+      stream.addData(ev(9L, 100L, 5L, "z"))
+      q.processAllAvailable()
+      stream.addData(ev(9L, 200L, 6L, "z"))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_buf_out").as[Streaming.Transition]
+        .collect().filter(_.key == 1L).map(t => (t.from_type, t.to_type))
+      // emitted so far: everything with ts <= final watermark (185 s) —
+      // the full key-1 chain, in event-time order despite b's late arrival
+      streamed.toSeq shouldBe Seq(
+        ("^", "a"), ("a", "b"), ("b", "c"), ("c", "d"))
+      val batch = graft.ops.Sessions.transitionMatrix(
+        Seq((1L, 10000000L, 1L, "a"), (1L, 20000000L, 2L, "b"),
+          (1L, 30000000L, 3L, "c"), (1L, 50000000L, 4L, "d"))
+          .toDF("user_id", "ts_us", "event_id", "event_type"),
+        "user_id", "ts_us", "event_id", "event_type").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+      streamed.groupBy(identity).view.mapValues(_.size.toLong).toMap shouldBe batch
+    } finally q.stop()
+  }
 }
