@@ -954,6 +954,32 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_masked", "n_spans")
         .orderBy("doc_id")),
 
+    // Lineage L3 closure, oracle-anchored: a deterministic mart-dependency
+    // DAG (table k is built from table k div 2 — a binary tree over the
+    // part keys, depth ~log2 N) closed by distributed path doubling
+    // (Lineage.reachabilityPairs); per table, the transitive upstream
+    // count and downstream impact count. The oracle is the recursive-CTE
+    // closure (the q45 pattern) + both rollups.
+    "q140_lineage_closure" -> ((s, dir) => {
+      val part = Tables.load(s, dir, "part")
+      val edges = part
+        .filter(col("p_partkey") >= 1)
+        .select(expr("cast(p_partkey div 2 as bigint)").as("source_table"),
+          col("p_partkey").cast("long").as("target_table"))
+      val pairs = graft.lineage.Lineage.reachabilityPairs(edges)
+      val up = pairs.groupBy("node")
+        .agg(count(lit(1)).as("n_upstream"))
+      val down = pairs.groupBy(col("upstream").as("node"))
+        .agg(count(lit(1)).as("n_downstream"))
+      part.select(col("p_partkey").cast("long").as("node"))
+        .join(up, Seq("node"), "left")
+        .join(down, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("n_upstream"), lit(0L)).as("n_upstream"),
+          coalesce(col("n_downstream"), lit(0L)).as("n_downstream"))
+        .orderBy("node")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4308,6 +4334,23 @@ object SparkEntry {
         | CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans
         |FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // q140: recursive-CTE transitive closure of the binary dependency
+    // tree + upstream/downstream rollups per node.
+    "q140_lineage_closure" ->
+      """WITH RECURSIVE
+        |e AS (SELECT CAST(p_partkey // 2 AS BIGINT) AS src,
+        |  CAST(p_partkey AS BIGINT) AS dst FROM part WHERE p_partkey >= 1),
+        |r AS (SELECT dst AS node, src AS up FROM e
+        |  UNION
+        |  SELECT r.node, e.src FROM r JOIN e ON r.up = e.dst),
+        |u AS (SELECT node, count(*) AS n_upstream FROM r GROUP BY node),
+        |d AS (SELECT up AS node, count(*) AS n_downstream FROM r GROUP BY up)
+        |SELECT CAST(p.p_partkey AS BIGINT) AS node,
+        | CAST(coalesce(u.n_upstream, 0) AS BIGINT) AS n_upstream,
+        | CAST(coalesce(d.n_downstream, 0) AS BIGINT) AS n_downstream
+        |FROM part p LEFT JOIN u ON p.p_partkey = u.node
+        |  LEFT JOIN d ON p.p_partkey = d.node
+        |ORDER BY node""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

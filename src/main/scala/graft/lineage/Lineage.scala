@@ -121,6 +121,14 @@ object Lineage {
       seen.toSet
     }
 
+    /** L3 — the graph's edge list as a DataFrame, for `reachabilityPairs`
+      * when the recorded graph outgrows a driver BFS. */
+    def edgesDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      events.toSeq.map(e => (e.sourceTable, e.targetTable))
+        .toDF("source_table", "target_table")
+    }
+
     /** L4 — events as a DataFrame for the partitioned lineage sink. */
     def toDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
@@ -147,4 +155,50 @@ object Lineage {
   def eventsFor(spark: SparkSession, path: String, table: String): DataFrame =
     spark.read.parquet(path)
       .filter(col("source_table") === table || col("target_table") === table)
+
+  /** L3 at DATASET scale: the full transitive-reachability pair set over a
+    * lineage edge frame — `(node, upstream)` for every table `upstream`
+    * that `node` transitively depends on. The Tracker's driver BFS answers
+    * one table at a time from in-process memory; this is the distributed
+    * twin for a persisted lineage table too large (or too hot) for the
+    * driver, and `upstream(t)` / downstream impact of `t` are selections
+    * (`node = t` resp. `upstream = t`) of one materialized frame.
+    *
+    * PATH DOUBLING, not edge-at-a-time BFS: each round joins the pair set
+    * with ITSELF (`R ∪ R∘R`), so path length doubles per round and a
+    * depth-D graph closes in ⌈log2 D⌉ rounds — a 1000-stage pipeline is 10
+    * rounds, where per-edge iteration would take 1000 (the q45 pointer-
+    * jumping posture; one count action per round for the fixpoint test).
+    * Cycles are safe: the pair set is finite and monotone, so the fixpoint
+    * exists; a node in a cycle reports itself among its own upstreams —
+    * the loud signal a lineage GRAPH should never contain one. */
+  def reachabilityPairs(edges: DataFrame,
+      srcCol: String = "source_table", dstCol: String = "target_table",
+      maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var pairs = edges
+      .select(col(dstCol).as("node"), col(srcCol).as("upstream"))
+      .distinct()
+    var n = pairs.count()
+    var round = 0
+    var grew = true
+    while (grew && round < maxRounds) {
+      round += 1
+      val hop = pairs.as("a").join(
+          pairs.select(col("node").as("_mid"), col("upstream").as("_up"))
+            .as("b"),
+          col("a.upstream") === col("b._mid"))
+        .select(col("a.node").as("node"), col("_up").as("upstream"))
+      val next = pairs.unionByName(hop).distinct().localCheckpoint()
+      val m = next.count()
+      grew = m != n
+      pairs = next
+      n = m
+    }
+    if (grew)
+      throw new IllegalStateException(
+        s"reachabilityPairs did not converge in $maxRounds doubling rounds " +
+          s"(depth > 2^$maxRounds or runaway growth)")
+    pairs
+  }
 }
