@@ -341,7 +341,12 @@ object ConfigLoader {
               dm.get("kmeans_iters").map(_.toString.toInt).getOrElse(2),
             prefixLen = dm.get("prefix_len").map(_.toString.toInt).getOrElse(32),
             maxBucketSize = dm.get("max_bucket_size").map(_.toString.toInt)
-              .getOrElse(Int.MaxValue))
+              .getOrElse(Int.MaxValue),
+            spanGram = dm.get("span_gram").map(_.toString.toInt).getOrElse(5),
+            minCopies = dm.get("min_copies").map(_.toString.toInt).getOrElse(2),
+            maxSpanFreq = dm.get("max_span_freq").map(_.toString.toInt)
+              .getOrElse(Int.MaxValue),
+            maskToken = optStr(dm, "mask_token").getOrElse("[DUP]"))
           if (spec.strategy == "embedding_lsh" && spec.dim < 1)
             throw new ConfigError(
               "curation.dedup.dim must be >= 1 for strategy embedding_lsh")
@@ -365,6 +370,19 @@ object ConfigLoader {
               (spec.prefixLen < 1 || spec.maxBucketSize < 2))
             throw new ConfigError(
               "curation.dedup needs prefix_len >= 1 and max_bucket_size >= 2")
+          if (spec.strategy != "span_mask" &&
+              Seq("span_gram", "min_copies", "max_span_freq", "mask_token")
+                .exists(dm.contains))
+            throw new ConfigError(
+              "curation.dedup.span_gram/min_copies/max_span_freq/mask_token " +
+                s"only apply to strategy span_mask (got strategy " +
+                s"'${spec.strategy}' — they would be silently ignored)")
+          if (spec.strategy == "span_mask" &&
+              (spec.spanGram < 2 || spec.minCopies < 2 ||
+                spec.maxSpanFreq < spec.minCopies))
+            throw new ConfigError(
+              "curation.dedup needs span_gram >= 2, min_copies >= 2, and " +
+                "max_span_freq >= min_copies for strategy span_mask")
           if (spec.strategy == "keep_best" && spec.scoreColumn.isEmpty)
             throw new ConfigError(
               "curation.dedup.score_column is required for strategy keep_best " +

@@ -125,6 +125,12 @@ final case class QualityGateSpec(
   * `prefix` drops docs whose whole text strictly prefixes a longer doc
   * (truncation artifacts — `Dedup.removePrefixDupes`); `prefixLen` is its
   * candidate-bucket width and `maxBucketSize` its hot-bucket cap, both
+  * meaningful only to it. `span_mask` is the one non-removal strategy:
+  * repeated interior runs of >= `spanGram` tokens are collapsed to
+  * `maskToken` everywhere but their first occurrence
+  * (`Dedup.maskDuplicateSpans`) — row count unchanged, the content column
+  * rewritten in place (token-joined, so whitespace normalizes);
+  * `minCopies`/`maxSpanFreq` bound which spans mask, all four knobs
   * meaningful only to it. */
 final case class NearDedupSpec(
     strategy: String,
@@ -142,14 +148,18 @@ final case class NearDedupSpec(
     kmeansK: Int = 256,
     kmeansIters: Int = 2,
     prefixLen: Int = 32,
-    maxBucketSize: Int = Int.MaxValue)
+    maxBucketSize: Int = Int.MaxValue,
+    spanGram: Int = 5,
+    minCopies: Int = 2,
+    maxSpanFreq: Int = Int.MaxValue,
+    maskToken: String = "[DUP]")
 
 object NearDedupSpec {
   /** Validated at config load AND at dispatch — a typo'd strategy fails
     * loudly instead of silently skipping the dedup stage. */
   val Strategies: Set[String] =
     Set("exact", "ngram_jaccard", "minhash_lsh", "simhash", "embedding_lsh",
-      "keep_best", "semantic", "prefix")
+      "keep_best", "semantic", "prefix", "span_mask")
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;

@@ -338,6 +338,15 @@ object Curation {
     case "prefix" =>
       Dedup.removePrefixDupes(df, d.idColumn, d.contentColumn,
         d.prefixLen, d.maxBucketSize)
+    case "span_mask" =>
+      // masking, not removal: repeated >= spanGram-token interior runs
+      // collapse to maskToken everywhere but their first occurrence; row
+      // count unchanged, content column rewritten in place (token-joined,
+      // so whitespace normalizes)
+      Dedup.maskDuplicateSpans(df, d.idColumn, d.contentColumn,
+          d.spanGram, d.minCopies, d.maxSpanFreq, d.maskToken)
+        .withColumn(d.contentColumn, col("masked_text"))
+        .drop("n_tokens", "n_masked", "n_spans", "masked_text")
     case "keep_best" =>
       // same pair machinery as ngram_jaccard; the survivor policy changes
       // from min-id to best-score (config guarantees scoreColumn is set)

@@ -348,6 +348,49 @@ class PipelineSpec extends SparkSpec {
     sunk shouldBe Map("sessions" -> 3L)
   }
 
+  test("span_mask dedup strategy drives from YAML; knobs rejected elsewhere") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |curation:
+        |  dedup:
+        |    strategy: span_mask
+        |    id_column: doc_id
+        |    content_column: text
+        |    span_gram: 3
+        |    mask_token: "<SPAN>"
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.curation.flatMap(_.dedup).map(d => (d.spanGram, d.maskToken)) shouldBe
+      Some((3, "<SPAN>"))
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d q")) // interior copy of doc 1's "a b c d"
+      .toDF("doc_id", "text")
+    val r = Pipeline.run(spark, cfg, docs)
+    // masking keeps every row — the curated count equals the corpus
+    r.stages.map(s => s.name -> s.rows).toMap.apply("curated") shouldBe 2L
+    // and the YAML stage rewrote the content column in place
+    val curated = graft.text.Curation.curate(docs,
+      cfg.curation.get)
+    curated.orderBy("doc_id").select("text").collect().map(_.getString(0))
+      .toSeq shouldBe Seq("a b c d e", "x y <SPAN> q")
+    // span knobs on a removal strategy would be silently dead — refuse
+    val e = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |curation:
+        |  dedup:
+        |    strategy: exact
+        |    id_column: doc_id
+        |    content_column: text
+        |    span_gram: 3
+        |""".stripMargin)
+    e.getMessage should include("span_mask")
+  }
+
   test("retrieval block drives hybrid lexical+semantic ranking from YAML") {
     val yaml =
       """version: "1.0"
