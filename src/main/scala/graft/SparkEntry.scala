@@ -980,6 +980,28 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Snapshot diff (CDC derivation): two deterministic snapshots of the
+    // orders table — prev drops keys %7==0, next drops %5==0, bumps price
+    // on %3==0 and flips status on %11==0 — diffed into the row-level
+    // change set (added/removed/changed + which columns, null-safe). One
+    // co-partitioned full-outer join; unchanged mass never leaves the
+    // plan. The oracle replays the join and the IS DISTINCT FROM compare.
+    "q141_snapshot_diff" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val prevSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val nextSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      Reconciliation.snapshotDiff(prevSnap, nextSnap, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4351,6 +4373,41 @@ object SparkEntry {
         |FROM part p LEFT JOIN u ON p.p_partkey = u.node
         |  LEFT JOIN d ON p.p_partkey = d.node
         |ORDER BY node""".stripMargin,
+    // q141: full-outer join on the key + null-safe column compare
+    // (IS DISTINCT FROM), unchanged rows filtered out.
+    "q141_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 7 <> 0),
+        |nxt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |j AS (
+        |  SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    p.o_orderkey IS NOT NULL AS in_prev,
+        |    n.o_orderkey IS NOT NULL AS in_next,
+        |    (p.o_totalprice IS DISTINCT FROM n.o_totalprice) AS d_price,
+        |    (p.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS d_status
+        |  FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_prev THEN 'added'
+        |       WHEN NOT in_next THEN 'removed'
+        |       WHEN d_price OR d_status THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  CASE WHEN in_prev AND in_next
+        |       THEN CAST(d_price AS BIGINT) + CAST(d_status AS BIGINT)
+        |       ELSE 0 END AS n_changed,
+        |  CASE WHEN in_prev AND in_next THEN concat_ws(',',
+        |      CASE WHEN d_price THEN 'o_totalprice' END,
+        |      CASE WHEN d_status THEN 'o_orderstatus' END)
+        |       ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE NOT (in_prev AND in_next AND NOT d_price AND NOT d_status)
+        |ORDER BY o_orderkey""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

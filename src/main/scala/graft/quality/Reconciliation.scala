@@ -148,4 +148,87 @@ object Reconciliation {
       .withColumn("diff_pct", d)
       .withColumn("within_tolerance", d <= lit(tolerancePct))
   }
+
+  /** Snapshot diff — the row-level change set between two snapshots of the
+    * same logical table, keyed by `keyCols` (the CDC derivation the
+    * reference's full-rebuild marts never need, but an incremental lake
+    * does: feed the output to the MERGE materializer or audit it).
+    *
+    * Per key:
+    *  - `added`   — key present only in `next`
+    *  - `removed` — key present only in `prev`
+    *  - `changed` — key in both, at least one compared column differs
+    *    (null-safe: null vs value counts as a change, null vs null does not)
+    *  - `unchanged` rows are DROPPED unless `emitUnchanged` — at 100 TB the
+    *    unchanged mass dominates every real snapshot pair and nobody reads
+    *    it; dropping it here keeps the output (and any sink write)
+    *    proportional to the churn, not the table.
+    *
+    * Output: keyCols ++ (status, n_changed, changed_cols) where
+    * `changed_cols` is the comma-joined list of differing column names in
+    * `compareCols` order ('' for added/removed).
+    *
+    * Scale: ONE co-partitioned full-outer join on the key (sort-merge; both
+    * sides shuffle once on the same key, so AQE can also skew-split it) —
+    * column comparison is a row-local projection, never a per-column join
+    * or a window. Keys must be non-null on both sides (enforced: a null
+    * business key would silently land in `added`+`removed` instead of
+    * matching itself, corrupting the churn count).
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String], emitUnchanged: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val p = prev.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_prev", lit(true))
+    val n = next.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_next", lit(true))
+    val joined = p.as("p").join(n.as("n"),
+      keyCols.map(k => col(s"p.$k") === col(s"n.$k")).reduce(_ && _),
+      "full_outer")
+    val inPrev = col("p._in_prev").isNotNull
+    val inNext = col("n._in_next").isNotNull
+    // per-column null-safe difference flags, evaluated once and reused for
+    // both the count and the name list
+    val diffs = compareCols.map(c => !(col(s"p.$c") <=> col(s"n.$c")))
+    val nChanged = diffs.map(d => when(d, 1L).otherwise(0L)).reduce(_ + _)
+    // concat_ws skips nulls, so absent names vanish without a filter()
+    val changedCols = concat_ws(",",
+      compareCols.zip(diffs).map { case (c, d) => when(d, lit(c)) }: _*)
+    val status = when(!inPrev, "added")
+      .when(!inNext, "removed")
+      .when(nChanged > 0L, "changed")
+      .otherwise("unchanged")
+    val keyed = keyCols.map(k => coalesce(col(s"p.$k"), col(s"n.$k")).as(k))
+    val out = joined.select(
+      keyed ++ Seq(
+        status.as("status"),
+        when(inPrev && inNext, nChanged).otherwise(0L).as("n_changed"),
+        when(inPrev && inNext, changedCols).otherwise("").as("changed_cols")): _*)
+    if (emitUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
+  /** Schema drift between two DataFrames — one row per column present in
+    * either schema: (column, prev_type, next_type, status in
+    * added/removed/retyped/unchanged). Pure metadata (driver-side schema
+    * objects, zero jobs) — the data never moves, so this is free at any
+    * scale and safe to run before every incremental load as a contract
+    * gate. Type names are Spark SQL's `simpleString` (e.g. "decimal(12,2)"). */
+  def schemaDiff(prev: DataFrame, next: DataFrame): DataFrame = {
+    val spark = prev.sparkSession
+    import spark.implicits._
+    val pt = prev.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val nt = next.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    // preserve prev's column order, then next-only columns in next's order
+    val cols = prev.schema.fieldNames ++ next.schema.fieldNames.filterNot(pt.contains)
+    cols.toSeq.map { c =>
+      val (pv, nv) = (pt.get(c), nt.get(c))
+      val status =
+        if (pv.isEmpty) "added"
+        else if (nv.isEmpty) "removed"
+        else if (pv != nv) "retyped"
+        else "unchanged"
+      (c, pv.getOrElse(""), nv.getOrElse(""), status)
+    }.toDF("column", "prev_type", "next_type", "status")
+  }
 }

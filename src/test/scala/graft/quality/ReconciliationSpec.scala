@@ -47,4 +47,58 @@ class ReconciliationSpec extends SparkSpec {
     r.find(_.check == "gold_count_equality").get.withinTolerance shouldBe true
     r.find(_.check == "gold_revenue_tolerance").get.withinTolerance shouldBe true
   }
+
+  test("snapshotDiff classifies added/removed/changed with null-safe compare") {
+    val prev = Seq(
+      (1L, Some(10.0), "A"),  // unchanged
+      (2L, Some(20.0), "B"),  // price changes
+      (3L, None: Option[Double], "C"), // null -> value: changed
+      (4L, Some(40.0), "D")   // removed
+    ).toDF("k", "price", "st")
+    val next = Seq(
+      (1L, Some(10.0), "A"),
+      (2L, Some(21.0), "B"),
+      (3L, Some(3.0), "C"),
+      (5L, Some(50.0), "E")   // added
+    ).toDF("k", "price", "st")
+    val d = Reconciliation.snapshotDiff(prev, next, Seq("k"), Seq("price", "st"))
+      .orderBy("k")
+      .as[(Long, String, Long, String)].collect()
+    d shouldBe Array(
+      (2L, "changed", 1L, "price"),
+      (3L, "changed", 1L, "price"),
+      (4L, "removed", 0L, ""),
+      (5L, "added", 0L, ""))
+    // emitUnchanged keeps the full key universe
+    Reconciliation.snapshotDiff(prev, next, Seq("k"), Seq("price", "st"),
+      emitUnchanged = true).count() shouldBe 5L
+    // multi-column change lists names in compareCols order
+    val both = Reconciliation.snapshotDiff(
+      Seq((9L, 1.0, "x")).toDF("k", "price", "st"),
+      Seq((9L, 2.0, "y")).toDF("k", "price", "st"),
+      Seq("k"), Seq("price", "st"))
+      .as[(Long, String, Long, String)].collect()
+    both shouldBe Array((9L, "changed", 2L, "price,st"))
+  }
+
+  test("snapshotDiff joins co-partitioned: one exchange per side, no broadcast NLJ") {
+    val prev = Seq((1L, 1.0)).toDF("k", "v")
+    val next = Seq((1L, 2.0)).toDF("k", "v")
+    val plan = Reconciliation.snapshotDiff(prev, next, Seq("k"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    plan should include("FullOuter")
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("schemaDiff reports added/removed/retyped columns without a job") {
+    val prev = Seq((1L, "a", 1.0)).toDF("k", "s", "v")
+    val next = Seq((1L, 1, true)).toDF("k", "s", "b")
+    val d = Reconciliation.schemaDiff(prev, next)
+      .as[(String, String, String, String)].collect()
+    d shouldBe Array(
+      ("k", "bigint", "bigint", "unchanged"),
+      ("s", "string", "int", "retyped"),
+      ("v", "double", "", "removed"),
+      ("b", "", "boolean", "added"))
+  }
 }
