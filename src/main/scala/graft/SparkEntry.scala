@@ -1002,6 +1002,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Canonical-form dedup: the corpus plus deterministically-reformatted
+    // copies of every 10th doc (upcased, triple-spaced, wrapped in
+    // punctuation) — canonicalDupGroups collapses each variant onto its
+    // original (plus any pre-existing exact dup groups). The oracle
+    // replays the normalization (lower + non-alnum runs → space + trim)
+    // and the md5 group-by symbol-for-symbol.
+    "q142_canonical_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(lit("  "), upper(regexp_replace(col("text"), " ", "   ")),
+            lit(" !!")).as("text"))
+      Dedup.canonicalDupGroups(docs.unionByName(variants), "doc_id", "text")
+        .select("fingerprint", "keep_id", "copies")
+        .orderBy("keep_id")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4408,6 +4425,23 @@ object SparkEntry {
         |FROM j
         |WHERE NOT (in_prev AND in_next AND NOT d_price AND NOT d_status)
         |ORDER BY o_orderkey""".stripMargin,
+    // q142: canonical normalization replayed (RE2 '[^a-z0-9]+' agrees with
+    // Java regex on this ASCII class) + md5 group-by.
+    "q142_canonical_dedup" ->
+      """WITH variants AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    '  ' || upper(replace(text, ' ', '   ')) || ' !!' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM variants),
+        |canon AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS fingerprint
+        |  FROM corpus)
+        |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS copies
+        |FROM canon GROUP BY fingerprint HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

@@ -114,7 +114,10 @@ final case class QualityGateSpec(
 /** Near-duplicate removal strategy + parameters. `contentColumn` is text for
   * the text strategies, the embedding array for `embedding_lsh`. Every
   * strategy resolves to candidate pairs → connected components → min-id
-  * survivor (exact dedup short-circuits to the fingerprint window), except
+  * survivor (exact dedup short-circuits to the fingerprint window;
+  * `canonical` is `exact` on the case/whitespace/punctuation-normalized
+  * content — `Dedup.canonicalForm` — so trivially-reformatted copies
+  * collapse too), except
   * `keep_best`: n-gram Jaccard pairs → components → the HIGHEST-`scoreColumn`
   * member survives (ties to lower id) — keep the best page of a mirror set,
   * not the lowest-id one (`Dedup.removeNearDupesKeepBest`). `scoreColumn`
@@ -158,8 +161,8 @@ object NearDedupSpec {
   /** Validated at config load AND at dispatch — a typo'd strategy fails
     * loudly instead of silently skipping the dedup stage. */
   val Strategies: Set[String] =
-    Set("exact", "ngram_jaccard", "minhash_lsh", "simhash", "embedding_lsh",
-      "keep_best", "semantic", "prefix", "span_mask")
+    Set("exact", "canonical", "ngram_jaccard", "minhash_lsh", "simhash",
+      "embedding_lsh", "keep_best", "semantic", "prefix", "span_mask")
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;

@@ -57,6 +57,35 @@ object Dedup {
       .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keep_id"))
       .filter(col("copies") > 1)
 
+  /** Canonical content form: lowercase, every non-[a-z0-9] run collapsed to
+    * one space, trimmed — a case/whitespace/punctuation-insensitive content
+    * identity, the normalization web-corpus pipelines run BEFORE exact
+    * hashing so trivially-reformatted copies (casing, extra spaces,
+    * trailing punctuation) hash together. Row-local projection: composes
+    * with any hash-groupBy dedup at zero extra shuffle cost. Kept to a
+    * deliberately simple ASCII character class so Spark's Java regex and
+    * any SQL engine's RE2 agree symbol-for-symbol. */
+  def canonicalForm(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Canonical duplicate groups: one row per normalized-content group with
+    * >1 member — exact dups PLUS case/whitespace/punct variants. Same
+    * single balanced shuffle as [[exactDupGroups]], keyed on
+    * md5(canonicalForm). */
+  def canonicalDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(canonicalForm(col(textCol))).as("fingerprint"))
+      .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("copies") > 1)
+
+  /** Canonical dedup: keep the min-id row per NORMALIZED content
+    * fingerprint — [[dedupeExact]]'s shuffle shape (one window over a
+    * high-cardinality balanced key), with the key canonicalized first. */
+  def dedupeCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(canonicalForm(col(textCol))))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Exact dedup: keep the min-id row per content fingerprint. One shuffle on
     * the fingerprint (high-cardinality, balanced). */
   def dedupeExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {

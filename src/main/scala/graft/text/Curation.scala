@@ -315,6 +315,9 @@ object Curation {
   def applyDedup(df: DataFrame, d: NearDedupSpec): DataFrame = d.strategy match {
     case "exact" =>
       Dedup.dedupeExact(df, d.idColumn, d.contentColumn)
+    case "canonical" =>
+      // exact dedup on the case/whitespace/punct-normalized content
+      Dedup.dedupeCanonical(df, d.idColumn, d.contentColumn)
     case "ngram_jaccard" =>
       val pairs = Dedup.jaccardPairs(df, d.idColumn, d.contentColumn,
           d.ngram, d.maxShingleFreq)

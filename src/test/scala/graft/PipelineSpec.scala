@@ -391,6 +391,30 @@ class PipelineSpec extends SparkSpec {
     e.getMessage should include("span_mask")
   }
 
+  test("canonical dedup strategy drives from YAML") {
+    val cfg = ConfigLoader.parse(
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |curation:
+        |  dedup:
+        |    strategy: canonical
+        |    id_column: doc_id
+        |    content_column: text
+        |""".stripMargin)
+    cfg.curation.flatMap(_.dedup).map(_.strategy) shouldBe Some("canonical")
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "  A b,  C d E!"), // canonical dup of 1
+      (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val r = Pipeline.run(spark, cfg, docs)
+    r.stages.map(s => s.name -> s.rows).toMap.apply("curated") shouldBe 2L
+    graft.text.Curation.curate(docs, cfg.curation.get)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+      .toSeq shouldBe Seq(1L, 3L)
+  }
+
   test("retrieval block drives hybrid lexical+semantic ranking from YAML") {
     val yaml =
       """version: "1.0"

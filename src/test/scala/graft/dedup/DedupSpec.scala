@@ -34,6 +34,24 @@ class DedupSpec extends SparkSpec {
     g.head.getAs[Long]("copies") shouldBe 2L
   }
 
+  test("canonical dedup collapses case/whitespace/punctuation variants") {
+    val variants = docs.unionByName(Seq(
+      (6L, "  ALPHA beta,   gamma. Delta epsilon zeta!"), // canon dup of 1
+      (7L, "one-two three  FOUR five six seven"),          // canon dup of 3
+      (8L, "genuinely new content here")).toDF("doc_id", "text"))
+    // canonicalForm semantics
+    variants.filter(col("doc_id") === 6L)
+      .select(Dedup.canonicalForm(col("text"))).as[String].head() shouldBe
+      "alpha beta gamma delta epsilon zeta"
+    val kept = Dedup.dedupeCanonical(variants, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 2L, 3L, 5L, 8L) // 4,6 fold into 1; 7 into 3
+    val groups = Dedup.canonicalDupGroups(variants, "doc_id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "copies").as[(Long, Long)].collect()
+    groups shouldBe Array((1L, 3L), (3L, 2L))
+  }
+
   test("jaccardPairs computes exact n-gram jaccard") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
