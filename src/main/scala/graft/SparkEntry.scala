@@ -1019,6 +1019,22 @@ object SparkEntry {
         .orderBy("keep_id")
     }),
 
+    // Leakage-safe split: q45's near-dup clusters become the unit of
+    // train/val/test assignment — every doc splits on the md5 bucket of
+    // its cluster label (own id when unclustered), so a mirror set can
+    // never straddle train and eval. The oracle replays the label
+    // propagation (q45's recursive closure) and the bucket map.
+    "q143_leakage_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
+          maxShingleFreq = 100)
+        .filter(col("jaccard") > 0.5)
+      Chunking.leakageSafeSplit(docs, "doc_id", Dedup.dupClusters(pairs),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4442,6 +4458,38 @@ object SparkEntry {
         |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS copies
         |FROM canon GROUP BY fingerprint HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+    // q143: q45's recursive label-propagation closure + the shared md5
+    // percent-bucket split on coalesce(cluster label, own id).
+    "q143_leakage_split" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5),
+        |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src),
+        |keyed AS (SELECT d.doc_id,
+        |  ('0x' || substr(md5(CAST(coalesce(l.label, d.doc_id) AS VARCHAR)),
+        |    1, 8))::BIGINT % 100 AS b
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

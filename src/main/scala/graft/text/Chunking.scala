@@ -85,6 +85,27 @@ object Chunking {
     when(keyCol.isNotNull, split)
   }
 
+  /** Leakage-safe train/val/test split: the near-dup CLUSTER is the unit
+    * of assignment — each doc splits by the md5 bucket of its cluster
+    * label (its own id when unclustered, same key domain: labels ARE
+    * min member ids), so a mirror set can never straddle train and eval.
+    * That is the leakage hole a row-wise `hashSplit` leaves open: two
+    * near-identical docs hash independently, one lands in train and one
+    * in test, and eval silently measures memorization. `clusters` is
+    * `Dedup.dupClusters` output (id, label).
+    *
+    * Scale: one left equi-join on the id — the clusters frame carries only
+    * dup-set members (usually a small fraction of the corpus), so AQE
+    * broadcasts it — then the row-local bucket map. Persist partitioned by
+    * `split` and downstream split filters prune at scan. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame =
+    df.join(clusters.select(col("id").as(idCol), col("label")),
+        Seq(idCol), "left")
+      .withColumn("split",
+        hashSplit(coalesce(col("label"), col(idCol)), weights))
+      .drop("label")
+
   /** Per-stratum deterministic sampling — the domain/language MIXING knob
     * of corpus curation: each stratum keeps its own ratePct of rows
     * (strata absent from the map keep `defaultPct`), selected by the same

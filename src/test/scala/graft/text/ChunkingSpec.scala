@@ -169,6 +169,31 @@ class ChunkingSpec extends SparkSpec {
     withNull.filter("id IS NULL").head().isNullAt(1) shouldBe true
   }
 
+  test("leakageSafeSplit: a near-dup cluster never straddles splits") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    // clusters of 3 over every 10th id: {k, k+1, k+2} labeled k
+    val clusters = (0L until 200L by 10L)
+      .flatMap(k => Seq((k, k), (k + 1, k), (k + 2, k)))
+      .toDF("id", "label")
+    val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val out = Chunking.leakageSafeSplit(docs, "doc_id", clusters, weights)
+    out.count() shouldBe 200L // left join: unclustered docs all kept
+    // every cluster maps to exactly one split
+    val perCluster = out.join(clusters, out("doc_id") === clusters("id"))
+      .groupBy("label")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .select("n").as[Long].collect()
+    all(perCluster) shouldBe 1L
+    // unclustered docs split exactly as plain hashSplit would
+    val plain = docs.withColumn("split",
+      Chunking.hashSplit(col("doc_id"), weights))
+    val clustered = clusters.select("id").as[Long].collect().toSet
+    out.filter(!col("doc_id").isin(clustered.toSeq: _*))
+      .except(plain.filter(!col("doc_id").isin(clustered.toSeq: _*)))
+      .count() shouldBe 0L
+  }
+
   test("stratifiedFixedSample: exact n per stratum, small strata whole, deterministic") {
     val df = ((1L to 5L).map(i => (i, "a")) :+ (6L, "b")).toDF("id", "s")
     val out = Chunking.stratifiedFixedSample(df, col("s"), col("id"), n = 2)
