@@ -1035,6 +1035,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted priority sample: top-50 docs by u/n_chars priority — the
+    // deterministic (md5-uniform, IEEE-division-only) variant of the
+    // Efraimidis-Spirakis weighted draw; longer docs proportionally more
+    // likely. TakeOrderedAndProject, no global sort. The oracle replays
+    // the uniform, the division, and the tiebreak exactly.
+    "q144_weighted_sample" -> ((s, dir) =>
+      Chunking.weightedPrioritySample(
+        Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"), k = 50)
+        .select("doc_id", "n_chars", "sample_rank")
+        .orderBy("sample_rank")),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4490,6 +4502,16 @@ object SparkEntry {
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM keyed ORDER BY doc_id""".stripMargin,
+    // q144: md5-uniform + one IEEE division — bit-identical across engines.
+    "q144_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |  ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |     + 0.5) / CAST(n_chars AS DOUBLE)) AS pr
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY pr, doc_id) AS BIGINT)
+        |    AS sample_rank
+        |FROM p ORDER BY pr, doc_id LIMIT 50""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

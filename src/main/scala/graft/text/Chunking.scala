@@ -85,6 +85,46 @@ object Chunking {
     when(keyCol.isNotNull, split)
   }
 
+  /** Deterministic weighted sample without replacement: the k rows with the
+    * SMALLEST priority u/w, where u is the key's md5-derived uniform
+    * (first-8-hex + 0.5, so never zero) and w the row's positive weight —
+    * heavier rows draw proportionally smaller priorities, so inclusion
+    * probability grows monotonically with weight. This is the uniform-key
+    * variant of the Efraimidis–Spirakis priority sample: the textbook form
+    * exponentiates (u^(1/w)), but any transcendental (pow/ln) is NOT
+    * bit-reproducible across engines, while integer-from-md5 + one IEEE
+    * division is exactly rounded everywhere — determinism is the contract
+    * here, and weight-monotone biased inclusion survives the simplification.
+    *
+    * A row's priority depends only on (key, weight): re-draws are
+    * bit-identical, and growing the corpus can only DISPLACE tail rows,
+    * never reshuffle survivors' relative order. Ties (equal hash AND equal
+    * weight) break by key.
+    *
+    * Scale: priority is a row-local projection and the top-k is
+    * TakeOrderedAndProject — per-partition heaps of k, one k-row driver
+    * merge, no global sort, no full shuffle. The final rank window runs
+    * over the k-row result only. */
+  def weightedPrioritySample(df: DataFrame, keyCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u = conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)
+    // weight <= 0 (or null) would make the row win every draw — refuse it
+    // in-plan rather than silently over-sampling garbage rows
+    val w = when(weightCol.cast("double") > 0.0, weightCol.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedPrioritySample: non-positive weight for key "),
+        keyCol.cast("string"))))
+    val ranked = df.withColumn("_priority", u / w)
+      .orderBy(col("_priority").asc, keyCol.asc)
+      .limit(k)
+    ranked.withColumn("sample_rank",
+      row_number().over(Window.orderBy(col("_priority").asc, keyCol.asc))
+        .cast("long"))
+      .drop("_priority")
+  }
+
   /** Leakage-safe train/val/test split: the near-dup CLUSTER is the unit
     * of assignment — each doc splits by the md5 bucket of its cluster
     * label (its own id when unclustered, same key domain: labels ARE

@@ -169,6 +169,40 @@ class ChunkingSpec extends SparkSpec {
     withNull.filter("id IS NULL").head().isNullAt(1) shouldBe true
   }
 
+  test("weightedPrioritySample: deterministic, weight-monotone, plan is top-k") {
+    import spark.implicits._
+    // two weight tiers over the same key population: heavy rows (w=1000)
+    // should dominate the sample over light rows (w=1)
+    val rows = (0L until 500L).map(i => (i, if (i < 250L) 1000L else 1L))
+      .toDF("id", "w")
+    val out = Chunking.weightedPrioritySample(rows, col("id"), col("w"), 50)
+    out.count() shouldBe 50L
+    val heavy = out.filter("w = 1000").count()
+    heavy.toDouble should be > 40.0 // 1000:1 weights → sample almost all heavy
+    // bit-identical re-draw
+    Chunking.weightedPrioritySample(rows, col("id"), col("w"), 50)
+      .except(out).count() shouldBe 0L
+    // growing the corpus only displaces tail rows, never reorders survivors
+    val grown = (0L until 1000L).map(i => (i, if (i < 250L) 1000L else 1L))
+      .toDF("id", "w")
+    val out2 = Chunking.weightedPrioritySample(grown, col("id"), col("w"), 50)
+      .select("id", "sample_rank").as[(Long, Long)].collect().toMap
+    val ranks1 = out.select("id", "sample_rank").as[(Long, Long)].collect()
+    val surviving = ranks1.filter { case (id, _) => out2.contains(id) }
+    surviving.sortBy(_._2).map(_._1) shouldBe
+      surviving.map(x => (x._1, out2(x._1))).sortBy(_._2).map(_._1)
+    // top-k is TakeOrderedAndProject — no global Sort over the corpus
+    val plan = Chunking.weightedPrioritySample(rows, col("id"), col("w"), 50)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    // non-positive weight fails loudly, not silently over-samples
+    val bad = rows.withColumn("w",
+      org.apache.spark.sql.functions.when(col("id") === 7L, 0L)
+        .otherwise(col("w")))
+    an[Exception] should be thrownBy
+      Chunking.weightedPrioritySample(bad, col("id"), col("w"), 50).collect()
+  }
+
   test("leakageSafeSplit: a near-dup cluster never straddles splits") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
