@@ -1047,6 +1047,21 @@ object SparkEntry {
         .select("doc_id", "n_chars", "sample_rank")
         .orderBy("sample_rank")),
 
+    // Cross-split leakage audit: q45's near-dup pairs against the NAIVE
+    // row-wise hashSplit — off-diagonal cells are eval docs whose
+    // near-copy sits in train, the leak leakageSafeSplit (q143) closes.
+    // The oracle replays the pair generation and the bucket map.
+    "q145_leakage_audit" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
+          maxShingleFreq = 100)
+        .filter(col("jaccard") > 0.5)
+      val split = docs.withColumn("split", Chunking.hashSplit(col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      Curation.splitLeakageAudit(split, "doc_id", "split", pairs)
+        .orderBy("split_lo", "split_hi")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4512,6 +4527,34 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY pr, doc_id) AS BIGINT)
         |    AS sample_rank
         |FROM p ORDER BY pr, doc_id LIMIT 50""".stripMargin,
+    // q145: q45's capped jaccard pair generation + the md5 bucket map,
+    // pairs normalized lo/hi before grouping.
+    "q145_leakage_audit" ->
+      """WITH
+        |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      AS b FROM documents))
+        |SELECT least(a.split, b.split) AS split_lo,
+        |  greatest(a.split, b.split) AS split_hi,
+        |  count(*) AS n_pairs
+        |FROM pairs JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id
+        |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

@@ -295,6 +295,28 @@ object Curation {
       .drop("_o", "_rank_before", "_total")
   }
 
+  /** Cross-split leakage audit — the VERIFIER for any train/eval split:
+    * given per-doc split assignments and near-dup candidate pairs, count
+    * pairs per (split, split) cell (pair normalized lo/hi so A→B and B→A
+    * land together). Off-diagonal cells are leaked near-dup pairs — eval
+    * examples whose near-copy sits in train. Run it after ANY split
+    * (including an inherited one); `Chunking.leakageSafeSplit` is the
+    * assignment that drives the off-diagonal to zero by construction.
+    *
+    * Scale: two id-equi-joins of the pairs frame against the (id, split)
+    * projection — pairs are already bucket-capped by the generators, and
+    * the grouped output is at most |splits|² rows. */
+  def splitLeakageAudit(df: DataFrame, idCol: String, splitCol: String,
+      pairs: DataFrame): DataFrame = {
+    val s = df.select(col(idCol), col(splitCol))
+    pairs.select("id_a", "id_b")
+      .join(s.select(col(idCol).as("id_a"), col(splitCol).as("_sa")), "id_a")
+      .join(s.select(col(idCol).as("id_b"), col(splitCol).as("_sb")), "id_b")
+      .groupBy(least(col("_sa"), col("_sb")).as("split_lo"),
+        greatest(col("_sa"), col("_sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ---- config-driven curation stage (curation: block) ---------------------
 
   /** The gate as a corpus FILTER: keeps rows passing the same rules

@@ -336,4 +336,25 @@ class CurationSpec extends SparkSpec {
     r2.getAs[Boolean]("passed") shouldBe false
     r2.getAs[String]("fail_reason") shouldBe "dup_2gram"
   }
+
+  test("splitLeakageAudit: counts cross-split pairs; zero under leakageSafeSplit") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 100L).toDF("doc_id")
+    // 50 near-dup pairs (2k, 2k+1); assign splits so some pairs straddle
+    val pairs = (0L until 100L by 2L).map(k => (k, k + 1)).toDF("id_a", "id_b")
+    val naive = docs.withColumn("split",
+      Chunking.hashSplit(col("doc_id"), Seq("train" -> 50, "test" -> 50)))
+    val audit = Curation.splitLeakageAudit(naive, "doc_id", "split", pairs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    audit.values.sum shouldBe 50L // every pair lands in exactly one cell
+    audit.getOrElse(("test", "train"), 0L) should be > 0L // naive split leaks
+    // cluster-aware assignment: same pairs as clusters → zero off-diagonal
+    val clusters = pairs.select(col("id_a").as("id"), col("id_a").as("label"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("label")))
+    val safe = Chunking.leakageSafeSplit(docs, "doc_id", clusters,
+      Seq("train" -> 50, "test" -> 50))
+    val audit2 = Curation.splitLeakageAudit(safe, "doc_id", "split", pairs)
+      .filter(col("split_lo") =!= col("split_hi")).count()
+    audit2 shouldBe 0L
+  }
 }
