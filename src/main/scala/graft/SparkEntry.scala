@@ -1062,6 +1062,24 @@ object SparkEntry {
         .orderBy("split_lo", "split_hi")
     }),
 
+    // Salted skew join: lineitem (probe) x orders (build, replicated 8x on
+    // an exploded salt) keyed on (l_orderkey, salt) — a hot order key's
+    // rows spread over 8 shuffle partitions. The oracle is the PLAIN join
+    // + rollup: green means the salting is exactly semantics-preserving.
+    "q146_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(li, ord, Seq("l_orderkey"), salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4555,6 +4573,14 @@ object SparkEntry {
         |  count(*) AS n_pairs
         |FROM pairs JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id
         |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
+    // q146: the UNsalted join — green proves the salted plan is exactly
+    // semantics-preserving.
+    "q146_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

@@ -35,4 +35,40 @@ object Joins {
   def missingKeys(src: DataFrame, tgt: DataFrame, keys: Seq[String]): DataFrame =
     src.select(keys.map(col): _*).distinct()
       .join(tgt.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Salted equi-join for skewed keys, result-identical to
+    * `left.join(right, key)`: each probe row carries a deterministic salt
+    * in [0, salt), the build side replicates once per salt value, and the
+    * join keys on (key, salt) — a hot key's rows spread across `salt`
+    * shuffle partitions instead of flooding one task.
+    *
+    * When to reach for this instead of AQE's skew-join: AQE can split an
+    * oversized SORT-MERGE partition only on the PROBE side — it cannot
+    * help when the hot key explodes on the build side too, when the join
+    * is a shuffled-hash join, or when the skewed exchange is REUSED by
+    * another operator (AQE refuses to split a reused exchange). Salting
+    * rewrites the key space itself, so it works in every one of those
+    * cases — at the documented cost of a `salt`× replication of the build
+    * side (use single-digit salts; the build side should be the smaller
+    * input).
+    *
+    * The salt is `xxhash64` over the probe row's full tuple — deterministic
+    * (re-runs give identical plans and results, the repo-wide contract),
+    * and it spreads a hot key exactly as well as its payloads differ.
+    * Fully-identical duplicate rows share a salt; that never affects the
+    * RESULT, only the spread of pathological all-duplicate inputs (use
+    * rand-free dedup first if you have those). Join columns must be
+    * non-null on the probe side to match at all — the usual equi-join
+    * contract; null-keyed rows survive only under outer `joinType`s,
+    * exactly as in the unsalted join. */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt.toLong)))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1L))))
+    l.join(r, keys :+ "_salt", joinType).drop("_salt")
+  }
 }
