@@ -1080,6 +1080,15 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Per-domain top-5 bigrams by exact count (deterministic tiebreak:
+    // count desc, gram asc) — the domain-sliced phrase inventory. Explode
+    // reduces straight into a partial-aggregating (domain, gram) count;
+    // the ranking window sees only the aggregated vocab frame.
+    "q147_domain_ngrams" -> ((s, dir) =>
+      TextAnalysis.domainTopNgrams(
+        Tables.load(s, dir, "documents"), "source", "text", n = 2, k = 5)
+        .orderBy("domain", "rank")),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4581,6 +4590,21 @@ object SparkEntry {
         |    AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q147: exact per-domain bigram counts + rank window, same tiebreak.
+    "q147_domain_ngrams" ->
+      """WITH t AS (SELECT source AS domain,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT domain, unnest(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT domain, gram, count(*) AS n_occurrences
+        |  FROM g GROUP BY domain, gram),
+        |r AS (SELECT domain, gram, n_occurrences,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY n_occurrences DESC, gram ASC) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT domain, gram, n_occurrences, rank FROM r
+        |WHERE rank <= 5 ORDER BY domain, rank""".stripMargin,
     "q67_lsh_recall" ->
       """WITH
         |coefs AS (SELECT p, i,

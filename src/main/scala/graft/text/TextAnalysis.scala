@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -192,6 +193,34 @@ object TextAnalysis {
       .withColumn("mean_surprisal_e6",
         when(col("n_bigrams") === 0, lit(0L))
           .otherwise(expr("surprisal_bits * 1000000L div n_bigrams")))
+  }
+
+  /** Per-domain top-k n-grams by EXACT count — grouped heavy hitters with a
+    * deterministic tiebreak (count desc, then gram asc). The per-domain
+    * twin of the sketch-based global heavy hitters: domain-sliced phrase
+    * inventories drive boilerplate hunts and mixture QA, and exactness
+    * keeps it oracle-comparable.
+    *
+    * Scale: the exploded grams reduce IMMEDIATELY by (domain, gram) with
+    * map-side partial aggregation — the shuffle carries per-partition
+    * partial counts, not occurrences — and the ranking window runs over
+    * the aggregated |domain|×|vocab| frame partitioned by domain, never
+    * over row data. Docs shorter than n tokens contribute nothing. */
+  def domainTopNgrams(df: DataFrame, domainCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val counts = df
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_grams",
+        when(size(col("_toks")) >= n, gramsOf("_toks", n))
+          .otherwise(array().cast("array<string>")))
+      .select(col(domainCol).as("domain"), explode(col("_grams")).as("gram"))
+      .groupBy("domain", "gram")
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy("domain")
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Per-document term frequencies: (doc, term, tf). One explode + one

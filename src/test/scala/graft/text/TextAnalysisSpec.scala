@@ -400,4 +400,25 @@ class TextAnalysisSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.mergeVocabCounts(Seq.empty)
   }
+
+  test("domainTopNgrams: exact per-domain counts, deterministic tiebreak, short docs skip") {
+    val corpus = Seq(
+      (1L, "a b a b a b", "web"),   // web: "a b" x3, "b a" x2
+      (2L, "a b c", "web"),         // web: +1 "a b", "b c" x1
+      (3L, "x y", "books"),         // books: "x y" x1
+      (4L, "z", "books"))           // 1 token → no bigrams
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.domainTopNgrams(corpus, "source", "text", n = 2, k = 2)
+      .orderBy("domain", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      ("books", "x y", 1L, 1L),
+      ("web", "a b", 4L, 1L),
+      ("web", "b a", 2L, 2L))
+    // tie at equal count breaks lexicographically by gram
+    val tied = Seq((1L, "p q r s", "d")).toDF("doc_id", "text", "source")
+    TextAnalysis.domainTopNgrams(tied, "source", "text", 2, 3)
+      .orderBy("rank").collect().map(_.getString(1)) shouldBe
+      Array("p q", "q r", "r s")
+  }
 }
