@@ -3,7 +3,7 @@ package graft
 import graft.config._
 import graft.dedup.Dedup
 import graft.gold.{AggregationEngine, IncrementalMaterializer}
-import graft.ops.{AsofJoin, Joins, Sessions}
+import graft.ops.{AsofJoin, Baskets, Joins, Sessions}
 import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation, Sketches}
 import graft.multimodal.Multimodal
 import graft.silver.Transform
@@ -1088,6 +1088,50 @@ object SparkEntry {
       TextAnalysis.domainTopNgrams(
         Tables.load(s, dir, "documents"), "source", "text", n = 2, k = 5)
         .orderBy("domain", "rank")),
+
+    // CDC round-trip: q141's change set (value-carrying) applied back onto
+    // the prev snapshot. The oracle is the NEXT snapshot itself — green
+    // proves diff→apply reconstructs it exactly (the q34 merge-equivalence
+    // posture, row-level).
+    "q148_changeset_apply" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val prevSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val nextSnap = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 11 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val changes = Reconciliation.snapshotDiff(prevSnap, nextSnap,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"),
+        emitValues = true)
+      Reconciliation.applyChangeSet(prevSnap, changes,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Per-user interval union: hour-long activity intervals around each
+    // event, overlapping/touching ones merged into islands — total
+    // COVERED activity time, which sum(end-start) over-counts wherever
+    // events cluster. Gaps-and-islands over ONE per-key time window.
+    "q149_interval_union" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(3600L * 1000000L))
+      Sessions.intervalUnion(ev, "user_id", "s_us", "e_us")
+        .withColumnRenamed("covered", "covered_us")
+        .orderBy("user_id")
+    }),
+
+    // Market-basket co-occurrence: part pairs over order baskets (size-
+    // capped, presence-based) with a count floor — the frequent-itemset
+    // candidate generator. Per-key join fan-out bounded by the cap.
+    "q150_basket_pairs" -> ((s, dir) =>
+      Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .orderBy("item_a", "item_b")),
 
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
@@ -4590,6 +4634,50 @@ object SparkEntry {
         |    AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q148: the oracle is the NEXT snapshot itself — diff→apply must
+    // reconstruct it row-for-row.
+    "q148_changeset_apply" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // q149: gaps-and-islands replay — running max over the preceding
+    // frame, island ids by prefix sum, two keyed aggregates.
+    "q149_interval_union" ->
+      """WITH iv AS (SELECT user_id, epoch_ns(ts) // 1000 AS s_us,
+        |  epoch_ns(ts) // 1000 + 3600000000 AS e_us FROM events),
+        |m AS (SELECT user_id, s_us, e_us,
+        |  max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv),
+        |f AS (SELECT user_id, s_us, e_us,
+        |  CASE WHEN prev_max IS NULL OR s_us > prev_max THEN 1
+        |       ELSE 0 END AS ni FROM m),
+        |g AS (SELECT user_id, s_us, e_us,
+        |  sum(ni) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |i AS (SELECT user_id, island, min(s_us) AS s, max(e_us) AS e
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(e - s) AS BIGINT) AS covered_us
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q150: distinct → basket-size cap → within-basket self-join → count.
+    "q150_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+        |  l_partkey AS item FROM lineitem),
+        |sized AS (SELECT basket FROM items GROUP BY basket
+        |  HAVING count(*) <= 20),
+        |kept AS (SELECT i.* FROM items i JOIN sized USING (basket)),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |  count(*) AS n_baskets
+        |  FROM kept a JOIN kept b USING (basket)
+        |  WHERE a.item < b.item GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_baskets FROM p WHERE n_baskets >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
     // q147: exact per-domain bigram counts + rank window, same tiebreak.
     "q147_domain_ngrams" ->
       """WITH t AS (SELECT source AS domain,

@@ -125,4 +125,43 @@ object Sessions {
       .withColumn("row_total", sum(col("n")).over(wFrom))
       .withColumn("p_e6", expr("n * 1000000L div row_total"))
   }
+
+  /** Per-key interval UNION (gaps-and-islands merge): overlapping or
+    * touching [start, end] intervals coalesce into islands; per key,
+    * the island count and the total COVERED length — "how much wall-clock
+    * was this user actually active", which a plain sum(end−start)
+    * over-counts whenever intervals overlap. Touching intervals
+    * (next.start == prev.end) merge; closed-interval semantics.
+    *
+    * Scale shape: ONE per-key window in time order (the sessionize
+    * posture — skew bounded by the hottest key's interval count), then a
+    * keyed two-level aggregate in island space. All arithmetic is exact
+    * integer on the raw units — no timestamps parsed, no floats.
+    *
+    * Interval starts must be non-null; `endCol` < `startCol` rows are
+    * invalid input and raise in-plan rather than silently shrinking
+    * coverage. */
+  def intervalUnion(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val end = when(col(endCol) >= col(startCol), col(endCol))
+      .otherwise(raise_error(concat(
+        lit("intervalUnion: end < start for key "), col(keyCol).cast("string"))))
+    // an interval opens a new island iff it starts strictly after every
+    // earlier interval's end (running max over the preceding frame)
+    val prevMax = max(end)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = df
+      .withColumn("_new_island",
+        when(col(startCol) > coalesce(prevMax, col(startCol) - 1), 1L)
+          .otherwise(0L))
+      .withColumn("_island", sum(col("_new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as("_s"), max(end).as("_e"))
+    islands.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("_e") - col("_s")).as("covered"))
+  }
 }

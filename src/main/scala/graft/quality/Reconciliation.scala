@@ -166,7 +166,10 @@ object Reconciliation {
     *
     * Output: keyCols ++ (status, n_changed, changed_cols) where
     * `changed_cols` is the comma-joined list of differing column names in
-    * `compareCols` order ('' for added/removed).
+    * `compareCols` order ('' for added/removed). With `emitValues` the
+    * NEXT-side value of every compared column rides along (null on
+    * `removed` rows) — exactly what [[applyChangeSet]] needs to replay the
+    * change set onto the prev snapshot.
     *
     * Scale: ONE co-partitioned full-outer join on the key (sort-merge; both
     * sides shuffle once on the same key, so AQE can also skew-split it) —
@@ -176,7 +179,8 @@ object Reconciliation {
     * matching itself, corrupting the churn count).
     */
   def snapshotDiff(prev: DataFrame, next: DataFrame, keyCols: Seq[String],
-      compareCols: Seq[String], emitUnchanged: Boolean = false): DataFrame = {
+      compareCols: Seq[String], emitUnchanged: Boolean = false,
+      emitValues: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
     require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
     val p = prev.select((keyCols ++ compareCols).map(col): _*)
@@ -200,12 +204,39 @@ object Reconciliation {
       .when(nChanged > 0L, "changed")
       .otherwise("unchanged")
     val keyed = keyCols.map(k => coalesce(col(s"p.$k"), col(s"n.$k")).as(k))
+    val values =
+      if (emitValues) compareCols.map(c => col(s"n.$c").as(c)) else Seq.empty
     val out = joined.select(
       keyed ++ Seq(
         status.as("status"),
         when(inPrev && inNext, nChanged).otherwise(0L).as("n_changed"),
-        when(inPrev && inNext, changedCols).otherwise("").as("changed_cols")): _*)
+        when(inPrev && inNext, changedCols).otherwise("").as("changed_cols"))
+        ++ values: _*)
     if (emitUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
+  /** Replay a value-carrying change set ([[snapshotDiff]] with
+    * `emitValues`) onto the prev snapshot — the CDC APPLY half of the
+    * pair: `applyChangeSet(prev, snapshotDiff(prev, next, …)) ≡ next`
+    * row-for-row (the q34 merge-equivalence posture). Removed and changed
+    * keys anti-join out of prev; changed and added rows re-enter with
+    * their next-side values.
+    *
+    * Scale: one anti-join on the key against the (small, churn-sized)
+    * change set + a union — the change set side broadcasts under AQE when
+    * churn is small, and the unchanged mass of prev streams through
+    * untouched. This is the Iceberg-less MERGE INTO for CDC feeds, the
+    * row-level generalization of the mart-level IncrementalMaterializer. */
+  def applyChangeSet(prev: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val outCols = (keyCols ++ valueCols).map(col)
+    val dels = changes.filter(col("status").isin("removed", "changed"))
+      .select(keyCols.map(col): _*)
+    val ups = changes.filter(col("status").isin("added", "changed"))
+      .select(outCols: _*)
+    prev.select(outCols: _*)
+      .join(dels, keyCols, "left_anti")
+      .unionByName(ups)
   }
 
   /** Schema drift between two DataFrames — one row per column present in

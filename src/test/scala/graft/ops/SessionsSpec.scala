@@ -82,4 +82,23 @@ class SessionsSpec extends SparkSpec {
     m(("b", "a")) shouldBe ((1L, 1000000L))
     m should have size 4
   }
+
+  test("intervalUnion merges overlapping/touching/nested intervals per key") {
+    val iv = Seq(
+      (1L, 0L, 10L),    // island 1: [0,10]
+      (1L, 5L, 20L),    //   overlaps → extends to 20
+      (1L, 20L, 25L),   //   touches (start == prev end) → merges to 25
+      (1L, 21L, 23L),   //   nested → no extension
+      (1L, 40L, 50L),   // island 2
+      (2L, 0L, 5L))     // other key untouched
+      .toDF("k", "s", "e")
+    val out = Sessions.intervalUnion(iv, "k", "s", "e")
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array((1L, 2L, 35L), (2L, 1L, 5L)) // 25 + 10, 5
+    // invalid interval raises in-plan instead of shrinking coverage
+    an[Exception] should be thrownBy
+      Sessions.intervalUnion(Seq((1L, 10L, 5L)).toDF("k", "s", "e"),
+        "k", "s", "e").collect()
+  }
 }

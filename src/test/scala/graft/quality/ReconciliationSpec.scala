@@ -81,6 +81,22 @@ class ReconciliationSpec extends SparkSpec {
     both shouldBe Array((9L, "changed", 2L, "price,st"))
   }
 
+  test("applyChangeSet replays a value-carrying diff: apply(prev, diff) == next") {
+    val prev = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (4L, 40.0, "D"))
+      .toDF("k", "price", "st")
+    val next = Seq((1L, 10.0, "A"), (2L, 21.0, "B"), (5L, 50.0, "E"))
+      .toDF("k", "price", "st")
+    val diff = Reconciliation.snapshotDiff(prev, next, Seq("k"),
+      Seq("price", "st"), emitValues = true)
+    // next-side values ride along; removed rows carry nulls
+    diff.filter("k = 2").head().getAs[Double]("price") shouldBe 21.0
+    diff.filter("k = 4").head().isNullAt(diff.columns.indexOf("price")) shouldBe true
+    val applied = Reconciliation.applyChangeSet(prev, diff,
+      Seq("k"), Seq("price", "st"))
+    applied.exceptAll(next).count() shouldBe 0L
+    next.exceptAll(applied).count() shouldBe 0L
+  }
+
   test("snapshotDiff joins co-partitioned: one exchange per side, no broadcast NLJ") {
     val prev = Seq((1L, 1.0)).toDF("k", "v")
     val next = Seq((1L, 2.0)).toDF("k", "v")
