@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 150 queries × (warmup + N reps) of whole-stage-codegen classes blow
+  // through the default 240 MB code cache; the resulting sweep/deopt
+  // churn showed up as a uniform ~1.2× inflation across the WHOLE bench
+  // (subset runs returned to baseline). Size it so compiled query code
+  // stays resident for the suite.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -122,6 +122,33 @@ object Pipeline {
       StageResult("gold.retrieval", n)
     }.toSeq
 
+    // split: deterministic train/val/test assignment over the curated
+    // corpus — row-wise md5 buckets, or near-dup clusters as the unit
+    // (leakage-safe: a mirror set never straddles train and eval).
+    val splitStages = config.split.map { sp =>
+      import org.apache.spark.sql.functions.col
+      val assigned = sp.strategy match {
+        case "hash" =>
+          curatedDf.withColumn("split",
+            graft.text.Chunking.hashSplit(col(sp.keyColumn), sp.weights))
+        case "cluster" =>
+          val pairs = graft.dedup.Dedup.jaccardPairs(curatedDf,
+              sp.keyColumn, sp.contentColumn.get, sp.ngram, sp.maxShingleFreq)
+            .filter(col("jaccard") > sp.threshold)
+            .select("id_a", "id_b")
+          graft.text.Chunking.leakageSafeSplit(curatedDf, sp.keyColumn,
+            graft.dedup.Dedup.dupClusters(pairs), sp.weights)
+        case other => throw new IllegalArgumentException(
+          s"unknown split strategy '$other' (supported: " +
+            graft.config.SplitSpec.Strategies.toSeq.sorted.mkString("|") + ")")
+      }
+      goldSink.foreach(sink => sink("split", assigned))
+      val n = assigned.count()
+      tracker.record(Lineage.EventType.Transformation,
+        upstreamNode, "split." + config.name, curatedRows, n)
+      StageResult("split", n)
+    }.toSeq
+
     val report = Orchestrator.run(silverDf, config.quality)
     tracker.record(Lineage.EventType.Validation,
       "silver." + config.name, "silver." + config.name, silverRows, silverRows)
@@ -136,7 +163,8 @@ object Pipeline {
 
     RunResult(
       StageResult("bronze", bronzeRows) +: StageResult("silver", silverRows) +:
-        (curationStages ++ goldStages ++ sessionStages ++ retrievalStages),
+        (curationStages ++ goldStages ++ sessionStages ++ retrievalStages
+          ++ splitStages),
       report,
       tracker)
   }

@@ -59,7 +59,13 @@ object ScaleSmoke {
     // tamed), and the two r12 windows-over-rows draws whose largest-
     // stratum skew bound was argued but not yet measured
     "q138_session_overlap_topk", "q121_stratified_sample",
-    "q137_contributor_cap", "q139_span_dedup")
+    "q137_contributor_cap", "q139_span_dedup",
+    // late-r13 additions: the CDC diff/apply joins (churn-sized change
+    // set vs full-table shuffle), the leakage-safe split's closure +
+    // bucket map, the within-basket pair explode (cap-bounded quadratic
+    // surface), and the per-key interval-union window
+    "q141_snapshot_diff", "q148_changeset_apply", "q143_leakage_split",
+    "q150_basket_pairs", "q149_interval_union")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
@@ -77,7 +83,7 @@ object ScaleSmoke {
   private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     // every output must be COMMITTED — a crash between/inside the writes
     // would otherwise leave a half-built dir that every later run trusts
-    if (Seq("documents", "embeddings", "events", "orders")
+    if (Seq("documents", "embeddings", "events", "orders", "lineitem")
       .forall(committed(outDir, _))) return
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docBase = docs.agg(max("doc_id")).head().getLong(0) + 1
@@ -128,6 +134,16 @@ object ScaleSmoke {
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordBase))
     }.reduce(_.unionByName(_)).write.mode("overwrite")
       .parquet(s"$outDir/orders.parquet")
+
+    // lineitem: the SAME key shift as orders, so fact↔dim joins stay
+    // consistent across replicas; part keys untouched — basket-pair
+    // counts grow 10× while per-basket size (the quadratic surface)
+    // stays flat, exactly the 100 TB shape
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until 10).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordBase))
+    }.reduce(_.unionByName(_)).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
   }
 
   /** One domain replicated 50×: real key skew for the domain-grouped

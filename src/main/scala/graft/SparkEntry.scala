@@ -1133,6 +1133,30 @@ object SparkEntry {
         "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
         .orderBy("item_a", "item_b")),
 
+    // Packing efficiency: q44's greedy shard packing rolled up per shard —
+    // bins used vs the ceil(total/budget) floor, mean fill in micro-units.
+    // The GPU-batch waste report; |shards|-sized output.
+    "q151_packing_efficiency" -> ((s, dir) => {
+      val packed = Chunking.packSequences(
+        Tables.load(s, dir, "documents"), "doc_id", "text", binSize = 512,
+        docsPerShard = 100L)
+      Chunking.packingEfficiency(packed, binSize = 512).orderBy("shard")
+    }),
+
+    // Near-dup cluster-size histogram: q45's connected components grouped
+    // by size — the "are we removing twins or mirror-farms" dedup
+    // observability view. Counting in cluster space after the closure.
+    "q152_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
+          maxShingleFreq = 100)
+        .filter(col("jaccard") > 0.5)
+      Dedup.dupClusters(pairs)
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -4678,6 +4702,55 @@ object SparkEntry {
         |  WHERE a.item < b.item GROUP BY 1, 2)
         |SELECT item_a, item_b, n_baskets FROM p WHERE n_baskets >= 2
         |ORDER BY item_a, item_b""".stripMargin,
+    // q151: the q44 packing replay rolled up per bin then per shard.
+    "q151_packing_efficiency" ->
+      """WITH n AS (SELECT doc_id, doc_id // 100 AS shard,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM n),
+        |b AS (SELECT shard, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin FROM c),
+        |pb AS (SELECT shard, bin, count(*) AS bdocs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |  FROM b GROUP BY shard, bin)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        | count(*) AS n_bins,
+        | CAST(sum(bdocs) AS BIGINT) AS docs,
+        | CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+        | CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+        | CAST(sum(bin_tokens) * 1000000 // (count(*) * 512) AS BIGINT)
+        |   AS fill_e6
+        |FROM pb GROUP BY shard ORDER BY shard""".stripMargin,
+    // q152: the q45 closure's component labels → size histogram.
+    "q152_cluster_sizes" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5),
+        |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+        |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+        |  FROM reach GROUP BY src),
+        |csz AS (SELECT label, count(*) AS cluster_size FROM labels GROUP BY label)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  count(*) AS n_clusters
+        |FROM csz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // q147: exact per-domain bigram counts + rank window, same tiebreak.
     "q147_domain_ngrams" ->
       """WITH t AS (SELECT source AS domain,

@@ -40,7 +40,8 @@ object ConfigLoader {
       cacheSilver: Boolean = false,
       curation: Option[CurationSpec] = None,
       sessions: Option[SessionSpec] = None,
-      retrieval: Option[RetrievalSpec] = None)
+      retrieval: Option[RetrievalSpec] = None,
+      split: Option[SplitSpec] = None)
 
   /** §1.5 — one entry of the multi-dataset registry
     * (config/datasets/datasets.yaml:6-76: per-dataset source, target,
@@ -502,6 +503,46 @@ object ConfigLoader {
       spec
     }
 
+    val split = root.get("split").map { s =>
+      val sm = asMap(s, "split")
+      // weights parsed ORDER-PRESERVING (snakeyaml's LinkedHashMap): the
+      // cumulative bucket map makes YAML order part of the assignment
+      val weights = sm.get("weights") match {
+        case Some(m: JMap[_, _]) =>
+          m.asInstanceOf[JMap[String, Any]].asScala.toSeq
+            .map { case (k, v) => k -> v.toString.toInt }
+        case _ => throw new ConfigError("split.weights mapping is required")
+      }
+      val spec = SplitSpec(
+        keyColumn = str(sm, "key_column", "split"),
+        weights = weights,
+        strategy = optStr(sm, "strategy").getOrElse("hash"),
+        contentColumn = optStr(sm, "content_column"),
+        ngram = sm.get("ngram").map(_.toString.toInt).getOrElse(3),
+        threshold = sm.get("threshold").map(_.toString.toDouble).getOrElse(0.5),
+        maxShingleFreq = sm.get("max_shingle_freq").map(_.toString.toInt)
+          .getOrElse(Int.MaxValue))
+      if (!SplitSpec.Strategies(spec.strategy))
+        throw new ConfigError(s"split.strategy '${spec.strategy}' not in " +
+          SplitSpec.Strategies.toSeq.sorted.mkString("|"))
+      if (spec.weights.isEmpty || spec.weights.exists(_._2 < 0) ||
+          spec.weights.map(_._2).sum != 100)
+        throw new ConfigError("split.weights must be >= 0 and sum to 100, " +
+          s"got ${spec.weights}")
+      if (spec.strategy == "cluster" && spec.contentColumn.isEmpty)
+        throw new ConfigError(
+          "split.content_column is required for strategy cluster " +
+            "(the near-dup pairs are generated from it)")
+      if (spec.strategy == "hash" &&
+          (spec.contentColumn.nonEmpty || sm.contains("ngram") ||
+            sm.contains("threshold") || sm.contains("max_shingle_freq")))
+        throw new ConfigError(
+          "split.content_column/ngram/threshold/max_shingle_freq only " +
+            "apply to strategy cluster (got strategy 'hash' — they would " +
+            "be silently ignored)")
+      spec
+    }
+
     // the reference performance: block (lakehouse_config.yaml:163-173)
     val (perf, cacheSilver) = root.get("performance").map { p =>
       val pm = asMap(p, "performance")
@@ -516,6 +557,6 @@ object ConfigLoader {
     }.getOrElse((PerformanceSpec(), false))
 
     PipelineConfig(version, name, bronze, silver, gold, quality, perf,
-      cacheSilver, curation, sessions, retrieval)
+      cacheSilver, curation, sessions, retrieval, split)
   }
 }

@@ -240,3 +240,25 @@ final case class RetrievalSpec(
     fuseK: Option[Int] = None,
     rrfK: Option[Long] = None,
     excludeSelf: Boolean = true)
+
+/** split: block — deterministic train/val/test assignment appended to the
+  * curated frame as a `split` column. `weights` percentages must sum to
+  * 100 and their YAML ORDER is part of the contract (the md5 bucket map
+  * is cumulative, so reordering names reassigns rows). Strategy `hash` is
+  * the row-wise `Chunking.hashSplit`; `cluster` is the leakage-safe path
+  * (`Chunking.leakageSafeSplit`): n-gram Jaccard near-dup clusters over
+  * `contentColumn` become the assignment unit so a mirror set never
+  * straddles train and eval — `ngram`/`threshold`/`maxShingleFreq` are
+  * its pair-generation knobs, meaningful only to it. */
+final case class SplitSpec(
+    keyColumn: String,
+    weights: Seq[(String, Int)],
+    strategy: String = "hash",
+    contentColumn: Option[String] = None,
+    ngram: Int = 3,
+    threshold: Double = 0.5,
+    maxShingleFreq: Int = Int.MaxValue)
+
+object SplitSpec {
+  val Strategies: Set[String] = Set("hash", "cluster")
+}

@@ -310,4 +310,27 @@ object Chunking {
       .withColumn("fill_e6",
         round(col("total_tokens").cast("double") / lit(binSize.toDouble) * 1e6)
           .cast("long"))
+
+  /** Per-shard packing EFFICIENCY report over [[packSequences]] output.
+    * That packer assigns a doc to the bin where its cumulative budget
+    * STARTED and never splits docs, so a doc straddling a boundary
+    * OVERFLOWS its bin instead of opening a new one: per-shard mean
+    * `fill_e6` sits near 10⁶ by construction (the shard's final partial
+    * bin is the only systematic under-fill), while `max_bin_tokens` shows
+    * how far the worst straddling doc pushed a bin past budget — the
+    * truncation-loss signal that says "chunk oversized docs before
+    * packing". Exact integer arithmetic; the packed frame reduces to
+    * per-bin sums and then to \|shards\| rows. */
+  def packingEfficiency(packed: DataFrame, binSize: Int): DataFrame = {
+    require(binSize >= 1, s"binSize must be >= 1, got $binSize")
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("_docs"), sum(col("n_tokens")).as("_bin_tokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("_docs")).as("docs"),
+        sum(col("_bin_tokens")).as("total_tokens"),
+        max(col("_bin_tokens")).as("max_bin_tokens"))
+      .withColumn("fill_e6",
+        expr(s"total_tokens * 1000000L div (n_bins * ${binSize.toLong}L)"))
+  }
 }

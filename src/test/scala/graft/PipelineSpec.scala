@@ -415,6 +415,75 @@ class PipelineSpec extends SparkSpec {
       .toSeq shouldBe Seq(1L, 3L)
   }
 
+  test("split block drives hash and cluster (leakage-safe) splits from YAML") {
+    val base =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |split:
+        |  key_column: doc_id
+        |  weights:
+        |    train: 80
+        |    val: 10
+        |    test: 10
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(base)
+    cfg.split.map(_.strategy) shouldBe Some("hash")
+    // weight ORDER preserved from YAML — it is part of the bucket map
+    cfg.split.get.weights shouldBe Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val docs = (0L until 50L).map(i => (i, s"tok$i a b c")).toDF("doc_id", "text")
+    var sunk = Map.empty[String, Long]
+    Pipeline.run(spark, cfg, docs,
+      goldSink = Some((name, df) => sunk += name -> df.count()))
+    sunk("split") shouldBe 50L
+    // cluster strategy routes through leakageSafeSplit
+    val clusterCfg = ConfigLoader.parse(
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |split:
+        |  key_column: doc_id
+        |  strategy: cluster
+        |  content_column: text
+        |  ngram: 2
+        |  threshold: 0.5
+        |  weights:
+        |    train: 50
+        |    test: 50
+        |""".stripMargin)
+    clusterCfg.split.map(_.strategy) shouldBe Some("cluster")
+    val twins = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // near-dup of 1 → same split
+      (3L, "one two three four five"))
+      .toDF("doc_id", "text")
+    var sunk2 = Map.empty[String, org.apache.spark.sql.DataFrame]
+    Pipeline.run(spark, clusterCfg, twins,
+      goldSink = Some((name, df) => sunk2 += name -> df))
+    val splits = sunk2("split").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    splits(1L) shouldBe splits(2L)
+    // validation: bad strategy / unsummed weights / dead knobs fail at load
+    the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      base.replace("key_column: doc_id",
+        "key_column: doc_id\n  strategy: roulette"))
+    the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      base.replace("train: 80", "train: 70"))
+    the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      base.replace("key_column: doc_id",
+        "key_column: doc_id\n  ngram: 3"))
+    the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |split:
+        |  key_column: doc_id
+        |  strategy: cluster
+        |  weights:
+        |    train: 100
+        |""".stripMargin)
+  }
+
   test("retrieval block drives hybrid lexical+semantic ranking from YAML") {
     val yaml =
       """version: "1.0"

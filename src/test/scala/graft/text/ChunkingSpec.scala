@@ -169,6 +169,22 @@ class ChunkingSpec extends SparkSpec {
     withNull.filter("id IS NULL").head().isNullAt(1) shouldBe true
   }
 
+  test("packingEfficiency: per-shard bins, overflow visibility, exact fill") {
+    import spark.implicits._
+    // one shard; binSize 4; token counts 3,4,2 → cum 3,7,9 → bins 0,0,1:
+    // doc 1 straddles bin 0's boundary and overflows it to 7 tokens
+    val docs = Seq((0L, "a b c"), (1L, "d e f g"), (2L, "h i"))
+      .toDF("doc_id", "text")
+    val packed = Chunking.packSequences(docs, "doc_id", "text",
+      binSize = 4, docsPerShard = 100L)
+    val eff = Chunking.packingEfficiency(packed, binSize = 4).head()
+    eff.getAs[Long]("n_bins") shouldBe 2L
+    eff.getAs[Long]("docs") shouldBe 3L
+    eff.getAs[Long]("total_tokens") shouldBe 9L
+    eff.getAs[Long]("max_bin_tokens") shouldBe 7L // the overflowed bin
+    eff.getAs[Long]("fill_e6") shouldBe 1125000L  // 9e6 div (2*4)
+  }
+
   test("weightedPrioritySample: deterministic, weight-monotone, plan is top-k") {
     import spark.implicits._
     // two weight tiers over the same key population: heavy rows (w=1000)
