@@ -1143,6 +1143,26 @@ object SparkEntry {
       Chunking.packingEfficiency(packed, binSize = 512).orderBy("shard")
     }),
 
+    // Data-skipping report: the SAME user-range predicate measured against
+    // two physical layouts of events — day partitioning (skips nothing:
+    // every day holds every user) vs user-bucket layout (skips ~all
+    // non-matching buckets). The layout-decision numbers behind every
+    // pruning claim; two |units|-space aggregates to one row each.
+    "q153_skipping_report" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val byTime = graft.ops.Scale.skippingReport(ev, col("day"),
+          col("user_id"), 10L, 19L)
+        .withColumn("layout", lit("time"))
+      val byUser = graft.ops.Scale.skippingReport(ev,
+          expr("user_id div 10"), col("user_id"), 10L, 19L)
+        .withColumn("layout", lit("user_bucket"))
+      byTime.unionByName(byUser)
+        .select("layout", "n_units", "skipped_units", "total_rows",
+          "skipped_rows", "skip_e6")
+        .orderBy("layout")
+    }),
+
     // Near-dup cluster-size histogram: q45's connected components grouped
     // by size — the "are we removing twins or mirror-farms" dedup
     // observability view. Counting in cluster space after the closure.
@@ -4724,6 +4744,32 @@ object SparkEntry {
         | CAST(sum(bin_tokens) * 1000000 // (count(*) * 512) AS BIGINT)
         |   AS fill_e6
         |FROM pb GROUP BY shard ORDER BY shard""".stripMargin,
+    // q153: per-unit min/max stats + disjoint-range skip flags, both
+    // layouts, rolled to one row each.
+    "q153_skipping_report" ->
+      """WITH ev AS (SELECT user_id,
+        |  epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |t AS (SELECT day AS unit, count(*) AS n_rows,
+        |  min(user_id) AS vmin, max(user_id) AS vmax FROM ev GROUP BY day),
+        |u AS (SELECT user_id // 10 AS unit, count(*) AS n_rows,
+        |  min(user_id) AS vmin, max(user_id) AS vmax FROM ev GROUP BY 1),
+        |rt AS (SELECT 'time' AS layout, CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(CASE WHEN vmax < 10 OR vmin > 19 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS skipped_units,
+        |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |  CAST(sum(CASE WHEN vmax < 10 OR vmin > 19 THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS skipped_rows FROM t),
+        |ru AS (SELECT 'user_bucket' AS layout,
+        |  CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(CASE WHEN vmax < 10 OR vmin > 19 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS skipped_units,
+        |  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+        |  CAST(sum(CASE WHEN vmax < 10 OR vmin > 19 THEN n_rows ELSE 0 END)
+        |    AS BIGINT) AS skipped_rows FROM u)
+        |SELECT layout, n_units, skipped_units, total_rows, skipped_rows,
+        |  skipped_rows * 1000000 // total_rows AS skip_e6
+        |FROM (SELECT * FROM rt UNION ALL SELECT * FROM ru)
+        |ORDER BY layout""".stripMargin,
     // q152: the q45 closure's component labels → size histogram.
     "q152_cluster_sizes" ->
       """WITH RECURSIVE

@@ -155,4 +155,39 @@ object Scale {
     writeBucketed(df, table, buckets, keys)
     spark.table(table)
   }
+
+  /** Data-skipping report — QUANTIFIES how well a physical layout prunes:
+    * group rows by the layout unit (`unitCol` — a partition key, a z-order
+    * tile, a file id), collect each unit's min/max of the predicate column
+    * (exactly the footer statistics a parquet scan consults), and mark
+    * which units a range predicate [lo, hi] could skip (stats window
+    * disjoint from the range). The summary row a layout decision needs:
+    * skipped units and skipped ROW mass, up front.
+    *
+    * This is the measurement behind every "partition pruning / z-order /
+    * file skipping" claim: a layout where `skipped_rows`/`total_rows` ≈ 0
+    * for the hot predicates is a layout that scans everything at 100 TB
+    * no matter what the query asks. Compare a time-sorted vs a z-ordered
+    * `unitCol` on the same predicate to see the difference as numbers.
+    *
+    * Scale: one keyed aggregate to \|units\| rows, then a \|units\|-space
+    * rollup to ONE row. Nulls in `valueCol` never make a unit skippable
+    * (min/max ignore them but a scan must still read the rows): a unit
+    * whose stats are entirely null counts unskippable, like parquet. */
+  def skippingReport(df: DataFrame, unitCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"need lo <= hi, got [$lo, $hi]")
+    val units = df.groupBy(unitCol.as("unit"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(valueCol).as("v_min"), max(valueCol).as("v_max"))
+    val skippable = col("v_min").isNotNull &&
+      (col("v_max") < lit(lo) || col("v_min") > lit(hi))
+    units.agg(
+      count(lit(1)).as("n_units"),
+      sum(when(skippable, 1L).otherwise(0L)).as("skipped_units"),
+      sum(col("n_rows")).as("total_rows"),
+      sum(when(skippable, col("n_rows")).otherwise(0L)).as("skipped_rows"))
+      .withColumn("skip_e6",
+        expr("skipped_rows * 1000000L div total_rows"))
+  }
 }

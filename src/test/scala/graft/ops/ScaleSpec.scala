@@ -113,4 +113,26 @@ class ScaleSpec extends SparkSpec {
     all(rep.map(r => r.getAs[Long]("y_max") - r.getAs[Long]("y_min"))) should
       be < side
   }
+
+  test("skippingReport: disjoint-stats units skip, boundary overlap and null stats do not") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // units 0..3 hold values [u*10, u*10+9]; predicate [15, 24] overlaps
+    // units 1 and 2 only (unit 1 via 15..19, unit 2 via 20..24)
+    val rows = (0L until 40L).map(v => (v / 10L, v)).toDF("unit", "v")
+    val r = Scale.skippingReport(rows, col("unit"), col("v"), 15L, 24L).head()
+    r.getAs[Long]("n_units") shouldBe 4L
+    r.getAs[Long]("skipped_units") shouldBe 2L // units 0 and 3
+    r.getAs[Long]("total_rows") shouldBe 40L
+    r.getAs[Long]("skipped_rows") shouldBe 20L
+    r.getAs[Long]("skip_e6") shouldBe 500000L
+    // boundary touch is NOT skippable: unit max == lo
+    val touch = Seq((0L, 14L), (0L, 15L)).toDF("unit", "v")
+    Scale.skippingReport(touch, col("unit"), col("v"), 15L, 24L)
+      .head().getAs[Long]("skipped_units") shouldBe 0L
+    // an all-null-stats unit must still be scanned
+    val withNull = Seq((0L, Some(1L)), (1L, None)).toDF("unit", "v")
+    val rn = Scale.skippingReport(withNull, col("unit"),
+      expr("v"), 15L, 24L).head()
+    rn.getAs[Long]("skipped_units") shouldBe 1L // unit 0 (max 1 < 15) only
+  }
 }
