@@ -451,6 +451,89 @@ object Streaming {
       .start()
   }
 
+  /** Continuous CDC apply — the streaming twin of
+    * [[graft.quality.Reconciliation.applyChangeSet]]: micro-batches of
+    * value-carrying change rows (the `snapshotDiff(emitValues = true)`
+    * shape: keyCols ++ status ++ valueCols) maintain a persisted snapshot
+    * table under `snapshotPath`, partitioned by `bucket` =
+    * pmod(xxhash64(keys), nBuckets) — a pure function of the key, so each
+    * key lives in exactly one partition dir forever.
+    *
+    * Per batch the cost is O(touched buckets), not O(snapshot): the
+    * apply reads only the buckets whose keys appear in the batch
+    * (partition-pruned, schema-pinned read) and dynamic overwrite
+    * replaces only those dirs. Size `nBuckets` so snapshot/nBuckets fits
+    * an executor comfortably; at 100 TB with nBuckets = 16384 a batch
+    * touching 1% of keys rewrites ~1% of dirs at ~6 GB each.
+    *
+    * Durability mirrors [[goldRefreshStream]]: pre-batch rows of the
+    * touched buckets snapshot to `<path>__bak` before the overwrite, and
+    * [[recoverMartPartitions]] repairs a torn batch at every start.
+    *
+    * CONTRACT: at most one change row per key per micro-batch (true of
+    * any per-interval snapshot diff; two changes for one key in one
+    * batch have no defined order and would both survive the anti-join).
+    * Batch replays after a crash re-apply the same change set onto the
+    * RESTORED pre-batch buckets — idempotent. */
+  def cdcApplyStream(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      nBuckets: Int,
+      snapshotPath: String,
+      checkpointDir: String): StreamingQuery = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "cdcApplyStream needs key and value columns")
+    val bucketOf = pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val snap = new org.apache.hadoop.fs.Path(snapshotPath)
+        val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverMartPartitions(spark, fs, snapshotPath, Seq("bucket"))
+        val b = batch.toDF().localCheckpoint()
+        if (!b.isEmpty) {
+          val rowCols = keyCols ++ valueCols
+          val outSchema = org.apache.spark.sql.types.StructType(
+            b.select(rowCols.map(col): _*).schema.fields :+
+              org.apache.spark.sql.types.StructField("bucket",
+                org.apache.spark.sql.types.LongType, nullable = false))
+          val snapExists = fs.exists(snap) && fs.listStatus(snap)
+            .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+          val bak = new org.apache.hadoop.fs.Path(snapshotPath + "__bak")
+          val prev =
+            if (!snapExists)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                outSchema)
+            else {
+              // touched buckets: |buckets-per-batch|-sized driver list
+              val touched = b.select(bucketOf.as("bucket"))
+                .distinct().collect().map(_.getLong(0))
+              val existing = spark.read.schema(outSchema).parquet(snapshotPath)
+                .filter(col("bucket").isin(touched: _*))
+                .localCheckpoint() // materialize once: feeds bak AND apply
+              existing.write.mode("overwrite").parquet(bak.toString)
+              existing
+            }
+          val applied = graft.quality.Reconciliation
+            .applyChangeSet(prev.drop("bucket"), b, keyCols, valueCols)
+            .withColumn("bucket", bucketOf)
+          applied.localCheckpoint()
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(snapshotPath)
+          fs.delete(bak, true)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Crash repair for [[goldRefreshStream]], idempotent, run per batch:
     * a COMMITTED bak snapshot (`_SUCCESS` present) holds the pre-batch
     * rows of the partitions a dead batch was overwriting — write them

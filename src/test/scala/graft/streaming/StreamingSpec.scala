@@ -691,4 +691,45 @@ class StreamingSpec extends SparkSpec {
       streamed.groupBy(identity).view.mapValues(_.size.toLong).toMap shouldBe batch
     } finally q.stop()
   }
+
+  test("cdcApplyStream maintains a bucket-partitioned snapshot across batches") {
+    val snap = Files.createTempDirectory("graft_cdc").toString + "/s"
+    val chk = Files.createTempDirectory("graft_cdc_chk").toString
+    // change rows in the snapshotDiff(emitValues) shape
+    val stream = MemoryStream[(Long, String, Double)](spark)
+    val changes = stream.toDF().toDF("k", "status", "price")
+    val q = Streaming.cdcApplyStream(changes, keyCols = Seq("k"),
+      valueCols = Seq("price"), nBuckets = 4, snap, chk)
+    try {
+      // batch 1: three inserts
+      stream.addData((1L, "added", 10.0), (2L, "added", 20.0),
+        (3L, "added", 30.0))
+      q.processAllAvailable()
+      spark.read.parquet(snap).count() shouldBe 3L
+      // batch 2: update k=2, remove k=3, insert k=4
+      stream.addData((2L, "changed", 21.0), (3L, "removed", 0.0),
+        (4L, "added", 40.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(snap)
+        .select("k", "price").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      out shouldBe Map(1L -> 10.0, 2L -> 21.0, 4L -> 40.0)
+      // the snapshot is bucket-partitioned (pure function of the key)
+      val fs = new org.apache.hadoop.fs.Path(snap)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(snap))
+        .exists(st => st.isDirectory &&
+          st.getPath.getName.startsWith("bucket=")) shouldBe true
+      // streamed final state ≡ batch applyChangeSet of the same change sets
+      val prev = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "price")
+      val batch2 = Seq((2L, "changed", 21.0, 1L), (3L, "removed", 0.0, 1L),
+        (4L, "added", 40.0, 1L)).toDF("k", "status", "price", "pad")
+      val expect = graft.quality.Reconciliation.applyChangeSet(
+        prev, batch2, Seq("k"), Seq("price"))
+      spark.read.parquet(snap).select("k", "price")
+        .exceptAll(expect).count() shouldBe 0L
+      expect.exceptAll(spark.read.parquet(snap).select("k", "price"))
+        .count() shouldBe 0L
+    } finally q.stop()
+  }
 }
