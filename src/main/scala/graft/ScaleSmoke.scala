@@ -65,7 +65,13 @@ object ScaleSmoke {
     // bucket map, the within-basket pair explode (cap-bounded quadratic
     // surface), and the per-key interval-union window
     "q141_snapshot_diff", "q148_changeset_apply", "q143_leakage_split",
-    "q150_basket_pairs", "q149_interval_union")
+    "q150_basket_pairs", "q149_interval_union",
+    // third-tranche r13 additions: the deletion-neighborhood fuzzy join
+    // (explode ×(len+1) + keyed self-join — the blocking claim measured),
+    // the skyline staircase (per-x reduce + value-domain window), and the
+    // global-sort ntile profile (the documented single-partition window —
+    // its cost curve is exactly what equiDepthProfileByBounds avoids)
+    "q157_fuzzy_names", "q155_pareto_docs", "q158_decile_profile")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
@@ -83,8 +89,8 @@ object ScaleSmoke {
   private def synthSf1(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     // every output must be COMMITTED — a crash between/inside the writes
     // would otherwise leave a half-built dir that every later run trusts
-    if (Seq("documents", "embeddings", "events", "orders", "lineitem")
-      .forall(committed(outDir, _))) return
+    if (Seq("documents", "embeddings", "events", "orders", "lineitem",
+      "customer").forall(committed(outDir, _))) return
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docBase = docs.agg(max("doc_id")).head().getLong(0) + 1
     val docReps = (0 until 10).map { k =>
@@ -144,6 +150,21 @@ object ScaleSmoke {
       li.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordBase))
     }.reduce(_.unionByName(_)).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
+
+    // customer: replica K appends "kk" to every name — a TWO-char
+    // cross-replica difference, so within-replica edit-distance-1 pair
+    // structure is preserved exactly (10× pair count, linear) while
+    // cross-replica names stay at distance ≥ 2 and never pair. A 1-char
+    // tag would make replicas pairwise distance-1 and grow q157's output
+    // quadratically in the replica count.
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    val custBase = cust.agg(max("c_custkey")).head().getLong(0) + 1
+    (0 until 10).map { k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * custBase))
+        .withColumn("c_name",
+          if (k == 0) col("c_name") else concat(col("c_name"), lit(s"$k$k")))
+    }.reduce(_.unionByName(_)).write.mode("overwrite")
+      .parquet(s"$outDir/customer.parquet")
   }
 
   /** One domain replicated 50×: real key skew for the domain-grouped

@@ -3,7 +3,7 @@ package graft
 import graft.config._
 import graft.dedup.Dedup
 import graft.gold.{AggregationEngine, IncrementalMaterializer}
-import graft.ops.{AsofJoin, Baskets, Joins, Sessions}
+import graft.ops.{AsofJoin, Baskets, Fuzzy, Grouping, Joins, Pareto, Sessions}
 import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation, Sketches}
 import graft.multimodal.Multimodal
 import graft.silver.Transform
@@ -1175,6 +1175,114 @@ object SparkEntry {
         .groupBy("label").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")
+    }),
+
+    // ROLLUP mart: every level of the (status, priority) hierarchy —
+    // detail, per-status subtotal, grand total — in ONE grouped aggregate
+    // with the SQL-standard grouping_id bitmask. One shuffle for the whole
+    // hierarchy vs one mart build per level.
+    "q154_rollup_mart" -> ((s, dir) =>
+      Grouping.rollupAgg(Tables.load(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq(count(lit(1)).as("n_orders"),
+          expr(dsum("o_totalprice")).as("total_price")))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))),
+
+    // Pareto frontier: documents not dominated on (token count, distinct
+    // tokens) — skyline selection without the quadratic self-join (per-x
+    // max → running-max staircase → broadcast join back). Oracle is the
+    // quadratic NOT EXISTS dominance query, so green proves the staircase
+    // reduction exact, coincident-point ties included.
+    "q155_pareto_docs" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.uniqueTokenCount(col("text")).cast("long").as("n_uniq"))
+      Pareto.skyline2D(pts, "n_tokens", "n_uniq").orderBy("doc_id")
+    }),
+
+    // Incremental JOIN-view maintenance: enriched view kept equal to
+    // fact ⋈ dim as a late fact slice arrives — anti-join out the delta's
+    // keys, append delta ⋈ broadcast(dim). The oracle is the full rebuild,
+    // so green IS the maintenance invariant V' == F' ⋈ D.
+    "q156_view_refresh" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment"), col("c_nationkey"))
+      val existing = o.filter("o_orderdate < timestamp'1996-01-01 00:00:00'")
+        .join(broadcast(dim), Seq("o_custkey"), "left")
+      val delta = o.filter("o_orderdate >= timestamp'1996-01-01 00:00:00'")
+      IncrementalMaterializer.refreshJoin(existing, delta, dim,
+          Seq("o_orderkey"), Seq("o_custkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Edit-distance≤1 self-join via FastSS deletion-neighborhood blocking
+    // + exact levenshtein verify. The oracle is the full quadratic join —
+    // green proves the blocking scheme loses no pair. Customer names give
+    // ~13 true pairs per name (single-digit perturbations).
+    "q157_fuzzy_names" -> ((s, dir) =>
+      Fuzzy.editDistance1Join(Tables.load(s, dir, "customer"),
+        "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")),
+
+    // Equi-depth (ntile) decile profile of event values: exact per-bucket
+    // boundaries and mass on a totalized order — the score-calibration
+    // binning view. Global-sort form (oracle-gated); the boundary-
+    // assignment scale twin is spec-pinned against it.
+    "q158_decile_profile" -> ((s, dir) =>
+      Anomaly.equiDepthProfile(
+        Tables.load(s, dir, "events").select("event_id", "value"),
+        "value", "event_id", 10)),
+
+    // CUBE mart: all four (status, year) grouping sets in one aggregate —
+    // the rollup's lattice complement, same single-shuffle shape.
+    "q159_cube_mart" -> ((s, dir) =>
+      Grouping.cubeAgg(
+        Tables.load(s, dir, "orders")
+          .withColumn("o_year", year(col("o_orderdate")).cast("long")),
+        Seq("o_orderstatus", "o_year"),
+        Seq(count(lit(1)).as("n_orders"),
+          expr(dsum("o_totalprice")).as("total_price")))
+        .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_year"))),
+
+    // Hopping (sliding) event-time windows in batch: 1 h windows every
+    // 30 min — each event expands into size/slide windows before the
+    // grouped aggregate re-compresses to |windows × types|. Epoch-aligned
+    // grid ≡ the oracle's integer floor-division grid.
+    "q160_hopping_windows" -> ((s, dir) =>
+      graft.ops.TimeSeries.hoppingAgg(
+        Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .withColumn("ts_us", expr("ts div 1000")),
+        "ts_us", "event_type", "value",
+        sizeUs = 3600000000L, slideUs = 1800000000L)
+        .orderBy("window_start_us", "event_type")),
+
+    // Triangle participation over the basket co-occurrence graph (q150's
+    // ≥2-basket edges) via degree-ordered orientation — wedge join bounded
+    // by O(√m) out-degree, never the hub's raw degree. Oracle replays the
+    // edge build + the closing 3-way join quadratically.
+    "q161_triangles" -> ((s, dir) =>
+      graft.ops.Graphs.triangleCounts(
+        Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
+        "item_a", "item_b")
+        .orderBy("node")),
+
+    // Full OLS fit (slope/intercept/r²) of per-type daily value mass —
+    // exact BIGINT sufficient stats (x recentered per group, y in e2
+    // units so n·Σy² stays in range), then a fixed dag of IEEE double
+    // ops both engines execute identically.
+    "q162_trend_fit" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(sum(round(col("value") * lit(100)).cast("long")).as("y_e2"))
+      Anomaly.linearFit(daily, Seq("event_type"), "day", "y_e2")
+        .orderBy("event_type")
     }),
 
     // Quality-gate failure crosstab: per source, docs by first-failing
@@ -4797,6 +4905,125 @@ object SparkEntry {
         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
         |  count(*) AS n_clusters
         |FROM csz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    // q154/q159: GROUPING() bitmask — SQL-standard encoding (leftmost dim
+    // = MSB), identical in Spark's grouping_id() and DuckDB's GROUPING().
+    "q154_rollup_mart" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin,
+    // q155: quadratic NOT-EXISTS dominance — the semantic spec the
+    // staircase plan must reproduce exactly.
+    "q155_pareto_docs" ->
+      """WITH p AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+        |    AS n_uniq
+        |  FROM documents)
+        |SELECT n_tokens, n_uniq, doc_id FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.n_tokens >= p.n_tokens AND q.n_uniq >= p.n_uniq
+        |    AND (q.n_tokens > p.n_tokens OR q.n_uniq > p.n_uniq))
+        |ORDER BY doc_id""".stripMargin,
+    // q156: the full-rebuild view — green proves the incremental
+    // anti-join+append maintenance reconstructs it exactly.
+    "q156_view_refresh" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        | o_orderdate, o_orderpriority, c_mktsegment, c_nationkey
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // q157: the full quadratic edit-distance join — green proves the
+    // deletion-neighborhood blocking loses no pair.
+    "q157_fuzzy_names" ->
+      """SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+        | CAST(b.c_custkey AS BIGINT) AS id_b,
+        | levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q158: ntile on the same totalized order; e6 before min/max/sum on
+    // both engines so every output is an exact integer.
+    "q158_decile_profile" ->
+      """WITH t AS (SELECT value,
+        |  CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT) AS bucket
+        |  FROM events)
+        |SELECT bucket, count(*) AS n_rows,
+        | min(CAST(round(value * 1000000.0) AS BIGINT)) AS min_e6,
+        | max(CAST(round(value * 1000000.0) AS BIGINT)) AS max_e6,
+        | CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_e6
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q159_cube_mart" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS BIGINT) AS gid,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_year NULLS FIRST"""
+        .stripMargin,
+    // q160: the epoch-aligned hop grid as integer floor division — starts
+    // s ≡ 0 (mod slide) with s ≤ t < s + size.
+    "q160_hopping_windows" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t, value
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT event_type, value, unnest(range(
+        |    ((t - 3600000000) // 1800000000 + 1) * 1800000000,
+        |    (t // 1800000000) * 1800000000 + 1,
+        |    1800000000)) AS window_start_us FROM e)
+        |SELECT window_start_us, event_type, count(*) AS n_events,
+        | CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+        |   AS sum_e6
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q161: q150's edge build (minCount 2), then the quadratic closing
+    // join the oriented wedge plan must reproduce.
+    "q161_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+        |  l_partkey AS item FROM lineitem),
+        |sized AS (SELECT basket FROM items GROUP BY basket
+        |  HAVING count(*) <= 20),
+        |kept AS (SELECT i.* FROM items i JOIN sized USING (basket)),
+        |p AS (SELECT a.item AS a, b.item AS b, count(*) AS n
+        |  FROM kept a JOIN kept b USING (basket)
+        |  WHERE a.item < b.item GROUP BY 1, 2),
+        |e AS (SELECT a, b FROM p WHERE n >= 2),
+        |tri AS (SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+        |m AS (SELECT x AS node FROM tri UNION ALL
+        |  SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM m GROUP BY node ORDER BY node""".stripMargin,
+    // q162: same exact-integer sufficient stats (x recentered at the
+    // group's min day, y in e2 units), same IEEE double dag.
+    "q162_trend_fit" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y_e2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |x0 AS (SELECT event_type, min(day) AS x0 FROM daily GROUP BY 1),
+        |st AS (SELECT d.event_type, count(*) AS n,
+        |    CAST(sum(day - x0) AS BIGINT) AS sx,
+        |    CAST(sum(y_e2) AS BIGINT) AS sy,
+        |    CAST(sum((day - x0) * (day - x0)) AS BIGINT) AS sxx,
+        |    CAST(sum(y_e2 * y_e2) AS BIGINT) AS syy,
+        |    CAST(sum((day - x0) * y_e2) AS BIGINT) AS sxy
+        |  FROM daily d JOIN x0 USING (event_type) GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |   CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        | END AS slope,
+        | CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |   CAST(sy * sxx - sx * sxy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        | END AS intercept,
+        | CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+        |   (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+        |   / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+        | END AS r2
+        |FROM st ORDER BY event_type""".stripMargin,
     // q147: exact per-domain bigram counts + rank window, same tiebreak.
     "q147_domain_ngrams" ->
       """WITH t AS (SELECT source AS domain,

@@ -70,4 +70,30 @@ object IncrementalMaterializer {
     val parts = groupByEntry.split("(?i)\\s+as\\s+")
     parts.last.trim
   }
+
+  /** Incremental maintenance of an ENRICHMENT-JOIN view (fact ⋈ dim):
+    * `view == fact ⋈ dim` stays true as fact rows arrive or are replaced,
+    * without ever re-reading or re-shuffling the historical fact side.
+    *
+    * Append/upsert delta rule for a view V = F ⋈ D under ΔF:
+    * V' = (V ∖ keys(ΔF)) ∪ (ΔF ⋈ D) — the dim side is treated as the
+    * slowly-changing lookup it is in the reference's enrichment joins
+    * (zone/vendor lookups, SURVEY §2.4); a dim change is a full-view event,
+    * not an incremental one, and callers rebuild for that.
+    *
+    * Scale shape: ΔF is a partition-pruned tail scan; D is broadcast (dims
+    * here are small by construction); the anti-join's build side is
+    * keys(ΔF) — tiny, broadcast. The existing view moves ZERO bytes through
+    * a shuffle: this is the property that makes a 100 TB enriched view
+    * maintainable at all. Oracle-checked as `refreshJoin(...) == full
+    * fact ⋈ dim rebuild`.
+    */
+  def refreshJoin(existing: DataFrame, deltaFact: DataFrame, dim: DataFrame,
+      factKeys: Seq[String], joinKeys: Seq[String]): DataFrame = {
+    val enriched = deltaFact.join(broadcast(dim), joinKeys, "left")
+    require(existing.columns.sorted.sameElements(enriched.columns.sorted),
+      s"existing view columns [${existing.columns.sorted.mkString(",")}] must " +
+        s"match delta⋈dim output [${enriched.columns.sorted.mkString(",")}]")
+    merge(existing, enriched, factKeys)
+  }
 }

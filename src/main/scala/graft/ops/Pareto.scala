@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pareto-frontier (skyline) selection: the rows not strictly dominated on
+  * two maximize-criteria — the "best length-for-diversity / quality-for-
+  * cost" curation view a training-data pipeline uses to pick exemplar
+  * documents without a hand-tuned scalar score.
+  *
+  * Dominance: q dominates p iff q.x ≥ p.x ∧ q.y ≥ p.y ∧ (q.x > p.x ∨
+  * q.y > p.y). Ties: coincident points do not dominate each other, so every
+  * row at a frontier point survives.
+  *
+  * Plan shape (100 TB posture): the naive skyline is a quadratic self-join;
+  * this one is (1) a per-x groupBy (one keyed shuffle, map-side combine) to
+  * |distinct x| rows, (2) a running-max window over those to mark frontier
+  * points, (3) a broadcast join of the (frontier-sized, ≤ |distinct x|)
+  * point set back onto the corpus. The window sorts only the per-x maxima —
+  * for integer/e6-quantized metrics that is value-domain-sized, not
+  * corpus-sized, which is the knob to remember at scale: quantize the
+  * criteria before calling (scores here are already exact integers).
+  */
+object Pareto {
+
+  /** Rows of `df` on the maximize-(xCol, yCol) Pareto frontier. Criteria
+    * must be non-null; rows with a null criterion are dropped up front
+    * (null is never "better than" anything). */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = pts.groupBy(xCol).agg(max(col(yCol)).as("__ymax"))
+    // Descending by x, strictly-previous rows only: rmax = best y among
+    // points with strictly larger x (per-x grouping ⇒ no x ties in frame).
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX
+      .withColumn("__rmax", max(col("__ymax")).over(w))
+      // Dominated x-level: some larger x reaches ≥ this level's best y
+      // (larger x is the strict part). Survivors strictly improve y as x
+      // decreases — the classic staircase.
+      .filter(col("__rmax").isNull || col("__ymax") > col("__rmax"))
+      .select(col(xCol), col("__ymax").as(yCol))
+    // Within a surviving x level only the y = ymax rows are undominated
+    // (same x, larger y is strict) — the equi-join on (x, ymax) keeps
+    // exactly those, duplicates included.
+    pts.join(broadcast(frontier), Seq(xCol, yCol))
+  }
+}

@@ -64,4 +64,36 @@ object TimeSeries {
       .drop("_observed")
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Hopping (sliding) event-time windows in BATCH: every event lands in
+    * the size/slide overlapping windows covering it, aggregated per
+    * (window, key) — the smoothing view behind rate monitors and rolling
+    * engagement metrics, where a tumbling grid under-counts activity that
+    * straddles a boundary. The same epoch-aligned grid Structured
+    * Streaming's `window()` uses, so a batch backfill of this aggregate
+    * and the live `Streaming.windowedCounts` stream land on identical
+    * window keys.
+    *
+    * Built on the builtin `window()` generator (codegen'd expand by
+    * size/slide windows per row — ×(size/slide) row growth BEFORE the
+    * grouped aggregate, where map-side partials immediately re-compress to
+    * |windows × keys|; one keyed shuffle total). sizeUs must be a multiple
+    * of slideUs — with ragged ratios the last window is partial and
+    * Spark's and the grid oracle's conventions diverge.
+    *
+    * Output: window_start_us (epoch-aligned: start ≡ 0 mod slideUs),
+    * key, n_events, sum_e6 (exact micro-unit value mass). */
+  def hoppingAgg(df: DataFrame, tsUsCol: String, keyCol: String,
+      valueCol: String, sizeUs: Long, slideUs: Long): DataFrame = {
+    require(sizeUs > 0 && slideUs > 0 && sizeUs % slideUs == 0,
+      s"need sizeUs a positive multiple of slideUs, got $sizeUs/$slideUs")
+    df.groupBy(
+        window(timestamp_micros(col(tsUsCol)),
+          s"$sizeUs microseconds", s"$slideUs microseconds"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col(valueCol) * lit(1e6)).cast("long")).as("sum_e6"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col(keyCol), col("n_events"), col("sum_e6"))
+  }
 }

@@ -487,6 +487,53 @@ object Anomaly {
             den.cast("double")).as("slope")): _*)
   }
 
+  /** Full per-group OLS fit — slope, intercept, and r² — from one grouped
+    * pass of exact BIGINT sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy).
+    * [[linearTrend]]'s big sibling for when "how fast" needs "and how
+    * well does a line explain it".
+    *
+    * x is RECENTERED per group (x − min x, one extra lightweight grouped
+    * min, broadcast back): raw epoch days push n·Σxy toward 2^63, and the
+    * intercept of an epoch-day axis is a meaningless extrapolation to
+    * 1970. After recentering, every integer stat fits comfortably and the
+    * intercept is the fitted value at the group's own first x.
+    *
+    * Determinism: sums are exact integers; slope/intercept/r² are then a
+    * FIXED dag of IEEE double ops (cast, multiply, divide) on those
+    * integers — bit-identical on any engine, so e6-rounded outputs
+    * hash-compare. r² = cov²/(varx·vary) in the n-scaled integer form
+    * (n·Σxy − ΣxΣy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)); a flat-x or
+    * flat-y group has no defined fit quality → null r², null slope for
+    * flat-x. */
+  def linearFit(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val xmin = df.groupBy(gcols: _*)
+      .agg(min(col(xCol).cast("long")).as("__x0"))
+    val x = col(xCol).cast("long") - col("__x0")
+    val y = col(yCol).cast("long")
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(xmin))
+      else df.join(broadcast(xmin), groupCols)
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    joined.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(gcols ++ Seq(
+        col("n"),
+        when(varXN =!= 0, covN.cast("double") / varXN.cast("double"))
+          .as("slope"),
+        // intercept = (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²)
+        when(varXN =!= 0,
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+            / varXN.cast("double")).as("intercept"),
+        when(varXN =!= 0 && varYN =!= 0,
+          covN.cast("double") * covN.cast("double")
+            / (varXN.cast("double") * varYN.cast("double"))).as("r2")): _*)
+  }
+
   /** Per-group CUSUM changepoint over an ordered INTEGER series (yCol
     * must be NON-NULL: a null y would be skipped by the running sum but
     * still counted by n_points, silently skewing D — filter or
@@ -537,4 +584,64 @@ object Anomaly {
         col("t_index"), col("n_points"), col("cum_before"), col("total"),
         col("d_stat")): _*)
   }
+
+  /** Equi-depth (ntile) profile: rank rows into `n` equal-count buckets on
+    * a total order and report each bucket's exact boundaries and mass — the
+    * calibration-curve / score-binning view (are the model's top deciles
+    * actually better?) that equi-WIDTH histograms (histogramDrift) can't
+    * give on skewed scores.
+    *
+    * Determinism: the order is totalized by `tieCol` (a unique key), so
+    * ntile assignment — including which bucket each tie lands in and which
+    * buckets carry the n%‖df‖ extra rows — is bit-identical across engines.
+    * All outputs are exact integers (counts + e6-scaled value sums).
+    *
+    * Scale shape: ntile needs a GLOBAL sort — on a cluster that is a range-
+    * exchange (sampled range partitioner), not a single-partition window the
+    * way an unpartitioned `Window.orderBy` would plan it... except ntile IS
+    * that window. So this exact form is for ≲10^9-row frames (score tables,
+    * per-group profiles), and the 100 TB path is the same report from
+    * `exactQuantiles`/`approxQuantile` BOUNDARIES with row-local bucket
+    * assignment — same buckets except around boundary ties, no global sort.
+    * Both are here; EquiDepthSpec pins their agreement on a tie-free frame.
+    */
+  def equiDepthProfile(df: DataFrame, valueCol: String, tieCol: String,
+      n: Int): DataFrame =
+    df.withColumn("bucket",
+        ntile(n).over(Window.orderBy(col(valueCol), col(tieCol))).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(e6(col(valueCol))).as("min_e6"),
+        max(e6(col(valueCol))).as("max_e6"),
+        sum(e6(col(valueCol))).as("sum_e6"))
+      .orderBy("bucket")
+
+  /** The scale path: same per-bucket report, but buckets assigned row-
+    * locally against broadcast quantile boundaries (no global sort). Bucket
+    * b = #{boundaries < x} + 1 over the (n-1) interior exact quantiles;
+    * boundary-tied rows all land in the lower bucket, so counts are only
+    * approximately equal under heavy ties — the documented trade. */
+  def equiDepthProfileByBounds(df: DataFrame, valueCol: String,
+      n: Int): DataFrame = {
+    val probs = (1 until n).map(_.toDouble / n)
+    val bounds = exactQuantiles(df, valueCol, probs)
+      .select(array(probs.indices.map(i => col(s"p${(probs(i) * 100).round}")): _*)
+        .as("__bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (aggregate(col("__bs"), lit(0L),
+          (acc, b) => acc + when(col(valueCol) > b, 1L).otherwise(0L)) + 1L)
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(e6(col(valueCol))).as("min_e6"),
+        max(e6(col(valueCol))).as("max_e6"),
+        sum(e6(col(valueCol))).as("sum_e6"))
+      .orderBy("bucket")
+  }
+
+  private def e6(c: Column): Column =
+    round(c * lit(1e6)).cast("long")
 }

@@ -332,6 +332,41 @@ object Streaming {
       streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** STREAM-STREAM time-bounded equi-join — the attribution primitive
+    * (impression→click, request→response, order→payment): pair each right
+    * event with the left events on the same key that happened in the
+    * window [right.ts − maxDelay, right.ts]. Both sides are genuinely
+    * unbounded, so unlike [[enrichStream]] nothing is broadcast: Spark
+    * buffers BOTH sides in the state store, keyed by the join key, and the
+    * time-bound + watermarks are what let it EVICT — without the range
+    * condition the state grows forever, which is why this operator
+    * REQUIRES the bound instead of defaulting one.
+    *
+    * State/correctness posture at scale: state per key is bounded by
+    * maxDelay × per-key rate; watermark lag adds to that linearly. Events
+    * later than their side's watermark are dropped by the join (standard
+    * streaming trade — size the watermarks to the real p99 lateness).
+    * Inner join emits as soon as both sides are present; matches are
+    * EXACTLY the batch range-join on the same frames, which is what the
+    * spec pins (run the same join in batch, compare).
+    *
+    * Both inputs must carry (keyCol, tsCol); output = left row + right's
+    * ts as `right_<tsCol>` + right's payload columns. */
+  def timeBoundJoinStream(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, maxDelay: String,
+      leftWatermark: String, rightWatermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, leftWatermark)
+    val rRenamed = right.columns.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"right_$c")
+    }
+    val r = rRenamed.withWatermark(s"right_$tsCol", rightWatermark)
+    l.join(r,
+      col(keyCol) === col(s"right_$keyCol") &&
+        col(s"right_$tsCol") >= col(tsCol) &&
+        col(s"right_$tsCol") <= col(tsCol) + expr(s"interval $maxDelay"))
+      .drop(s"right_$keyCol")
+  }
+
   /** Continuous gold refresh — the streaming analogue of the reference's
     * micro-batch `incremental_strategy='merge'` (daily_trip_stats.sql:3-11):
     * a STATEFUL streaming aggregation over the SAME GoldModel the batch

@@ -48,5 +48,31 @@ class IncrementalSpec extends SparkSpec {
       full.orderBy("day").collect().map(r => (r.getString(0), r.getLong(1)))
   }
 
+  test("refreshJoin: appends new keys, replaces updated ones, equals rebuild") {
+    val dim = Seq((10L, "gold"), (20L, "basic")).toDF("cust", "tier")
+    val factOld = Seq((1L, 10L, 5.0), (2L, 20L, 6.0)).toDF("id", "cust", "v")
+    // id 2 re-arrives with a new value AND a new dim key; id 3 is new.
+    val delta = Seq((2L, 10L, 60.0), (3L, 99L, 7.0)).toDF("id", "cust", "v")
+    val existing = factOld.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq("cust"), "left")
+    val out = IncrementalMaterializer.refreshJoin(
+      existing, delta, dim, Seq("id"), Seq("cust"))
+    val factNew = Seq((1L, 10L, 5.0), (2L, 10L, 60.0), (3L, 99L, 7.0))
+      .toDF("id", "cust", "v")
+    val rebuild = factNew.join(dim, Seq("cust"), "left")
+    out.select("id", "cust", "v", "tier").orderBy("id").collect().toSeq shouldBe
+      rebuild.select("id", "cust", "v", "tier").orderBy("id").collect().toSeq
+    // dim-missing key (99) stays a left-join null, not a dropped row
+    out.filter("id = 3").select("tier").head().isNullAt(0) shouldBe true
+  }
+
+  test("refreshJoin rejects schema drift between view and delta⋈dim") {
+    val dim = Seq((10L, "gold")).toDF("cust", "tier")
+    val delta = Seq((1L, 10L, 5.0)).toDF("id", "cust", "v")
+    val badView = Seq((1L, 10L, 5.0)).toDF("id", "cust", "v") // tier missing
+    an[IllegalArgumentException] should be thrownBy
+      IncrementalMaterializer.refreshJoin(badView, delta, dim, Seq("id"), Seq("cust"))
+  }
+
   private def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GroupingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sales = Seq(
+    ("east", "a", 10L), ("east", "a", 5L), ("east", "b", 7L),
+    ("west", "a", 2L))
+    .toDF("region", "sku", "qty")
+
+  test("rollupAgg: detail, per-prefix subtotal, grand total, gid bitmask") {
+    val out = Grouping.rollupAgg(sales, Seq("region", "sku"),
+        Seq(sum($"qty").as("qty")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    out shouldBe Set(
+      // gid 0: detail level
+      ("east", "a", 0L, 15L), ("east", "b", 0L, 7L), ("west", "a", 0L, 2L),
+      // gid 1: sku rolled up (rightmost dim = LSB)
+      ("east", null, 1L, 22L), ("west", null, 1L, 2L),
+      // gid 3: grand total
+      (null, null, 3L, 24L))
+  }
+
+  test("cubeAgg: all four grouping sets, including the rollup-absent (sku)") {
+    val out = Grouping.cubeAgg(sales, Seq("region", "sku"),
+        Seq(sum($"qty").as("qty")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // gid 2 = region rolled up (MSB set): the lattice row ROLLUP lacks.
+    out.filter(_._3 == 2L) shouldBe Set(
+      (null, "a", 2L, 17L), (null, "b", 2L, 7L))
+    out.map(_._3) shouldBe Set(0L, 1L, 2L, 3L)
+    out.size shouldBe 3 + 2 + 2 + 1
+  }
+}

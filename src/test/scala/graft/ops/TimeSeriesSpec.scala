@@ -83,4 +83,26 @@ class TimeSeriesSpec extends SparkSpec {
     c("2024-03-02") shouldBe (None, true)      // gap before any known value
     c("2024-03-03") shouldBe (Some(10L), false)
   }
+
+  test("hoppingAgg: each event lands in size/slide epoch-aligned windows") {
+    // size 10s, slide 5s. t=12s → windows starting 5s and 10s;
+    // t=5s → windows 0s and 5s; t=0 → windows -5s and 0s.
+    val ev = Seq(("k", 0L, 1.0), ("k", 5000000L, 2.0), ("k", 12000000L, 4.0))
+      .toDF("key", "ts_us", "v")
+    val out = TimeSeries.hoppingAgg(ev, "ts_us", "key", "v",
+        sizeUs = 10000000L, slideUs = 5000000L)
+      .orderBy("window_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      (-5000000L, 1L, 1000000L),            // covers t=0 only
+      (0L, 2L, 3000000L),                   // t=0 and t=5s
+      (5000000L, 2L, 6000000L),             // t=5s and t=12s
+      (10000000L, 1L, 4000000L))            // t=12s
+  }
+
+  test("hoppingAgg rejects a size that is not a multiple of slide") {
+    val ev = Seq(("k", 0L, 1.0)).toDF("key", "ts_us", "v")
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeries.hoppingAgg(ev, "ts_us", "key", "v", 7L, 3L)
+  }
 }

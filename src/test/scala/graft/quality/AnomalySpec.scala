@@ -181,6 +181,32 @@ class AnomalySpec extends SparkSpec {
     out(1).getAs[Long]("slope_den") shouldBe 0L
   }
 
+  test("linearFit: slope/intercept/r2, recentered x, degenerate groups null") {
+    import spark.implicits._
+    val pts = Seq(
+      // perfect line y = 7x + 3 over raw x ∈ {100,101,102}; recentering
+      // puts the intercept at the group's FIRST x: y(100) = 703
+      ("a", 100L, 703L), ("a", 101L, 710L), ("a", 102L, 717L),
+      // imperfect: y = {0, 2, 1} on x = {0,1,2} → slope 0.5, r2 = 0.25
+      ("b", 0L, 0L), ("b", 1L, 2L), ("b", 2L, 1L),
+      // flat y: slope 0, r2 undefined (varY = 0)
+      ("c", 0L, 5L), ("c", 1L, 5L),
+      // flat x: no fit at all
+      ("d", 3L, 1L), ("d", 3L, 9L))
+      .toDF("grp", "x", "y")
+    val out = Anomaly.linearFit(pts, Seq("grp"), "x", "y")
+      .orderBy("grp").collect()
+    out(0).getAs[Double]("slope") shouldBe 7.0
+    out(0).getAs[Double]("intercept") shouldBe 703.0
+    out(0).getAs[Double]("r2") shouldBe 1.0
+    out(1).getAs[Double]("slope") shouldBe 0.5
+    out(1).getAs[Double]("r2") shouldBe 0.25
+    out(2).getAs[Double]("slope") shouldBe 0.0
+    out(2).isNullAt(out(2).fieldIndex("r2")) shouldBe true
+    out(3).isNullAt(out(3).fieldIndex("slope")) shouldBe true
+    out(3).isNullAt(out(3).fieldIndex("r2")) shouldBe true
+  }
+
   test("winsorize keeps and clamps the NULL group instead of dropping it") {
     import spark.implicits._
     val df = Seq(Some("a") -> 1.0, Some("a") -> 10.0,

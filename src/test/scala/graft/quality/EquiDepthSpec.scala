@@ -1,0 +1,28 @@
+package graft.quality
+
+import graft.SparkSpec
+
+class EquiDepthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equiDepthProfile: ntile buckets, earlier buckets carry the remainder") {
+    // 7 rows, 3 buckets → sizes 3, 2, 2 on the (value, id) total order.
+    val df = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+      (5L, 5.0), (6L, 6.0), (7L, 7.0)).toDF("id", "v")
+    val out = Anomaly.equiDepthProfile(df, "v", "id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out shouldBe Array(
+      (1L, 3L, 1000000L, 3000000L),
+      (2L, 2L, 4000000L, 5000000L),
+      (3L, 2L, 6000000L, 7000000L))
+  }
+
+  test("boundary twin agrees with ntile on a tie-free frame") {
+    val df = (1L to 40L).map(i => (i, i * 1.5)).toDF("id", "v")
+    val byNtile = Anomaly.equiDepthProfile(df, "v", "id", 4)
+      .select("bucket", "n_rows", "min_e6", "max_e6", "sum_e6")
+    val byBounds = Anomaly.equiDepthProfileByBounds(df, "v", 4)
+      .select("bucket", "n_rows", "min_e6", "max_e6", "sum_e6")
+    byNtile.collect() shouldBe byBounds.collect()
+  }
+}

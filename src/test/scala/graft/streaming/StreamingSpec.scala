@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.config.{DedupeSpec, DerivedColumn, SilverSpec}
 import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.streaming.OutputMode
 
 class StreamingSpec extends SparkSpec {
@@ -730,6 +731,43 @@ class StreamingSpec extends SparkSpec {
         .exceptAll(expect).count() shouldBe 0L
       expect.exceptAll(spark.read.parquet(snap).select("k", "price"))
         .count() shouldBe 0L
+    } finally q.stop()
+  }
+
+  test("timeBoundJoinStream matches the batch range-join on the same frames") {
+    def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 00:$m:00")
+    val impressions = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val li = impressions.toDF().toDF("key", "ts", "ad")
+    val rc = clicks.toDF().toDF("key", "ts", "cost")
+    val joined = Streaming.timeBoundJoinStream(li, rc,
+      "key", "ts", maxDelay = "10 minutes",
+      leftWatermark = "30 minutes", rightWatermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("tb_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impressions.addData(
+        (1L, t("01"), "adA"), // clicked at :05 (in window) and :20 (out)
+        (1L, t("18"), "adB"), // clicked at :20 (in window)
+        (2L, t("01"), "adC")) // clicked on key 1 only — no match
+      clicks.addData((1L, t("05"), 0.5), (1L, t("20"), 0.7))
+      q.processAllAvailable()
+      val got = spark.table("tb_join")
+        .select("key", "ad", "right_cost").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      got shouldBe Set((1L, "adA", 0.5), (1L, "adB", 0.7))
+      // the exact same op on the same frames as BATCH range-join
+      val bi = Seq((1L, t("01"), "adA"), (1L, t("18"), "adB"),
+        (2L, t("01"), "adC")).toDF("key", "ts", "ad")
+      val bc = Seq((1L, t("05"), 0.5), (1L, t("20"), 0.7))
+        .toDF("key", "ts", "cost")
+      val batch = bi.join(
+        bc.toDF("bkey", "bts", "cost"),
+        col("key") === col("bkey") && col("bts") >= col("ts") &&
+          col("bts") <= col("ts") + expr("interval 10 minutes"))
+        .select("key", "ad", "cost").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      got shouldBe batch
     } finally q.stop()
   }
 }
