@@ -32,12 +32,18 @@ object Graphs {
     * self-loops are removed first. Output: (node, n_triangles), nodes in
     * no triangle omitted. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edge set: a < b, deduped, no self-loops
+    // canonical undirected edge set: a < b, deduped, no self-loops.
+    // localCheckpoint (the dupClusters pattern): the edge set is referenced
+    // by the degree count, the orientation join, and the wedge-closing
+    // membership join — without cutting lineage here, Catalyst would
+    // replay the caller's whole edge-derivation pipeline (e.g. q150's
+    // basket-pair build) once per reference.
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -46,6 +52,7 @@ object Graphs {
     val withDeg = canon
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    // checkpointed too: both wedge legs (o1, o2) read it
     val oriented = withDeg.select(
       when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
@@ -53,6 +60,7 @@ object Graphs {
         .otherwise(struct(col("b").as("src"), col("a").as("dst")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
     // wedges at each apex: unordered pairs of out-neighbors
     val o1 = oriented.select(col("src").as("apex"), col("dst").as("u"))
     val o2 = oriented.select(col("src").as("apex"), col("dst").as("v"))
