@@ -1285,6 +1285,29 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Rolling active users (DAU / 7-day WAU / stickiness): sliding-window
+    // DISTINCT has no frame-aggregate form — dedupe to (user, day), then
+    // a bounded ×7 explode in (user, day) space, count distinct per
+    // window end. Exact integer stickiness ratio.
+    "q163_rolling_active" -> ((s, dir) =>
+      graft.ops.Retention.rollingActive(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts div 86400000000000").as("day")),
+        "user_id", "day", windowDays = 7)
+        .orderBy("day")),
+
+    // Per-domain Pareto frontier: q155's staircase partitioned by source,
+    // so every domain keeps its own exemplar curve — dominance judged
+    // within the stratum only.
+    "q164_domain_pareto" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.uniqueTokenCount(col("text")).cast("long").as("n_uniq"))
+      Pareto.skyline2DGrouped(pts, Seq("source"), "n_tokens", "n_uniq")
+        .orderBy("doc_id")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -5024,6 +5047,29 @@ object SparkEntry {
         |   / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
         | END AS r2
         |FROM st ORDER BY event_type""".stripMargin,
+    // q163: the same ×7 (user, day)-space explode; range() is
+    // exclusive-end ≡ Spark's inclusive sequence(d, d+6).
+    "q163_rolling_active" ->
+      """WITH active AS (SELECT DISTINCT user_id AS e,
+        |  epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |daily AS (SELECT d AS day, count(*) AS dau FROM active GROUP BY 1),
+        |w AS (SELECT e, unnest(range(d, d + 7)) AS day FROM active),
+        |wa AS (SELECT day, count(DISTINCT e) AS wau FROM w GROUP BY 1)
+        |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_e6
+        |FROM wa JOIN daily USING (day) ORDER BY day""".stripMargin,
+    // q164: q155's dominance oracle with the stratum in the correlation.
+    "q164_domain_pareto" ->
+      """WITH p AS (SELECT doc_id, source,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT)
+        |    AS n_uniq
+        |  FROM documents)
+        |SELECT source, n_tokens, n_uniq, doc_id FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE q.source = p.source
+        |    AND q.n_tokens >= p.n_tokens AND q.n_uniq >= p.n_uniq
+        |    AND (q.n_tokens > p.n_tokens OR q.n_uniq > p.n_uniq))
+        |ORDER BY doc_id""".stripMargin,
     // q147: exact per-domain bigram counts + rank window, same tiebreak.
     "q147_domain_ngrams" ->
       """WITH t AS (SELECT source AS domain,

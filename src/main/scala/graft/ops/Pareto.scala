@@ -27,12 +27,22 @@ object Pareto {
   /** Rows of `df` on the maximize-(xCol, yCol) Pareto frontier. Criteria
     * must be non-null; rows with a null criterion are dropped up front
     * (null is never "better than" anything). */
-  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    skyline2DGrouped(df, Nil, xCol, yCol)
+
+  /** Per-group frontier: dominance is judged WITHIN each `groupCols`
+    * stratum (per-domain exemplars, per-language quality/length curve) —
+    * the staircase window partitions by group, so no stratum's giants
+    * shadow another's. Empty groupCols = the global skyline. */
+  def skyline2DGrouped(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-    val perX = pts.groupBy(xCol).agg(max(col(yCol)).as("__ymax"))
+    val perX = pts.groupBy(gcols :+ col(xCol): _*)
+      .agg(max(col(yCol)).as("__ymax"))
     // Descending by x, strictly-previous rows only: rmax = best y among
     // points with strictly larger x (per-x grouping ⇒ no x ties in frame).
-    val w = Window.orderBy(col(xCol).desc)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val frontier = perX
       .withColumn("__rmax", max(col("__ymax")).over(w))
@@ -40,10 +50,10 @@ object Pareto {
       // (larger x is the strict part). Survivors strictly improve y as x
       // decreases — the classic staircase.
       .filter(col("__rmax").isNull || col("__ymax") > col("__rmax"))
-      .select(col(xCol), col("__ymax").as(yCol))
+      .select(gcols ++ Seq(col(xCol), col("__ymax").as(yCol)): _*)
     // Within a surviving x level only the y = ymax rows are undominated
-    // (same x, larger y is strict) — the equi-join on (x, ymax) keeps
-    // exactly those, duplicates included.
-    pts.join(broadcast(frontier), Seq(xCol, yCol))
+    // (same x, larger y is strict) — the equi-join on (group, x, ymax)
+    // keeps exactly those, duplicates included.
+    pts.join(broadcast(frontier), groupCols ++ Seq(xCol, yCol))
   }
 }

@@ -69,4 +69,42 @@ object Retention {
       .agg(count(lit(1)).as("new_entities"))
       .withColumn("cum_entities", sum("new_entities").over(w))
   }
+
+  /** Rolling active-entity counts (DAU/WAU-style): for every day, the
+    * distinct entities active that day (`dau`) and within the trailing
+    * `windowDays`-day window (`wau`), plus the stickiness ratio
+    * dau/wau in exact micro-units — the engagement report every
+    * training-data freshness dashboard and product dashboard shares.
+    *
+    * A DISTINCT over a sliding window has no direct window-function form
+    * (count(distinct) isn't a frame aggregate); the scalable shape is:
+    * dedupe to (entity, day) — the only shuffle that sees row data — then
+    * explode each active-day into the `windowDays` window-end days it
+    * contributes to (bounded ×windowDays growth in (entity, day) space,
+    * NOT row space), and count distinct entities per window end. An
+    * entity active on several days of one window lands in it several
+    * times — the count_distinct dedupes, exactly the semantic.
+    *
+    * Output: one row per day that has ≥1 event (window ends on days with
+    * zero activity are absent — gapFillDaily densifies if needed), with
+    * `wau` counting over [day − windowDays + 1, day] ∩ observed days,
+    * including the leading ramp-up days. */
+  def rollingActive(events: DataFrame, entityCol: String, dayCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val active = events.select(col(entityCol).as("_e"),
+      col(dayCol).cast("long").as("_d")).distinct()
+    val daily = active.groupBy(col("_d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val windowed = active
+      .select(col("_e"), explode(sequence(col("_d"),
+        col("_d") + lit(windowDays - 1L))).as("day"))
+      .groupBy("day")
+      .agg(count_distinct(col("_e")).as("wau"))
+      // only window ends that are themselves observed days: the trailing
+      // windowDays-1 ends past the last activity are projection artifacts
+      .join(daily, Seq("day"))
+    windowed.select(col("day"), col("dau"), col("wau"),
+      expr("dau * 1000000L div wau").as("stickiness_e6"))
+  }
 }

@@ -30,4 +30,17 @@ class ParetoSpec extends SparkSpec {
     Pareto.skyline2D(pts, "x", "y")
       .select("id").as[Long].collect() shouldBe Array(1L)
   }
+
+  test("skyline2DGrouped: dominance judged within each stratum only") {
+    val pts = Seq(
+      // group g1: (10,1) and (1,10) both frontier; (1,1) dominated
+      (1L, "g1", 10L, 1L), (2L, "g1", 1L, 10L), (3L, "g1", 1L, 1L),
+      // group g2: a single modest point survives even though g1's points
+      // would dominate it globally
+      (4L, "g2", 2L, 2L))
+      .toDF("id", "grp", "x", "y")
+    val out = Pareto.skyline2DGrouped(pts, Seq("grp"), "x", "y")
+      .select("id").as[Long].collect().sorted
+    out shouldBe Array(1L, 2L, 4L)
+  }
 }

@@ -33,4 +33,20 @@ class RetentionSpec extends SparkSpec {
     // cumulative distinct count at every period
     out.toSeq shouldBe Seq((0L, 2L, 2L), (2L, 1L, 3L), (5L, 1L, 4L))
   }
+
+  test("rollingActive: window distinct dedupes multi-day users, exact ratio") {
+    val events = Seq(
+      (1L, 0L), (1L, 0L), // same user+day twice — one active-day
+      (2L, 0L),
+      (1L, 2L),           // user 1 again inside the day-2 window
+      (3L, 5L))           // outside the 3-day window of days 0-2
+      .toDF("user_id", "day")
+    val out = Retention.rollingActive(events, "user_id", "day", windowDays = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (0L, 2L, 2L, 1000000L), // day 0: users {1,2} both ways
+      (2L, 1L, 2L, 500000L),  // day 2: dau {1}; window {0,1,2} → users {1,2}
+      (5L, 1L, 1L, 1000000L)) // day 5: only user 3 (days 3,4 absent: no rows)
+  }
 }
