@@ -235,7 +235,9 @@ object ConfigLoader {
         },
         filters = strList(gm, "filters"),
         orderBy = strList(gm, "order_by"),
-        limit = gm.get("limit").map(_.toString.toInt))
+        limit = gm.get("limit").map(_.toString.toInt),
+        rollup = gm.get("rollup").exists(_.asInstanceOf[Boolean]),
+        cube = gm.get("cube").exists(_.asInstanceOf[Boolean]))
     }
 
     val quality = root.get("quality").map { q =>

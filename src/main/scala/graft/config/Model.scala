@@ -31,13 +31,20 @@ final case class SilverSpec(
   * aggregate expressions. */
 final case class Measure(name: String, expression: String)
 
+/** `rollup`/`cube` switch the groupBy to the multi-level grouping-set
+  * form (every hierarchy level / the full 2^n lattice in ONE aggregate,
+  * plus a `gid` grouping-set bitmask column — `ops/Grouping` semantics).
+  * Mutually exclusive; incompatible with incremental/streaming refresh,
+  * whose MERGE keys assume one grouping set. */
 final case class GoldModel(
     name: String,
     groupBy: Seq[String],
     measures: Seq[Measure],
     filters: Seq[String] = Nil,
     orderBy: Seq[String] = Nil,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    rollup: Boolean = false,
+    cube: Boolean = false)
 
 /** Quality-check configs (reference Q1-Q12 surface,
   * src/data_quality/quality_checks.py + anomaly_detection.py). */

@@ -25,12 +25,24 @@ object AggregationEngine {
 
   def build(df: DataFrame, model: GoldModel): DataFrame = {
     require(model.measures.nonEmpty, s"gold model ${model.name} needs measures")
+    require(!(model.rollup && model.cube),
+      s"gold model ${model.name}: rollup and cube are mutually exclusive")
+    require(!(model.rollup || model.cube) || model.groupBy.nonEmpty,
+      s"gold model ${model.name}: rollup/cube need group_by dims")
     val filtered = model.filters.foldLeft(df)((d, f) => d.filter(f))
     // groupBy entries may be bare columns or aliased expressions.
     val keys = model.groupBy.map(expr)
     val aggs = model.measures.map(m => expr(m.expression).as(m.name))
     val grouped =
-      if (keys.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
+      if (model.rollup || model.cube) {
+        // multi-level form: all hierarchy levels (rollup) or the full dim
+        // lattice (cube) in one aggregate, subtotal rows tagged by the
+        // `gid` grouping-set bitmask (ops/Grouping semantics, q154/q159).
+        val sets =
+          if (model.rollup) filtered.rollup(keys: _*) else filtered.cube(keys: _*)
+        sets.agg(grouping_id().cast("long").as("gid"), aggs: _*)
+      }
+      else if (keys.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
       else filtered.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     val ordered =
       if (model.orderBy.nonEmpty) grouped.orderBy(model.orderBy.map(parseSort): _*)

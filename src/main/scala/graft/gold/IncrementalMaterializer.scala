@@ -49,7 +49,13 @@ object IncrementalMaterializer {
       model: GoldModel,
       watermarkSourceCol: String,
       martWatermarkCol: String,
-      lookbackDays: Int): DataFrame =
+      lookbackDays: Int): DataFrame = {
+    // a rollup/cube mart has N grouping sets per key tuple: the MERGE key
+    // (groupBy names) no longer identifies a row, so incremental refresh
+    // would silently collide subtotal levels — rebuild those marts fully
+    require(!model.rollup && !model.cube,
+      s"gold model ${model.name}: rollup/cube marts cannot refresh " +
+        "incrementally (grouping sets share key tuples) - rebuild fully")
     existing.flatMap(e =>
       watermark(e, martWatermarkCol, lookbackDays).map { wm =>
         val delta = silver.filter(col(watermarkSourceCol) >= lit(wm))
@@ -63,6 +69,7 @@ object IncrementalMaterializer {
             s"watermark column '$martWatermarkCol' as a model measure")
         merge(e, updates, model.groupBy.map(keyName))
       }).getOrElse(AggregationEngine.build(silver, model))
+  }
 
   /** groupBy entries may be "col" or "expr AS alias" — the mart key is the
     * output name. */

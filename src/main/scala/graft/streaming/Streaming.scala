@@ -413,6 +413,9 @@ object Streaming {
       checkpointDir: String): StreamingQuery = {
     require(model.orderBy.isEmpty && model.limit.isEmpty,
       "streaming gold models cannot sort/limit — order the mart at read time")
+    require(!model.rollup && !model.cube,
+      "streaming gold models cannot rollup/cube — the merge key would " +
+        "collide grouping sets; materialize levels from the batch mart")
     require(partitionKeys.nonEmpty,
       "goldRefreshStream needs at least one partition key — partition-scoped " +
         "overwrite is the durability story; any stable group-key subset works")

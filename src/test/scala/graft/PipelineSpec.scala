@@ -705,4 +705,39 @@ class PipelineSpec extends SparkSpec {
     val bad = yaml.replace("strategy: prefix", "strategy: exact")
     an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(bad)
   }
+
+  test("gold rollup: config-driven multi-level mart with gid; incremental refusal") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: rollup_mart
+        |gold:
+        |  - name: levels
+        |    rollup: true
+        |    group_by:
+        |      - src
+        |      - lang
+        |    measures:
+        |      - name: docs
+        |        expression: count(1)
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    val model = cfg.gold.head
+    model.rollup shouldBe true
+    val docs = Seq(("web", "en"), ("web", "de"), ("books", "en"))
+      .toDF("src", "lang")
+    val mart = graft.gold.AggregationEngine.build(docs, model)
+    val byGid = mart.collect().groupBy(_.getAs[Long]("gid"))
+    byGid(0L).length shouldBe 3  // detail rows
+    byGid(1L).length shouldBe 2  // per-src subtotals
+    byGid(3L).map(_.getAs[Long]("docs")).toSeq shouldBe Seq(3L) // grand total
+    // grouping sets share key tuples → incremental MERGE keys collide;
+    // refresh refuses rather than corrupting subtotal levels
+    an[IllegalArgumentException] should be thrownBy
+      graft.gold.IncrementalMaterializer.refresh(
+        docs, Some(mart), model, "src", "src", 1)
+    // rollup+cube on one model is contradictory, caught at build
+    an[IllegalArgumentException] should be thrownBy
+      graft.gold.AggregationEngine.build(docs, model.copy(cube = true))
+  }
 }
