@@ -1308,6 +1308,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental cluster maintenance: q45's clustering built from the
+    // old-corpus pairs only, then new pairs folded in as {star edges} ∪
+    // {new pairs} — the closure never re-reads old pair generation. The
+    // oracle is the FULL recompute over all pairs, so green proves the
+    // star-forest reduction preserves components exactly (bridges
+    // between old clusters included).
+    "q165_incremental_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val allPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
+          maxShingleFreq = 100)
+        .filter(col("jaccard") > 0.5)
+      val cut = lit(300L) // docs below are the "old" corpus
+      val oldPairs = allPairs.filter(col("id_a") < cut && col("id_b") < cut)
+      val newPairs = allPairs.filter(col("id_a") >= cut || col("id_b") >= cut)
+      Dedup.mergeClusters(Dedup.dupClusters(oldPairs), newPairs)
+        .orderBy("id")
+    }),
+
+    // Cross-table fuzzy linkage: q157's deletion-neighborhood blocking
+    // between a dirty probe set (deterministically perturbed names —
+    // first char dropped, or last char dropped so TEN canonical rows
+    // match) and the canonical customer dim. Oracle is the quadratic
+    // cross join.
+    "q166_fuzzy_link" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val probes = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("p_id"),
+          when(col("c_custkey") % 2 === 0,
+            expr("substring(c_name, 2)"))
+            .otherwise(expr("substring(c_name, 1, length(c_name) - 1)"))
+            .as("p_name"))
+      Fuzzy.editDistance1JoinBetween(probes, "p_id", "p_name",
+          cust, "c_custkey", "c_name")
+        .orderBy("left_id", "right_id")
+    }),
+
     // Quality-gate failure crosstab: per source, docs by first-failing
     // rule (passed/token_count/avg_token_len/ttr/dup_2gram) — the gate
     // dashboard, composing the Gopher gate's audit column with the
@@ -5057,6 +5093,42 @@ object SparkEntry {
         |wa AS (SELECT day, count(DISTINCT e) AS wau FROM w GROUP BY 1)
         |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_e6
         |FROM wa JOIN daily USING (day) ORDER BY day""".stripMargin,
+    // q165: the FULL closure over all pairs (q143's machinery) — the
+    // incremental star-forest fold must reproduce it exactly.
+    "q165_incremental_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(list_distinct(list_transform(
+        |  range(1, len(toks) - 1),
+        |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+        |  s -> ('0x' || substr(md5(s),1,8))::BIGINT)) AS shingle FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS ss FROM sh GROUP BY doc_id),
+        |capped AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        |shc AS (SELECT sh.* FROM sh JOIN capped USING (shingle)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |  JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / CAST(sa.ss + sb.ss - inter AS DOUBLE) > 0.5),
+        |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT id_a, id_b FROM sym
+        |  UNION
+        |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a)
+        |SELECT src AS id, least(src, min(dst)) AS label
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    // q166: the quadratic probe×dim cross join the blocking must match.
+    "q166_fuzzy_link" ->
+      """WITH probes AS (SELECT c_custkey AS p_id,
+        |  CASE WHEN c_custkey % 2 = 0 THEN substr(c_name, 2)
+        |       ELSE substr(c_name, 1, length(c_name) - 1) END AS p_name
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT CAST(p.p_id AS BIGINT) AS left_id,
+        | CAST(c.c_custkey AS BIGINT) AS right_id,
+        | levenshtein(p.p_name, c.c_name) AS dist
+        |FROM probes p JOIN customer c
+        |  ON levenshtein(p.p_name, c.c_name) <= 1
+        |ORDER BY left_id, right_id""".stripMargin,
     // q164: q155's dominance oracle with the stratum in the correlation.
     "q164_domain_pareto" ->
       """WITH p AS (SELECT doc_id, source,

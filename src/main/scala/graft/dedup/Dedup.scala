@@ -790,6 +790,30 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL cluster maintenance: fold a batch of newly-discovered
+    * near-dup pairs into an existing (id, label) clustering without
+    * re-running pair GENERATION over the historical corpus — the
+    * labels-side counterpart of `dedupeAgainstCorpus`'s incremental pair
+    * discovery. An old clustering is exactly a star forest (every member
+    * points at its min-id label), so components of
+    * {star edges} ∪ {new pairs} are precisely the components of
+    * {all old pairs} ∪ {new pairs}: star edges preserve old connectivity
+    * (anything transitively linked before stays linked through the
+    * label), and closure handles bridges the new pairs create between
+    * old clusters. Labels stay min-id canonical.
+    *
+    * Scale shape: the closure input is dup-membership + |new pairs| sized
+    * (≪ corpus — docs in no cluster never enter), and [[dupClusters]]'s
+    * pointer-jumping rounds do the rest. Oracle-checked as ≡ a full
+    * recompute over the union of all pairs (q165). */
+  def mergeClusters(oldLabels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val starEdges = oldLabels
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("id_a"), col("label").as("id_b"))
+    dupClusters(starEdges.unionByName(
+      newPairs.select(col("id_a"), col("id_b"))))
+  }
+
   /** Near-dup pairs AT SCALE: MinHash-LSH candidate generation followed by
     * exact Jaccard verification of the candidates only — the linear-shuffle
     * replacement for `jaccardPairs`' full inverted-index pair expansion when

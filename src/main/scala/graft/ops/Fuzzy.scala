@@ -28,16 +28,19 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** All unordered pairs (id_a < id_b) of rows whose `strCol` values are
-    * within Levenshtein distance 1, with the distance. */
-  def editDistance1Join(df: DataFrame, idCol: String, strCol: String,
-      maxBlockSize: Int = 1000): DataFrame = {
-    val keyed = df
-      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+  /** (id, s, k) with one row per deletion-neighborhood key of s. */
+  private def delKeys(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .withColumn("k", explode(array_distinct(expr(
         // i = 0..len-1 deletes char i+1; i = len yields s itself.
         "transform(sequence(0, length(s)), " +
           "i -> concat(substring(s, 1, i), substring(s, i + 2)))"))))
+
+  /** All unordered pairs (id_a < id_b) of rows whose `strCol` values are
+    * within Levenshtein distance 1, with the distance. */
+  def editDistance1Join(df: DataFrame, idCol: String, strCol: String,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val keyed = delKeys(df, idCol, strCol)
     val capped =
       if (maxBlockSize > 0) {
         val hot = keyed.groupBy("k").agg(count(lit(1)).as("__n"))
@@ -50,6 +53,36 @@ object Fuzzy {
         col("a.s").as("s_a"), col("b.s").as("s_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+  }
+
+  /** Cross-TABLE record linkage: (left_id, right_id, dist) for every pair
+    * within Levenshtein distance 1 — match a dirty fact-side string column
+    * (scraped names, typo'd titles) against a canonical dimension without
+    * the |L|×|R| cross product. Same deletion-neighborhood blocking and
+    * the same completeness argument as [[editDistance1Join]] (the
+    * substitution/indel/equality cases never relied on self-joining); the
+    * hot-block cap applies to the COMBINED per-key frequency — a key hot
+    * on either side floods the join the same way. */
+  def editDistance1JoinBetween(left: DataFrame, leftId: String,
+      leftStr: String, right: DataFrame, rightId: String, rightStr: String,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val lk = delKeys(left, leftId, leftStr)
+    val rk = delKeys(right, rightId, rightStr)
+    val hot =
+      if (maxBlockSize > 0)
+        lk.select("k").unionAll(rk.select("k"))
+          .groupBy("k").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBlockSize).select("k")
+      else lk.select("k").limit(0)
+    val lc = lk.join(broadcast(hot), Seq("k"), "left_anti")
+    val rc = rk.join(broadcast(hot), Seq("k"), "left_anti")
+    lc.as("a").join(rc.as("b"), col("a.k") === col("b.k"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .distinct()
+      .select(col("left_id"), col("right_id"),
         levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
   }

@@ -661,6 +661,38 @@ object Streaming {
       }
   }
 
+  final case class CapEvent(key: Long, tsUs: Long, tie: Long, value: Double)
+
+  /** Streaming per-key contributor cap — q137's batch cap as a stream:
+    * emit each key's first `maxPerKey` events (by event time) and drop
+    * the rest, with one Long of state per key. The data-curation
+    * rate-limiter: no user/domain/device floods the corpus however long
+    * the stream runs, and state NEVER grows with traffic — it is one
+    * counter per key, the cheapest stateful op in this file.
+    *
+    * Ordering contract (the transitionStream posture): events are ranked
+    * (tsUs, tie) WITHIN each trigger; an event arriving in a later
+    * trigger after the cap filled is dropped even if its event time
+    * precedes an emitted one. Exactly-the-batch-cap semantics need the
+    * batch operator; this is the bounded-state streaming trade, and the
+    * spec pins both the per-trigger agreement and the divergence. */
+  def capStream(events: org.apache.spark.sql.Dataset[CapEvent],
+      maxPerKey: Int): org.apache.spark.sql.Dataset[CapEvent] = {
+    require(maxPerKey >= 1, s"maxPerKey must be >= 1, got $maxPerKey")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, CapEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[CapEvent], state: GroupState[Long]) =>
+          val used = state.getOption.getOrElse(0L)
+          val room = (maxPerKey - used).max(0L).toInt
+          val take = rows.toSeq.sortBy(e => (e.tsUs, e.tie)).take(room)
+          if (take.nonEmpty) state.update(used + take.size)
+          take.iterator
+      }
+  }
+
   /** Keyed running aggregate via mapGroupsWithState — the custom-state
     * primitive (per-key counters, sessionization, online quality stats). */
   def runningTotals(events: org.apache.spark.sql.Dataset[KeyedEvent])

@@ -158,6 +158,21 @@ class DedupSpec extends SparkSpec {
     kept shouldBe Array(1L, 3L, 4L) // canonical members + untouched singleton
   }
 
+  test("mergeClusters: new pairs fold in and bridge old clusters exactly") {
+    val oldPairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val oldLabels = Dedup.dupClusters(oldPairs)
+    // 2-5 bridges the two old clusters; 8-9 is an entirely new one
+    val newPairs = Seq((2L, 5L), (8L, 9L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeClusters(oldLabels, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.dupClusters(
+        oldPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    merged shouldBe full
+    merged(6L) shouldBe 1L // bridged transitively: 6-5-2-1
+    merged(8L) shouldBe 8L
+  }
+
   test("removeNearDupesKeepBest keeps the argmax-score member, ties to min id") {
     // cluster {1,2,6}: best score is 6's; cluster {3,5}: tie → min id 3;
     // singleton 4 untouched

@@ -22,6 +22,21 @@ class FuzzySpec extends SparkSpec {
       (5L, 6L) -> 0L)
   }
 
+  test("editDistance1JoinBetween: cross-table linkage incl. multi-match") {
+    val canon = Seq((1L, "cat7"), (2L, "cat9"), (3L, "dog4")).toDF("id", "name")
+    val probes = Seq(
+      (10L, "cat"),   // last char dropped: matches BOTH cat7 and cat9
+      (11L, "dogg4"), // one insertion from dog4
+      (12L, "bird"))  // matches nothing
+      .toDF("pid", "pname")
+    val out = Fuzzy.editDistance1JoinBetween(
+        probes, "pid", "pname", canon, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    out shouldBe Map(
+      (10L, 1L) -> 1L, (10L, 2L) -> 1L,
+      (11L, 3L) -> 1L)
+  }
+
   test("editDistance1Join: maxBlockSize drops hot blocks whole") {
     // 1-char strings all share the "" deletion key → one hot block.
     val tiny = (1L to 30L).map(i => (i, ('a' + (i % 26)).toChar.toString))

@@ -734,6 +734,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capStream: per-key cap persists across triggers, event-time ranked") {
+    import graft.streaming.Streaming.CapEvent
+    val stream = MemoryStream[CapEvent](spark)
+    val q = Streaming.capStream(stream.toDS(), maxPerKey = 2)
+      .writeStream.format("memory").queryName("capped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // trigger 1: key 1 floods with 3 events — lowest two (ts, tie) win
+      stream.addData(
+        CapEvent(1L, 30L, 0L, 3.0), CapEvent(1L, 10L, 0L, 1.0),
+        CapEvent(1L, 20L, 0L, 2.0), CapEvent(2L, 5L, 0L, 9.0))
+      q.processAllAvailable()
+      // trigger 2: key 1 is full (even an EARLIER event is dropped — the
+      // documented cross-trigger contract); key 2 has room
+      stream.addData(CapEvent(1L, 1L, 0L, 0.5), CapEvent(2L, 6L, 0L, 8.0))
+      q.processAllAvailable()
+      val got = spark.table("capped").collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSet
+      got shouldBe Set((1L, 1.0), (1L, 2.0), (2L, 9.0), (2L, 8.0))
+    } finally q.stop()
+  }
+
   test("timeBoundJoinStream matches the batch range-join on the same frames") {
     def t(m: String) = java.sql.Timestamp.valueOf(s"2024-01-01 00:$m:00")
     val impressions = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
