@@ -1308,6 +1308,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Native bounded-heap grouped top-k (`topk_longs`, graft's first
+    // custom AGGREGATE): at most k longs per (task × group) cross the
+    // shuffle — no rank window, no per-group sort. Output exploded to
+    // (group, rank, value) rows; a pure function of the input multiset.
+    "q167_native_topk" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("value_e6", round(col("value") * lit(1e6)).cast("long"))
+        .groupBy("event_type")
+        .agg(expr("topk_longs(value_e6, 5)").as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "value_e6")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("value_e6"))
+        .orderBy("event_type", "rank")),
+
     // Incremental cluster maintenance: q45's clustering built from the
     // old-corpus pairs only, then new pairs folded in as {star edges} ∪
     // {new pairs} — the closure never re-reads old pair generation. The
@@ -5093,6 +5108,16 @@ object SparkEntry {
         |wa AS (SELECT day, count(DISTINCT e) AS wau FROM w GROUP BY 1)
         |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_e6
         |FROM wa JOIN daily USING (day) ORDER BY day""".stripMargin,
+    // q167: rank-window replay — only VALUES are compared, so boundary
+    // ties are engine-order-independent.
+    "q167_native_topk" ->
+      """WITH v AS (SELECT event_type,
+        |  CAST(round(value * 1000000.0) AS BIGINT) AS value_e6,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(round(value * 1000000.0) AS BIGINT) DESC) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, value_e6
+        |FROM v WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     // q165: the FULL closure over all pairs (q143's machinery) — the
     // incremental star-forest fold must reproduce it exactly.
     "q165_incremental_clusters" ->

@@ -134,6 +134,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DupGramFracE6(children.head, litInt(children(1), "n"))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("topk_longs"),
+      new ExpressionInfo(classOf[TopKLongs].getName, "topk_longs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "topk_longs takes (integral column, k literal)")
+        TopKLongs(children.head, litInt(children(1), "k"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {
