@@ -1341,6 +1341,35 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // SCD Type-2 history: each user's event stream becomes a versioned
+    // validity timeline — valid_to = the next change's timestamp, null
+    // while current. One keyed window; completes the CDC family
+    // (snapshotDiff derives, applyChangeSet replays, this materializes
+    // the as-of-queryable dimension history).
+    "q168_scd2_history" -> ((s, dir) =>
+      Reconciliation.scd2History(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+        Seq("user_id"), "ts_us", "event_id")
+        .orderBy("user_id", "version")),
+
+    // Functional-dependency audit: which customers violate
+    // o_custkey → o_orderpriority (most — repeat customers order at
+    // mixed priorities; the empty-output case is the contract gate).
+    // Null rhs counts as its own contradictory value.
+    "q169_fd_violations" -> ((s, dir) =>
+      Checks.fdViolations(Tables.load(s, dir, "orders"),
+        Seq("o_custkey"), "o_orderpriority")
+        .orderBy("o_custkey")),
+
+    // Benford first-digit profile of order totals: exact e2-integer
+    // digit extraction (never double formatting), literal Benford
+    // shares, per-digit χ² contribution as a fixed IEEE dag.
+    "q170_benford" -> ((s, dir) =>
+      Anomaly.benfordReport(Tables.load(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
     // Cross-table fuzzy linkage: q157's deletion-neighborhood blocking
     // between a dirty probe set (deterministically perturbed names —
     // first char dropped, or last char dropped so TEN canonical rows
@@ -5142,6 +5171,49 @@ object SparkEntry {
         |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a)
         |SELECT src AS id, least(src, min(dst)) AS label
         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    // q168: the same one-window SCD2 derivation.
+    "q168_scd2_history" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        | epoch_us(ts) AS valid_from_us,
+        | lead(epoch_us(ts)) OVER w AS valid_to_us,
+        | CAST(row_number() OVER w AS BIGINT) AS version,
+        | lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    // q169: null-aware distinct-rhs count per lhs tuple.
+    "q169_fd_violations" ->
+      """SELECT o_custkey,
+        | CAST(count(DISTINCT o_orderpriority)
+        |   + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_rhs_values,
+        | count(*) AS n_rows
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(DISTINCT o_orderpriority)
+        |   + max(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) > 1
+        |ORDER BY o_custkey""".stripMargin,
+    // q170: integer-string digit extraction + literal Benford shares +
+    // the identical IEEE chi-square dag.
+    "q170_benford" ->
+      """WITH v AS (SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100.0)
+        |    AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND CAST(round(o_totalprice * 100.0) AS BIGINT) <> 0),
+        |c AS (SELECT digit, count(*) AS n_obs FROM v GROUP BY 1),
+        |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM c),
+        |pt(digit, p) AS (VALUES
+        |  (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |  (3, 0.12493873660829993), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514))
+        |SELECT c.digit, n_obs, n_obs * 1000000 // nn AS obs_share_e6,
+        | CAST(round(p * 1000000.0) AS BIGINT) AS benford_share_e6,
+        | CAST(round(1000000.0
+        |   * (CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) * p)
+        |   * (CAST(n_obs AS DOUBLE) - CAST(nn AS DOUBLE) * p)
+        |   / (CAST(nn AS DOUBLE) * p)) AS BIGINT) AS chi2_e6
+        |FROM c JOIN pt USING (digit), n ORDER BY digit""".stripMargin,
     // q166: the quadratic probe×dim cross join the blocking must match.
     "q166_fuzzy_link" ->
       """WITH probes AS (SELECT c_custkey AS p_id,

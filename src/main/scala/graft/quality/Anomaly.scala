@@ -644,4 +644,47 @@ object Anomaly {
 
   private def e6(c: Column): Column =
     round(c * lit(1e6)).cast("long")
+
+  /** Benford's-law first-digit profile of a money-like column — the
+    * fabricated-data / unit-mixup smell test (organically-grown amounts
+    * follow P(d) = log10(1 + 1/d); uniform or hand-entered ones don't).
+    *
+    * Determinism: the value is first fixed to exact e2 integer units
+    * (`round(x·100)` — the shift never changes the leading significant
+    * digit), and the first digit comes from the INTEGER's string form,
+    * identical on every engine — never from double formatting, which is
+    * not cross-engine stable. The nine Benford shares are hard literal
+    * doubles (no runtime log10), so the per-digit χ² contribution
+    * (obs − n·p)²/(n·p) is a fixed IEEE dag on exact integers.
+    * Zero-valued rows have no first digit and are excluded (standard
+    * Benford practice).
+    *
+    * Output: (digit, n_obs, obs_share_e6, benford_share_e6, chi2_e6),
+    * one row per digit 1..9 that occurs. One grouped count — the digit
+    * extraction is row-local; everything after lives in 9-row space. */
+  def benfordReport(df: DataFrame, column: String): DataFrame = {
+    // log10(1 + 1/d), d = 1..9 — fixed literals, bit-identical everywhere
+    val p = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val digitCol = substring(
+      abs(round(col(column) * lit(100)).cast("long")).cast("string"), 1, 1)
+      .cast("long")
+    val counts = df
+      .filter(col(column).isNotNull &&
+        round(col(column) * lit(100)).cast("long") =!= 0L)
+      .select(digitCol.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val n = counts.agg(sum(col("n_obs")).as("__n"))
+    val pExpr = element_at(array(p.map(lit): _*), col("digit").cast("int"))
+    counts.crossJoin(broadcast(n))
+      .withColumn("obs_share_e6", expr("n_obs * 1000000L div __n"))
+      .withColumn("benford_share_e6", round(pExpr * lit(1e6)).cast("long"))
+      .withColumn("chi2_e6",
+        round(lit(1e6) *
+          (col("n_obs").cast("double") - col("__n").cast("double") * pExpr) *
+          (col("n_obs").cast("double") - col("__n").cast("double") * pExpr) /
+          (col("__n").cast("double") * pExpr)).cast("long"))
+      .select("digit", "n_obs", "obs_share_e6", "benford_share_e6", "chi2_e6")
+  }
 }

@@ -242,4 +242,28 @@ object Checks {
     }
     (checkResults, expResults)
   }
+
+  /** Functional-dependency audit: the `lhs` value combinations that do NOT
+    * determine `rhs` — i.e. candidate-key / denormalization-contract
+    * violations ("order_id → status", "zone_id → zone_name"). For each
+    * violating lhs tuple: how many distinct rhs values it maps to and how
+    * many rows it covers. Empty output = the dependency holds exactly.
+    *
+    * Scale shape: one grouped aggregate on the lhs key (map-side
+    * partials; count_distinct expands to the standard two-phase distinct
+    * aggregate) and a filter — output is violation-sized, typically ≈ 0.
+    * Null rhs counts as a value of its own (a key mapping to both null
+    * and a value IS two contradictory facts). */
+  def fdViolations(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdViolations needs at least one lhs column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(
+        count_distinct(col(rhs)).as("__nd"),
+        max(col(rhs).isNull.cast("int")).as("__hasNull"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("n_rhs_values", (col("__nd") + col("__hasNull")).cast("long"))
+      .filter(col("n_rhs_values") > 1)
+      .drop("__nd", "__hasNull")
+      .select(lhs.map(col) ++ Seq(col("n_rhs_values"), col("n_rows")): _*)
+  }
 }

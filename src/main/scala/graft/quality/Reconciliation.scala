@@ -262,4 +262,30 @@ object Reconciliation {
       (c, pv.getOrElse(""), nv.getOrElse(""), status)
     }.toDF("column", "prev_type", "next_type", "status")
   }
+
+  /** SCD Type-2 history from a change/event stream: one validity interval
+    * per observed (key, change) — `valid_from_us` = the change's own
+    * timestamp, `valid_to_us` = the NEXT change's timestamp for the key
+    * (null while current), plus `is_current`, `version` (1-based per
+    * key). The warehouse dimension-history builder that completes the
+    * CDC family (snapshotDiff derives the changes, applyChangeSet
+    * replays them, this materializes the as-of-queryable timeline an
+    * `AsofJoin` then serves).
+    *
+    * Ties: `tieCol` totalizes the per-key order, so two changes in the
+    * same microsecond still produce a deterministic version chain (the
+    * earlier tie is superseded with a ZERO-length interval, not lost —
+    * audit trails keep every write). One keyed window (lead) — a single
+    * shuffle on the key at any scale. */
+  def scd2History(changes: DataFrame, keyCols: Seq[String], tsUsCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsUsCol), col(tieCol))
+    changes
+      .withColumn("valid_from_us", col(tsUsCol).cast("long"))
+      .withColumn("valid_to_us", lead(col(tsUsCol).cast("long"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
 }

@@ -237,4 +237,21 @@ class AnomalySpec extends SparkSpec {
     out(1).getAs[Long]("change_point") shouldBe 7L
     out(1).getAs[Long]("d_stat") shouldBe 0L
   }
+
+  test("benfordReport: integer-string digit, shares and chi2 exact") {
+    import spark.implicits._
+    // values in e2-exact form: 1.00 -> digit 1, 25.50 -> 2, 0.07 -> 7,
+    // -3.00 -> 3 (abs), 0.0 excluded, null excluded
+    val df = Seq(Some(1.0), Some(25.50), Some(0.07), Some(-3.0),
+      Some(0.0), None).toDF("v")
+    val out = Anomaly.benfordReport(df, "v")
+      .orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 250000L), (2L, 1L, 250000L), (3L, 1L, 250000L),
+      (7L, 1L, 250000L))
+    // benford share literal for digit 1 is log10(2) in e6
+    Anomaly.benfordReport(df, "v").filter("digit = 1")
+      .head().getAs[Long]("benford_share_e6") shouldBe 301030L
+  }
 }

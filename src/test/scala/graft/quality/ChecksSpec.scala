@@ -142,4 +142,20 @@ class ChecksSpec extends SparkSpec {
     Checks.regexMatchCounts(df, Seq(RegexCheck("code", "-")))
       .head().getLong(0) shouldBe 0L
   }
+
+  test("fdViolations: null-aware contradictions; holding FD is empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("x")), (1L, Some("x")),          // consistent
+      (2L, Some("x")), (2L, Some("y")),          // 2 values
+      (3L, Some("x")), (3L, None),               // value + null = 2 facts
+      (4L, None), (4L, None))                    // consistently null - holds
+      .toDF("k", "v")
+    val out = graft.quality.Checks.fdViolations(df, Seq("k"), "v")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((2L, 2L, 2L), (3L, 2L, 2L))
+    graft.quality.Checks.fdViolations(
+      df.filter("k = 1 or k = 4"), Seq("k"), "v").count() shouldBe 0L
+  }
 }

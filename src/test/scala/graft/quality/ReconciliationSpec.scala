@@ -117,4 +117,26 @@ class ReconciliationSpec extends SparkSpec {
       ("v", "double", "", "removed"),
       ("b", "", "boolean", "added"))
   }
+
+  test("scd2History: versioned validity chain, ties kept as zero-length") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 100L, 10L, "a"),
+      (1L, 101L, 20L, "b"),
+      (1L, 102L, 20L, "c"), // same ts as 101 - tie on event_id
+      (2L, 200L, 5L, "x"))
+      .toDF("user", "eid", "ts_us", "v")
+    val out = graft.quality.Reconciliation.scd2History(
+        changes, Seq("user"), "ts_us", "eid")
+      .orderBy("user", "version")
+      .collect().map(r => (r.getAs[Long]("user"), r.getAs[Long]("version"),
+        r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[Any]("valid_to_us")).map(_.asInstanceOf[Long]),
+        r.getAs[Boolean]("is_current"), r.getAs[String]("v")))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 10L, Some(20L), false, "a"),
+      (1L, 2L, 20L, Some(20L), false, "b"), // zero-length, superseded by tie
+      (1L, 3L, 20L, None, true, "c"),
+      (2L, 1L, 5L, None, true, "x"))
+  }
 }
