@@ -1341,6 +1341,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Deterministic integer PageRank over the basket co-occurrence graph:
+    // e9 fixed-point ranks, floor-division shares, exact integer sums —
+    // bit-identical on any engine/partitioning (a double PageRank's sum
+    // order drifts). 5 fixed rounds; the oracle unrolls them.
+    "q171_pagerank" -> ((s, dir) =>
+      graft.ops.Graphs.pageRank(
+        Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
+        "item_a", "item_b", iters = 5)
+        .orderBy("node")),
+
+    // 3-core of the same graph by iterative peeling (≤8 rounds, fixpoint
+    // short-circuit) — the dense-subgraph detector; the oracle replays
+    // exactly 8 peels (idempotent past the fixpoint, so parity holds
+    // whichever side converges first).
+    "q172_kcore" -> ((s, dir) =>
+      graft.ops.Graphs.kCore(
+        Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
+        "item_a", "item_b", k = 3, maxRounds = 8)
+        .orderBy("node")),
+
     // SCD Type-2 history: each user's event stream becomes a versioned
     // validity timeline — valid_to = the next change's timestamp, null
     // while current. One keyed window; completes the CDC family
@@ -2248,7 +2270,68 @@ object SparkEntry {
           threshold = 0.4, numPlanes = 4, dim = 64))
     }))
 
+  /** Shared edge-build CTE block for the graph oracles (q171/q172): the
+    * q150 basket-pair derivation, MATERIALIZED — the unrolled iterative
+    * rounds below reference their predecessor several times each, and
+    * without materialization DuckDB inlines the whole chain exponentially
+    * (3^rounds parquet scans blew the open-file limit in testing). */
+  private val basketEdgesMat: String =
+    """items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket,
+      |  l_partkey AS item FROM lineitem),
+      |sized AS (SELECT basket FROM items GROUP BY basket
+      |  HAVING count(*) <= 20),
+      |kept AS MATERIALIZED (SELECT i.* FROM items i JOIN sized USING (basket)),
+      |p AS (SELECT a.item AS a, b.item AS b, count(*) AS n
+      |  FROM kept a JOIN kept b USING (basket)
+      |  WHERE a.item < b.item GROUP BY 1, 2),
+      |e AS MATERIALIZED (SELECT a, b FROM p WHERE n >= 2),
+      |sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
+      |  UNION ALL SELECT b, a FROM e)""".stripMargin
+
+  /** q171 oracle: the integer-PageRank recurrence unrolled `iters` times —
+    * identical floor divisions, identical exact integer sums. */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.node, CAST((SELECT (15 * (1000000000 // n)) // 100 FROM nn)
+         |    + 85 * coalesce(s.inflow, 0) // 100 AS BIGINT) AS rank_e9
+         |  FROM deg d LEFT JOIN (
+         |    SELECT sym.dst AS node, sum(r.rank_e9 // dg.deg) AS inflow
+         |    FROM sym JOIN $prev r ON sym.src = r.node
+         |    JOIN deg dg ON sym.src = dg.node
+         |    GROUP BY 1) s ON d.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $basketEdgesMat,
+       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+       |  FROM sym GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+       |r0 AS MATERIALIZED (SELECT node,
+       |  (SELECT 1000000000 // n FROM nn) AS rank_e9 FROM deg),
+       |$rounds
+       |SELECT node, rank_e9 FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** q172 oracle: exactly `rounds` degree-peels (idempotent past the
+    * fixpoint, so parity with the short-circuiting operator holds). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val peels = (1 to rounds).map { i =>
+      val prev = if (i == 1) "sym" else s"s${i - 1}"
+      s"""s$i AS MATERIALIZED (SELECT s.src, s.dst FROM $prev s
+         |  WHERE s.src IN (SELECT src FROM $prev GROUP BY src
+         |    HAVING count(*) >= $k)
+         |  AND s.dst IN (SELECT src FROM $prev GROUP BY src
+         |    HAVING count(*) >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $basketEdgesMat,
+       |$peels
+       |SELECT src AS node, count(*) AS deg FROM s$rounds
+       |GROUP BY src ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q171_pagerank" -> pagerankOracle(5),
+    "q172_kcore" -> kcoreOracle(3, 8),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS count_order,

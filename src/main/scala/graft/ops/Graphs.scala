@@ -74,4 +74,106 @@ object Graphs {
       .select(explode(array(col("apex"), col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Symmetric (both-direction) edge list with self-loops dropped and
+    * duplicates removed — the shared preamble of the iterative ops. */
+  private def symmetric(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** PageRank over an UNDIRECTED edge list in exact fixed-point integer
+    * arithmetic — node importance for co-occurrence graphs (which items /
+    * domains / users sit at the network's center), engineered so two runs
+    * on any partitioning, any engine, agree BIT FOR BIT: ranks live in
+    * e9 integer units, every share is an integer floor division, and the
+    * neighbor sum is an exact integer aggregate (a double PageRank's sum
+    * order would drift in the last ulps across partitionings).
+    *
+    * r_{t+1}(v) = (15·(SCALE div N)) div 100
+    *            + (85 · Σ_{u~v} (r_t(u) div deg(u))) div 100
+    *
+    * Floor divisions leak mass deterministically (total rank drifts a few
+    * e-9 per round) — fine for ranking, which only needs ORDER. No
+    * dangling nodes by construction (symmetric edges ⇒ deg ≥ 1).
+    *
+    * Scale shape per round: one join of the rank table onto edges + one
+    * grouped sum — both keyed shuffles; localCheckpoint cuts lineage so
+    * round N never replans rounds 1..N−1 (the dupClusters posture).
+    * Fixed `iters` rounds: deterministic, and an oracle can unroll them.
+    * Output: (node, rank_e9). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sym = symmetric(edges, srcCol, dstCol).localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val scale = 1000000000L
+    val n = deg.count()
+    val init = scale / n
+    val base = (15L * init) / 100L
+    var ranks = deg.select(col("node"), lit(init).as("rank_e9"))
+    (1 to iters).foreach { _ =>
+      val contrib = sym
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_e9 div deg").as("share"))
+        .groupBy("node").agg(sum(col("share")).as("inflow"))
+      ranks = deg.select("node")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85L * coalesce(inflow, 0L) div 100"))
+            .as("rank_e9"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** k-CORE decomposition by iterative peeling: the maximal subgraph
+    * where every node keeps degree ≥ k — the dense-spam-farm /
+    * mirror-clique detector a triangle count only hints at. Each round
+    * recomputes degrees on the surviving subgraph and drops the nodes
+    * below k; the true core is the fixpoint.
+    *
+    * `maxRounds` bounds the peel DETERMINISTICALLY: the operator's
+    * contract is "the subgraph after `maxRounds` peels (or the fixpoint,
+    * whichever comes first)", so a fixed-round oracle replays it exactly;
+    * convergence short-circuits via the per-round count (one action per
+    * round, the dupClusters posture). Peeling removes ≥1 node per
+    * non-converged round, so maxRounds ≥ |V| always reaches the fixpoint.
+    * Output: (node, deg) within the surviving subgraph. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 20): DataFrame = {
+    require(k >= 1 && maxRounds >= 1,
+      s"need k >= 1 and maxRounds >= 1, got k=$k maxRounds=$maxRounds")
+    var sym = symmetric(edges, srcCol, dstCol).localCheckpoint()
+    var edgeCount = sym.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val keep = sym.groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("__keep"))
+      val next = sym
+        .join(keep.withColumnRenamed("__keep", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("__keep", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(eager = false)
+      // the ONE action of the round materializes the checkpoint and
+      // doubles as the convergence check
+      val after = next.count()
+      converged = after == edgeCount
+      edgeCount = after
+      sym = next
+      round += 1
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }
