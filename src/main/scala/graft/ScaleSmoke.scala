@@ -71,7 +71,14 @@ object ScaleSmoke {
     // the skyline staircase (per-x reduce + value-domain window), and the
     // global-sort ntile profile (the documented single-partition window —
     // its cost curve is exactly what equiDepthProfileByBounds avoids)
-    "q157_fuzzy_names", "q155_pareto_docs", "q158_decile_profile")
+    "q157_fuzzy_names", "q155_pareto_docs", "q158_decile_profile",
+    // fourth-tranche r13 additions: the graph family over the basket
+    // edges (oriented wedges, 5-round integer PageRank, 8-round 3-core
+    // peel — each round a keyed shuffle on the edge set), the bounded ×7
+    // rolling-distinct explode, the incremental cluster fold, and the
+    // cross-table fuzzy linkage
+    "q161_triangles", "q171_pagerank", "q172_kcore",
+    "q163_rolling_active", "q165_incremental_clusters", "q166_fuzzy_link")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

@@ -1341,6 +1341,38 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Sketch-space rolling actives: q163's exact DAU/WAU next to the HLL
+    // window form (per-day sketches, range-frame union — the 100 TB
+    // path), gated by the q114 invariant pattern: estimates must sit
+    // within 5% of exact, as oracle-TRUE booleans.
+    "q173_rolling_active_approx" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val exact = graft.ops.Retention.rollingActive(ev, "user_id", "day", 7)
+      val approx = graft.ops.Retention.rollingActiveApprox(
+        ev, "user_id", "day", 7)
+      exact.join(approx, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (abs(col("dau_est") - col("dau").cast("double"))
+            <= col("dau").cast("double") * lit(0.05)).as("dau_ok"),
+          (abs(col("wau_est") - col("wau").cast("double"))
+            <= col("wau").cast("double") * lit(0.05)).as("wau_ok"))
+        .orderBy("day")
+    }),
+
+    // Day-of-week seasonal residuals: each (type, day) daily mass scored
+    // against ITS weekday slot's baseline (epoch-anchored day%7 — exact
+    // integer, no engine dow trap) from exact BIGINT sufficient stats;
+    // z via the fixed IEEE divide/sqrt dag.
+    "q174_seasonal_residuals" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(sum(round(col("value") * lit(100)).cast("long")).as("y_e2"))
+      Anomaly.seasonalResiduals(daily, Seq("event_type"), "day", "y_e2", 7)
+        .orderBy("event_type", "day")
+    }),
+
     // Deterministic integer PageRank over the basket co-occurrence graph:
     // e9 fixed-point ranks, floor-division shares, exact integer sums —
     // bit-identical on any engine/partitioning (a double PageRank's sum
@@ -2332,6 +2364,39 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q171_pagerank" -> pagerankOracle(5),
     "q172_kcore" -> kcoreOracle(3, 8),
+    // q173: exact counts hash-compare; the sketch estimates are
+    // DataSketches-engine-local, so their 5%-of-exact contract rides as
+    // oracle-TRUE booleans (the q114 pattern).
+    "q173_rolling_active_approx" ->
+      """WITH active AS (SELECT DISTINCT user_id AS e,
+        |  epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |daily AS (SELECT d AS day, count(*) AS dau FROM active GROUP BY 1),
+        |w AS (SELECT e, unnest(range(d, d + 7)) AS day FROM active),
+        |wa AS (SELECT day, count(DISTINCT e) AS wau FROM w GROUP BY 1)
+        |SELECT day, dau, wau, TRUE AS dau_ok, TRUE AS wau_ok
+        |FROM wa JOIN daily USING (day) ORDER BY day""".stripMargin,
+    // q174: identical exact integer baseline + IEEE divide/sqrt dag.
+    "q174_seasonal_residuals" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y_e2
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT *, day % 7 AS slot FROM daily),
+        |b AS (SELECT event_type, slot, count(*) AS n_slot,
+        |  CAST(sum(y_e2) AS BIGINT) AS sy,
+        |  CAST(sum(y_e2 * y_e2) AS BIGINT) AS syy
+        |  FROM s GROUP BY 1, 2)
+        |SELECT s.event_type, s.day, s.slot, s.y_e2, b.n_slot,
+        | CASE WHEN b.n_slot >= 2 AND b.n_slot * b.syy - b.sy * b.sy > 0 THEN
+        |  CAST(round(1000000.0
+        |   * (CAST(s.y_e2 AS DOUBLE)
+        |      - CAST(b.sy AS DOUBLE) / CAST(b.n_slot AS DOUBLE))
+        |   / sqrt(CAST(b.n_slot * b.syy - b.sy * b.sy AS DOUBLE)
+        |      / (CAST(b.n_slot AS DOUBLE) * (CAST(b.n_slot AS DOUBLE) - 1.0))))
+        |   AS BIGINT)
+        | END AS z_e6
+        |FROM s JOIN b USING (event_type, slot)
+        |ORDER BY event_type, day""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | count(*) AS count_order,

@@ -745,7 +745,7 @@ object Dedup {
     * same job that materializes the lazy `localCheckpoint`), not a second
     * join+count job. `localCheckpoint` cuts plan lineage so round N doesn't
     * replan rounds 1..N−1. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
     val sym = edges.unionByName(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

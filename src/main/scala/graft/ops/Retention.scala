@@ -107,4 +107,32 @@ object Retention {
     windowed.select(col("day"), col("dau"), col("wau"),
       expr("dau * 1000000L div wau").as("stickiness_e6"))
   }
+
+  /** The 100 TB path for [[rollingActive]]: per-day HLL sketches merged
+    * over the trailing window in SKETCH space — the row data is touched
+    * once (one grouped sketch-build per day), and the ×windowDays work
+    * happens on |days| sketch rows via a range-frame `hll_union_agg`
+    * window, not on (entity, day) rows. The exact form's explode is
+    * linear too, but its count-distinct per window end re-shuffles
+    * (entity, window) pairs; at 10^9 entities/day the sketch form moves
+    * KBs where the exact one moves the entity universe.
+    *
+    * Estimates are DataSketches-engine-local (no cross-engine oracle for
+    * the values) — the oracle-able contract is the q114 invariant pair:
+    * the estimate sits within the configured relative error of the exact
+    * count. Output: (day, dau_est, wau_est). */
+  def rollingActiveApprox(events: DataFrame, entityCol: String,
+      dayCol: String, windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daily = events
+      .groupBy(col(dayCol).cast("long").as("day"))
+      .agg(hll_sketch_agg(col(entityCol)).as("sketch"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rangeBetween(-(windowDays - 1L), 0L)
+    daily
+      .withColumn("dau_est", hll_sketch_estimate(col("sketch")))
+      .withColumn("wau_est",
+        hll_sketch_estimate(hll_union_agg(col("sketch")).over(w)))
+      .select("day", "dau_est", "wau_est")
+  }
 }

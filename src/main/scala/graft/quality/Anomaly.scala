@@ -645,6 +645,50 @@ object Anomaly {
   private def e6(c: Column): Column =
     round(c * lit(1e6)).cast("long")
 
+  /** Seasonal (period-of-`period`) residual z-scores of a daily integer
+    * series: each (group, day) value scored against the baseline of the
+    * SAME weekday slot (day mod period — the epoch-anchored weekday
+    * index, an exact integer both engines share; calendar dow functions
+    * differ across engines and are the documented q20 +1 trap). The
+    * monitoring view that stops "every Saturday looks anomalous"
+    * false-positives a flat baseline produces on weekly-seasonal metrics.
+    *
+    * yCol must be an exact integer series scaled so n·Σy² fits a long
+    * (the q162 e2 convention). Baseline stats are exact BIGINT sums per
+    * (group, slot); mean/σ/z are then a fixed IEEE dag (divide, sqrt,
+    * divide) — cross-engine deterministic, so z_e6 hash-compares.
+    * Slots with n < 2 or σ = 0 yield null z.
+    *
+    * Scale shape: one grouped aggregate in (group × period) space
+    * broadcast back onto the |group × days| daily frame — row data is
+    * aggregated once upstream by the caller. */
+  def seasonalResiduals(daily: DataFrame, groupCols: Seq[String],
+      dayCol: String, yCol: String, period: Int = 7): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val gcols = groupCols.map(col)
+    val slot = pmod(col(dayCol).cast("long"), lit(period.toLong)).as("slot")
+    val withSlot = daily.select(
+      gcols ++ Seq(col(dayCol).cast("long").as(dayCol),
+        col(yCol).cast("long").as(yCol), slot): _*)
+    val base = withSlot
+      .groupBy(gcols :+ col("slot"): _*)
+      .agg(count(lit(1)).as("n_slot"),
+        sum(col(yCol)).as("sy"), sum(col(yCol) * col(yCol)).as("syy"))
+    val varN = col("n_slot") * col("syy") - col("sy") * col("sy")
+    withSlot.join(broadcast(base), groupCols :+ "slot")
+      .withColumn("z_e6",
+        when(col("n_slot") >= 2 && varN > 0,
+          round(lit(1e6) *
+            (col(yCol).cast("double") -
+              col("sy").cast("double") / col("n_slot").cast("double")) /
+            sqrt(varN.cast("double") /
+              (col("n_slot").cast("double") *
+                (col("n_slot").cast("double") - lit(1.0)))))
+            .cast("long")))
+      .select(gcols ++ Seq(col(dayCol), col("slot"), col(yCol),
+        col("n_slot"), col("z_e6")): _*)
+  }
+
   /** Benford's-law first-digit profile of a money-like column — the
     * fabricated-data / unit-mixup smell test (organically-grown amounts
     * follow P(d) = log10(1 + 1/d); uniform or hand-entered ones don't).

@@ -254,4 +254,24 @@ class AnomalySpec extends SparkSpec {
     Anomaly.benfordReport(df, "v").filter("digit = 1")
       .head().getAs[Long]("benford_share_e6") shouldBe 301030L
   }
+
+  test("seasonalResiduals: slot baselines, exact z, degenerate slots null") {
+    import spark.implicits._
+    // slot 0 (days 0, 7, 14): y = 100, 100, 130 - day 14 is the spike;
+    // slot 1 (day 1): single observation - no z
+    val daily = Seq(
+      ("a", 0L, 100L), ("a", 7L, 100L), ("a", 14L, 130L),
+      ("a", 1L, 999L))
+      .toDF("g", "day", "y")
+    val out = Anomaly.seasonalResiduals(daily, Seq("g"), "day", "y", 7)
+      .orderBy("day").collect()
+    val byDay = out.map(r => r.getAs[Long]("day") -> r).toMap
+    // slot-0 stats: n=3, mean=110, sample sigma = sqrt(300) ~ 17.3205
+    byDay(14L).getAs[Long]("z_e6") shouldBe
+      math.round(1e6 * (130.0 - 110.0) / math.sqrt(300.0))
+    byDay(0L).getAs[Long]("z_e6") shouldBe
+      math.round(1e6 * (100.0 - 110.0) / math.sqrt(300.0))
+    byDay(1L).isNullAt(byDay(1L).fieldIndex("z_e6")) shouldBe true
+    byDay(14L).getAs[Long]("slot") shouldBe 0L
+  }
 }
