@@ -1341,6 +1341,31 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // SCD2 time travel: the q168 history filtered to the state AS OF a
+    // fixed mid-stream instant — one visible version per key (half-open
+    // intervals; zero-length tie rows never visible). A pure pushable
+    // row filter, which is why the history gets materialized at all.
+    "q175_asof_snapshot" -> ((s, dir) => {
+      val hist = Reconciliation.scd2History(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+        Seq("user_id"), "ts_us", "event_id")
+      Reconciliation.snapshotAsOf(hist, 1705363000000000L)
+        .orderBy("user_id")
+    }),
+
+    // K-step ordered funnel: view → click → purchase with strictly-after
+    // earliest-completion semantics on the (ts, tie) total order —
+    // per-stage key counts + exact stage-over-stage conversion. The
+    // frontier only shrinks; k bounded joins, no row-data window.
+    "q176_funnel_steps" -> ((s, dir) =>
+      Sessions.funnelSteps(
+        Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
     // Sketch-space rolling actives: q163's exact DAU/WAU next to the HLL
     // window form (per-day sketches, range-frame union — the 100 TB
     // path), gated by the q114 invariant pattern: estimates must sit
@@ -2364,6 +2389,41 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q171_pagerank" -> pagerankOracle(5),
     "q172_kcore" -> kcoreOracle(3, 8),
+    // q175: the q168 derivation + the same half-open as-of filter.
+    "q175_asof_snapshot" ->
+      """WITH h AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  event_type, epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER w AS valid_to_us,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT * FROM h WHERE valid_from_us <= 1705363000000000
+        |  AND (valid_to_us IS NULL OR valid_to_us > 1705363000000000)
+        |ORDER BY user_id""".stripMargin,
+    // q176: the progressive-min frontier replayed with a HUGEINT
+    // (ts·1e6 + tie) stamp — the same (ts, tie) lexicographic order the
+    // Spark side's struct-min uses.
+    "q176_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_us(ts)::HUGEINT * 1000000 + event_id AS st FROM events),
+        |f1 AS (SELECT user_id, min(st) AS at FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(e.st) AS at FROM e JOIN f1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.st > f1.at GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(e.st) AS at FROM e JOIN f2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.st > f2.at GROUP BY 1),
+        |c AS (SELECT 1 AS stage, 'view' AS step,
+        |    (SELECT count(*) FROM f1) AS n
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3)),
+        |w AS (SELECT stage, step, n, lag(n) OVER (ORDER BY stage) AS pn FROM c)
+        |SELECT CAST(stage AS BIGINT) AS stage, step,
+        | CAST(n AS BIGINT) AS n_keys,
+        | CAST(CASE WHEN coalesce(pn, n) = 0 THEN 0
+        |      ELSE n * 1000000 // coalesce(pn, n) END AS BIGINT)
+        |   AS conv_from_prev_e6
+        |FROM w ORDER BY stage""".stripMargin,
     // q173: exact counts hash-compare; the sketch estimates are
     // DataSketches-engine-local, so their 5%-of-exact contract rides as
     // oracle-TRUE booleans (the q114 pattern).

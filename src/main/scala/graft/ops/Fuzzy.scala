@@ -52,9 +52,13 @@ object Fuzzy {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.s").as("s_a"), col("b.s").as("s_b"))
       .distinct()
+      // bounded 3-arg levenshtein: the DP early-exits (and bands) once
+      // the running distance exceeds the threshold — the verify step is
+      // the hot loop here, and candidates are overwhelmingly true pairs
+      // or near-misses, both cheap under the bound. -1 = over threshold.
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("s_a"), col("s_b"), 1).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** Cross-TABLE record linkage: (left_id, right_id, dist) for every pair
@@ -83,7 +87,7 @@ object Fuzzy {
         col("a.s").as("s_a"), col("b.s").as("s_b"))
       .distinct()
       .select(col("left_id"), col("right_id"),
-        levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("s_a"), col("s_b"), 1).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 }

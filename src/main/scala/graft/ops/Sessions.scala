@@ -164,4 +164,46 @@ object Sessions {
       .agg(count(lit(1)).as("n_islands"),
         sum(col("_e") - col("_s")).as("covered"))
   }
+
+  /** K-step ORDERED funnel — [[funnel]]'s 2-step entry→conversion
+    * generalized to an arbitrary step sequence: a key completes stage i
+    * iff it has a step-i event STRICTLY after its earliest completion of
+    * stage i−1 (earliest-completion semantics, the standard funnel
+    * definition; "strictly after" is on the (ts, tie) total order, so
+    * same-timestamp step chains resolve deterministically).
+    *
+    * Output, one row per stage: (stage, step, n_keys, conv_from_prev_e6)
+    * — counts of keys reaching each stage and the exact-integer
+    * stage-over-stage conversion. Stage 1's conversion is vs itself (1.0).
+    *
+    * Scale shape: stage i is one filtered scan of the step-i events
+    * joined to the (keys-completed-so-far)-sized frontier on the key,
+    * then a keyed min — k bounded rounds, no per-key sequence
+    * materialization, no window over row data. The frontier only
+    * shrinks, so later stages cost less, and each round's join is
+    * broadcast-able once the funnel narrows. */
+  def funnelSteps(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stamp = struct(col(tsUsCol).cast("long"), col(tieCol).cast("long"))
+    // frontier: (key, _at = earliest completion stamp of the last stage)
+    var frontier = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(stamp).as("_at"))
+    var counts = List(frontier.count())
+    steps.drop(1).foreach { step =>
+      frontier = events.filter(col(typeCol) === step)
+        .join(frontier, keyCol)
+        .filter(stamp > col("_at"))
+        .groupBy(col(keyCol)).agg(min(stamp).as("_at"))
+      counts = frontier.count() :: counts
+    }
+    val rows = steps.zip(counts.reverse).zipWithIndex.map {
+      case ((step, n), i) =>
+        val prev = if (i == 0) n else counts.reverse(i - 1)
+        (i + 1L, step, n, if (prev == 0) 0L else n * 1000000L / prev)
+    }
+    rows.toDF("stage", "step", "n_keys", "conv_from_prev_e6")
+  }
 }

@@ -288,4 +288,15 @@ object Reconciliation {
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
+
+  /** Time travel over an [[scd2History]] table: the rows valid AT `tsUs`
+    * — each key's state as of that instant (half-open [from, to)
+    * intervals, so a version is visible from its own timestamp until,
+    * not including, its successor's; zero-length tie rows are never
+    * visible, matching their superseded-at-write semantics). A pure
+    * row-local filter: partition-prunes and pushes down like any
+    * predicate, which is the whole point of materializing the history. */
+  def snapshotAsOf(history: DataFrame, tsUs: Long): DataFrame =
+    history.filter(col("valid_from_us") <= tsUs &&
+      (col("valid_to_us").isNull || col("valid_to_us") > tsUs))
 }

@@ -101,4 +101,26 @@ class SessionsSpec extends SparkSpec {
       Sessions.intervalUnion(Seq((1L, 10L, 5L)).toDF("k", "s", "e"),
         "k", "s", "e").collect()
   }
+
+  test("funnelSteps: strictly-after earliest-completion frontier semantics") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      // user 2: purchase BEFORE click - stage 3 not reached
+      (2L, 10L, 4L, "view"), (2L, 30L, 5L, "click"), (2L, 20L, 6L, "purchase"),
+      // user 3: click precedes the first view - stage 2 not reached
+      (3L, 20L, 7L, "view"), (3L, 10L, 8L, "click"),
+      // user 4: same-ts view/click resolved by the event-id tiebreak
+      (4L, 10L, 9L, "view"), (4L, 10L, 10L, "click"), (4L, 11L, 11L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = graft.ops.Sessions.funnelSteps(ev, "user_id", "ts_us",
+        "event_id", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, "view", 4L, 1000000L),
+      (2L, "click", 3L, 750000L),     // users 1, 2, 4
+      (3L, "purchase", 2L, 666666L))  // users 1, 4
+  }
 }

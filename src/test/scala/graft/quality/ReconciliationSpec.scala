@@ -139,4 +139,20 @@ class ReconciliationSpec extends SparkSpec {
       (1L, 3L, 20L, None, true, "c"),
       (2L, 1L, 5L, None, true, "x"))
   }
+
+  test("snapshotAsOf: half-open visibility, zero-length ties invisible") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 100L, 10L, "a"), (1L, 101L, 20L, "b"),
+      (2L, 200L, 15L, "x"), (2L, 201L, 15L, "y")) // tie at ts 15
+      .toDF("user", "eid", "ts_us", "v")
+    val hist = graft.quality.Reconciliation.scd2History(
+      changes, Seq("user"), "ts_us", "eid")
+    def at(t: Long) = graft.quality.Reconciliation.snapshotAsOf(hist, t)
+      .collect().map(r => r.getAs[Long]("user") -> r.getAs[String]("v")).toMap
+    at(10L) shouldBe Map(1L -> "a")                 // exactly at valid_from
+    at(15L) shouldBe Map(1L -> "a", 2L -> "y")      // tie: later eid wins
+    at(25L) shouldBe Map(1L -> "b", 2L -> "y")
+    at(5L) shouldBe Map.empty
+  }
 }
