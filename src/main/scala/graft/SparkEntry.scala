@@ -1341,6 +1341,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Top user journeys: most common ordered 3-step event-type paths —
+    // one per-key lead window, counting in |types|³ path space, rank
+    // window over the aggregated frame only.
+    "q177_top_paths" -> ((s, dir) =>
+      Sessions.topPaths(
+        Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", "event_type", n = 3, k = 15)
+        .orderBy("rank")),
+
+    // Weighted PageRank: rank splits across neighbors in proportion to
+    // basket co-occurrence counts — same exact fixed-point integer
+    // arithmetic as q171, weighted-share numerators.
+    "q178_pagerank_weighted" -> ((s, dir) =>
+      graft.ops.Graphs.pageRankWeighted(
+        Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
+        "item_a", "item_b", "n_baskets", iters = 4)
+        .orderBy("node")),
+
     // SCD2 time travel: the q168 history filtered to the state AS OF a
     // fixed mid-stream instant — one visible version per key (half-open
     // intervals; zero-length tie rows never visible). A pure pushable
@@ -2386,9 +2405,53 @@ object SparkEntry {
        |GROUP BY src ORDER BY node""".stripMargin
   }
 
+  /** q178 oracle: the weighted-share recurrence unrolled. */
+  private def pagerankWeightedOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.node, CAST((SELECT (15 * (1000000000 // n)) // 100 FROM nn)
+         |    + 85 * coalesce(s.inflow, 0) // 100 AS BIGINT) AS rank_e9
+         |  FROM wdeg d LEFT JOIN (
+         |    SELECT symw.dst AS node,
+         |      sum(r.rank_e9 * symw.w // dg.wdeg) AS inflow
+         |    FROM symw JOIN $prev r ON symw.src = r.node
+         |    JOIN wdeg dg ON symw.src = dg.node
+         |    GROUP BY 1) s ON d.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $basketEdgesMat,
+       |ew AS MATERIALIZED (SELECT a, b, CAST(n AS BIGINT) AS w FROM p
+       |  WHERE n >= 2),
+       |symw AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ew
+       |  UNION ALL SELECT b, a, w FROM ew),
+       |wdeg AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT)
+       |  AS wdeg FROM symw GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM wdeg),
+       |r0 AS MATERIALIZED (SELECT node,
+       |  (SELECT 1000000000 // n FROM nn) AS rank_e9 FROM wdeg),
+       |$rounds
+       |SELECT node, rank_e9 FROM r$iters ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q171_pagerank" -> pagerankOracle(5),
     "q172_kcore" -> kcoreOracle(3, 8),
+    "q178_pagerank_weighted" -> pagerankWeightedOracle(4),
+    // q177: the same lead window + path-space count + rank replay.
+    "q177_top_paths" ->
+      """WITH t AS (SELECT
+        |  event_type || '>' || lead(event_type, 1) OVER w || '>'
+        |    || lead(event_type, 2) OVER w AS path,
+        |  lead(event_type, 2) OVER w IS NOT NULL AS ok
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |c AS (SELECT path, count(*) AS n_occurrences FROM t WHERE ok
+        |  GROUP BY 1),
+        |r AS (SELECT path, n_occurrences,
+        |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, path)
+        |    AS BIGINT) AS rank FROM c)
+        |SELECT path, n_occurrences, rank FROM r WHERE rank <= 15
+        |ORDER BY rank""".stripMargin,
     // q175: the q168 derivation + the same half-open as-of filter.
     "q175_asof_snapshot" ->
       """WITH h AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -126,6 +126,35 @@ object Sessions {
       .withColumn("p_e6", expr("n * 1000000L div row_total"))
   }
 
+  /** Top user journeys: the most common length-`n` ORDERED event-type
+    * paths across keys — [[transitionMatrix]]'s 2-gram rows generalized
+    * to n-step paths, the "what do users actually do" product-analytics
+    * view. Path strings are '>'-joined types; ranking is exact counts
+    * with a deterministic lexicographic tiebreak.
+    *
+    * Scale shape: one per-key window in time order (lead(1..n−1), a
+    * single shuffle), then counting lives in |types|^n path space — tiny
+    * for real type vocabularies — and the final rank window runs over
+    * that aggregated frame only (the q147 posture), never row data. */
+  def topPaths(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2 && k >= 1, s"need n >= 2 and k >= 1, got n=$n k=$k")
+    val wKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+    val steps = col(typeCol) +:
+      (1 until n).map(i => lead(col(typeCol), i).over(wKey))
+    val paths = events
+      .select(concat_ws(">", steps: _*).as("path"),
+        steps.last.isNotNull.as("__complete"))
+      // windows shorter than n (key's stream tail) have a null last step
+      .filter(col("__complete"))
+      .groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+    paths
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("path"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-key interval UNION (gaps-and-islands merge): overlapping or
     * touching [start, end] intervals coalesce into islands; per key,
     * the island count and the total COVERED length — "how much wall-clock

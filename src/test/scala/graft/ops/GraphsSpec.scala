@@ -70,4 +70,24 @@ class GraphsSpec extends SparkSpec {
     Graphs.kCore(path, "u", "v", k = 2, maxRounds = 1)
       .count() should be > 0L
   }
+
+  test("pageRankWeighted: unit weights reduce to pageRank; weight skews rank") {
+    import org.apache.spark.sql.functions.lit
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+      .withColumn("w", lit(1L))
+    val plain = Graphs.pageRank(edges, "u", "v", iters = 4)
+      .orderBy("node").collect()
+    val unit = Graphs.pageRankWeighted(edges, "u", "v", "w", iters = 4)
+      .orderBy("node").collect()
+    unit shouldBe plain
+    // heavy 3-4 edge: node 4 absorbs most of 3's rank
+    val weighted = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (3L, 4L, 100L))
+      .toDF("u", "v", "w")
+    val r = Graphs.pageRankWeighted(weighted, "u", "v", "w", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val ru = Graphs.pageRankWeighted(weighted.withColumn("w", lit(1L)),
+        "u", "v", "w", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(4L) should be > ru(4L)
+  }
 }

@@ -123,4 +123,22 @@ class SessionsSpec extends SparkSpec {
       (2L, "click", 3L, 750000L),     // users 1, 2, 4
       (3L, "purchase", 2L, 666666L))  // users 1, 4
   }
+
+  test("topPaths: per-key ordered n-grams, deterministic rank tiebreak") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "c"),
+      (1L, 4L, 4L, "b"), (1L, 5L, 5L, "c"),
+      (2L, 1L, 6L, "a"), (2L, 2L, 7L, "b"), (2L, 3L, 8L, "c"),
+      (3L, 1L, 9L, "z")) // too short for any 3-path
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = graft.ops.Sessions.topPaths(ev, "user_id", "ts_us",
+        "event_id", "event_type", n = 3, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      ("a>b>c", 2L, 1L),   // users 1 and 2
+      ("b>c>b", 1L, 2L),   // lexicographic tiebreak among the 1-counts
+      ("c>b>c", 1L, 3L))
+  }
 }
