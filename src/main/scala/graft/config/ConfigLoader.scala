@@ -259,6 +259,13 @@ object ConfigLoader {
           val rm = asMap(r, "quality.regex_checks[]")
           RegexCheck(str(rm, "column", "regex"), str(rm, "pattern", "regex"))
         },
+        fdChecks = asList(qm.getOrElse("fd_checks", null)).map { r =>
+          val fm = asMap(r, "quality.fd_checks[]")
+          val lhs = strList(fm, "lhs")
+          if (lhs.isEmpty)
+            throw new ConfigError("quality.fd_checks[].lhs must be non-empty")
+          FdCheck(lhs, str(fm, "rhs", "fd"))
+        },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

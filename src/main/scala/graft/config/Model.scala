@@ -91,6 +91,11 @@ object ExpectationSpec {
     Set("mean_between", "row_count_between", "unique_count_between")
 }
 
+/** Functional-dependency contract: every `lhs` tuple must map to exactly
+  * one `rhs` value (Checks.fdViolations semantics — null counts as a
+  * contradictory value of its own). */
+final case class FdCheck(lhs: Seq[String], rhs: String)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -98,6 +103,7 @@ final case class QualitySpec(
     inSetChecks: Seq[InSetCheck] = Nil,
     regexChecks: Seq[RegexCheck] = Nil,
     expectations: Seq[ExpectationSpec] = Nil,
+    fdChecks: Seq[FdCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

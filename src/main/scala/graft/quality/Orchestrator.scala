@@ -51,7 +51,21 @@ object Orchestrator {
     val (rows, stats) = Anomaly.exactStatsMulti(df, anomCols)
     // pass 2: all rule checks AND aggregate expectations, one aggregate
     // (Checks.profile)
-    val (checkResults, expectationResults) = Checks.profile(df, spec)
+    val (rowCheckResults, expectationResults) = Checks.profile(df, spec)
+    // FD contracts: one grouped aggregate per dependency (they group on
+    // DIFFERENT keys, so they can't fuse into the profile pass);
+    // failedCount = violating lhs tuples. Missing columns fail loudly —
+    // a silently-skipped contract is the one that bites.
+    val fdResults = spec.fdChecks.map { fd =>
+      val missing = (fd.lhs :+ fd.rhs).filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"fd_check ${fd.lhs.mkString(",")}->${fd.rhs}: missing columns " +
+          missing.mkString(", "))
+      Checks.CheckResult("fd_check",
+        s"${fd.lhs.mkString(",")}->${fd.rhs}",
+        Checks.fdViolations(df, fd.lhs, fd.rhs).count())
+    }
+    val checkResults = rowCheckResults ++ fdResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

@@ -740,4 +740,29 @@ class PipelineSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.gold.AggregationEngine.build(docs, model.copy(cube = true))
   }
+
+  test("quality fd_checks: config-driven dependency contract in the report") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: fd
+        |quality:
+        |  fd_checks:
+        |    - lhs:
+        |        - zone
+        |      rhs: zone_name
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.fdChecks shouldBe Seq(graft.config.FdCheck(Seq("zone"), "zone_name"))
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "B"))
+      .toDF("zone", "zone_name")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val fd = report.checkResults.find(_.check == "fd_check").get
+    fd.column shouldBe "zone->zone_name"
+    fd.failedCount shouldBe 1L // zone 2 maps to two names
+    fd.passed shouldBe false
+    // missing column fails loudly, not silently green
+    an[IllegalArgumentException] should be thrownBy
+      graft.quality.Orchestrator.run(df.drop("zone_name"), cfg.quality)
+  }
 }
