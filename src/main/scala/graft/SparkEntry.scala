@@ -1341,6 +1341,25 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Per-user time-weighted average value: step-function holding
+    // intervals in exact ms (floor-division contract), BIGINT
+    // numerator/denominator, one IEEE ratio — the irregular-sampling
+    // mean a plain avg over-counts bursts on.
+    "q179_twap" -> ((s, dir) =>
+      graft.ops.TimeSeries.twap(
+        Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", "value")
+        .orderBy("user_id")),
+
+    // Longest consecutive-day streaks: gaps-and-islands on (user, day)
+    // with the day − row_number island label; counting in streak space.
+    "q180_streaks" -> ((s, dir) =>
+      graft.ops.Retention.streaks(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts div 86400000000000").as("day")),
+        "user_id", "day")
+        .orderBy("user_id")),
+
     // Top user journeys: most common ordered 3-step event-type paths —
     // one per-key lead window, counting in |types|³ path space, rank
     // window over the aggregated frame only.
@@ -2437,6 +2456,37 @@ object SparkEntry {
     "q171_pagerank" -> pagerankOracle(5),
     "q172_kcore" -> kcoreOracle(3, 8),
     "q178_pagerank_weighted" -> pagerankWeightedOracle(4),
+    // q179: same lead window, same floor-division ms weights, same IEEE
+    // ratio chain ((1e6·num)/den)/100.
+    "q179_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |  CAST(round(value * 100.0) AS BIGINT) AS v
+        | FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT user_id, v,
+        |  (lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)
+        |    // 1000 AS dt_ms FROM e),
+        |g AS (SELECT user_id, count(*) AS n_obs,
+        |  CAST(sum(coalesce(dt_ms, 0)) AS BIGINT) AS span_ms,
+        |  CAST(sum(v * coalesce(dt_ms, 0)) AS BIGINT) AS twap_num
+        | FROM d GROUP BY 1)
+        |SELECT user_id, n_obs, span_ms, twap_num,
+        | CASE WHEN span_ms > 0 THEN
+        |  CAST(round(1000000.0 * CAST(twap_num AS DOUBLE)
+        |    / CAST(span_ms AS DOUBLE) / 100.0) AS BIGINT)
+        | END AS twap_e6
+        |FROM g ORDER BY user_id""".stripMargin,
+    // q180: the day − row_number island label, counted in streak space.
+    "q180_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |i AS (SELECT user_id, d,
+        |  d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        | FROM a),
+        |st AS (SELECT user_id, island, count(*) AS len
+        | FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        | count(*) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q177: the same lead window + path-space count + rank replay.
     "q177_top_paths" ->
       """WITH t AS (SELECT

@@ -108,6 +108,29 @@ object Retention {
       expr("dau * 1000000L div wau").as("stickiness_e6"))
   }
 
+  /** Longest consecutive-day activity streak per entity — the classic
+    * gaps-and-islands engagement metric ("7-day streak!"). Dedupe to
+    * (entity, day), then island label = day − row_number (constant within
+    * a consecutive run, the standard trick), then two keyed aggregates in
+    * streak space. One shuffle on the entity key; skew bounded by the
+    * hottest entity's ACTIVE-DAY count (calendar-bounded, not row-bounded
+    * — a user can't have more active days than days).
+    *
+    * Output: (entity, n_active_days, n_streaks, longest_streak). */
+  def streaks(events: DataFrame, entityCol: String, dayCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_e")).orderBy(col("_d"))
+    events
+      .select(col(entityCol).as("_e"), col(dayCol).cast("long").as("_d"))
+      .distinct()
+      .withColumn("_island", col("_d") - row_number().over(w))
+      .groupBy(col("_e"), col("_island"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col("_e").as(entityCol))
+      .agg(sum(col("_len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("_len")).as("longest_streak"))
+  }
+
   /** The 100 TB path for [[rollingActive]]: per-day HLL sketches merged
     * over the trailing window in SKETCH space — the row data is touched
     * once (one grouped sketch-build per day), and the ×windowDays work

@@ -65,6 +65,40 @@ object TimeSeries {
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Per-key TIME-WEIGHTED average: each observation weighted by how long
+    * it held (until the next observation), over the key's own observed
+    * span — the metric for irregularly-sampled series (sensor values,
+    * session quality, prices) where a plain mean over-counts burst
+    * periods. Step-function (last-observation-holds) semantics; the final
+    * observation has no holding interval and contributes weight 0; keys
+    * with < 2 observations have zero span → null twap.
+    *
+    * Determinism contract: holding times are floor((t_next − t)/1000) ms
+    * (exact integer division both engines share — and the ms unit keeps
+    * Σ value_e2·dt well inside int64 where µs would flirt with overflow);
+    * numerator and denominator are exact BIGINT sums, the ratio one IEEE
+    * division. One keyed window (lead) + one grouped sum. */
+  def twap(df: DataFrame, keyCol: String, tsUsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol),
+        col(tsUsCol).cast("long").as("__t"),
+        col(tieCol).cast("long").as("__tie"),
+        round(col(valueCol) * lit(100)).cast("long").as("__v"))
+      .withColumn("__next",
+        lead(col("__t"), 1).over(
+          Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__tie"))))
+      .withColumn("__dt_ms", expr("(__next - __t) div 1000L"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(coalesce(col("__dt_ms"), lit(0L))).as("span_ms"),
+        sum(col("__v") * coalesce(col("__dt_ms"), lit(0L))).as("twap_num"))
+      .withColumn("twap_e6",
+        when(col("span_ms") > 0,
+          round(lit(1e6) * col("twap_num").cast("double")
+            / col("span_ms").cast("double") / lit(100.0)).cast("long")))
+  }
+
   /** Hopping (sliding) event-time windows in BATCH: every event lands in
     * the size/slide overlapping windows covering it, aggregated per
     * (window, key) — the smoothing view behind rate monitors and rolling

@@ -63,4 +63,18 @@ class RetentionSpec extends SparkSpec {
     // relaxes to 5% at corpus scale holds with equality here
     approx shouldBe exact
   }
+
+  test("streaks: islands merge consecutive days, duplicates collapse") {
+    val events = Seq(
+      (1L, 3L), (1L, 4L), (1L, 5L), (1L, 5L), // streak 3-5 (dup day 5)
+      (1L, 9L),                               // singleton streak
+      (2L, 1L))
+      .toDF("user_id", "day")
+    val out = Retention.streaks(events, "user_id", "day")
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, 4L, 2L, 3L),
+      (2L, 1L, 1L, 1L))
+  }
 }

@@ -105,4 +105,22 @@ class TimeSeriesSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TimeSeries.hoppingAgg(ev, "ts_us", "key", "v", 7L, 3L)
   }
+
+  test("twap: holding-interval weights, final point weightless, 1-obs null") {
+    import spark.implicits._
+    val ev = Seq(
+      // value 10 holds 3000ms, value 20 holds 1000ms, final 99 holds 0
+      (1L, 0L, 1L, 10.0), (1L, 3000000L, 2L, 20.0),
+      (1L, 4000000L, 3L, 99.0),
+      (2L, 0L, 4L, 5.0)) // single observation - zero span
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val out = graft.ops.TimeSeries.twap(ev, "user_id", "ts_us", "event_id", "value")
+      .orderBy("user_id").collect()
+    val u1 = out(0)
+    u1.getAs[Long]("span_ms") shouldBe 4000L
+    u1.getAs[Long]("twap_num") shouldBe 1000L * 3000 + 2000L * 1000
+    // (10*3 + 20*1)/4 = 12.5
+    u1.getAs[Long]("twap_e6") shouldBe 12500000L
+    out(1).isNullAt(out(1).fieldIndex("twap_e6")) shouldBe true
+  }
 }
