@@ -1341,6 +1341,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Perceptual image dedup: REAL decoded pixels → 64-bit dHash →
+    // 4×16-bit banded blocking (pigeonhole-complete for hamming ≤ 3) →
+    // exact hamming verify. Corpus = 200 deterministic PNGs + planted
+    // byte-identical copies; the oracle is the planted-pair ledger
+    // (distance 0 is guaranteed by construction; the q41 fixed-corpus
+    // pattern). The near-miss (resize ≤ 3 bits) case is spec-level.
+    "q181_image_neardups" -> ((s, dir) => {
+      import s.implicits._
+      def png(i: Long) = Multimodal.syntheticPng(
+        i, 16 + (i % 17).toInt, 12 + (i % 13).toInt)
+      val originals = s.range(200)
+        .map(i => Multimodal.MediaRecord(i, "image", png(i), "png"))
+      val dups = s.range(200).filter(_ % 10 == 0)
+        .map(i => Multimodal.MediaRecord(i + 1000, "image", png(i), "png"))
+      Multimodal.imageNearDupes(originals.union(dups), maxHamming = 0)
+        .orderBy("id_a")
+    }),
+
     // Per-user time-weighted average value: step-function holding
     // intervals in exact ms (floor-division contract), BIGINT
     // numerator/denominator, one IEEE ratio — the irregular-sampling
@@ -2456,6 +2474,12 @@ object SparkEntry {
     "q171_pagerank" -> pagerankOracle(5),
     "q172_kcore" -> kcoreOracle(3, 8),
     "q178_pagerank_weighted" -> pagerankWeightedOracle(4),
+    // q181: the planted-pair ledger — byte-identical payloads hash
+    // identically by construction, and 200 distinct seeded-noise images
+    // share no 64-bit dHash (fixed corpus, deterministic).
+    "q181_image_neardups" ->
+      """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM range(200) t(i) WHERE i % 10 = 0 ORDER BY id_a""".stripMargin,
     // q179: same lead window, same floor-division ms weights, same IEEE
     // ratio chain ((1e6·num)/den)/100.
     "q179_twap" ->

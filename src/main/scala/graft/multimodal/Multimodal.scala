@@ -196,6 +196,88 @@ object Multimodal {
   def resizeStub(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] =
     resize(ds, w, h)
 
+  /** 64-bit difference hash (dHash) of an image payload — the standard
+    * perceptual fingerprint for image near-dup detection: area-average the
+    * REAL decoded pixels onto a 9×8 luminance grid, emit one bit per
+    * horizontal neighbor pair (left darker ⇒ 1). Re-encodes, resizes, and
+    * mild edits move few bits; unrelated images differ in ~32.
+    *
+    * Exactness: cell comparisons are cross-multiplied integer sums
+    * (sum₁·n₂ < sum₂·n₁) — no float averages, so the hash is a pure
+    * function of the decoded pixel array. Undecodable payloads → None. */
+  def dHash64(r: MediaRecord): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val (gw, gh) = (9, 8)
+      val sums = Array.ofDim[Long](gh, gw)
+      val cnts = Array.ofDim[Long](gh, gw)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        val cy = (y.toLong * gh / h).toInt
+        var x = 0
+        while (x < w) {
+          val cx = (x.toLong * gw / w).toInt
+          val rgb = img.getRGB(x, y)
+          // integer luminance (ITU-R 601 weights ×1000, exact)
+          val lum = 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          sums(cy)(cx) += lum
+          cnts(cy)(cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var i = 0
+      for (cy <- 0 until gh; cx <- 0 until gw - 1) {
+        // avg(cy,cx) < avg(cy,cx+1), exactly, via cross-multiplication;
+        // empty cells (image smaller than the grid) count as 0 luminance
+        val l = sums(cy)(cx) * math.max(cnts(cy)(cx + 1), 1L)
+        val r2 = sums(cy)(cx + 1) * math.max(cnts(cy)(cx), 1L)
+        if (l < r2) bits |= (1L << i)
+        i += 1
+      }
+      Some(bits)
+    }
+  }
+
+  /** (media_id, dhash) for the decodable images of `ds`. */
+  def imageDHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r => dHash64(r).map(h => (r.media_id, h))))
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs by banded dHash: split the 64-bit hash into
+    * four 16-bit bands, equi-join on any shared band, verify the exact
+    * Hamming distance. Pigeonhole-COMPLETE for maxHamming ≤ 3 (4 bands
+    * can't all be touched by ≤ 3 differing bits); the same LSH-banding
+    * shape as SimHash text dedup, no all-pairs join anywhere. */
+  def imageNearDupes(ds: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band blocking is only complete for maxHamming <= 3, got $maxHamming")
+    val hashes = imageDHashes(ds)
+    val banded = hashes.select(col("media_id"), col("dhash"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> struct(b AS band, pmod(shiftright(dhash, b * 16), 65536) AS v))"))
+        .as("bv"))
+      .select(col("media_id"), col("dhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(expr("ha ^ hb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic frame sampling plan for video rows: every `stride`-th
     * frame index. Metadata-only — the binary column is not touched. */
   def frameSamplePlan(features: Dataset[MediaFeatures], stride: Int): DataFrame = {

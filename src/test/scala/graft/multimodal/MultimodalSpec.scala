@@ -129,4 +129,50 @@ class MultimodalSpec extends SparkSpec {
     r.getLong(0) should be > 0L
     r.getString(1) should fullyMatch regex "[0-9a-f]{32}"
   }
+
+  test("dHash64: exact dups collide, resizes stay near, unrelated far") {
+    import spark.implicits._
+    def smooth(seed: Long, w: Int, h: Int): Array[Byte] = {
+      // low-frequency deterministic image: dHash survives resampling on
+      // structure, not noise
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (math.sin(x * 0.4 + seed) + math.cos(y * 0.3 + seed * 0.7) + 2) / 4
+        val g = (v * 255).toInt.max(0).min(255)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def rec(id: Long, bytes: Array[Byte]) =
+      Multimodal.MediaRecord(id, "image", bytes, "png")
+    val base = smooth(1, 40, 30)
+    val h0 = Multimodal.dHash64(rec(0L, base)).get
+    Multimodal.dHash64(rec(1L, base)).get shouldBe h0 // exact dup
+    // bilinear resize of the same image: few gradient bits move
+    val resized = Multimodal.resize(
+      Seq(rec(2L, base)).toDS(), 27, 20).collect()(0)
+    val hr = Multimodal.dHash64(resized).get
+    java.lang.Long.bitCount(h0 ^ hr) should be <= 3
+    // a different image is far
+    val other = Multimodal.dHash64(rec(3L, smooth(99, 40, 30))).get
+    java.lang.Long.bitCount(h0 ^ other) should be > 10
+    // undecodable payload yields no hash, not a crash
+    Multimodal.dHash64(rec(4L, Array[Byte](1, 2, 3))) shouldBe None
+  }
+
+  test("imageNearDupes: banded blocking finds planted dup + resize pairs") {
+    import spark.implicits._
+    def noise(seed: Long) = Multimodal.syntheticPng(seed, 24, 18)
+    val originals = (0L until 40L).map(i =>
+      Multimodal.MediaRecord(i, "image", noise(i), "png"))
+    val dups = Seq(Multimodal.MediaRecord(1000L, "image", noise(7), "png"),
+      Multimodal.MediaRecord(1001L, "image", noise(13), "png"))
+    val pairs = Multimodal.imageNearDupes(
+        (originals ++ dups).toDS(), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((7L, 1000L), (13L, 1001L))
+  }
 }
