@@ -1359,6 +1359,20 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // Audio near-dup sibling of q181: energy-profile fingerprints over
+    // really-decoded PCM, same 4-band blocking, planted-copy ledger.
+    "q182_audio_neardups" -> ((s, dir) => {
+      import s.implicits._
+      def wav(i: Long) = Multimodal.syntheticWav(
+        i, 256 + (i % 256).toInt, channels = 1)
+      val originals = s.range(150)
+        .map(i => Multimodal.MediaRecord(i, "audio", wav(i), "wav"))
+      val dups = s.range(150).filter(_ % 10 == 0)
+        .map(i => Multimodal.MediaRecord(i + 1000, "audio", wav(i), "wav"))
+      Multimodal.audioNearDupes(originals.union(dups), maxHamming = 0)
+        .orderBy("id_a")
+    }),
+
     // Per-user time-weighted average value: step-function holding
     // intervals in exact ms (floor-division contract), BIGINT
     // numerator/denominator, one IEEE ratio — the irregular-sampling
@@ -2480,6 +2494,10 @@ object SparkEntry {
     "q181_image_neardups" ->
       """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM range(200) t(i) WHERE i % 10 = 0 ORDER BY id_a""".stripMargin,
+    // q182: the audio planted-pair ledger (q181's pattern).
+    "q182_audio_neardups" ->
+      """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM range(150) t(i) WHERE i % 10 = 0 ORDER BY id_a""".stripMargin,
     // q179: same lead window, same floor-division ms weights, same IEEE
     // ratio chain ((1e6·num)/den)/100.
     "q179_twap" ->

@@ -252,15 +252,14 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
-  /** Image near-dup pairs by banded dHash: split the 64-bit hash into
-    * four 16-bit bands, equi-join on any shared band, verify the exact
-    * Hamming distance. Pigeonhole-COMPLETE for maxHamming ≤ 3 (4 bands
-    * can't all be touched by ≤ 3 differing bits); the same LSH-banding
-    * shape as SimHash text dedup, no all-pairs join anywhere. */
-  def imageNearDupes(ds: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+  /** Near-dup pairs of 64-bit perceptual hashes by 4×16-bit banding:
+    * equi-join on any shared band, verify the exact Hamming distance.
+    * Pigeonhole-COMPLETE for maxHamming ≤ 3 (4 bands can't all be touched
+    * by ≤ 3 differing bits); the same LSH-banding shape as SimHash text
+    * dedup, no all-pairs join anywhere. `hashes` = (media_id, dhash). */
+  private def bandedHashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4-band blocking is only complete for maxHamming <= 3, got $maxHamming")
-    val hashes = imageDHashes(ds)
     val banded = hashes.select(col("media_id"), col("dhash"),
       explode(expr("transform(sequence(0, 3), " +
         "b -> struct(b AS band, pmod(shiftright(dhash, b * 16), 65536) AS v))"))
@@ -276,6 +275,70 @@ object Multimodal {
       .select(col("id_a"), col("id_b"),
         bit_count(expr("ha ^ hb")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Image near-dup pairs: [[dHash64]] + [[bandedHashPairs]]. */
+  def imageNearDupes(ds: Dataset[MediaRecord], maxHamming: Int): DataFrame =
+    bandedHashPairs(imageDHashes(ds), maxHamming)
+
+  /** 64-bit energy-profile fingerprint of a PCM audio payload — dHash's
+    * audio sibling: REALLY decode the samples (`javax.sound.sampled`,
+    * WAV/AIFF/AU ship with the JDK), area-sum squared amplitudes onto 65
+    * time cells, emit one bit per neighboring-cell energy comparison.
+    * Re-encodes and mild trims move few bits; unrelated audio differs in
+    * ~32. Same exact-integer posture as dHash: energies are Long sums of
+    * sample², comparisons cross-multiplied — a pure function of the PCM
+    * array. (The cross-product fits int64 up to ~10^5 samples/cell ≈ 2
+    * minutes at 48 kHz; past that it wraps — still deterministic, but
+    * window long-form audio first.) Undecodable payloads → None. */
+  def audioFingerprint64(r: MediaRecord): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          if (n < 2) None
+          else {
+            val cells = 65
+            val sums = new Array[Long](cells)
+            val cnts = new Array[Long](cells)
+            val bigEndian = fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val lo = bytes(2 * i) & 0xff
+              val hi = bytes(2 * i + 1) & 0xff
+              val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+              val c = (i.toLong * cells / n).toInt
+              sums(c) += s.toLong * s.toLong
+              cnts(c) += 1
+              i += 1
+            }
+            var bits = 0L
+            var b = 0
+            while (b < 64) {
+              val l = sums(b) * math.max(cnts(b + 1), 1L)
+              val r2 = sums(b + 1) * math.max(cnts(b), 1L)
+              if (l < r2) bits |= (1L << b)
+              b += 1
+            }
+            Some(bits)
+          }
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio near-dup pairs: [[audioFingerprint64]] + [[bandedHashPairs]]. */
+  def audioNearDupes(ds: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    bandedHashPairs(
+      ds.mapPartitions(_.flatMap(r =>
+        audioFingerprint64(r).map(h => (r.media_id, h))))
+        .toDF("media_id", "dhash"),
+      maxHamming)
   }
 
   /** Deterministic frame sampling plan for video rows: every `stride`-th

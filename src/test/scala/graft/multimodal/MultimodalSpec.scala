@@ -175,4 +175,19 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs shouldBe Set((7L, 1000L), (13L, 1001L))
   }
+
+  test("audioFingerprint64: dup WAVs collide, different audio far, junk None") {
+    val a = Multimodal.MediaRecord(1L, "audio",
+      Multimodal.syntheticWav(5L, 400), "wav")
+    val b = Multimodal.MediaRecord(2L, "audio",
+      Multimodal.syntheticWav(5L, 400), "wav")
+    val other = Multimodal.MediaRecord(3L, "audio",
+      Multimodal.syntheticWav(77L, 400), "wav")
+    val ha = Multimodal.audioFingerprint64(a).get
+    Multimodal.audioFingerprint64(b).get shouldBe ha
+    java.lang.Long.bitCount(
+      ha ^ Multimodal.audioFingerprint64(other).get) should be > 10
+    Multimodal.audioFingerprint64(
+      Multimodal.MediaRecord(4L, "audio", Array[Byte](9, 9), "wav")) shouldBe None
+  }
 }
