@@ -1359,6 +1359,27 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // Winnowing (MOSS) fingerprint pairs: windowed-min sampling of the
+    // shingle-hash stream with the shared-run guarantee, then the capped
+    // inverted-index pair stage — the w×-cheaper candidate generator
+    // next to q26's full shingle index.
+    "q183_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, maxFingerprintFreq = 100, minShared = 2L)
+        .orderBy("id_a", "id_b")),
+
+    // Metric co-movement: pairwise Pearson correlation of per-type daily
+    // value mass over the shared day axis — exact BIGINT stats per pair,
+    // one IEEE covariance/√(var·var) dag.
+    "q184_metric_corr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(sum(round(col("value") * lit(100)).cast("long")).as("y_e2"))
+      Anomaly.metricCorrelations(daily, "event_type", "day", "y_e2")
+        .orderBy("type_a", "type_b")
+    }),
+
     // Audio near-dup sibling of q181: energy-profile fingerprints over
     // really-decoded PCM, same 4-band blocking, planted-copy ledger.
     "q182_audio_neardups" -> ((s, dir) => {
@@ -2494,6 +2515,46 @@ object SparkEntry {
     "q181_image_neardups" ->
       """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM range(200) t(i) WHERE i % 10 = 0 ORDER BY id_a""".stripMargin,
+    // q183: winnow replay — same md5-prefix shingle hashes (the q143
+    // convention), windowed list_min, capped inverted-index pair count.
+    "q183_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks
+        |  FROM documents),
+        |hs AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |  i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+        |    || toks[i+2]), 1, 8))::BIGINT) AS h FROM t),
+        |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(h) - 4 + 2), i -> list_min(h[i:i+3])))) AS fp
+        |  FROM hs WHERE len(h) >= 4),
+        |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 100),
+        |cf AS (SELECT f.* FROM fps f ANTI JOIN hot USING (fp)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS n_shared
+        |  FROM cf a JOIN cf b USING (fp) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
+    // q184: identical exact-stat + IEEE correlation dag per type pair.
+    "q184_metric_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n,
+        |    CAST(sum(a.y) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+        |    CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+        |    CAST(sum(b.y * b.y) AS BIGINT) AS syy,
+        |    CAST(sum(a.y * b.y) AS BIGINT) AS sxy
+        |  FROM daily a JOIN daily b USING (day)
+        |  WHERE a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(n AS BIGINT) AS n,
+        | CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |  CAST(round(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        | END AS corr_e6
+        |FROM p ORDER BY type_a, type_b""".stripMargin,
     // q182: the audio planted-pair ledger (q181's pattern).
     "q182_audio_neardups" ->
       """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming

@@ -790,6 +790,51 @@ object Dedup {
     labels
   }
 
+  /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): from each doc's ordered k-token shingle-hash stream,
+    * keep the MINIMUM of every w-hash sliding window — a deterministic
+    * ~1/w-rate sample with the winnowing GUARANTEE that any shared run of
+    * ≥ w+k−1 tokens yields a shared fingerprint (a random 1/w sample has
+    * no such promise; a full shingle index is w× bigger). Pairs sharing
+    * ≥ `minShared` fingerprints are candidate plagiarism/mirror pairs.
+    *
+    * Fingerprints are VALUE sets (positions dropped, duplicates
+    * collapsed), so window tie-breaking never matters — the set is a pure
+    * function of the hash stream on any engine. The windowed min is
+    * row-local (O(len·w) per doc, w small); the pair stage is the
+    * standard capped inverted index — `maxFingerprintFreq` drops
+    * boilerplate fingerprints whole, the maxShingleFreq pattern.
+    *
+    * Output: (id_a, id_b, n_shared). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxFingerprintFreq: Int = 100,
+      minShared: Long = 2L): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1 and w >= 2, got k=$k w=$w")
+    // the RAW ordered hash stream, duplicates included — `shingle_hashes`
+    // dedupes to set semantics, which would change window contents (the
+    // spanDupes builtin pattern, 8-hex md5 prefix)
+    val toks = split(trim(col(textCol)), " ")
+    val fps = df
+      .select(col(idCol).cast("long").as("id"), toks.as("_toks"))
+      .filter(size(col("_toks")) >= k + w - 1) // else no full window
+      .select(col("id"), transform(
+        sequence(lit(1), size(col("_toks")) - lit(k - 1)),
+        i => conv(substring(md5(concat_ws(" ",
+          slice(col("_toks"), i, lit(k)))), 1, 8), 16, 10)
+          .cast("long")).as("sh"))
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(sh) - $w + 1), " +
+          s"i -> array_min(slice(sh, i, $w)))"))).as("fp"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxFingerprintFreq).select("fp")
+    val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** INCREMENTAL cluster maintenance: fold a batch of newly-discovered
     * near-dup pairs into an existing (id, label) clustering without
     * re-running pair GENERATION over the historical corpus — the

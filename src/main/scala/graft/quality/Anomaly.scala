@@ -645,6 +645,43 @@ object Anomaly {
   private def e6(c: Column): Column =
     round(c * lit(1e6)).cast("long")
 
+  /** Metric co-movement matrix: pairwise Pearson correlation between the
+    * per-`typeCol` series of an integer metric over a shared time axis —
+    * "which metrics move together" (a purchase/error correlation spike is
+    * an incident signature; a 1.0 pair is a redundant metric). Join on
+    * the time key (inner: only co-observed points correlate), exact
+    * BIGINT sufficient stats per pair, and corr = covN/√(varXN·varYN) as
+    * one fixed IEEE dag — the q162/q174 determinism posture. Pairs with a
+    * flat series have undefined correlation → null. `yCol` must be scaled
+    * so n·Σy² fits a long (the e2 convention). Output one row per
+    * unordered type pair: (type_a < type_b, n, corr_e6).
+    *
+    * Scale shape: the series frame is |types × periods| (tiny — already
+    * aggregated by the caller); the pair join and stats live entirely in
+    * that space. */
+  def metricCorrelations(series: DataFrame, typeCol: String,
+      timeCol: String, yCol: String): DataFrame = {
+    val a = series.select(col(typeCol).as("type_a"), col(timeCol).as("__t"),
+      col(yCol).cast("long").as("__xa"))
+    val b = series.select(col(typeCol).as("type_b"), col(timeCol).as("__t"),
+      col(yCol).cast("long").as("__xb"))
+    val covN = col("n") * col("sxy") - col("sx") * col("sy")
+    val varXN = col("n") * col("sxx") - col("sx") * col("sx")
+    val varYN = col("n") * col("syy") - col("sy") * col("sy")
+    a.join(b, Seq("__t")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__xa")).as("sx"), sum(col("__xb")).as("sy"),
+        sum(col("__xa") * col("__xa")).as("sxx"),
+        sum(col("__xb") * col("__xb")).as("syy"),
+        sum(col("__xa") * col("__xb")).as("sxy"))
+      .select(col("type_a"), col("type_b"), col("n"),
+        when(varXN > 0 && varYN > 0,
+          round(lit(1e6) * covN.cast("double")
+            / sqrt(varXN.cast("double") * varYN.cast("double"))).cast("long"))
+          .as("corr_e6"))
+  }
+
   /** Seasonal (period-of-`period`) residual z-scores of a daily integer
     * series: each (group, day) value scored against the baseline of the
     * SAME weekday slot (day mod period — the epoch-anchored weekday

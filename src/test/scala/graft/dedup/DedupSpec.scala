@@ -561,4 +561,27 @@ class DedupSpec extends SparkSpec {
     // survivor election is a grouped min, never a per-gram window sort
     plan should not include "WindowExec"
   }
+
+  test("winnowPairs: shared-run guarantee, boilerplate cap, short docs out") {
+    import spark.implicits._
+    // k=3, w=4: any shared run of >= 6 tokens guarantees a shared
+    // fingerprint. Docs 1 and 2 share exactly such a run; doc 3 is
+    // unrelated; doc 4 is too short for one full window.
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $run three"),
+      (2L, s"$run different tail entirely here"),
+      (3L, "completely unrelated words occupy this document body now"),
+      (4L, "tiny doc here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", k = 3, w = 4,
+        maxFingerprintFreq = 100, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L))
+    // a fingerprint shared by every doc is boilerplate - the cap drops it
+    val boiler = (1L to 5L).map(i => (i, s"$run unique$i tail$i"))
+      .toDF("doc_id", "text")
+    Dedup.winnowPairs(boiler, "doc_id", "text", 3, 4,
+      maxFingerprintFreq = 4, minShared = 1L).count() shouldBe 0L
+  }
 }

@@ -274,4 +274,22 @@ class AnomalySpec extends SparkSpec {
     byDay(1L).isNullAt(byDay(1L).fieldIndex("z_e6")) shouldBe true
     byDay(14L).getAs[Long]("slot") shouldBe 0L
   }
+
+  test("metricCorrelations: +1/-1/uncorrelated exact, flat series null") {
+    import spark.implicits._
+    val series = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 1L, 1L), ("b", 2L, 2L), ("b", 3L, 3L),    // b = a/10: corr +1
+      ("c", 1L, 30L), ("c", 2L, 20L), ("c", 3L, 10L), // c = -a: corr -1
+      ("d", 1L, 7L), ("d", 2L, 7L), ("d", 3L, 7L))    // flat: undefined
+      .toDF("typ", "t", "y")
+    val out = Anomaly.metricCorrelations(series, "typ", "t", "y")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    out(("a", "b")) shouldBe Some(1000000L)
+    out(("a", "c")) shouldBe Some(-1000000L)
+    out(("b", "c")) shouldBe Some(-1000000L)
+    out(("a", "d")) shouldBe None
+    out.size shouldBe 6
+  }
 }
