@@ -356,7 +356,11 @@ object ConfigLoader {
             minCopies = dm.get("min_copies").map(_.toString.toInt).getOrElse(2),
             maxSpanFreq = dm.get("max_span_freq").map(_.toString.toInt)
               .getOrElse(Int.MaxValue),
-            maskToken = optStr(dm, "mask_token").getOrElse("[DUP]"))
+            maskToken = optStr(dm, "mask_token").getOrElse("[DUP]"),
+            winnowWindow =
+              dm.get("winnow_window").map(_.toString.toInt).getOrElse(4),
+            minSharedFingerprints = dm.get("min_shared_fingerprints")
+              .map(_.toString.toLong).getOrElse(2L))
           if (spec.strategy == "embedding_lsh" && spec.dim < 1)
             throw new ConfigError(
               "curation.dedup.dim must be >= 1 for strategy embedding_lsh")
@@ -370,6 +374,18 @@ object ConfigLoader {
               (spec.kmeansK < 1 || spec.kmeansIters < 0))
             throw new ConfigError(
               "curation.dedup needs kmeans_k >= 1 and kmeans_iters >= 0")
+          if (spec.strategy != "winnow" &&
+              (dm.contains("winnow_window") ||
+                dm.contains("min_shared_fingerprints")))
+            throw new ConfigError(
+              "curation.dedup.winnow_window/min_shared_fingerprints only " +
+                s"apply to strategy winnow (got '${spec.strategy}' — they " +
+                "would be silently ignored)")
+          if (spec.strategy == "winnow" &&
+              (spec.winnowWindow < 2 || spec.minSharedFingerprints < 1))
+            throw new ConfigError(
+              "curation.dedup needs winnow_window >= 2 and " +
+                "min_shared_fingerprints >= 1")
           if (spec.strategy != "prefix" &&
               (dm.contains("prefix_len") || dm.contains("max_bucket_size")))
             throw new ConfigError(

@@ -168,14 +168,17 @@ final case class NearDedupSpec(
     spanGram: Int = 5,
     minCopies: Int = 2,
     maxSpanFreq: Int = Int.MaxValue,
-    maskToken: String = "[DUP]")
+    maskToken: String = "[DUP]",
+    winnowWindow: Int = 4,
+    minSharedFingerprints: Long = 2L)
 
 object NearDedupSpec {
   /** Validated at config load AND at dispatch — a typo'd strategy fails
     * loudly instead of silently skipping the dedup stage. */
   val Strategies: Set[String] =
     Set("exact", "canonical", "ngram_jaccard", "minhash_lsh", "simhash",
-      "embedding_lsh", "keep_best", "semantic", "prefix", "span_mask")
+      "embedding_lsh", "keep_best", "semantic", "prefix", "span_mask",
+      "winnow")
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;

@@ -372,6 +372,13 @@ object Curation {
           d.spanGram, d.minCopies, d.maxSpanFreq, d.maskToken)
         .withColumn(d.contentColumn, col("masked_text"))
         .drop("n_tokens", "n_masked", "n_spans", "masked_text")
+    case "winnow" =>
+      // MOSS windowed-min fingerprints: the w x-cheaper candidate index
+      // with the shared-run guarantee; same cluster -> min-id removal
+      val pairs = Dedup.winnowPairs(df, d.idColumn, d.contentColumn,
+          d.ngram, d.winnowWindow, d.maxShingleFreq, d.minSharedFingerprints)
+        .select("id_a", "id_b")
+      Dedup.removeNearDupes(df, d.idColumn, Dedup.dupClusters(pairs))
     case "keep_best" =>
       // same pair machinery as ngram_jaccard; the survivor policy changes
       // from min-id to best-score (config guarantees scoreColumn is set)

@@ -765,4 +765,42 @@ class PipelineSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.quality.Orchestrator.run(df.drop("zone_name"), cfg.quality)
   }
+
+  test("winnow dedup strategy drives from YAML; knobs scoped to it") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: docs
+        |curation:
+        |  dedup:
+        |    strategy: winnow
+        |    id_column: doc_id
+        |    content_column: text
+        |    ngram: 3
+        |    winnow_window: 4
+        |    min_shared_fingerprints: 1
+        |gold:
+        |  - name: survivors
+        |    group_by:
+        |      - doc_id
+        |    measures:
+        |      - name: docs
+        |        expression: count(1)
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.curation.flatMap(_.dedup).map(_.winnowWindow) shouldBe Some(4)
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"$run one two"),
+      (2L, s"three four $run"), // shares the 6-token run with 1 - dropped
+      (3L, "entirely different content lives in this one"))
+      .toDF("doc_id", "text")
+    var kept = Set.empty[Long]
+    Pipeline.run(spark, cfg, docs, goldSink = Some((_, df) =>
+      kept = df.select("doc_id").collect().map(_.getLong(0)).toSet))
+    kept shouldBe Set(1L, 3L)
+    // winnow knobs on another strategy fail at load
+    val bad = yaml.replace("strategy: winnow", "strategy: exact")
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(bad)
+  }
 }
