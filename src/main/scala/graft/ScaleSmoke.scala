@@ -78,7 +78,10 @@ object ScaleSmoke {
     // rolling-distinct explode, the incremental cluster fold, and the
     // cross-table fuzzy linkage
     "q161_triangles", "q171_pagerank", "q172_kcore",
-    "q163_rolling_active", "q165_incremental_clusters", "q166_fuzzy_link")
+    "q163_rolling_active", "q165_incremental_clusters", "q166_fuzzy_link",
+    // the winnow fingerprint index — ~1/w of q26's full shingle postings,
+    // same capped inverted-index pair stage
+    "q183_winnow_pairs")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
