@@ -625,8 +625,10 @@ object Anomaly {
   def equiDepthProfileByBounds(df: DataFrame, valueCol: String,
       n: Int): DataFrame = {
     val probs = (1 until n).map(_.toDouble / n)
+    // exactQuantiles names columns p${(p*100).toInt} — match exactly
+    // (rounding instead truncating diverges at e.g. 2/3 → p67 vs p66)
     val bounds = exactQuantiles(df, valueCol, probs)
-      .select(array(probs.indices.map(i => col(s"p${(probs(i) * 100).round}")): _*)
+      .select(array(probs.indices.map(i => col(s"p${(probs(i) * 100).toInt}")): _*)
         .as("__bs"))
     df.crossJoin(broadcast(bounds))
       .withColumn("bucket",

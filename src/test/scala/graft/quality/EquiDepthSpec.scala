@@ -25,4 +25,14 @@ class EquiDepthSpec extends SparkSpec {
       .select("bucket", "n_rows", "min_e6", "max_e6", "sum_e6")
     byNtile.collect() shouldBe byBounds.collect()
   }
+
+  test("boundary twin works at n=3 (the truncate-vs-round column trap)") {
+    val df = (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "v")
+    // 2/3 -> p66 by truncation; a .round-based lookup would ask for p67
+    // and crash. Bucket masses must still be exactly equal on this
+    // tie-free frame.
+    val out = Anomaly.equiDepthProfileByBounds(df, "v", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 10L, 2L -> 10L, 3L -> 10L)
+  }
 }
