@@ -115,6 +115,8 @@ object Graphs {
       .agg(count(lit(1)).as("deg")).localCheckpoint()
     val scale = 1000000000L
     val n = deg.count()
+    if (n == 0) // no edges -> no nodes -> empty ranking, not a div-by-zero
+      return deg.select(col("node"), lit(0L).as("rank_e9"))
     val init = scale / n
     val base = (15L * init) / 100L
     var ranks = deg.select(col("node"), lit(init).as("rank_e9"))
@@ -158,6 +160,8 @@ object Graphs {
       .agg(sum(col("w")).as("wdeg")).localCheckpoint()
     val scale = 1000000000L
     val n = wdeg.count()
+    if (n == 0)
+      return wdeg.select(col("node"), lit(0L).as("rank_e9"))
     val init = scale / n
     val base = (15L * init) / 100L
     var ranks = wdeg.select(col("node"), lit(init).as("rank_e9"))

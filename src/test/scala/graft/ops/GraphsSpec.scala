@@ -90,4 +90,12 @@ class GraphsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     r(4L) should be > ru(4L)
   }
+
+  test("pageRank on an edgeless graph returns empty, not a crash") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("u", "v")
+    Graphs.pageRank(none, "u", "v", iters = 2).count() shouldBe 0L
+    val selfOnly = Seq((3L, 3L)).toDF("u", "v") // self-loops drop to empty
+    Graphs.pageRank(selfOnly, "u", "v", iters = 2).count() shouldBe 0L
+  }
 }
