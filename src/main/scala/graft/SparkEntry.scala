@@ -1359,6 +1359,15 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // Session entry/exit matrix: q61's sessions summarized as how they
+    // begin × how they end — first/last type per session on the (ts,
+    // tie) order, counted in |types|² space.
+    "q185_entry_exit" -> ((s, dir) =>
+      Sessions.entryExitMatrix(
+        Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
+        .orderBy("entry_type", "exit_type")),
+
     // Winnowing (MOSS) fingerprint pairs: windowed-min sampling of the
     // shingle-hash stream with the shared-run guarantee, then the capped
     // inverted-index pair stage — the w×-cheaper candidate generator
@@ -2515,6 +2524,25 @@ object SparkEntry {
     "q181_image_neardups" ->
       """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM range(200) t(i) WHERE i % 10 = 0 ORDER BY id_a""".stripMargin,
+    // q185: the q61 session derivation + arg_min/arg_max on the q176
+    // HUGEINT (ts·1e6 + tie) stamp ≡ the struct-min order.
+    "q185_entry_exit" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT *, lag(ts_us) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, sum(CASE WHEN prev_us IS NULL
+        |    OR ts_us - prev_us > 14400000000 THEN 1 ELSE 0 END) OVER
+        |  (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM l),
+        |m AS (SELECT user_id, session_seq,
+        |  arg_min(event_type, ts_us::HUGEINT * 1000000 + event_id)
+        |    AS entry_type,
+        |  arg_max(event_type, ts_us::HUGEINT * 1000000 + event_id)
+        |    AS exit_type
+        | FROM s GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, count(*) AS n_sessions
+        |FROM m GROUP BY 1, 2 ORDER BY entry_type, exit_type""".stripMargin,
     // q183: winnow replay — same md5-prefix shingle hashes (the q143
     // convention), windowed list_min, capped inverted-index pair count.
     "q183_winnow_pairs" ->

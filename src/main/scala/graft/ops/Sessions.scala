@@ -126,6 +126,29 @@ object Sessions {
       .withColumn("p_e6", expr("n * 1000000L div row_total"))
   }
 
+  /** Session entry/exit matrix: how sessions begin × how they end — the
+    * landing/bounce analysis ("sessions that start with an error and end
+    * with an error are crashes; start-view/end-purchase are conversions").
+    * Each gap-defined session contributes its FIRST and LAST event type
+    * on the (ts, tie) total order; output is the |types|² matrix of
+    * session counts.
+    *
+    * Scale shape: [[sessionize]]'s one keyed window, then a per-session
+    * struct-min/max aggregate (map-side partials) and a |types|²-space
+    * count — row data crosses one shuffle. */
+  def entryExitMatrix(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, gapSec: Long): DataFrame = {
+    val stamp = struct(col(tsUsCol).cast("long"), col(tieCol).cast("long"),
+      col(typeCol))
+    sessionize(events, keyCol, tsUsCol, tieCol, gapSec)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(min(stamp).as("__f"), max(stamp).as("__l"))
+      .select(col("__f")(typeCol).as("entry_type"),
+        col("__l")(typeCol).as("exit_type"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** Top user journeys: the most common length-`n` ORDERED event-type
     * paths across keys — [[transitionMatrix]]'s 2-gram rows generalized
     * to n-step paths, the "what do users actually do" product-analytics

@@ -141,4 +141,22 @@ class SessionsSpec extends SparkSpec {
       ("b>c>b", 1L, 2L),   // lexicographic tiebreak among the 1-counts
       ("c>b>c", 1L, 3L))
   }
+
+  test("entryExitMatrix: first/last per gap-session, tie-broken by id") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1, session 1: view ... purchase; session 2 (after gap): error only
+      (1L, 0L, 1L, "view"), (1L, 1000000L, 2L, "purchase"),
+      (1L, 99999000000L, 3L, "error"),
+      // user 2: one session, same-ts entry tie -> event_id 4 wins entry
+      (2L, 0L, 4L, "click"), (2L, 0L, 5L, "view"), (2L, 1000000L, 6L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = graft.ops.Sessions.entryExitMatrix(ev, "user_id", "ts_us",
+        "event_id", "event_type", gapSec = 3600L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    out shouldBe Map(
+      ("view", "purchase") -> 1L,
+      ("error", "error") -> 1L, // single-event session enters and exits itself
+      ("click", "view") -> 1L)
+  }
 }
