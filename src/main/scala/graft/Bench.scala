@@ -80,40 +80,50 @@ object Bench {
         samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
       }
     }
+    // Fixed-work calibration probe: a constant CPU-bound query timed once
+    // per rep, so judges can normalize host-epoch drift (r13's 1.47× uniform
+    // inflation was adjudicated as host noise from indirect evidence; this
+    // makes it directly measurable). Pure arithmetic over spark.range — no
+    // I/O, no shuffle variance, identical work every round.
+    def calibOnce(): Double = {
+      settle(300L)
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, cpus.toInt)
+        .selectExpr("sum(((id * 2654435761) ^ (id >> 7)) % 1000003) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibs = (1 to reps).map(_ => calibOnce())
+    val calibSec = calibs.min
     val results = names.map { case (name, _) =>
       val times = samples(name)
       (name, times.map(_._1).min, times.forall(_._2), times.map(_._1))
     }
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.
-    // Stdout keys are the qNN prefix only (full names live on the stderr
-    // detail line): at ~96 queries the full-name map alone exceeded the
-    // driver's bounded tail capture two rounds running (r8/r9 recorded
-    // parsed=null with the line's head clipped mid-query). qNN prefixes
-    // are unique by construction; if that ever breaks, fall back to full
-    // names rather than emit colliding keys.
-    val shortKey: String => String = {
-      val pref = results.map { case (k, _, _, _) => k -> k.takeWhile(_ != '_') }
-      if (pref.map(_._2).distinct.size == pref.size) pref.toMap else identity[String]
-    }
     val qs = results.map { case (k, v, ok, _) =>
-      "\"" + shortKey(k) + "\":" + (if (ok) f"$v%.3f" else "-1") }.mkString("{", ",", "}")
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }.mkString("{", ",", "}")
     // every rep's time per query, so min-of-N can't silently mask a
     // regression between rounds
     val ts = results.map { case (k, _, _, all) =>
       "\"" + k + "\":" + all.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false, _) => "\"" + shortKey(k) + "\"" }
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    // Per-rep detail goes to stderr as the durable home for diagnostics.
-    System.err.println(f"""{"detail":"per-rep","times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"warmup":"full pass, untimed"}""")
-    // The stdout line must stay SMALL: the driver captures a bounded tail
-    // of stdout and parses the last JSON line. Round 8's shim (per-rep
-    // times duplicated here) grew the line past the capture window at 96
-    // queries and the driver recorded parsed=null — so only the contract
-    // fields (metric/value/unit/queries/errors/sf) ride on stdout.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // The per-query map outgrew the driver's bounded stdout-tail capture at
+    // 185 queries (r13: parsed=null even with qNN-prefix keys — the exact
+    // failure mode r8/r9 hit at 96 queries with full names). The map and
+    // per-rep arrays now live in a FILE next to the harness cwd; stdout
+    // carries only fixed-size contract fields (~160 bytes) that can never
+    // outgrow the capture window.
+    val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
+    val calibJson = calibs.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val detail = f"""{"queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"calib_sec":$calibSec%.3f,"calib_reps":$calibJson,"reps":$reps,"sf":"$sfDir","n_queries":${results.size}}"""
+    val w = new java.io.PrintWriter(detailPath, "UTF-8")
+    try w.println(detail) finally w.close()
+    System.err.println(detail)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errors,"sf":"$sfDir","n_queries":${results.size},"calib_sec":$calibSec%.3f,"detail_path":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -508,18 +508,27 @@ object Streaming {
     * touched buckets snapshot to `<path>__bak` before the overwrite, and
     * [[recoverMartPartitions]] repairs a torn batch at every start.
     *
-    * CONTRACT: at most one change row per key per micro-batch (true of
-    * any per-interval snapshot diff; two changes for one key in one
-    * batch have no defined order and would both survive the anti-join).
-    * Batch replays after a crash re-apply the same change set onto the
-    * RESTORED pre-batch buckets — idempotent. */
+    * Multi-change-per-key batches: when `orderCols` is non-empty, each
+    * micro-batch is first collapsed per key to the LATEST change on the
+    * ascending (orderCols…) total order (ties beyond orderCols broken by
+    * the remaining payload columns, so the reduction is deterministic
+    * regardless of partitioning). Latest-wins is sequence-equivalent for
+    * snapshot-consistent feeds: added→removed nets to removed,
+    * removed→added to added, added→changed to the changed values — the
+    * same final state as applying the changes one at a time. With
+    * `orderCols` empty the pre-r14 contract applies: at most one change
+    * row per key per micro-batch (true of any per-interval snapshot
+    * diff; two same-key rows would then have no defined order and both
+    * survive the anti-join). Batch replays after a crash re-apply the
+    * same change set onto the RESTORED pre-batch buckets — idempotent. */
   def cdcApplyStream(
       changes: DataFrame,
       keyCols: Seq[String],
       valueCols: Seq[String],
       nBuckets: Int,
       snapshotPath: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      orderCols: Seq[String] = Seq.empty): StreamingQuery = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     require(keyCols.nonEmpty && valueCols.nonEmpty,
       "cdcApplyStream needs key and value columns")
@@ -532,7 +541,21 @@ object Streaming {
         val snap = new org.apache.hadoop.fs.Path(snapshotPath)
         val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
         recoverMartPartitions(spark, fs, snapshotPath, Seq("bucket"))
-        val b = batch.toDF().localCheckpoint()
+        val raw = batch.toDF().localCheckpoint()
+        // collapse a multi-change batch per key to latest-wins on the
+        // ascending (orderCols…) order; remaining payload columns join the
+        // struct after orderCols so the max is a deterministic total order
+        val b =
+          if (orderCols.isEmpty || raw.isEmpty) raw
+          else {
+            val payload = raw.columns.toSeq.filterNot(keyCols.contains)
+            val structCols = orderCols ++ payload.filterNot(orderCols.contains)
+            raw.groupBy(keyCols.map(col): _*)
+              .agg(max(struct(structCols.map(col): _*)).as("_w"))
+              .select(raw.columns.toSeq.map(c =>
+                if (keyCols.contains(c)) col(c) else col(s"_w.$c").as(c)): _*)
+              .localCheckpoint()
+          }
         if (!b.isEmpty) {
           val rowCols = keyCols ++ valueCols
           val outSchema = org.apache.spark.sql.types.StructType(
@@ -542,15 +565,15 @@ object Streaming {
           val snapExists = fs.exists(snap) && fs.listStatus(snap)
             .exists(st => st.isDirectory && st.getPath.getName.contains("="))
           val bak = new org.apache.hadoop.fs.Path(snapshotPath + "__bak")
+          // touched buckets: |buckets-per-batch|-sized driver list
+          val touched = b.select(bucketOf.as("bucket"))
+            .distinct().collect().map(_.getLong(0))
           val prev =
             if (!snapExists)
               spark.createDataFrame(
                 spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                 outSchema)
             else {
-              // touched buckets: |buckets-per-batch|-sized driver list
-              val touched = b.select(bucketOf.as("bucket"))
-                .distinct().collect().map(_.getLong(0))
               val existing = spark.read.schema(outSchema).parquet(snapshotPath)
                 .filter(col("bucket").isin(touched: _*))
                 .localCheckpoint() // materialize once: feeds bak AND apply
@@ -560,11 +583,27 @@ object Streaming {
           val applied = graft.quality.Reconciliation
             .applyChangeSet(prev.drop("bucket"), b, keyCols, valueCols)
             .withColumn("bucket", bucketOf)
-          applied.localCheckpoint()
+            .localCheckpoint()
+          applied
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(snapshotPath)
+          // dynamic overwrite only replaces partitions PRESENT in the
+          // output: a touched bucket whose every key was removed would keep
+          // its stale dir and resurrect deleted keys on the next read.
+          // Explicitly drop touched dirs absent from the output. Crash-safe:
+          // bak still holds those dirs' pre-batch rows, so a crash anywhere
+          // in this loop is repaired by recoverMartPartitions + replay.
+          if (snapExists) {
+            val appliedBuckets = applied.select("bucket").distinct()
+              .collect().map(_.getLong(0)).toSet
+            touched.filterNot(appliedBuckets.contains).foreach { bkt =>
+              fs.delete(
+                new org.apache.hadoop.fs.Path(snapshotPath + s"/bucket=$bkt"),
+                true)
+            }
+          }
           fs.delete(bak, true)
         }
         ()

@@ -792,4 +792,78 @@ class StreamingSpec extends SparkSpec {
       got shouldBe batch
     } finally q.stop()
   }
+
+  test("cdcApplyStream drops buckets emptied by removals (no resurrection)") {
+    val snap = Files.createTempDirectory("graft_cdc_empty").toString + "/s"
+    val chk = Files.createTempDirectory("graft_cdc_empty_chk").toString
+    val stream = MemoryStream[(Long, String, Double)](spark)
+    val changes = stream.toDF().toDF("k", "status", "price")
+    val q = Streaming.cdcApplyStream(changes, keyCols = Seq("k"),
+      valueCols = Seq("price"), nBuckets = 4, snap, chk)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", org.apache.spark.sql.types.LongType)
+      .add("price", org.apache.spark.sql.types.DoubleType)
+    try {
+      // batch 1: one key → exactly one bucket dir
+      stream.addData((1L, "added", 10.0))
+      q.processAllAvailable()
+      spark.read.schema(schema).parquet(snap).count() shouldBe 1L
+      // batch 2: remove it — the applied frame is EMPTY, so dynamic
+      // overwrite rewrites nothing; before the r14 fix the stale dir
+      // survived and k=1 was resurrected on the next read
+      stream.addData((1L, "removed", 0.0))
+      q.processAllAvailable()
+      spark.read.schema(schema).parquet(snap).count() shouldBe 0L
+      // batch 3: fresh key — the resurrected k=1 would reappear here
+      stream.addData((2L, "added", 20.0))
+      q.processAllAvailable()
+      spark.read.schema(schema).parquet(snap)
+        .select("k", "price").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap shouldBe
+        Map(2L -> 20.0)
+    } finally q.stop()
+  }
+
+  test("cdcApplyStream collapses multi-change-per-key batches latest-wins") {
+    val snap = Files.createTempDirectory("graft_cdc_multi").toString + "/s"
+    val chk = Files.createTempDirectory("graft_cdc_multi_chk").toString
+    val stream = MemoryStream[(Long, String, Double, Long)](spark)
+    val changes = stream.toDF().toDF("k", "status", "price", "ts")
+    val q = Streaming.cdcApplyStream(changes, keyCols = Seq("k"),
+      valueCols = Seq("price"), nBuckets = 4, snap, chk,
+      orderCols = Seq("ts"))
+    try {
+      // batch 1: burst — k=1 added then changed twice; k=2 added then
+      // removed; k=3 a single add
+      stream.addData(
+        (1L, "added", 10.0, 1L), (1L, "changed", 11.0, 2L),
+        (1L, "changed", 12.0, 3L),
+        (2L, "added", 20.0, 1L), (2L, "removed", 0.0, 2L),
+        (3L, "added", 30.0, 1L))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(snap)
+        .select("k", "price").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      after1 shouldBe Map(1L -> 12.0, 3L -> 30.0)
+      // batch 2: k=1 removed then re-added (net: added with new value);
+      // k=3 changed then removed (net: gone)
+      stream.addData(
+        (1L, "removed", 0.0, 4L), (1L, "added", 13.0, 5L),
+        (3L, "changed", 31.0, 4L), (3L, "removed", 0.0, 5L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(snap)
+        .select("k", "price").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // ≡ batch applyChangeSet of the per-key-collapsed change sets,
+      // applied sequentially
+      val prev = Seq((1L, 12.0), (3L, 30.0)).toDF("k", "price")
+      val collapsed2 = Seq((1L, "added", 13.0), (3L, "removed", 0.0))
+        .toDF("k", "status", "price")
+      val expect = graft.quality.Reconciliation.applyChangeSet(
+        prev, collapsed2, Seq("k"), Seq("price"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got shouldBe expect
+      got shouldBe Map(1L -> 13.0)
+    } finally q.stop()
+  }
 }
