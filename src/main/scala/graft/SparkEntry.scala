@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.silver.Transform
 import graft.similarity.Similarity
 import graft.tables.Tables
-import graft.text.{Chunking, Curation, TextAnalysis}
+import graft.text.{BpeTrainer, Chunking, Curation, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1368,6 +1368,18 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Learned BPE vocabulary induction: 10 merge rounds trained on the
+    // corpus — pair counting in vocabulary space (distinct words ×
+    // freq), argmax under the deterministic (count desc, pair asc) tie
+    // order, re-segmentation as a literal boundary-wrapped replace with
+    // identical leftmost-non-overlapping semantics in both engines. The
+    // oracle UNROLLS the merge rounds (the q171 fixed-point pattern).
+    "q186_bpe_vocab" -> ((s, dir) =>
+      BpeTrainer.learnMerges(
+        Tables.load(s, dir, "documents").select("text"), "text",
+        numMerges = 10)
+        .orderBy("merge_round")),
+
     // Winnowing (MOSS) fingerprint pairs: windowed-min sampling of the
     // shingle-hash stream with the shared-run guarantee, then the capped
     // inverted-index pair stage — the w×-cheaper candidate generator
@@ -2447,6 +2459,45 @@ object SparkEntry {
 
   /** q171 oracle: the integer-PageRank recurrence unrolled `iters` times —
     * identical floor divisions, identical exact integer sums. */
+  /** q186 oracle: the BPE merge rounds unrolled as materialized CTEs.
+    * Same representation as the operator — boundary-wrapped segs with a
+    * DOUBLE chr(31) separator, merges as literal `replace` (leftmost,
+    * non-overlapping, boundary-sharing), pair counts over parallel-unnest
+    * slices, argmax under (cnt desc, l, r). */
+  private def bpeOracle(rounds: Int): String = {
+    val s2 = "chr(31)||chr(31)"
+    val rs = (1 to rounds).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(parts[2:len(parts)-2]) AS l,
+         |           unnest(parts[3:len(parts)-1]) AS r, freq
+         |    FROM (SELECT str_split(seg, $s2) AS parts, freq FROM $prev) t) q
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(seg,
+         |    chr(31)||(SELECT l FROM m$i)||$s2||(SELECT r FROM m$i)||chr(31),
+         |    chr(31)||(SELECT l||r FROM m$i)||chr(31)) AS seg, freq
+         |  FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(i =>
+      s"SELECT $i AS merge_round, l AS left_sym, r AS right_sym, " +
+        s"l||r AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT $s2 || regexp_replace(word, '(.)', '\\1'||$s2, 'g') AS seg,
+       |         CAST(cnt AS BIGINT) AS freq
+       |  FROM (SELECT word, count(*) AS cnt FROM (
+       |          SELECT unnest(str_split(trim(regexp_replace(
+       |            replace(text, chr(31), ''), '\\s+', ' ', 'g')), ' ')) AS word
+       |          FROM documents) u
+       |        WHERE word <> '' GROUP BY 1) wc),
+       |$rs
+       |SELECT * FROM ($sel) ORDER BY merge_round""".stripMargin
+  }
+
   private def pagerankOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
@@ -2516,6 +2567,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q171_pagerank" -> pagerankOracle(5),
+    "q186_bpe_vocab" -> bpeOracle(10),
     "q172_kcore" -> kcoreOracle(3, 8),
     "q178_pagerank_weighted" -> pagerankWeightedOracle(4),
     // q181: the planted-pair ledger — byte-identical payloads hash
