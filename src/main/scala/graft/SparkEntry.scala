@@ -1368,6 +1368,18 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Directed PageRank with dangling-mass redistribution: the basket
+    // pair set read as DIRECTED low→high edges — every maximal item is a
+    // genuine dangling node (outdeg 0), so the D_t redistribution term is
+    // exercised on real mass every round; same e9 integer fixed point,
+    // oracle unrolls the recurrence with the dangling aggregate inlined.
+    "q187_pagerank_directed" -> ((s, dir) =>
+      graft.ops.Graphs.pageRankDirected(
+        Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
+        "item_a", "item_b", iters = 5)
+        .orderBy("node")),
+
     // Learned BPE vocabulary induction: 10 merge rounds trained on the
     // corpus — pair counting in vocabulary space (distinct words ×
     // freq), argmax under the deterministic (count desc, pair asc) tie
@@ -2537,6 +2549,42 @@ object SparkEntry {
        |GROUP BY src ORDER BY node""".stripMargin
   }
 
+  /** q187 oracle: the directed recurrence with dangling-mass
+    * redistribution unrolled — edges are the canonical low→high pair set
+    * `e` read as directed, nodes the union of endpoints, and each round
+    * inlines the previous round's dangling aggregate. */
+  private def pagerankDirectedOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""dang$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.rank_e9), 0) AS BIGINT) AS dmass
+         |  FROM $prev r LEFT JOIN odeg o ON r.node = o.node
+         |  WHERE o.node IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT nd.node, CAST(
+         |    (15 * (SELECT t FROM tele)) // 100
+         |    + 85 * (coalesce(s.inflow, 0)
+         |            + (SELECT dmass FROM dang$i) * (SELECT t FROM tele)
+         |              // 1000000000) // 100 AS BIGINT) AS rank_e9
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.b AS node, sum(r.rank_e9 // o.odeg) AS inflow
+         |    FROM e JOIN $prev r ON e.a = r.node
+         |    JOIN odeg o ON e.a = o.node
+         |    GROUP BY 1) s ON nd.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $basketEdgesMat,
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) u),
+       |odeg AS MATERIALIZED (SELECT a AS node, count(*) AS odeg
+       |  FROM e GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |tele AS MATERIALIZED (SELECT 1000000000 // n AS t FROM nn),
+       |r0 AS MATERIALIZED (SELECT node, (SELECT t FROM tele) AS rank_e9
+       |  FROM nodes),
+       |$rounds
+       |SELECT node, rank_e9 FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** q178 oracle: the weighted-share recurrence unrolled. */
   private def pagerankWeightedOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
@@ -2568,6 +2616,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q171_pagerank" -> pagerankOracle(5),
     "q186_bpe_vocab" -> bpeOracle(10),
+    "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q172_kcore" -> kcoreOracle(3, 8),
     "q178_pagerank_weighted" -> pagerankWeightedOracle(4),
     // q181: the planted-pair ledger — byte-identical payloads hash

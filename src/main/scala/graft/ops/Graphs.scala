@@ -182,6 +182,89 @@ object Graphs {
     ranks
   }
 
+  /** PageRank over a DIRECTED edge list with dangling-node mass
+    * redistribution and an optional personalization vector — the
+    * web/citation/follower-graph form q171's undirected variant cannot
+    * express (symmetric edges make dangling nodes impossible by
+    * construction; real directed graphs are full of them — a page with no
+    * outlinks, a cited-but-never-citing paper).
+    *
+    * Same exact fixed-point e9 integer arithmetic as [[pageRank]]:
+    *
+    * r_{t+1}(v) = (15·tele(v)) div 100
+    *            + (85 · (Σ_{u→v} (r_t(u) div outdeg(u))
+    *                     + (D_t · tele(v)) div SCALE)) div 100
+    *
+    * where D_t = Σ_{outdeg(u)=0} r_t(u) is the round's dangling mass and
+    * tele(v) is the teleport allocation — SCALE div N uniform, or
+    * (SCALE·w_v) div ΣW under a personalization frame (node, weight>0;
+    * nodes absent from it get zero teleport AND zero dangling share, the
+    * standard personalized-PageRank semantics). With symmetric input and
+    * no personalization this reduces EXACTLY to [[pageRank]] (spec-pinned:
+    * D_t ≡ 0 and tele ≡ init make the recurrences identical).
+    *
+    * Scale shape per round: the same keyed join + grouped sum as
+    * [[pageRank]], plus one 1-row dangling-mass aggregate broadcast back
+    * via crossJoin (the Anomaly stat-frame pattern — never a driver
+    * collect in the loop). Fixed `iters`, oracle-unrollable. */
+  def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, personalization: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val scale = 1000000000L
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_e9"))
+    val tele = (personalization match {
+      case None => nodes.select(col("node"), lit(scale / n).as("tele_e9"))
+      case Some(p) =>
+        val w = p.select(col(p.columns(0)).cast("long").as("node"),
+          col(p.columns(1)).cast("long").as("w"))
+          .filter(col("w") > 0L)
+        val wTot = w.agg(coalesce(sum("w"), lit(0L))).collect()(0).getLong(0)
+        require(wTot > 0L, "personalization weights must sum > 0")
+        // scale·w must fit a long: weights are proportions, so a loud
+        // rescale demand beats silent overflow
+        require(wTot <= 4000000000L,
+          s"personalization weights sum to $wTot — rescale to <= 4e9")
+        nodes.join(w, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"${scale}L * coalesce(w, 0L) div ${wTot}L").as("tele_e9"))
+    }).localCheckpoint()
+    var ranks = tele.select(col("node"), col("tele_e9").as("rank_e9"))
+    (1 to iters).foreach { _ =>
+      val contrib = e
+        .join(ranks.select(col("node").as("src"), col("rank_e9")), "src")
+        .join(outdeg.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_e9 div outdeg").as("share"))
+        .groupBy("node").agg(sum(col("share")).as("inflow"))
+      // the round's dangling mass: one row, broadcast onto every node
+      val dang = ranks.join(outdeg, Seq("node"), "left")
+        .filter(col("outdeg").isNull)
+        .agg(coalesce(sum("rank_e9"), lit(0L)).as("dmass"))
+      ranks = tele
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (expr("15L * tele_e9 div 100") +
+            expr(s"85L * (coalesce(inflow, 0L) + dmass * tele_e9 div ${scale}L) div 100"))
+            .as("rank_e9"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** k-CORE decomposition by iterative peeling: the maximal subgraph
     * where every node keeps degree ≥ k — the dense-spam-farm /
     * mirror-clique detector a triangle count only hints at. Each round

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class GraphsSpec extends SparkSpec {
   import spark.implicits._
@@ -97,5 +98,61 @@ class GraphsSpec extends SparkSpec {
     Graphs.pageRank(none, "u", "v", iters = 2).count() shouldBe 0L
     val selfOnly = Seq((3L, 3L)).toDF("u", "v") // self-loops drop to empty
     Graphs.pageRank(selfOnly, "u", "v", iters = 2).count() shouldBe 0L
+  }
+
+  test("pageRankDirected on symmetric input reduces exactly to pageRank") {
+    // feed both directions of every undirected edge: no dangling nodes
+    // (D_t = 0) and uniform teleport = init, so the recurrences coincide
+    val und = (1L to 30L).map(i => (i, (i * 11) % 30 + 1)).toDF("u", "v")
+    val sym = und.unionAll(und.select(col("v"), col("u")))
+    val directed = Graphs.pageRankDirected(sym, "u", "v", iters = 4)
+      .orderBy("node").collect()
+    val plain = Graphs.pageRank(und, "u", "v", iters = 4)
+      .orderBy("node").collect()
+    directed shouldBe plain
+  }
+
+  test("pageRankDirected: dangling mass is redistributed, not lost") {
+    // chain 1→2→3: node 3 is dangling. Its mass must re-enter the graph;
+    // without redistribution total rank collapses toward the 15% floor.
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r = Graphs.pageRankDirected(chain, "u", "v", iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // downstream accumulates: 3 > 2 > 1
+    r(3L) should be > r(2L)
+    r(2L) should be > r(1L)
+    // total mass stays near SCALE (floor-division leak only — well above
+    // the ~0.4·SCALE a dangling-mass-dropping implementation converges to)
+    val total = r.values.sum
+    total should be > 900000000L
+    total should be <= 1000000000L
+  }
+
+  test("pageRankDirected is partitioning-independent") {
+    val edges = (1L to 40L).map(i => (i, (i * 7) % 43 + 1)).toDF("u", "v")
+    val a = Graphs.pageRankDirected(edges.repartition(13), "u", "v", iters = 4)
+      .orderBy("node").collect()
+    val b = Graphs.pageRankDirected(edges.repartition(2), "u", "v", iters = 4)
+      .orderBy("node").collect()
+    a shouldBe b
+  }
+
+  test("pageRankDirected personalization concentrates rank on the seed set") {
+    // two disjoint directed cycles; personalize on cycle A's nodes only —
+    // cycle B gets zero teleport and zero dangling share, so its rank
+    // decays to the floor while A keeps the mass
+    val cycleA = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val cycleB = Seq((11L, 12L), (12L, 13L), (13L, 11L))
+    val edges = (cycleA ++ cycleB).toDF("u", "v")
+    val seeds = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "w")
+    val r = Graphs.pageRankDirected(edges, "u", "v", iters = 10,
+      personalization = Some(seeds))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(1L) should be > (10L * r(11L) max 1L)
+    // oversized weights are refused loudly, not silently overflowed
+    val big = Seq((1L, 5000000000L)).toDF("node", "w")
+    an[IllegalArgumentException] should be thrownBy
+      Graphs.pageRankDirected(edges, "u", "v", iters = 2,
+        personalization = Some(big))
   }
 }
