@@ -2625,8 +2625,9 @@ object SparkEntry {
     "q181_image_neardups" ->
       """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM range(200) t(i) WHERE i % 10 = 0 ORDER BY id_a""".stripMargin,
-    // q185: the q61 session derivation + arg_min/arg_max on the q176
-    // HUGEINT (ts·1e6 + tie) stamp ≡ the struct-min order.
+    // q185: the q61 session derivation + struct min/max on the genuine
+    // 2-key (ts_us, event_id) order — a packed ts·1e6+tie scalar would
+    // only be order-equivalent while event_id < 1e6 (r13 advice).
     "q185_entry_exit" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |  epoch_us(ts) AS ts_us FROM events),
@@ -2637,9 +2638,9 @@ object SparkEntry {
         |  (PARTITION BY user_id ORDER BY ts_us, event_id
         |   ROWS UNBOUNDED PRECEDING) AS session_seq FROM l),
         |m AS (SELECT user_id, session_seq,
-        |  arg_min(event_type, ts_us::HUGEINT * 1000000 + event_id)
+        |  (min({'t': ts_us, 'i': event_id, 'y': event_type})).y
         |    AS entry_type,
-        |  arg_max(event_type, ts_us::HUGEINT * 1000000 + event_id)
+        |  (max({'t': ts_us, 'i': event_id, 'y': event_type})).y
         |    AS exit_type
         | FROM s GROUP BY 1, 2)
         |SELECT entry_type, exit_type, count(*) AS n_sessions
@@ -2746,12 +2747,13 @@ object SparkEntry {
         |SELECT * FROM h WHERE valid_from_us <= 1705363000000000
         |  AND (valid_to_us IS NULL OR valid_to_us > 1705363000000000)
         |ORDER BY user_id""".stripMargin,
-    // q176: the progressive-min frontier replayed with a HUGEINT
-    // (ts·1e6 + tie) stamp — the same (ts, tie) lexicographic order the
-    // Spark side's struct-min uses.
+    // q176: the progressive-min frontier replayed with a genuine 2-key
+    // ROW(ts_us, event_id) stamp — DuckDB ROW comparison IS the (ts, tie)
+    // lexicographic order the Spark side's struct-min uses (a packed
+    // ts·1e6+tie scalar would break if event_id ever reached 1e6).
     "q176_funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type,
-        |  epoch_us(ts)::HUGEINT * 1000000 + event_id AS st FROM events),
+        |  ROW(epoch_us(ts), event_id) AS st FROM events),
         |f1 AS (SELECT user_id, min(st) AS at FROM e
         |  WHERE event_type = 'view' GROUP BY 1),
         |f2 AS (SELECT e.user_id, min(e.st) AS at FROM e JOIN f1 USING (user_id)

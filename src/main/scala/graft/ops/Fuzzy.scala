@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: ~(avg_len+1)·n exploded keys, one keyed shuffle, per-key
   * fan-out bounded by block size. Like every LSH-style blocker in this
   * repo, hot keys are the failure mode — `maxBlockSize` drops pathological
-  * blocks (e.g. the ""-key block of all 1-char strings) whole, loudly, the
-  * `maxShingleFreq`/`maxBucketSize` pattern from Dedup.
+  * blocks (e.g. the ""-key block of all 1-char strings) WHOLE. The drop is
+  * silent in the join plan itself (an anti-join; forcing a count there
+  * would bolt an extra action onto every call) — [[droppedBlocks]] /
+  * [[droppedBlocksBetween]] are the audit surface: run them with the same
+  * arguments and alert on nonzero rows, because a dropped block can hide
+  * true pairs. `maxBlockSize <= 0` disables the cap entirely.
   */
 object Fuzzy {
 
@@ -69,6 +73,33 @@ object Fuzzy {
     * substitution/indel/equality cases never relied on self-joining); the
     * hot-block cap applies to the COMBINED per-key frequency — a key hot
     * on either side floods the join the same way. */
+  /** The deletion-neighborhood blocks [[editDistance1Join]] drops at this
+    * `maxBlockSize` — (k, n_members), largest first. Empty = the cap was
+    * never hit and the join's completeness guarantee is unconditional. */
+  def droppedBlocks(df: DataFrame, idCol: String, strCol: String,
+      maxBlockSize: Int = 1000): DataFrame = {
+    require(maxBlockSize > 0,
+      s"maxBlockSize must be > 0 to drop anything, got $maxBlockSize")
+    delKeys(df, idCol, strCol)
+      .groupBy("k").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBlockSize)
+      .orderBy(col("n_members").desc, col("k"))
+  }
+
+  /** [[droppedBlocks]] for [[editDistance1JoinBetween]]: the cap there
+    * applies to the COMBINED per-key frequency across both tables. */
+  def droppedBlocksBetween(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String,
+      maxBlockSize: Int = 1000): DataFrame = {
+    require(maxBlockSize > 0,
+      s"maxBlockSize must be > 0 to drop anything, got $maxBlockSize")
+    delKeys(left, leftId, leftStr).select("k")
+      .unionAll(delKeys(right, rightId, rightStr).select("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBlockSize)
+      .orderBy(col("n_members").desc, col("k"))
+  }
+
   def editDistance1JoinBetween(left: DataFrame, leftId: String,
       leftStr: String, right: DataFrame, rightId: String, rightStr: String,
       maxBlockSize: Int = 1000): DataFrame = {

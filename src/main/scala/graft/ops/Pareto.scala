@@ -33,9 +33,19 @@ object Pareto {
   /** Per-group frontier: dominance is judged WITHIN each `groupCols`
     * stratum (per-domain exemplars, per-language quality/length curve) —
     * the staircase window partitions by group, so no stratum's giants
-    * shadow another's. Empty groupCols = the global skyline. */
+    * shadow another's. Empty groupCols = the global skyline.
+    *
+    * The frontier is bounded by |distinct x| per group — small when the
+    * criteria are quantized as documented, but NOTHING enforced that: a
+    * caller passing raw doubles at corpus scale used to broadcast an
+    * unbounded frame. The frontier is now materialized once
+    * (localCheckpoint — it feeds both the size check and the join, so the
+    * corpus is still scanned once) and counted; at ≤ `maxFrontier` rows it
+    * broadcasts as before, above it the join falls back to a shuffled
+    * equi-join — same result, no driver/executor OOM. */
   def skyline2DGrouped(df: DataFrame, groupCols: Seq[String],
-      xCol: String, yCol: String): DataFrame = {
+      xCol: String, yCol: String, maxFrontier: Long = 4000000L): DataFrame = {
+    require(maxFrontier >= 1, s"maxFrontier must be >= 1, got $maxFrontier")
     val gcols = groupCols.map(col)
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val perX = pts.groupBy(gcols :+ col(xCol): _*)
@@ -51,9 +61,12 @@ object Pareto {
       // decreases — the classic staircase.
       .filter(col("__rmax").isNull || col("__ymax") > col("__rmax"))
       .select(gcols ++ Seq(col(xCol), col("__ymax").as(yCol)): _*)
+      .localCheckpoint()
     // Within a surviving x level only the y = ymax rows are undominated
     // (same x, larger y is strict) — the equi-join on (group, x, ymax)
     // keeps exactly those, duplicates included.
-    pts.join(broadcast(frontier), groupCols ++ Seq(xCol, yCol))
+    val keys = groupCols ++ Seq(xCol, yCol)
+    if (frontier.count() <= maxFrontier) pts.join(broadcast(frontier), keys)
+    else pts.join(frontier, keys)
   }
 }

@@ -607,7 +607,11 @@ object Anomaly {
     */
   def equiDepthProfile(df: DataFrame, valueCol: String, tieCol: String,
       n: Int): DataFrame =
-    df.withColumn("bucket",
+    // null contract (mirrors histogramCounts): null values carry no rank —
+    // without this filter Spark ntiles nulls FIRST while DuckDB ranks them
+    // LAST, silently shifting every bucket of a null-bearing column
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bucket",
         ntile(n).over(Window.orderBy(col(valueCol), col(tieCol))).cast("long"))
       .groupBy("bucket")
       .agg(
@@ -624,13 +628,14 @@ object Anomaly {
     * approximately equal under heavy ties — the documented trade. */
   def equiDepthProfileByBounds(df: DataFrame, valueCol: String,
       n: Int): DataFrame = {
+    val dfNN = df.filter(col(valueCol).isNotNull) // same null contract
     val probs = (1 until n).map(_.toDouble / n)
     // exactQuantiles names columns p${(p*100).toInt} — match exactly
     // (rounding instead truncating diverges at e.g. 2/3 → p67 vs p66)
-    val bounds = exactQuantiles(df, valueCol, probs)
+    val bounds = exactQuantiles(dfNN, valueCol, probs)
       .select(array(probs.indices.map(i => col(s"p${(probs(i) * 100).toInt}")): _*)
         .as("__bs"))
-    df.crossJoin(broadcast(bounds))
+    dfNN.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         (aggregate(col("__bs"), lit(0L),
           (acc, b) => acc + when(col(valueCol) > b, 1L).otherwise(0L)) + 1L)

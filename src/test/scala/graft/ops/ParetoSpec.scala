@@ -43,4 +43,23 @@ class ParetoSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     out shouldBe Array(1L, 2L, 4L)
   }
+
+  test("oversized frontier falls back to a shuffled join, same result") {
+    // raw unquantized x: every row its own frontier point (y = x, an
+    // anti-chain) — the pathological case that used to broadcast unbounded
+    val pts = (1L to 200L).map(i => (i, i, 201L - i)).toDF("id", "x", "y")
+    val guarded = Pareto.skyline2DGrouped(pts, Nil, "x", "y",
+      maxFrontier = 10L)
+    // the fallback drops the broadcast HINT (the optimizer may still
+    // choose to broadcast a genuinely small frame — the guard only stops
+    // FORCING it); the under-threshold path keeps the hint
+    guarded.queryExecution.analyzed.toString should not include "ResolvedHint"
+    val broadcasted = Pareto.skyline2D(pts, "x", "y")
+    broadcasted.queryExecution.analyzed.toString should include ("ResolvedHint")
+    guarded.select("id").as[Long].collect().sorted shouldBe
+      broadcasted.select("id").as[Long].collect().sorted
+    guarded.count() shouldBe 200L
+    an[IllegalArgumentException] should be thrownBy
+      Pareto.skyline2DGrouped(pts, Nil, "x", "y", maxFrontier = 0L)
+  }
 }

@@ -35,4 +35,17 @@ class EquiDepthSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out shouldBe Map(1L -> 10L, 2L -> 10L, 3L -> 10L)
   }
+
+  test("null values carry no rank in either form (the cross-engine trap)") {
+    // Spark ntiles nulls FIRST, DuckDB ranks them LAST — so nulls must be
+    // out of the frame entirely, in both the ntile and the bounds form
+    val clean = (1L to 12L).map(i => (i, i * 2.0)).toDF("id", "v")
+    val dirty = clean.unionByName(
+      Seq((100L, Option.empty[Double]), (101L, Option.empty[Double]))
+        .toDF("id", "v"))
+    Anomaly.equiDepthProfile(dirty, "v", "id", 4).collect() shouldBe
+      Anomaly.equiDepthProfile(clean, "v", "id", 4).collect()
+    Anomaly.equiDepthProfileByBounds(dirty, "v", 4).collect() shouldBe
+      Anomaly.equiDepthProfileByBounds(clean, "v", 4).collect()
+  }
 }
