@@ -266,6 +266,35 @@ object ConfigLoader {
             throw new ConfigError("quality.fd_checks[].lhs must be non-empty")
           FdCheck(lhs, str(fm, "rhs", "fd"))
         },
+        benfordChecks = asList(qm.getOrElse("benford_checks", null)).map { r =>
+          val bm = asMap(r, "quality.benford_checks[]")
+          BenfordCheck(str(bm, "column", "benford"),
+            bm.get("max_chi2_e6").map(_.toString.toLong)
+              .getOrElse(50000000L))
+        },
+        seasonalChecks = asList(qm.getOrElse("seasonal_checks", null)).map { r =>
+          val sm = asMap(r, "quality.seasonal_checks[]")
+          val sc = SeasonalCheck(
+            groupBy = strList(sm, "group_by"),
+            tsColumn = str(sm, "ts_column", "seasonal"),
+            valueColumn = str(sm, "value_column", "seasonal"),
+            period = sm.get("period").map(_.toString.toInt).getOrElse(7),
+            maxAbsZE6 = sm.get("max_abs_z_e6").map(_.toString.toLong)
+              .getOrElse(3000000L))
+          if (sc.period < 2)
+            throw new ConfigError("quality.seasonal_checks[].period must be >= 2")
+          sc
+        },
+        correlationChecks =
+          asList(qm.getOrElse("correlation_checks", null)).map { r =>
+            val cm = asMap(r, "quality.correlation_checks[]")
+            CorrelationCheck(
+              typeColumn = str(cm, "type_column", "correlation"),
+              tsColumn = str(cm, "ts_column", "correlation"),
+              valueColumn = str(cm, "value_column", "correlation"),
+              minAbsCorrE6 = cm.get("min_abs_corr_e6").map(_.toString.toLong)
+                .getOrElse(950000L))
+          },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

@@ -96,6 +96,26 @@ object ExpectationSpec {
   * contradictory value of its own). */
 final case class FdCheck(lhs: Seq[String], rhs: String)
 
+/** Benford first-digit contract on a money-like column
+  * (Anomaly.benfordReport): failedCount = digits whose χ²_e6 contribution
+  * exceeds `maxChi2E6`. */
+final case class BenfordCheck(column: String, maxChi2E6: Long = 50000000L)
+
+/** Weekly-seasonal residual contract (Anomaly.seasonalResiduals): the
+  * check aggregates `valueColumn` to an exact e2 daily mass per
+  * (`groupBy`, day = tsColumn div 86400e9 — tsColumn is the library's
+  * epoch-nanos BIGINT) and scores each day against its day-mod-`period`
+  * slot baseline; failedCount = days with |z_e6| > `maxAbsZE6`. */
+final case class SeasonalCheck(groupBy: Seq[String], tsColumn: String,
+    valueColumn: String, period: Int = 7, maxAbsZE6: Long = 3000000L)
+
+/** Metric co-movement contract (Anomaly.metricCorrelations) over the same
+  * derived daily series: failedCount = unordered type pairs with
+  * |corr_e6| >= `minAbsCorrE6` — near-perfectly coupled metrics are
+  * redundant gauges or an incident signature, either worth a page. */
+final case class CorrelationCheck(typeColumn: String, tsColumn: String,
+    valueColumn: String, minAbsCorrE6: Long = 950000L)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -104,6 +124,9 @@ final case class QualitySpec(
     regexChecks: Seq[RegexCheck] = Nil,
     expectations: Seq[ExpectationSpec] = Nil,
     fdChecks: Seq[FdCheck] = Nil,
+    benfordChecks: Seq[BenfordCheck] = Nil,
+    seasonalChecks: Seq[SeasonalCheck] = Nil,
+    correlationChecks: Seq[CorrelationCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

@@ -178,6 +178,48 @@ object Sessions {
       .filter(col("rank") <= k)
   }
 
+  /** [[topPaths]]'s bounded twin for HIGH-CARDINALITY type vocabularies:
+    * the exact form counts in |types|^n path space, which nothing caps if
+    * a caller feeds raw URLs or product ids as types. Here the path
+    * stream flows into a DataSketches frequent-items state
+    * (`approx_top_k_accumulate`) whose memory is fixed at
+    * `maxPathsTracked` entries regardless of how many distinct paths
+    * exist — the q123 heavy-hitters posture. While the tracked map never
+    * fills, counts are EXACT and this ≡ [[topPaths]] row for row
+    * (spec-pinned); past that, purged paths carry deterministic
+    * underestimates and the guaranteed-heavy survivors remain. Ranking
+    * re-sorts on (count desc, path) — in-sketch tie order is
+    * engine-local. Same per-key lead window as the exact form; the
+    * aggregation shuffles |partitions| sketch blobs, never path rows. */
+  def topPathsApprox(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, n: Int, k: Int,
+      maxPathsTracked: Int = 10000): DataFrame = {
+    require(n >= 2 && k >= 1, s"need n >= 2 and k >= 1, got n=$n k=$k")
+    require(maxPathsTracked >= k,
+      s"maxPathsTracked ($maxPathsTracked) must be >= k ($k)")
+    val wKey = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+    val steps = col(typeCol) +:
+      (1 until n).map(i => lead(col(typeCol), i).over(wKey))
+    val paths = events
+      .select(concat_ws(">", steps: _*).as("path"),
+        steps.last.isNotNull.as("__complete"))
+      .filter(col("__complete"))
+    paths
+      .agg(call_function("approx_top_k_accumulate",
+        col("path"), lit(maxPathsTracked)).as("__state"))
+      // probe the whole tracked map, then re-rank deterministically (the
+      // frequencyAudit depth rule: the sketch's own k-boundary tie order
+      // is engine-local)
+      .select(explode(call_function("approx_top_k_estimate",
+        col("__state"), lit(maxPathsTracked))).as("e"))
+      .select(col("e.item").as("path"),
+        col("e.count").cast("long").as("n_occurrences"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("path"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-key interval UNION (gaps-and-islands merge): overlapping or
     * touching [start, end] intervals coalesce into islands; per key,
     * the island count and the total COVERED length — "how much wall-clock

@@ -65,7 +65,55 @@ object Orchestrator {
         s"${fd.lhs.mkString(",")}->${fd.rhs}",
         Checks.fdViolations(df, fd.lhs, fd.rhs).count())
     }
-    val checkResults = rowCheckResults ++ fdResults
+    // r13 monitoring ops, config-driven (the fd_checks pattern): each is
+    // its own aggregate pass on different keys, so none fuse into the
+    // profile; all report as CheckResults so the score/level sees them.
+    // Missing columns fail loudly — a silently-skipped contract is the
+    // one that bites.
+    import org.apache.spark.sql.functions.{expr, round, sum}
+    def requireCols(kind: String, label: String, cols: Seq[String]): Unit = {
+      val missing = cols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"$kind $label: missing columns ${missing.mkString(", ")}")
+    }
+    // shared daily derivation: exact e2 value mass per (groups, epoch day)
+    // — tsCol is the library's epoch-nanos BIGINT contract
+    def dailySeries(groupBy: Seq[String], tsCol: String,
+        valueCol: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(groupBy.map(col) :+
+          expr(s"$tsCol div 86400000000000").as("__day"): _*)
+        .agg(sum(round(col(valueCol) * lit(100)).cast("long")).as("__y_e2"))
+    val benfordResults = spec.benfordChecks.map { bc =>
+      requireCols("benford_check", bc.column, Seq(bc.column))
+      Checks.CheckResult("benford_check", bc.column,
+        Anomaly.benfordReport(df, bc.column)
+          .filter(col("chi2_e6") > bc.maxChi2E6).count())
+    }
+    val seasonalResults = spec.seasonalChecks.map { sc =>
+      val label = s"${sc.valueColumn}%${sc.period}" +
+        (if (sc.groupBy.nonEmpty) s" by ${sc.groupBy.mkString(",")}" else "")
+      requireCols("seasonal_check", label,
+        sc.groupBy ++ Seq(sc.tsColumn, sc.valueColumn))
+      val z = Anomaly.seasonalResiduals(
+        dailySeries(sc.groupBy, sc.tsColumn, sc.valueColumn),
+        sc.groupBy, "__day", "__y_e2", sc.period)
+      Checks.CheckResult("seasonal_check", label,
+        z.filter(abs(col("z_e6")) > sc.maxAbsZE6).count())
+    }
+    val correlationResults = spec.correlationChecks.map { cc =>
+      val label = s"${cc.typeColumn}/${cc.valueColumn}"
+      requireCols("correlation_check", label,
+        Seq(cc.typeColumn, cc.tsColumn, cc.valueColumn))
+      val corr = Anomaly.metricCorrelations(
+        dailySeries(Seq(cc.typeColumn), cc.tsColumn, cc.valueColumn),
+        cc.typeColumn, "__day", "__y_e2")
+      Checks.CheckResult("correlation_check", label,
+        corr.filter(col("corr_e6").isNotNull &&
+          abs(col("corr_e6")) >= cc.minAbsCorrE6).count())
+    }
+    val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
+      seasonalResults ++ correlationResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

@@ -766,6 +766,46 @@ class PipelineSpec extends SparkSpec {
       graft.quality.Orchestrator.run(df.drop("zone_name"), cfg.quality)
   }
 
+  test("quality monitoring checks (benford/seasonal/correlation) drive from YAML") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: monitoring
+        |quality:
+        |  benford_checks:
+        |    - {column: amount, max_chi2_e6: 1000000}
+        |  seasonal_checks:
+        |    - {group_by: [kind], ts_column: ts, value_column: amount,
+        |       period: 7, max_abs_z_e6: 2500000}
+        |  correlation_checks:
+        |    - {type_column: kind, ts_column: ts, value_column: amount,
+        |       min_abs_corr_e6: 990000}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.benfordChecks shouldBe
+      Seq(graft.config.BenfordCheck("amount", 1000000L))
+    cfg.quality.seasonalChecks.head.period shouldBe 7
+    cfg.quality.correlationChecks.head.minAbsCorrE6 shouldBe 990000L
+    // two metric kinds moving in exact lockstep over 21 days, with a
+    // uniform (maximally non-Benford) digit profile
+    val day = 86400000000000L
+    val rows = (0L until 21L).flatMap { d =>
+      Seq(("a", d * day, 1000.0 + d * 111), ("b", d * day, 2000.0 + d * 222))
+    }
+    val df = rows.toDF("kind", "ts", "amount")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val byKind = report.checkResults.groupBy(_.check)
+    // uniform-ish digits: at this tight χ² cap at least one digit flags
+    byKind("benford_check").head.failedCount should be > 0L
+    // a clean linear-trend series: no day breaks its slot baseline at 2.5σ
+    byKind("seasonal_check").head.failedCount shouldBe 0L
+    // perfect linear co-movement: the (a, b) pair is at |corr| = 1
+    byKind("correlation_check").head.failedCount shouldBe 1L
+    // missing column fails loudly, never silently green
+    an[IllegalArgumentException] should be thrownBy
+      graft.quality.Orchestrator.run(df.drop("kind"), cfg.quality)
+  }
+
   test("winnow dedup strategy drives from YAML; knobs scoped to it") {
     val yaml =
       """version: "1.0"

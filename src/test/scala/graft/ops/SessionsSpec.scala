@@ -142,6 +142,32 @@ class SessionsSpec extends SparkSpec {
       ("c>b>c", 1L, 3L))
   }
 
+  test("topPathsApprox == topPaths while the tracked map never fills") {
+    import spark.implicits._
+    // richer stream: 60 users, mixed-length type walks — dozens of
+    // distinct 3-paths, all comfortably inside the tracked map
+    val ev = (1L to 60L).flatMap { u =>
+      (0L until (3L + u % 5)).map { i =>
+        (u, i + 1L, u * 100L + i,
+          Seq("a", "b", "c", "d", "e")(((u + i * i) % 5L).toInt))
+      }
+    }.toDF("user_id", "ts_us", "event_id", "event_type")
+    val exact = graft.ops.Sessions.topPaths(ev, "user_id", "ts_us",
+      "event_id", "event_type", n = 3, k = 8).orderBy("rank").collect()
+    val approx = graft.ops.Sessions.topPathsApprox(ev, "user_id", "ts_us",
+      "event_id", "event_type", n = 3, k = 8,
+      maxPathsTracked = 1000).orderBy("rank").collect()
+    approx shouldBe exact
+    exact.length shouldBe 8
+    // non-vacuous: the corpus has MORE distinct paths than k
+    graft.ops.Sessions.topPaths(ev, "user_id", "ts_us",
+      "event_id", "event_type", n = 3, k = 1000).count() should be > 8L
+    // the bound is honored loudly, not truncated silently
+    an[IllegalArgumentException] should be thrownBy
+      graft.ops.Sessions.topPathsApprox(ev, "user_id", "ts_us",
+        "event_id", "event_type", n = 3, k = 8, maxPathsTracked = 4)
+  }
+
   test("entryExitMatrix: first/last per gap-session, tie-broken by id") {
     import spark.implicits._
     val ev = Seq(
