@@ -81,7 +81,15 @@ object ScaleSmoke {
     "q163_rolling_active", "q165_incremental_clusters", "q166_fuzzy_link",
     // the winnow fingerprint index — ~1/w of q26's full shingle postings,
     // same capped inverted-index pair stage
-    "q183_winnow_pairs")
+    "q183_winnow_pairs",
+    // round-14 additions: the r13 tranche that shipped without 10×
+    // measurements (k-step funnel's bounded join chain, the |types|^n
+    // path count's keyed window, TWAP's per-key interval integration,
+    // the entry/exit struct-min) plus the two new r14 iterative ops
+    // (BPE merge rounds in vocab space, directed PageRank with the
+    // dangling-mass broadcast)
+    "q176_funnel_steps", "q177_top_paths", "q179_twap", "q185_entry_exit",
+    "q186_bpe_vocab", "q187_pagerank_directed")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
