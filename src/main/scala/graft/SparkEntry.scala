@@ -1380,6 +1380,30 @@ object SparkEntry {
         "item_a", "item_b", iters = 5)
         .orderBy("node")),
 
+    // Tokenizer fertility of the LEARNED vocabulary — the train→apply
+    // loop closed under one oracle: merges learned on the corpus (the
+    // q186 rounds), then every document segmented with applyMerges
+    // (row-local replace chain) and reported as exact per-doc word and
+    // piece counts. The oracle re-derives the trained vocabulary's final
+    // segs and joins each doc's words against them — so a green hash
+    // proves apply ≡ the segmentation training left behind, corpus-wide.
+    "q188_bpe_fertility" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val learned = BpeTrainer.learnMerges(docs.select("text"), "text",
+          numMerges = 10)
+        .orderBy("merge_round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("doc_id"),
+          explode(BpeTrainer.wordsOf(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("doc_id"),
+          size(BpeTrainer.applyMerges(col("word"), learned)).cast("long")
+            .as("np"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("np").as("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // Learned BPE vocabulary induction: 10 merge rounds trained on the
     // corpus — pair counting in vocabulary space (distinct words ×
     // freq), argmax under the deterministic (count desc, pair asc) tie
@@ -2476,7 +2500,9 @@ object SparkEntry {
     * DOUBLE chr(31) separator, merges as literal `replace` (leftmost,
     * non-overlapping, boundary-sharing), pair counts over parallel-unnest
     * slices, argmax under (cnt desc, l, r). */
-  private def bpeOracle(rounds: Int): String = {
+  /** Shared CTE chain for the BPE oracles (q186/q188): w0 (char segs of
+    * the distinct-word frequency table) and `rounds` of p/m/w CTEs. */
+  private def bpeRoundsCTE(rounds: Int): String = {
     val s2 = "chr(31)||chr(31)"
     val rs = (1 to rounds).map { i =>
       val prev = s"w${i - 1}"
@@ -2494,11 +2520,7 @@ object SparkEntry {
          |    chr(31)||(SELECT l||r FROM m$i)||chr(31)) AS seg, freq
          |  FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to rounds).map(i =>
-      s"SELECT $i AS merge_round, l AS left_sym, r AS right_sym, " +
-        s"l||r AS merged, cnt AS pair_count FROM m$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT $s2 || regexp_replace(word, '(.)', '\\1'||$s2, 'g') AS seg,
        |         CAST(cnt AS BIGINT) AS freq
        |  FROM (SELECT word, count(*) AS cnt FROM (
@@ -2506,9 +2528,37 @@ object SparkEntry {
        |            replace(text, chr(31), ''), '\\s+', ' ', 'g')), ' ')) AS word
        |          FROM documents) u
        |        WHERE word <> '' GROUP BY 1) wc),
-       |$rs
-       |SELECT * FROM ($sel) ORDER BY merge_round""".stripMargin
+       |$rs""".stripMargin
   }
+
+  private def bpeOracle(rounds: Int): String = {
+    val sel = (1 to rounds).map(i =>
+      s"SELECT $i AS merge_round, l AS left_sym, r AS right_sym, " +
+        s"l||r AS merged, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeRoundsCTE(rounds)},
+       |sel AS ($sel)
+       |SELECT * FROM sel ORDER BY merge_round""".stripMargin
+  }
+
+  /** q188 oracle: the trained vocabulary's FINAL segs (wN) joined back
+    * onto each document's words — replace(seg, sep, '') recovers the
+    * word, len(parts)-2 its trained piece count; a green hash proves the
+    * operator's applyMerges reproduces training segmentation corpus-wide. */
+  private def bpeFertilityOracle(rounds: Int): String =
+    s"""WITH ${bpeRoundsCTE(rounds)},
+       |vocab AS MATERIALIZED (
+       |  SELECT replace(seg, chr(31), '') AS word,
+       |    CAST(len(str_split(seg, chr(31)||chr(31))) - 2 AS BIGINT) AS np
+       |  FROM w$rounds),
+       |dw AS (SELECT doc_id, unnest(str_split(trim(regexp_replace(
+       |    replace(text, chr(31), ''), '\\s+', ' ', 'g')), ' ')) AS word
+       |  FROM documents)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(v.np) AS BIGINT) AS n_pieces
+       |FROM dw d JOIN vocab v USING (word)
+       |WHERE d.word <> ''
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def pagerankOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
@@ -2617,6 +2667,7 @@ object SparkEntry {
     "q171_pagerank" -> pagerankOracle(5),
     "q186_bpe_vocab" -> bpeOracle(10),
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
+    "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q172_kcore" -> kcoreOracle(3, 8),
     "q178_pagerank_weighted" -> pagerankWeightedOracle(4),
     // q181: the planted-pair ledger — byte-identical payloads hash

@@ -45,11 +45,16 @@ object BpeTrainer {
   private val S = ""
   private val S2 = S + S
 
+  /** Whitespace words of a text column after separator cleaning — the
+    * shared pre-tokenization of the train and apply halves (and of any
+    * consumer that must agree with them word-for-word). */
+  def wordsOf(c: Column): Column =
+    split(trim(regexp_replace(translate(c, S, ""), "\\s+", " ")), " ")
+
   /** Corpus → (seg, freq): distinct whitespace words with frequencies,
     * each segmented into characters in the wrapped representation. */
   def wordSegs(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(trim(regexp_replace(
-        translate(col(textCol), S, ""), "\\s+", " ")), " ")).as("word"))
+    df.select(explode(wordsOf(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(
