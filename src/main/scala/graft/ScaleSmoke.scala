@@ -89,7 +89,7 @@ object ScaleSmoke {
     // (BPE merge rounds in vocab space, directed PageRank with the
     // dangling-mass broadcast)
     "q176_funnel_steps", "q177_top_paths", "q179_twap", "q185_entry_exit",
-    "q186_bpe_vocab", "q187_pagerank_directed")
+    "q186_bpe_vocab", "q187_pagerank_directed", "q189_communities")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

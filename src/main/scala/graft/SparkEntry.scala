@@ -1368,6 +1368,18 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Community detection by synchronous label propagation over the
+    // basket graph: 4 deterministic rounds (plurality label, ties to
+    // min, exact integer counts) — nodes sharing a final label are one
+    // item community. Oracle unrolls the rounds; the per-node argmax
+    // replays as max over {'c': cnt, 'g': -label} structs.
+    "q189_communities" -> ((s, dir) =>
+      graft.ops.Graphs.labelPropagation(
+        Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
+        "item_a", "item_b", iters = 4)
+        .orderBy("node")),
+
     // Directed PageRank with dangling-mass redistribution: the basket
     // pair set read as DIRECTED low→high edges — every maximal item is a
     // genuine dangling node (outdeg 0), so the D_t redistribution term is
@@ -2635,6 +2647,26 @@ object SparkEntry {
        |SELECT node, rank_e9 FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** q189 oracle: synchronous LPA unrolled — per round, (node, label)
+    * neighbor counts then the plurality-with-min-tie argmax via a
+    * lexicographic struct max over (count, −label). */
+  private def lpaOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (SELECT sym.dst AS node, l.label, count(*) AS cnt
+         |  FROM sym JOIN $prev l ON sym.src = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node,
+         |  -((max({'c': cnt, 'g': -label})).g) AS label
+         |  FROM c$i GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $basketEdgesMat,
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+       |  CAST(src AS BIGINT) AS label FROM sym),
+       |$rounds
+       |SELECT node, CAST(label AS BIGINT) AS label FROM l$iters
+       |ORDER BY node""".stripMargin
+  }
+
   /** q178 oracle: the weighted-share recurrence unrolled. */
   private def pagerankWeightedOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
@@ -2668,6 +2700,7 @@ object SparkEntry {
     "q186_bpe_vocab" -> bpeOracle(10),
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
+    "q189_communities" -> lpaOracle(4),
     "q172_kcore" -> kcoreOracle(3, 8),
     "q178_pagerank_weighted" -> pagerankWeightedOracle(4),
     // q181: the planted-pair ledger — byte-identical payloads hash

@@ -265,6 +265,46 @@ object Graphs {
     ranks
   }
 
+  /** Synchronous label propagation (LPA) over an undirected edge list —
+    * community detection for the same co-occurrence graphs the rest of
+    * this family diagnoses: which item/domain/user clusters form
+    * natural modules (the linear-time alternative to modularity
+    * optimization; Raghavan et al. 2007). Each node starts labeled with
+    * its own id; every round, each node adopts the label carried by the
+    * PLURALITY of its neighbors, ties broken to the smallest label —
+    * fully deterministic (no random visit order, unlike classic
+    * asynchronous LPA) and partition-order independent: the per-node
+    * argmax is max over (count, −label) structs of exact integer counts.
+    * Fixed `iters` rounds (synchronous LPA may oscillate on bipartite
+    * structures rather than converge — a fixed-round contract makes the
+    * output well-defined and lets the oracle unroll the recurrence).
+    * A node's own current label does not vote; only neighbors do.
+    *
+    * Scale shape per round: one keyed join of the label table onto the
+    * edge list + two grouped aggregates ((node, label) counts, then the
+    * per-node argmax) — all equi-shuffles linear in edges, the q171
+    * posture, localCheckpoint truncating lineage. Output: (node, label);
+    * nodes sharing a label after N rounds are one community. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sym = symmetric(edges, srcCol, dstCol).localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      labels = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("negl"))).as("w"))
+        .select(col("node"), (-col("w.negl")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
   /** k-CORE decomposition by iterative peeling: the maximal subgraph
     * where every node keeps degree ≥ k — the dense-spam-farm /
     * mirror-clique detector a triangle count only hints at. Each round

@@ -137,6 +137,33 @@ class GraphsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("labelPropagation: disjoint cliques converge to per-clique min label") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),       // triangle A
+      (10L, 11L), (11L, 12L), (10L, 12L)) // triangle B
+      .toDF("u", "v")
+    val out = Graphs.labelPropagation(edges, "u", "v", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+    // synchronous semantics, hand-traced: after ONE round node 1 holds
+    // label 2 (neighbors {2,3} tie -> min), nodes 2 and 3 hold label 1
+    val one = Graphs.labelPropagation(edges, "u", "v", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    one(1L) shouldBe 2L
+    one(2L) shouldBe 1L
+    one(3L) shouldBe 1L
+  }
+
+  test("labelPropagation is partitioning-independent") {
+    val edges = (1L to 60L).map(i => (i, (i * 13) % 60 + 1)).toDF("u", "v")
+    val a = Graphs.labelPropagation(edges.repartition(11), "u", "v", iters = 4)
+      .orderBy("node").collect()
+    val b = Graphs.labelPropagation(edges.repartition(3), "u", "v", iters = 4)
+      .orderBy("node").collect()
+    a shouldBe b
+  }
+
   test("pageRankDirected personalization concentrates rank on the seed set") {
     // two disjoint directed cycles; personalize on cycle A's nodes only —
     // cycle B gets zero teleport and zero dangling share, so its rank
