@@ -1368,6 +1368,30 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Point-in-time correct enrichment: each event joined to the SCD2
+    // state (q168's history) its user held ONE HOUR EARLIER — the
+    // leakage-free feature lookup (training on today's dimension values
+    // against yesterday's facts teaches the model the future). Early
+    // events enrich to null, visibly, never dropped.
+    "q190_pit_enrich" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+      val history = Reconciliation.scd2History(
+        ev, Seq("user_id"), "ts_us", "event_id")
+        .select("user_id", "event_type", "valid_from_us", "valid_to_us",
+          "version")
+        .withColumnRenamed("event_type", "state_type")
+      val facts = ev.select(col("user_id"), col("event_id"),
+        (col("ts_us") - lit(3600000000L)).as("as_of_us"))
+      Reconciliation.pointInTimeJoin(facts, history, Seq("user_id"),
+          "as_of_us")
+        .select(col("event_id"), col("user_id"), col("as_of_us"),
+          col("dim_version").as("version_then"),
+          col("dim_state_type").as("state_then"))
+        .orderBy("event_id")
+    }),
+
     // Community detection by synchronous label propagation over the
     // basket graph: 4 deterministic rounds (plurality label, ties to
     // min, exact integer counts) — nodes sharing a final label are one
@@ -2701,6 +2725,24 @@ object SparkEntry {
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
+    // q190: the q168 history + a LEFT interval join at ts − 1 h; the
+    // half-open [from, to) intervals make the match unique by
+    // construction.
+    "q190_pit_enrich" ->
+      """WITH h AS (SELECT user_id, event_type AS state_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER w AS valid_to_us,
+        |  CAST(row_number() OVER w AS BIGINT) AS version
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |f AS (SELECT user_id, event_id,
+        |  epoch_us(ts) - 3600000000 AS as_of_us FROM events)
+        |SELECT f.event_id, f.user_id, f.as_of_us,
+        | h.version AS version_then, h.state_type AS state_then
+        |FROM f LEFT JOIN h ON f.user_id = h.user_id
+        | AND h.valid_from_us <= f.as_of_us
+        | AND (h.valid_to_us IS NULL OR f.as_of_us < h.valid_to_us)
+        |ORDER BY f.event_id""".stripMargin,
     "q172_kcore" -> kcoreOracle(3, 8),
     "q178_pagerank_weighted" -> pagerankWeightedOracle(4),
     // q181: the planted-pair ledger — byte-identical payloads hash

@@ -299,4 +299,40 @@ object Reconciliation {
   def snapshotAsOf(history: DataFrame, tsUs: Long): DataFrame =
     history.filter(col("valid_from_us") <= tsUs &&
       (col("valid_to_us").isNull || col("valid_to_us") > tsUs))
+
+  /** POINT-IN-TIME enrichment: each fact row joined to the
+    * [[scd2History]] version that was valid at the fact's own timestamp
+    * — the time-travel-correct feature lookup that prevents training-data
+    * leakage (joining today's dimension state onto last month's facts
+    * teaches the model the future). Non-key history columns come back
+    * `dim_`-prefixed; facts before a key's first version (or with no key
+    * match) keep nulls — visibly unenriched, never silently dropped.
+    *
+    * Exactly-one-match guarantee: [[scd2History]]'s half-open [from, to)
+    * intervals partition each key's timeline from its first change on,
+    * and zero-length tie rows can never satisfy from <= ts < to.
+    *
+    * Scale shape: ONE equi-join on the keys with the interval predicate
+    * as a residual filter — per-key history fan-out is version-count
+    * bounded, so this shuffles like any keyed enrichment join and never
+    * needs a range join. The history side broadcasts when the dimension
+    * is small (AQE's call). */
+  def pointInTimeJoin(facts: DataFrame, history: DataFrame,
+      keyCols: Seq[String], factTsUsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "pointInTimeJoin needs key columns")
+    val dims = history.columns.filterNot(keyCols.contains)
+    // history keys ride under reserved names: facts and history often
+    // share lineage (a dimension derived from the same table), and
+    // same-name column references in a self-join resolve ambiguously
+    val h = history.select(
+      keyCols.map(k => col(k).as(s"__pit_$k")) ++
+        dims.map(c => col(c).as(s"dim_$c")): _*)
+    val keysEq = keyCols.map(k => col(k) === col(s"__pit_$k")).reduce(_ && _)
+    val at = col(factTsUsCol).cast("long")
+    facts.join(h,
+        keysEq && col("dim_valid_from_us") <= at &&
+          (col("dim_valid_to_us").isNull || at < col("dim_valid_to_us")),
+        "left")
+      .drop(keyCols.map(k => s"__pit_$k"): _*)
+  }
 }

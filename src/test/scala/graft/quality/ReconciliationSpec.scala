@@ -155,4 +155,36 @@ class ReconciliationSpec extends SparkSpec {
     at(25L) shouldBe Map(1L -> "b", 2L -> "y")
     at(5L) shouldBe Map.empty
   }
+
+  test("pointInTimeJoin: exactly one version per fact, nulls before history") {
+    import spark.implicits._
+    // key 1 changes at t=10 (a), 20 (b); tie pair at t=20 keeps the
+    // zero-length audit row invisible. key 2 has one version at t=15.
+    val changes = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "zz"), (1L, 20L, 3L, "b"),
+      (2L, 15L, 4L, "x"))
+      .toDF("k", "ts_us", "tie", "state")
+    val history = Reconciliation.scd2History(changes, Seq("k"), "ts_us", "tie")
+      .select("k", "state", "valid_from_us", "valid_to_us", "version")
+    val facts = Seq(
+      (1L, 100L, 5L),   // before any version -> nulls
+      (1L, 101L, 12L),  // inside [10, 20) -> a / v1
+      (1L, 102L, 20L),  // at the change instant -> b / v3 (tie invisible)
+      (1L, 103L, 99L),  // open tail -> b
+      (2L, 104L, 15L),  // own start instant is visible
+      (3L, 105L, 50L))  // no history at all -> nulls, row kept
+      .toDF("k", "fact_id", "at_us")
+    val out = Reconciliation.pointInTimeJoin(facts, history, Seq("k"), "at_us")
+    out.count() shouldBe 6L // one row per fact — never duplicated or lost
+    val byFact = out.collect().map(r =>
+      r.getAs[Long]("fact_id") ->
+        (Option(r.getAs[String]("dim_state")),
+          Option(r.getAs[Any]("dim_version")))).toMap
+    byFact(100L)._1 shouldBe None
+    byFact(101L)._1 shouldBe Some("a")
+    byFact(102L)._1 shouldBe Some("b")
+    byFact(103L)._1 shouldBe Some("b")
+    byFact(104L)._1 shouldBe Some("x")
+    byFact(105L) shouldBe (None, None)
+  }
 }
