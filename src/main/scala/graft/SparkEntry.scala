@@ -1368,6 +1368,21 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Last-touch attribution: every purchase credited to the user's most
+    // recent view/click within 4 h, else 'direct' — one per-key window
+    // carrying a running (ts, tie, type) struct max; the funnel family's
+    // "which step gets the credit" companion. Oracle replays the same
+    // windowed struct max.
+    "q191_attribution" -> ((s, dir) =>
+      Sessions.lastTouchAttribution(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowUs = 14400000000L)
+        .orderBy("event_id")),
+
     // Point-in-time correct enrichment: each event joined to the SCD2
     // state (q168's history) its user held ONE HOUR EARLIER — the
     // leakage-free feature lookup (training on today's dimension values
@@ -2725,6 +2740,25 @@ object SparkEntry {
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
+    // q191: the windowed (ts, tie, type) struct max replayed with
+    // DuckDB's named-struct lexicographic max; window-miss and
+    // no-touch-at-all both land on 'direct'.
+    "q191_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |w AS (SELECT *, max(CASE WHEN event_type IN ('view', 'click')
+        |    THEN {'t': ts_us, 'i': event_id, 'y': event_type} END)
+        |  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        | FROM e),
+        |ok AS (SELECT *,
+        |  lt IS NOT NULL AND (lt).t >= ts_us - 14400000000 AS hit
+        | FROM w WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, ts_us,
+        | CASE WHEN hit THEN (lt).y ELSE 'direct' END AS attributed_type,
+        | CASE WHEN hit THEN (lt).t END AS touch_ts_us,
+        | CASE WHEN hit THEN (lt).i END AS touch_tie
+        |FROM ok ORDER BY event_id""".stripMargin,
     // q190: the q168 history + a LEFT interval join at ts − 1 h; the
     // half-open [from, to) intervals make the match unique by
     // construction.

@@ -220,6 +220,42 @@ object Sessions {
       .filter(col("rank") <= k)
   }
 
+  /** LAST-TOUCH attribution: each conversion event credited to the most
+    * recent strictly-earlier touch event (type ∈ `touchTypes`) of the
+    * same key within `windowUs` — the standard marketing/conversion
+    * attribution model, and the funnel family's "which step gets the
+    * credit" companion. Conversions with no in-window touch attribute to
+    * the literal 'direct' (kept, never dropped — the direct share IS the
+    * metric). Deterministic: the latest touch is the max (ts, tie, type)
+    * struct on the total order, so same-ts ties resolve by `tieCol`.
+    *
+    * Scale shape: ONE per-key window in time order carrying a running
+    * struct max (no join, no second pass over touches) — the sessionize
+    * posture; skew bounded by the hottest key's event count. */
+  def lastTouchAttribution(events: DataFrame, keyCol: String,
+      tsUsCol: String, tieCol: String, typeCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lt = max(when(col(typeCol).isin(touchTypes: _*),
+      struct(col(tsUsCol).cast("long").as("t"), col(tieCol).as("i"),
+        col(typeCol).as("y")))).over(w)
+    val inWin = col("__lt").isNotNull &&
+      col("__lt.t") >= col(tsUsCol).cast("long") - lit(windowUs)
+    events.withColumn("__lt", lt)
+      .filter(col(typeCol) === conversionType)
+      .select(col(keyCol), col(tieCol),
+        col(tsUsCol).cast("long").as(tsUsCol),
+        when(inWin, col("__lt.y")).otherwise(lit("direct"))
+          .as("attributed_type"),
+        when(inWin, col("__lt.t")).as("touch_ts_us"),
+        when(inWin, col("__lt.i")).as("touch_tie"))
+  }
+
   /** Per-key interval UNION (gaps-and-islands merge): overlapping or
     * touching [start, end] intervals coalesce into islands; per key,
     * the island count and the total COVERED length — "how much wall-clock

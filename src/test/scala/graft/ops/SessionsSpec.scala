@@ -168,6 +168,31 @@ class SessionsSpec extends SparkSpec {
         "event_id", "event_type", n = 3, k = 8, maxPathsTracked = 4)
   }
 
+  test("lastTouchAttribution: latest in-window touch wins, else direct") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1L, "view"),      // touch
+      (1L, 5L, 2L, "purchase"),  // -> view@1
+      (1L, 7L, 3L, "click"),     // newer touch
+      (1L, 9L, 4L, "purchase"),  // -> click@7 (latest wins over view@1)
+      (1L, 11L, 5L, "error"),    // not a touch type — never credited
+      (1L, 30L, 6L, "purchase"), // click@7 outside the 10-unit window
+      (2L, 4L, 7L, "purchase"))  // no touch ever -> direct
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = graft.ops.Sessions.lastTouchAttribution(ev, "user_id",
+        "ts_us", "event_id", "event_type",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowUs = 10L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("attributed_type"),
+          Option(r.getAs[Any]("touch_ts_us")))).toMap
+    out(2L) shouldBe ("view", Some(1L))
+    out(4L) shouldBe ("click", Some(7L))
+    out(6L) shouldBe ("direct", None)
+    out(7L) shouldBe ("direct", None)
+    out.size shouldBe 4
+  }
+
   test("entryExitMatrix: first/last per gap-session, tie-broken by id") {
     import spark.implicits._
     val ev = Seq(
