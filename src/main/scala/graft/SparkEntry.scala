@@ -1368,6 +1368,15 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Audience overlap matrix: exact shared-user counts + Jaccard per
+    // event-type pair, with the HLL inclusion–exclusion estimate gated
+    // at 5% of max(|A|,|B|) as oracle-TRUE booleans (the q114/q173
+    // estimates-never-hash-compared posture).
+    "q192_audience_overlap" -> ((s, dir) =>
+      Sketches.audienceOverlap(
+        Tables.load(s, dir, "events"), "event_type", "user_id")
+        .orderBy("type_a", "type_b")),
+
     // Last-touch attribution: every purchase credited to the user's most
     // recent view/click within 4 h, else 'direct' — one per-key window
     // carrying a running (ts, tie, type) struct max; the funnel family's
@@ -2740,6 +2749,25 @@ object SparkEntry {
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
+    // q192: exact pair audience stats in SQL; the est_ok booleans ride
+    // as TRUE (DataSketches estimates are engine-local — the Spark side
+    // must MEASURE them true against its own exact counts).
+    "q192_audience_overlap" ->
+      """WITH base AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |per AS (SELECT t, count(*) AS n FROM base GROUP BY 1),
+        |pairs AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+        |  FROM base a JOIN base b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        | pa.n AS n_a, pb.n AS n_b, n_both,
+        | CAST(n_both * 1000000 // (pa.n + pb.n - n_both) AS BIGINT)
+        |   AS jaccard_e6,
+        | TRUE AS est_ok
+        |FROM pairs
+        |JOIN per pa ON pairs.type_a = pa.t
+        |JOIN per pb ON pairs.type_b = pb.t
+        |ORDER BY type_a, type_b""".stripMargin,
     // q191: the windowed (ts, tie, type) struct max replayed with
     // DuckDB's named-struct lexicographic max; window-miss and
     // no-touch-at-all both land on 'direct'.

@@ -55,6 +55,50 @@ object Sketches {
         abs(col("n_est") - col("n_exact")).cast("double") <=
           lit(tol) * col("n_exact").cast("double"))
 
+  /** Audience overlap matrix: for every unordered pair of `typeCol`
+    * values, the exact shared-`userCol` count and Jaccard, PLUS the
+    * HLL-sketch estimate of the same intersection by inclusion–exclusion
+    * (est_a + est_b − est_union) — the segment-overlap / campaign-reach
+    * question ("how much do these audiences overlap") in both its
+    * auditable exact form and the form that still works when per-type
+    * audiences are 10⁹ and only sketches are retained.
+    *
+    * Exact side: one distinct pass, then a self-equi-join on the user key
+    * whose per-user fan-out is ≤ |types|² — tiny, and the pair stats then
+    * live in |types|² space. Sketch side: one sketch per type, pairwise
+    * `hll_union` over the (broadcast) per-type frame. `est_ok` gates the
+    * estimate against the exact count at `tolE6` of max(n_a, n_b) — the
+    * q114 trust-but-verify invariant (estimates themselves are
+    * engine-local and never hash-compared). Pairs sharing zero users are
+    * omitted (inner join — the absent row IS the zero). */
+  def audienceOverlap(df: DataFrame, typeCol: String, userCol: String,
+      lgK: Int = 12, tolE6: Long = 50000L): DataFrame = {
+    val base = df.select(col(typeCol).as("t"), col(userCol).as("u"))
+      .filter(col("u").isNotNull)
+      .distinct().localCheckpoint()
+    val per = base.groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_agg(col("u"), lit(lgK)).as("sk"))
+    val both = base.select(col("t").as("type_a"), col("u"))
+      .join(base.select(col("t").as("type_b"), col("u")), "u")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    val pa = per.select(col("t").as("type_a"), col("n").as("n_a"),
+      col("sk").as("sk_a"))
+    val pb = per.select(col("t").as("type_b"), col("n").as("n_b"),
+      col("sk").as("sk_b"))
+    both.join(broadcast(pa), "type_a").join(broadcast(pb), "type_b")
+      .withColumn("__est_both",
+        hll_sketch_estimate(col("sk_a")) + hll_sketch_estimate(col("sk_b"))
+          - hll_sketch_estimate(
+            call_function("hll_union", col("sk_a"), col("sk_b"))))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 1000000L div (n_a + n_b - n_both)").as("jaccard_e6"),
+        (abs(col("__est_both") - col("n_both")) * lit(1000000L) <=
+          lit(tolE6) * greatest(col("n_a"), col("n_b"))).as("est_ok"))
+  }
+
   // ---- mergeable frequent-items (heavy hitters) state ------------------
   //
   // The frequency sibling of the HLL loop: per-batch per-group

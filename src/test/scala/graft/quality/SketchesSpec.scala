@@ -103,4 +103,20 @@ class SketchesSpec extends SparkSpec {
     merged.orderBy("grp", "item").collect().toSeq shouldBe
       direct.orderBy("grp", "item").collect().toSeq
   }
+
+  test("audienceOverlap: exact pair counts/Jaccard, estimates inside the gate") {
+    import spark.implicits._
+    // A = {1..100}, B = {51..150} (overlap 50), C = {200..219} (disjoint)
+    val rows = (1L to 100L).map(u => ("A", u)) ++
+      (51L to 150L).map(u => ("B", u)) ++
+      (200L to 219L).map(u => ("C", u)) ++
+      Seq(("A", 7L), ("A", 7L)) // duplicates collapse in the distinct pass
+    val out = Sketches.audienceOverlap(rows.toDF("t", "u"), "t", "u")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    out(("A", "B")) shouldBe (100L, 100L, 50L, 333333L, true)
+    // disjoint pairs are absent — the inner-join contract
+    out.keySet shouldBe Set(("A", "B"))
+  }
 }
