@@ -89,7 +89,11 @@ object ScaleSmoke {
     // (BPE merge rounds in vocab space, directed PageRank with the
     // dangling-mass broadcast)
     "q176_funnel_steps", "q177_top_paths", "q179_twap", "q185_entry_exit",
-    "q186_bpe_vocab", "q187_pagerank_directed", "q189_communities")
+    "q186_bpe_vocab", "q187_pagerank_directed", "q189_communities",
+    // second r14 tranche: the SCD2 interval-residual enrichment join,
+    // the attribution struct-max window, and the audience self-join
+    // (per-user fan-out bounded by |types|²)
+    "q190_pit_enrich", "q191_attribution", "q192_audience_overlap")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
