@@ -1368,6 +1368,26 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Leave-one-out m-estimate target encoding of value by event_type —
+    // the leakage-safe categorical encoder: a row never sees its own
+    // target; exact BIGINT stats, one divide-and-round IEEE dag.
+    "q193_target_encode" -> ((s, dir) =>
+      graft.ops.Features.targetEncodeLoo(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * lit(100)).cast("long").as("y_e2")),
+        "event_id", "event_type", "y_e2", m = 10)
+        .orderBy("id")),
+
+    // Hashing-trick featurizer: document tokens into 64 fixed md5
+    // buckets, sparse (doc, bucket, count) coordinates — the unbounded-
+    // vocabulary feature map with no fitted dictionary.
+    "q194_hash_features" -> ((s, dir) =>
+      graft.ops.Features.hashFeatures(
+        Tables.load(s, dir, "documents"), "doc_id", "text", nBuckets = 64)
+        .orderBy("id", "bucket")),
+
     // Audience overlap matrix: exact shared-user counts + Jaccard per
     // event-type pair, with the HLL inclusion–exclusion estimate gated
     // at 5% of max(|A|,|B|) as oracle-TRUE booleans (the q114/q173
@@ -2749,6 +2769,32 @@ object SparkEntry {
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
+    // q193: identical exact stats + the same divide/round dag (operand
+    // order matters — 1e6 * (A + m*(S/N)) / D on both sides).
+    "q193_target_encode" ->
+      """WITH r AS (SELECT event_id AS id, event_type AS cat,
+        |  CAST(round(value * 100.0) AS BIGINT) AS y_e2
+        |  FROM events WHERE value IS NOT NULL),
+        |pc AS (SELECT cat, count(*) AS n_cat,
+        |  CAST(sum(y_e2) AS BIGINT) AS s_cat FROM r GROUP BY 1),
+        |g AS (SELECT count(*) AS n_all,
+        |  CAST(sum(y_e2) AS BIGINT) AS s_all FROM r)
+        |SELECT id, cat,
+        | CAST(round(1000000.0 *
+        |   (CAST(s_cat - y_e2 AS DOUBLE)
+        |     + 10.0 * (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+        |   / CAST(n_cat - 1 + 10 AS DOUBLE)) AS BIGINT) AS enc_e6
+        |FROM r JOIN pc USING (cat), g
+        |ORDER BY id""".stripMargin,
+    // q194: the md5-first-8-hex bucket convention replayed.
+    "q194_hash_features" ->
+      """SELECT doc_id AS id,
+        | ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS bucket,
+        | count(*) AS n
+        |FROM (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS tok
+        |      FROM documents) u
+        |WHERE tok <> ''
+        |GROUP BY 1, 2 ORDER BY id, bucket""".stripMargin,
     // q192: exact pair audience stats in SQL; the est_ok booleans ride
     // as TRUE (DataSketches estimates are engine-local — the Spark side
     // must MEASURE them true against its own exact counts).

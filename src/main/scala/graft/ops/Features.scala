@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML feature engineering over curated tables — the two classic
+  * category-to-number transforms a training pipeline runs after curation
+  * and before the trainer: smoothed target encoding (with leave-one-out,
+  * the leakage-safe form) and the hashing trick. Both are engineered on
+  * the repo's determinism posture: exact integer sufficient statistics,
+  * one fixed IEEE divide/round dag for the encoded value, md5-derived
+  * buckets (cross-engine replayable) — so both gate against the DuckDB
+  * oracle exactly.
+  */
+object Features {
+
+  /** Leave-one-out m-estimate target encoding: each row's category becomes
+    * enc_i = (S_cat − y_i + m·prior) / (n_cat − 1 + m), prior = global
+    * mean — the standard high-cardinality categorical encoder, in the
+    * leakage-safe form (a row never sees its own target; naive mean
+    * encoding leaks the label and inflates validation scores). `m` pulls
+    * rare categories toward the prior; singleton categories land exactly
+    * ON the prior (numerator and denominator reduce to m·prior / m).
+    *
+    * `targetE2Col` must be an exact integer target (the e2 convention —
+    * `round(value*100)`); output enc_e6 is the one-divide-then-round
+    * fixed IEEE dag on exact BIGINT stats (the q162/q174 posture). Rows
+    * with a null category or target are dropped (nothing to encode, and
+    * null-keyed stats would silently absorb them).
+    *
+    * Scale shape: one grouped aggregate in category space + one keyed
+    * join back (AQE broadcasts the per-category frame while |cats| is
+    * small; at web-scale cardinality it degrades to a plain keyed
+    * shuffle, which is the correct plan) + one 1-row global stat frame
+    * broadcast via crossJoin. */
+  def targetEncodeLoo(df: DataFrame, idCol: String, catCol: String,
+      targetE2Col: String, m: Int = 10): DataFrame = {
+    require(m >= 1, s"m must be >= 1 (m = 0 divides by zero on singleton categories), got $m")
+    val rows = df.select(col(idCol).as("id"), col(catCol).as("cat"),
+        col(targetE2Col).cast("long").as("y_e2"))
+      .filter(col("y_e2").isNotNull && col("cat").isNotNull)
+    val perCat = rows.groupBy("cat")
+      .agg(count(lit(1)).as("n_cat"), sum("y_e2").as("s_cat"))
+    val glob = rows.agg(count(lit(1)).as("n_all"), sum("y_e2").as("s_all"))
+    rows.join(perCat, "cat")
+      .crossJoin(broadcast(glob))
+      .select(col("id"), col("cat"),
+        round(lit(1e6) *
+          ((col("s_cat") - col("y_e2")).cast("double") +
+            lit(m.toDouble) *
+              (col("s_all").cast("double") / col("n_all").cast("double"))) /
+          (col("n_cat") - lit(1) + lit(m)).cast("double"))
+          .cast("long").as("enc_e6"))
+  }
+
+  /** The hashing trick: whitespace tokens of `textCol` hashed into
+    * `nBuckets` fixed feature buckets — the unbounded-vocabulary
+    * featurizer (no fitted dictionary to ship or drift). Bucket =
+    * md5-first-8-hex mod nBuckets, the repo's single cross-engine hash
+    * convention (Chunking.hashBucket's posture). Output one row per
+    * (id, bucket) with the term count — the sparse feature vector in
+    * coordinate form.
+    *
+    * Scale shape: row-local hashing, then ONE grouped count whose key
+    * space is |docs|·min(doc_len, nBuckets) — never a vocabulary table,
+    * which is the point of the trick. */
+  def hashFeatures(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    df.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") %
+          nBuckets).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
+  }
+}

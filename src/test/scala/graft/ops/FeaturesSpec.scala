@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("targetEncodeLoo: hand-computed m-estimate, singleton lands on prior") {
+    // A: y_e2 {100, 200}; B: {300}. Global prior = 600/3 = 200.
+    val df = Seq((1L, "A", 100L), (2L, "A", 200L), (3L, "B", 300L))
+      .toDF("id", "cat", "y_e2")
+    val out = Features.targetEncodeLoo(df, "id", "cat", "y_e2", m = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // row 1: (300-100 + 10*200) / (2-1+10) = 2200/11 = 200 exactly
+    out(1L) shouldBe 200000000L
+    // row 2: (300-200 + 2000) / 11 = 190.909090…
+    out(2L) shouldBe 190909091L
+    // singleton: numerator and denominator reduce to m*prior / m = prior
+    out(3L) shouldBe 200000000L
+    // null category/target rows are dropped, not null-encoded
+    val dirty = df.unionByName(Seq((4L, null.asInstanceOf[String], 5L))
+      .toDF("id", "cat", "y_e2"))
+    Features.targetEncodeLoo(dirty, "id", "cat", "y_e2").count() shouldBe 3L
+    an[IllegalArgumentException] should be thrownBy
+      Features.targetEncodeLoo(df, "id", "cat", "y_e2", m = 0)
+  }
+
+  test("hashFeatures: stable buckets, counts sum to token count") {
+    val df = Seq((1L, "a b a c"), (2L, "a"), (3L, "  ")).toDF("id", "text")
+    val out = Features.hashFeatures(df, "id", "text", nBuckets = 8)
+    // total feature mass = total tokens (4 + 1 + 0)
+    out.agg(org.apache.spark.sql.functions.sum("n")).collect()(0)
+      .getLong(0) shouldBe 5L
+    // the same token maps to the same bucket in every doc
+    val b = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val doc1 = b.filter(_._1._1 == 1L).toMap
+    doc1.values.sum shouldBe 4L
+    doc1.values.max shouldBe 2L // 'a' twice in one bucket
+    val aBucket1 = doc1.find(_._2 == 2L).get._1._2
+    b.filter(_._1._1 == 2L).head._1._2 shouldBe aBucket1
+  }
+}
