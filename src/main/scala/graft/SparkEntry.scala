@@ -1368,6 +1368,19 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Exact per-day ROC AUC (Mann–Whitney rank-sum, average-rank ties):
+    // does value separate purchases from the rest each day — integer
+    // 2R⁺ prefix over the value domain, one final divide-and-round.
+    "q195_group_auc" -> ((s, dir) =>
+      graft.ops.Features.groupAuc(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(expr("ts div 86400000000000").as("day"),
+            round(col("value") * lit(100)).cast("long").as("s_e2"),
+            (col("event_type") === "purchase").cast("long").as("y")),
+        Seq("day"), "s_e2", "y")
+        .orderBy("day")),
+
     // Leave-one-out m-estimate target encoding of value by event_type —
     // the leakage-safe categorical encoder: a row never sees its own
     // target; exact BIGINT stats, one divide-and-round IEEE dag.
@@ -2769,6 +2782,32 @@ object SparkEntry {
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
+    // q195: the rank-sum identity replayed — identical integer prefix
+    // sums, identical final divide operand order.
+    "q195_group_auc" ->
+      """WITH b AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |  CAST(round(value * 100.0) AS BIGINT) AS s,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        | FROM events WHERE value IS NOT NULL),
+        |ps AS (SELECT day, s, count(*) AS n,
+        |  CAST(sum(y) AS BIGINT) AS npos FROM b GROUP BY 1, 2),
+        |r AS (SELECT day, s, n, npos,
+        |  coalesce(sum(n) OVER (PARTITION BY day ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        | FROM ps),
+        |a AS (SELECT day,
+        |  CAST(sum(npos * (2 * c + n + 1)) AS BIGINT) AS r2,
+        |  CAST(sum(npos) AS BIGINT) AS n_pos,
+        |  CAST(sum(n) - sum(npos) AS BIGINT) AS n_neg
+        | FROM r GROUP BY 1)
+        |SELECT day, n_pos, n_neg,
+        | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |   CAST(round(1000000.0
+        |     * CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |     / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+        |     AS BIGINT)
+        | END AS auc_e6
+        |FROM a ORDER BY day""".stripMargin,
     // q193: identical exact stats + the same divide/round dag (operand
     // order matters — 1e6 * (A + m*(S/N)) / D on both sides).
     "q193_target_encode" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ML feature engineering over curated tables — the two classic
@@ -51,6 +52,50 @@ object Features {
               (col("s_all").cast("double") / col("n_all").cast("double"))) /
           (col("n_cat") - lit(1) + lit(m)).cast("double"))
           .cast("long").as("enc_e6"))
+  }
+
+  /** Exact per-group ROC AUC by the Mann–Whitney rank-sum identity:
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), with average ranks for score
+    * ties — the model-eval metric every training pipeline gates on,
+    * computed WITHOUT a per-row global sort: rows first reduce to
+    * per-(group, score) counts, the cumulative rank prefix is one window
+    * over that VALUE-DOMAIN-sized frame, and a tied block after c lower
+    * rows contributes 2R⁺ = n⁺(s)·(2c + n(s) + 1) — integers throughout,
+    * doubled to avoid the ½ from average ranks, so the only IEEE op is
+    * the final divide-and-round (auc_e6). Groups lacking both classes
+    * report null (AUC undefined), never a fake 0.5.
+    *
+    * `scoreCol` must be an exact integer score (the e2/e6 convention);
+    * `labelCol` is 0/1. Scale: the window runs over |group × distinct
+    * scores|, not rows — quantize scores (as documented everywhere in
+    * this repo) and it is value-domain bounded. 2R⁺ ≤ 2n² per group —
+    * keep per-group rows under ~2·10⁹ or bucket the scores first. */
+  def groupAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(gcols :+ col(scoreCol).cast("long").as("__s") :+
+        col(labelCol).cast("long").as("__y"): _*)
+    val perScore = base.groupBy(gcols :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__n"), sum("__y").as("__npos"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore
+      .withColumn("__c", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__r2",
+        col("__npos") * (lit(2L) * col("__c") + col("__n") + lit(1L)))
+    val agg = ranked.groupBy(gcols: _*)
+      .agg(sum("__r2").as("r2"), sum("__npos").as("n_pos"),
+        (sum("__n") - sum("__npos")).as("n_neg"))
+    agg.select(gcols ++ Seq(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(lit(1e6) *
+          (col("r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).cast("long"))
+        .as("auc_e6")): _*)
   }
 
   /** The hashing trick: whitespace tokens of `textCol` hashed into

@@ -25,6 +25,34 @@ class FeaturesSpec extends SparkSpec {
       Features.targetEncodeLoo(df, "id", "cat", "y_e2", m = 0)
   }
 
+  test("groupAuc: rank-sum identity == brute-force pair counting") {
+    // perfect separation, perfect inversion, coin-flip tie, one-class
+    val rows = Seq(
+      ("sep", 10L, 1L), ("sep", 9L, 1L), ("sep", 2L, 0L), ("sep", 1L, 0L),
+      ("inv", 1L, 1L), ("inv", 9L, 0L),
+      ("tie", 5L, 1L), ("tie", 5L, 0L),
+      ("onec", 5L, 1L), ("onec", 6L, 1L))
+    val out = Features.groupAuc(rows.toDF("g", "s", "y"), Seq("g"), "s", "y")
+      .collect().map(r => r.getString(0) ->
+        Option(r.getAs[Any]("auc_e6")).map(_.asInstanceOf[Long])).toMap
+    out("sep") shouldBe Some(1000000L)
+    out("inv") shouldBe Some(0L)
+    out("tie") shouldBe Some(500000L)
+    out("onec") shouldBe None // AUC undefined without both classes
+    // randomized cross-check against the O(n+ * n-) definition
+    val rnd = new scala.util.Random(42)
+    val data = (1 to 120).map(i =>
+      ("r", (rnd.nextInt(15) + 1).toLong, (if (rnd.nextBoolean()) 1L else 0L)))
+    val pos = data.filter(_._3 == 1L).map(_._2)
+    val neg = data.filter(_._3 == 0L).map(_._2)
+    val brute = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum /
+      (pos.size.toLong * neg.size)
+    val got = Features.groupAuc(data.toDF("g", "s", "y"), Seq("g"), "s", "y")
+      .collect()(0).getAs[Long]("auc_e6")
+    got shouldBe math.round(brute * 1e6)
+  }
+
   test("hashFeatures: stable buckets, counts sum to token count") {
     val df = Seq((1L, "a b a c"), (2L, "a"), (3L, "  ")).toDF("id", "text")
     val out = Features.hashFeatures(df, "id", "text", nBuckets = 8)
