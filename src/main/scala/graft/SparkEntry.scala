@@ -1368,6 +1368,20 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Multi-touch attribution pairs: every purchase × all its in-window
+    // view/click touches, positioned and linearly weighted — q191's
+    // split-the-credit sibling; one keyed join with the window bound as
+    // residual predicate.
+    "q196_multi_touch" -> ((s, dir) =>
+      Sessions.multiTouchAttribution(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowUs = 14400000000L)
+        .orderBy("conv_tie", "position")),
+
     // Exact per-day ROC AUC (Mann–Whitney rank-sum, average-rank ties):
     // does value separate purchases from the rest each day — integer
     // 2R⁺ prefix over the value domain, one final divide-and-round.
@@ -2782,6 +2796,31 @@ object SparkEntry {
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
+    // q196: the same keyed window-bounded join + per-conversion
+    // position/count windows.
+    "q196_multi_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, ts_us AS conv_ts, event_id AS conv_tie
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts_us AS touch_ts, event_id AS touch_tie,
+        |  event_type AS touch_type FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.user_id, c.conv_tie, c.conv_ts,
+        |  t.touch_tie, t.touch_type, t.touch_ts
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |   AND (t.touch_ts < c.conv_ts
+        |        OR (t.touch_ts = c.conv_ts AND t.touch_tie < c.conv_tie))
+        |   AND t.touch_ts >= c.conv_ts - 14400000000),
+        |r AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY user_id, conv_tie
+        |    ORDER BY touch_ts, touch_tie) AS BIGINT) AS position,
+        |  count(*) OVER (PARTITION BY user_id, conv_tie) AS n_touches
+        | FROM j)
+        |SELECT user_id, conv_tie, conv_ts, touch_tie, touch_type,
+        | touch_ts, position, CAST(n_touches AS BIGINT) AS n_touches,
+        | CAST(1000000 // n_touches AS BIGINT) AS weight_e6
+        |FROM r ORDER BY conv_tie, position""".stripMargin,
     // q195: the rank-sum identity replayed — identical integer prefix
     // sums, identical final divide operand order.
     "q195_group_auc" ->

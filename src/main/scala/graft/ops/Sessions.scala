@@ -256,6 +256,53 @@ object Sessions {
         when(inWin, col("__lt.i")).as("touch_tie"))
   }
 
+  /** MULTI-TOUCH attribution: every conversion paired with ALL its
+    * in-window strictly-earlier touches, positioned and linearly
+    * weighted (weight_e6 = 1e6 div n_touches — floor division,
+    * documented; position and n_touches ride along so a consumer can
+    * apply U-shaped or time-decay schemes without re-joining).
+    * [[lastTouchAttribution]]'s "who gets ALL the credit" sibling —
+    * last-touch answers it with one window; splitting credit needs the
+    * (conversion × touch) pairs themselves. Conversions with no
+    * in-window touch emit nothing here (q191's 'direct' row covers
+    * them).
+    *
+    * Scale shape: one equi-join on the key with the window bound as a
+    * residual predicate — per-key fan-out is (conversions × touches)
+    * per key, pruned by the window; the position/n windows partition by
+    * conversion, so their frames are touch-list sized. */
+  def multiTouchAttribution(events: DataFrame, keyCol: String,
+      tsUsCol: String, tieCol: String, typeCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(windowUs > 0, s"windowUs must be > 0, got $windowUs")
+    val base = events.select(col(keyCol).as("__k"),
+      col(tsUsCol).cast("long").as("__ts"), col(tieCol).as("__tie"),
+      col(typeCol).as("__ty"))
+    val conv = base.filter(col("__ty") === conversionType)
+      .select(col("__k"), col("__ts").as("conv_ts"),
+        col("__tie").as("conv_tie"))
+    val touch = base.filter(col("__ty").isin(touchTypes: _*))
+      .select(col("__k").as("__tk"), col("__ts").as("touch_ts"),
+        col("__tie").as("touch_tie"), col("__ty").as("touch_type"))
+    val wPos = Window.partitionBy(col("__k"), col("conv_tie"))
+      .orderBy(col("touch_ts"), col("touch_tie"))
+    conv.join(touch,
+        col("__k") === col("__tk") &&
+          (col("touch_ts") < col("conv_ts") ||
+            (col("touch_ts") === col("conv_ts") &&
+              col("touch_tie") < col("conv_tie"))) &&
+          col("touch_ts") >= col("conv_ts") - lit(windowUs))
+      .withColumn("position", row_number().over(wPos).cast("long"))
+      .withColumn("n_touches", count(lit(1))
+        .over(Window.partitionBy(col("__k"), col("conv_tie"))).cast("long"))
+      .select(col("__k").as(keyCol), col("conv_tie"), col("conv_ts"),
+        col("touch_tie"), col("touch_type"), col("touch_ts"),
+        col("position"), col("n_touches"),
+        expr("1000000L div n_touches").as("weight_e6"))
+  }
+
   /** Per-key interval UNION (gaps-and-islands merge): overlapping or
     * touching [start, end] intervals coalesce into islands; per key,
     * the island count and the total COVERED length — "how much wall-clock

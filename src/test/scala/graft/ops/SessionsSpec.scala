@@ -193,6 +193,36 @@ class SessionsSpec extends SparkSpec {
     out.size shouldBe 4
   }
 
+  test("multiTouchAttribution: all in-window touches, positions, weights") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 1L, "view"),
+      (1L, 3L, 2L, "click"),
+      (1L, 5L, 3L, "purchase"),  // touches: view@1, click@3 — weight 1/2
+      (1L, 20L, 4L, "purchase"), // both touches outside the 10-window
+      (2L, 4L, 5L, "purchase"))  // never touched
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = graft.ops.Sessions.multiTouchAttribution(ev, "user_id",
+        "ts_us", "event_id", "event_type",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowUs = 10L)
+      .orderBy("conv_tie", "position").collect()
+      .map(r => (r.getAs[Long]("conv_tie"), r.getAs[Long]("position"),
+        r.getAs[String]("touch_type"), r.getAs[Long]("n_touches"),
+        r.getAs[Long]("weight_e6")))
+    out.toSeq shouldBe Seq(
+      (3L, 1L, "view", 2L, 500000L),
+      (3L, 2L, "click", 2L, 500000L))
+    // the last-touch view: same data, the single-credit form agrees with
+    // the highest-position multi-touch row
+    val last = graft.ops.Sessions.lastTouchAttribution(ev, "user_id",
+        "ts_us", "event_id", "event_type", "purchase",
+        Seq("view", "click"), 10L)
+      .filter(col("attributed_type") =!= "direct").collect()
+    last.length shouldBe 1
+    last(0).getAs[String]("attributed_type") shouldBe "click"
+  }
+
   test("entryExitMatrix: first/last per gap-session, tie-broken by id") {
     import spark.implicits._
     val ev = Seq(
