@@ -1368,6 +1368,40 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // Cumulative gains/lift by value decile: do high-value events
+    // capture the purchases — all-integer capture and lift per bin,
+    // ntile on the (score desc, tie) total order.
+    "q197_gains_table" -> ((s, dir) =>
+      graft.ops.Features.gainsTable(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"),
+            round(col("value") * lit(100)).cast("long").as("s_e2"),
+            (col("event_type") === "purchase").cast("long").as("y")),
+        "s_e2", "event_id", "y", buckets = 10)
+        .orderBy("bucket")),
+
+    // Item-item co-visitation cosine over the capped basket population —
+    // "items also bought", normalized so popular items don't dominate;
+    // counts and pairs share one basket population by construction.
+    "q198_item_cosine" -> ((s, dir) =>
+      Baskets.itemCosine(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .orderBy("item_a", "item_b")),
+
+    // Share-of-parent: each (event_type, day)'s integer-e6 share of its
+    // type's total mass — the percent-of-category OLAP idiom, one
+    // grouped aggregate + one window over the aggregated frame.
+    "q199_share_of_parent" -> ((s, dir) =>
+      graft.ops.Grouping.shareOfParent(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            round(col("value") * lit(100)).cast("long").as("y_e2")),
+        Seq("event_type"), Seq("day"), "y_e2")
+        .orderBy("event_type", "day")),
+
     // Multi-touch attribution pairs: every purchase × all its in-window
     // view/click touches, positioned and linearly weighted — q191's
     // split-the-credit sibling; one keyed join with the window bound as
@@ -2796,6 +2830,61 @@ object SparkEntry {
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
+    // q197: identical ntile binning (the q158 cross-engine contract) +
+    // all-integer cumulative capture/lift.
+    "q197_gains_table" ->
+      """WITH b AS (SELECT event_id,
+        |  CAST(round(value * 100.0) AS BIGINT) AS s,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        | FROM events WHERE value IS NOT NULL),
+        |t AS (SELECT *, CAST(ntile(10) OVER (ORDER BY s DESC, event_id)
+        |  AS BIGINT) AS bucket FROM b),
+        |p AS (SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+        | FROM t GROUP BY 1),
+        |c AS (SELECT bucket, n, n_pos,
+        |  CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_n,
+        |  CAST(sum(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_pos,
+        |  CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+        |  CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+        | FROM p)
+        |SELECT bucket, n, n_pos, cum_n, cum_pos,
+        | CASE WHEN tot_pos > 0 THEN
+        |   CAST(cum_pos * 1000000 // tot_pos AS BIGINT) END AS capture_e6,
+        | CASE WHEN tot_pos > 0 THEN
+        |   CAST(cum_pos * tot_n * 1000000 // (cum_n * tot_pos) AS BIGINT)
+        | END AS lift_e6
+        |FROM c ORDER BY bucket""".stripMargin,
+    // q198: the q150 pair derivation + per-item counts over the SAME
+    // kept population + the fixed 1e6·n/√(na·nb) dag.
+    "q198_item_cosine" ->
+      s"""WITH $basketEdgesMat,
+        |cnt AS (SELECT item, count(*) AS n FROM kept GROUP BY 1)
+        |SELECT p.a AS item_a, p.b AS item_b, p.n AS n_baskets,
+        | ca.n AS n_a, cb.n AS n_b,
+        | CAST(round(1000000.0 * CAST(p.n AS DOUBLE)
+        |   / sqrt(CAST(ca.n * cb.n AS DOUBLE))) AS BIGINT) AS cosine_e6
+        |FROM p JOIN cnt ca ON p.a = ca.item
+        |JOIN cnt cb ON p.b = cb.item
+        |WHERE p.n >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+    // q199: one grouped aggregate + the parent-window share, exact
+    // integer division.
+    "q199_share_of_parent" ->
+      """WITH d AS (SELECT event_type,
+        |  epoch_ns(ts) // 86400000000000 AS day,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS child_total
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, day, child_total,
+        | CAST(sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
+        |   AS parent_total,
+        | CASE WHEN sum(child_total) OVER (PARTITION BY event_type) != 0
+        |   THEN CAST(child_total * 1000000
+        |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
+        | END AS share_e6
+        |FROM d ORDER BY event_type, day""".stripMargin,
     // q196: the same keyed window-bounded join + per-conversion
     // position/count windows.
     "q196_multi_touch" ->

@@ -31,12 +31,7 @@ object Baskets {
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
       maxBasketSize: Int, minCount: Long = 1L): DataFrame = {
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
-      .distinct()
-    val sized = items.groupBy("basket").agg(count(lit(1)).as("_sz"))
-      .filter(col("_sz") <= maxBasketSize)
-      .select("basket")
-    val kept = items.join(sized, "basket")
+    val kept = keptItems(df, basketCol, itemCol, maxBasketSize)
     val a = kept.select(col("basket"), col("item").as("item_a"))
     val b = kept.select(col("basket"), col("item").as("item_b"))
     a.join(b, Seq("basket"))
@@ -44,5 +39,52 @@ object Baskets {
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_baskets"))
       .filter(col("n_baskets") >= minCount)
+  }
+
+  /** The distinct (basket, item) rows surviving the size cap — shared by
+    * [[basketPairs]] and [[itemCosine]] so pair counts and item counts
+    * are always measured over the SAME basket population. */
+  private def keptItems(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int): DataFrame = {
+    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val sized = items.groupBy("basket").agg(count(lit(1)).as("_sz"))
+      .filter(col("_sz") <= maxBasketSize)
+      .select("basket")
+    items.join(sized, "basket")
+  }
+
+  /** Co-visitation cosine ("items also bought"): each co-occurring pair
+    * scored by n_ab / √(n_a·n_b) — raw co-counts favor globally popular
+    * items; the cosine normalization is the standard item-item
+    * collaborative-filtering score (Amazon's classic item2item form).
+    * Counts come from the SAME capped basket population as the pairs
+    * (a pair's cosine against uncapped counts would exceed 1), so
+    * cosine_e6 ∈ [0, 1e6] by construction. One extra keyed join of the
+    * item-count frame onto each pair side on top of [[basketPairs]]'
+    * plan; the √ is the repo's fixed round(1e6·x/√y) IEEE dag. */
+  def itemCosine(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int, minCount: Long = 1L): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val kept = keptItems(df, basketCol, itemCol, maxBasketSize)
+      .localCheckpoint() // feeds the pair build AND both count joins
+    val pairs = {
+      val a = kept.select(col("basket"), col("item").as("item_a"))
+      val b = kept.select(col("basket"), col("item").as("item_b"))
+      a.join(b, Seq("basket"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_baskets"))
+        .filter(col("n_baskets") >= minCount)
+    }
+    val cnt = kept.groupBy("item").agg(count(lit(1)).as("n"))
+    pairs
+      .join(cnt.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(cnt.select(col("item").as("item_b"), col("n").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        col("n_a"), col("n_b"),
+        round(lit(1e6) * col("n_baskets").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")))
+          .cast("long").as("cosine_e6"))
   }
 }

@@ -98,6 +98,50 @@ object Features {
         .as("auc_e6")): _*)
   }
 
+  /** Cumulative gains / lift table: rows ranked by score descending into
+    * `buckets` equal-count bins (ntile on the (score desc, tie) total
+    * order — bit-identical across engines, the q158 posture), each bin
+    * reporting exact counts, cumulative positive capture
+    * (cum_pos·1e6 div tot_pos) and cumulative lift
+    * (cum_pos·tot_n·1e6 div (cum_n·tot_pos)) — "the top 2 deciles
+    * capture 60% of responders at 3× lift", the model-targeting view
+    * next to groupAuc's single number. ALL integer arithmetic.
+    *
+    * Scale: ntile's global sort is the documented q158 trade — right for
+    * score-table-sized frames; at 100 TB use quantile BOUNDS for the
+    * bins (equiDepthProfileByBounds' form) and the same count rollup.
+    * The exact integer lift product needs cum_pos·tot_n·1e6 to fit a
+    * long — fine to ~3·10⁶ scored rows; past that compute lift
+    * downstream from the emitted exact counts. */
+  def gainsTable(df: DataFrame, scoreCol: String, tieCol: String,
+      labelCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__s"), col(tieCol).as("__tie"),
+        col(labelCol).cast("long").as("__y"))
+    val bucketed = base.withColumn("bucket",
+      ntile(buckets).over(Window.orderBy(col("__s").desc, col("__tie")))
+        .cast("long"))
+    val per = bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("cum_n", sum("n").over(wc))
+      .withColumn("cum_pos", sum("n_pos").over(wc))
+      .withColumn("tot_n", sum("n").over(wt))
+      .withColumn("tot_pos", sum("n_pos").over(wt))
+      .select(col("bucket"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        when(col("tot_pos") > 0L,
+          expr("cum_pos * 1000000L div tot_pos")).as("capture_e6"),
+        when(col("tot_pos") > 0L,
+          expr("cum_pos * tot_n * 1000000L div (cum_n * tot_pos)"))
+          .as("lift_e6"))
+  }
+
   /** The hashing trick: whitespace tokens of `textCol` hashed into
     * `nBuckets` fixed feature buckets — the unbounded-vocabulary
     * featurizer (no fitted dictionary to ship or drift). Bucket =

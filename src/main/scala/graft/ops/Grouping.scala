@@ -41,4 +41,28 @@ object Grouping {
       measures: Seq[Column]): DataFrame =
     df.cube(dims.map(col): _*)
       .agg(grouping_id().cast("long").as("gid"), measures: _*)
+
+  /** SHARE-OF-PARENT: sum `valueCol` (an exact integer measure) at the
+    * (parent ++ child) grain and report each child's integer-e6 share of
+    * its parent's total — the "percent of category" OLAP idiom (share of
+    * a type's mass per day, of a domain's tokens per language, …) in one
+    * grouped aggregate plus one window over the AGGREGATED frame (parent
+    * totals never re-touch row data). share_e6 = child·1e6 div parent —
+    * exact integer, no IEEE anywhere. Parents whose total is 0 report
+    * null share (a 0/0 share is undefined, not 0). */
+  def shareOfParent(df: DataFrame, parentCols: Seq[String],
+      childCols: Seq[String], valueCol: String): DataFrame = {
+    require(parentCols.nonEmpty && childCols.nonEmpty,
+      "shareOfParent needs parent and child columns")
+    val grain = (parentCols ++ childCols).map(col)
+    val child = df.groupBy(grain: _*)
+      .agg(sum(col(valueCol).cast("long")).as("child_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(parentCols.map(col): _*)
+    child
+      .withColumn("parent_total", sum(col("child_total")).over(w))
+      .withColumn("share_e6",
+        when(col("parent_total") =!= 0L,
+          expr("child_total * 1000000L div parent_total")))
+  }
 }

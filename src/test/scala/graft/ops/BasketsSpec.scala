@@ -28,4 +28,24 @@ class BasketsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Baskets.basketPairs(rows, "basket", "item", maxBasketSize = 1)
   }
+  test("itemCosine: counts share the capped population, cosine in [0, 1e6]") {
+    import spark.implicits._
+    // baskets: {a,b} x3, {a,c} x1, {a} alone x2 -> n_a=6, n_b=3, n_c=1
+    val rows = (
+      (1 to 3).flatMap(i => Seq((i.toLong, "a"), (i.toLong, "b"))) ++
+      Seq((4L, "a"), (4L, "c")) ++
+      Seq((5L, "a"), (6L, "a"))).toDF("basket", "item")
+    val out = Baskets.itemCosine(rows, "basket", "item", maxBasketSize = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // cos(a,b) = 3 / sqrt(6*3) = 0.70710678... -> 707107
+    out(("a", "b")) shouldBe (3L, 6L, 3L, 707107L)
+    // cos(a,c) = 1 / sqrt(6) -> 408248
+    out(("a", "c")) shouldBe (1L, 6L, 1L, 408248L)
+    // a perfect pair hits exactly 1e6
+    val perfect = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+      .toDF("basket", "item")
+    Baskets.itemCosine(perfect, "basket", "item", 5)
+      .collect()(0).getLong(5) shouldBe 1000000L
+  }
 }

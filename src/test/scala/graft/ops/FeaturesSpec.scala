@@ -53,6 +53,25 @@ class FeaturesSpec extends SparkSpec {
     got shouldBe math.round(brute * 1e6)
   }
 
+  test("gainsTable: hand-computed capture and lift, all-integer") {
+    // 10 rows, scores 10..1, positives at scores 10, 9, 8, 2 (mostly
+    // concentrated at the top). 5 buckets of 2.
+    val rows = (1L to 10L).map(i =>
+      (i, 11L - i, if (i <= 3 || i == 9) 1L else 0L))
+    val out = Features.gainsTable(rows.toDF("id", "s", "y"),
+        "s", "id", "y", buckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // bucket 1 holds scores {10, 9} = ids {1, 2}, both positive:
+    // capture 2/4 = 50%, lift = (2/2)/(4/10) = 2.5
+    out(0) shouldBe (1L, 2L, 2L, 2L, 500000L, 2500000L)
+    // bucket 2 holds ids {3, 4}: one positive → cum 3/4, lift 1.875
+    out(1) shouldBe (2L, 2L, 1L, 3L, 750000L, 1875000L)
+    // final bucket: full capture, lift exactly 1
+    out(4) shouldBe (5L, 2L, 1L, 4L, 1000000L, 1000000L)
+  }
+
   test("hashFeatures: stable buckets, counts sum to token count") {
     val df = Seq((1L, "a b a c"), (2L, "a"), (3L, "  ")).toDF("id", "text")
     val out = Features.hashFeatures(df, "id", "text", nBuckets = 8)

@@ -38,4 +38,18 @@ class GroupingSpec extends SparkSpec {
     out.map(_._3) shouldBe Set(0L, 1L, 2L, 3L)
     out.size shouldBe 3 + 2 + 2 + 1
   }
+  test("shareOfParent: integer-e6 shares per parent, zero parent -> null") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 30L), ("A", 2L, 60L), ("A", 2L, 10L), // A: 30 + 70 = 100
+      ("B", 1L, 0L)) // B's total is 0 -> share undefined
+      .toDF("typ", "day", "v")
+    val out = Grouping.shareOfParent(df, Seq("typ"), Seq("day"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3),
+          Option(r.getAs[Any]("share_e6")).map(_.asInstanceOf[Long]))).toMap
+    out(("A", 1L)) shouldBe (30L, 100L, Some(300000L))
+    out(("A", 2L)) shouldBe (70L, 100L, Some(700000L))
+    out(("B", 1L)) shouldBe (0L, 0L, None)
+  }
 }
