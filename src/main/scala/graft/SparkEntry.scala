@@ -1368,6 +1368,17 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type", gapSec = 14400L)
         .orderBy("entry_type", "exit_type")),
 
+    // TextRank corpus keywords: the engine composed with itself —
+    // skip-gram co-occurrence edges (q130) under weighted integer
+    // PageRank (q178), words as 60-bit md5-prefix nodes (q139's hash
+    // convention); the oracle replays the full composition including
+    // the unrolled recurrence.
+    "q200_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(
+        Tables.load(s, dir, "documents"), "text",
+        window = 2, minCount = 5L, iters = 4, k = 50)
+        .orderBy("rank")),
+
     // Cumulative gains/lift by value decile: do high-value events
     // capture the purchases — all-integer capture and lift per bin,
     // ntile on the (score desc, tie) total order.
@@ -2796,6 +2807,56 @@ object SparkEntry {
        |ORDER BY node""".stripMargin
   }
 
+  /** q200 oracle: the full TextRank composition — q130's skip-gram pair
+    * derivation (minCount 5, canonical center < context), q139's 60-bit
+    * md5-prefix word ids, and the q178 weighted recurrence unrolled. */
+  private def textrankOracle(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.node, CAST((SELECT (15 * (1000000000 // n)) // 100 FROM nn)
+         |    + 85 * coalesce(s.inflow, 0) // 100 AS BIGINT) AS rank_e9
+         |  FROM wdeg d LEFT JOIN (
+         |    SELECT symw.dst AS node,
+         |      sum(r.rank_e9 * symw.w // dg.wdeg) AS inflow
+         |    FROM symw JOIN $prev r ON symw.src = r.node
+         |    JOIN wdeg dg ON symw.src = dg.node
+         |    GROUP BY 1) s ON d.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT string_split(trim(text), ' ') AS lst
+       |  FROM documents WHERE len(string_split(trim(text), ' ')) >= 2),
+       |sg AS (SELECT u.center AS center, u.context AS context FROM (
+       |  SELECT unnest(flatten(list_transform(range(len(lst)), i ->
+       |    list_transform(range(greatest(0, i - 2), least(len(lst), i + 3)),
+       |      j -> struct_pack(center := lst[i + 1], context := lst[j + 1],
+       |        ci := i, cj := j))))) AS u
+       |  FROM d) t WHERE u.ci <> u.cj),
+       |cp AS MATERIALIZED (SELECT center, context, count(*) AS cnt
+       |  FROM sg WHERE center < context
+       |  GROUP BY 1, 2 HAVING count(*) >= 5),
+       |ew AS MATERIALIZED (SELECT
+       |  ('0x' || substr(md5(center), 1, 15))::BIGINT AS a,
+       |  ('0x' || substr(md5(context), 1, 15))::BIGINT AS b,
+       |  CAST(sum(cnt) AS BIGINT) AS w FROM cp GROUP BY 1, 2),
+       |symw AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ew
+       |  UNION ALL SELECT b, a, w FROM ew),
+       |wdeg AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT)
+       |  AS wdeg FROM symw GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM wdeg),
+       |r0 AS MATERIALIZED (SELECT node,
+       |  (SELECT 1000000000 // n FROM nn) AS rank_e9 FROM wdeg),
+       |$rounds,
+       |vocab AS (SELECT word,
+       |  ('0x' || substr(md5(word), 1, 15))::BIGINT AS node
+       |  FROM (SELECT center AS word FROM cp
+       |        UNION SELECT context FROM cp) v),
+       |ranked AS (SELECT row_number() OVER
+       |    (ORDER BY r.rank_e9 DESC, vv.word) AS rank, vv.word, r.rank_e9
+       |  FROM r$iters r JOIN vocab vv ON r.node = vv.node)
+       |SELECT CAST(rank AS BIGINT) AS rank, word, rank_e9 FROM ranked
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   /** q178 oracle: the weighted-share recurrence unrolled. */
   private def pagerankWeightedOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
@@ -2830,6 +2891,7 @@ object SparkEntry {
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
+    "q200_textrank" -> textrankOracle(4, 50),
     // q197: identical ntile binning (the q158 cross-engine contract) +
     // all-integer cumulative capture/lift.
     "q197_gains_table" ->

@@ -421,6 +421,44 @@ object TextAnalysis {
       .filter(col("cnt") >= minCount)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): corpus keywords
+    * as the highest-PageRank nodes of the word co-occurrence graph — a
+    * COMPOSITION of this engine's own primitives: [[skipgramPairs]]
+    * builds the ±window co-occurrence edges (already symmetric;
+    * canonicalized center < context), words hash to 60-bit md5-prefix
+    * node ids (the q139 convention, replayable cross-engine), and
+    * `Graphs.pageRankWeighted` runs the exact fixed-point integer
+    * recurrence — so the whole pipeline stays oracle-checkable end to
+    * end. Output: the top-`k` words on the (rank_e9 desc, word) total
+    * order.
+    *
+    * Scale shape: the graph lives in vocabulary space (edges =
+    * distinct co-occurring pairs ≥ minCount), so the PR rounds never
+    * touch corpus rows; the word↔id vocab join is edge-endpoint sized. */
+  def textRankKeywords(df: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5L, iters: Int = 4, k: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def wordId(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val pairs = skipgramPairs(df, textCol, window, minCount)
+      .filter(col("center") < col("context"))
+      .localCheckpoint() // feeds the edge build AND the vocab map
+    val edges = pairs.select(wordId(col("center")).as("a"),
+      wordId(col("context")).as("b"), col("cnt"))
+    val ranks = graft.ops.Graphs.pageRankWeighted(edges, "a", "b", "cnt",
+      iters)
+    val vocab = pairs.select(col("center").as("word"))
+      .unionAll(pairs.select(col("context").as("word")))
+      .distinct()
+      .select(col("word"), wordId(col("word")).as("node"))
+    ranks.join(vocab, "node")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank_e9").desc, col("word"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "word", "rank_e9")
+  }
+
   /** Tokenizer-fertility report: per group (language, source, …), how many
     * characters a BPE-style token carries and how many BPE tokens a
     * whitespace word splits into — the per-language tokenizer-efficiency

@@ -421,4 +421,22 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getString(1)) shouldBe
       Array("p q", "q r", "r s")
   }
+
+  test("textRankKeywords: the hub word of a star corpus ranks first") {
+    import spark.implicits._
+    // 'core' co-occurs with every satellite; satellites only see 'core'
+    // and their neighbors — the hub must absorb the most rank
+    val docs = (1 to 8).map(i => s"core sat$i core sat$i core sat$i")
+      .toDF("text")
+    val out = TextAnalysis.textRankKeywords(docs, "text",
+        window = 2, minCount = 2L, iters = 4, k = 5)
+      .orderBy("rank").collect()
+    out(0).getString(1) shouldBe "core"
+    // deterministic across partitionings (the PR + hash-id path)
+    val rep = TextAnalysis.textRankKeywords(docs.repartition(5), "text",
+        window = 2, minCount = 2L, iters = 4, k = 5)
+      .orderBy("rank").collect()
+    rep.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+      out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+  }
 }
