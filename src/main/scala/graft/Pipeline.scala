@@ -122,6 +122,41 @@ object Pipeline {
       StageResult("gold.retrieval", n)
     }.toSeq
 
+    // features: post-curation ML feature tables — the hashing-trick
+    // sparse coordinates and/or the leave-one-out target encoding, each
+    // landing as its own gold sink; missing columns fail loudly (the
+    // quality-checks posture — a silently-skipped feature table is the
+    // one the trainer misses).
+    val featureStages = config.features.toSeq.flatMap { fs =>
+      def requireCols(label: String, cols: Seq[String]): Unit = {
+        val missing = cols.filterNot(curatedDf.columns.contains)
+        require(missing.isEmpty,
+          s"features.$label: missing columns ${missing.mkString(", ")}")
+      }
+      val hashStage = fs.hashText.map { h =>
+        requireCols("hash_text", Seq(fs.idColumn, h.textColumn))
+        val out = graft.ops.Features.hashFeatures(
+          curatedDf, fs.idColumn, h.textColumn, h.nBuckets)
+        goldSink.foreach(sink => sink("features_hash", out))
+        val n = out.count()
+        tracker.record(Lineage.EventType.Transformation,
+          upstreamNode, "gold.features_hash", curatedRows, n)
+        StageResult("gold.features_hash", n)
+      }
+      val encodeStage = fs.targetEncode.map { t =>
+        requireCols("target_encode",
+          Seq(fs.idColumn, t.categoryColumn, t.targetColumn))
+        val out = graft.ops.Features.targetEncodeLoo(
+          curatedDf, fs.idColumn, t.categoryColumn, t.targetColumn, t.m)
+        goldSink.foreach(sink => sink("features_target", out))
+        val n = out.count()
+        tracker.record(Lineage.EventType.Transformation,
+          upstreamNode, "gold.features_target", curatedRows, n)
+        StageResult("gold.features_target", n)
+      }
+      hashStage.toSeq ++ encodeStage.toSeq
+    }
+
     // split: deterministic train/val/test assignment over the curated
     // corpus — row-wise md5 buckets, or near-dup clusters as the unit
     // (leakage-safe: a mirror set never straddles train and eval).
@@ -164,7 +199,7 @@ object Pipeline {
     RunResult(
       StageResult("bronze", bronzeRows) +: StageResult("silver", silverRows) +:
         (curationStages ++ goldStages ++ sessionStages ++ retrievalStages
-          ++ splitStages),
+          ++ featureStages ++ splitStages),
       report,
       tracker)
   }

@@ -41,7 +41,8 @@ object ConfigLoader {
       curation: Option[CurationSpec] = None,
       sessions: Option[SessionSpec] = None,
       retrieval: Option[RetrievalSpec] = None,
-      split: Option[SplitSpec] = None)
+      split: Option[SplitSpec] = None,
+      features: Option[FeaturesSpec] = None)
 
   /** §1.5 — one entry of the multi-dataset registry
     * (config/datasets/datasets.yaml:6-76: per-dataset source, target,
@@ -610,7 +611,42 @@ object ConfigLoader {
         pm.get("cache_after_transform").exists(_.asInstanceOf[Boolean]))
     }.getOrElse((PerformanceSpec(), false))
 
+    val features = root.get("features").map { f =>
+      val fm = asMap(f, "features")
+      val spec = FeaturesSpec(
+        idColumn = str(fm, "id_column", "features"),
+        hashText = fm.get("hash_text").map { h =>
+          val hm = asMap(h, "features.hash_text")
+          val c = HashFeaturesConf(
+            textColumn = str(hm, "text_column", "features.hash_text"),
+            nBuckets = hm.get("n_buckets").map(_.toString.toInt)
+              .getOrElse(1024))
+          if (c.nBuckets < 2)
+            throw new ConfigError(
+              s"features.hash_text.n_buckets must be >= 2, got ${c.nBuckets}")
+          c
+        },
+        targetEncode = fm.get("target_encode").map { t =>
+          val tm = asMap(t, "features.target_encode")
+          val c = TargetEncodeConf(
+            categoryColumn = str(tm, "category_column",
+              "features.target_encode"),
+            targetColumn = str(tm, "target_column",
+              "features.target_encode"),
+            m = tm.get("m").map(_.toString.toInt).getOrElse(10))
+          if (c.m < 1)
+            throw new ConfigError(
+              s"features.target_encode.m must be >= 1, got ${c.m}")
+          c
+        })
+      if (spec.hashText.isEmpty && spec.targetEncode.isEmpty)
+        throw new ConfigError(
+          "features: set hash_text and/or target_encode — an empty block " +
+            "produces nothing")
+      spec
+    }
+
     PipelineConfig(version, name, bronze, silver, gold, quality, perf,
-      cacheSilver, curation, sessions, retrieval, split)
+      cacheSilver, curation, sessions, retrieval, split, features)
   }
 }

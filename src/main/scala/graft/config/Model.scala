@@ -280,6 +280,21 @@ final case class RetrievalSpec(
     rrfK: Option[Long] = None,
     excludeSelf: Boolean = true)
 
+/** features: block — post-curation ML feature tables (`ops/Features`),
+  * config-driven like retrieval:/split:. `hash_text` emits the
+  * hashing-trick sparse (id, bucket, n) coordinates over a text column;
+  * `target_encode` emits the leave-one-out m-estimate encoding of a
+  * category column against an ALREADY-INTEGER target column (scale the
+  * target in a silver derived column — the e2 convention). At least one
+  * sub-block is required; missing columns fail loudly at run time. */
+final case class HashFeaturesConf(textColumn: String, nBuckets: Int = 1024)
+final case class TargetEncodeConf(categoryColumn: String,
+    targetColumn: String, m: Int = 10)
+final case class FeaturesSpec(
+    idColumn: String,
+    hashText: Option[HashFeaturesConf] = None,
+    targetEncode: Option[TargetEncodeConf] = None)
+
 /** split: block — deterministic train/val/test assignment appended to the
   * curated frame as a `split` column. `weights` percentages must sum to
   * 100 and their YAML ORDER is part of the contract (the md5 bucket map

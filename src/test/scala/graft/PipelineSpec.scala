@@ -806,6 +806,48 @@ class PipelineSpec extends SparkSpec {
       graft.quality.Orchestrator.run(df.drop("kind"), cfg.quality)
   }
 
+  test("features block: hash_text and target_encode drive from YAML") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: feats
+        |silver:
+        |  derived_columns:
+        |    - {name: y_e2, expression: "cast(round(score * 100) as long)"}
+        |features:
+        |  id_column: doc_id
+        |  hash_text: {text_column: text, n_buckets: 16}
+        |  target_encode: {category_column: lang, target_column: y_e2, m: 10}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.features.get.hashText.get.nBuckets shouldBe 16
+    cfg.features.get.targetEncode.get.m shouldBe 10
+    val docs = Seq(
+      (1L, "alpha beta", "en", 1.0), (2L, "beta gamma", "en", 2.0),
+      (3L, "alpha", "de", 3.0))
+      .toDF("doc_id", "text", "lang", "score")
+    var sunk = Map.empty[String, org.apache.spark.sql.DataFrame]
+    val r = graft.Pipeline.run(spark, cfg, docs,
+      goldSink = Some((name, df) => sunk += name -> df))
+    // the config-driven tables equal the hand-built operator calls
+    val silver = docs.withColumn("y_e2",
+      expr("cast(round(score * 100) as long)"))
+    sunk("features_hash").orderBy("id", "bucket").collect() shouldBe
+      graft.ops.Features.hashFeatures(silver, "doc_id", "text", 16)
+        .orderBy("id", "bucket").collect()
+    sunk("features_target").orderBy("id").collect() shouldBe
+      graft.ops.Features.targetEncodeLoo(silver, "doc_id", "lang", "y_e2")
+        .orderBy("id").collect()
+    r.stages.map(_.name) should contain allOf
+      ("gold.features_hash", "gold.features_target")
+    // missing column fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      graft.Pipeline.run(spark, cfg, docs.drop("lang"))
+    // an empty features block is a config error
+    an[IllegalArgumentException] should be thrownBy ConfigLoader.parse(
+      "version: \"1.0\"\npipeline:\n  name: x\nfeatures:\n  id_column: a\n")
+  }
+
   test("winnow dedup strategy drives from YAML; knobs scoped to it") {
     val yaml =
       """version: "1.0"
