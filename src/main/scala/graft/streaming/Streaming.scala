@@ -812,6 +812,76 @@ object Streaming {
       }
   }
 
+  final case class Attribution(key: Long, convTie: Long, convTsUs: Long,
+      attributedType: String, touchTsUs: Option[Long])
+  final case class AttribState(lastTouch: Option[LastSeen],
+      pending: Seq[TypedEvent])
+
+  /** CONTINUOUS last-touch attribution — the streaming twin of
+    * `Sessions.lastTouchAttribution` (q191), on the
+    * [[transitionStreamBuffered]] reorder-buffer posture: each event is
+    * held until the event-time watermark (max event time − `delayUs`)
+    * passes it, then the buffer drains in (tsUs, tie) order through
+    * per-key state holding the latest touch — so conversions credit
+    * exactly the touch the batch operator would pick for every event
+    * arriving within the delay (late-beyond-delay events are
+    * watermark-dropped, the standard contract). Conversions with no
+    * in-window touch emit 'direct', matching the batch twin.
+    *
+    * State per key = one LastSeen + the pending buffer (bounded by that
+    * key's arrival rate × delay, never history); an event-time timeout
+    * flushes keys that go quiet. `conversionType` must not be a touch
+    * type (one event deciding AND re-pointing its own credit is
+    * ill-defined). */
+  def attributionStreamBuffered(
+      events: org.apache.spark.sql.Dataset[TypedEvent],
+      conversionType: String, touchTypes: Seq[String], windowUs: Long,
+      delayUs: Long): org.apache.spark.sql.Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    require(delayUs >= 0L, s"delayUs must be >= 0, got $delayUs")
+    require(windowUs > 0L, s"windowUs must be > 0, got $windowUs")
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      "touchTypes must be non-empty and exclude the conversion type")
+    val withTs = events
+      .withColumn("_ts", timestamp_micros(col("tsUs")))
+      .withWatermark("_ts", s"${delayUs / 1000L} milliseconds")
+      .as[TypedEvent]
+    withTs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AttribState, Attribution](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[TypedEvent],
+         state: GroupState[AttribState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AttribState(None, Nil))
+          val all = st.pending ++ (if (state.hasTimedOut) Nil else rows.toSeq)
+          val (ready, hold) = all.partition(_.tsUs <= wmUs)
+          var lastTouch = st.lastTouch
+          val out = ready.sortBy(e => (e.tsUs, e.tie)).flatMap { e =>
+            // processed in total order, so lastTouch is always strictly
+            // earlier than e on (ts, tie) when e reads it
+            val res =
+              if (e.typ == conversionType) {
+                val hit = lastTouch.filter(_.tsUs >= e.tsUs - windowUs)
+                Some(Attribution(key, e.tie, e.tsUs,
+                  hit.map(_.typ).getOrElse("direct"), hit.map(_.tsUs)))
+              } else None
+            if (touchTypes.contains(e.typ))
+              lastTouch = Some(LastSeen(e.tsUs, e.tie, e.typ))
+            res
+          }
+          if (hold.isEmpty && lastTouch.isEmpty) state.remove()
+          else {
+            state.update(AttribState(lastTouch, hold))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(hold.map(_.tsUs).min / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   final case class SessionEvent(key: String, ts: java.sql.Timestamp, value: Double)
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long, valueE6: Long)
   final case class ClosedSession(key: String, startUs: Long, endUs: Long,

@@ -793,6 +793,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStreamBuffered == batch lastTouch despite late arrival") {
+    val stream = MemoryStream[Streaming.TypedEvent](spark)
+    val q = Streaming.attributionStreamBuffered(stream.toDS(),
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowUs = 15000000L, delayUs = 15000000L)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ev(key: Long, sec: Long, tie: Long, typ: String) =
+        Streaming.TypedEvent(key, sec * 1000000L, tie, typ)
+      // view@10 and purchase@30 arrive; click@20 arrives LATE (after the
+      // purchase) but within the 15 s delay — the buffer must reorder it
+      // ahead of the purchase, which then credits 'click' like batch
+      stream.addData(ev(1L, 10L, 1L, "view"), ev(1L, 30L, 3L, "purchase"))
+      q.processAllAvailable()
+      stream.addData(ev(1L, 20L, 2L, "click"))
+      q.processAllAvailable()
+      // purchase@50: click@20 is outside the 15 s window -> direct
+      stream.addData(ev(1L, 50L, 4L, "purchase"))
+      q.processAllAvailable()
+      // watermark advances on OTHER keys' data; key 1 flushes via the
+      // event-time timeout path
+      stream.addData(ev(9L, 100L, 5L, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(9L, 200L, 6L, "view"))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").as[Streaming.Attribution]
+        .collect().filter(_.key == 1L).sortBy(_.convTie)
+        .map(a => (a.convTie, a.attributedType, a.touchTsUs)).toSeq
+      streamed shouldBe Seq(
+        (3L, "click", Some(20000000L)), (4L, "direct", None))
+      // ≡ the batch operator on the same event set
+      val batch = graft.ops.Sessions.lastTouchAttribution(
+        Seq((1L, 10000000L, 1L, "view"), (1L, 20000000L, 2L, "click"),
+          (1L, 30000000L, 3L, "purchase"), (1L, 50000000L, 4L, "purchase"))
+          .toDF("user_id", "ts_us", "event_id", "event_type"),
+        "user_id", "ts_us", "event_id", "event_type", "purchase",
+        Seq("view", "click"), 15000000L)
+        .orderBy("event_id").collect()
+        .map(r => (r.getAs[Long]("event_id"),
+          r.getAs[String]("attributed_type"),
+          Option(r.getAs[Any]("touch_ts_us")).map(_.asInstanceOf[Long])))
+        .toSeq
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("cdcApplyStream drops buckets emptied by removals (no resurrection)") {
     val snap = Files.createTempDirectory("graft_cdc_empty").toString + "/s"
     val chk = Files.createTempDirectory("graft_cdc_empty_chk").toString
