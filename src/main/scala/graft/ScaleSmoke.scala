@@ -93,7 +93,16 @@ object ScaleSmoke {
     // second r14 tranche: the SCD2 interval-residual enrichment join,
     // the attribution struct-max window, and the audience self-join
     // (per-user fan-out bounded by |types|²)
-    "q190_pit_enrich", "q191_attribution", "q192_audience_overlap")
+    "q190_pit_enrich", "q191_attribution", "q192_audience_overlap",
+    // third r14 tranche: the ML-eval/feature ops (value-domain AUC
+    // window, global-ntile gains — the documented q158-class sort, the
+    // category-join target encode, the token-bucket grouped count, the
+    // multi-touch window-bounded join), the basket cosine (pair
+    // machinery + two count joins), and the TextRank composition
+    // (skip-gram edges under weighted PR, all vocab-space)
+    "q195_group_auc", "q197_gains_table", "q193_target_encode",
+    "q194_hash_features", "q196_multi_touch", "q198_item_cosine",
+    "q200_textrank")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
