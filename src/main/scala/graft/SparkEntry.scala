@@ -1508,6 +1508,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Deterministic hash-walks over the basket graph: a 3-step
+    // DeepWalk-style walk from every node, step choice = md5(node#step
+    // #seed) mod outdeg over the dst-ordered adjacency — "random" walks
+    // that are bit-identical across engines, so the oracle replays them
+    // join-for-join.
+    "q201_hash_walks" -> ((s, dir) =>
+      graft.ops.Graphs.hashWalks(
+        Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
+        "item_a", "item_b", steps = 3, seed = 7L)
+        .orderBy("start", "step")),
+
     // Community detection by synchronous label propagation over the
     // basket graph: 4 deterministic rounds (plurality label, ties to
     // min, exact integer counts) — nodes sharing a final label are one
@@ -2857,6 +2869,30 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** q201 oracle: the hash-walks replayed — dst-ordered adjacency index,
+    * md5(node#step#seed) mod outdeg neighbor pick, one join per step. */
+  private def hashWalksOracle(steps: Int, seed: Long): String = {
+    val rounds = (1 to steps).map { i =>
+      val prev = s"w${i - 1}"
+      s"""w$i AS MATERIALIZED (SELECT w.start, a.dst AS cur
+         |  FROM $prev w JOIN deg d ON w.cur = d.node
+         |  JOIN adj a ON a.src = w.cur AND a.idx =
+         |   ('0x' || substr(md5(w.cur::VARCHAR || '#$i#$seed'), 1, 15))::BIGINT % d.deg)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to steps).map(i =>
+      s"SELECT start, CAST($i AS BIGINT) AS step, cur AS node FROM w$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $basketEdgesMat,
+       |adj AS MATERIALIZED (SELECT src, dst,
+       |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT)
+       |    - 1 AS idx FROM sym),
+       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+       |  FROM sym GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT node AS start, node AS cur FROM deg),
+       |$rounds
+       |SELECT * FROM ($sel) u ORDER BY start, step""".stripMargin
+  }
+
   /** q178 oracle: the weighted-share recurrence unrolled. */
   private def pagerankWeightedOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
@@ -2892,6 +2928,7 @@ object SparkEntry {
     "q188_bpe_fertility" -> bpeFertilityOracle(10),
     "q189_communities" -> lpaOracle(4),
     "q200_textrank" -> textrankOracle(4, 50),
+    "q201_hash_walks" -> hashWalksOracle(3, 7L),
     // q197: identical ntile binning (the q158 cross-engine contract) +
     // all-integer cumulative capture/lift.
     "q197_gains_table" ->

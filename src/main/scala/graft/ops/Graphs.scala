@@ -305,6 +305,51 @@ object Graphs {
     labels
   }
 
+  /** Deterministic HASH-WALKS: one `steps`-step walk from EVERY node of
+    * the undirected graph — the DeepWalk/node2vec positive-pair sampler
+    * re-engineered for a distributed, replayable engine: instead of RNG
+    * (which no two engines or reruns share), step i out of node v picks
+    * neighbor index md5(v # i # seed) mod outdeg(v) over the
+    * (dst-ordered) adjacency — a fixed pseudo-random function, so the
+    * "random" walks are bit-identical across engines, partitionings and
+    * reruns, and an oracle can replay them join-for-join. Emits
+    * (start, step, node) rows for steps 0..`steps`; pairs for embedding
+    * training are any (start, node) selection downstream.
+    *
+    * Scale shape: the adjacency index is one per-src window over the
+    * edge list (dst order); each step is ONE equi-join on (src, idx) —
+    * `steps` joins total, frontier always |V| rows. No RNG state, no
+    * driver involvement. */
+  def hashWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int, seed: Long = 0L): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val sym = symmetric(edges, srcCol, dstCol).localCheckpoint()
+    val adj = sym.withColumn("idx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))).cast("long") - 1L)
+      .localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    var frontier = deg.select(col("node").as("start"), col("node").as("cur"))
+    var out = frontier.select(col("start"), lit(0L).as("step"),
+      col("cur").as("node"))
+    (1 to steps).foreach { i =>
+      val pick = frontier
+        .join(deg.withColumnRenamed("node", "cur"), "cur")
+        .withColumn("__idx",
+          pmod(conv(substring(md5(concat_ws("#",
+            col("cur").cast("string"), lit(i.toString), lit(seed.toString))),
+            1, 15), 16, 10).cast("long"), col("deg")))
+      frontier = pick
+        .join(adj, pick("cur") === adj("src") && pick("__idx") === adj("idx"))
+        .select(pick("start"), adj("dst").as("cur"))
+        .localCheckpoint(eager = false)
+      out = out.unionByName(frontier.select(col("start"),
+        lit(i.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
   /** k-CORE decomposition by iterative peeling: the maximal subgraph
     * where every node keeps degree ≥ k — the dense-spam-farm /
     * mirror-clique detector a triangle count only hints at. Each round

@@ -164,6 +164,37 @@ class GraphsSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("hashWalks: every step follows a real edge, deterministic, seed-varied") {
+    val edges = (1L to 30L).map(i => (i, (i * 11) % 30 + 1)).toDF("u", "v")
+    val walks = Graphs.hashWalks(edges, "u", "v", steps = 3, seed = 1L)
+      .orderBy("start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one walk per node, steps 0..3, step 0 is the start itself
+    val nodes = walks.filter(_._2 == 0L).map(_._1).toSet
+    walks.length shouldBe nodes.size * 4
+    walks.filter(_._2 == 0L).foreach { case (s, _, n) => n shouldBe s }
+    // every transition is a genuine edge of the symmetric graph
+    val edgeSet = edges.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .filter(e => e._1 != e._2).toSet
+    val byWalk = walks.groupBy(_._1).values
+    byWalk.foreach { w =>
+      w.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(a, b) => edgeSet should contain ((a, b))
+        case _ =>
+      }
+    }
+    // bit-identical across partitionings; a different seed diverges
+    val rep = Graphs.hashWalks(edges.repartition(7), "u", "v", 3, seed = 1L)
+      .orderBy("start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rep.toSeq shouldBe walks.toSeq
+    val other = Graphs.hashWalks(edges, "u", "v", 3, seed = 2L)
+      .orderBy("start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    other.toSeq should not be walks.toSeq
+  }
+
   test("pageRankDirected personalization concentrates rank on the seed set") {
     // two disjoint directed cycles; personalize on cycle A's nodes only —
     // cycle B gets zero teleport and zero dangling share, so its rank
