@@ -1508,6 +1508,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Personalized directed PageRank: teleport and dangling mass
+    // concentrate on a seed set (every 5th item id) — rank "from the
+    // perspective of" those items; q187's machinery with a per-node
+    // teleport vector, oracle-unrolled.
+    "q202_pagerank_personalized" -> ((s, dir) => {
+      val edges = Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .localCheckpoint()
+      val seeds = edges.select(col("item_a").as("node"))
+        .unionAll(edges.select(col("item_b").as("node")))
+        .distinct()
+        .filter(col("node") % 5 === 0)
+        .select(col("node"), lit(1L).as("w"))
+      graft.ops.Graphs.pageRankDirected(edges, "item_a", "item_b",
+        iters = 5, personalization = Some(seeds))
+        .orderBy("node")
+    }),
+
     // Deterministic hash-walks over the basket graph: a 3-step
     // DeepWalk-style walk from every node, step choice = md5(node#step
     // #seed) mod outdeg over the dst-ordered adjacency — "random" walks
@@ -2893,6 +2911,43 @@ object SparkEntry {
        |SELECT * FROM ($sel) u ORDER BY start, step""".stripMargin
   }
 
+  /** q202 oracle: the q187 directed recurrence with a PER-NODE teleport
+    * vector (seeds = node % 5 = 0, uniform over the seed count) driving
+    * both the base term and the dangling share. */
+  private def pagerankPersonalizedOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""dang$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.rank_e9), 0) AS BIGINT) AS dmass
+         |  FROM $prev r LEFT JOIN odeg o ON r.node = o.node
+         |  WHERE o.node IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT te.node, CAST(
+         |    15 * te.t // 100
+         |    + 85 * (coalesce(s.inflow, 0)
+         |            + (SELECT dmass FROM dang$i) * te.t
+         |              // 1000000000) // 100 AS BIGINT) AS rank_e9
+         |  FROM tele te LEFT JOIN (
+         |    SELECT e.b AS node, sum(r.rank_e9 // o.odeg) AS inflow
+         |    FROM e JOIN $prev r ON e.a = r.node
+         |    JOIN odeg o ON e.a = o.node
+         |    GROUP BY 1) s ON te.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $basketEdgesMat,
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) u),
+       |odeg AS MATERIALIZED (SELECT a AS node, count(*) AS odeg
+       |  FROM e GROUP BY 1),
+       |nw AS MATERIALIZED (SELECT count(*) AS w FROM nodes
+       |  WHERE node % 5 = 0),
+       |tele AS MATERIALIZED (SELECT n.node,
+       |  CASE WHEN n.node % 5 = 0 THEN 1000000000 // (SELECT w FROM nw)
+       |       ELSE 0 END AS t FROM nodes n),
+       |r0 AS MATERIALIZED (SELECT node, t AS rank_e9 FROM tele),
+       |$rounds
+       |SELECT node, rank_e9 FROM r$iters ORDER BY node""".stripMargin
+  }
+
   /** q178 oracle: the weighted-share recurrence unrolled. */
   private def pagerankWeightedOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
@@ -2929,6 +2984,7 @@ object SparkEntry {
     "q189_communities" -> lpaOracle(4),
     "q200_textrank" -> textrankOracle(4, 50),
     "q201_hash_walks" -> hashWalksOracle(3, 7L),
+    "q202_pagerank_personalized" -> pagerankPersonalizedOracle(5),
     // q197: identical ntile binning (the q158 cross-engine contract) +
     // all-integer cumulative capture/lift.
     "q197_gains_table" ->
