@@ -102,7 +102,9 @@ object ScaleSmoke {
     // (skip-gram edges under weighted PR, all vocab-space)
     "q195_group_auc", "q197_gains_table", "q193_target_encode",
     "q194_hash_features", "q196_multi_touch", "q198_item_cosine",
-    "q200_textrank")
+    "q200_textrank",
+    // late-r14: the per-step walk joins and the seeded-teleport PR
+    "q201_hash_walks", "q202_pagerank_personalized")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
