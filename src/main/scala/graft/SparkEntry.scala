@@ -1508,6 +1508,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Funnel stage latency: exact integer time-between-stages stats on
+    // the q176 frontier chain — view→click→purchase sum/max/floor-mean
+    // µs per transition.
+    "q203_funnel_latency" -> ((s, dir) =>
+      Sessions.funnelLatency(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
     // Personalized directed PageRank: teleport and dangling mass
     // concentrate on a seed set (every 5th item id) — rank "from the
     // perspective of" those items; q187's machinery with a per-node
@@ -3040,6 +3052,36 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q203: the q176 frontier chain carrying the previous stamp, exact
+    // integer latency sums; named-struct stamps so (at).t extracts.
+    "q203_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  {'t': epoch_us(ts), 'i': event_id} AS st FROM events),
+        |f1 AS (SELECT user_id, min(st) AS at FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(e.st) AS at, min(f1.at) AS pat
+        |  FROM e JOIN f1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.st > f1.at GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(e.st) AS at, min(f2.at) AS pat
+        |  FROM e JOIN f2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.st > f2.at GROUP BY 1),
+        |s AS (
+        |  SELECT 2 AS stage, 'click' AS step, count(*) AS n_converted,
+        |    CAST(coalesce(sum((at).t - (pat).t), 0) AS BIGINT)
+        |      AS sum_latency_us,
+        |    CAST(coalesce(max((at).t - (pat).t), 0) AS BIGINT)
+        |      AS max_latency_us FROM f2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*),
+        |    CAST(coalesce(sum((at).t - (pat).t), 0) AS BIGINT),
+        |    CAST(coalesce(max((at).t - (pat).t), 0) AS BIGINT) FROM f3)
+        |SELECT CAST(stage AS BIGINT) AS stage, step,
+        | CAST(n_converted AS BIGINT) AS n_converted,
+        | sum_latency_us, max_latency_us,
+        | CASE WHEN n_converted > 0 THEN
+        |   CAST(sum_latency_us // n_converted AS BIGINT)
+        | END AS mean_latency_us
+        |FROM s ORDER BY stage""".stripMargin,
     // q196: the same keyed window-bounded join + per-conversion
     // position/count windows.
     "q196_multi_touch" ->

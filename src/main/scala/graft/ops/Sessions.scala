@@ -359,6 +359,52 @@ object Sessions {
     * materialization, no window over row data. The frontier only
     * shrinks, so later stages cost less, and each round's join is
     * broadcast-able once the funnel narrows. */
+  /** Funnel STAGE LATENCY: for each stage transition of the q176-style
+    * progressive-min frontier, exact integer stats of the time between
+    * the previous stage's earliest completion and this one's — "how long
+    * from view to click to purchase", the companion number to the
+    * conversion rate. Per stage (2..k): converted-key count, sum / max /
+    * floor-mean latency in µs (mean null when nobody converted). Exact
+    * integers end to end — no percentile engine divergence to manage.
+    *
+    * Scale shape: the same k bounded frontier joins as [[funnelSteps]]
+    * (the frontier only shrinks), each stage adding one grouped min that
+    * carries the PREVIOUS stamp alongside; per-stage stats are 1-row
+    * aggregates (bounded driver collect, the funnelSteps posture). */
+  def funnelLatency(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "funnelLatency needs at least two steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stamp = struct(col(tsUsCol).cast("long").as("t"),
+      col(tieCol).cast("long").as("i"))
+    var frontier = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(stamp).as("_at"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long)]
+    var stage = 2L
+    steps.drop(1).foreach { step =>
+      val next = events.filter(col(typeCol) === step)
+        .join(frontier, keyCol)
+        .filter(stamp > col("_at"))
+        .groupBy(col(keyCol))
+        .agg(min(stamp).as("_nat"), min(col("_at")).as("_pat"))
+        .localCheckpoint() // feeds this stage's stats AND the next frontier
+      val lat = col("_nat.t") - col("_pat.t")
+      val r = next.agg(count(lit(1)),
+        coalesce(sum(lat), lit(0L)), coalesce(max(lat), lit(0L))).collect()(0)
+      out += ((stage, step, r.getLong(0), r.getLong(1), r.getLong(2)))
+      frontier = next.select(col(keyCol), col("_nat").as("_at"))
+      stage += 1
+    }
+    out.toSeq
+      .toDF("stage", "step", "n_converted", "sum_latency_us",
+        "max_latency_us")
+      .withColumn("mean_latency_us",
+        when(col("n_converted") > 0L,
+          expr("sum_latency_us div n_converted")))
+  }
+
   def funnelSteps(events: DataFrame, keyCol: String, tsUsCol: String,
       tieCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnelSteps needs at least one step")

@@ -223,6 +223,32 @@ class SessionsSpec extends SparkSpec {
     last(0).getAs[String]("attributed_type") shouldBe "click"
   }
 
+  test("funnelLatency: hand-computed stage transition stats") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view@10, click@15 (lat 5), purchase@40 (lat 25)
+      (1L, 10L, 1L, "view"), (1L, 15L, 2L, "click"), (1L, 40L, 3L, "purchase"),
+      // u2: view@20, click@21 (lat 1) — never purchases
+      (2L, 20L, 4L, "view"), (2L, 21L, 5L, "click"),
+      // u3: click@5 only — no view, never enters the funnel
+      (3L, 5L, 6L, "click"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = graft.ops.Sessions.funnelLatency(ev, "user_id", "ts_us",
+        "event_id", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.getAs[Any]("mean_latency_us"))
+          .map(_.asInstanceOf[Long])))
+    out(0) shouldBe (2L, "click", 2L, 6L, 5L, Some(3L))
+    out(1) shouldBe (3L, "purchase", 1L, 25L, 25L, Some(25L))
+    // a step nobody reaches reports zeros and a null mean
+    val none = graft.ops.Sessions.funnelLatency(ev, "user_id", "ts_us",
+        "event_id", "event_type", Seq("view", "signup"))
+      .collect()(0)
+    none.getLong(2) shouldBe 0L
+    none.isNullAt(5) shouldBe true
+  }
+
   test("entryExitMatrix: first/last per gap-session, tie-broken by id") {
     import spark.implicits._
     val ev = Seq(
