@@ -1508,6 +1508,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Concentration: per-type Gini + top-decile mass share of event
+    // value — the inequality diagnostic, all-integer via the q195
+    // average-rank machinery on the value-domain frame.
+    "q204_concentration" -> ((s, dir) =>
+      Anomaly.concentrationReport(
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            round(col("value") * lit(100)).cast("long").as("v_e2")),
+        Seq("event_type"), "v_e2")
+        .orderBy("event_type")),
+
     // Funnel stage latency: exact integer time-between-stages stats on
     // the q176 frontier chain — view→click→purchase sum/max/floor-mean
     // µs per transition.
@@ -3052,6 +3063,33 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q204: the same per-value rank prefix + the two floor divisions;
+    // boundary tie blocks split by the identical row arithmetic.
+    "q204_concentration" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(round(value * 100.0) AS BIGINT) AS v
+        | FROM events WHERE value IS NOT NULL AND round(value * 100.0) >= 0),
+        |pv AS (SELECT event_type, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |en AS (SELECT *, coalesce(sum(c) OVER (PARTITION BY event_type
+        |  ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  0) AS cb FROM pv),
+        |st AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(v * c) AS BIGINT) AS total,
+        |  CAST(sum(v * c * (2 * cb + c + 1)) AS BIGINT) AS s2
+        | FROM en GROUP BY 1),
+        |tm AS (SELECT en.event_type,
+        |  CAST(sum(en.v * greatest(0, least(en.c,
+        |    en.cb + en.c - (st.n - st.n // 10)))) AS BIGINT) AS top_mass
+        | FROM en JOIN st USING (event_type) GROUP BY 1)
+        |SELECT st.event_type, st.n, st.total,
+        | CASE WHEN st.total > 0 THEN
+        |   CAST(s2 * 1000000 // (st.n * st.total)
+        |     - (st.n + 1) * 1000000 // st.n AS BIGINT) END AS gini_e6,
+        | CASE WHEN st.total > 0 AND st.n // 10 > 0 THEN
+        |   CAST(tm.top_mass * 1000000 // st.total AS BIGINT)
+        | END AS top10_share_e6
+        |FROM st JOIN tm USING (event_type)
+        |ORDER BY st.event_type""".stripMargin,
     // q203: the q176 frontier chain carrying the previous stamp, exact
     // integer latency sums; named-struct stamps so (at).t extracts.
     "q203_funnel_latency" ->

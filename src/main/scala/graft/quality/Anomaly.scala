@@ -649,6 +649,60 @@ object Anomaly {
       .orderBy("bucket")
   }
 
+  /** CONCENTRATION report: per group, the Gini coefficient and the mass
+    * share of the top decile of rows over a NON-NEGATIVE exact-integer
+    * value — "do a few heavy rows own this metric" (domain dominance of
+    * token mass, whale users of revenue), the inequality view the mean/σ
+    * family can't see. ALL integer arithmetic: the rank·value sum uses
+    * the q195 average-rank trick on the per-value frame
+    * (Σ v·c·(2·cum_before + c + 1), exact), gini_e6 =
+    * S2·1e6 div (n·total) − (n+1)·1e6 div n (two floor divisions — no
+    * IEEE anywhere), and the top-10% share splits boundary tie blocks
+    * by exact row arithmetic. Negative values are filtered (Gini is
+    * undefined below zero — the documented contract); groups with zero
+    * total report null gini/share. Keep n·total·1e6 within a long (the
+    * e2 convention gives huge headroom).
+    *
+    * Scale shape: one grouped count in (group × value) space, one
+    * window + two aggregates over that VALUE-DOMAIN frame — row data is
+    * touched once. */
+  def concentrationReport(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(gcols :+ col(valueCol).cast("long").as("__v"): _*)
+    val perV = base.groupBy(gcols :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val enr = perV.withColumn("__cb", coalesce(sum("__c").over(w), lit(0L)))
+    val stats = enr.groupBy(gcols: _*)
+      .agg(sum("__c").as("n"),
+        sum(col("__v") * col("__c")).as("total"),
+        sum(col("__v") * col("__c") *
+          (lit(2L) * col("__cb") + col("__c") + lit(1L))).as("__s2"))
+    // top-decile mass: k = n div 10 highest rows; a tie block straddling
+    // the boundary contributes exactly its rows above position n − k
+    val withN = enr.join(
+      stats.select(gcols :+ col("n").as("__n"): _*), groupCols)
+    val topMass = withN
+      .withColumn("__k", expr("__n div 10"))
+      .withColumn("__above",
+        greatest(lit(0L), least(col("__c"),
+          col("__cb") + col("__c") - (col("__n") - col("__k")))))
+      .groupBy(gcols: _*)
+      .agg(sum(col("__v") * col("__above")).as("__top_mass"))
+    stats.join(topMass, groupCols)
+      .select(gcols ++ Seq(col("n"), col("total"),
+        when(col("total") > 0L,
+          expr("__s2 * 1000000L div (n * total) - (n + 1L) * 1000000L div n"))
+          .as("gini_e6"),
+        when(col("total") > 0L && expr("n div 10") > 0L,
+          expr("__top_mass * 1000000L div total")).as("top10_share_e6")): _*)
+  }
+
   private def e6(c: Column): Column =
     round(c * lit(1e6)).cast("long")
 

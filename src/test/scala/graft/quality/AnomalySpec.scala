@@ -292,4 +292,23 @@ class AnomalySpec extends SparkSpec {
     out(("a", "d")) shouldBe None
     out.size shouldBe 6
   }
+
+  test("concentrationReport: gini 0 when equal, 1-1/n at full concentration") {
+    import spark.implicits._
+    val rows =
+      (1 to 10).map(_ => ("equal", 5L)) ++                // gini 0
+      (("whale", 1000L) +: (1 to 9).map(_ => ("whale", 0L))) ++ // gini 0.9
+      Seq(("neg", -1L), ("neg", 3L)) // negatives filtered, n drops to 1
+    val out = Anomaly.concentrationReport(rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.getAs[Any]("gini_e6")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("top10_share_e6")).map(_.asInstanceOf[Long])))
+      .toMap
+    out("equal") shouldBe (10L, 50L, Some(0L), Some(100000L))
+    out("whale") shouldBe (10L, 1000L, Some(900000L), Some(1000000L))
+    // n < 10 -> top-decile undefined (k = 0), gini still reported
+    out("neg")._1 shouldBe 1L
+    out("neg")._4 shouldBe None
+  }
 }
