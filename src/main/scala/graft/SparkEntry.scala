@@ -1553,6 +1553,24 @@ object SparkEntry {
     // DeepWalk-style walk from every node, step choice = md5(node#step
     // #seed) mod outdeg over the dst-ordered adjacency — "random" walks
     // that are bit-identical across engines, so the oracle replays them
+    // BM25 top-5 more-like-this over the document corpus (the q122
+    // query set and df cap): exact-integer BM25 — smoothed whole-bit idf
+    // floor(log2(2D/df)) via binary-string length, the tf/length
+    // saturation as one cleared-denominator floor division — so the
+    // production-default lexical ranking hash-compares against the
+    // oracle's replay of the identical arithmetic. The corpus's 31-term
+    // vocabulary makes the 0.78·D cap genuinely binding (15 of 31 terms
+    // survive), and doc-length normalization is what separates the
+    // rankings from q122's pure tf·idf.
+    "q205_bm25_search" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.bm25TopK(docs,
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", "doc_id", "text",
+        k = 5, excludeSelf = true, maxDfFracE6 = 780000L)
+        .orderBy("query_id", "rank")
+    }),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3063,6 +3081,40 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q205: the identical integer BM25 dag — bit-length idf, the one
+    // cleared-denominator floor division per (term, doc), exact sums.
+    // Constants are the k1=1.20 / b=0.75 defaults cleared through:
+    // 22000 = (100+120)·100, 3000 = 120·(100−75), 9000 = 120·75.
+    "q205_bm25_search" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents) t GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY 1),
+        |st AS (SELECT d, greatest(l // d, 1) AS a FROM (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS d,
+        |    (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS l)),
+        |dfk AS (SELECT term, st.a,
+        |    CAST(length(bin((2 * st.d) // df)) - 1 AS BIGINT) AS bits
+        |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), st
+        |  WHERE df * 1000000 <= 780000 * st.d),
+        |q AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split(trim(text), ' '))) AS term
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |h AS (SELECT q.query_id, tf.doc_id,
+        |    dfk.bits * ((tf.tf * 22000 * dfk.a * 1000000)
+        |      // (10000 * dfk.a * tf.tf + 3000 * dfk.a + 9000 * dl.dl))
+        |      AS contrib
+        |  FROM tf JOIN dfk USING (term) JOIN q USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  WHERE q.query_id != tf.doc_id),
+        |s AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT)
+        |    AS score_e6, count(*) AS n_terms_hit FROM h GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_e6 DESC, doc_id) AS rank FROM s)
+        |SELECT query_id, doc_id AS neighbor_id, CAST(rank AS BIGINT)
+        |  AS rank, score_e6, CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // q204: the same per-value rank prefix + the two floor divisions;
     // boundary tie blocks split by the identical row arithmetic.
     "q204_concentration" ->

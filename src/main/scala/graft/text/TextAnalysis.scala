@@ -340,6 +340,89 @@ object TextAnalysis {
         col("n_terms_hit"))
   }
 
+  /** BM25 top-k document ranking — the production-default lexical scorer
+    * ([[keywordSearchTopK]]'s tf·10⁹ div df form ranks, but saturates
+    * neither on term frequency nor document length; BM25 does both),
+    * re-derived EXACT-INTEGER so rankings hash-compare across engines:
+    *
+    *   idf: floor(log₂(2D / df)) whole bits via binary-string length (the
+    *   q73 surprisal device — never a libm log). The doubled numerator is
+    *   the classic +1 idf smoothing: every term with df ≤ D keeps ≥ 1
+    *   bit, mirroring real BM25's strictly-positive ln(1 + (D−df+½)/(df+½))
+    *   — stopword suppression is `maxDfFracE6`'s job, not a zero clamp's.
+    *
+    *   tf-norm: tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with k1, b as
+    *   exact centi-unit integers (defaults 1.20 / 0.75) and avgdl the
+    *   floor-average doc length in whole tokens. Clearing denominators
+    *   makes the term one floor division of longs:
+    *     part_e6 = tf·(100+k1E2)·100·A·10⁶ div
+    *               (10⁴·A·tf + k1E2·(100−bE2)·A + k1E2·bE2·dl)
+    *   (A = avgdl) — exact while tf·A < 4·10⁸, true for any real text
+    *   corpus (a 10⁵-token doc in a 4·10³-avgdl corpus is the boundary).
+    *
+    * score_e6 = Σ over matched terms of bits·part_e6 — a sum of exact
+    * longs, shuffle-order-free. Ties break on the doc id.
+    *
+    * Scale shape mirrors [[keywordSearchTopK]]: queries broadcast, the
+    * corpus is touched only through query-term postings, `maxDfFracE6`
+    * caps the stopword posting lists (essential here: a df = 0.9·D term
+    * still carries 1 bit and would pull 90% of the corpus through the
+    * join), the vocabulary side broadcasts unless told not to. The one
+    * addition is a doc-length join: the posting hits (query-bounded,
+    * small) equi-join the per-doc length frame on the doc id —
+    * splittable under AQE, never a window over raw occurrences. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      queryIdCol: String, queryTextCol: String,
+      k: Int, k1E2: Long = 120L, bE2: Long = 75L,
+      maxDfFracE6: Long = 0L, excludeSelf: Boolean = false,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1E2 >= 0L, s"k1E2 must be >= 0, got $k1E2")
+    require(bE2 >= 0L && bE2 <= 100L, s"bE2 must be in [0, 100], got $bE2")
+    require(maxDfFracE6 >= 0L && maxDfFracE6 <= 1000000L,
+      s"maxDfFracE6 must be in [0, 1000000], got $maxDfFracE6")
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dlen = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("_dl"))
+    // D from the source frame (count(1), the q122 corpus-size contract),
+    // avgdl floored to whole tokens from the SAME token table the scores
+    // use; empty corpora clamp avgdl to 1 so the division never nulls
+    val stats = docs.agg(count(lit(1)).as("_d"))
+      .crossJoin(tf.agg(sum(col("tf")).as("_l")))
+      .select(col("_d"),
+        greatest(expr("_l div _d"), lit(1L)).as("_a"))
+    val rawDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+    val dfreq = (if (maxDfFracE6 > 0L)
+        rawDf.filter(col("df") * lit(1000000L) <= lit(maxDfFracE6) * col("_d"))
+      else rawDf)
+      .select(col("term"), col("_a"),
+        (length(bin(expr("(2L * _d) div df"))) - 1).cast("long").as("bits"))
+    val qterms = queries.select(
+      col(queryIdCol).cast("long").as("query_id"),
+      explode(array_distinct(tokens(col(queryTextCol)))).as("term"))
+    val hits = tf
+      .join(if (broadcastVocab) broadcast(dfreq) else dfreq, "term")
+      .join(broadcast(qterms), "term")
+      .join(dlen, idCol)
+    val contrib = expr(
+      s"bits * ((tf * ${(100L + k1E2) * 100L}L * _a * 1000000L) div " +
+        s"(10000L * _a * tf + ${k1E2 * (100L - bE2)}L * _a + " +
+        s"${k1E2 * bE2}L * _dl))")
+    val scored = (if (excludeSelf)
+        hits.filter(col("query_id") =!= col(idCol)) else hits)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(contrib).as("score_e6"), count(lit(1)).as("n_terms_hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_e6").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).cast("long").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("score_e6"),
+        col("n_terms_hit"))
+  }
+
   /** Vocabulary spectrum (frequency of frequencies) + Good–Turing missing
     * mass: for each occurrence count c, how many distinct terms occur
     * exactly c times — the Zipf-tail fingerprint of a corpus — plus the

@@ -301,6 +301,72 @@ class TextAnalysisSpec extends SparkSpec {
       "qid", "qtext", k = 1).count() shouldBe 1L
   }
 
+  test("bm25TopK: saturation, length normalization, idf bits — hand-traced") {
+    // D=4, L=10, avgdl A = 10 div 4 = 2; df: cat=2 dog=2 mouse=1 bird=1;
+    // bits = floor(log2(2D/df)): df=2 → 2, df=1 → 3.
+    // part_e6(tf, dl) at defaults, A=2:
+    //   tf·44000·10⁶ div (20000·tf + 6000 + 9000·dl)
+    val corpus = Seq(
+      (1L, "cat dog"), (2L, "cat cat cat cat"),
+      (3L, "dog mouse mouse"), (4L, "bird"))
+      .toDF("doc_id", "text")
+    def search(q: String, bE2: Long = 75L, frac: Long = 0L) =
+      TextAnalysis.bm25TopK(corpus, Seq((9L, q)).toDF("qid", "qtext"),
+        "doc_id", "text", "qid", "qtext", k = 5, bE2 = bE2,
+        maxDfFracE6 = frac)
+        .orderBy("rank").collect()
+    // tf saturation: d2 has 4× d1's tf of "cat" but scores only 1.44×
+    //   d1: part = 4.4e10 div 44000 = 1000000, ×2 bits = 2000000
+    //   d2: part = 1.76e11 div 122000 = 1442622, ×2 bits = 2885244
+    val cat = search("cat")
+    cat.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(2L, 1L)
+    cat(0).getAs[Long]("score_e6") shouldBe 2885244L
+    cat(1).getAs[Long]("score_e6") shouldBe 2000000L
+    // length normalization: same tf=1 of "dog", but d3 is longer → less
+    //   d1: 2000000; d3: 4.4e10 div 53000 = 830188, ×2 = 1660376
+    val dog = search("dog")
+    dog.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(1L, 3L)
+    dog(1).getAs[Long]("score_e6") shouldBe 1660376L
+    // b = 0 switches length normalization off: d1 and d3 tie exactly,
+    // doc id breaks the tie
+    val flat = search("dog", bE2 = 0L)
+    flat.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(1L, 3L)
+    flat(0).getAs[Long]("score_e6") shouldBe flat(1).getAs[Long]("score_e6")
+    // rare terms carry 3 bits; the df-frac cap drops df-2 terms entirely
+    // (25% of 4 docs = df ≤ 1): "cat dog" finds nothing under it
+    search("cat dog", frac = 250000L) shouldBe empty
+    val rare = search("mouse bird", frac = 250000L)
+    rare.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(4L, 3L)
+    rare(0).getAs[Long]("score_e6") shouldBe 3771426L // 3 · (4.4e10 div 35000)
+    rare(1).getAs[Long]("score_e6") shouldBe 3616437L // 3 · (8.8e10 div 73000)
+    // partition-order independence: exact longs survive any layout
+    val repart = TextAnalysis.bm25TopK(corpus.repartition(7),
+      Seq((9L, "cat dog mouse bird")).toDF("qid", "qtext"),
+      "doc_id", "text", "qid", "qtext", k = 5)
+      .orderBy("rank").collect().map(r =>
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("score_e6"))).toSeq
+    val one = TextAnalysis.bm25TopK(corpus.coalesce(1),
+      Seq((9L, "cat dog mouse bird")).toDF("qid", "qtext"),
+      "doc_id", "text", "qid", "qtext", k = 5)
+      .orderBy("rank").collect().map(r =>
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("score_e6"))).toSeq
+    repart shouldBe one
+  }
+
+  test("bm25TopK plans broadcast probes, never a cartesian") {
+    val corpus = (1L to 200L).map(i => (i, s"w$i common a b c")).toDF("doc_id", "text")
+    val qs = Seq((1L, "w5 a")).toDF("qid", "qtext")
+    val plan = TextAnalysis.bm25TopK(corpus, qs, "doc_id", "text",
+      "qid", "qtext", k = 3).queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // the only nested-loop nodes are the broadcast 1-row (D, avgdl) stat
+    // frame crossJoins — the repo's summary-stat convention; every
+    // row-data join above must be hash-based
+    plan.split('\n').filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(_ should include("BuildRight, Cross"))
+  }
+
   test("collocationLift: exact rational lift, min-count floor, tie order") {
     // bigrams: (a,b) x2, (a,c) x1, N = 3; c_a = 3, c_b = 2, c_c = 1
     // lift(a,b) = 2*3/(3*2) = 1.0; lift(a,c) = 1*3/(3*1) = 1.0 — a tie,
