@@ -1571,6 +1571,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Multi-source BFS over the basket graph: minimum hop count from
+    // the %7 seed set, 3 hops — frontier joins + settled anti-join per
+    // round, early stop on an empty frontier. The oracle replays
+    // reachability as a hop-bounded recursive CTE and takes min(dist):
+    // first-reach ≡ min over all bounded walks, so the hash compare
+    // proves the frontier algebra, not just row counts.
+    "q206_bfs_distances" -> ((s, dir) => {
+      val edges = Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .localCheckpoint()
+      val seeds = edges.select(col("item_a").as("node"))
+        .unionAll(edges.select(col("item_b").as("node")))
+        .distinct()
+        .filter(col("node") % 7 === 0)
+      graft.ops.Graphs.bfsDistances(edges, "item_a", "item_b",
+        seeds, "node", maxHops = 3)
+        .orderBy("node")
+    }),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3081,6 +3100,18 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q206: hop-bounded reachability as a recursive CTE; min(dist) over
+    // all bounded walks ≡ the operator's first-reach frontier distance.
+    "q206_bfs_distances" ->
+      s"""WITH RECURSIVE $basketEdgesMat,
+        |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 7 = 0),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.dist + 1 FROM walk w JOIN sym e ON e.src = w.node
+        |  WHERE w.dist < 3)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
     // q205: the identical integer BM25 dag — bit-length idf, the one
     // cleared-denominator floor division per (term, doc), exact sums.
     // Constants are the k1=1.20 / b=0.75 defaults cleared through:

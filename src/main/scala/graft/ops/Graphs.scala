@@ -391,4 +391,60 @@ object Graphs {
     }
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Multi-source BFS hop distances: for every node reachable within
+    * `maxHops` of ANY source, the minimum hop count — the reach/blast-
+    * radius primitive (how far does an item's influence extend, which
+    * docs sit within 2 links of known-bad seeds, lineage impact over
+    * arbitrary edge tables). Exact small integers, so results
+    * hash-compare on any engine or partitioning.
+    *
+    * FRONTIER form, not dense relaxation: round r joins only the nodes
+    * FIRST reached at r−1 against the adjacency, anti-joins the
+    * already-settled set, and stops early when a frontier empties. Per
+    * round that is one keyed equi-join (frontier × edges, frontier
+    * shrinks as the graph saturates) + one anti-join onto the settled
+    * table — never a |V|×|V| surface, never a driver-side collect; the
+    * settled set is checkpointed so round N's plan does not replay
+    * rounds 1..N−1 (the pageRank posture). Hop-bounded BFS rounds are
+    * linear in `maxHops`; for unbounded all-pairs reachability use the
+    * path-doubling closure (`Lineage.closure`), which is logarithmic.
+    *
+    * `directed` follows edges src→dst only; default treats the edge list
+    * as undirected (the basket/co-occurrence reading). Sources absent
+    * from the graph still report dist 0 — the caller's seed list is the
+    * contract, reachability is what's being measured. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int,
+      directed: Boolean = false): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val adj = (if (directed)
+        edges.select(col(srcCol).cast("long").as("src"),
+            col(dstCol).cast("long").as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+      else symmetric(edges, srcCol, dstCol))
+      .localCheckpoint()
+    var dist = sources.select(col(sourceCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist.select("node")
+    var r = 1
+    var exhausted = false
+    while (r <= maxHops && !exhausted) {
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+        .localCheckpoint() // the round's one action; also the stop probe
+      if (next.isEmpty) exhausted = true
+      else {
+        dist = dist.unionAll(next).localCheckpoint(eager = false)
+        frontier = next.select("node")
+      }
+      r += 1
+    }
+    dist
+  }
 }

@@ -213,4 +213,38 @@ class GraphsSpec extends SparkSpec {
       Graphs.pageRankDirected(edges, "u", "v", iters = 2,
         personalization = Some(big))
   }
+
+  test("bfsDistances: hop counts on a path, multi-source min, hop bound") {
+    // path 1-2-3-4-5
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    def dists(seeds: Seq[Long], hops: Int) =
+      Graphs.bfsDistances(path, "u", "v",
+        seeds.toDF("node"), "node", maxHops = hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dists(Seq(1L), 3) shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    // both ends seeded: the middle settles at min(2, 2); full coverage
+    dists(Seq(1L, 5L), 3) shouldBe
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L)
+    // maxHops beyond the diameter early-stops instead of running 10 rounds
+    dists(Seq(1L), 10) shouldBe
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L)
+  }
+
+  test("bfsDistances: directed follows edge direction; isolated seed reports 0") {
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val fromHead = Graphs.bfsDistances(chain, "u", "v",
+      Seq(1L).toDF("node"), "node", maxHops = 5, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fromHead shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+    // against the arrows: the tail seed reaches nothing when directed
+    val fromTail = Graphs.bfsDistances(chain, "u", "v",
+      Seq(3L).toDF("node"), "node", maxHops = 5, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fromTail shouldBe Map(3L -> 0L)
+    // a seed absent from the edge list still reports itself at 0
+    val ghost = Graphs.bfsDistances(chain, "u", "v",
+      Seq(99L).toDF("node"), "node", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ghost shouldBe Map(99L -> 0L)
+  }
 }
