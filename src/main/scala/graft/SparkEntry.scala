@@ -1590,6 +1590,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Reliability table: purchase rate by fixed-width value bins — the
+    // calibration diagnostic next to q197's rank-decile gains. 10 bins
+    // over value_e2 [0, 49999] (the corpus tops out at 49002), so the
+    // top bins exercise sparse-bin behavior and the clamp is live code.
+    "q207_calibration" -> ((s, dir) =>
+      graft.ops.Features.calibrationReport(
+        Tables.events(s, dir)
+          .filter(col("value").isNotNull)
+          .select(round(col("value") * lit(100)).cast("long").as("s_e2"),
+            when(col("event_type") === "purchase", lit(1L))
+              .otherwise(lit(0L)).as("y")),
+        "s_e2", "y", bins = 10, loE2 = 0L, hiE2 = 49999L)
+        .orderBy("bin")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3100,6 +3114,21 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q207: identical clamp, bin multiply-floor-divide, and e6 floor
+    // divisions on exact integer sums.
+    "q207_calibration" ->
+      """WITH b AS (SELECT
+        |  greatest(least(CAST(round(value * 100.0) AS BIGINT), 49999), 0)
+        |    AS s,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        | FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT (s * 10) // 50000 AS bin, s, y FROM b)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        | CAST((bin * 50000) // 10 AS BIGINT) AS bin_lo_e2,
+        | count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        | CAST(sum(s) * 10000 // count(*) AS BIGINT) AS mean_score_e6,
+        | CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_e6
+        |FROM p GROUP BY bin ORDER BY bin""".stripMargin,
     // q206: hop-bounded reachability as a recursive CTE; min(dist) over
     // all bounded walks ≡ the operator's first-reach frontier distance.
     "q206_bfs_distances" ->

@@ -164,4 +164,45 @@ object Features {
           nBuckets).as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
   }
+
+  /** Calibration / reliability table: scores clamped into FIXED-WIDTH
+    * bins over [loE2, hiE2], per bin the observed positive rate next to
+    * the mean score — the reliability-diagram table (is a model that
+    * says "0.9" right 90% of the time?), and the fixed-bin complement of
+    * [[gainsTable]]'s rank deciles (equal-width in score space, not
+    * equal-count; an empty bin is absent, which IS the signal that the
+    * model never scores there). All-integer: clamp, one multiply-and-
+    * floor-divide for the bin, exact count/sum aggregates, two e6 floor
+    * divisions — hash-stable anywhere. Out-of-range scores clamp into
+    * the edge bins (standard reliability-diagram handling; a dropped row
+    * would silently shrink N). Null score or label rows are dropped.
+    *
+    * Output: (bin, bin_lo_e2 — the nominal lower edge lo + ⌊bin·width/
+    * bins⌋, exact when width divides evenly —, n, n_pos, mean_score_e6
+    * in ORIGINAL value units = sum(e2) · 10⁴ div n, pos_rate_e6).
+    *
+    * Scale shape: one row-local projection + ONE grouped aggregate with
+    * ≤ `bins` keys — partial-aggregating, no sort, no window; the 100 TB
+    * plan is the same plan. */
+  def calibrationReport(df: DataFrame, scoreE2Col: String,
+      labelCol: String, bins: Int, loE2: Long, hiE2: Long): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(hiE2 > loE2, s"need hiE2 > loE2, got [$loE2, $hiE2]")
+    val width = hiE2 - loE2 + 1L
+    df.filter(col(scoreE2Col).isNotNull && col(labelCol).isNotNull)
+      .select(
+        greatest(least(col(scoreE2Col).cast("long"), lit(hiE2)), lit(loE2))
+          .as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .select(expr(s"(__s - ${loE2}L) * ${bins}L div ${width}L").as("bin"),
+        col("__s"), col("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"),
+        sum("__s").as("__sum_s"))
+      .select(col("bin"),
+        (lit(loE2) + expr(s"bin * ${width}L div ${bins}L")).as("bin_lo_e2"),
+        col("n"), col("n_pos"),
+        expr("__sum_s * 10000L div n").as("mean_score_e6"),
+        expr("n_pos * 1000000L div n").as("pos_rate_e6"))
+  }
 }

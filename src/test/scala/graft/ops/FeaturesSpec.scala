@@ -72,6 +72,44 @@ class FeaturesSpec extends SparkSpec {
     out(4) shouldBe (5L, 2L, 1L, 4L, 1000000L, 1000000L)
   }
 
+  test("calibrationReport: hand-traced bins, clamping, empty bins absent") {
+    // 4 bins over [0, 399]: width 400, bin = s * 4 div 400 = s div 100
+    val rows = Seq(
+      (50L, 0L), (150L, 1L), (160L, 1L), (170L, 0L),
+      (9999L, 1L), // clamps to 399 -> bin 3
+      (-20L, 0L)) // clamps to 0 -> bin 0
+      .toDF("s_e2", "y")
+    val out = Features.calibrationReport(rows, "s_e2", "y",
+      bins = 4, loE2 = 0L, hiE2 = 399L)
+      .orderBy("bin").collect()
+    out.map(_.getAs[Long]("bin")).toSeq shouldBe Seq(0L, 1L, 3L) // bin 2 empty
+    val b0 = out(0)
+    b0.getAs[Long]("n") shouldBe 2L // 50 and the clamped -20
+    b0.getAs[Long]("n_pos") shouldBe 0L
+    b0.getAs[Long]("mean_score_e6") shouldBe 250000L // (50+0)*1e4/2
+    b0.getAs[Long]("bin_lo_e2") shouldBe 0L
+    val b1 = out(1)
+    b1.getAs[Long]("n") shouldBe 3L
+    b1.getAs[Long]("pos_rate_e6") shouldBe 666666L // 2e6 div 3
+    b1.getAs[Long]("mean_score_e6") shouldBe 1600000L // 480*1e4/3
+    b1.getAs[Long]("bin_lo_e2") shouldBe 100L
+    val b3 = out(2)
+    b3.getAs[Long]("n") shouldBe 1L
+    b3.getAs[Long]("mean_score_e6") shouldBe 3990000L // clamped to 399
+    b3.getAs[Long]("pos_rate_e6") shouldBe 1000000L
+    // null score or label rows are dropped, not binned
+    val withNulls = Seq((Some(10L), Some(1L)), (None, Some(1L)),
+      (Some(10L), None)).toDF("s_e2", "y")
+    Features.calibrationReport(withNulls, "s_e2", "y",
+      bins = 2, loE2 = 0L, hiE2 = 99L)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect()(0)
+      .getLong(0) shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Features.calibrationReport(rows, "s_e2", "y", 1, 0L, 399L)
+    an[IllegalArgumentException] should be thrownBy
+      Features.calibrationReport(rows, "s_e2", "y", 4, 10L, 10L)
+  }
+
   test("hashFeatures: stable buckets, counts sum to token count") {
     val df = Seq((1L, "a b a c"), (2L, "a"), (3L, "  ")).toDF("id", "text")
     val out = Features.hashFeatures(df, "id", "text", nBuckets = 8)
