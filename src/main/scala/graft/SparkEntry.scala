@@ -1604,6 +1604,15 @@ object SparkEntry {
         "s_e2", "y", bins = 10, loE2 = 0L, hiE2 = 49999L)
         .orderBy("bin")),
 
+    // Association rules over order baskets: the support/confidence/lift
+    // triple in both rule directions, exact integer floor divisions over
+    // the q150 capped basket population — one more keyed join layer on
+    // the same bounded self-join.
+    "q208_assoc_rules" -> ((s, dir) =>
+      Baskets.associationRules(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .orderBy("antecedent", "consequent")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3114,6 +3123,32 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q208: the q150 pair derivation doubled into directed rules + the
+    // three integer floor divisions over identical counts.
+    "q208_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+        |  l_partkey AS item FROM lineitem),
+        |sized AS (SELECT basket FROM items GROUP BY basket
+        |  HAVING count(*) <= 20),
+        |kept AS MATERIALIZED (SELECT i.* FROM items i
+        |  JOIN sized USING (basket)),
+        |p AS (SELECT a.item AS a, b.item AS b, count(*) AS n
+        |  FROM kept a JOIN kept b USING (basket)
+        |  WHERE a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT a AS antecedent, b AS consequent, n FROM p
+        |  UNION ALL SELECT b, a, n FROM p),
+        |cnt AS (SELECT item, count(*) AS n FROM kept GROUP BY 1),
+        |tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS nb
+        |  FROM kept)
+        |SELECT d.antecedent, d.consequent, CAST(d.n AS BIGINT) AS n_ab,
+        | ca.n AS n_ante, cb.n AS n_cons, tot.nb AS n_baskets,
+        | CAST(d.n * 1000000 // tot.nb AS BIGINT) AS support_e6,
+        | CAST(d.n * 1000000 // ca.n AS BIGINT) AS confidence_e6,
+        | CAST(d.n * tot.nb * 1000000 // (ca.n * cb.n) AS BIGINT)
+        |   AS lift_e6
+        |FROM d JOIN cnt ca ON d.antecedent = ca.item
+        |JOIN cnt cb ON d.consequent = cb.item, tot
+        |ORDER BY antecedent, consequent""".stripMargin,
     // q207: identical clamp, bin multiply-floor-divide, and e6 floor
     // divisions on exact integer sums.
     "q207_calibration" ->

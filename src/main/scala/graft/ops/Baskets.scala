@@ -87,4 +87,62 @@ object Baskets {
           sqrt((col("n_a") * col("n_b")).cast("double")))
           .cast("long").as("cosine_e6"))
   }
+
+  /** Pairwise association rules (the classic support / confidence / lift
+    * triple): every co-occurring pair emitted in BOTH directions as
+    * antecedent → consequent, because confidence is asymmetric —
+    * diapers→beer and beer→diapers are different rules. All measures are
+    * exact integer floor divisions over counts from the SAME capped
+    * basket population ([[keptItems]], shared with [[basketPairs]] /
+    * [[itemCosine]]), so the report hash-compares anywhere:
+    *
+    *   support_e6    = n_ab·10⁶ div N        (pair prevalence)
+    *   confidence_e6 = n_ab·10⁶ div n_ante   (P(cons | ante), ≤ 10⁶)
+    *   lift_e6       = n_ab·N·10⁶ div (n_ante·n_cons)  (>10⁶ ⇒ positive
+    *                   association; independence lands on ~10⁶)
+    *
+    * The exact lift product needs n_ab·N·10⁶ in a long — fine to ~10⁶
+    * baskets per 10⁶ co-counts; past that derive lift downstream from
+    * the emitted exact counts (the gainsTable overflow posture). N is
+    * the KEPT basket count — measures are consistent under the size cap
+    * rather than quietly mixing capped pairs with uncapped totals.
+    *
+    * Scale shape: [[basketPairs]]' bounded self-join + two keyed joins
+    * of the item-count frame (broadcast while |items| is small) + one
+    * broadcast 1-row N frame; the directional doubling is a row-local
+    * union. `minCount` floors the hapax pairs before anything joins. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasketSize: Int, minCount: Long = 1L): DataFrame = {
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val kept = keptItems(df, basketCol, itemCol, maxBasketSize)
+      .localCheckpoint() // feeds pairs, item counts, and the N frame
+    val pairs = {
+      val a = kept.select(col("basket"), col("item").as("item_a"))
+      val b = kept.select(col("basket"), col("item").as("item_b"))
+      a.join(b, Seq("basket"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minCount)
+    }
+    val directed = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_ab"))
+      .unionAll(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_ab")))
+    val cnt = kept.groupBy("item").agg(count(lit(1)).as("n"))
+    val total = kept.select("basket").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    directed
+      .join(cnt.select(col("item").as("antecedent"), col("n").as("n_ante")),
+        "antecedent")
+      .join(cnt.select(col("item").as("consequent"), col("n").as("n_cons")),
+        "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ante"), col("n_cons"), col("n_baskets"),
+        expr("n_ab * 1000000L div n_baskets").as("support_e6"),
+        expr("n_ab * 1000000L div n_ante").as("confidence_e6"),
+        expr("n_ab * n_baskets * 1000000L div (n_ante * n_cons)")
+          .as("lift_e6"))
+  }
 }
