@@ -1613,6 +1613,18 @@ object SparkEntry {
         "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
         .orderBy("antecedent", "consequent")),
 
+    // Z-order locality report over (l_partkey, l_suppkey): rows grouped
+    // by Morton-curve cell (10 low bits dropped = 32×32 quadtree cells),
+    // per-cell counts + bounding boxes. The bit-interleave is exact
+    // integer algebra replayed mask-for-mask by the oracle; the bounded
+    // span_x/span_y columns are the file-skipping evidence the zOrderBy
+    // rewrite exists to produce.
+    "q209_zorder_cells" -> ((s, dir) =>
+      graft.maintenance.Layout.zCellStats(
+        Tables.load(s, dir, "lineitem"), "l_partkey", "l_suppkey",
+        cellShift = 10)
+        .orderBy("cell")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3123,6 +3135,35 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q209: the identical magic-mask Morton spreading (five shift-or-and
+    // rounds per dimension), interleave, cell shift, exact min/max.
+    "q209_zorder_cells" ->
+      """WITH b0 AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+        |  CAST(l_suppkey AS BIGINT) AS y,
+        |  CAST(l_partkey AS BIGINT) AS sx, CAST(l_suppkey AS BIGINT) AS sy
+        | FROM lineitem
+        | WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        |b1 AS (SELECT * REPLACE (
+        |  ((sx | (sx << 16)) & 281470681808895) AS sx,
+        |  ((sy | (sy << 16)) & 281470681808895) AS sy) FROM b0),
+        |b2 AS (SELECT * REPLACE (
+        |  ((sx | (sx << 8)) & 71777214294589695) AS sx,
+        |  ((sy | (sy << 8)) & 71777214294589695) AS sy) FROM b1),
+        |b3 AS (SELECT * REPLACE (
+        |  ((sx | (sx << 4)) & 1085102592571150095) AS sx,
+        |  ((sy | (sy << 4)) & 1085102592571150095) AS sy) FROM b2),
+        |b4 AS (SELECT * REPLACE (
+        |  ((sx | (sx << 2)) & 3689348814741910323) AS sx,
+        |  ((sy | (sy << 2)) & 3689348814741910323) AS sy) FROM b3),
+        |b5 AS (SELECT * REPLACE (
+        |  ((sx | (sx << 1)) & 6148914691236517205) AS sx,
+        |  ((sy | (sy << 1)) & 6148914691236517205) AS sy) FROM b4),
+        |z AS (SELECT x, y, (sx | (sy << 1)) >> 10 AS cell FROM b5)
+        |SELECT cell, count(*) AS n, min(x) AS min_x, max(x) AS max_x,
+        | min(y) AS min_y, max(y) AS max_y,
+        | CAST(max(x) - min(x) AS BIGINT) AS span_x,
+        | CAST(max(y) - min(y) AS BIGINT) AS span_y
+        |FROM z GROUP BY cell ORDER BY cell""".stripMargin,
     // q208: the q150 pair derivation doubled into directed rules + the
     // three integer floor divisions over identical counts.
     "q208_assoc_rules" ->
