@@ -1625,6 +1625,17 @@ object SparkEntry {
         cellShift = 10)
         .orderBy("cell")),
 
+    // HITS hubs/authorities on the directed low→high basket pair set:
+    // minimal items are pure hubs (no in-edges), maximal items pure
+    // authorities — both asymmetries live. 3 rounds of the e9
+    // nested-floor-division fixed point, oracle-unrolled.
+    "q210_hits" -> ((s, dir) =>
+      graft.ops.Graphs.hits(
+        Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L),
+        "item_a", "item_b", iters = 3)
+        .orderBy("node")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -2837,6 +2848,38 @@ object SparkEntry {
        |WHERE d.word <> ''
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q210 oracle: the HITS rounds unrolled — per round a hub-weighted
+    * in-sum, L1 normalization as the identical nested floor divisions,
+    * then the authority-weighted out-sum, over the directed low→high
+    * basket pair set (`e` in the shared CTE chain). */
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val ph = if (i == 1) "h0" else s"h${i - 1}"
+      s"""ra$i AS MATERIALIZED (SELECT e.b AS node, sum(h.hub_e9) AS raw
+         |  FROM e JOIN $ph h ON e.a = h.node GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT n.node,
+         |  CAST(coalesce(r.raw, 0) // greatest(1,
+         |    (SELECT coalesce(sum(raw), 1) FROM ra$i) // 1000000000)
+         |    AS BIGINT) AS auth_e9
+         |  FROM nodes n LEFT JOIN ra$i r ON n.node = r.node),
+         |rh$i AS MATERIALIZED (SELECT e.a AS node, sum(a.auth_e9) AS raw
+         |  FROM e JOIN a$i a ON e.b = a.node GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT n.node,
+         |  CAST(coalesce(r.raw, 0) // greatest(1,
+         |    (SELECT coalesce(sum(raw), 1) FROM rh$i) // 1000000000)
+         |    AS BIGINT) AS hub_e9
+         |  FROM nodes n LEFT JOIN rh$i r ON n.node = r.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $basketEdgesMat,
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |h0 AS (SELECT node, 1000000000 AS hub_e9 FROM nodes),
+       |$rounds
+       |SELECT n.node, h.hub_e9, a.auth_e9 FROM nodes n
+       |JOIN h$iters h ON n.node = h.node
+       |JOIN a$iters a ON n.node = a.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   private def pagerankOracle(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = if (i == 1) "r0" else s"r${i - 1}"
@@ -3073,6 +3116,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q171_pagerank" -> pagerankOracle(5),
+    "q210_hits" -> hitsOracle(3),
     "q186_bpe_vocab" -> bpeOracle(10),
     "q187_pagerank_directed" -> pagerankDirectedOracle(5),
     "q188_bpe_fertility" -> bpeFertilityOracle(10),

@@ -392,6 +392,60 @@ object Graphs {
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** HITS hubs & authorities over a DIRECTED edge list — the two-sided
+    * importance model PageRank cannot express: an authority is pointed
+    * at by good hubs, a hub points at good authorities (citation
+    * networks, link graphs, supplier→part bipartite structures). Exact
+    * fixed-point integer arithmetic on the repo's e9 convention so runs
+    * hash-compare on any engine/partitioning:
+    *
+    *   auth_{t}(v) = (Σ_{u→v} hub_{t−1}(u)) div max(1, T_a div 10⁹)
+    *   hub_{t}(u)  = (Σ_{u→v} auth_{t}(v))  div max(1, T_h div 10⁹)
+    *
+    * with T the round's raw total — L1 normalization as two nested floor
+    * divisions (the only cross-engine-safe form; a float norm would
+    * drift in the last ulp). Normalized scores stay ~≤ 10⁹, raw sums
+    * ≤ |E|·10⁹ — exact to ~10⁹ edges, plenty past any single cluster's
+    * graph. Nodes with no in-edges hold authority 0; no out-edges, hub 0.
+    *
+    * Scale shape per round: two keyed join+aggregate passes (the same
+    * shuffle shape as [[pageRank]]) plus two broadcast 1-row totals;
+    * localCheckpoint cuts lineage per round; fixed `iters` rounds so an
+    * oracle can unroll the recurrence. Output: (node, hub_e9, auth_e9). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val scale = 1000000000L
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val t = raw.agg(sum("raw").as("t"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(t))
+        .select(col("node"),
+          expr(s"coalesce(raw, 0L) div " +
+            s"greatest(1L, coalesce(t, 1L) div ${scale}L)").as(out))
+        .localCheckpoint(eager = false)
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("hub_e9"))
+    var auth = nodes.select(col("node"), lit(0L).as("auth_e9"))
+    (1 to iters).foreach { _ =>
+      auth = normalize(
+        e.join(hub.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node")).agg(sum("hub_e9").as("raw")),
+        "auth_e9")
+      hub = normalize(
+        e.join(auth.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(sum("auth_e9").as("raw")),
+        "hub_e9")
+    }
+    hub.join(auth, "node")
+  }
+
   /** Multi-source BFS hop distances: for every node reachable within
     * `maxHops` of ANY source, the minimum hop count — the reach/blast-
     * radius primitive (how far does an item's influence extend, which

@@ -214,6 +214,37 @@ class GraphsSpec extends SparkSpec {
         personalization = Some(big))
   }
 
+  test("hits: star hand-trace, pure hubs and authorities, partition-free") {
+    // 3 hubs all pointing at one authority: after round 1,
+    // raw_auth(10) = 3e9, T = 3e9 -> auth = 3e9 div 3 = 1e9;
+    // raw_hub(u) = 1e9 each, T = 3e9 -> hub = 333333333 each
+    val star = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("u", "v")
+    val r = Graphs.hits(star, "u", "v", iters = 1)
+      .collect()
+      .map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("hub_e9"), x.getAs[Long]("auth_e9"))).toMap
+    r(10L) shouldBe ((0L, 1000000000L)) // sink: pure authority
+    r(1L) shouldBe ((333333333L, 0L)) // sources: pure hubs
+    r(2L) shouldBe r(1L)
+    r(3L) shouldBe r(1L)
+    // a chain's middle node carries both roles; the ends only one each
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val c = Graphs.hits(chain, "u", "v", iters = 3)
+      .collect()
+      .map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("hub_e9"), x.getAs[Long]("auth_e9"))).toMap
+    c(1L)._2 shouldBe 0L // nothing points at the head
+    c(3L)._1 shouldBe 0L // the tail points at nothing
+    c(2L)._1 should be > 0L
+    c(2L)._2 should be > 0L
+    // exact integers: any partitioning bit-agrees
+    val p1 = Graphs.hits(star.repartition(5), "u", "v", iters = 2)
+      .orderBy("node").collect().toSeq
+    val p2 = Graphs.hits(star.coalesce(1), "u", "v", iters = 2)
+      .orderBy("node").collect().toSeq
+    p1 shouldBe p2
+  }
+
   test("bfsDistances: hop counts on a path, multi-source min, hop bound") {
     // path 1-2-3-4-5
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
