@@ -1636,6 +1636,25 @@ object SparkEntry {
         "item_a", "item_b", iters = 3)
         .orderBy("node")),
 
+    // Fuzzy matching one radius out: customer-name pairs within edit
+    // distance 2 — q157's FastSS blocking one deletion deeper
+    // (≤2-deletion neighborhoods), bounded levenshtein verify. The
+    // oracle is the full quadratic join again, so green proves the
+    // deeper blocking is still complete. The md5 10% subset (the q72
+    // hash-split convention) keeps the benchmark honest: zero-padded
+    // NEAR-SEQUENTIAL ids are the adversarial worst case for radius 2
+    // (every name within two digit edits of dozens of others — the full
+    // sf0.1 table spends minutes verifying ~50M candidates, and any
+    // arithmetic k-th subset preserves that digit structure); a hash
+    // subset models the scattered-id tables radius-2 linkage is for.
+    "q211_fuzzy_names_ed2" -> ((s, dir) =>
+      Fuzzy.editDistance2Join(
+        Tables.load(s, dir, "customer").filter(
+          conv(substring(md5(col("c_custkey").cast("string")), 1, 8),
+            16, 10).cast("long") % 10 === 0),
+        "c_custkey", "c_name")
+        .orderBy("id_a", "id_b")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3179,6 +3198,18 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q211: the full quadratic join at radius 2 — green proves the
+    // two-deletion blocking loses nothing.
+    "q211_fuzzy_names_ed2" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer
+        |  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+        |    ::BIGINT % 10 = 0)
+        |SELECT CAST(a.c_custkey AS BIGINT) AS id_a,
+        | CAST(b.c_custkey AS BIGINT) AS id_b,
+        | levenshtein(a.c_name, b.c_name) AS dist
+        |FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // q209: the identical magic-mask Morton spreading (five shift-or-and
     // rounds per dimension), interleave, cell shift, exact min/max.
     "q209_zorder_cells" ->

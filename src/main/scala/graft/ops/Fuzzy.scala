@@ -40,6 +40,19 @@ object Fuzzy {
         "transform(sequence(0, length(s)), " +
           "i -> concat(substring(s, 1, i), substring(s, i + 2)))"))))
 
+  /** (id, s, k) with one row per ≤2-deletion-neighborhood key of s —
+    * the ed≤2 blocking set: every string reachable by deleting up to two
+    * characters (the del≤1 transform applied to its own output, then
+    * flattened and deduped). |keys| ≈ 1 + len + len²/2 per row. */
+  private def delKeys2(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .withColumn("k", explode(array_distinct(expr(
+        "flatten(transform(" +
+          "transform(sequence(0, length(s)), " +
+          "i -> concat(substring(s, 1, i), substring(s, i + 2))), " +
+          "t -> transform(sequence(0, length(t)), " +
+          "j -> concat(substring(t, 1, j), substring(t, j + 2)))))"))))
+
   /** All unordered pairs (id_a < id_b) of rows whose `strCol` values are
     * within Levenshtein distance 1, with the distance. */
   def editDistance1Join(df: DataFrame, idCol: String, strCol: String,
@@ -63,6 +76,51 @@ object Fuzzy {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b"), 1).cast("long").as("dist"))
       .filter(col("dist") >= 0)
+  }
+
+  /** [[editDistance1Join]] widened to Levenshtein distance ≤ 2 — the
+    * fat-finger tier real name/title data needs (two typos, a swapped
+    * pair of characters, one typo + one truncation). Same FastSS
+    * argument one level deeper: ed(s,t) ≤ 2 ⇒ the ≤2-deletion
+    * neighborhoods of s and t intersect, so the ~len²/2-key explode +
+    * one equi-join finds every true pair and the bounded 3-arg
+    * `levenshtein(_, _, 2)` discards the blocking's false positives.
+    * The oracle is again the full quadratic join — a green hash proves
+    * zero pairs lost to blocking at this depth too.
+    *
+    * Costs ~len/2× more exploded keys and a denser candidate set than
+    * the ed≤1 form — the price of the wider radius, still nowhere near
+    * quadratic. Same silent in-plan hot-block cap; audit with
+    * [[droppedBlocks2]]. */
+  def editDistance2Join(df: DataFrame, idCol: String, strCol: String,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val keyed = delKeys2(df, idCol, strCol)
+    val capped =
+      if (maxBlockSize > 0) {
+        val hot = keyed.groupBy("k").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBlockSize).select("k")
+        keyed.join(broadcast(hot), Seq("k"), "left_anti")
+      } else keyed
+    capped.as("a").join(capped.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b"), 2).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** [[droppedBlocks]] at ed≤2 depth: the ≤2-deletion blocks
+    * [[editDistance2Join]] drops at this `maxBlockSize`. */
+  def droppedBlocks2(df: DataFrame, idCol: String, strCol: String,
+      maxBlockSize: Int = 1000): DataFrame = {
+    require(maxBlockSize > 0,
+      s"maxBlockSize must be > 0 to drop anything, got $maxBlockSize")
+    delKeys2(df, idCol, strCol)
+      .groupBy("k").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBlockSize)
+      .orderBy(col("n_members").desc, col("k"))
   }
 
   /** Cross-TABLE record linkage: (left_id, right_id, dist) for every pair

@@ -67,4 +67,40 @@ class FuzzySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Fuzzy.droppedBlocks(tiny, "id", "s", maxBlockSize = 0)
   }
+
+  test("editDistance2Join: exactly the ed<=2 pairs, brute-force checked") {
+    // double substitution, transposition (= 2 edits), sub+del, double
+    // insert, and a distance-3 pair that must NOT appear
+    val rows = Seq(
+      (1L, "kitten"), (2L, "mitten"), // sub: 1
+      (3L, "sitten"), // sub vs both: 1
+      (4L, "mutten"), // 2 subs from kitten, 1 from mitten
+      (5L, "kitetn"), // transposition of kitten: 2
+      (6L, "kit"), // distance 3 from kitten: excluded
+      (7L, "kien")) // del 2 from kitten: 2
+      .toDF("id", "s")
+    val got = Fuzzy.editDistance2Join(rows, "id", "s", maxBlockSize = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force truth over all 21 pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+      d(a.length)(b.length)
+    }
+    val strs = Seq(1L -> "kitten", 2L -> "mitten", 3L -> "sitten",
+      4L -> "mutten", 5L -> "kitetn", 6L -> "kit", 7L -> "kien")
+    val want = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 2
+    } yield (ia, ib) -> d.toLong).toMap
+    got shouldBe want
+    // sanity on the interesting cases
+    got((1L, 5L)) shouldBe 2L // transposition
+    got((1L, 7L)) shouldBe 2L // double deletion
+    got.keySet should not contain ((1L, 6L)) // distance 3
+  }
 }
