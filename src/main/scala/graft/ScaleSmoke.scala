@@ -104,7 +104,14 @@ object ScaleSmoke {
     "q194_hash_features", "q196_multi_touch", "q198_item_cosine",
     "q200_textrank",
     // late-r14: the per-step walk joins and the seeded-teleport PR
-    "q201_hash_walks", "q202_pagerank_personalized")
+    "q201_hash_walks", "q202_pagerank_personalized",
+    // fourth r14 tranche: the BM25 posting probe + doc-length join, the
+    // frontier BFS and two-sided HITS over the basket edges, the
+    // directed-rule doubling of the basket pair machinery, the z-order
+    // cell rollup (row-local bit algebra + one grouped agg), and the
+    // two-deletion fuzzy blocking (the ~len²/2-key explode measured)
+    "q205_bm25_search", "q206_bfs_distances", "q208_assoc_rules",
+    "q209_zorder_cells", "q210_hits", "q211_fuzzy_names_ed2")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
@@ -251,6 +258,29 @@ object ScaleSmoke {
       (s, dir) => Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", k = 64, iters = 1, threshold = 0.4)
 
+    // the retrieval-surface decomposition: q122/q205's posting-probe
+    // shuffle is |Q|·Σ_qterm df — the %97 query set grows WITH the
+    // corpus (more-like-this over every 97th doc), so 10× docs means
+    // 10× queries × 10× postings = ~100× hit surface BY CONTRACT. These
+    // variants pin |Q| at the sf0.1 count (% 970 at 10× the ids) to
+    // show the per-query cost scales ~linearly in the corpus alone.
+    val bm25FixedQ: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.text.TextAnalysis.bm25TopK(docs,
+          docs.filter(col("doc_id") % 970 === 0),
+          "doc_id", "text", "doc_id", "text",
+          k = 5, excludeSelf = true, maxDfFracE6 = 780000L)
+      }
+    val kwFixedQ: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.text.TextAnalysis.keywordSearchTopK(docs,
+          docs.filter(col("doc_id") % 970 === 0),
+          "doc_id", "text", "doc_id", "text",
+          k = 5, excludeSelf = true, maxDfFracE6 = 780000L)
+      }
+
     val dirs = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
@@ -266,7 +296,9 @@ object ScaleSmoke {
         .map(n => n -> SparkEntry.queries(n))) ++
         (if (label == "sf1~")
           Seq("q64_lsh_numPlanes8" -> lshScaled,
-            "q111_semantic_k64" -> semScaled)
+            "q111_semantic_k64" -> semScaled,
+            "q205_bm25_fixedQ" -> bm25FixedQ,
+            "q122_keyword_fixedQ" -> kwFixedQ)
             .filter { case (n, _) => only.forall(_.exists(n.contains)) }
         else Nil)
       qs.foreach { case (name, fn) =>

@@ -368,15 +368,21 @@ object TextAnalysis {
     * caps the stopword posting lists (essential here: a df = 0.9·D term
     * still carries 1 bit and would pull 90% of the corpus through the
     * join), the vocabulary side broadcasts unless told not to. The one
-    * addition is a doc-length join: the posting hits (query-bounded,
-    * small) equi-join the per-doc length frame on the doc id —
-    * splittable under AQE, never a window over raw occurrences. */
+    * addition is the per-doc length frame, which must reach every
+    * posting hit BEFORE the (query, doc) aggregate (the tf-norm couples
+    * tf and dl inside one floor division) — broadcast by default
+    * (|docs|·16 bytes; measured: the sort-merge alternative shuffled the
+    * ENTIRE un-aggregated hit surface, 3.2 GB where the rest of the plan
+    * moves 40 MB). `broadcastDocLengths = false` falls back to that
+    * keyed join for corpora whose doc COUNT outgrows executor memory —
+    * at which point the hit surface is the honest dominant cost. */
   def bm25TopK(docs: DataFrame, queries: DataFrame,
       idCol: String, textCol: String,
       queryIdCol: String, queryTextCol: String,
       k: Int, k1E2: Long = 120L, bE2: Long = 75L,
       maxDfFracE6: Long = 0L, excludeSelf: Boolean = false,
-      broadcastVocab: Boolean = true): DataFrame = {
+      broadcastVocab: Boolean = true,
+      broadcastDocLengths: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1E2 >= 0L, s"k1E2 must be >= 0, got $k1E2")
     require(bE2 >= 0L && bE2 <= 100L, s"bE2 must be in [0, 100], got $bE2")
@@ -404,7 +410,7 @@ object TextAnalysis {
     val hits = tf
       .join(if (broadcastVocab) broadcast(dfreq) else dfreq, "term")
       .join(broadcast(qterms), "term")
-      .join(dlen, idCol)
+      .join(if (broadcastDocLengths) broadcast(dlen) else dlen, idCol)
     val contrib = expr(
       s"bits * ((tf * ${(100L + k1E2) * 100L}L * _a * 1000000L) div " +
         s"(10000L * _a * tf + ${k1E2 * (100L - bE2)}L * _a + " +
