@@ -1655,6 +1655,15 @@ object SparkEntry {
         "c_custkey", "c_name")
         .orderBy("id_a", "id_b")),
 
+    // User concentration per event type: HHI + effective-user count over
+    // per-user event counts — is a type's volume a crowd or three bots?
+    // The share-squared complement of q204's Gini, pure integer.
+    "q212_hhi" -> ((s, dir) =>
+      Anomaly.hhiReport(
+        Tables.load(s, dir, "events").select("event_type", "user_id"),
+        Seq("event_type"), "user_id")
+        .orderBy("event_type")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3198,6 +3207,17 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q212: the same two grouped counts and two integer floor divisions.
+    "q212_hhi" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS c
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_cats,
+        | CAST(sum(c) AS BIGINT) AS n,
+        | CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
+        |   AS hhi_e6,
+        | CAST(sum(c) * sum(c) * 1000000 // sum(c * c) AS BIGINT)
+        |   AS eff_cats_e6
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q211: the full quadratic join at radius 2 — green proves the
     // two-deletion blocking loses nothing.
     "q211_fuzzy_names_ed2" ->

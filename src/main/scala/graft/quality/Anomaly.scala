@@ -703,6 +703,40 @@ object Anomaly {
           expr("__top_mass * 1000000L div total")).as("top10_share_e6")): _*)
   }
 
+  /** Herfindahl–Hirschman concentration (Simpson index) per group: with
+    * category counts n_c and group total N,
+    *
+    *   hhi_e6 = Σ n_c² · 10⁶ div N²       (1/|cats| uniform … 10⁶ monopoly)
+    *   eff_cats_e6 = N² · 10⁶ div Σ n_c²  (the "effective number of
+    *                                       categories", 1/HHI — e.g. a
+    *                                       domain mix that behaves like
+    *                                       3.2 equally-sized sources)
+    *
+    * The share-squared complement of [[concentrationReport]]'s Gini:
+    * Gini ranks inequality of a numeric MASS, HHI measures how few
+    * CATEGORIES hold the rows — the dedup-source / domain-mix / hot-user
+    * diagnostic. All exact integer floor divisions (counts, two
+    * squarings); N ≤ ~3·10⁹ keeps N²·10⁶ in a long — past that, feed
+    * pre-aggregated counts and derive downstream (the gainsTable
+    * posture). Null categories count as a real category (they hold rows;
+    * invisible concentration would defeat the diagnostic).
+    *
+    * Scale shape: one grouped count in (group × category) space, one
+    * group-keyed rollup of that frame — row data touched once, no
+    * windows, no joins. */
+  def hhiReport(df: DataFrame, groupCols: Seq[String],
+      catCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    df.groupBy(gcols :+ col(catCol).as("__cat"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_cats"), sum("__c").as("n"),
+        sum(col("__c") * col("__c")).as("__s2"))
+      .select(gcols ++ Seq(col("n_cats"), col("n"),
+        expr("__s2 * 1000000L div (n * n)").as("hhi_e6"),
+        expr("n * n * 1000000L div __s2").as("eff_cats_e6")): _*)
+  }
+
   private def e6(c: Column): Column =
     round(c * lit(1e6)).cast("long")
 

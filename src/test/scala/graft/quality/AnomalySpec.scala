@@ -311,4 +311,24 @@ class AnomalySpec extends SparkSpec {
     out("neg")._1 shouldBe 1L
     out("neg")._4 shouldBe None
   }
+
+  test("hhiReport: uniform floor, monopoly ceiling, nulls are a category") {
+    import spark.implicits._
+    val rows =
+      Seq("u1", "u2", "u3", "u4").map(("flat", _)) ++      // 4 × 1
+      Seq(("mono", "u1"), ("mono", "u1"), ("mono", "u1")) ++ // 1 user
+      Seq(("mix", "u1"), ("mix", "u1"), ("mix", "u1"), ("mix", "u2"))
+    val out = Anomaly.hhiReport(rows.toDF("g", "u"), Seq("g"), "u")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out("flat") shouldBe ((4L, 4L, 250000L, 4000000L)) // 1/4, eff 4.0
+    out("mono") shouldBe ((1L, 3L, 1000000L, 1000000L)) // monopoly
+    // counts 3,1: hhi = 10/16 = 0.625, eff = 16/10 = 1.6
+    out("mix") shouldBe ((2L, 4L, 625000L, 1600000L))
+    // a null category holds rows and must show as concentration
+    val withNull = Seq(("g", Some("u1")), ("g", None), ("g", None))
+      .toDF("g", "u")
+    Anomaly.hhiReport(withNull, Seq("g"), "u")
+      .collect()(0).getLong(1) shouldBe 2L // n_cats counts the null bucket
+  }
 }
