@@ -1672,6 +1672,18 @@ object SparkEntry {
         "o_custkey", "o_orderdate", "o_totalprice")
         .orderBy("entity")),
 
+    // Cohort LTV: revenue by first-order-month cohort and age, exact
+    // cents, cumulative per-member value — q94 retention's revenue twin.
+    "q214_cohort_ltv" -> ((s, dir) =>
+      Retention.cohortLtv(Tables.load(s, dir, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice")
+        // month as 'yyyy-MM' text: a DATE column round-trips as
+        // python date objects on the Spark side but datetime64 from
+        // DuckDB — the compare needs one physical type
+        .withColumn("cohort_month",
+          date_format(col("cohort_month"), "yyyy-MM"))
+        .orderBy("cohort_month", "age_months")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3215,6 +3227,32 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q214: month-truncated cohorts, whole-month ages, exact cents,
+    // the same summary-frame cumulative window.
+    "q214_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey AS entity,
+        |  date_trunc('month', o_orderdate) AS m,
+        |  coalesce(CAST(round(o_totalprice * 100) AS BIGINT), 0) AS cents
+        | FROM orders),
+        |f AS (SELECT entity, min(m) AS cohort_month FROM o GROUP BY 1),
+        |per AS (SELECT f.cohort_month,
+        |  CAST(date_diff('month', f.cohort_month, o.m) AS BIGINT)
+        |    AS age_months,
+        |  CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+        | FROM o JOIN f USING (entity) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_month, count(*) AS n_customers
+        | FROM f GROUP BY 1)
+        |SELECT strftime(per.cohort_month, '%Y-%m') AS cohort_month,
+        | age_months, CAST(n_customers AS BIGINT) AS n_customers,
+        | revenue_cents,
+        | CAST(sum(revenue_cents) OVER (PARTITION BY per.cohort_month
+        |   ORDER BY age_months ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |   AS cum_revenue_cents,
+        | CAST(sum(revenue_cents) OVER (PARTITION BY per.cohort_month
+        |   ORDER BY age_months ROWS UNBOUNDED PRECEDING)
+        |   // n_customers AS BIGINT) AS ltv_per_member_cents
+        |FROM per JOIN sz USING (cohort_month)
+        |ORDER BY cohort_month, age_months""".stripMargin,
     // q213: same grouped rollup, same three entity-tiebroken ntiles.
     "q213_rfm" ->
       """WITH per AS (SELECT o_custkey AS entity,

@@ -176,6 +176,40 @@ object Retention {
     * aggregated 10⁴–10⁶× down from the fact table); the fact scan itself
     * is one grouped aggregate. Null amounts count 0; the corpus max date
     * is a broadcast 1-row frame, never a driver action. */
+  /** Cohort LTV curve — [[cohortRetention]]'s revenue twin: entities
+    * cohorted by FIRST-order month, revenue accumulated by cohort age in
+    * months, reported as exact integer cents plus the running
+    * per-member value (cumulative revenue div cohort size — the curve
+    * whose plateau is customer lifetime value). One grouped rollup for
+    * first-months, one keyed join back, one (cohort × age) aggregate,
+    * one cumulative window over that SUMMARY frame (|cohorts|·|ages|
+    * rows — the window never sees row data). Month arithmetic is whole
+    * months between month-truncated dates: exact integers on both
+    * engines. Null amounts count 0 cents. */
+  def cohortLtv(orders: DataFrame, entityCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    val o = orders.select(col(entityCol).cast("long").as("entity"),
+      trunc(col(dateCol), "month").as("__m"),
+      coalesce(round(col(amountCol) * 100).cast("long"), lit(0L))
+        .as("__cents"))
+    val first = o.groupBy("entity").agg(min("__m").as("cohort_month"))
+    val per = o.join(first, "entity")
+      .groupBy(col("cohort_month"),
+        months_between(col("__m"), col("cohort_month")).cast("long")
+          .as("age_months"))
+      .agg(sum("__cents").as("revenue_cents"))
+    val size = first.groupBy("cohort_month")
+      .agg(count(lit(1)).as("n_customers"))
+    val w = Window.partitionBy("cohort_month").orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.join(size, "cohort_month")
+      .withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
+      .select(col("cohort_month"), col("age_months"), col("n_customers"),
+        col("revenue_cents"), col("cum_revenue_cents"),
+        expr("cum_revenue_cents div n_customers")
+          .as("ltv_per_member_cents"))
+  }
+
   def rfmScores(orders: DataFrame, entityCol: String, dateCol: String,
       amountCol: String): DataFrame = {
     val per = orders

@@ -78,6 +78,28 @@ class RetentionSpec extends SparkSpec {
       (2L, 1L, 1L, 1L))
   }
 
+  test("cohortLtv: first-month cohorts, exact cents, running per-member value") {
+    import java.sql.Date
+    val orders = Seq(
+      // cohort 2024-01: u1 (jan 10.00, mar 5.00), u2 (jan 20.00)
+      (1L, Date.valueOf("2024-01-05"), Some(10.0)),
+      (1L, Date.valueOf("2024-03-20"), Some(5.0)),
+      (2L, Date.valueOf("2024-01-28"), Some(20.0)),
+      // cohort 2024-02: u3 (feb null-amount, apr 8.00)
+      (3L, Date.valueOf("2024-02-02"), None),
+      (3L, Date.valueOf("2024-04-15"), Some(8.0)))
+      .toDF("cust", "d", "amt")
+    val out = Retention.cohortLtv(orders, "cust", "d", "amt")
+      .orderBy("cohort_month", "age_months").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    out.toSeq shouldBe Seq(
+      ("2024-01-01", 0L, 2L, 3000L, 3000L, 1500L), // jan: 10 + 20
+      ("2024-01-01", 2L, 2L, 500L, 3500L, 1750L), // mar: +5, cum 35
+      ("2024-02-01", 0L, 1L, 0L, 0L, 0L), // null amount counts 0
+      ("2024-02-01", 2L, 1L, 800L, 800L, 800L))
+  }
+
   test("rfmScores: corpus-max recency, exact cents, aligned quintiles") {
     import java.sql.Date
     // 5 customers, one order shape per quintile: customer k has k orders
