@@ -1684,6 +1684,20 @@ object SparkEntry {
           date_format(col("cohort_month"), "yyyy-MM"))
         .orderBy("cohort_month", "age_months")),
 
+    // Churn labels: entities active before epoch day 19752 (2024-01-30)
+    // labeled by zero-activity on the final corpus day — the
+    // reproducible label-generation step of a churn model, with the
+    // baseline features (last day, silence, volume) riding along. The
+    // 1-day outcome window is what this ~2-events/user/day corpus
+    // needs for both label values to occur (17/150 churn at sf0.01,
+    // 1/15 at sf0.001); real corpora widen horizonDays.
+    "q215_churn_labels" -> ((s, dir) =>
+      Retention.churnLabels(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts div 86400000000000").as("day")),
+        "user_id", "day", splitDay = 19752L, horizonDays = 1L)
+        .orderBy("entity")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3227,6 +3241,23 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q215: identical half-open slices and the entity-space left join.
+    "q215_churn_labels" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |pre AS (SELECT user_id AS entity,
+        |  CAST(max(day) AS BIGINT) AS last_active_day,
+        |  count(*) AS n_events_before
+        | FROM e WHERE day < 19752 GROUP BY 1),
+        |post AS (SELECT DISTINCT user_id AS entity FROM e
+        | WHERE day >= 19752 AND day < 19753)
+        |SELECT pre.entity, last_active_day,
+        | CAST(19752 - last_active_day AS BIGINT) AS days_silent,
+        | CAST(n_events_before AS BIGINT) AS n_events_before,
+        | CAST(CASE WHEN post.entity IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |   AS churned
+        |FROM pre LEFT JOIN post ON pre.entity = post.entity
+        |ORDER BY pre.entity""".stripMargin,
     // q214: month-truncated cohorts, whole-month ages, exact cents,
     // the same summary-frame cumulative window.
     "q214_cohort_ltv" ->

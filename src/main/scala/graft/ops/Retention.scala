@@ -176,6 +176,40 @@ object Retention {
     * aggregated 10⁴–10⁶× down from the fact table); the fact scan itself
     * is one grouped aggregate. Null amounts count 0; the corpus max date
     * is a broadcast 1-row frame, never a driver action. */
+  /** Churn LABEL builder — the label-generation step of a churn-model
+    * training pipeline, as data instead of wall-clock state: every
+    * entity active BEFORE `splitDay` gets a row, labeled churned = 1
+    * iff it has zero activity in the outcome window
+    * [splitDay, splitDay + horizonDays). Pinning the split to a DAY
+    * NUMBER (not "today") makes the label set reproducible and lets one
+    * corpus yield many training snapshots by sliding the split. Also
+    * emits the features a baseline model starts from: last active day,
+    * days-silent-at-split, and the pre-split event count. Activity ON
+    * the split day is outcome, not history (half-open on both sides).
+    *
+    * Scale shape: one grouped aggregate over the pre-split slice + one
+    * distinct over the outcome slice + one left join in ENTITY space;
+    * labels are exact integers. */
+  def churnLabels(events: DataFrame, entityCol: String, dayCol: String,
+      splitDay: Long, horizonDays: Long): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays must be >= 1, got $horizonDays")
+    val pre = events.filter(col(dayCol) < splitDay)
+      .groupBy(col(entityCol).cast("long").as("entity"))
+      .agg(max(col(dayCol).cast("long")).as("last_active_day"),
+        count(lit(1)).as("n_events_before"))
+    val retained = events
+      .filter(col(dayCol) >= splitDay &&
+        col(dayCol) < splitDay + horizonDays)
+      .select(col(entityCol).cast("long").as("entity")).distinct()
+      .withColumn("__seen", lit(1L))
+    pre.join(retained, Seq("entity"), "left")
+      .select(col("entity"), col("last_active_day"),
+        (lit(splitDay) - col("last_active_day")).as("days_silent"),
+        col("n_events_before"),
+        when(col("__seen").isNull, lit(1L)).otherwise(lit(0L))
+          .as("churned"))
+  }
+
   /** Cohort LTV curve — [[cohortRetention]]'s revenue twin: entities
     * cohorted by FIRST-order month, revenue accumulated by cohort age in
     * months, reported as exact integer cents plus the running

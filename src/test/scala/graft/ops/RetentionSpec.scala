@@ -78,6 +78,28 @@ class RetentionSpec extends SparkSpec {
       (2L, 1L, 1L, 1L))
   }
 
+  test("churnLabels: half-open split, outcome window, silence feature") {
+    val events = Seq(
+      (1L, 10L), (1L, 14L), // active pre, silent after -> churned
+      (2L, 12L), (2L, 20L), // active in outcome window -> retained
+      (3L, 15L), (3L, 26L), // active only PAST the horizon -> churned
+      (4L, 20L), // split-day activity is outcome, not history: no row
+      (5L, 19L), (5L, 20L)) // pre + on-split -> retained
+      .toDF("u", "day")
+    val out = Retention.churnLabels(events, "u", "day",
+      splitDay = 20L, horizonDays = 5L)
+      .orderBy("entity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      (1L, 14L, 6L, 2L, 1L),
+      (2L, 12L, 8L, 1L, 0L),
+      (3L, 15L, 5L, 1L, 1L),
+      (5L, 19L, 1L, 1L, 0L))
+    an[IllegalArgumentException] should be thrownBy
+      Retention.churnLabels(events, "u", "day", 20L, 0L)
+  }
+
   test("cohortLtv: first-month cohorts, exact cents, running per-member value") {
     import java.sql.Date
     val orders = Seq(
