@@ -1698,6 +1698,18 @@ object SparkEntry {
         "user_id", "day", splitDay = 19752L, horizonDays = 1L)
         .orderBy("entity")),
 
+    // Day-over-day deltas per event type: value mass with previous
+    // CALENDAR day, absolute delta, sign-exact e6 percent change —
+    // the dashboard drop detector, null across silent-day gaps.
+    "q216_period_over_period" -> ((s, dir) =>
+      graft.ops.TimeSeries.periodOverPeriod(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            round(col("value") * lit(100)).cast("long").as("v_e2")),
+        "event_type", "day", "v_e2", periodDays = 1L)
+        .orderBy("key", "period")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3241,6 +3253,31 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q216: same summary-frame lag, calendar-adjacency guard, and the
+    // sign-factored division (Spark div truncates, DuckDB // floors —
+    // absolute operands make them agree).
+    "q216_period_over_period" ->
+      """WITH b AS (SELECT event_type AS key,
+        |  epoch_ns(ts) // 86400000000000 AS period,
+        |  CAST(round(value * 100.0) AS BIGINT) AS v FROM events),
+        |p AS (SELECT key, period, count(*) AS n_events,
+        |  CAST(sum(v) AS BIGINT) AS value_e2 FROM b GROUP BY 1, 2),
+        |l AS (SELECT *,
+        |  lag(period) OVER (PARTITION BY key ORDER BY period) AS pp,
+        |  lag(value_e2) OVER (PARTITION BY key ORDER BY period) AS pv
+        | FROM p),
+        |g AS (SELECT key, period, n_events, value_e2,
+        |  CASE WHEN pp = period - 1 THEN pv END AS prev_value_e2 FROM l)
+        |SELECT key, period, CAST(n_events AS BIGINT) AS n_events,
+        | value_e2, prev_value_e2,
+        | value_e2 - prev_value_e2 AS delta_e2,
+        | CASE WHEN prev_value_e2 != 0 THEN
+        |   CAST(sign(value_e2 - prev_value_e2) * sign(prev_value_e2)
+        |     AS BIGINT) *
+        |   (abs(value_e2 - prev_value_e2) * 1000000
+        |     // abs(prev_value_e2))
+        | END AS pct_change_e6
+        |FROM g ORDER BY key, period""".stripMargin,
     // q215: identical half-open slices and the entity-space left join.
     "q215_churn_labels" ->
       """WITH e AS (SELECT user_id,

@@ -130,4 +130,49 @@ object TimeSeries {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col(keyCol), col("n_events"), col("sum_e6"))
   }
+
+  /** Period-over-period deltas — the dashboard staple (DoD/WoW/MoM):
+    * for each (key, period) the metric value next to the PREVIOUS
+    * period's, the absolute delta, and the exact integer-e6 percent
+    * change. `periodDays` buckets the day column (1 = DoD, 7 = WoW on
+    * epoch-day-aligned weeks); the previous period is the previous
+    * CALENDAR period, not the previous observed row — a key silent for
+    * a period compares against null, not against its last value two
+    * periods back (lag-over-observed would silently hide the gap, the
+    * exact signal a drop detector exists for). Zero-valued previous
+    * periods report null pct (0-division is undefined, not 0 — the
+    * shareOfParent contract).
+    *
+    * Scale shape: one grouped aggregate in (key × period) space + one
+    * lag window over that SUMMARY frame; row data touched once. */
+  def periodOverPeriod(df: DataFrame, keyCol: String, dayCol: String,
+      valueE2Col: String, periodDays: Long = 1L): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val per = df
+      .groupBy(col(keyCol).as("key"),
+        expr(s"$dayCol div ${periodDays}L").as("period"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueE2Col).cast("long")).as("value_e2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("period")
+    per
+      .withColumn("__prev_p", lag(col("period"), 1).over(w))
+      .withColumn("__prev_v", lag(col("value_e2"), 1).over(w))
+      // calendar-adjacent only: a skipped period breaks the chain
+      .withColumn("prev_value_e2",
+        when(col("__prev_p") === col("period") - 1L, col("__prev_v")))
+      .select(col("key"), col("period"), col("n_events"), col("value_e2"),
+        col("prev_value_e2"),
+        (col("value_e2") - col("prev_value_e2")).as("delta_e2"),
+        // sign-factored so the floor division sees non-negative
+        // operands only: Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors — they disagree on negative quotients,
+        // and a shrinking metric is the common case here
+        when(col("prev_value_e2") =!= 0L,
+          (signum(col("value_e2") - col("prev_value_e2")) *
+            signum(col("prev_value_e2"))).cast("long") *
+            expr("abs(value_e2 - prev_value_e2) * 1000000L " +
+              "div abs(prev_value_e2)"))
+          .as("pct_change_e6"))
+  }
 }

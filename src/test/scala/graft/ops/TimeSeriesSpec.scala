@@ -123,4 +123,30 @@ class TimeSeriesSpec extends SparkSpec {
     u1.getAs[Long]("twap_e6") shouldBe 12500000L
     out(1).isNullAt(out(1).fieldIndex("twap_e6")) shouldBe true
   }
+
+  test("periodOverPeriod: calendar-adjacent deltas, gap break, sign-exact pct") {
+    val rows = Seq(
+      ("a", 10L, 100L), ("a", 11L, 40L), // -60%
+      ("a", 13L, 80L), // day 12 silent: no prev for 13
+      ("b", 10L, 30L), ("b", 11L, 31L)) // +1/30 = 33333 e6-floor
+      .toDF("k", "day", "v")
+    val out = TimeSeries.periodOverPeriod(rows, "k", "day", "v")
+      .orderBy("key", "period").collect()
+    def pct(i: Int): Option[Long] =
+      if (out(i).isNullAt(out(i).fieldIndex("pct_change_e6"))) None
+      else Some(out(i).getAs[Long]("pct_change_e6"))
+    pct(0) shouldBe None // first period has no previous
+    // shrink: floor(|−60|·1e6/100)·sign = exactly −600000 (the negative
+    // branch that a raw `div` would truncate differently than DuckDB)
+    pct(1) shouldBe Some(-600000L)
+    out(1).getAs[Long]("delta_e2") shouldBe -60L
+    pct(2) shouldBe None // the silent day broke the chain
+    pct(4) shouldBe Some(33333L) // floor(1e6/30)
+    // weekly bucketing: days 10,11 -> period 1 at periodDays = 7
+    TimeSeries.periodOverPeriod(rows, "k", "day", "v", periodDays = 7L)
+      .filter(col("key") === "a").collect()
+      .map(_.getAs[Long]("period")).toSeq shouldBe Seq(1L)
+    an[IllegalArgumentException] should be thrownBy
+      TimeSeries.periodOverPeriod(rows, "k", "day", "v", 0L)
+  }
 }
