@@ -1710,6 +1710,33 @@ object SparkEntry {
         "event_type", "day", "v_e2", periodDays = 1L)
         .orderBy("key", "period")),
 
+    // Kaplan–Meier time-to-first-purchase by acquisition channel (the
+    // user's FIRST event type, argmin by the (ts, tie) struct-min):
+    // duration = whole hours from first activity to first purchase,
+    // right-CENSORED at last observed activity for users who never
+    // convert. Survival as per-step-floored e6 — the one cross-engine-
+    // exact running product — and the oracle replays the fold
+    // list_reduce-for-aggregate, prefix by prefix.
+    "q217_kaplan_meier" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+      val first = e.groupBy("user_id")
+        .agg(min(struct(col("ts_us"), col("event_id"),
+          col("event_type"))).as("fs"), max("ts_us").as("l"))
+        .select(col("user_id"), col("fs.ts_us").as("f"),
+          col("fs.event_type").as("channel"), col("l"))
+      val firstP = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts_us").as("p"))
+      val subj = first.join(firstP, Seq("user_id"), "left")
+        .select(col("channel"),
+          expr("(coalesce(p, l) - f) div 3600000000L").as("duration_h"),
+          when(col("p").isNotNull, lit(1L)).otherwise(lit(0L))
+            .as("event"))
+      Retention.kaplanMeier(subj, Seq("channel"), "duration_h", "event")
+        .orderBy("channel", "t")
+    }),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3253,6 +3280,42 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q217: the identical per-step-floored fold — steps encoded
+    // n·1e9 + d, sentinel-initialized list_reduce over each prefix.
+    "q217_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  event_type FROM events),
+        |fu AS (SELECT user_id,
+        |  min({'t': ts_us, 'i': event_id, 'y': event_type}) AS fs,
+        |  max(ts_us) AS l FROM e GROUP BY 1),
+        |fp AS (SELECT user_id, min(ts_us) AS p FROM e
+        | WHERE event_type = 'purchase' GROUP BY 1),
+        |s AS (SELECT (fu.fs).y AS channel,
+        |  (coalesce(fp.p, fu.l) - (fu.fs).t) // 3600000000 AS t,
+        |  CASE WHEN fp.p IS NOT NULL THEN 1 ELSE 0 END AS ev
+        | FROM fu LEFT JOIN fp USING (user_id)),
+        |pt AS (SELECT channel, t, count(*) AS n_t,
+        |  CAST(sum(ev) AS BIGINT) AS d FROM s GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(sum(n_t) OVER (PARTITION BY channel
+        |  ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |  CURRENT ROW) AS BIGINT) AS n FROM pt),
+        |lst AS (SELECT channel,
+        |  list(n * 1000000000 + d ORDER BY t) AS steps
+        | FROM r GROUP BY 1),
+        |ri AS (SELECT r.*, row_number() OVER (PARTITION BY r.channel
+        |  ORDER BY r.t) AS i FROM r)
+        |SELECT ri.channel, CAST(ri.t AS BIGINT) AS t,
+        | ri.n AS n_at_risk, ri.d AS d_events,
+        | CAST(ri.n_t - ri.d AS BIGINT) AS n_censored,
+        | CAST(list_reduce(
+        |   list_prepend(CAST(1000000 AS BIGINT),
+        |     list_slice(lst.steps, 1, ri.i)),
+        |   (acc, x) -> CASE WHEN x % 1000000000 > 0
+        |     THEN acc * ((x // 1000000000) - (x % 1000000000))
+        |       // (x // 1000000000)
+        |     ELSE acc END) AS BIGINT) AS survival_e6
+        |FROM ri JOIN lst USING (channel)
+        |ORDER BY channel, t""".stripMargin,
     // q216: same summary-frame lag, calendar-adjacency guard, and the
     // sign-factored division (Spark div truncates, DuckDB // floors —
     // absolute operands make them agree).

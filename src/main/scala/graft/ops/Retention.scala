@@ -176,6 +176,58 @@ object Retention {
     * aggregated 10⁴–10⁶× down from the fact table); the fact scan itself
     * is one grouped aggregate. Null amounts count 0; the corpus max date
     * is a broadcast 1-row frame, never a driver action. */
+  /** Kaplan–Meier survival curve — time-to-event with right censoring
+    * (time-to-churn, time-to-first-purchase, job-survival): subjects
+    * carry a duration and an event flag (1 = the event was OBSERVED at
+    * that duration, 0 = censored — still alive when observation ended).
+    * At each distinct duration t: n_at_risk = subjects with duration ≥ t
+    * (a suffix sum over the duration-domain frame), d = observed events
+    * at t, and the survival estimate
+    *
+    *   S(t) = Π_{t' ≤ t, d_{t'} > 0} (n_{t'} − d_{t'}) / n_{t'}
+    *
+    * carried as e6 integers with the floor applied PER STEP — the one
+    * deterministic cross-engine form of a running product (a float Π
+    * drifts; exact rationals overflow). The per-step floor loses < 1e-6
+    * per event time against the real estimator, far inside any
+    * confidence band. Censored-only times get a row (n_at_risk visibly
+    * drops) with the survival unchanged — the standard KM table shape.
+    *
+    * Scale shape: one grouped count in (group × duration) space, a
+    * suffix-sum window over that DURATION-DOMAIN frame, then per group
+    * ONE collect of its step array (|distinct durations| long — summary
+    * space, the Lloyd-sums posture, never row data) and a row-local
+    * prefix fold per step (O(k²) lambda work on a k-length array).
+    * Output: (group…, t, n_at_risk, d_events, n_censored, survival_e6). */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      durationCol: String, eventCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val base = df
+      .filter(col(durationCol).isNotNull && col(durationCol) >= 0 &&
+        col(eventCol).isNotNull)
+      .select(gcols :+ col(durationCol).cast("long").as("__t") :+
+        col(eventCol).cast("long").as("__e"): _*)
+    val perT = base.groupBy(gcols :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__n_t"), sum("__e").as("__d"))
+    val wDesc = Window.partitionBy(gcols: _*).orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = perT.withColumn("__n", sum("__n_t").over(wDesc))
+    val steps = risk.groupBy(gcols: _*)
+      .agg(array_sort(collect_list(struct(col("__t").as("t"),
+        col("__n").as("n"), col("__d").as("d"),
+        (col("__n_t") - col("__d")).as("c")))).as("__steps"))
+    steps
+      .select(gcols ++ Seq(posexplode(col("__steps")).as(Seq("__i", "__s")),
+        col("__steps")): _*)
+      .select(gcols ++ Seq(
+        col("__s.t").as("t"), col("__s.n").as("n_at_risk"),
+        col("__s.d").as("d_events"), col("__s.c").as("n_censored"),
+        expr("aggregate(slice(__steps, 1, __i + 1), 1000000L, " +
+          "(acc, x) -> CASE WHEN x.d > 0 " +
+          "THEN acc * (x.n - x.d) div x.n ELSE acc END)")
+          .as("survival_e6")): _*)
+  }
+
   /** Churn LABEL builder — the label-generation step of a churn-model
     * training pipeline, as data instead of wall-clock state: every
     * entity active BEFORE `splitDay` gets a row, labeled churned = 1

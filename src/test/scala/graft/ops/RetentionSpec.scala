@@ -78,6 +78,37 @@ class RetentionSpec extends SparkSpec {
       (2L, 1L, 1L, 1L))
   }
 
+  test("kaplanMeier: textbook curve, censoring holds survival, group split") {
+    // group g: deaths at t=1 (2 of 4), censor at t=2, death at t=3
+    //   S(1) = 1e6·2 div 4 = 500000
+    //   S(2) = 500000 (censoring changes risk set, not survival)
+    //   S(3) = 500000·0 div 1 = 0
+    val subj = Seq(
+      ("g", 1L, 1L), ("g", 1L, 1L), ("g", 2L, 0L), ("g", 3L, 1L),
+      // group h: one immortal censored subject -> flat 1e6
+      ("h", 5L, 0L))
+      .toDF("grp", "dur", "ev")
+    val out = Retention.kaplanMeier(subj, Seq("grp"), "dur", "ev")
+      .orderBy("grp", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.toSeq shouldBe Seq(
+      ("g", 1L, 4L, 2L, 0L, 500000L),
+      ("g", 2L, 2L, 0L, 1L, 500000L),
+      ("g", 3L, 1L, 1L, 0L, 0L),
+      ("h", 5L, 1L, 0L, 1L, 1000000L))
+    // exact integers: partitioning cannot change the curve
+    val p = Retention.kaplanMeier(subj.repartition(7), Seq("grp"),
+      "dur", "ev").orderBy("grp", "t").collect().toSeq
+    p shouldBe Retention.kaplanMeier(subj.coalesce(1), Seq("grp"),
+      "dur", "ev").orderBy("grp", "t").collect().toSeq
+    // negative or null durations are dropped, not folded in
+    val dirty = Seq(("g", Some(-1L), Some(1L)), ("g", Some(2L), None),
+      ("g", Some(1L), Some(1L))).toDF("grp", "dur", "ev")
+    Retention.kaplanMeier(dirty, Seq("grp"), "dur", "ev")
+      .count() shouldBe 1L
+  }
+
   test("churnLabels: half-open split, outcome window, silence feature") {
     val events = Seq(
       (1L, 10L), (1L, 14L), // active pre, silent after -> churned
