@@ -1737,6 +1737,33 @@ object SparkEntry {
         .orderBy("channel", "t")
     }),
 
+    // TRUE delta-fold mart maintenance: the historical (priority, month)
+    // order mart combined with a raw append delta through algebraic
+    // partials (count/sum/min/max) — the source's history is never
+    // re-read, unlike q34's lookback recompute. The 1998-07-15 split
+    // lands mid-month so the cutoff month exercises the ⊕ combine while
+    // later months take the new-key path. Oracle = the full rebuild.
+    "q218_incremental_agg" -> ((s, dir) => {
+      import graft.gold.IncrementalMaterializer.{AlgebraicMeasure => M}
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderdate").as("d"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val hist = o.filter(col("d") < lit("1998-07-15"))
+        .groupBy("priority", "month")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+      val delta = o.filter(col("d") >= lit("1998-07-15")).drop("d")
+      IncrementalMaterializer.refreshAlgebraic(hist, delta,
+        Seq("priority", "month"),
+        Seq(M("n_orders", "count", "cents"),
+          M("total_cents", "sum", "cents"),
+          M("min_cents", "min", "cents"),
+          M("max_cents", "max", "cents")))
+        .orderBy("priority", "month")
+    }),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3280,6 +3307,19 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q218: the oracle is the FULL rebuild over all orders — green
+    // proves the algebraic fold ≡ recomputing from scratch.
+    "q218_incremental_agg" ->
+      """SELECT o_orderpriority AS priority,
+        | strftime(o_orderdate, '%Y-%m') AS month,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS total_cents,
+        | CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS min_cents,
+        | CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS max_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q217: the identical per-step-floored fold — steps encoded
     // n·1e9 + d, sentinel-initialized list_reduce over each prefix.
     "q217_kaplan_meier" ->

@@ -103,4 +103,79 @@ object IncrementalMaterializer {
         s"match delta⋈dim output [${enriched.columns.sorted.mkString(",")}]")
     merge(existing, enriched, factKeys)
   }
+
+  /** One algebraic measure of [[refreshAlgebraic]]: `op` ∈ count | sum |
+    * min | max, `inCol` the delta input column (ignored for count),
+    * `outCol` the mart column the partial lives in. */
+  final case class AlgebraicMeasure(outCol: String, op: String,
+      inCol: String)
+
+  /** TRUE delta-fold mart maintenance — one step stronger than
+    * [[refresh]]: that path RECOMPUTES every affected group from a
+    * lookback window of the source; this one never re-reads the source
+    * at all. For ALGEBRAIC measures (count/sum/min/max — partials that
+    * combine associatively) the old mart row IS a sufficient partial,
+    * so the update is
+    *
+    *   V' = (V ∖ touched) ∪ (V ⋉ touched ⊕ agg(Δ))
+    *
+    * — aggregate the raw delta to per-key partials, full-outer-join them
+    * against ONLY the touched slice of the mart, and combine per
+    * measure (sum/count add; min/max take the null-safe extreme). avg
+    * is NOT algebraic — store sum and count and divide downstream; nor
+    * is count-distinct — use the HLL sketch state (`Sketches`) when an
+    * estimate is acceptable.
+    *
+    * Correctness contract: Δ must be APPEND-ONLY rows (no updates or
+    * deletes — combine cannot retract a min). The invariant the oracle
+    * asserts: `refreshAlgebraic(agg(F), Δ) == agg(F ∪ Δ)`.
+    *
+    * Scale shape: the delta aggregate is churn-sized; touched keys are
+    * its key set (broadcast to both the semi- and anti-join probes), so
+    * the historical mart — the 100 TB side — moves zero bytes through a
+    * shuffle and is scanned once. */
+  def refreshAlgebraic(existing: DataFrame, delta: DataFrame,
+      keys: Seq[String], measures: Seq[AlgebraicMeasure]): DataFrame = {
+    require(measures.nonEmpty, "refreshAlgebraic needs at least one measure")
+    val bad = measures.map(_.op).filterNot(
+      Set("count", "sum", "min", "max").contains)
+    require(bad.isEmpty,
+      s"non-algebraic ops [${bad.mkString(",")}] - only count/sum/min/max " +
+        "partials combine; store sum+count for avg, sketches for distinct")
+    val aggs = measures.map { m =>
+      (m.op match {
+        case "count" => count(lit(1))
+        case "sum" => sum(col(m.inCol))
+        case "min" => min(col(m.inCol))
+        case "max" => max(col(m.inCol))
+      }).as(m.outCol)
+    }
+    val deltaPart = delta.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    require(existing.columns.sorted.sameElements(deltaPart.columns.sorted),
+      s"existing mart columns [${existing.columns.sorted.mkString(",")}] " +
+        s"must match the measure spec output " +
+        s"[${deltaPart.columns.sorted.mkString(",")}]")
+    val touched = deltaPart.select(keys.map(col): _*).distinct()
+    val untouched = existing.join(broadcast(touched), keys, "left_anti")
+    val old = existing.join(broadcast(touched), keys, "left_semi")
+    val e = old.select(
+      keys.map(col) ++ measures.map(m => col(m.outCol).as(s"__e_${m.outCol}")): _*)
+    val d = deltaPart.select(
+      keys.map(col) ++ measures.map(m => col(m.outCol).as(s"__d_${m.outCol}")): _*)
+    val combined = e.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ measures.map { m =>
+        val a = col(s"__e_${m.outCol}")
+        val b = col(s"__d_${m.outCol}")
+        (m.op match {
+          case "count" | "sum" =>
+            coalesce(a, lit(0L)) + coalesce(b, lit(0L))
+          case "min" => when(a.isNull, b).when(b.isNull, a)
+            .otherwise(least(a, b))
+          case "max" => when(a.isNull, b).when(b.isNull, a)
+            .otherwise(greatest(a, b))
+        }).as(m.outCol)
+      }: _*)
+    untouched.unionByName(combined.select(existing.columns.map(col): _*))
+  }
 }

@@ -75,4 +75,45 @@ class IncrementalSpec extends SparkSpec {
   }
 
   private def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+
+  test("refreshAlgebraic: delta fold equals full rebuild, combine hand-traced") {
+    import IncrementalMaterializer.AlgebraicMeasure
+    val measures = Seq(
+      AlgebraicMeasure("n", "count", "v"),
+      AlgebraicMeasure("total", "sum", "v"),
+      AlgebraicMeasure("lo", "min", "v"),
+      AlgebraicMeasure("hi", "max", "v"))
+    def build(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("total"),
+        org.apache.spark.sql.functions.min("v").as("lo"),
+        org.apache.spark.sql.functions.max("v").as("hi"))
+    val hist = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
+    val delta = Seq(("a", 1L), ("c", 7L)).toDF("k", "v") // touch + new key
+    val folded = IncrementalMaterializer.refreshAlgebraic(
+      build(hist), delta, Seq("k"), measures)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // invariant: fold == full rebuild over hist ∪ delta
+    val full = build(hist.unionByName(delta)).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    folded.toSeq shouldBe full.toSeq
+    // the combine itself: a's min folded DOWN to the delta's 1
+    folded.toSeq shouldBe Seq(
+      ("a", 3L, 31L, 1L, 20L),
+      ("b", 1L, 5L, 5L, 5L), // untouched key passes through the anti-join
+      ("c", 1L, 7L, 7L, 7L)) // delta-only key arrives whole
+    // non-algebraic ops and schema drift are refused loudly
+    an[IllegalArgumentException] should be thrownBy
+      IncrementalMaterializer.refreshAlgebraic(build(hist), delta, Seq("k"),
+        Seq(AlgebraicMeasure("a", "avg", "v")))
+    an[IllegalArgumentException] should be thrownBy
+      IncrementalMaterializer.refreshAlgebraic(
+        build(hist).withColumnRenamed("total", "sum_v"), delta, Seq("k"),
+        measures)
+  }
 }
