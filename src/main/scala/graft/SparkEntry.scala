@@ -1764,6 +1764,19 @@ object SparkEntry {
         .orderBy("priority", "month")
     }),
 
+    // Pivot dashboard mart: one row per day, a (count, value-sum) column
+    // pair per PINNED event type — schema fixed by argument, absent
+    // cells 0, one conditional-partial aggregate, no pivot-discovery job.
+    "q219_pivot_mart" -> ((s, dir) =>
+      Grouping.pivotMart(
+        Tables.load(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"),
+            col("event_type"),
+            round(col("value") * lit(100)).cast("long").as("v_e2")),
+        "day", "event_type", "v_e2",
+        categories = Seq("view", "click", "purchase", "signup", "error"))
+        .orderBy("day")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3307,6 +3320,34 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q219: the same conditional partials as a wide projection.
+    "q219_pivot_mart" ->
+      """WITH b AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |  event_type AS t,
+        |  coalesce(CAST(round(value * 100.0) AS BIGINT), 0) AS v
+        | FROM events)
+        |SELECT day,
+        | CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS view_n,
+        | CAST(sum(CASE WHEN t = 'view' THEN v ELSE 0 END) AS BIGINT)
+        |   AS view_sum,
+        | CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS click_n,
+        | CAST(sum(CASE WHEN t = 'click' THEN v ELSE 0 END) AS BIGINT)
+        |   AS click_sum,
+        | CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS purchase_n,
+        | CAST(sum(CASE WHEN t = 'purchase' THEN v ELSE 0 END) AS BIGINT)
+        |   AS purchase_sum,
+        | CAST(sum(CASE WHEN t = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS signup_n,
+        | CAST(sum(CASE WHEN t = 'signup' THEN v ELSE 0 END) AS BIGINT)
+        |   AS signup_sum,
+        | CAST(sum(CASE WHEN t = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS error_n,
+        | CAST(sum(CASE WHEN t = 'error' THEN v ELSE 0 END) AS BIGINT)
+        |   AS error_sum
+        |FROM b GROUP BY day ORDER BY day""".stripMargin,
     // q218: the oracle is the FULL rebuild over all orders — green
     // proves the algebraic fold ≡ recomputing from scratch.
     "q218_incremental_agg" ->

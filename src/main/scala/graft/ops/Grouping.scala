@@ -50,6 +50,38 @@ object Grouping {
     * totals never re-touch row data). share_e6 = child·1e6 div parent —
     * exact integer, no IEEE anywhere. Parents whose total is 0 report
     * null share (a 0/0 share is undefined, not 0). */
+  /** PIVOT mart with a PINNED category list — the wide dashboard table
+    * (one row per key, one column pair per category: `<cat>_n` count and
+    * `<cat>_sum` integer-sum). The categories are an explicit argument,
+    * not discovered from data, for three reasons: the output SCHEMA must
+    * not depend on what a batch happens to contain (downstream tables
+    * break when a category goes quiet), Spark skips its
+    * collect-distinct-values pass when values are given (one job, not
+    * two), and a cross-engine oracle needs a deterministic column set.
+    * Rows whose category is outside the list are DROPPED and counted
+    * nowhere — pass a catch-all category upstream if the tail matters.
+    * Absent (key, category) cells emit 0, not null: the wide table's
+    * contract is "a cell is a number".
+    *
+    * Scale shape: ONE grouped aggregate keyed by the row key —
+    * conditional partials per category, map-side combined; no join, no
+    * window, |categories|·2 columns. */
+  def pivotMart(df: DataFrame, keyCol: String, catCol: String,
+      valueCol: String, categories: Seq[String]): DataFrame = {
+    require(categories.nonEmpty, "pivotMart needs at least one category")
+    require(categories.distinct.size == categories.size,
+      s"duplicate categories in ${categories.mkString(",")}")
+    val aggs = categories.flatMap { c =>
+      Seq(
+        sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"${c}_n"),
+        sum(when(col(catCol) === c,
+          coalesce(col(valueCol).cast("long"), lit(0L)))
+          .otherwise(0L)).as(s"${c}_sum"))
+    }
+    df.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def shareOfParent(df: DataFrame, parentCols: Seq[String],
       childCols: Seq[String], valueCol: String): DataFrame = {
     require(parentCols.nonEmpty && childCols.nonEmpty,

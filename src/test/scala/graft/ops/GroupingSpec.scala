@@ -52,4 +52,24 @@ class GroupingSpec extends SparkSpec {
     out(("A", 2L)) shouldBe (70L, 100L, Some(700000L))
     out(("B", 1L)) shouldBe (0L, 0L, None)
   }
+
+  test("pivotMart: pinned schema, zero cells, off-list rows dropped") {
+    val rows = Seq(
+      (1L, "a", Some(10L)), (1L, "a", Some(5L)), (1L, "b", Some(7L)),
+      (2L, "a", None), // counted, sums 0
+      (2L, "zzz", Some(99L))) // off-list: contributes to NO cell
+      .toDF("day", "t", "v")
+    val out = Grouping.pivotMart(rows, "day", "t", "v", Seq("a", "b"))
+      .orderBy("day").collect()
+    out.map(_.schema.fieldNames.toSeq).head shouldBe
+      Seq("day", "a_n", "a_sum", "b_n", "b_sum")
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq shouldBe Seq(
+      (1L, 2L, 15L, 1L, 7L),
+      (2L, 1L, 0L, 0L, 0L)) // null value: counted once, sum 0; b empty: 0s
+    an[IllegalArgumentException] should be thrownBy
+      Grouping.pivotMart(rows, "day", "t", "v", Seq())
+    an[IllegalArgumentException] should be thrownBy
+      Grouping.pivotMart(rows, "day", "t", "v", Seq("a", "a"))
+  }
 }
