@@ -1777,6 +1777,18 @@ object SparkEntry {
         categories = Seq("view", "click", "purchase", "signup", "error"))
         .orderBy("day")),
 
+    // A/B experiment report: md5-bucket assignment (variant 0 = control,
+    // 3 arms), per-variant conversion, integer lift via cross-multiplied
+    // counts, pooled two-proportion z as the one fixed IEEE dag.
+    "q220_experiment_report" -> ((s, dir) =>
+      graft.ops.Features.experimentReport(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "purchase", lit(1L))
+              .otherwise(lit(0L)).as("y")),
+        "user_id", "y", nVariants = 3)
+        .orderBy("variant")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3320,6 +3332,33 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q220: identical md5 buckets, cross-multiplied integer lift, and
+    // the pooled-z IEEE dag operand-for-operand.
+    "q220_experiment_report" ->
+      """WITH pe AS (SELECT CAST(user_id AS VARCHAR) AS id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS conv
+        | FROM events GROUP BY 1),
+        |v AS (SELECT ('0x' || substr(md5(id), 1, 8))::BIGINT % 3
+        |    AS variant, conv FROM pe),
+        |per AS (SELECT variant, count(*) AS n,
+        |  CAST(sum(conv) AS BIGINT) AS n_conv FROM v GROUP BY 1),
+        |c AS (SELECT n AS nc, n_conv AS cc FROM per WHERE variant = 0)
+        |SELECT CAST(variant AS BIGINT) AS variant, n, n_conv,
+        | CAST(n_conv * 1000000 // n AS BIGINT) AS conv_rate_e6,
+        | CASE WHEN variant != 0 AND cc > 0 THEN
+        |   CAST(sign(n_conv * nc - cc * n) AS BIGINT) *
+        |   (abs(n_conv * nc - cc * n) * 1000000 // (cc * n))
+        | END AS lift_e6,
+        | CASE WHEN variant != 0 AND (n_conv + cc) > 0
+        |   AND (n_conv + cc) < (n + nc) THEN
+        |   CAST(round((n_conv / CAST(n AS DOUBLE)
+        |       - cc / CAST(nc AS DOUBLE)) /
+        |     sqrt(((n_conv + cc) / CAST(n + nc AS DOUBLE))
+        |       * (1.0 - (n_conv + cc) / CAST(n + nc AS DOUBLE))
+        |       * (1.0 / n + 1.0 / nc)) * 1000000.0) AS BIGINT)
+        | END AS z_e6
+        |FROM per, c ORDER BY variant""".stripMargin,
     // q219: the same conditional partials as a wide projection.
     "q219_pivot_mart" ->
       """WITH b AS (SELECT epoch_ns(ts) // 86400000000000 AS day,

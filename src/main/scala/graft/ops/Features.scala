@@ -165,6 +165,62 @@ object Features {
       .groupBy("id", "bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** A/B experiment report — deterministic assignment + per-variant
+    * outcome stats + the two-proportion z test, all replayable:
+    * variants come from the repo's one hash convention (md5-first-8-hex
+    * of the entity id, mod `nVariants` — assignment is a FUNCTION of the
+    * id, so reruns, engines and backfills agree; variant 0 is control),
+    * conversion = the entity had ≥ 1 `positiveCol` > 0 row. Per variant:
+    * n entities, n converted, conv_rate_e6 (exact floor division), and
+    * vs control: lift_e6 = (r_v − r_c)·10⁶ div r_c (sign-factored — the
+    * q216 floor/trunc lesson) and z_e6 from the pooled two-proportion
+    * statistic, z = (p_v − p_c)/√(p̂(1−p̂)(1/n_v+1/n_c)) — the ONE fixed
+    * IEEE dag (exact BIGINT counts → a single expression of doubles →
+    * round·10⁶; the q162/q174 determinism posture). Control reports
+    * null lift/z. Variants with zero entities simply don't appear;
+    * a degenerate pooled rate (p̂ ∈ {0, 1}) yields null z.
+    *
+    * Scale shape: one entity-grain aggregate (assignment is row-local),
+    * one |variants|-sized rollup, one broadcast of the 1-row control
+    * frame. */
+  def experimentReport(df: DataFrame, entityCol: String,
+      positiveCol: String, nVariants: Int = 2): DataFrame = {
+    require(nVariants >= 2, s"nVariants must be >= 2, got $nVariants")
+    val perEntity = df
+      .select(col(entityCol).cast("string").as("__id"),
+        col(positiveCol).cast("long").as("__y"))
+      .groupBy("__id")
+      .agg(max(when(col("__y") > 0L, 1L).otherwise(0L)).as("__conv"))
+      .withColumn("variant",
+        (conv(substring(md5(col("__id")), 1, 8), 16, 10).cast("long") %
+          nVariants).as("variant"))
+    val per = perEntity.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("__conv").as("n_conv"))
+      .withColumn("conv_rate_e6", expr("n_conv * 1000000L div n"))
+    val control = per.filter(col("variant") === 0L)
+      .select(col("n").as("__nc"), col("n_conv").as("__cc"))
+    per.crossJoin(broadcast(control))
+      .select(col("variant"), col("n"), col("n_conv"), col("conv_rate_e6"),
+        when(col("variant") =!= 0L && col("__cc") > 0L,
+          (signum(col("n_conv") * col("__nc") - col("__cc") * col("n"))
+            .cast("long")) *
+            expr("abs(n_conv * __nc - __cc * n) * 1000000L " +
+              "div (__cc * n)")).as("lift_e6"),
+        when(col("variant") =!= 0L &&
+          (col("n_conv") + col("__cc")) > 0L &&
+          (col("n_conv") + col("__cc")) < (col("n") + col("__nc")),
+          round(
+            (col("n_conv").cast("double") / col("n").cast("double") -
+              col("__cc").cast("double") / col("__nc").cast("double")) /
+            sqrt(((col("n_conv") + col("__cc")).cast("double") /
+              (col("n") + col("__nc")).cast("double")) *
+              (lit(1.0) - (col("n_conv") + col("__cc")).cast("double") /
+                (col("n") + col("__nc")).cast("double")) *
+              (lit(1.0) / col("n").cast("double") +
+                lit(1.0) / col("__nc").cast("double"))) * lit(1e6))
+            .cast("long")).as("z_e6"))
+  }
+
   /** Calibration / reliability table: scores clamped into FIXED-WIDTH
     * bins over [loE2, hiE2], per bin the observed positive rate next to
     * the mean score — the reliability-diagram table (is a model that

@@ -72,6 +72,42 @@ class FeaturesSpec extends SparkSpec {
     out(4) shouldBe (5L, 2L, 1L, 4L, 1000000L, 1000000L)
   }
 
+  test("experimentReport: independent md5 replay of assignment, lift, z") {
+    // conversions decided by the id, assignment by md5 — replicate BOTH
+    // independently in local Scala and demand the exact same report
+    val ids = (1L to 40L)
+    val rows = ids.flatMap(i => Seq((i, 0L), (i, if (i % 3 == 0) 1L else 0L)))
+      .toDF("id", "y")
+    val out = Features.experimentReport(rows, "id", "y", nVariants = 2)
+      .orderBy("variant").collect()
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val byV = ids.groupBy(bucket)
+    val n0 = byV(0L).size.toLong
+    val c0 = byV(0L).count(_ % 3 == 0).toLong
+    val n1 = byV(1L).size.toLong
+    val c1 = byV(1L).count(_ % 3 == 0).toLong
+    out(0).getAs[Long]("n") shouldBe n0
+    out(0).getAs[Long]("n_conv") shouldBe c0
+    out(0).isNullAt(out(0).fieldIndex("lift_e6")) shouldBe true // control
+    out(0).isNullAt(out(0).fieldIndex("z_e6")) shouldBe true
+    out(1).getAs[Long]("n") shouldBe n1
+    out(1).getAs[Long]("n_conv") shouldBe c1
+    out(1).getAs[Long]("conv_rate_e6") shouldBe c1 * 1000000L / n1
+    // integer lift from cross-multiplied counts
+    val num = c1 * n0 - c0 * n1
+    out(1).getAs[Long]("lift_e6") shouldBe
+      (math.signum(num) * (math.abs(num) * 1000000L / (c0 * n1)))
+    // the pooled-z IEEE dag, identical operand order
+    val p = (c1 + c0).toDouble / (n1 + n0).toDouble
+    val z = (c1.toDouble / n1.toDouble - c0.toDouble / n0.toDouble) /
+      math.sqrt(p * (1.0 - p) * (1.0 / n1 + 1.0 / n0)) * 1e6
+    out(1).getAs[Long]("z_e6") shouldBe math.round(z)
+  }
+
   test("calibrationReport: hand-traced bins, clamping, empty bins absent") {
     // 4 bins over [0, 399]: width 400, bin = s * 4 div 400 = s div 100
     val rows = Seq(
