@@ -111,7 +111,13 @@ object ScaleSmoke {
     // cell rollup (row-local bit algebra + one grouped agg), and the
     // two-deletion fuzzy blocking (the ~len²/2-key explode measured)
     "q205_bm25_search", "q206_bfs_distances", "q208_assoc_rules",
-    "q209_zorder_cells", "q210_hits", "q211_fuzzy_names_ed2")
+    "q209_zorder_cells", "q210_hits", "q211_fuzzy_names_ed2",
+    // the analytics tranche's heavier shapes: RFM's three entity-frame
+    // global ntiles (the q158-class sort, measured at its safest), the
+    // cohort-LTV summary window, Kaplan-Meier's per-group prefix folds,
+    // and the delta-fold mart refresh (delta agg + broadcast-key probes)
+    "q213_rfm", "q214_cohort_ltv", "q217_kaplan_meier",
+    "q218_incremental_agg")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
