@@ -296,6 +296,28 @@ object ConfigLoader {
               minAbsCorrE6 = cm.get("min_abs_corr_e6").map(_.toString.toLong)
                 .getOrElse(950000L))
           },
+        hhiChecks = asList(qm.getOrElse("hhi_checks", null)).map { r =>
+          val hm = asMap(r, "quality.hhi_checks[]")
+          HhiCheck(
+            groupBy = strList(hm, "group_by"),
+            categoryColumn = str(hm, "category_column", "hhi"),
+            maxHhiE6 = hm.get("max_hhi_e6").map(_.toString.toLong)
+              .getOrElse(250000L))
+        },
+        popChecks = asList(qm.getOrElse("pop_checks", null)).map { r =>
+          val pm = asMap(r, "quality.pop_checks[]")
+          val pc = PopCheck(
+            typeColumn = str(pm, "type_column", "pop"),
+            tsColumn = str(pm, "ts_column", "pop"),
+            valueColumn = str(pm, "value_column", "pop"),
+            periodDays = pm.get("period_days").map(_.toString.toLong)
+              .getOrElse(1L),
+            maxDropE6 = pm.get("max_drop_e6").map(_.toString.toLong)
+              .getOrElse(500000L))
+          if (pc.periodDays < 1)
+            throw new ConfigError("quality.pop_checks[].period_days must be >= 1")
+          pc
+        },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

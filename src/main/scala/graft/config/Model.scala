@@ -116,6 +116,21 @@ final case class SeasonalCheck(groupBy: Seq[String], tsColumn: String,
 final case class CorrelationCheck(typeColumn: String, tsColumn: String,
     valueColumn: String, minAbsCorrE6: Long = 950000L)
 
+/** Concentration contract (Anomaly.hhiReport): failedCount = groups
+  * whose category HHI exceeds `maxHhiE6` — one category (user, source,
+  * domain) holding more than the threshold's share-squared mass is a
+  * bot/hot-key/collapsed-mix alarm. Empty groupBy = one global group. */
+final case class HhiCheck(groupBy: Seq[String], categoryColumn: String,
+    maxHhiE6: Long = 250000L)
+
+/** Period-over-period drop contract (TimeSeries.periodOverPeriod over
+  * the daily e2 mass per `typeColumn`): failedCount = (key, period)
+  * cells whose pct_change_e6 < −`maxDropE6` — the dashboard drop
+  * detector as a gate. Chain-broken periods (a silent day) report null
+  * change and never count. */
+final case class PopCheck(typeColumn: String, tsColumn: String,
+    valueColumn: String, periodDays: Long = 1L, maxDropE6: Long = 500000L)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -127,6 +142,8 @@ final case class QualitySpec(
     benfordChecks: Seq[BenfordCheck] = Nil,
     seasonalChecks: Seq[SeasonalCheck] = Nil,
     correlationChecks: Seq[CorrelationCheck] = Nil,
+    hhiChecks: Seq[HhiCheck] = Nil,
+    popChecks: Seq[PopCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

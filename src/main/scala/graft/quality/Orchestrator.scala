@@ -112,8 +112,35 @@ object Orchestrator {
         corr.filter(col("corr_e6").isNotNull &&
           abs(col("corr_e6")) >= cc.minAbsCorrE6).count())
     }
+    val hhiResults = spec.hhiChecks.map { hc =>
+      val label = s"${hc.categoryColumn}" +
+        (if (hc.groupBy.nonEmpty) s" by ${hc.groupBy.mkString(",")}" else "")
+      requireCols("hhi_check", label, hc.groupBy :+ hc.categoryColumn)
+      // empty group_by = one global group (a constant key keeps
+      // hhiReport's group-keyed shape without a special case)
+      val (gdf, gcols) =
+        if (hc.groupBy.nonEmpty) (df, hc.groupBy)
+        else (df.withColumn("__all", lit(1L)), Seq("__all"))
+      Checks.CheckResult("hhi_check", label,
+        Anomaly.hhiReport(gdf, gcols, hc.categoryColumn)
+          .filter(col("hhi_e6") > hc.maxHhiE6).count())
+    }
+    val popResults = spec.popChecks.map { pc =>
+      val label = s"${pc.typeColumn}/${pc.valueColumn}%${pc.periodDays}d"
+      requireCols("pop_check", label,
+        Seq(pc.typeColumn, pc.tsColumn, pc.valueColumn))
+      val pop = graft.ops.TimeSeries.periodOverPeriod(
+        df.filter(col(pc.valueColumn).isNotNull)
+          .select(col(pc.typeColumn),
+            expr(s"${pc.tsColumn} div 86400000000000").as("__day"),
+            round(col(pc.valueColumn) * lit(100)).cast("long")
+              .as("__v_e2")),
+        pc.typeColumn, "__day", "__v_e2", pc.periodDays)
+      Checks.CheckResult("pop_check", label,
+        pop.filter(col("pct_change_e6") < -pc.maxDropE6).count())
+    }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
-      seasonalResults ++ correlationResults
+      seasonalResults ++ correlationResults ++ hhiResults ++ popResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

@@ -806,6 +806,46 @@ class PipelineSpec extends SparkSpec {
       graft.quality.Orchestrator.run(df.drop("kind"), cfg.quality)
   }
 
+  test("quality hhi_checks / pop_checks drive from YAML") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: concentration
+        |quality:
+        |  hhi_checks:
+        |    - {group_by: [kind], category_column: user, max_hhi_e6: 500000}
+        |    - {category_column: user, max_hhi_e6: 990000}
+        |  pop_checks:
+        |    - {type_column: kind, ts_column: ts, value_column: amount,
+        |       period_days: 1, max_drop_e6: 400000}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.hhiChecks shouldBe Seq(
+      graft.config.HhiCheck(Seq("kind"), "user", 500000L),
+      graft.config.HhiCheck(Nil, "user", 990000L))
+    cfg.quality.popChecks.head.maxDropE6 shouldBe 400000L
+    val day = 86400000000000L
+    val rows =
+      // kind a: one bot user (HHI 1e6 > cap); steady mass
+      Seq(("a", "bot", 0L * day, 100.0), ("a", "bot", 1L * day, 100.0),
+        ("a", "bot", 2L * day, 100.0)) ++
+      // kind b: spread users; day 2 drops 50% > the 40% cap
+      Seq(("b", "u1", 0L * day, 100.0), ("b", "u2", 0L * day, 100.0),
+        ("b", "u3", 1L * day, 100.0), ("b", "u4", 1L * day, 100.0),
+        ("b", "u5", 2L * day, 100.0))
+    val df = rows.toDF("kind", "user", "ts", "amount")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val byKind = report.checkResults.groupBy(_.check)
+    // grouped form: only kind a's user concentration breaches 0.5
+    byKind("hhi_check").map(c => c.column -> c.failedCount).toMap shouldBe
+      Map("user by kind" -> 1L, "user" -> 0L) // global never hits 0.99
+    // kind b: 200 -> 200 (flat, fine) -> 100 (-50% < -40%): one cell;
+    // kind a is flat and never flags
+    byKind("pop_check").head.failedCount shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      graft.quality.Orchestrator.run(df.drop("user"), cfg.quality)
+  }
+
   test("features block: hash_text and target_encode drive from YAML") {
     val yaml =
       """version: "1.0"
