@@ -1789,6 +1789,18 @@ object SparkEntry {
         "user_id", "y", nVariants = 3)
         .orderBy("variant")),
 
+    // Revenue concentration per order priority: mass-weighted HHI over
+    // per-customer spend — the whale detector a count-HHI misses; shares
+    // floored to e6 before squaring so nothing overflows.
+    "q221_hhi_mass" -> ((s, dir) =>
+      Anomaly.hhiReportByMass(
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            col("o_custkey"),
+            round(col("o_totalprice") * 100).cast("long").as("cents")),
+        Seq("priority"), "o_custkey", "cents")
+        .orderBy("priority")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3332,6 +3344,27 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q221: identical share-floor-then-square order.
+    "q221_hhi_mass" ->
+      """WITH pc AS (SELECT o_orderpriority AS priority, o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS m
+        | FROM orders WHERE o_totalprice IS NOT NULL
+        |   AND round(o_totalprice * 100) >= 0
+        | GROUP BY 1, 2),
+        |sh AS (SELECT priority, m,
+        |  CAST(sum(m) OVER (PARTITION BY priority) AS BIGINT) AS t
+        | FROM pc),
+        |s2 AS (SELECT priority, count(*) AS n_cats, max(t) AS total_mass,
+        |  CAST(sum((m * 1000000 // t) * (m * 1000000 // t)) AS BIGINT)
+        |    AS ss
+        | FROM sh WHERE t > 0 GROUP BY 1)
+        |SELECT priority, n_cats, total_mass,
+        | CAST(ss // 1000000 AS BIGINT) AS hhi_e6,
+        | CASE WHEN ss // 1000000 > 0 THEN
+        |   CAST(1000000000000 // (ss // 1000000) AS BIGINT)
+        | END AS eff_cats_e6
+        |FROM s2 ORDER BY priority""".stripMargin,
     // q220: identical md5 buckets, cross-multiplied integer lift, and
     // the pooled-z IEEE dag operand-for-operand.
     "q220_experiment_report" ->

@@ -737,6 +737,49 @@ object Anomaly {
         expr("n * n * 1000000L div __s2").as("eff_cats_e6")): _*)
   }
 
+  /** [[hhiReport]] weighted by an integer MASS instead of row counts —
+    * revenue/token/byte concentration rather than event concentration
+    * (one whale customer is invisible to a count-HHI if it orders once).
+    * Squaring raw masses overflows (an e2 mass of 10¹² squares to
+    * 10²⁴), so each category first reduces to its exact e6 share
+    * (m_c·10⁶ div M) and the index squares THOSE:
+    *
+    *   hhi_e6 = Σ share_e6² div 10⁶    eff_cats_e6 = 10¹² div hhi_e6
+    *
+    * — bounded by construction (Σ share_e6 ≤ 10⁶ ⇒ Σ share² ≤ 10¹²),
+    * floors applied in a fixed order so engines agree; the share floor
+    * understates tiny categories by < 1e-6 each, far inside any
+    * concentration read. Negative or null masses are filtered (a
+    * negative share-squared is undefined); zero-total groups null out.
+    *
+    * Scale shape: identical to [[hhiReport]] — one (group × category)
+    * aggregate + one group rollup carrying the group total via a
+    * window over the CATEGORY-space frame. */
+  def hhiReportByMass(df: DataFrame, groupCols: Seq[String],
+      catCol: String, massCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val perCat = df
+      .filter(col(massCol).isNotNull && col(massCol) >= 0)
+      .groupBy(gcols :+ col(catCol).as("__cat"): _*)
+      .agg(sum(col(massCol).cast("long")).as("__m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*)
+    perCat
+      .withColumn("__t", sum("__m").over(w))
+      .withColumn("__share",
+        when(col("__t") > 0L, expr("__m * 1000000L div __t")))
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_cats"),
+        max("__t").as("total_mass"),
+        sum(col("__share") * col("__share")).as("__s2"))
+      .select(gcols ++ Seq(col("n_cats"), col("total_mass"),
+        when(col("total_mass") > 0L, expr("__s2 div 1000000L"))
+          .as("hhi_e6"),
+        when(col("total_mass") > 0L && expr("__s2 div 1000000L") > 0L,
+          expr("1000000000000L div (__s2 div 1000000L)"))
+          .as("eff_cats_e6")): _*)
+  }
+
   private def e6(c: Column): Column =
     round(c * lit(1e6)).cast("long")
 

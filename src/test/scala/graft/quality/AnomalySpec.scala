@@ -312,6 +312,27 @@ class AnomalySpec extends SparkSpec {
     out("neg")._4 shouldBe None
   }
 
+  test("hhiReportByMass: whale visible to mass, invisible to counts") {
+    import spark.implicits._
+    // 1 whale order of 97, 3 minnow orders of 1: count-HHI reads 4 equal
+    // categories (250000); mass-HHI reads near-monopoly
+    val rows = Seq(("g", "whale", 97L), ("g", "m1", 1L), ("g", "m2", 1L),
+      ("g", "m3", 1L))
+    val mass = Anomaly.hhiReportByMass(rows.toDF("g", "c", "m"),
+      Seq("g"), "c", "m").collect()(0)
+    mass.getAs[Long]("n_cats") shouldBe 4L
+    mass.getAs[Long]("total_mass") shouldBe 100L
+    // shares e6: 970000² + 3·10000² = 940900000000 + 300000000
+    mass.getAs[Long]("hhi_e6") shouldBe 941200L
+    Anomaly.hhiReport(rows.toDF("g", "c", "m"), Seq("g"), "c")
+      .collect()(0).getAs[Long]("hhi_e6") shouldBe 250000L
+    // negative masses are filtered; zero-total groups null out
+    val dirty = Seq(("z", "a", 0L), ("z", "b", -5L)).toDF("g", "c", "m")
+    val z = Anomaly.hhiReportByMass(dirty, Seq("g"), "c", "m").collect()(0)
+    z.getAs[Long]("n_cats") shouldBe 1L // the negative row dropped
+    z.isNullAt(z.fieldIndex("hhi_e6")) shouldBe true
+  }
+
   test("hhiReport: uniform floor, monopoly ceiling, nulls are a category") {
     import spark.implicits._
     val rows =
