@@ -1801,6 +1801,21 @@ object SparkEntry {
         Seq("priority"), "o_custkey", "cents")
         .orderBy("priority")),
 
+    // Funnel by experiment variant: the q176 strictly-ordered frontier
+    // chain split by the q220 md5-bucket assignment — per variant, where
+    // in view→click→purchase the drop happens. Segments that die report
+    // zero rows for later stages, not missing rows.
+    "q222_funnel_by_variant" -> ((s, dir) =>
+      Sessions.funnelStepsBy(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("event_type"),
+            (conv(substring(md5(col("user_id").cast("string")), 1, 8),
+              16, 10).cast("long") % 3).as("variant")),
+        "user_id", "ts_us", "event_id", "event_type",
+        steps = Seq("view", "click", "purchase"), byCol = "variant")
+        .orderBy("segment", "stage")),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3344,6 +3359,42 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q222: the q176 frontier chain with the variant riding along and
+    // per-variant tallies left-joined down the stages.
+    "q222_funnel_by_variant" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  {'t': epoch_us(ts), 'i': event_id} AS st,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 3 AS v
+        | FROM events),
+        |f1 AS (SELECT user_id, v, min(st) AS at FROM e
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |f2 AS (SELECT e.user_id, f1.v, min(e.st) AS at FROM e
+        |  JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND e.st > f1.at GROUP BY 1, 2),
+        |f3 AS (SELECT e.user_id, f2.v, min(e.st) AS at FROM e
+        |  JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.st > f2.at GROUP BY 1, 2),
+        |c1 AS (SELECT v, count(*) AS n FROM f1 GROUP BY 1),
+        |c2 AS (SELECT v, count(*) AS n FROM f2 GROUP BY 1),
+        |c3 AS (SELECT v, count(*) AS n FROM f3 GROUP BY 1)
+        |SELECT CAST(v AS BIGINT) AS segment, CAST(stage AS BIGINT)
+        |  AS stage, step, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(conv AS BIGINT) AS conv_from_prev_e6
+        |FROM (
+        |  SELECT c1.v, 1 AS stage, 'view' AS step, c1.n AS n_keys,
+        |    1000000 AS conv FROM c1
+        |  UNION ALL
+        |  SELECT c1.v, 2, 'click', coalesce(c2.n, 0),
+        |    CASE WHEN c1.n = 0 THEN 0
+        |      ELSE coalesce(c2.n, 0) * 1000000 // c1.n END
+        |  FROM c1 LEFT JOIN c2 USING (v)
+        |  UNION ALL
+        |  SELECT c1.v, 3, 'purchase', coalesce(c3.n, 0),
+        |    CASE WHEN coalesce(c2.n, 0) = 0 THEN 0
+        |      ELSE coalesce(c3.n, 0) * 1000000 // c2.n END
+        |  FROM c1 LEFT JOIN c2 USING (v) LEFT JOIN c3 USING (v))
+        |ORDER BY segment, stage""".stripMargin,
     // q221: identical share-floor-then-square order.
     "q221_hhi_mass" ->
       """WITH pc AS (SELECT o_orderpriority AS priority, o_custkey,

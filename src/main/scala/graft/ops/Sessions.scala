@@ -429,4 +429,52 @@ object Sessions {
     }
     rows.toDF("stage", "step", "n_keys", "conv_from_prev_e6")
   }
+
+  /** [[funnelSteps]] split by a per-key SEGMENT (experiment variant,
+    * acquisition channel, plan tier): the same strictly-ordered frontier
+    * chain, one funnel per segment value, in ONE pass over the data per
+    * stage — the A/B-test funnel readout (which stage does the treatment
+    * actually move?). `byCol` must be a long-typed attribute CONSTANT
+    * per key (an md5-bucket variant, a cohort id); it rides the frontier
+    * from stage 1, so later stages never re-derive it. Segments that die
+    * at a stage report n_keys = 0 rows for every later stage (a missing
+    * row would read as "not measured", not "nobody converted").
+    * Per-stage tallies are |segments|-sized driver summaries (the
+    * funnelSteps counts, one per segment — bounded, the k-seeds
+    * posture); everything row-scaled stays distributed. */
+  def funnelStepsBy(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, steps: Seq[String],
+      byCol: String): DataFrame = {
+    require(steps.nonEmpty, "funnelStepsBy needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stamp = struct(col(tsUsCol).cast("long"), col(tieCol).cast("long"))
+    var frontier = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol), col(byCol).cast("long").as("__by"))
+      .agg(min(stamp).as("_at"))
+    def tally(f: DataFrame): Map[Long, Long] =
+      f.groupBy(col("__by")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var tallies = List(tally(frontier))
+    steps.drop(1).foreach { step =>
+      frontier = events.filter(col(typeCol) === step)
+        .select(col(keyCol), stamp.as("_st"))
+        .join(frontier, keyCol)
+        .filter(col("_st") > col("_at"))
+        .groupBy(col(keyCol), col("__by"))
+        .agg(min(col("_st")).as("_at"))
+      tallies = tally(frontier) :: tallies
+    }
+    val byStage = tallies.reverse
+    val segments = byStage.head.keys.toSeq.sorted
+    val rows = for {
+      v <- segments
+      (step, i) <- steps.zipWithIndex
+    } yield {
+      val n = byStage(i).getOrElse(v, 0L)
+      val prev = if (i == 0) n else byStage(i - 1).getOrElse(v, 0L)
+      (v, i + 1L, step, n, if (prev == 0L) 0L else n * 1000000L / prev)
+    }
+    rows.toDF("segment", "stage", "step", "n_keys", "conv_from_prev_e6")
+  }
 }

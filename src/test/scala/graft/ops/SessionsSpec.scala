@@ -124,6 +124,37 @@ class SessionsSpec extends SparkSpec {
       (3L, "purchase", 2L, 666666L))  // users 1, 4
   }
 
+  test("funnelStepsBy: per-segment funnels, dead segments report zeros") {
+    import spark.implicits._
+    val ev = Seq(
+      // segment 0: u1 full funnel, u2 stops at click
+      (1L, 0L, 10L, 1L, "view"), (1L, 0L, 20L, 2L, "click"),
+      (1L, 0L, 30L, 3L, "purchase"),
+      (2L, 0L, 10L, 4L, "view"), (2L, 0L, 20L, 5L, "click"),
+      // segment 1: u3 only views — the funnel dies at stage 2
+      (3L, 1L, 10L, 6L, "view"))
+      .toDF("user_id", "seg", "ts_us", "event_id", "event_type")
+    val out = graft.ops.Sessions.funnelStepsBy(ev, "user_id", "ts_us",
+        "event_id", "event_type", Seq("view", "click", "purchase"), "seg")
+      .orderBy("segment", "stage").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      (0L, 1L, "view", 2L, 1000000L),
+      (0L, 2L, "click", 2L, 1000000L),
+      (0L, 3L, "purchase", 1L, 500000L),
+      (1L, 1L, "view", 1L, 1000000L),
+      (1L, 2L, "click", 0L, 0L), // a zero ROW, not a missing one
+      (1L, 3L, "purchase", 0L, 0L))
+    // per-segment results agree with running funnelSteps on the slice
+    val seg0 = graft.ops.Sessions.funnelSteps(ev.filter($"seg" === 0L),
+      "user_id", "ts_us", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    out.filter(_._1 == 0L).map(t => (t._4, t._5)).toSeq shouldBe seg0
+  }
+
   test("topPaths: per-key ordered n-grams, deterministic rank tiebreak") {
     import spark.implicits._
     val ev = Seq(
