@@ -1816,6 +1816,24 @@ object SparkEntry {
         steps = Seq("view", "click", "purchase"), byCol = "variant")
         .orderBy("segment", "stage")),
 
+    // Hop-bounded weighted shortest paths over the basket graph: edge
+    // cost = 1e6 div co-occurrence count (strong ties are cheap), min
+    // total cost from the %7 seed set within 3 hops — frontier
+    // Bellman–Ford, oracle = min over all ≤3-edge walks (recursive CTE).
+    "q223_shortest_paths" -> ((s, dir) => {
+      val edges = Baskets.basketPairs(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", maxBasketSize = 20, minCount = 2L)
+        .withColumn("w", expr("1000000L div n_baskets"))
+        .localCheckpoint()
+      val seeds = edges.select(col("item_a").as("node"))
+        .unionAll(edges.select(col("item_b").as("node")))
+        .distinct()
+        .filter(col("node") % 7 === 0)
+      graft.ops.Graphs.shortestPathsBounded(edges, "item_a", "item_b",
+        "w", seeds, "node", maxHops = 3)
+        .orderBy("node")
+    }),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3359,6 +3377,22 @@ object SparkEntry {
         |     // sum(child_total) OVER (PARTITION BY event_type) AS BIGINT)
         | END AS share_e6
         |FROM d ORDER BY event_type, day""".stripMargin,
+    // q223: min over all ≤3-edge weighted walks — the frontier
+    // Bellman–Ford's exact contract, replayed as a recursive CTE.
+    "q223_shortest_paths" ->
+      s"""WITH RECURSIVE $basketEdgesMat,
+        |wsym AS MATERIALIZED (SELECT a AS src, b AS dst,
+        |  CAST(1000000 // n AS BIGINT) AS w FROM p WHERE n >= 2
+        |  UNION ALL SELECT b, a, CAST(1000000 // n AS BIGINT)
+        |  FROM p WHERE n >= 2),
+        |seeds AS (SELECT DISTINCT src AS node FROM sym WHERE src % 7 = 0),
+        |walk(node, cost, len) AS (
+        |  SELECT node, CAST(0 AS BIGINT), 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, w.cost + e.w, w.len + 1 FROM walk w
+        |  JOIN wsym e ON e.src = w.node WHERE w.len < 3)
+        |SELECT node, CAST(min(cost) AS BIGINT) AS cost
+        |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
     // q222: the q176 frontier chain with the variant riding along and
     // per-variant tallies left-joined down the stages.
     "q222_funnel_by_variant" ->

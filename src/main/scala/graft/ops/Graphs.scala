@@ -446,6 +446,68 @@ object Graphs {
     hub.join(auth, "node")
   }
 
+  /** Hop-bounded WEIGHTED shortest paths from a seed set — [[bfsDistances]]
+    * with a cost model (edge weights = dissimilarity, latency, toll):
+    * min total weight over paths of ≤ `maxHops` edges, i.e. exactly
+    * `maxHops` rounds of Bellman–Ford relaxation, in the FRONTIER form
+    * (only nodes whose cost improved last round re-expand — on a
+    * saturating graph later rounds touch a shrinking set, and the loop
+    * early-stops when nothing improves). Exact long costs, so results
+    * hash-compare; weights must be ≥ 0 (raise_error in-plan — a negative
+    * weight under a hop bound silently stops meaning "shortest").
+    *
+    * Per round: one keyed equi-join (frontier × adjacency) + a per-dst
+    * min + a join against the settled cost table keeping strict
+    * improvements; the settled table is checkpointed so round N never
+    * replays rounds 1..N−1. Round count is the hop bound — the caller's
+    * radius, not the graph diameter. */
+  def shortestPathsBounded(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, sources: DataFrame,
+      sourceCol: String, maxHops: Int,
+      directed: Boolean = false): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val checkedW = when(col(weightCol).cast("long") < 0L,
+      raise_error(concat(lit("negative edge weight: "),
+        col(weightCol).cast("string"))))
+      .otherwise(col(weightCol).cast("long"))
+    val oneWay = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), checkedW.as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: cheapest
+    val adj = (if (directed) oneWay
+      else oneWay.unionAll(oneWay.select(col("dst").as("src"),
+        col("src").as("dst"), col("w"))))
+      .localCheckpoint()
+    var dist = sources.select(col(sourceCol).cast("long").as("node"))
+      .distinct()
+      .select(col("node"), lit(0L).as("cost"))
+      .localCheckpoint()
+    var frontier = dist
+    var r = 1
+    var exhausted = false
+    while (r <= maxHops && !exhausted) {
+      val cand = adj
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("cost") + col("w")).as("__c"))
+      val improved = cand
+        .join(dist, Seq("node"), "left")
+        .filter(col("cost").isNull || col("__c") < col("cost"))
+        .select(col("node"), col("__c").as("cost"))
+        .localCheckpoint() // the round's one action; also the stop probe
+      if (improved.isEmpty) exhausted = true
+      else {
+        dist = dist.join(improved.select("node"), Seq("node"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint(eager = false)
+        frontier = improved
+      }
+      r += 1
+    }
+    dist
+  }
+
   /** Multi-source BFS hop distances: for every node reachable within
     * `maxHops` of ANY source, the minimum hop count — the reach/blast-
     * radius primitive (how far does an item's influence extend, which

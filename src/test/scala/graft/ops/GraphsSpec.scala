@@ -261,6 +261,35 @@ class GraphsSpec extends SparkSpec {
       Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L)
   }
 
+  test("shortestPathsBounded: hop-bounded relaxation, later-round improvement") {
+    // triangle: 1-2 (10), 2-3 (10), 1-3 (25)
+    val tri = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 25L))
+      .toDF("u", "v", "w")
+    def costs(hops: Int) =
+      Graphs.shortestPathsBounded(tri, "u", "v", "w",
+        Seq(1L).toDF("node"), "node", maxHops = hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one hop: only direct edges — 3 costs 25
+    costs(1) shouldBe Map(1L -> 0L, 2L -> 10L, 3L -> 25L)
+    // two hops: round 2 IMPROVES 3 to the 20-cost detour through 2
+    costs(2) shouldBe Map(1L -> 0L, 2L -> 10L, 3L -> 20L)
+    // parallel edges collapse to the cheapest before relaxation
+    val par = Seq((1L, 2L, 50L), (1L, 2L, 7L)).toDF("u", "v", "w")
+    Graphs.shortestPathsBounded(par, "u", "v", "w",
+      Seq(1L).toDF("node"), "node", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 0L, 2L -> 7L)
+    // direction respected; negative weights refused loudly
+    val chain = Seq((1L, 2L, 5L), (2L, 3L, 5L)).toDF("u", "v", "w")
+    Graphs.shortestPathsBounded(chain, "u", "v", "w",
+      Seq(3L).toDF("node"), "node", maxHops = 5, directed = true)
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    an[Exception] should be thrownBy
+      Graphs.shortestPathsBounded(Seq((1L, 2L, -1L)).toDF("u", "v", "w"),
+        "u", "v", "w", Seq(1L).toDF("node"), "node", maxHops = 2)
+        .collect()
+  }
+
   test("bfsDistances: directed follows edge direction; isolated seed reports 0") {
     val chain = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
     val fromHead = Graphs.bfsDistances(chain, "u", "v",
