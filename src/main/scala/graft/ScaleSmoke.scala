@@ -117,7 +117,10 @@ object ScaleSmoke {
     // cohort-LTV summary window, Kaplan-Meier's per-group prefix folds,
     // and the delta-fold mart refresh (delta agg + broadcast-key probes)
     "q213_rfm", "q214_cohort_ltv", "q217_kaplan_meier",
-    "q218_incremental_agg")
+    "q218_incremental_agg",
+    // the weighted-relaxation rounds over the basket edges, and the
+    // per-segment funnel's k frontier joins + segment tallies
+    "q223_shortest_paths", "q222_funnel_by_variant")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
