@@ -515,7 +515,15 @@ object Streaming {
     * regardless of partitioning). Latest-wins is sequence-equivalent for
     * snapshot-consistent feeds: added→removed nets to removed,
     * removed→added to added, added→changed to the changed values — the
-    * same final state as applying the changes one at a time. With
+    * same final state as applying the changes one at a time. A collapsed
+    * winner whose status is 'added' is rewritten to 'changed' (= upsert)
+    * before the apply: a removed→added net leaves an 'added' for a key
+    * the snapshot still HOLDS, and applyChangeSet's insert-only 'added'
+    * would duplicate it next to the surviving old row (caught by the
+    * burst spec flaking on parquet row order — both rows landed in the
+    * bucket and `.toMap` picked one at random). For keys genuinely
+    * absent, 'changed' inserts identically, so the rewrite is safe
+    * across the board. With
     * `orderCols` empty the pre-r14 contract applies: at most one change
     * row per key per micro-batch (true of any per-interval snapshot
     * diff; two same-key rows would then have no defined order and both
@@ -554,6 +562,12 @@ object Streaming {
               .agg(max(struct(structCols.map(col): _*)).as("_w"))
               .select(raw.columns.toSeq.map(c =>
                 if (keyCols.contains(c)) col(c) else col(s"_w.$c").as(c)): _*)
+              // a netted removed→added is an 'added' for a key the
+              // snapshot still holds; applyChangeSet's 'added' is
+              // insert-only and would DUPLICATE it — upsert instead
+              .withColumn("status",
+                when(col("status") === "added", lit("changed"))
+                  .otherwise(col("status")))
               .localCheckpoint()
           }
         if (!b.isEmpty) {

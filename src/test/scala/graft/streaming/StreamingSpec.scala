@@ -898,19 +898,24 @@ class StreamingSpec extends SparkSpec {
         (1L, "removed", 0.0, 4L), (1L, "added", 13.0, 5L),
         (3L, "changed", 31.0, 4L), (3L, "removed", 0.0, 5L))
       q.processAllAvailable()
+      // ROW list, not a map: a netted removed→added once DUPLICATED the
+      // key next to its surviving old row, and `.toMap` silently picked
+      // one of the two at parquet row order's whim (a 50% flake) — the
+      // multiset compare is what actually pins the upsert semantics
       val got = spark.read.parquet(snap)
         .select("k", "price").collect()
-        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
       // ≡ batch applyChangeSet of the per-key-collapsed change sets,
-      // applied sequentially
+      // applied sequentially; the stream rewrites a netted 'added' to
+      // 'changed' (upsert) because the key may still exist in prev
       val prev = Seq((1L, 12.0), (3L, 30.0)).toDF("k", "price")
-      val collapsed2 = Seq((1L, "added", 13.0), (3L, "removed", 0.0))
+      val collapsed2 = Seq((1L, "changed", 13.0), (3L, "removed", 0.0))
         .toDF("k", "status", "price")
       val expect = graft.quality.Reconciliation.applyChangeSet(
         prev, collapsed2, Seq("k"), Seq("price"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
       got shouldBe expect
-      got shouldBe Map(1L -> 13.0)
+      got shouldBe Seq((1L, 13.0))
     } finally q.stop()
   }
 }
