@@ -602,7 +602,11 @@ class StreamingSpec extends SparkSpec {
     val q = Streaming.topKStream(spark, in, b1.schema, Seq("g"), "u", out, chk)
     try {
       q.processAllAvailable()
-      Seq(("a", 1L), ("a", 3L), ("b", 9L)).toDF("g", "u")
+      // coalesce(1): the query is RUNNING, and a multi-file append's job
+      // commit renames part files into the dir one at a time — a trigger
+      // listing mid-commit splits them across two micro-batches and the
+      // batch-count assertion below flakes. One file = one atomic rename.
+      Seq(("a", 1L), ("a", 3L), ("b", 9L)).toDF("g", "u").coalesce(1)
         .write.mode("append").parquet(in)
       q.processAllAvailable()
       spark.read.parquet(out).select("batch_id").distinct().count() shouldBe 2L
