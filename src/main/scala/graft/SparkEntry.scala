@@ -1834,6 +1834,24 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Retrieval ranking quality: MRR / AP@10 / hit@10 for the exact
+    // cosine top-k against label-match relevance — recall says WHAT was
+    // found, this says WHERE in the ranking it landed. All metrics exact
+    // integer-e6 (per-term floors are part of the metric contract).
+    "q224_ranking_eval" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val qrels = queries.select(col("vec_id").as("query_id"), col("label"))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          "label")
+        .filter(col("query_id") =!= col("neighbor_id"))
+      Similarity.rankingMetrics(
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          k = 10),
+        qrels, k = 10)
+        .orderBy("query_id")
+    }),
+
     // join-for-join.
     "q201_hash_walks" -> ((s, dir) =>
       graft.ops.Graphs.hashWalks(
@@ -3393,6 +3411,52 @@ object SparkEntry {
         |  JOIN wsym e ON e.src = w.node WHERE w.len < 3)
         |SELECT node, CAST(min(cost) AS BIGINT) AS cost
         |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
+    // q224: the q28 exact-cosine ranking replayed at k=10, then the same
+    // per-term-floored integer metric dag — hits_so_far·1e6 div rank
+    // summed, div min(n_rel, k).
+    "q224_ranking_eval" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_dot_product(qv, cv) /
+        |    (sqrt(list_dot_product(qv, qv)) *
+        |     sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE qid <> nid),
+        |topk AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT qid AS query_id, nid AS neighbor_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+        |      AS rank FROM s) WHERE rank <= 10),
+        |rel AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 20),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |hits AS (SELECT t.query_id, t.rank,
+        |  count(*) OVER (PARTITION BY t.query_id ORDER BY t.rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS hits_so_far
+        |  FROM topk t JOIN rel USING (query_id, neighbor_id)),
+        |agg AS (SELECT query_id, count(*) AS n_rel_found,
+        |  min(rank) AS first_rank,
+        |  sum(hits_so_far * 1000000 // rank) AS terms
+        |  FROM hits GROUP BY 1),
+        |base AS (SELECT DISTINCT query_id FROM topk)
+        |SELECT b.query_id,
+        | CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+        | CAST(coalesce(a.n_rel_found, 0) AS BIGINT) AS n_rel_found,
+        | CAST(a.first_rank AS BIGINT) AS first_rank,
+        | CAST(CASE WHEN coalesce(a.n_rel_found, 0) > 0 THEN 1 ELSE 0 END
+        |   AS BIGINT) AS hit_at_k,
+        | CAST(CASE WHEN a.first_rank IS NULL THEN 0
+        |   ELSE 1000000 // a.first_rank END AS BIGINT) AS rr_e6,
+        | CAST(CASE WHEN coalesce(n.n_rel, 0) = 0 THEN NULL
+        |   ELSE coalesce(a.terms, 0) // least(n.n_rel, 10) END AS BIGINT)
+        |   AS ap_e6
+        |FROM base b LEFT JOIN nrel n USING (query_id)
+        |LEFT JOIN agg a USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     // q222: the q176 frontier chain with the variant riding along and
     // per-variant tallies left-joined down the stages.
     "q222_funnel_by_variant" ->

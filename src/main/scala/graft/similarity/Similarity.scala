@@ -864,6 +864,62 @@ object Similarity {
         expr("n_overlap * 1000000L div (n_a + n_b - n_overlap)"))
   }
 
+  /** Per-query ranking-quality metrics — MRR, AP@k, hit@k — of a top-k
+    * retrieval result against a relevance set: the evaluation report a
+    * retrieval pipeline reads after [[topKRecall]] says WHAT was found, to
+    * learn WHERE in the ranking it was found (recall is rank-blind; a
+    * system that buries every relevant hit at rank k has perfect recall
+    * and useless MRR).
+    *
+    * Inputs: `ranked` is a (query_id, neighbor_id, rank) frame
+    * (bruteForceTopK / ivfTopK shapes — rank must be a total order per
+    * query, 1-based); `qrels` is the (query_id, neighbor_id) relevance
+    * label set. Rows of `ranked` past rank k are ignored, so one ranking
+    * can be evaluated at several cutoffs.
+    *
+    * Exact-integer contract: rr_e6 = 1e6 div first_rank;
+    * ap_e6 = (Σ over hits of (hits_so_far·1e6 div rank)) div min(n_rel, k)
+    * — each precision term floors to e6 BEFORE the sum (part of the
+    * metric's definition here, mirrored exactly by the oracle), so the
+    * report hash-compares across engines. A query with no relevant
+    * neighbors anywhere reports ap_e6 null (0/0 is undefined, not 0 — the
+    * shareOfParent convention); a query whose relevant set simply never
+    * made top-k reports ap_e6 0 and hit_at_k 0.
+    *
+    * Scale shape: one |queries·k|-sized keyed join against the relevance
+    * set, one per-query window over ≤ k rows, one grouped reduce — every
+    * frame downstream of the ranker is candidate-sized, and n_rel is a
+    * grouped count on qrels (never a corpus scan). */
+  def rankingMetrics(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val r = ranked.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+    val rel = qrels.select(col("query_id"), col("neighbor_id")).distinct()
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val wOrd = Window.partitionBy("query_id").orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQuery = r.join(rel, Seq("query_id", "neighbor_id"))
+      .withColumn("hits_so_far", count(lit(1)).over(wOrd))
+      .withColumn("term_e6", expr("hits_so_far * 1000000L div rank"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel_found"),
+        min(col("rank")).as("first_rank"),
+        sum(col("term_e6")).as("_terms"))
+    r.select("query_id").distinct()
+      .join(nRel, Seq("query_id"), "left")
+      .join(perQuery, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .withColumn("n_rel_found", coalesce(col("n_rel_found"), lit(0L)))
+      .withColumn("hit_at_k", (col("n_rel_found") > 0).cast("long"))
+      .withColumn("rr_e6", when(col("first_rank").isNull, lit(0L))
+        .otherwise(expr("1000000L div first_rank")))
+      .withColumn("ap_e6", when(col("n_rel") === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          s"coalesce(_terms, 0L) div least(n_rel, ${k.toLong}L)")))
+      .select(col("query_id"), col("n_rel"), col("n_rel_found"),
+        col("first_rank"), col("hit_at_k"), col("rr_e6"), col("ap_e6"))
+  }
+
   /** LSH-bucketed approximate near-dup pairs: sign-hash each vector into a
     * bucket, then run the exact pair scan only within buckets. Recall is
     * tunable via numPlanes (fewer planes → bigger buckets → higher recall,

@@ -488,6 +488,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rankingMetrics: hand-traced MRR/AP/hit, zero-hit and no-qrels rows") {
+    // q0: rel at ranks 2 and 4 of 5, 3 relevant corpus-wide
+    //   rr = 1e6 div 2 = 500000
+    //   ap terms: 1·1e6 div 2 = 500000; 2·1e6 div 4 = 500000
+    //   ap = 1000000 div min(3,5) = 333333
+    // q1: rel set nonempty but never retrieved → ap 0, rr 0, hit 0
+    // q2: no qrels at all → ap null (0/0), rr 0, hit 0
+    val ranked = Seq(
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L), (0L, 13L, 4L),
+      (0L, 14L, 5L),
+      (1L, 20L, 1L), (1L, 21L, 2L),
+      (2L, 30L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    val qrels = Seq((0L, 11L), (0L, 13L), (0L, 99L), (1L, 98L))
+      .toDF("query_id", "neighbor_id")
+    val rows = Similarity.rankingMetrics(ranked, qrels, k = 5)
+      .orderBy("query_id").collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 2L)
+    val q0 = rows(0)
+    (q0.getAs[Long]("n_rel"), q0.getAs[Long]("n_rel_found"),
+      q0.getAs[Long]("first_rank"), q0.getAs[Long]("hit_at_k"),
+      q0.getAs[Long]("rr_e6"), q0.getAs[Long]("ap_e6")) shouldBe
+      ((3L, 2L, 2L, 1L, 500000L, 333333L))
+    val q1 = rows(1)
+    (q1.getAs[Long]("n_rel"), q1.getAs[Long]("n_rel_found"),
+      q1.getAs[Long]("hit_at_k"), q1.getAs[Long]("rr_e6"),
+      q1.getAs[Long]("ap_e6")) shouldBe ((1L, 0L, 0L, 0L, 0L))
+    q1.isNullAt(q1.fieldIndex("first_rank")) shouldBe true
+    val q2 = rows(2)
+    q2.getAs[Long]("n_rel") shouldBe 0L
+    q2.isNullAt(q2.fieldIndex("ap_e6")) shouldBe true // 0/0 undefined
+  }
+
+  test("rankingMetrics: a perfect ranking scores rr=ap=1e6 at every k") {
+    val ranked = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val qrels = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .toDF("query_id", "neighbor_id")
+    for (k <- Seq(1, 2, 3)) {
+      val r = Similarity.rankingMetrics(ranked, qrels, k).head()
+      r.getAs[Long]("rr_e6") shouldBe 1000000L
+      r.getAs[Long]("ap_e6") shouldBe 1000000L
+      r.getAs[Long]("hit_at_k") shouldBe 1L
+      r.getAs[Long]("n_rel_found") shouldBe k.toLong
+    }
+  }
+
   test("centroidDrift: identical, scaled, opposite, and one-sided groups") {
     val a = Seq(
       (1L, "same", Seq(1f, 0f, 0f)), (2L, "same", Seq(0f, 1f, 0f)),
