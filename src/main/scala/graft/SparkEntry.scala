@@ -2018,6 +2018,31 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
         .orderBy("stage")),
 
+    // q176 under a 4-hour conversion window: each step must land within
+    // 4 h of SOME valid previous-step completion — the non-greedy chain
+    // (earliest-frontier is provably wrong under a gap cap; the spec
+    // pins the counter-example, the oracle is an independent
+    // EXISTS-chain formulation).
+    "q225_funnel_windowed" -> ((s, dir) =>
+      Sessions.funnelStepsWindowed(
+        Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", "event_id", "event_type",
+        Seq("view", "click", "purchase"), maxGapUs = 14400000000L)
+        .orderBy("stage")),
+
+    // q196's pairs re-weighted by exponential half-life decay (30 min
+    // half-life inside the 4 h window → quantized power-of-two raw
+    // weights, exact e6 normalized shares).
+    "q226_time_decay" -> ((s, dir) =>
+      Sessions.timeDecayAttribution(
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        windowUs = 14400000000L, halfLifeUs = 1800000000L)
+        .orderBy("conv_tie", "position")),
+
     // Sketch-space rolling actives: q163's exact DAU/WAU next to the HLL
     // window form (per-day sketches, range-frame union — the 100 TB
     // path), gated by the q114 invariant pattern: estimates must sit
@@ -4193,6 +4218,70 @@ object SparkEntry {
         |      ELSE n * 1000000 // coalesce(pn, n) END AS BIGINT)
         |   AS conv_from_prev_e6
         |FROM w ORDER BY stage""".stripMargin,
+    // q225: independent EXISTS-chain formulation — stage i's valid set
+    // is "events of step i with ANY valid step-(i−1) completion strictly
+    // earlier and within the gap", no latest-valid-frontier machinery.
+    "q225_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS i,
+        |  event_type FROM events),
+        |v1 AS (SELECT user_id, t, i FROM e WHERE event_type = 'view'),
+        |v2 AS (SELECT e.user_id, e.t, e.i FROM e
+        |  WHERE e.event_type = 'click' AND EXISTS (
+        |    SELECT 1 FROM v1 p WHERE p.user_id = e.user_id
+        |      AND ROW(p.t, p.i) < ROW(e.t, e.i)
+        |      AND p.t >= e.t - 14400000000)),
+        |v3 AS (SELECT e.user_id, e.t, e.i FROM e
+        |  WHERE e.event_type = 'purchase' AND EXISTS (
+        |    SELECT 1 FROM v2 p WHERE p.user_id = e.user_id
+        |      AND ROW(p.t, p.i) < ROW(e.t, e.i)
+        |      AND p.t >= e.t - 14400000000)),
+        |c AS (SELECT 1 AS stage, 'view' AS step,
+        |    (SELECT count(DISTINCT user_id) FROM v1) AS n
+        |  UNION ALL SELECT 2, 'click',
+        |    (SELECT count(DISTINCT user_id) FROM v2)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    (SELECT count(DISTINCT user_id) FROM v3)),
+        |w AS (SELECT stage, step, n, lag(n) OVER (ORDER BY stage) AS pn
+        |  FROM c)
+        |SELECT CAST(stage AS BIGINT) AS stage, step,
+        | CAST(n AS BIGINT) AS n_keys,
+        | CAST(CASE WHEN coalesce(pn, n) = 0 THEN 0
+        |      ELSE n * 1000000 // coalesce(pn, n) END AS BIGINT)
+        |   AS conv_from_prev_e6
+        |FROM w ORDER BY stage""".stripMargin,
+    // q226: the q196 pair join with the decay dag replayed — identical
+    // period quantization, identical power-of-two shifts, identical
+    // floor-normalized shares.
+    "q226_time_decay" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, ts_us AS conv_ts, event_id AS conv_tie
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts_us AS touch_ts, event_id AS touch_tie,
+        |  event_type AS touch_type FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.user_id, c.conv_tie, c.conv_ts,
+        |  t.touch_tie, t.touch_type, t.touch_ts
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |   AND (t.touch_ts < c.conv_ts
+        |        OR (t.touch_ts = c.conv_ts AND t.touch_tie < c.conv_tie))
+        |   AND t.touch_ts >= c.conv_ts - 14400000000),
+        |r AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY user_id, conv_tie
+        |    ORDER BY touch_ts, touch_tie) AS BIGINT) AS position,
+        |  count(*) OVER (PARTITION BY user_id, conv_tie) AS n_touches,
+        |  (conv_ts - touch_ts) // 1800000000 AS decay_periods
+        | FROM j),
+        |d AS (SELECT *,
+        |  (1::BIGINT << CAST(8 - decay_periods AS INT)) AS raw,
+        |  sum(1::BIGINT << CAST(8 - decay_periods AS INT))
+        |    OVER (PARTITION BY user_id, conv_tie) AS sraw
+        | FROM r)
+        |SELECT user_id, conv_tie, conv_ts, touch_tie, touch_type,
+        | touch_ts, position, CAST(n_touches AS BIGINT) AS n_touches,
+        | CAST(decay_periods AS BIGINT) AS decay_periods,
+        | CAST(raw * 1000000 // sraw AS BIGINT) AS weight_e6
+        |FROM d ORDER BY conv_tie, position""".stripMargin,
     // q173: exact counts hash-compare; the sketch estimates are
     // DataSketches-engine-local, so their 5%-of-exact contract rides as
     // oracle-TRUE booleans (the q114 pattern).

@@ -477,4 +477,100 @@ object Sessions {
     }
     rows.toDF("segment", "stage", "step", "n_keys", "conv_from_prev_e6")
   }
+
+  /** [[funnelSteps]] under a CONVERSION WINDOW: stage i counts a key iff
+    * SOME chain e₁ < e₂ < … < eᵢ of the step types exists (strict
+    * (ts, tie) stamp order) with every consecutive gap ≤ `maxGapUs` —
+    * the "completed checkout within 30 minutes of the click" funnel
+    * every product-analytics tool ships.
+    *
+    * The earliest-frontier greedy that [[funnelSteps]] uses is WRONG
+    * under a gap cap: the key's earliest stage-1 stamp can be too old
+    * for every stage-2 event while a LATER stage-1 occurrence converts
+    * (spec pins the counter-example). The windowed chain needs, per
+    * candidate event at t, "does ANY valid previous-stage completion sit
+    * in [t − maxGap, t)" — and the LATEST valid completion strictly
+    * before t answers that exactly (it is ≥ every other valid one and
+    * < t, so if any is in window, it is). So each stage is ONE per-key
+    * time-ordered window pass over the valid-previous stamps unioned
+    * with the candidate events: no pair join, no frontier-set explosion,
+    * the valid set never exceeds that step's event count.
+    *
+    * Scale shape: per stage, one exchange on the key + one sort (the
+    * window), frames bounded by per-key event counts — the sessionize
+    * posture. Each stage's valid set is localCheckpoint'd so the chain
+    * of unions never re-plans upstream stages. */
+  def funnelStepsWindowed(events: DataFrame, keyCol: String,
+      tsUsCol: String, tieCol: String, typeCol: String,
+      steps: Seq[String], maxGapUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnelStepsWindowed needs at least one step")
+    require(maxGapUs > 0, s"maxGapUs must be > 0, got $maxGapUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    var valid = events.filter(col(typeCol) === steps.head)
+      .select(col(keyCol).as("__k"), col(tsUsCol).cast("long").as("__t"),
+        col(tieCol).cast("long").as("__i"))
+      .localCheckpoint()
+    var counts = List(valid.select("__k").distinct().count())
+    steps.drop(1).foreach { step =>
+      val cand = events.filter(col(typeCol) === step)
+        .select(col(keyCol).as("__k"), col(tsUsCol).cast("long").as("__t"),
+          col(tieCol).cast("long").as("__i"), lit(false).as("__v"))
+      val w = Window.partitionBy("__k").orderBy(col("__t"), col("__i"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lastValid =
+        max(when(col("__v"), struct(col("__t"), col("__i")))).over(w)
+      valid = valid.withColumn("__v", lit(true)).unionByName(cand)
+        .withColumn("__lv", lastValid)
+        .filter(!col("__v") && col("__lv").isNotNull &&
+          col("__lv.__t") >= col("__t") - lit(maxGapUs))
+        .select("__k", "__t", "__i")
+        .localCheckpoint()
+      counts = valid.select("__k").distinct().count() :: counts
+    }
+    val byStage = counts.reverse
+    val rows = steps.zip(byStage).zipWithIndex.map { case ((step, n), i) =>
+      val prev = if (i == 0) n else byStage(i - 1)
+      (i + 1L, step, n, if (prev == 0L) 0L else n * 1000000L / prev)
+    }
+    rows.toDF("stage", "step", "n_keys", "conv_from_prev_e6")
+  }
+
+  /** TIME-DECAY multi-touch attribution: the [[multiTouchAttribution]]
+    * pairs weighted by exponential half-life decay in EXACT integers —
+    * the decay is quantized to whole half-life periods of conversion −
+    * touch age, so every raw weight is a power of two
+    * (2^(maxPeriods − age div halfLifeUs)) and the per-conversion
+    * normalized e6 shares floor deterministically in both engines. The
+    * linear scheme splits credit evenly; this one answers "the click
+    * five minutes before the purchase mattered more than the view three
+    * hours earlier" — the other standard attribution curve.
+    *
+    * `windowUs div halfLifeUs` must be ≤ 40 (loud raise): raw weights
+    * stay ≤ 2^40 so raw·1e6 and any realistic per-conversion sum
+    * (< 2^22 touches) fit a Long exactly.
+    *
+    * Scale shape: the multiTouch pair join plus one per-conversion
+    * window sum — frames are touch-list sized, nothing new shuffles. */
+  def timeDecayAttribution(events: DataFrame, keyCol: String,
+      tsUsCol: String, tieCol: String, typeCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      windowUs: Long, halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be > 0, got $halfLifeUs")
+    val maxPeriods = windowUs / halfLifeUs
+    require(maxPeriods <= 40,
+      s"windowUs div halfLifeUs = $maxPeriods > 40: raw 2^p weights " +
+        "would overflow exact Long arithmetic; coarsen halfLifeUs")
+    val pairs = multiTouchAttribution(events, keyCol, tsUsCol, tieCol,
+      typeCol, conversionType, touchTypes, windowUs)
+    val wConv = Window.partitionBy(col(keyCol), col("conv_tie"))
+    pairs
+      .withColumn("decay_periods",
+        expr(s"(conv_ts - touch_ts) div ${halfLifeUs}L"))
+      .withColumn("__raw", expr(
+        s"shiftleft(1L, cast(${maxPeriods}L - decay_periods as int))"))
+      .withColumn("__sum", sum(col("__raw")).over(wConv))
+      .withColumn("weight_e6", expr("__raw * 1000000L div __sum"))
+      .drop("__raw", "__sum")
+  }
 }

@@ -155,6 +155,88 @@ class SessionsSpec extends SparkSpec {
     out.filter(_._1 == 0L).map(t => (t._4, t._5)).toSeq shouldBe seg0
   }
 
+  test("funnelStepsWindowed: a LATER stage-1 occurrence converts where the earliest-frontier greedy fails") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view@0 too old for click@105s under a 10s gap, but view@100s
+      // is in window; purchase@112s is within 10s of the click → full
+      // chain. funnelSteps' earliest frontier would also pass here, so
+      // u1 alone doesn't separate — u2 does:
+      (1L, 0L, 1L, "view"), (1L, 100000000L, 2L, "view"),
+      (1L, 105000000L, 3L, "click"), (1L, 112000000L, 4L, "purchase"),
+      // u2: ONLY view@0, click@105s → no chain under the 10s gap though
+      // the unwindowed funnel converts it at stage 2
+      (2L, 0L, 5L, "view"), (2L, 105000000L, 6L, "click"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = Sessions.funnelStepsWindowed(ev, "user_id", "ts_us",
+        "event_id", "event_type", Seq("view", "click", "purchase"),
+        maxGapUs = 10000000L)
+      .orderBy("stage").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, "view", 2L, 1000000L),
+      (2L, "click", 1L, 500000L),      // u1 via the LATER view only
+      (3L, "purchase", 1L, 1000000L))
+    // the unwindowed funnel counts u2 at stage 2 — the gap cap is what
+    // removed it
+    Sessions.funnelSteps(ev, "user_id", "ts_us", "event_id",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage").collect().map(_.getLong(2)).toSeq shouldBe
+      Seq(2L, 2L, 1L)
+  }
+
+  test("funnelStepsWindowed: huge gap ≡ funnelSteps; same-ts tie order chains") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (2L, 10L, 4L, "view"), (2L, 30L, 5L, "click"), (2L, 20L, 6L, "purchase"),
+      (3L, 20L, 7L, "view"), (3L, 10L, 8L, "click"),
+      // same-ts view/click chains by the event-id tiebreak (gap 0 is
+      // still within any positive window)
+      (4L, 10L, 9L, "view"), (4L, 10L, 10L, "click"), (4L, 11L, 11L, "purchase"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val wide = Sessions.funnelStepsWindowed(ev, "user_id", "ts_us",
+        "event_id", "event_type", steps, maxGapUs = Long.MaxValue / 4)
+      .orderBy("stage").collect().map(r => (r.getLong(2), r.getLong(3)))
+    val plain = Sessions.funnelSteps(ev, "user_id", "ts_us", "event_id",
+        "event_type", steps)
+      .orderBy("stage").collect().map(r => (r.getLong(2), r.getLong(3)))
+    wide.toSeq shouldBe plain.toSeq
+    wide.map(_._1).toSeq shouldBe Seq(4L, 3L, 2L) // u4's tie-order chain counted
+  }
+
+  test("timeDecayAttribution: hand-traced power-of-two weights and floor shares") {
+    import spark.implicits._
+    // conversion at 100 min; touches 5 min old (periods 0) and 65 min
+    // old (periods 2) under a 30 min half-life, 120 min window → maxP=4,
+    // raw 2^4=16 and 2^2=4, shares 16e6/20 and 4e6/20.
+    val m = 60000000L // one minute in µs
+    val ev = Seq(
+      (1L, 1L, 35 * m, "view"), (1L, 2L, 95 * m, "click"),
+      (1L, 3L, 100 * m, "purchase"),
+      // u2: single touch at the window boundary: Δ = window → periods =
+      // maxP, raw = 1, weight still 1e6
+      (2L, 4L, 0L, "view"), (2L, 5L, 120 * m, "purchase"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val out = Sessions.timeDecayAttribution(ev, "user_id", "ts_us",
+        "event_id", "event_type", "purchase", Seq("view", "click"),
+        windowUs = 120 * m, halfLifeUs = 30 * m)
+      .orderBy("user_id", "position").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("position"),
+        r.getAs[String]("touch_type"), r.getAs[Long]("decay_periods"),
+        r.getAs[Long]("weight_e6")))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, "view", 2L, 200000L),
+      (1L, 2L, "click", 0L, 800000L),
+      (2L, 1L, "view", 4L, 1000000L))
+    // shift-overflow guard is loud
+    an[IllegalArgumentException] should be thrownBy
+      Sessions.timeDecayAttribution(ev, "user_id", "ts_us", "event_id",
+        "event_type", "purchase", Seq("view"),
+        windowUs = 41 * m, halfLifeUs = m)
+  }
+
   test("topPaths: per-key ordered n-grams, deterministic rank tiebreak") {
     import spark.implicits._
     val ev = Seq(
