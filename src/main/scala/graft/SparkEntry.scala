@@ -2030,6 +2030,19 @@ object SparkEntry {
         Seq("view", "click", "purchase"), maxGapUs = 14400000000L)
         .orderBy("stage")),
 
+    // EWMA control chart on daily event counts per type (α = 0.3, band
+    // 10 counts): the small-shift monitor next to CUSUM (q162) and the
+    // moving-average window (q31) — exact e6 per-step fold, each point
+    // tested against the PRE-update level.
+    "q227_ewma_chart" -> ((s, dir) =>
+      Anomaly.ewmaChart(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n")),
+        Seq("event_type"), "day", "n",
+        alphaE6 = 300000L, bandE6 = 10000000L)
+        .orderBy("event_type", "day")),
+
     // q196's pairs re-weighted by exponential half-life decay (30 min
     // half-life inside the 4 h window → quantized power-of-two raw
     // weights, exact e6 normalized shares).
@@ -4218,6 +4231,29 @@ object SparkEntry {
         |      ELSE n * 1000000 // coalesce(pn, n) END AS BIGINT)
         |   AS conv_from_prev_e6
         |FROM w ORDER BY stage""".stripMargin,
+    // q227: the identical per-step floored fold (list_reduce's
+    // first-element init IS s₀ = x₀·1e6); the pre-update level comes
+    // from lag(ewma) — an independent route to the same prev value.
+    "q227_ewma_chart" ->
+      """WITH d AS (SELECT event_type,
+        |  epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, list(n * 1000000 ORDER BY day) AS xs6
+        |  FROM d GROUP BY 1),
+        |r AS (SELECT event_type, day, n, row_number() OVER
+        |  (PARTITION BY event_type ORDER BY day) AS i FROM d),
+        |f AS (SELECT r.event_type, r.day, r.n,
+        |  CAST(list_reduce(list_slice(l.xs6, 1, r.i),
+        |    (acc, x) -> (300000 * x + 700000 * acc) // 1000000)
+        |    AS BIGINT) AS ewma_e6
+        |  FROM r JOIN l USING (event_type)),
+        |p AS (SELECT *, lag(ewma_e6) OVER
+        |  (PARTITION BY event_type ORDER BY day) AS prev FROM f)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        | CAST(n AS BIGINT) AS n, ewma_e6,
+        | CAST(n * 1000000 - prev AS BIGINT) AS deviation_e6,
+        | coalesce(abs(n * 1000000 - prev) > 10000000, FALSE) AS breach
+        |FROM p ORDER BY event_type, day""".stripMargin,
     // q225: independent EXISTS-chain formulation — stage i's valid set
     // is "events of step i with ANY valid step-(i−1) completion strictly
     // earlier and within the gap", no latest-valid-frontier machinery.

@@ -906,4 +906,63 @@ object Anomaly {
           (col("__n").cast("double") * pExpr)).cast("long"))
       .select("digit", "n_obs", "obs_share_e6", "benford_share_e6", "chi2_e6")
   }
+
+  /** EWMA control chart over a per-(group, period) integer series — the
+    * classic small-shift monitor that CUSUM's reset logic and the
+    * moving-average window both miss: the smoothed level
+    * sₜ = α·xₜ + (1−α)·sₜ₋₁ weights ALL history geometrically, so a
+    * slow drift accumulates instead of washing out of a fixed window.
+    * Each point is compared against the PRE-update level sₜ₋₁ (comparing
+    * to the post-update smooth would dilute the very signal being
+    * tested).
+    *
+    * Exact-integer contract: s carried as e6 with the floor applied PER
+    * STEP — s₀ = x₀·1e6, sₜ = (alphaE6·xₜ·1e6 + (1e6−alphaE6)·sₜ₋₁)
+    * div 1e6 — the [[graft.ops.Retention.kaplanMeier]] fold form, the
+    * one deterministic cross-engine shape for a running recurrence.
+    * deviation_e6 = xₜ·1e6 − sₜ₋₁ (null on each group's first point —
+    * there is no level to deviate from yet); breach = |deviation| >
+    * bandE6. |x| must stay ≤ 9·10⁶ so every fold term fits a Long —
+    * violating rows raise in-plan (daily counts and e2 metrics are far
+    * below; a series needing more wants a coarser unit).
+    *
+    * Scale shape: one grouped collect of the day-level series (summary
+    * space — |groups|·|periods| rows, the KM posture), folds row-local
+    * over ≤ |periods| elements. */
+  def ewmaChart(daily: DataFrame, groupCols: Seq[String], dayCol: String,
+      valueCol: String, alphaE6: Long, bandE6: Long): DataFrame = {
+    require(alphaE6 > 0 && alphaE6 <= 1000000L,
+      s"alphaE6 must be in (0, 1e6], got $alphaE6")
+    require(bandE6 >= 0, s"bandE6 must be >= 0, got $bandE6")
+    val gcols = groupCols.map(col)
+    val guarded = when(abs(col(valueCol).cast("long")) <= 9000000L,
+      col(valueCol).cast("long"))
+      .otherwise(raise_error(concat(lit("ewmaChart: |value| > 9e6 at "),
+        col(dayCol).cast("string"), lit(" overflows the exact fold"))))
+    val steps = daily
+      .filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(dayCol).cast("long").as("__d") :+
+        guarded.as("__x"): _*)
+      .groupBy(gcols: _*)
+      .agg(array_sort(collect_list(struct(col("__d").as("d"),
+        col("__x").as("x")))).as("__s"))
+      .withColumn("__xs6",
+        expr("transform(__s, s -> s.x * 1000000L)"))
+    val beta = 1000000L - alphaE6
+    def fold(len: String) =
+      s"aggregate(slice(__xs6, 2, $len - 1), element_at(__xs6, 1), " +
+        s"(acc, x) -> (${alphaE6}L * x + ${beta}L * acc) div 1000000L)"
+    steps
+      .select(gcols ++ Seq(posexplode(col("__s")).as(Seq("__i", "__e")),
+        col("__xs6")): _*)
+      .withColumn("ewma_e6", expr(fold("__i + 1")))
+      .withColumn("__prev",
+        when(col("__i") === 0, lit(null).cast("long"))
+          .otherwise(expr(fold("__i"))))
+      .withColumn("deviation_e6", col("__e.x") * lit(1000000L) - col("__prev"))
+      .withColumn("breach",
+        coalesce(abs(col("deviation_e6")) > lit(bandE6), lit(false)))
+      .select(gcols ++ Seq(col("__e.d").as(dayCol), col("__e.x").as(valueCol),
+        col("ewma_e6"), col("deviation_e6"), col("breach")): _*)
+  }
 }

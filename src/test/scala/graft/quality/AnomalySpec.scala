@@ -352,4 +352,36 @@ class AnomalySpec extends SparkSpec {
     Anomaly.hhiReport(withNull, Seq("g"), "u")
       .collect()(0).getLong(1) shouldBe 2L // n_cats counts the null bucket
   }
+
+  test("ewmaChart: hand-traced per-step floors, first-point null deviation, breach vs pre-update level") {
+    import spark.implicits._
+    // α = 0.5: s₀ = 100e6; s₁ = (0.5·104 + 0.5·100)e6 = 102e6;
+    // s₂ = (0.5·90e6 + 0.5·102e6) = 96e6. Deviations vs PREV level:
+    // day2: 104e6 − 100e6 = 4e6 (no breach at band 5e6);
+    // day3: 90e6 − 102e6 = −12e6 → breach.
+    val daily = Seq(("a", 1L, 100L), ("a", 2L, 104L), ("a", 3L, 90L),
+      ("b", 7L, 50L)) // single-point group: null deviation, no breach
+      .toDF("g", "day", "n")
+    val out = Anomaly.ewmaChart(daily, Seq("g"), "day", "n",
+        alphaE6 = 500000L, bandE6 = 5000000L)
+      .orderBy("g", "day").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe Seq(
+      ("a", 1L, 100L, 100000000L), ("a", 2L, 104L, 102000000L),
+      ("a", 3L, 90L, 96000000L), ("b", 7L, 50L, 50000000L))
+    out.map(r => (Option(r.getAs[Any]("deviation_e6")),
+      r.getAs[Boolean]("breach"))).toSeq shouldBe Seq(
+      (None, false), (Some(4000000L), false), (Some(-12000000L), true),
+      (None, false))
+    // the floor applies per step, not once at the end: α=0.3 on 1,2 →
+    // s₁ = (300000·2e6 + 700000·1e6) div 1e6 = 1300000 exactly
+    Anomaly.ewmaChart(Seq(("a", 1L, 1L), ("a", 2L, 2L)).toDF("g", "day", "n"),
+        Seq("g"), "day", "n", 300000L, 1000000L)
+      .orderBy("day").collect().map(_.getLong(3)).toSeq shouldBe
+      Seq(1000000L, 1300000L)
+    // overflow guard raises in-plan
+    an[Exception] should be thrownBy
+      Anomaly.ewmaChart(Seq(("a", 1L, 10000000L)).toDF("g", "day", "n"),
+        Seq("g"), "day", "n", 300000L, 1000000L).collect()
+  }
 }
