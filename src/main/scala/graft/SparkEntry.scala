@@ -2030,6 +2030,17 @@ object SparkEntry {
         Seq("view", "click", "purchase"), maxGapUs = 14400000000L)
         .orderBy("stage")),
 
+    // Per-type autocorrelation of daily event counts at lags 1..7 — the
+    // period FINDER next to seasonalResiduals' period REMOVER; exact
+    // cross-multiplied integers, two-step ×1000 Long division.
+    "q228_acf" -> ((s, dir) =>
+      graft.ops.TimeSeries.acfReport(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n")),
+        Seq("event_type"), "day", "n", maxLag = 7)
+        .orderBy("event_type", "lag")),
+
     // EWMA control chart on daily event counts per type (α = 0.3, band
     // 10 counts): the small-shift monitor next to CUSUM (q162) and the
     // moving-average window (q31) — exact e6 per-step fold, each point
@@ -4231,6 +4242,36 @@ object SparkEntry {
         |      ELSE n * 1000000 // coalesce(pn, n) END AS BIGINT)
         |   AS conv_from_prev_e6
         |FROM w ORDER BY stage""".stripMargin,
+    // q228: same centered-product formula, but the e6 scaling runs in
+    // ONE HUGEINT division (Spark chains two ×1000 Long steps — same
+    // value, independently derived); sign factored on both sides.
+    "q228_acf" ->
+      """WITH d AS (SELECT event_type,
+        |  epoch_ns(ts) // 86400000000000 AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx
+        |  FROM d GROUP BY 1),
+        |a AS (SELECT d.event_type, d.day, s.n * d.x - s.sx AS a
+        |  FROM d JOIN s USING (event_type)),
+        |den AS (SELECT event_type, sum(a * a) AS den FROM a GROUP BY 1),
+        |g AS (SELECT s.event_type, s.n, l.lag FROM s,
+        |  (SELECT unnest(range(1, 8)) AS lag) l),
+        |num AS (SELECT a1.event_type, a2.day - a1.day AS lag,
+        |  count(*) AS n_pairs, sum(a1.a * a2.a) AS num
+        |  FROM a a1 JOIN a a2 ON a1.event_type = a2.event_type
+        |   AND a2.day - a1.day BETWEEN 1 AND 7
+        |  GROUP BY 1, 2)
+        |SELECT g.event_type, CAST(g.lag AS BIGINT) AS lag,
+        | CAST(g.n AS BIGINT) AS n_days,
+        | CAST(coalesce(num.n_pairs, 0) AS BIGINT) AS n_pairs,
+        | CAST(CASE WHEN den.den = 0 THEN NULL ELSE
+        |   (CASE WHEN coalesce(num.num, 0) < 0 THEN -1 ELSE 1 END) *
+        |   (abs(CAST(coalesce(num.num, 0) AS HUGEINT)) * 1000000
+        |     // den.den) END AS BIGINT) AS r_e6
+        |FROM g LEFT JOIN num ON g.event_type = num.event_type
+        |  AND g.lag = num.lag
+        |JOIN den ON g.event_type = den.event_type
+        |ORDER BY g.event_type, g.lag""".stripMargin,
     // q227: the identical per-step floored fold (list_reduce's
     // first-element init IS s₀ = x₀·1e6); the pre-update level comes
     // from lag(ewma) — an independent route to the same prev value.

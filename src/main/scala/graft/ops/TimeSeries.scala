@@ -175,4 +175,71 @@ object TimeSeries {
               "div abs(prev_value_e2)"))
           .as("pct_change_e6"))
   }
+
+  /** Per-key autocorrelation function at calendar lags 1..maxLag over an
+    * integer (key, day, value) series — the seasonality detector that
+    * reads a number instead of eyeballing a chart: a weekly-cycled
+    * metric shows r(7) ≫ r(1..6), a trending one decays slowly, noise
+    * sits near 0 everywhere. Complements [[graft.quality.Anomaly.seasonalResiduals]]
+    * (which REMOVES a known period; this FINDS the period).
+    *
+    * Exact-integer contract: with n = day count and S = Σx per key,
+    * aₜ = n·xₜ − S (the mean-centered value cross-multiplied by n), and
+    * r(l)_e6 = sign · (|Σₜ aₜ·aₜ₊ₗ| · 1e6 div Σₜ aₜ²) — numerator over
+    * calendar-lag pairs (a missing day simply contributes no pair;
+    * gap-fill upstream via [[gapFillDaily]] if LOCF semantics are
+    * wanted), denominator over the full series, |r| ≤ 1 by
+    * Cauchy–Schwarz. The e6 scaling runs as two chained exact Long
+    * divisions (×1000 twice), so nothing needs 128-bit arithmetic;
+    * sign-factored so floor ≡ truncate cross-engine. n·max|x| must stay
+    * ≤ 3·10⁶ (keeps every product under 2⁶³) — violating keys raise
+    * in-plan. Flat series (denominator 0) report r_e6 null; lags with
+    * no pairs report 0 (an empty sum IS zero correlation evidence, not
+    * an undefined ratio).
+    *
+    * Scale shape: everything runs in (key, day) summary space — one
+    * grouped stat pass, one maxLag-way row-local explode, one keyed
+    * equi-join on (key, day+lag), one grouped reduce. The corpus-sized
+    * scan is whatever built the daily frame upstream. */
+  def acfReport(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val k = keyCols.map(col)
+    val base = daily.filter(col(valueCol).isNotNull)
+      .select(k :+ col(dayCol).cast("long").as("__d") :+
+        col(valueCol).cast("long").as("__x"): _*)
+    val stats = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("__n"), sum("__x").as("__s"),
+        max(abs(col("__x"))).as("__mx"))
+      .withColumn("__n", when(col("__mx") * col("__n") <= 3000000L, col("__n"))
+        .otherwise(raise_error(lit(
+          "acfReport: n*max|x| > 3e6 overflows exact Long products; " +
+            "coarsen the value unit"))))
+    val a = base.join(stats, keyCols)
+      .select(k :+ col("__d") :+
+        (col("__n") * col("__x") - col("__s")).as("__a"): _*)
+    val den = a.groupBy(k: _*).agg(sum(col("__a") * col("__a")).as("__den"))
+    val lagged = a
+      .withColumn("__l", explode(sequence(lit(1L), lit(maxLag.toLong))))
+      .withColumn("__d", col("__d") + col("__l"))
+      .withColumnRenamed("__a", "__b")
+    val num = a.join(lagged, keyCols :+ "__d")
+      .groupBy(k :+ col("__l"): _*)
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__a") * col("__b")).as("__num"))
+    val grid = stats
+      .withColumn("__l", explode(sequence(lit(1L), lit(maxLag.toLong))))
+    grid.join(num, keyCols :+ "__l", "left")
+      .join(den, keyCols)
+      .withColumn("__num", coalesce(col("__num"), lit(0L)))
+      .withColumn("__an", abs(col("__num")))
+      // exact floor(|num|·1e6 / den) in two ×1000 Long steps
+      .withColumn("__q1", expr("__an * 1000L div __den"))
+      .withColumn("__q2",
+        expr("(__an * 1000L - __q1 * __den) * 1000L div __den"))
+      .select(k ++ Seq(col("__l").as("lag"), col("__n").as("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(col("__den") === 0L, lit(null).cast("long"))
+          .otherwise(signum(col("__num")).cast("long") *
+            (col("__q1") * lit(1000L) + col("__q2"))).as("r_e6")): _*)
+  }
 }
