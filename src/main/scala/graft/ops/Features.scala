@@ -178,7 +178,9 @@ object Features {
     * IEEE dag (exact BIGINT counts → a single expression of doubles →
     * round·10⁶; the q162/q174 determinism posture). Control reports
     * null lift/z. Variants with zero entities simply don't appear;
-    * a degenerate pooled rate (p̂ ∈ {0, 1}) yields null z.
+    * a degenerate pooled rate (p̂ ∈ {0, 1}) yields null z; a corpus so
+    * small that NO entity hashes to control still reports every variant
+    * row (null lift/z) rather than an empty frame.
     *
     * Scale shape: one entity-grain aggregate (assignment is row-local),
     * one |variants|-sized rollup, one broadcast of the 1-row control
@@ -197,9 +199,14 @@ object Features {
     val per = perEntity.groupBy("variant")
       .agg(count(lit(1)).as("n"), sum("__conv").as("n_conv"))
       .withColumn("conv_rate_e6", expr("n_conv * 1000000L div n"))
+    // LEFT join (on a constant key) rather than a crossJoin: if no entity
+    // hashes to variant 0 (tiny corpora), a crossJoin against the empty
+    // control frame would silently return an EMPTY report — the left join
+    // keeps every variant row and reports null lift/z instead.
     val control = per.filter(col("variant") === 0L)
-      .select(col("n").as("__nc"), col("n_conv").as("__cc"))
-    per.crossJoin(broadcast(control))
+      .select(lit(1).as("__k"), col("n").as("__nc"), col("n_conv").as("__cc"))
+    per.withColumn("__k", lit(1))
+      .join(broadcast(control), Seq("__k"), "left")
       .select(col("variant"), col("n"), col("n_conv"), col("conv_rate_e6"),
         when(col("variant") =!= 0L && col("__cc") > 0L,
           (signum(col("n_conv") * col("__nc") - col("__cc") * col("n"))

@@ -449,8 +449,18 @@ object Sessions {
     val spark = events.sparkSession
     import spark.implicits._
     val stamp = struct(col(tsUsCol).cast("long"), col(tieCol).cast("long"))
+    // A null (or long-uncastable) segment would flow into the driver-side
+    // tally as a null group key and die in an opaque NPE there — raise a
+    // DESCRIPTIVE error in-plan at the stage-1 frontier instead (later
+    // stages only join the frontier, so stage 1 sees every surviving key).
+    val byLong = when(col(byCol).cast("long").isNull,
+      raise_error(concat(
+        lit(s"funnelStepsBy: segment column '$byCol' is null or not " +
+          "castable to long for value: "),
+        coalesce(col(byCol).cast("string"), lit("NULL")))))
+      .otherwise(col(byCol).cast("long"))
     var frontier = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(keyCol), col(byCol).cast("long").as("__by"))
+      .groupBy(col(keyCol), byLong.as("__by"))
       .agg(min(stamp).as("_at"))
     def tally(f: DataFrame): Map[Long, Long] =
       f.groupBy(col("__by")).agg(count(lit(1)).as("n")).collect()

@@ -191,9 +191,11 @@ object TimeSeries {
     * wanted), denominator over the full series, |r| ≤ 1 by
     * Cauchy–Schwarz. The e6 scaling runs as two chained exact Long
     * divisions (×1000 twice), so nothing needs 128-bit arithmetic;
-    * sign-factored so floor ≡ truncate cross-engine. n·max|x| must stay
-    * ≤ 3·10⁶ (keeps every product under 2⁶³) — violating keys raise
-    * in-plan. Flat series (denominator 0) report r_e6 null; lags with
+    * sign-factored so floor ≡ truncate cross-engine. Two bounds hold
+    * everything under 2⁶³, and violating keys raise in-plan: n·max|x|
+    * ≤ 3·10⁶ (the centered products) AND n ≤ 2.5·10⁵ (the ×1000 steps
+    * scale values bounded by den ≤ n·(2n·max|x|)²; beyond ~2.5·10⁵
+    * observations den·1000 itself can pass Long.MAX). Flat series (denominator 0) report r_e6 null; lags with
     * no pairs report 0 (an empty sum IS zero correlation evidence, not
     * an undefined ratio).
     *
@@ -211,10 +213,19 @@ object TimeSeries {
     val stats = base.groupBy(k: _*)
       .agg(count(lit(1)).as("__n"), sum("__x").as("__s"),
         max(abs(col("__x"))).as("__mx"))
-      .withColumn("__n", when(col("__mx") * col("__n") <= 3000000L, col("__n"))
+      // Two overflow gates, both raised in-plan: n·max|x| ≤ 3e6 bounds the
+      // centered products a·b (each |a| ≤ 2·n·max|x|), and n ≤ 2.5e5
+      // bounds the chained e6 scaling — den ≤ n·(2·n·max|x|)² ≤ n·3.6e13,
+      // and the ×1000 steps multiply values < den, so den·1000 must stay
+      // under Long.MAX: n ≤ 2.5e5 (a 684-year daily series) does it. The
+      // old guard alone let the scaling wrap SILENTLY past n ≈ 2.5e5.
+      .withColumn("__n", when(
+        col("__mx") * col("__n") <= 3000000L && col("__n") <= 250000L,
+        col("__n"))
         .otherwise(raise_error(lit(
-          "acfReport: n*max|x| > 3e6 overflows exact Long products; " +
-            "coarsen the value unit"))))
+          "acfReport: needs n*max|x| <= 3e6 AND n <= 250000 to keep exact " +
+            "Long products and the e6 scaling inside 2^63; coarsen the " +
+            "value unit or the period grain"))))
     val a = base.join(stats, keyCols)
       .select(k :+ col("__d") :+
         (col("__n") * col("__x") - col("__s")).as("__a"): _*)
@@ -232,10 +243,12 @@ object TimeSeries {
       .join(den, keyCols)
       .withColumn("__num", coalesce(col("__num"), lit(0L)))
       .withColumn("__an", abs(col("__num")))
-      // exact floor(|num|·1e6 / den) in two ×1000 Long steps
-      .withColumn("__q1", expr("__an * 1000L div __den"))
+      // exact floor(|num|·1e6 / den) in two ×1000 Long steps; nullif keeps
+      // a FLAT series (den = 0) on the documented null path — without it
+      // ANSI `div` throws DIVIDE_BY_ZERO before the output `when` can mask
+      .withColumn("__q1", expr("__an * 1000L div nullif(__den, 0L)"))
       .withColumn("__q2",
-        expr("(__an * 1000L - __q1 * __den) * 1000L div __den"))
+        expr("(__an * 1000L - __q1 * __den) * 1000L div nullif(__den, 0L)"))
       .select(k ++ Seq(col("__l").as("lag"), col("__n").as("n_days"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         when(col("__den") === 0L, lit(null).cast("long"))

@@ -844,9 +844,12 @@ object Streaming {
     *
     * State per key = one LastSeen + the pending buffer (bounded by that
     * key's arrival rate × delay, never history); an event-time timeout
-    * flushes keys that go quiet. `conversionType` must not be a touch
-    * type (one event deciding AND re-pointing its own credit is
-    * ill-defined). */
+    * flushes keys that go quiet, and once the watermark passes
+    * lastTouch + window the touch is dead (no admissible conversion can
+    * credit it) and the key's state is REMOVED — total state is bounded
+    * by recently-active keys, not by every key ever seen.
+    * `conversionType` must not be a touch type (one event deciding AND
+    * re-pointing its own credit is ill-defined). */
   def attributionStreamBuffered(
       events: org.apache.spark.sql.Dataset[TypedEvent],
       conversionType: String, touchTypes: Seq[String], windowUs: Long,
@@ -884,13 +887,24 @@ object Streaming {
               lastTouch = Some(LastSeen(e.tsUs, e.tie, e.typ))
             res
           }
-          if (hold.isEmpty && lastTouch.isEmpty) state.remove()
+          // A touch is only worth keeping while a future conversion could
+          // still credit it: admissible events have ts >= watermark, and
+          // the hit test needs touch.ts >= conv.ts - window, so once
+          // wm > touch.ts + window the touch is dead. Expired touches are
+          // dropped HERE (not just on timeout) so a key whose buffer stays
+          // busy doesn't carry a dead touch either.
+          val liveTouch = lastTouch.filter(_.tsUs + windowUs >= wmUs)
+          if (hold.isEmpty && liveTouch.isEmpty) state.remove()
           else {
-            state.update(AttribState(lastTouch, hold))
-            if (hold.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(hold.map(_.tsUs).min / 1000L,
-                  state.getCurrentWatermarkMs() + 1L))
+            state.update(AttribState(liveTouch, hold))
+            // ALWAYS register a timeout when keeping state — a key that
+            // goes quiet must still be revisited, or its state lives
+            // forever: wake at the earlier of (watermark passes the
+            // earliest held event) and (watermark passes touch expiry).
+            val wakeMs = (hold.map(_.tsUs).minOption.map(_ / 1000L).toSeq ++
+              liveTouch.map(t => (t.tsUs + windowUs) / 1000L + 1L).toSeq).min
+            state.setTimeoutTimestamp(
+              math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
           }
           out.iterator
       }

@@ -357,8 +357,14 @@ object TextAnalysis {
     *   makes the term one floor division of longs:
     *     part_e6 = tf·(100+k1E2)·100·A·10⁶ div
     *               (10⁴·A·tf + k1E2·(100−bE2)·A + k1E2·bE2·dl)
-    *   (A = avgdl) — exact while tf·A < 4·10⁸, true for any real text
-    *   corpus (a 10⁵-token doc in a 4·10³-avgdl corpus is the boundary).
+    *   (A = avgdl) — the numerator is tf·A·(100+k1E2)·10⁸ longs, so
+    *   exactness needs tf·A·(100+k1E2) < 9.2·10¹⁰: tf·A < 4·10⁸ at the
+    *   default k1 = 1.2, ≥ 1.5·10⁸ anywhere under the ENFORCED
+    *   k1E2 ≤ 500 bound (k1 > 2 is already outside BM25's literature
+    *   range; an unchecked k1 would walk the numerator past Long.MAX
+    *   and silently corrupt every score). Any real text corpus sits
+    *   orders of magnitude inside the bound (a 10⁵-token doc in a
+    *   1.5·10³-avgdl corpus is the k1E2 = 500 boundary).
     *
     * score_e6 = Σ over matched terms of bits·part_e6 — a sum of exact
     * longs, shuffle-order-free. Ties break on the doc id.
@@ -384,7 +390,9 @@ object TextAnalysis {
       broadcastVocab: Boolean = true,
       broadcastDocLengths: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(k1E2 >= 0L, s"k1E2 must be >= 0, got $k1E2")
+    require(k1E2 >= 0L && k1E2 <= 500L,
+      s"k1E2 must be in [0, 500] (k1 <= 5.0 keeps the cleared-denominator" +
+        s" numerator inside Long at the documented tf*avgdl bound), got $k1E2")
     require(bE2 >= 0L && bE2 <= 100L, s"bE2 must be in [0, 100], got $bE2")
     require(maxDfFracE6 >= 0L && maxDfFracE6 <= 1000000L,
       s"maxDfFracE6 must be in [0, 1000000], got $maxDfFracE6")

@@ -160,4 +160,20 @@ class FeaturesSpec extends SparkSpec {
     val aBucket1 = doc1.find(_._2 == 2L).get._1._2
     b.filter(_._1._1 == 2L).head._1._2 shouldBe aBucket1
   }
+
+  test("experimentReport: missing control keeps variant rows with null lift/z") {
+    // every id below hashes to variant 1 (md5-first-8 mod 2) — a corpus
+    // so small NO entity lands in control. A crossJoin against the empty
+    // control frame would return an EMPTY report; the left join must keep
+    // the variant-1 row and report null lift/z instead.
+    val rows = Seq("a", "d", "e", "f", "g").map(s => (s, 1L)).toDF("id", "y")
+    val out = Features.experimentReport(rows, "id", "y", nVariants = 2)
+      .collect()
+    out.length shouldBe 1
+    out(0).getAs[Long]("variant") shouldBe 1L
+    out(0).getAs[Long]("n") shouldBe 5L
+    out(0).getAs[Long]("n_conv") shouldBe 5L
+    out(0).isNullAt(out(0).fieldIndex("lift_e6")) shouldBe true
+    out(0).isNullAt(out(0).fieldIndex("z_e6")) shouldBe true
+  }
 }

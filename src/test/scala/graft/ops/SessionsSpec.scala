@@ -379,4 +379,27 @@ class SessionsSpec extends SparkSpec {
       ("error", "error") -> 1L, // single-event session enters and exits itself
       ("click", "view") -> 1L)
   }
+
+  test("funnelStepsBy: null segment raises a descriptive in-plan error") {
+    import spark.implicits._
+    // a null byCol used to flow into the driver tally as a null group key
+    // and die in an opaque NPE — now it raises with the column named
+    val ev = Seq(
+      (1L, Some(0L), 10L, 1L, "view"),
+      (2L, None: Option[Long], 10L, 2L, "view"))
+      .toDF("user_id", "seg", "ts_us", "event_id", "event_type")
+    val e = intercept[Exception] {
+      graft.ops.Sessions.funnelStepsBy(ev, "user_id", "ts_us",
+        "event_id", "event_type", Seq("view"), "seg")
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" ") should
+      include("funnelStepsBy")
+    // an uncastable string segment is the same contract violation
+    val bad = Seq((1L, "not-a-long", 10L, 1L, "view"))
+      .toDF("user_id", "seg", "ts_us", "event_id", "event_type")
+    an[Exception] should be thrownBy
+      graft.ops.Sessions.funnelStepsBy(bad, "user_id", "ts_us",
+        "event_id", "event_type", Seq("view"), "seg")
+  }
 }

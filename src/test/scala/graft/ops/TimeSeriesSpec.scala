@@ -149,4 +149,25 @@ class TimeSeriesSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TimeSeries.periodOverPeriod(rows, "k", "day", "v", 0L)
   }
+
+  test("acfReport: BOTH overflow gates raise in-plan") {
+    // gate 1: n·max|x| > 3e6 (centered products would overflow)
+    val big = Seq(("k", 1L, 2000000L), ("k", 2L, 1L), ("k", 3L, 1L))
+      .toDF("key", "day", "v")
+    an[Exception] should be thrownBy
+      TimeSeries.acfReport(big, Seq("key"), "day", "v", 2).collect()
+    // gate 2: n > 250000 with tiny values — the OLD guard (n·max|x| ≈
+    // 2.5e5 ≤ 3e6) passed this, but den·1000 in the chained e6 scaling
+    // could wrap silently; now it raises
+    val long = spark.range(250001).select(lit("k").as("key"),
+      col("id").as("day"), lit(1L).as("v"))
+    an[Exception] should be thrownBy
+      TimeSeries.acfReport(long, Seq("key"), "day", "v", 1).collect()
+    // a FLAT series takes the documented null path (den = 0) instead of
+    // an ANSI DIVIDE_BY_ZERO from the intermediate chained divisions
+    val ok = Seq(("k", 1L, 5L), ("k", 2L, 5L)).toDF("key", "day", "v")
+    val flat = TimeSeries.acfReport(ok, Seq("key"), "day", "v", 1).collect()
+    flat.length shouldBe 1
+    flat(0).isNullAt(flat(0).fieldIndex("r_e6")) shouldBe true
+  }
 }

@@ -922,4 +922,32 @@ class StreamingSpec extends SparkSpec {
       got shouldBe Seq((1L, 13.0))
     } finally q.stop()
   }
+
+  test("attributionStreamBuffered drops a quiet key's state once its touch expires") {
+    // key 1 touches once then goes silent forever; once the watermark
+    // passes touch + window no admissible conversion can credit it, so
+    // its state must be REMOVED (the leak: update without a timeout left
+    // the key in the store for the life of the stream)
+    val stream = MemoryStream[Streaming.TypedEvent](spark)
+    val q = Streaming.attributionStreamBuffered(stream.toDS(),
+        conversionType = "purchase", touchTypes = Seq("view"),
+        windowUs = 15000000L, delayUs = 15000000L)
+      .writeStream.format("memory").queryName("attr_state")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ev(key: Long, sec: Long, tie: Long, typ: String) =
+        Streaming.TypedEvent(key, sec * 1000000L, tie, typ)
+      stream.addData(ev(1L, 10L, 1L, "view"))
+      q.processAllAvailable()
+      // key 9 drives the watermark far past key 1's touch@10s + 15s window
+      stream.addData(ev(9L, 100L, 2L, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(9L, 200L, 3L, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(9L, 300L, 4L, "view"))
+      q.processAllAvailable()
+      // only key 9 (still live) may hold state; key 1 must be gone
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum shouldBe 1L
+    } finally q.stop()
+  }
 }

@@ -505,4 +505,18 @@ class TextAnalysisSpec extends SparkSpec {
     rep.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe
       out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
   }
+
+  test("bm25TopK: k1E2 above the Long-headroom bound raises loudly") {
+    // the cleared-denominator numerator is tf·A·(100+k1E2)·10⁸; past
+    // k1E2 = 500 the documented tf·avgdl budget no longer keeps it under
+    // Long.MAX — the knob must refuse, not silently wrap scores
+    val corpus = Seq((1L, "cat dog")).toDF("doc_id", "text")
+    val qs = Seq((9L, "cat")).toDF("qid", "qtext")
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.bm25TopK(corpus, qs, "doc_id", "text", "qid", "qtext",
+        k = 1, k1E2 = 501L)
+    // the bound itself is fine
+    TextAnalysis.bm25TopK(corpus, qs, "doc_id", "text", "qid", "qtext",
+      k = 1, k1E2 = 500L).collect().length shouldBe 1
+  }
 }
