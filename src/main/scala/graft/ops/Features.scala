@@ -268,4 +268,130 @@ object Features {
         expr("__sum_s * 10000L div n").as("mean_score_e6"),
         expr("n_pos * 1000000L div n").as("pos_rate_e6"))
   }
+
+  /** Sample-ratio-mismatch (SRM) check — the experiment-health gate that
+    * runs BEFORE anyone reads [[experimentReport]]'s lift: if the
+    * realized per-variant entity counts don't match the intended split,
+    * the assignment/logging path is broken and every downstream metric
+    * is biased (the classic silent A/B killer). Assignment is the same
+    * md5-mod function as experimentReport, so the check audits the REAL
+    * assignment path. Per variant: observed entities, the exact expected
+    * count under `weights` (default equal), expected_e6 = N·w·10⁶ div W,
+    * and the χ² contribution (obs − exp)²/exp as ONE row-local IEEE dag
+    * over the exact integers (round·10⁶ at the end — the pooled-z
+    * posture; χ² totals against d.o.f. = variants − 1 are the caller's
+    * threshold to apply). Variants with ZERO entities still get a row —
+    * missing mass is precisely what SRM exists to catch — via a
+    * |variants|-sized grid outer-joined onto the counts.
+    *
+    * Scale shape: one entity-distinct aggregate (row-local assignment),
+    * one |variants|-key rollup, one broadcast of the 1-row total frame —
+    * summary space after the first aggregate. */
+  def srmCheck(df: DataFrame, entityCol: String, nVariants: Int,
+      weights: Seq[Long] = Nil): DataFrame = {
+    require(nVariants >= 2, s"nVariants must be >= 2, got $nVariants")
+    val w = if (weights.isEmpty) Seq.fill(nVariants)(1L) else weights
+    require(w.length == nVariants,
+      s"weights must have $nVariants entries, got ${w.length}")
+    require(w.forall(_ > 0L), s"weights must all be > 0, got $w")
+    val wTot = w.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(col(entityCol).cast("string").as("__id")).distinct()
+      .select((conv(substring(md5(col("__id")), 1, 8), 16, 10)
+        .cast("long") % nVariants).as("variant"))
+      .groupBy("variant").agg(count(lit(1)).as("n_entities"))
+    val grid = w.zipWithIndex
+      .map { case (wt, i) => (i.toLong, wt) }.toDF("variant", "__w")
+    val total = counts.agg(coalesce(sum("n_entities"), lit(0L)).as("__tot"))
+    grid.join(counts, Seq("variant"), "left")
+      .na.fill(0L, Seq("n_entities"))
+      .crossJoin(broadcast(total))
+      .select(col("variant"), col("n_entities"),
+        expr(s"__tot * __w * 1000000L div ${wTot}L").as("expected_e6"),
+        when(col("__tot") > 0L,
+          round((col("n_entities").cast("double") -
+            col("__tot").cast("double") * col("__w").cast("double") /
+              lit(wTot.toDouble)) *
+            (col("n_entities").cast("double") -
+              col("__tot").cast("double") * col("__w").cast("double") /
+                lit(wTot.toDouble)) /
+            (col("__tot").cast("double") * col("__w").cast("double") /
+              lit(wTot.toDouble)) * lit(1e6)).cast("long"))
+          .as("chi2_contrib_e6"))
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013) — the
+    * industry-standard sensitivity booster: each entity's pre-experiment
+    * covariate x absorbs its share of outcome variance, so the adjusted
+    * means Ȳ_v − θ·(X̄_v − X̄) separate with the same data a raw
+    * comparison would call noise. θ = cov(x, y)/var(x) from EXACT
+    * integer sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy over
+    * entity-level integer metrics — pass e2/µ-unit columns; exact sums
+    * commute, so the stats are partition-order-free), then θ, the
+    * adjusted means and the variance-reduction factor ρ² =
+    * cov²/(var_x·var_y) each as ONE fixed IEEE dag over those longs,
+    * round·10⁶ at the end (the q220 z posture — the oracle replays the
+    * dag operand for operand). Assignment is the md5-mod convention.
+    * Degenerate var(x) = 0 (constant covariate) reports θ = null and
+    * adjusted ≡ raw means; groups keep exact integer n/sums alongside.
+    *
+    * Overflow: the exact sums need n·max(x², y², |x·y|) < 2⁶³ — with
+    * per-entity metrics bounded by 10⁶ integer units that is n ≤ 9·10⁶
+    * entities; coarsen the unit for larger cohorts (the acfReport
+    * posture — exactness is the contract, the unit is the knob).
+    *
+    * Scale shape: one entity-grain aggregate, one |variants|-key rollup,
+    * one broadcast 1-row global-stats frame. */
+  def cupedReport(df: DataFrame, entityCol: String, preCol: String,
+      postCol: String, nVariants: Int = 2): DataFrame = {
+    require(nVariants >= 2, s"nVariants must be >= 2, got $nVariants")
+    val perEntity = df
+      .select(col(entityCol).cast("string").as("__id"),
+        col(preCol).cast("long").as("__x"),
+        col(postCol).cast("long").as("__y"))
+      .groupBy("__id")
+      .agg(sum("__x").as("__x"), sum("__y").as("__y"))
+      .withColumn("variant",
+        (conv(substring(md5(col("__id")), 1, 8), 16, 10).cast("long") %
+          nVariants))
+    val g = perEntity.agg(count(lit(1)).as("__n"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    // every statistic below is a fixed dag over the seven exact longs —
+    // n·Sxy − Sx·Sy etc. are computed in DOUBLE (the products can pass
+    // 2⁶³ as integers; IEEE multiply/subtract of exactly-represented
+    // longs is deterministic and mirrored operand-for-operand in the
+    // oracle)
+    val covN = col("__n").cast("double") * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val varXN = col("__n").cast("double") * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val varYN = col("__n").cast("double") * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    perEntity.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("__x").as("sum_pre"),
+        sum("__y").as("sum_post"))
+      .crossJoin(broadcast(g))
+      .select(col("variant"), col("n"), col("sum_pre"), col("sum_post"),
+        round(col("sum_post").cast("double") / col("n").cast("double") *
+          lit(1e6)).cast("long").as("mean_post_e6"),
+        when(varXN > 0.0, round(covN / varXN * lit(1e6)).cast("long"))
+          .as("theta_e6"),
+        when(varXN > 0.0,
+          round((col("sum_post").cast("double") / col("n").cast("double") -
+            (covN / varXN) *
+              (col("sum_pre").cast("double") / col("n").cast("double") -
+                col("__sx").cast("double") / col("__n").cast("double"))) *
+            lit(1e6)).cast("long"))
+          .otherwise(round(col("sum_post").cast("double") /
+            col("n").cast("double") * lit(1e6)).cast("long"))
+          .as("mean_adj_e6"),
+        when(varXN > 0.0 && varYN > 0.0,
+          round(covN / varXN * covN / varYN * lit(1e6)).cast("long"))
+          .as("rho2_e6"))
+  }
 }

@@ -583,4 +583,104 @@ object Sessions {
       .withColumn("weight_e6", expr("__raw * 1000000L div __sum"))
       .drop("__raw", "__sum")
   }
+
+  /** Event DEBOUNCE: collapse each burst of same-(key, type) events into
+    * its first event — the retry-storm / double-click / duplicate-webhook
+    * cleaner that runs BEFORE funnels, attribution and billing counts
+    * (every one of which silently inflates on bursts). A burst is a
+    * gap-chain exactly like [[sessionize]]'s sessions, scoped per
+    * (key, type): an event within `gapUs` of its PREDECESSOR (kept or
+    * not) extends the burst — the chain form, so a steady drizzle of
+    * sub-gap retries collapses to one event no matter how long it drags
+    * (the fixed-window form would re-admit it every window).
+    *
+    * Output: the kept (first-per-burst) events with every input column,
+    * plus `n_suppressed` (burst size − 1 — the audit column: how much
+    * duplication the stream actually carried).
+    *
+    * Scale shape: ONE keyed window (lag + running boundary sum share the
+    * (key, type) × (ts, tie) sort, a single exchange) + one
+    * burst-grained aggregate joined back onto the kept rows — everything
+    * linear, no self-join, partition count = shuffle partitions. */
+  def debounce(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0L, s"gapUs must be > 0, got $gapUs")
+    val w = Window.partitionBy(col(keyCol), col(typeCol))
+      .orderBy(col(tsUsCol), col(tieCol))
+    val burst = events
+      .withColumn("__prev", lag(col(tsUsCol).cast("long"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col(tsUsCol).cast("long") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__burst", sum(col("__new")).over(w))
+    burst
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(keyCol), col(typeCol),
+          col("__burst"))))
+      .filter(col("__new") === 1L)
+      .withColumn("n_suppressed", col("__n") - 1L)
+      .drop("__prev", "__new", "__burst", "__n")
+  }
+
+  /** Long-run occupancy of the event-type Markov chain — the power
+    * iteration over [[transitionMatrix]]'s own `p_e6` rows ("where do
+    * users SETTLE", the steady-state complement of the matrix's one-step
+    * view). The synthetic '^' start state is excluded (it has no inflow
+    * — its mass is a transient); occupancy starts uniform over the
+    * observed types and runs `iters` fixed rounds of
+    * π'(v) = Σ_u π(u)·p_e6(u,v) div 10⁶ + dangling_mass div |types|,
+    * where types with NO outgoing transitions (pure terminal states)
+    * redistribute uniformly — the directed-PageRank dangling treatment,
+    * without which total mass leaks to 0. All integer: π in e9 units,
+    * floor divisions in a fixed order, so the oracle unrolls the
+    * recurrence round for round (fixed rounds, not convergence — a
+    * periodic chain oscillates, and a fixed-round contract keeps the
+    * output well-defined and replayable). Mass shed by the p_e6 and
+    * share floors simply vanishes (≤ |types|·iters micro-units —
+    * diagnostic-irrelevant, and both engines shed identically).
+    *
+    * Overflow: π ≤ 10⁹ and p_e6 ≤ 10⁶, so every product ≤ 10¹⁵ at ANY
+    * corpus size — the e6-probability form, not rank·count (whose
+    * product overflows once transition counts pass ~10⁹).
+    *
+    * Scale shape per round: one keyed join of the |types|-sized π frame
+    * onto the |types|²-bounded matrix + one grouped sum + one broadcast
+    * 1-row dangling frame — summary space throughout; the corpus is
+    * touched once, by transitionMatrix's single window pass. */
+  def markovSteadyState(events: DataFrame, keyCol: String, tsUsCol: String,
+      tieCol: String, typeCol: String, iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val tm = transitionMatrix(events, keyCol, tsUsCol, tieCol, typeCol)
+      .filter(col("from_type") =!= "^")
+      .select(col("from_type"), col("to_type"), col("p_e6"))
+      .localCheckpoint()
+    val nodes = tm.select(col("from_type").as("type"))
+      .unionAll(tm.select(col("to_type").as("type")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    if (n == 0)
+      return nodes.select(col("type"), lit(0L).as("occupancy_e9"))
+    val sources = tm.select(col("from_type").as("type")).distinct()
+      .withColumn("__has_out", lit(true)).localCheckpoint()
+    var pi = nodes.select(col("type"), lit(1000000000L / n).as("occupancy_e9"))
+    (1 to iters).foreach { _ =>
+      val inflow = tm
+        .join(pi.withColumnRenamed("type", "from_type"), "from_type")
+        .select(col("to_type").as("type"),
+          expr("occupancy_e9 * p_e6 div 1000000L").as("__share"))
+        .groupBy("type").agg(sum(col("__share")).as("__in"))
+      val dang = pi.join(sources, Seq("type"), "left")
+        .filter(col("__has_out").isNull)
+        .agg(coalesce(sum("occupancy_e9"), lit(0L)).as("__dmass"))
+      pi = nodes
+        .join(inflow, Seq("type"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("type"),
+          (coalesce(col("__in"), lit(0L)) +
+            expr(s"__dmass div ${n}L")).as("occupancy_e9"))
+        .localCheckpoint(eager = false)
+    }
+    pi
+  }
 }

@@ -255,4 +255,106 @@ object TimeSeries {
           .otherwise(signum(col("__num")).cast("long") *
             (col("__q1") * lit(1000L) + col("__q2"))).as("r_e6")): _*)
   }
+
+  /** Holt double-exponential smoothing per key — level AND trend, the
+    * one-step-ahead forecaster for trending series that a plain EWMA
+    * ([[graft.quality.Anomaly.ewmaChart]]) systematically lags:
+    *   l_t = ⌊(α·x_t·10⁶ + (10⁶−α)·(l_{t−1}+b_{t−1})) / 10⁶⌋
+    *   b_t = ⌊(β·(l_t − l_{t−1}) + (10⁶−β)·b_{t−1}) / 10⁶⌋
+    * seeded l₁ = x₁·10⁶, b₁ = 0, with every step floored in e6 integer
+    * units — the EWMA/Kaplan–Meier per-step-floor posture, but the trend
+    * is SIGNED, so the floor is the sign-safe CASE form (operands of the
+    * raw `div` stay non-negative; Spark truncates where DuckDB floors —
+    * the q216 lesson — and a declining series hits that divergence on
+    * every step). `resid_e6 = x_t·10⁶ − (l_{t−1}+b_{t−1})` is the
+    * one-step forecast error, the anomaly/changepoint signal; null on
+    * each key's first observation (no forecast existed).
+    *
+    * Overflow: |x| ≤ 2·10⁶ raw units enforced in-plan — |l| ≤ max|x|·10⁶
+    * (convex combinations), |b| ≤ 2·max|l| by induction, so the widest
+    * product (10⁶−β)·(|l|+|b|) ≤ 10⁶·6·10¹² < 2⁶³. Coarser units are
+    * the knob, as everywhere.
+    *
+    * Scale shape: one grouped collect of each key's day-level series
+    * (summary space), then per-row prefix folds over ≤ |periods|
+    * elements — row-local, no second shuffle (the ewmaChart plan). */
+  def holtSmooth(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+      valueCol: String, alphaE6: Long, betaE6: Long): DataFrame = {
+    require(alphaE6 > 0 && alphaE6 <= 1000000L,
+      s"alphaE6 must be in (0, 1e6], got $alphaE6")
+    require(betaE6 >= 0 && betaE6 <= 1000000L,
+      s"betaE6 must be in [0, 1e6], got $betaE6")
+    val gcols = keyCols.map(col)
+    val guarded = when(abs(col(valueCol).cast("long")) <= 2000000L,
+      col(valueCol).cast("long"))
+      .otherwise(raise_error(concat(lit("holtSmooth: |value| > 2e6 at "),
+        col(dayCol).cast("string"), lit(" overflows the exact fold"))))
+    val steps = daily
+      .filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(dayCol).cast("long").as("__d") :+
+        guarded.as("__x"): _*)
+      .groupBy(gcols: _*)
+      .agg(array_sort(collect_list(struct(col("__d").as("d"),
+        col("__x").as("x")))).as("__s"))
+    // sign-safe floor of v/10⁶: both engines divide non-negative longs
+    def fd(v: String) =
+      s"(CASE WHEN ($v) >= 0 THEN ($v) div 1000000L " +
+        s"ELSE -((-($v) + 999999L) div 1000000L) END)"
+    val a = alphaE6; val b = betaE6
+    // fold state: named_struct(l, b) carried through the prefix; lNew is
+    // written out twice (pure expression) because the lambda can't bind it
+    val lNew = fd(s"${a}L * s.x * 1000000L + ${1000000L - a}L * (acc.l + acc.b)")
+    def fold(len: String) =
+      s"aggregate(slice(__s, 2, $len - 1), " +
+        s"named_struct('l', element_at(__s, 1).x * 1000000L, 'b', 0L), " +
+        s"(acc, s) -> named_struct('l', $lNew, " +
+        s"'b', ${fd(s"${b}L * ($lNew - acc.l) + ${1000000L - b}L * acc.b")}))"
+    steps
+      .select(gcols :+ posexplode(col("__s")).as(Seq("__i", "__e")): _*)
+      .withColumn("__st", expr(fold("__i + 1")))
+      .withColumn("__prev",
+        when(col("__i") === 0,
+          lit(null).cast("struct<l:bigint,b:bigint>"))
+          .otherwise(expr(fold("__i"))))
+      .select(gcols ++ Seq(col("__e.d").as(dayCol), col("__e.x").as(valueCol),
+        col("__st.l").as("level_e6"), col("__st.b").as("trend_e6"),
+        (col("__e.x") * lit(1000000L) - (col("__prev.l") + col("__prev.b")))
+          .as("resid_e6")): _*)
+  }
+
+  /** Rolling exact MEDIAN + deviation per key — the robust twin of the
+    * moving-average anomaly ([[graft.quality.Anomaly.movingAnomaly]]):
+    * one outlier drags a 7-day mean for a week, but the median shrugs it
+    * off, so deviation-from-rolling-median flags the outlier itself
+    * without poisoning the next window. `window` must be ODD so the
+    * median of integers is an exact INTEGER (the middle order statistic
+    * — an even window averages two elements and lands on .5, which is
+    * where cross-engine float drift lives); windows shorter than
+    * `window` (each key's first rows) report null — a 3-row "7-day
+    * median" is a different, noisier statistic, and reporting it
+    * unlabeled is how warm-up rows poison alert thresholds.
+    *
+    * Scale shape: ONE keyed window pass (collect_list over the ROWS
+    * frame + row-local sort of ≤ `window` elements) — same exchange
+    * as the lag; no join, no global sort. */
+  def rollingMedian(daily: DataFrame, keyCols: Seq[String], dayCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    require(window >= 3 && window % 2 == 1,
+      s"window must be odd and >= 3 (exact integer median), got $window")
+    val gcols = keyCols.map(col)
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(col(dayCol).cast("long"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    daily
+      .filter(col(valueCol).isNotNull)
+      .select(gcols :+ col(dayCol).cast("long").as(dayCol) :+
+        col(valueCol).cast("long").as(valueCol): _*)
+      .withColumn("__w", collect_list(col(valueCol)).over(w))
+      .withColumn("rolling_median",
+        when(size(col("__w")) === window,
+          element_at(array_sort(col("__w")), (window + 1) / 2)))
+      .withColumn("deviation",
+        col(valueCol) - col("rolling_median"))
+      .drop("__w")
+  }
 }
