@@ -284,17 +284,32 @@ object Features {
     * missing mass is precisely what SRM exists to catch — via a
     * |variants|-sized grid outer-joined onto the counts.
     *
+    * Overflow: expected_e6 = N·w·10⁶ is a three-factor Long product, so
+    * weights are first reduced by their gcd (floor(N·gw'·10⁶/gW') ≡
+    * floor(N·w'·10⁶/W') — ratios and floors are gcd-invariant, headroom
+    * is not) and the entity total is then gated in-plan: N ≤
+    * 2⁶³/(10⁶·max w') or a descriptive raise says to coarsen the
+    * weights — the raise_error posture of the sibling gates (acfReport,
+    * holtSmooth), not an opaque ANSI overflow mid-expression.
+    *
     * Scale shape: one entity-distinct aggregate (row-local assignment),
     * one |variants|-key rollup, one broadcast of the 1-row total frame —
     * summary space after the first aggregate. */
   def srmCheck(df: DataFrame, entityCol: String, nVariants: Int,
       weights: Seq[Long] = Nil): DataFrame = {
     require(nVariants >= 2, s"nVariants must be >= 2, got $nVariants")
-    val w = if (weights.isEmpty) Seq.fill(nVariants)(1L) else weights
-    require(w.length == nVariants,
-      s"weights must have $nVariants entries, got ${w.length}")
-    require(w.forall(_ > 0L), s"weights must all be > 0, got $w")
+    val w0 = if (weights.isEmpty) Seq.fill(nVariants)(1L) else weights
+    require(w0.length == nVariants,
+      s"weights must have $nVariants entries, got ${w0.length}")
+    require(w0.forall(_ > 0L), s"weights must all be > 0, got $w0")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+    val g = w0.reduce(gcd)
+    val w = w0.map(_ / g)
     val wTot = w.sum
+    // N·maxW·10⁶ < 2⁶³ keeps the expected_e6 product exact; data past the
+    // cap raises in-plan with the remedy instead of wrapping/ANSI-throwing
+    val totCap = Long.MaxValue / 1000000L / w.max
     val spark = df.sparkSession
     import spark.implicits._
     val counts = df
@@ -308,6 +323,12 @@ object Features {
     grid.join(counts, Seq("variant"), "left")
       .na.fill(0L, Seq("n_entities"))
       .crossJoin(broadcast(total))
+      .withColumn("__tot",
+        when(col("__tot") <= totCap, col("__tot"))
+          .otherwise(raise_error(lit(
+            s"srmCheck: entity count exceeds 2^63/(1e6*maxWeight) = " +
+              s"$totCap so expected_e6 would overflow; coarsen the " +
+              "weights (they are already gcd-reduced)"))))
       .select(col("variant"), col("n_entities"),
         expr(s"__tot * __w * 1000000L div ${wTot}L").as("expected_e6"),
         when(col("__tot") > 0L,
@@ -340,10 +361,17 @@ object Features {
     * Overflow: the exact sums need n·max(x², y², |x·y|) < 2⁶³ — with
     * per-entity metrics bounded by 10⁶ integer units that is n ≤ 9·10⁶
     * entities; coarsen the unit for larger cohorts (the acfReport
-    * posture — exactness is the contract, the unit is the knob).
+    * posture — exactness is the contract, the unit is the knob). The
+    * bound is ENFORCED in-plan, not just documented: a first summary
+    * pass aggregates (n, max|x|, max|y|) and raises a descriptive
+    * "coarsen the unit" error when n·max(max_x², max_y², max_x·max_y)
+    * threatens 2⁶³ (compared in double against 9·10¹⁸ — conservative by
+    * the double-rounding slack), BEFORE the sum-of-squares aggregates
+    * run; the gate rides the broadcast that feeds them, so a violating
+    * cohort never reaches the silent-wrap/mid-aggregate-ANSI path.
     *
-    * Scale shape: one entity-grain aggregate, one |variants|-key rollup,
-    * one broadcast 1-row global-stats frame. */
+    * Scale shape: one bounds pass + one entity-grain aggregate, one
+    * |variants|-key rollup, one broadcast 1-row global-stats frame. */
   def cupedReport(df: DataFrame, entityCol: String, preCol: String,
       postCol: String, nVariants: Int = 2): DataFrame = {
     require(nVariants >= 2, s"nVariants must be >= 2, got $nVariants")
@@ -356,7 +384,28 @@ object Features {
       .withColumn("variant",
         (conv(substring(md5(col("__id")), 1, 8), 16, 10).cast("long") %
           nVariants))
-    val g = perEntity.agg(count(lit(1)).as("__n"),
+    // in-plan enforcement of the documented exactness bound: the 1-row
+    // gate raises while its broadcast materializes — before the
+    // sum-of-squares aggregates below can overflow mid-aggregate.
+    // Multiplying the (always-1L) gate into __x/__y keeps Catalyst from
+    // pruning it out of the consuming plans.
+    val okGate = perEntity.agg(count(lit(1)).as("__n0"),
+        coalesce(max(abs(col("__x"))), lit(0L)).as("__mx0"),
+        coalesce(max(abs(col("__y"))), lit(0L)).as("__my0"))
+      .select(when(col("__n0").cast("double") * greatest(
+          col("__mx0").cast("double") * col("__mx0").cast("double"),
+          col("__my0").cast("double") * col("__my0").cast("double"),
+          col("__mx0").cast("double") * col("__my0").cast("double")) <
+            lit(9.0e18), lit(1L))
+        .otherwise(raise_error(lit(
+          "cupedReport: n*max(x^2, y^2, |x*y|) threatens 2^63 and the " +
+            "exact sufficient statistics would overflow; coarsen the " +
+            "metric unit")))
+        .as("__ok"))
+    val gated = perEntity.crossJoin(broadcast(okGate))
+      .select(col("__id"), (col("__x") * col("__ok")).as("__x"),
+        (col("__y") * col("__ok")).as("__y"), col("variant"))
+    val g = gated.agg(count(lit(1)).as("__n"),
       sum("__x").as("__sx"), sum("__y").as("__sy"),
       sum(col("__x") * col("__x")).as("__sxx"),
       sum(col("__y") * col("__y")).as("__syy"),
@@ -372,7 +421,7 @@ object Features {
       col("__sx").cast("double") * col("__sx").cast("double")
     val varYN = col("__n").cast("double") * col("__syy").cast("double") -
       col("__sy").cast("double") * col("__sy").cast("double")
-    perEntity.groupBy("variant")
+    gated.groupBy("variant")
       .agg(count(lit(1)).as("n"), sum("__x").as("sum_pre"),
         sum("__y").as("sum_post"))
       .crossJoin(broadcast(g))

@@ -628,7 +628,10 @@ object Sessions {
     * users SETTLE", the steady-state complement of the matrix's one-step
     * view). The synthetic '^' start state is excluded (it has no inflow
     * — its mass is a transient); occupancy starts uniform over the
-    * observed types and runs `iters` fixed rounds of
+    * observed types — including a type seen ONLY as some journey's sole
+    * event, whose single transition is '^'→T: it joins the node set via
+    * the unfiltered matrix's to_types and is handled as a dangling
+    * (zero-outflow) node — and runs `iters` fixed rounds of
     * π'(v) = Σ_u π(u)·p_e6(u,v) div 10⁶ + dangling_mass div |types|,
     * where types with NO outgoing transitions (pure terminal states)
     * redistribute uniformly — the directed-PageRank dangling treatment,
@@ -651,12 +654,18 @@ object Sessions {
   def markovSteadyState(events: DataFrame, keyCol: String, tsUsCol: String,
       tieCol: String, typeCol: String, iters: Int = 10): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val tm = transitionMatrix(events, keyCol, tsUsCol, tieCol, typeCol)
-      .filter(col("from_type") =!= "^")
+    // Node set comes from the UNFILTERED matrix: a type observed only as
+    // a journey's sole event has '^'->T as its one transition, so
+    // filtering '^' rows first would drop T from the chain entirely (no
+    // output row, none of the uniform seed mass) — T must instead
+    // participate as a dangling node, per the documented treatment. '^'
+    // itself (never a to_type, excluded as a from_type) stays out.
+    val tmAll = transitionMatrix(events, keyCol, tsUsCol, tieCol, typeCol)
       .select(col("from_type"), col("to_type"), col("p_e6"))
       .localCheckpoint()
+    val tm = tmAll.filter(col("from_type") =!= "^")
     val nodes = tm.select(col("from_type").as("type"))
-      .unionAll(tm.select(col("to_type").as("type")))
+      .unionAll(tmAll.select(col("to_type").as("type")))
       .distinct().localCheckpoint()
     val n = nodes.count()
     if (n == 0)

@@ -191,11 +191,18 @@ object TimeSeries {
     * wanted), denominator over the full series, |r| ≤ 1 by
     * Cauchy–Schwarz. The e6 scaling runs as two chained exact Long
     * divisions (×1000 twice), so nothing needs 128-bit arithmetic;
-    * sign-factored so floor ≡ truncate cross-engine. Two bounds hold
-    * everything under 2⁶³, and violating keys raise in-plan: n·max|x|
-    * ≤ 3·10⁶ (the centered products) AND n ≤ 2.5·10⁵ (the ×1000 steps
-    * scale values bounded by den ≤ n·(2n·max|x|)²; beyond ~2.5·10⁵
-    * observations den·1000 itself can pass Long.MAX). Flat series (denominator 0) report r_e6 null; lags with
+    * sign-factored so floor ≡ truncate cross-engine. Three gates hold
+    * everything under 2⁶³, violating keys raise in-plan: n·max|x| ≤
+    * 3·10⁶ (each centered value |a| ≤ 2·n·max|x| ≤ 6·10⁶, so every
+    * product a·b ≤ 3.6·10¹³) and n ≤ 2.5·10⁵ (den and num are sums of
+    * ≤ n such products, ≤ 9·10¹⁸ < 2⁶³ — the SUMS themselves stay
+    * exact) are static; the ×1000 steps additionally need den ≤
+    * 2⁶³/1000 ≈ 9.2·10¹⁵ (both scaled values are ≤ den·1000 since
+    * |num| ≤ den by Cauchy–Schwarz), which the static gates do NOT
+    * imply — a strongly anticorrelated series can land den anywhere up
+    * to 9·10¹⁸ — so that one is gated DATA-DEPENDENTLY on the computed
+    * denominator itself, letting every benign series through and
+    * raising only when the scaling would actually overflow. Flat series (denominator 0) report r_e6 null; lags with
     * no pairs report 0 (an empty sum IS zero correlation evidence, not
     * an undefined ratio).
     *
@@ -213,23 +220,40 @@ object TimeSeries {
     val stats = base.groupBy(k: _*)
       .agg(count(lit(1)).as("__n"), sum("__x").as("__s"),
         max(abs(col("__x"))).as("__mx"))
-      // Two overflow gates, both raised in-plan: n·max|x| ≤ 3e6 bounds the
-      // centered products a·b (each |a| ≤ 2·n·max|x|), and n ≤ 2.5e5
-      // bounds the chained e6 scaling — den ≤ n·(2·n·max|x|)² ≤ n·3.6e13,
-      // and the ×1000 steps multiply values < den, so den·1000 must stay
-      // under Long.MAX: n ≤ 2.5e5 (a 684-year daily series) does it. The
-      // old guard alone let the scaling wrap SILENTLY past n ≈ 2.5e5.
+      // Two STATIC overflow gates, both raised in-plan: n·max|x| ≤ 3e6
+      // bounds every centered product a·b ≤ (2·n·max|x|)² ≤ 3.6e13, and
+      // n ≤ 2.5e5 bounds the SUMS of those products — den, num ≤
+      // n·3.6e13 ≤ 9e18 < 2⁶³ — so the aggregates themselves are exact
+      // (a 684-year daily series fits). Neither bounds the ×1000
+      // scaling: that needs den ≤ 2⁶³/1000, which depends on the DATA
+      // (den can legitimately reach 9e18 under both static gates), so
+      // it is gated below on the computed denominator.
       .withColumn("__n", when(
         col("__mx") * col("__n") <= 3000000L && col("__n") <= 250000L,
         col("__n"))
         .otherwise(raise_error(lit(
           "acfReport: needs n*max|x| <= 3e6 AND n <= 250000 to keep exact " +
-            "Long products and the e6 scaling inside 2^63; coarsen the " +
+            "Long products and sums inside 2^63; coarsen the " +
             "value unit or the period grain"))))
     val a = base.join(stats, keyCols)
       .select(k :+ col("__d") :+
         (col("__n") * col("__x") - col("__s")).as("__a"): _*)
+    // DATA-DEPENDENT gate for the chained e6 scaling: both ×1000 products
+    // below are ≤ den·1000 (|num| ≤ den by Cauchy–Schwarz; the remainder
+    // in the second step is < den), so den ≤ Long.MAX/1000 is exactly
+    // what keeps them inside 2⁶³. The static gates make den itself exact
+    // but permit den up to 9e18 — e.g. an alternating ±12 series over
+    // 5·10⁴ days lands den ≈ 1.8e16, which would overflow the scaling
+    // (ANSI throw at best, silent wrap at worst) yet passes both static
+    // gates. Gating on the computed den is exact and lets every series
+    // whose scaling genuinely fits through.
     val den = a.groupBy(k: _*).agg(sum(col("__a") * col("__a")).as("__den"))
+      .withColumn("__den",
+        when(col("__den") <= Long.MaxValue / 1000L, col("__den"))
+          .otherwise(raise_error(lit(
+            "acfReport: sum of squared centered values exceeds 2^63/1000 " +
+              "so the exact e6 scaling would overflow; coarsen the value " +
+              "unit"))))
     val lagged = a
       .withColumn("__l", explode(sequence(lit(1L), lit(maxLag.toLong))))
       .withColumn("__d", col("__d") + col("__l"))
@@ -270,10 +294,21 @@ object TimeSeries {
     * one-step forecast error, the anomaly/changepoint signal; null on
     * each key's first observation (no forecast existed).
     *
-    * Overflow: |x| ≤ 2·10⁶ raw units enforced in-plan — |l| ≤ max|x|·10⁶
-    * (convex combinations), |b| ≤ 2·max|l| by induction, so the widest
-    * product (10⁶−β)·(|l|+|b|) ≤ 10⁶·6·10¹² < 2⁶³. Coarser units are
-    * the knob, as everywhere.
+    * Overflow: |x| ≤ 2·10⁶ raw units enforced in-plan, PLUS a per-step
+    * state guard |l_t|+|b_t| ≤ 6·10¹² that raises in-plan ("coarsen the
+    * unit") the moment the smoothed state leaves the exactly-computable
+    * region. The induction the guard licenses is data-independent: at
+    * step entry |l|+|b| ≤ B = 6·10¹² (seed: |x₁|·10⁶ ≤ 2·10¹²), so
+    * l' = convex(x·10⁶, l+b) has numerator ≤ 10⁶·max(2·10¹², B) =
+    * 6·10¹⁸ and |l'| ≤ B; l'−l = convex(x·10⁶−l, b) is ≤ 2·10¹²+B =
+    * 8·10¹², so b' = convex(l'−l, b) has numerator ≤ 10⁶·8·10¹² =
+    * 8·10¹⁸ < 2⁶³; the guard on the step OUTPUT re-establishes the
+    * invariant. No claim about the Holt recursion's transient gain is
+    * needed — and none would hold: the gain is NOT uniformly bounded
+    * over (α, β] (an underdamped α ≈ 0.01, β = 1 chain pumped by
+    * resonant ±max|x| input passes 3× max|x|·10⁶ within 100 steps), so
+    * the guard, not a convexity-in-l argument, is what keeps every
+    * product exact. Coarser units are the knob, as everywhere.
     *
     * Scale shape: one grouped collect of each key's day-level series
     * (summary space), then per-row prefix folds over ≤ |periods|
@@ -301,16 +336,26 @@ object TimeSeries {
       s"(CASE WHEN ($v) >= 0 THEN ($v) div 1000000L " +
         s"ELSE -((-($v) + 999999L) div 1000000L) END)"
     val a = alphaE6; val b = betaE6
-    // fold state: named_struct(l, b) carried through the prefix; lNew is
-    // written out twice (pure expression) because the lambda can't bind it
+    // fold state: named_struct(l, b) carried through the prefix; lNew/bNew
+    // are written out repeatedly (pure expressions) because the lambda
+    // can't bind intermediates. The CASE on the 'l' field is the per-step
+    // state guard: it fires on the step OUTPUT, so every step ENTERS with
+    // |l|+|b| ≤ 6e12 and all four products that step stay under 2⁶³
+    // (see the scaladoc induction) — raised, never wrapped.
     val lNew = fd(s"${a}L * s.x * 1000000L + ${1000000L - a}L * (acc.l + acc.b)")
+    val bNew = fd(s"${b}L * ($lNew - acc.l) + ${1000000L - b}L * acc.b")
     def fold(len: String) =
       s"aggregate(slice(__s, 2, $len - 1), " +
         s"named_struct('l', element_at(__s, 1).x * 1000000L, 'b', 0L), " +
-        s"(acc, s) -> named_struct('l', $lNew, " +
-        s"'b', ${fd(s"${b}L * ($lNew - acc.l) + ${1000000L - b}L * acc.b")}))"
+        s"(acc, s) -> named_struct(" +
+        s"'l', CASE WHEN abs($lNew) + abs($bNew) <= 6000000000000L " +
+        s"THEN $lNew ELSE CAST(raise_error('holtSmooth: smoothed state " +
+        s"passed 6e12 micro-units and the exact fold would overflow; " +
+        s"coarsen the value unit') AS BIGINT) END, " +
+        s"'b', $bNew))"
     steps
-      .select(gcols :+ posexplode(col("__s")).as(Seq("__i", "__e")): _*)
+      .select((gcols :+ col("__s")) :+
+        posexplode(col("__s")).as(Seq("__i", "__e")): _*)
       .withColumn("__st", expr(fold("__i + 1")))
       .withColumn("__prev",
         when(col("__i") === 0,

@@ -215,6 +215,27 @@ class FeaturesSpec extends SparkSpec {
       Features.srmCheck(rows, "id", 2, weights = Seq(1L))
     an[IllegalArgumentException] should be thrownBy
       Features.srmCheck(rows, "id", 2, weights = Seq(1L, 0L))
+    // gcd reduction is value-neutral: (20, 2) ≡ (10, 1) — same ratios,
+    // same floors — while restoring the overflow headroom big raw
+    // weights would burn
+    Features.srmCheck(rows, "id", 2, weights = Seq(20L, 2L))
+      .orderBy("variant").collect()
+      .map(r => (r.getAs[Long]("expected_e6"),
+        r.getAs[Long]("chi2_contrib_e6"))).toSeq shouldBe
+      wout.map(r => (r.getAs[Long]("expected_e6"),
+        r.getAs[Long]("chi2_contrib_e6"))).toSeq
+    // overflow gate: a gcd-irreducible 4e12 weight caps the entity total
+    // at 2^63/(1e6·4e12) = 2 — three entities must raise in-plan with
+    // the descriptive message, not an opaque ANSI overflow
+    val three = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("id", "x")
+    val ex = intercept[Exception] {
+      Features.srmCheck(three, "id", 2,
+        weights = Seq(1L, 4000000000000L)).collect()
+    }
+    ex.getMessage should include("coarsen the weights")
+    // ...while two entities under the same weights still compute
+    Features.srmCheck(three.limit(2), "id", 2,
+      weights = Seq(1L, 4000000000000L)).count() shouldBe 2L
   }
 
   test("cupedReport: dag replay; constant covariate degrades to raw means") {
@@ -270,5 +291,18 @@ class FeaturesSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("theta_e6")) shouldBe true
       r.getAs[Long]("mean_adj_e6") shouldBe r.getAs[Long]("mean_post_e6")
     }
+    // the documented exactness bound is now ENFORCED: one entity with
+    // pre = 4e9 puts n·max(x²) = 1.6e19 past 2^63 — descriptive in-plan
+    // raise, not a silent wrap / mid-aggregate ANSI error
+    val hot = Seq(("a", 4000000000L, 1L)).toDF("id", "pre", "post")
+    val ex = intercept[Exception] {
+      Features.cupedReport(hot, "id", "pre", "post", 2).collect()
+    }
+    ex.getMessage should include("coarsen the metric unit")
+    // ...and a cohort inside the bound (n = 1, 2.9e9² ≈ 8.4e18 < 9e18)
+    // computes
+    val warm = Seq(("a", 2900000000L, 1L)).toDF("id", "pre", "post")
+    Features.cupedReport(warm, "id", "pre", "post", 2)
+      .collect().map(_.getAs[Long]("n")).sum shouldBe 1L
   }
 }

@@ -473,4 +473,25 @@ class SessionsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     many.find(_._1 == "B").get._2 should be > 900000000L
   }
+
+  test("markovSteadyState: sole-event types join the chain as dangling") {
+    import spark.implicits._
+    // user 3's journey is the single event D — its ONLY transition is
+    // '^'→D, so a node set built after the '^' filter would drop D
+    // entirely (no row, no seed mass). D must appear, seeded uniformly,
+    // and behave as a dangling node (no outflow → mass redistributes).
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"),
+      (3L, 10L, 6L, "D"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    // types = {A, B, D}, n = 3, π₀ = 333333333 each; matrix: A→B p=1e6.
+    // round 1: inflow(B) = πA = 333333333; dmass = πB + πD =
+    // 666666666 → each +⌊dmass/3⌋ = 222222222.
+    val out = graft.ops.Sessions.markovSteadyState(ev, "user_id",
+        "ts_us", "event_id", "event_type", iters = 1)
+      .orderBy("type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    out.toSeq shouldBe Seq(
+      ("A", 222222222L), ("B", 555555555L), ("D", 222222222L))
+  }
 }
