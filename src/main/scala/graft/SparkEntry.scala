@@ -2030,6 +2030,20 @@ object SparkEntry {
         Seq("view", "click", "purchase"), maxGapUs = 14400000000L)
         .orderBy("stage")),
 
+    // Learned quality scoring: a fixed sparse weight vector over the
+    // q194 hashed-feature space applied as a ROW-LOCAL token fold (zero
+    // shuffle, zero join — the plan a model filter needs at 100 TB);
+    // exact integer score + the rational fast-sigmoid squash (exp-free,
+    // so the hash compare can never straddle a libm ulp).
+    "q229_quality_model" -> ((s, dir) =>
+      graft.text.Curation.scoreLinearModel(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        weightsE6 = Map(3 -> 150000L, 9 -> -250000L, 17 -> 90000L,
+          28 -> -40000L, 41 -> 500000L, 55 -> -120000L),
+        biasE6 = 10000L, nBuckets = 64)
+        .select(col("doc_id"), col("score_e6"), col("prob_e6"))
+        .orderBy("doc_id")),
+
     // Per-type autocorrelation of daily event counts at lags 1..7 — the
     // period FINDER next to seasonalResiduals' period REMOVER; exact
     // cross-multiplied integers, two-step ×1000 Long division.
@@ -4242,6 +4256,28 @@ object SparkEntry {
         |      ELSE n * 1000000 // coalesce(pn, n) END AS BIGINT)
         |   AS conv_from_prev_e6
         |FROM w ORDER BY stage""".stripMargin,
+    // q229: the hashed-bag dot product replayed as token-unnest ⋈
+    // weight VALUES + group-sum (Σ over occurrences ≡ Σ buckets count·w
+    // — a different route to the same integers than Spark's row-local
+    // fold); the rational sigmoid's floors replay exactly, both
+    // branches over non-negative operands so // ≡ div.
+    "q229_quality_model" ->
+      """WITH w(bucket, w_e6) AS (VALUES (3, 150000), (9, -250000),
+        |  (17, 90000), (28, -40000), (41, 500000), (55, -120000)),
+        |toks AS (SELECT doc_id,
+        |    unnest(str_split(trim(text), ' ')) AS tok FROM documents),
+        |dot AS (SELECT t.doc_id, CAST(sum(w.w_e6) AS BIGINT) AS s
+        |  FROM toks t JOIN w
+        |    ON ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 64 = w.bucket
+        |  WHERE t.tok <> '' GROUP BY 1),
+        |sc AS (SELECT d.doc_id, 10000 + coalesce(dot.s, 0) AS score_e6
+        |  FROM documents d LEFT JOIN dot USING (doc_id))
+        |SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6,
+        | CAST(500000 + (CASE WHEN score_e6 >= 0
+        |   THEN (score_e6 * 500000) // (1000000 + score_e6)
+        |   ELSE -((-score_e6 * 500000) // (1000000 - score_e6)) END)
+        |   AS BIGINT) AS prob_e6
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // q228: same centered-product formula, but the e6 scaling runs in
     // ONE HUGEINT division (Spark chains two ×1000 Long steps — same
     // value, independently derived); sign factored on both sides.

@@ -362,6 +362,45 @@ object ConfigLoader {
             minTtrE6 = long("min_ttr_e6", 300000L),
             maxDup2E6 = long("max_dup_2gram_e6", 200000L))
         },
+        model = cm.get("quality_model").map { q =>
+          val qm2 = asMap(q, "curation.quality_model")
+          // YAML parses integer mapping keys as Integer, so the generic
+          // String-keyed asMap cannot serve here — walk the raw JMap
+          val weights = (qm2.getOrElse("weights_e6",
+              throw new ConfigError(
+                "curation.quality_model.weights_e6 is required (the " +
+                  "model's non-zero bucket weights)")) match {
+            case m: JMap[_, _] => m.asScala.toSeq
+            case other => throw new ConfigError(
+              "curation.quality_model.weights_e6: expected a mapping, " +
+                s"got ${other.getClass.getSimpleName}")
+          }).map { case (k, v) =>
+            val bucket =
+              try k.toString.toInt
+              catch { case _: NumberFormatException =>
+                throw new ConfigError("curation.quality_model.weights_e6 " +
+                  s"keys must be integer buckets, got '$k'") }
+            bucket -> v.toString.toLong
+          }.toMap
+          val spec = QualityModelSpec(
+            idColumn = str(qm2, "id_column", "curation.quality_model"),
+            textColumn = str(qm2, "text_column", "curation.quality_model"),
+            nBuckets = qm2.getOrElse("n_buckets",
+              throw new ConfigError(
+                "curation.quality_model.n_buckets is required (the hash " +
+                  "space the weights were trained in)")).toString.toInt,
+            weightsE6 = weights,
+            biasE6 = qm2.get("bias_e6").map(_.toString.toLong).getOrElse(0L),
+            minScoreE6 =
+              qm2.get("min_score_e6").map(_.toString.toLong).getOrElse(0L))
+          if (weights.isEmpty)
+            throw new ConfigError(
+              "curation.quality_model.weights_e6 must be non-empty")
+          if (weights.keysIterator.exists(b => b < 0 || b >= spec.nBuckets))
+            throw new ConfigError("curation.quality_model.weights_e6 keys " +
+              s"must be buckets in [0, ${spec.nBuckets})")
+          spec
+        },
         pii = asList(cm.getOrElse("pii", null)).map { r =>
           val rm = asMap(r, "curation.pii[]")
           val pattern = (rm.get("pattern"), rm.get("preset")) match {

@@ -258,9 +258,25 @@ final case class BudgetSpec(
   * (undetermined) is kept only when listed. */
 final case class LanguageFilterSpec(textColumn: String, keep: Seq[String])
 
+/** curation.quality_model — a TRAINED linear quality classifier applied as
+  * a filter (Curation.scoreLinearModel): `weightsE6` maps hashed-feature
+  * buckets (Features.hashFeatures's md5-mod-`nBuckets` space, so weights
+  * trained on q194 coordinates apply directly) to integer micro-unit
+  * weights; rows keep iff bias + Σ_token w[bucket] ≥ `minScoreE6`.
+  * `score_e6`/`prob_e6` ride through as audit columns. Row-local — the
+  * identical stage runs under streaming curation. */
+final case class QualityModelSpec(
+    idColumn: String,
+    textColumn: String,
+    nBuckets: Int,
+    weightsE6: Map[Int, Long],
+    biasE6: Long = 0L,
+    minScoreE6: Long = 0L)
+
 final case class CurationSpec(
     language: Option[LanguageFilterSpec] = None,
     gate: Option[QualityGateSpec] = None,
+    model: Option[QualityModelSpec] = None,
     pii: Seq[PiiRule] = Nil,
     dedup: Option[NearDedupSpec] = None,
     mixing: Option[MixingSpec] = None,

@@ -102,10 +102,15 @@ object Streaming {
     // unchanged, in the same order as the batch stage
     val inLang = spec.language.fold(src)(l =>
       graft.text.Curation.applyLanguageFilter(src, l))
-    val gatedOnly = spec.gate.fold(inLang)(g =>
+    val ruleGated = spec.gate.fold(inLang)(g =>
       graft.text.Curation.applyGate(inLang, g))
+    // the learned quality model is a row-local token fold against a map
+    // literal — it streams unchanged, in the same gate → model order as
+    // the batch stage (score_e6/prob_e6 audit columns ride to the sink)
+    val gatedOnly = spec.model.fold(ruleGated)(m =>
+      graft.text.Curation.applyQualityModel(ruleGated, m))
     // PII scrub is row-local regex — it streams unchanged, in the same
-    // gate → scrub → dedup order as the batch stage
+    // gate → model → scrub → dedup order as the batch stage
     val gated =
       if (spec.pii.isEmpty) gatedOnly
       else graft.text.Curation.redactPii(gatedOnly, spec.pii)

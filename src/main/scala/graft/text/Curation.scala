@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.config.{BudgetSpec, CurationSpec, LanguageFilterSpec, MixingSpec, NearDedupSpec, PiiRule, QualityGateSpec}
+import graft.config.{BudgetSpec, CurationSpec, LanguageFilterSpec, MixingSpec, NearDedupSpec, PiiRule, QualityGateSpec, QualityModelSpec}
 import graft.dedup.Dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -108,6 +108,64 @@ object Curation {
       ttrE6 = e6(TextAnalysis.typeTokenRatio(c)),
       avgLenE6 = e6(TextAnalysis.avgTokenLength(c)),
       dup2E6 = call_function("dup_gram_frac_e6", c, lit(2)))
+  }
+
+  /** Learned quality scoring — apply a TRAINED linear classifier (the
+    * fastText/DCLM-style model-based filter that is the modern default
+    * over rule gates) to every document: score = bias + Σ_token
+    * w[bucket(token)], where bucket is the repo's one hash convention
+    * (md5-first-8-hex mod `nBuckets` — exactly [[graft.ops.Features.hashFeatures]]'s
+    * feature space, so weights trained on q194's coordinates apply
+    * directly) and `weightsE6` holds the model's non-zero coordinates in
+    * integer micro-units. Summing w over token OCCURRENCES ≡ Σ_buckets
+    * count·w, so this IS the sparse dot product over the hashed bag of
+    * words — computed ROW-LOCALLY as a fold over the token array against
+    * a broadcast map literal: zero shuffle, zero join, no fitted
+    * vocabulary to ship, and the identical plan runs under Structured
+    * Streaming (the batch/stream parity the curation stage contracts).
+    *
+    * `prob_e6` squashes the score through the rational "fast sigmoid"
+    * σ̃(s) = 1/2 + s/(2·(1+|s|)) in exact integer arithmetic (Elliott's
+    * logistic stand-in: monotone, bounded (0, 10⁶), exactly replayable
+    * cross-engine — unlike exp(), whose last ulp is libm-specific and
+    * would poison hash compares). Thresholding happens on `score_e6`
+    * (monotone ≡ thresholding prob, without the approximation entering
+    * the decision).
+    *
+    * Overflow: |w| ≤ 10⁹ and |bias| ≤ 10¹² enforced driver-side; the
+    * accumulated |score| is gated in-plan at 10¹² (keeps the sigmoid's
+    * ·5·10⁵ product under 2⁶³ by six orders) with the standard "coarsen
+    * the unit" raise. Null text scores bias alone (the empty document). */
+  def scoreLinearModel(df: DataFrame, idCol: String, textCol: String,
+      weightsE6: Map[Int, Long], biasE6: Long, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(weightsE6.nonEmpty, "weightsE6 must hold the model's non-zero " +
+      "coordinates (an all-zero model scores bias everywhere - not a model)")
+    require(weightsE6.keysIterator.forall(b => b >= 0 && b < nBuckets),
+      s"weightsE6 keys must be buckets in [0, $nBuckets)")
+    require(weightsE6.valuesIterator.forall(w => math.abs(w) <= 1000000000L),
+      "weightsE6 values must be within +-1e9 micro-units")
+    require(math.abs(biasE6) <= 1000000000000L,
+      s"biasE6 must be within +-1e12, got $biasE6")
+    val wMap = typedLit(weightsE6)
+    val toks = filter(split(trim(col(textCol)), " "), t => t =!= "")
+    val raw = lit(biasE6) + coalesce(
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + coalesce(
+          element_at(wMap,
+            (conv(substring(md5(t), 1, 8), 16, 10).cast("long") %
+              nBuckets).cast("int")),
+          lit(0L))),
+      lit(0L))
+    df.withColumn("score_e6",
+        when(abs(raw) <= 1000000000000L, raw)
+          .otherwise(raise_error(lit(
+            "scoreLinearModel: |score| passed 1e12 micro-units; coarsen " +
+              "the weight unit"))))
+      .withColumn("prob_e6", expr(
+        "500000L + (CASE WHEN score_e6 >= 0 " +
+          "THEN (score_e6 * 500000L) div (1000000L + score_e6) " +
+          "ELSE -((-score_e6 * 500000L) div (1000000L - score_e6)) END)"))
   }
 
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
@@ -331,6 +389,16 @@ object Curation {
     df.filter(passed)
   }
 
+  /** The learned model as a corpus FILTER: keeps rows whose
+    * [[scoreLinearModel]] score clears the configured threshold, with
+    * every original column intact and `score_e6`/`prob_e6` riding
+    * through as audit columns (the n_redactions pattern). Row-local —
+    * streams unchanged. */
+  def applyQualityModel(df: DataFrame, m: QualityModelSpec): DataFrame =
+    scoreLinearModel(df, m.idColumn, m.textColumn, m.weightsE6, m.biasE6,
+      m.nBuckets)
+      .filter(col("score_e6") >= m.minScoreE6)
+
   /** Near-dup removal dispatch: every strategy resolves to candidate pairs →
     * connected components → min-id survivor, using the scale-shaped pair
     * generators (inverted index / banded / LSH-bucketed — never all-pairs). */
@@ -456,17 +524,22 @@ object Curation {
   }
 
   /** The full config-driven stage in reference order: language filter →
-    * gate → PII scrub → dedup → mix → budget cut. Each sub-stage is
-    * optional; absent blocks pass the frame through. The language filter
-    * runs first (cheapest row-local cut, and later signals assume a known
-    * language); redaction runs after the gate (no regex cost on rejected
-    * docs) and before dedup (fingerprints see the text that ships); its
-    * `n_redactions` audit column rides through to the output. The budget
-    * cut runs LAST — the final size control over whatever survived every
-    * other filter (its `cum_tokens` audit column rides through too). */
+    * gate → learned model → PII scrub → dedup → mix → budget cut. Each
+    * sub-stage is optional; absent blocks pass the frame through. The
+    * language filter runs first (cheapest row-local cut, and later
+    * signals assume a known language); the learned model scores only
+    * rule-gate survivors (the DCLM ordering — cheap hard gates prune
+    * before the model spends per-token hash work, and its score_e6/
+    * prob_e6 audit columns ride through); redaction runs after the
+    * filters (no regex cost on rejected docs) and before dedup
+    * (fingerprints see the text that ships); its `n_redactions` audit
+    * column rides through to the output. The budget cut runs LAST — the
+    * final size control over whatever survived every other filter (its
+    * `cum_tokens` audit column rides through too). */
   def curate(df: DataFrame, spec: CurationSpec): DataFrame = {
     val inLang = spec.language.fold(df)(applyLanguageFilter(df, _))
-    val gated = spec.gate.fold(inLang)(applyGate(inLang, _))
+    val ruleGated = spec.gate.fold(inLang)(applyGate(inLang, _))
+    val gated = spec.model.fold(ruleGated)(applyQualityModel(ruleGated, _))
     val scrubbed = if (spec.pii.isEmpty) gated else redactPii(gated, spec.pii)
     val deduped = spec.dedup.fold(scrubbed)(applyDedup(scrubbed, _))
     val mixed = spec.mixing.fold(deduped)(applyMixing(deduped, _))

@@ -212,6 +212,56 @@ class PipelineSpec extends SparkSpec {
     e.getMessage should include("fuzzy_wuzzy")
   }
 
+  test("quality_model drives from YAML: threshold filter + audit columns") {
+    def bucket(tok: String, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % m).toInt
+    }
+    val (bGood, bBad) = (bucket("good", 32), bucket("bad", 32))
+    val yaml =
+      s"""version: "1.0"
+         |pipeline:
+         |  name: docs
+         |curation:
+         |  quality_model:
+         |    id_column: doc_id
+         |    text_column: text
+         |    n_buckets: 32
+         |    bias_e6: 0
+         |    min_score_e6: 100000
+         |    weights_e6:
+         |      $bGood: 200000
+         |      $bBad: -200000
+         |gold:
+         |  - name: survivors
+         |    group_by:
+         |      - doc_id
+         |    measures:
+         |      - name: docs
+         |        expression: count(1)
+         |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.curation.flatMap(_.model).map(_.weightsE6) shouldBe
+      Some(Map(bGood -> 200000L, bBad -> -200000L))
+    val docs = Seq(
+      (1L, "good good stuff"), (2L, "good bad neutral"), (3L, "bad news"))
+      .toDF("doc_id", "text")
+    var kept = Set.empty[Long]
+    val r = Pipeline.run(spark, cfg, docs, goldSink = Some((_, df) =>
+      kept = df.select("doc_id").collect().map(_.getLong(0)).toSet))
+    kept shouldBe Set(1L) // 400000 ≥ 1e5; doc 2 scores 0; doc 3 negative
+    r.stages.map(s => s.name -> s.rows).toMap.apply("curated") shouldBe 1L
+    // config validation: weights are required and keys must be in range
+    val e1 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      yaml.replace("    weights_e6:\n", "    weights_x:\n"))
+    e1.getMessage should include("weights_e6")
+    val e2 = the[ConfigLoader.ConfigError] thrownBy ConfigLoader.parse(
+      yaml.replace("n_buckets: 32", "n_buckets: 2"))
+    e2.getMessage should include("buckets in [0, 2)")
+  }
+
   test("semantic dedup strategy drives from YAML (embedding column)") {
     val yaml =
       """version: "1.0"

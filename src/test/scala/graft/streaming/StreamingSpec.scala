@@ -81,6 +81,45 @@ class StreamingSpec extends SparkSpec {
     e.getMessage should include("batch")
   }
 
+  test("curation stream applies the learned quality model ≡ batch curate") {
+    import graft.config.{CurationSpec, QualityModelSpec}
+    def bucket(tok: String, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % m).toInt
+    }
+    val in = Files.createTempDirectory("graft_qm_in").toString
+    val out = Files.createTempDirectory("graft_qm_out").toString
+    val chk = Files.createTempDirectory("graft_qm_chk").toString
+    val spec = CurationSpec(model = Some(QualityModelSpec(
+      "doc_id", "text", nBuckets = 32,
+      weightsE6 = Map(bucket("good", 32) -> 200000L,
+        bucket("bad", 32) -> -200000L),
+      biasE6 = 0L, minScoreE6 = 100000L)))
+    val batch1 = Seq(
+      (1L, "good good stuff"), (2L, "bad content here")).toDF("doc_id", "text")
+    batch1.write.mode("append").parquet(in)
+    val q = Streaming.curationStream(spark, in, batch1.schema, spec, out, chk)
+    try {
+      q.processAllAvailable()
+      val batch2 = Seq(
+        (3L, "more good text"), (4L, "good bad neutral")).toDF("doc_id", "text")
+      batch2.write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+      // the stream's survivors and audit scores ≡ the batch stage over
+      // the same corpus (the row-local stage is literally the same plan)
+      val expect = graft.text.Curation.curate(
+        batch1.unionByName(batch2), spec)
+        .select("doc_id", "score_e6").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      streamed.select("doc_id", "score_e6").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe expect
+      expect.map(_._1) shouldBe Array(1L, 3L)
+    } finally q.stop()
+  }
+
   test("curation stream drops arrivals already in a historical corpus") {
     import graft.config.{CurationSpec, NearDedupSpec}
     val in = Files.createTempDirectory("graft_curc_in").toString

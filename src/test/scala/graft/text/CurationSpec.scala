@@ -357,4 +357,97 @@ class CurationSpec extends SparkSpec {
       .filter(col("split_lo") =!= col("split_hi")).count()
     audit2 shouldBe 0L
   }
+
+  test("scoreLinearModel: hand-traced sparse dot, sigmoid, null/empty text") {
+    import org.apache.spark.sql.functions.col
+    // md5-first-8-hex mod 16 buckets (replayed locally): aa→10, bb→8,
+    // cc→0, zz→11 — all distinct at this size
+    def bucket(tok: String, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % m).toInt
+    }
+    bucket("aa", 16) shouldBe 10
+    val w = Map(bucket("aa", 16) -> 100000L, bucket("bb", 16) -> -50000L,
+      bucket("cc", 16) -> -300000L)
+    val docs = Seq(
+      (1L, Some("aa bb aa")),  // 25000 + 2·100000 − 50000 = 175000
+      (2L, Some("cc")),        // 25000 − 300000 = −275000
+      (3L, Some("")),          // empty → bias alone
+      (4L, None: Option[String]), // null → bias alone
+      (5L, Some("zz zz")))     // unseen bucket → weight 0 → bias alone
+      .toDF("doc_id", "text")
+    val out = Curation.scoreLinearModel(docs, "doc_id", "text",
+        w, biasE6 = 25000L, nBuckets = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("score_e6"),
+        r.getAs[Long]("prob_e6")))
+    // prob = 5e5 + s·5e5 div (1e6+|s|), exact integer floors
+    out.toSeq shouldBe Seq(
+      (1L, 175000L, 574468L),   // 5e5 + 87500000000 div 1175000
+      (2L, -275000L, 392157L),  // 5e5 − 137500000000 div 1275000
+      (3L, 25000L, 512195L),
+      (4L, 25000L, 512195L),
+      (5L, 25000L, 512195L))
+    // all original columns ride through
+    Curation.scoreLinearModel(docs, "doc_id", "text", w, 0L, 16)
+      .columns.toSeq shouldBe Seq("doc_id", "text", "score_e6", "prob_e6")
+    // driver-side contract checks
+    an[IllegalArgumentException] should be thrownBy
+      Curation.scoreLinearModel(docs, "doc_id", "text", Map.empty, 0L, 16)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.scoreLinearModel(docs, "doc_id", "text", Map(16 -> 1L), 0L, 16)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.scoreLinearModel(docs, "doc_id", "text",
+        Map(0 -> 1000000001L), 0L, 16)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.scoreLinearModel(docs, "doc_id", "text",
+        Map(0 -> 1L), 1000000000001L, 16)
+    // in-plan score guard: 1001 copies of one max-weight token passes 1e12
+    val hot = Seq((1L, Seq.fill(1001)("aa").mkString(" "))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Curation.scoreLinearModel(hot, "doc_id", "text",
+        Map(bucket("aa", 16) -> 1000000000L), 0L, 16).collect()
+    }
+    ex.getMessage should include("coarsen the weight unit")
+  }
+
+  test("applyQualityModel filters on score_e6; curate runs it after the gate") {
+    import org.apache.spark.sql.functions.col
+    def bucket(tok: String, m: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        d.take(4).map("%02x".format(_)).mkString, 16) % m).toInt
+    }
+    val w = Map(bucket("good", 32) -> 200000L, bucket("bad", 32) -> -200000L)
+    val docs = Seq(
+      (1L, "good good"),  // 400000 ≥ 100000: keep
+      (2L, "good bad"),   // 0 < 100000: drop
+      (3L, "bad"))        // −200000: drop
+      .toDF("doc_id", "text")
+    val m = graft.config.QualityModelSpec("doc_id", "text", nBuckets = 32,
+      weightsE6 = w, biasE6 = 0L, minScoreE6 = 100000L)
+    val kept = Curation.applyQualityModel(docs, m)
+    kept.collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    kept.columns should contain allOf ("score_e6", "prob_e6")
+    // curate: the model stage composes after the rule gate — a doc the
+    // GATE rejects never reaches the model (too few tokens), and a doc
+    // the model rejects doesn't survive just by passing the gate
+    val corpus = Seq(
+      (1L, ("good " * 25).trim),              // passes gate AND model
+      (2L, ("bad " * 25).trim),               // passes gate, model rejects
+      (3L, "good"))                           // gate rejects (1 token < 20)
+      .toDF("doc_id", "text")
+    val spec = graft.config.CurationSpec(
+      gate = Some(graft.config.QualityGateSpec("doc_id", "text",
+        minTokens = 20L, maxTokens = 90L,
+        // one-word-vocabulary docs: ttr and dup-2gram gates off
+        minTtrE6 = 0L, maxDup2E6 = 1000000L,
+        minAvgTokenLenE6 = 3000000L, maxAvgTokenLenE6 = 8000000L)),
+      model = Some(m))
+    Curation.curate(corpus, spec).collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(1L)
+  }
 }
