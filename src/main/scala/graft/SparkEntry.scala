@@ -2030,6 +2030,27 @@ object SparkEntry {
         Seq("view", "click", "purchase"), maxGapUs = 14400000000L)
         .orderBy("stage")),
 
+    // Unicode canonical dedup: the corpus plus TWO deterministically-
+    // mangled copies of every 10th doc — one suffixed with composed
+    // accents (é, ö), one with decomposed combining marks (e+U+0301,
+    // O+U+0308), different case/spacing/punctuation. Byte-distinct,
+    // canonically equivalent: NFC (the native nfc_normalize expression,
+    // named for DuckDB's identical builtin) + unicode lower + the
+    // \p{L}\p{Nd} fold collapse each pair onto one group per source
+    // doc; the originals, lacking the suffix, stay out.
+    "q230_unicode_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+      val tenth = docs.filter(col("doc_id") % 10 === 0)
+      val v1 = tenth.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" Caf\u00e9 N\u00f6is")).as("text"))
+      val v2 = tenth.select((col("doc_id") + lit(20000000L)).as("doc_id"),
+        concat(col("text"), lit("  cafe\u0301   NO\u0308IS !!")).as("text"))
+      Dedup.canonicalDupGroupsUnicode(
+        docs.unionByName(v1).unionByName(v2), "doc_id", "text")
+        .select("fingerprint", "keep_id", "copies")
+        .orderBy("keep_id")
+    }),
+
     // Learned quality scoring: a fixed sparse weight vector over the
     // q194 hashed-feature space applied as a ROW-LOCAL token fold (zero
     // shuffle, zero join — the plan a model filter needs at 100 TB);
@@ -4256,6 +4277,30 @@ object SparkEntry {
         |      ELSE n * 1000000 // coalesce(pn, n) END AS BIGINT)
         |   AS conv_from_prev_e6
         |FROM w ORDER BY stage""".stripMargin,
+    // q230: DuckDB's OWN nfc_normalize (utf8proc) against our native
+    // expression (java.text.Normalizer) — two independent Unicode NFC
+    // implementations agreeing codepoint-for-codepoint is the point;
+    // RE2 and java.util.regex read '[^\p{L}\p{Nd}]+' identically.
+    "q230_unicode_dedup" ->
+      ("""WITH tenth AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |v1 AS (SELECT doc_id + 10000000 AS doc_id,
+        |  text || ' Caf' || chr(233) || ' N' || chr(246) || 'is' AS text
+        |  FROM tenth),
+        |v2 AS (SELECT doc_id + 20000000 AS doc_id,
+        |  text || '  cafe' || chr(769) || '   NO' || chr(776) ||
+        |    'IS !!' AS text
+        |  FROM tenth),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM v1
+        |  UNION ALL SELECT doc_id, text FROM v2),
+        |canon AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |    '[^\p{L}\p{Nd}]+', ' ', 'g'))) AS fingerprint
+        |  FROM corpus)
+        |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS copies
+        |FROM canon GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY keep_id""").stripMargin,
     // q229: the hashed-bag dot product replayed as token-unnest ⋈
     // weight VALUES + group-sum (Σ over occurrences ≡ Σ buckets count·w
     // — a different route to the same integers than Spark's row-local

@@ -142,6 +142,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKLongs(children.head, litInt(children(1), "k"))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize takes 1 argument")
+        NfcNormalize(children.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {

@@ -216,9 +216,9 @@ object NearDedupSpec {
   /** Validated at config load AND at dispatch — a typo'd strategy fails
     * loudly instead of silently skipping the dedup stage. */
   val Strategies: Set[String] =
-    Set("exact", "canonical", "ngram_jaccard", "minhash_lsh", "simhash",
-      "embedding_lsh", "keep_best", "semantic", "prefix", "span_mask",
-      "winnow")
+    Set("exact", "canonical", "canonical_unicode", "ngram_jaccard",
+      "minhash_lsh", "simhash", "embedding_lsh", "keep_best", "semantic",
+      "prefix", "span_mask", "winnow")
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;

@@ -86,6 +86,40 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Unicode canonical content form: NFC-compose (the native
+    * `nfc_normalize` expression — byte-distinct, codepoint-equivalent
+    * variants like e+U+0301 vs é collapse), unicode-lowercase, every run
+    * of non-letter/non-digit codepoints (`[^\p{L}\p{Nd}]+` — a property
+    * class java.util.regex and RE2 read identically) to one space,
+    * trimmed. The normalization real web corpora need before content
+    * hashing, where [[canonicalForm]]'s deliberately-ASCII class mangles
+    * every accented word to fragments. Both forms stay: ASCII for the
+    * RE2-parity contract on known-ASCII corpora, this one for the
+    * multilingual crawl. Row-local projection, zero extra shuffle. */
+  def canonicalFormUnicode(c: Column): Column =
+    trim(regexp_replace(lower(call_function("nfc_normalize", c)),
+      "[^\\p{L}\\p{Nd}]+", " "))
+
+  /** Unicode canonical duplicate groups: one row per NFC-normalized
+    * content group with >1 member — [[canonicalDupGroups]] with the
+    * unicode form. Same single balanced md5-keyed shuffle. */
+  def canonicalDupGroupsUnicode(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(md5(canonicalFormUnicode(col(textCol))).as("fingerprint"))
+      .agg(count(lit(1)).as("copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("copies") > 1)
+
+  /** Unicode canonical dedup: keep the min-id row per NFC-normalized
+    * content fingerprint — [[dedupeCanonical]]'s shuffle shape with the
+    * unicode form keying the window. */
+  def dedupeCanonicalUnicode(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(canonicalFormUnicode(col(textCol))))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Exact dedup: keep the min-id row per content fingerprint. One shuffle on
     * the fingerprint (high-cardinality, balanced). */
   def dedupeExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {

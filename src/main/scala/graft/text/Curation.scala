@@ -408,6 +408,10 @@ object Curation {
     case "canonical" =>
       // exact dedup on the case/whitespace/punct-normalized content
       Dedup.dedupeCanonical(df, d.idColumn, d.contentColumn)
+    case "canonical_unicode" =>
+      // exact dedup on the NFC-composed, unicode-folded content — the
+      // multilingual-crawl variant of `canonical`
+      Dedup.dedupeCanonicalUnicode(df, d.idColumn, d.contentColumn)
     case "ngram_jaccard" =>
       val pairs = Dedup.jaccardPairs(df, d.idColumn, d.contentColumn,
           d.ngram, d.maxShingleFreq)

@@ -52,6 +52,38 @@ class DedupSpec extends SparkSpec {
     groups shouldBe Array((1L, 3L), (3L, 2L))
   }
 
+  test("unicode canonical dedup folds NFC variants the ASCII form mangles") {
+    // same content four ways: composed accents, decomposed combining
+    // marks, case/space/punct noise on each — all one canonical identity
+    val rows = Seq(
+      (1L, "Caf\u00e9 con cr\u00e8me \u00e0 Z\u00fcrich"), // composed
+      (2L, "Cafe\u0301 con cre\u0300me a\u0300 Zu\u0308rich"), // decomposed
+      (3L, "  CAF\u00c9   con  CR\u00c8ME \u00c0 Z\u00dcRICH!!"), // shouting
+      (4L, "caf\u00e9 con, cr\u00e8me... \u00e0 z\u00fcrich"), // punct
+      (5L, "cafe con creme a zurich")) // accent-STRIPPED: a DIFFERENT text
+      .toDF("doc_id", "text")
+    rows.filter(col("doc_id") === 2L)
+      .select(Dedup.canonicalFormUnicode(col("text"))).as[String]
+      .head() shouldBe "caf\u00e9 con cr\u00e8me \u00e0 z\u00fcrich"
+    val kept = Dedup.dedupeCanonicalUnicode(rows, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    kept shouldBe Array(1L, 5L) // 2,3,4 fold into 1; bare-ASCII 5 distinct
+    val groups = Dedup.canonicalDupGroupsUnicode(rows, "doc_id", "text")
+      .select("keep_id", "copies").as[(Long, Long)].collect()
+    groups shouldBe Array((1L, 4L))
+    // the ASCII canonicalForm would have shredded every accented word to
+    // fragments ("caf con cr me") AND merged doc 5 into them — exactly
+    // the mangling the unicode form exists to avoid
+    rows.filter(col("doc_id") === 1L)
+      .select(Dedup.canonicalForm(col("text"))).as[String]
+      .head() shouldBe "caf con cr me z rich"
+    // null and pure-ASCII texts pass through the NFC fast path unchanged
+    val ascii = Seq((1L, Some("plain text")), (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    ascii.select(Dedup.canonicalFormUnicode(col("text"))).as[Option[String]]
+      .collect().toSet shouldBe Set(Some("plain text"), None)
+  }
+
   test("jaccardPairs computes exact n-gram jaccard") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
