@@ -2030,6 +2030,68 @@ object SparkEntry {
         Seq("view", "click", "purchase"), maxGapUs = 14400000000L)
         .orderBy("stage")),
 
+    // Deterministic exact-k uniform sample: the k smallest md5(salt|id)
+    // draws win — the reservoir sample's result (exactly k, uniform)
+    // as a TakeOrderedAndProject plan (per-partition k-heaps, k-row
+    // driver merge, no global sort), bit-stable across runs/engines/
+    // partitionings where rand()-reservoirs are not. The salt is the
+    // epoch knob: change it, get an independent draw.
+    "q231_exact_sample" -> ((s, dir) =>
+      Chunking.exactKSample(
+        Tables.load(s, dir, "documents").select("doc_id", "source"),
+        col("doc_id"), k = 60, salt = "epoch7")
+        .orderBy("sample_rank")),
+
+    // URL canonicalization: deterministic synthetic URLs (mixed-case
+    // schemes/hosts, www/cdn subdomains, default and custom ports,
+    // trailing slashes, utm/fbclid tracking params, fragments) built
+    // from doc_id arithmetic, then normalized + host + registrable
+    // domain (PSL-lite eTLD+1) — every regex drawn from the
+    // java.util.regex ∩ RE2 intersection and replayed verbatim.
+    "q232_url_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "http")
+          .otherwise("https"),
+        lit("://"),
+        when(id % 4 === 0, "WWW.").when(id % 4 === 1, "")
+          .when(id % 4 === 2, "www.").otherwise("cdn."),
+        col("source"), lit("-"), id % 5,
+        when(id % 3 === 0, ".CO.UK").when(id % 3 === 1, ".com")
+          .otherwise(".org"),
+        when(id % 4 === 0, ":443").when(id % 4 === 1, ":80")
+          .when(id % 4 === 2, ":8080").otherwise(""),
+        when(id % 2 === 0, concat(lit("/a/"), id % 7, lit("/")))
+          .otherwise(lit("/p")),
+        when(id % 3 === 0,
+          concat(lit("?utm_source=feed&q="), id % 10, lit("&fbclid=zz")))
+          .when(id % 3 === 1, concat(lit("?q="), id % 10))
+          .otherwise(lit("")),
+        when(id % 2 === 0, "#top").otherwise(""))
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", url)
+        .select(col("doc_id"), col("url"),
+          graft.text.Urls.normalizeUrl(col("url")).as("norm_url"),
+          graft.text.Urls.urlHost(col("url")).as("host"),
+          graft.text.Urls.registrableDomain(
+            graft.text.Urls.urlHost(col("url"))).as("reg_domain"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-domain INCREMENTAL corpus report: the algebraic state built
+    // from the historical slice, a delta batch folded in via the q218
+    // delta-fold machinery (history never rescanned), ratios derived
+    // from the folded sums. The oracle rebuilds the report from the
+    // FULL corpus — fold ≡ rebuild is the invariant under test.
+    "q233_incremental_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val hist = Curation.corpusReportState(
+        docs.filter(col("doc_id") < 350), "source", "text")
+      Curation.corpusReportIncremental(hist,
+        docs.filter(col("doc_id") >= 350), "source", "text")
+        .orderBy("domain")
+    }),
+
     // Unicode canonical dedup: the corpus plus TWO deterministically-
     // mangled copies of every 10th doc — one suffixed with composed
     // accents (é, ö), one with decomposed combining marks (e+U+0301,
@@ -4277,6 +4339,108 @@ object SparkEntry {
         |      ELSE n * 1000000 // coalesce(pn, n) END AS BIGINT)
         |   AS conv_from_prev_e6
         |FROM w ORDER BY stage""".stripMargin,
+    // q231: the same md5 draw + rank replayed over the full corpus.
+    "q231_exact_sample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    md5('epoch7|' || doc_id) AS draw
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |t AS (SELECT doc_id, source,
+        |    row_number() OVER (ORDER BY draw, doc_id) AS rnk
+        |  FROM d)
+        |SELECT doc_id, source, CAST(rnk AS BIGINT) AS sample_rank
+        |FROM t WHERE rnk <= 60 ORDER BY sample_rank""".stripMargin,
+    // q232: identical URL construction CASEs, then the normalization
+    // chain — scheme/host lower, userinfo/port/www handling, path slash
+    // trim, tracking-param filter, PSL-lite eTLD+1 — regex for regex.
+    "q232_url_normalize" ->
+      ("""WITH u AS (SELECT doc_id,
+        |  (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+        |    ELSE 'https' END) || '://' ||
+        |  (CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN ''
+        |    WHEN 2 THEN 'www.' ELSE 'cdn.' END) ||
+        |  source || '-' || (doc_id % 5) ||
+        |  (CASE doc_id % 3 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com'
+        |    ELSE '.org' END) ||
+        |  (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+        |    WHEN 2 THEN ':8080' ELSE '' END) ||
+        |  (CASE doc_id % 2 WHEN 0 THEN '/a/' || (doc_id % 7) || '/'
+        |    ELSE '/p' END) ||
+        |  (CASE doc_id % 3
+        |    WHEN 0 THEN '?utm_source=feed&q=' || (doc_id % 10) || '&fbclid=zz'
+        |    WHEN 1 THEN '?q=' || (doc_id % 10) ELSE '' END) ||
+        |  (CASE doc_id % 2 WHEN 0 THEN '#top' ELSE '' END) AS url
+        | FROM documents),
+        |p1 AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  regexp_replace(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@/]*@', '')
+        |    AS hp
+        | FROM u),
+        |p2 AS (SELECT *,
+        |  coalesce(regexp_extract(hp, ':([0-9]+)$', 1), '') AS port,
+        |  lower(regexp_replace(hp, ':[0-9]+$', '')) AS host FROM p1),
+        |p3 AS (SELECT *,
+        |  regexp_replace(host, '^www\.', '') AS nhost,
+        |  coalesce(regexp_replace(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', ''), '')
+        |    AS path,
+        |  coalesce(array_to_string(list_filter(
+        |    str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |    p -> NOT regexp_matches(p,
+        |      '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=') AND p <> ''), '&'),
+        |    '') AS q,
+        |  str_split(host, '.') AS labels
+        | FROM p2)
+        |SELECT doc_id, url,
+        | scheme || '://' || nhost ||
+        |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |     OR (scheme = 'https' AND port = '443') THEN ''
+        |    ELSE ':' || port END) || path ||
+        |  (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS norm_url,
+        | host,
+        | CASE WHEN len(labels) < 2 THEN host
+        |  WHEN len(labels) >= 3 AND labels[-2] || '.' || labels[-1] IN
+        |    ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au', 'net.au',
+        |     'org.au', 'co.jp', 'ne.jp', 'or.jp', 'co.in', 'co.za',
+        |     'com.br', 'com.cn', 'com.mx', 'com.ar', 'co.kr', 'com.tr',
+        |     'com.sg', 'co.nz')
+        |   THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+        |  ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
+        |FROM p3 ORDER BY doc_id""").stripMargin,
+    // q233: the report REBUILT from the full corpus (q89's signal CTEs,
+    // algebraic columns only) — what the delta fold must equal.
+    "q233_incremental_report" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, source, toks,
+        |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1]) AS bg FROM t),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS ttr_e6,
+        |  CAST(round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS avg_token_len_e6,
+        |  CASE WHEN len(toks) < 2 THEN 0
+        |   ELSE CAST(round((1.0 - len(list_distinct(bg))::DOUBLE
+        |     / len(bg)::DOUBLE) * 1000000.0) AS BIGINT)
+        |  END AS dup_2gram_frac_e6
+        | FROM g),
+        |p AS (SELECT *,
+        |  (n_tokens BETWEEN 20 AND 90)
+        |   AND (avg_token_len_e6 BETWEEN 3000000 AND 8000000)
+        |   AND (ttr_e6 >= 300000) AND (dup_2gram_frac_e6 <= 200000) AS passed
+        | FROM s)
+        |SELECT source AS domain, CAST(count(*) AS BIGINT) AS docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(count(CASE WHEN passed THEN 1 END) AS BIGINT) AS passed_docs,
+        | CAST(count(CASE WHEN passed THEN 1 END) * 1000000 // count(*)
+        |   AS BIGINT) AS pass_rate_e6,
+        | CAST(sum(n_tokens) * 1000000 // count(*) AS BIGINT)
+        |   AS tokens_per_doc_e6
+        |FROM p GROUP BY source ORDER BY domain""".stripMargin,
     // q230: DuckDB's OWN nfc_normalize (utf8proc) against our native
     // expression (java.text.Normalizer) — two independent Unicode NFC
     // implementations agreeing codepoint-for-codepoint is the point;

@@ -125,6 +125,38 @@ object Chunking {
       .drop("_priority")
   }
 
+  /** Deterministic exact-k uniform sample without replacement — the
+    * reservoir sample's RESULT (exactly k rows, uniform over the corpus)
+    * without its partition-order nondeterminism: the k keys with the
+    * smallest md5(salt|key) digest win, ties (impossible at md5 width,
+    * kept for totality) break by key. `salt` re-draws: a different salt
+    * is an independent uniform draw (epoch re-sampling), the same salt a
+    * bit-identical re-run — across runs, engines, and partitionings,
+    * which is precisely what `rand()`-or-reservoir sampling can't
+    * promise. Complements [[hashSample]] (fixed RATE, floating count)
+    * with a fixed COUNT; [[weightedPrioritySample]] is the weighted
+    * cousin. Null keys are excluded by contract (a null cannot draw a
+    * deterministic priority).
+    *
+    * Scale: the draw is a row-local projection and the top-k is
+    * TakeOrderedAndProject — per-partition k-heaps, one k-row driver
+    * merge, no global sort: the distributed reservoir. The rank window
+    * runs over the k-row result only. */
+  def exactKSample(df: DataFrame, keyCol: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    require(!salt.contains("|"), "salt must not contain the '|' separator")
+    val draw = md5(concat_ws("|", lit(salt), keyCol.cast("string")))
+    val top = df.filter(keyCol.isNotNull)
+      .withColumn("_draw", draw)
+      .orderBy(col("_draw").asc, keyCol.asc)
+      .limit(k)
+    top.withColumn("sample_rank",
+        row_number().over(Window.orderBy(col("_draw").asc, keyCol.asc))
+          .cast("long"))
+      .drop("_draw")
+  }
+
   /** Leakage-safe train/val/test split: the near-dup CLUSTER is the unit
     * of assignment — each doc splits by the md5 bucket of its cluster
     * label (its own id when unclustered, same key domain: labels ARE

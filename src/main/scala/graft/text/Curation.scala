@@ -246,6 +246,66 @@ object Curation {
         round(element_at(col("_qs"), 2)).cast("long").as("p90_score_e6"))
   }
 
+  /** The ALGEBRAIC per-domain corpus-report state: (domain, docs,
+    * total_tokens, passed_docs) from one grouped pass — the subset of
+    * [[corpusReport]] whose partials combine associatively (counts and
+    * sums; the score quantiles are NOT algebraic and stay with the full
+    * rebuild report). This frame IS the mart a continuously-ingested
+    * corpus persists and [[corpusReportIncremental]] folds deltas into. */
+  def corpusReportState(df: DataFrame, domainCol: String, textCol: String,
+      minTokens: Long = 20L, maxTokens: Long = 90L,
+      minAvgTokenLenE6: Long = 3000000L, maxAvgTokenLenE6: Long = 8000000L,
+      minTtrE6: Long = 300000L, maxDup2E6: Long = 200000L): DataFrame =
+    reportPartials(df, domainCol, textCol, minTokens, maxTokens,
+      minAvgTokenLenE6, maxAvgTokenLenE6, minTtrE6, maxDup2E6)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("docs"), sum(col("__nt")).as("total_tokens"),
+        sum(col("__p")).as("passed_docs"))
+
+  private def reportPartials(df: DataFrame, domainCol: String,
+      textCol: String, minTokens: Long, maxTokens: Long,
+      minAvgTokenLenE6: Long, maxAvgTokenLenE6: Long,
+      minTtrE6: Long, maxDup2E6: Long): DataFrame = {
+    val s = signals(col(textCol))
+    val passed = gateRules(s, minTokens, maxTokens,
+      minAvgTokenLenE6, maxAvgTokenLenE6, minTtrE6, maxDup2E6)
+      .map(_._2).reduce(_ && _)
+    df.select(col(domainCol).as("domain"), s.nTokens.as("__nt"),
+      when(passed, 1L).otherwise(0L).as("__p"))
+  }
+
+  /** Per-domain INCREMENTAL corpus report — the continuous-ingest form
+    * of [[corpusReport]]: fold an append-only delta batch into the
+    * persisted [[corpusReportState]] via the algebraic mart machinery
+    * (`IncrementalMaterializer.refreshAlgebraic` — the old state row IS
+    * a sufficient partial, so the historical corpus is NEVER rescanned;
+    * only the delta pays signal extraction), then derive the ratio
+    * columns from the folded sums. Delta must be append-only rows (the
+    * refreshAlgebraic contract). A day's report over a 100 TB corpus
+    * costs one pass over the day's arrivals plus a |domains|-sized join.
+    * Output: domain, docs, total_tokens, passed_docs, pass_rate_e6,
+    * tokens_per_doc_e6 — exactly ≡ rebuilding the report from scratch
+    * (the q218 invariant, oracle-checked). */
+  def corpusReportIncremental(state: DataFrame, delta: DataFrame,
+      domainCol: String, textCol: String,
+      minTokens: Long = 20L, maxTokens: Long = 90L,
+      minAvgTokenLenE6: Long = 3000000L, maxAvgTokenLenE6: Long = 8000000L,
+      minTtrE6: Long = 300000L, maxDup2E6: Long = 200000L): DataFrame = {
+    import graft.gold.IncrementalMaterializer
+    import graft.gold.IncrementalMaterializer.AlgebraicMeasure
+    val deltaRows = reportPartials(delta, domainCol, textCol, minTokens,
+      maxTokens, minAvgTokenLenE6, maxAvgTokenLenE6, minTtrE6, maxDup2E6)
+    IncrementalMaterializer.refreshAlgebraic(state, deltaRows,
+        Seq("domain"),
+        Seq(AlgebraicMeasure("docs", "count", "__nt"),
+          AlgebraicMeasure("total_tokens", "sum", "__nt"),
+          AlgebraicMeasure("passed_docs", "sum", "__p")))
+      .select(col("domain"), col("docs"), col("total_tokens"),
+        col("passed_docs"),
+        expr("passed_docs * 1000000L div docs").as("pass_rate_e6"),
+        expr("total_tokens * 1000000L div docs").as("tokens_per_doc_e6"))
+  }
+
   /** Per-domain token budgets — the domain-mixing decision APPLIED as hard
     * token targets: within each domain, the greedy best-first prefix under
     * that domain's budget (`budgets`, else `defaultBudget`). This is how a

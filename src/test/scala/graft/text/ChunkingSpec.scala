@@ -310,4 +310,30 @@ class ChunkingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Chunking.fixedSamplePrethin(col("id"), 0)
   }
+
+  test("exactKSample: exact k, partition-invariant, salt re-draws, null keys") {
+    val docs = (0L until 200L).toDF("id")
+    val s1 = Chunking.exactKSample(docs, col("id"), 25, "s1")
+      .select("id", "sample_rank").as[(Long, Long)].collect().sortBy(_._2)
+    s1.length shouldBe 25
+    s1.map(_._2).toSeq shouldBe (1L to 25L)
+    // bit-identical under any partitioning — the property a reservoir lacks
+    Chunking.exactKSample(docs.repartition(13), col("id"), 25, "s1")
+      .select("id", "sample_rank").as[(Long, Long)].collect()
+      .sortBy(_._2).toSeq shouldBe s1.toSeq
+    // a different salt is an INDEPENDENT draw
+    val s2 = Chunking.exactKSample(docs, col("id"), 25, "s2")
+      .select("id").as[Long].collect().toSet
+    s2 should not equal s1.map(_._1).toSet
+    // k beyond the corpus returns everything, ranked
+    Chunking.exactKSample(docs, col("id"), 500, "s1").count() shouldBe 200L
+    // null keys are excluded by contract
+    Chunking.exactKSample(
+      Seq(Some(1L), None, Some(2L)).toDF("id"), col("id"), 10, "s1")
+      .count() shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.exactKSample(docs, col("id"), 0)
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.exactKSample(docs, col("id"), 5, "bad|salt")
+  }
 }

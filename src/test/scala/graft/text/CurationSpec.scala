@@ -358,6 +358,45 @@ class CurationSpec extends SparkSpec {
     audit2 shouldBe 0L
   }
 
+  test("corpusReportIncremental: delta fold ≡ full rebuild, new domains") {
+    import org.apache.spark.sql.functions.col
+    // word1..wordN: all distinct (ttr 1), avg length ≈ 5.7 (inside the
+    // 3..8 gate), so pass/fail is decided by the 20..90 token count
+    val mk = (id: Long, dom: String, words: Int) =>
+      (id, dom, (1 to words).map(i => s"word$i").mkString(" "))
+    val hist = Seq(mk(1, "web", 30), mk(2, "web", 5), mk(3, "books", 40))
+      .toDF("doc_id", "source", "text")
+    val delta = Seq(mk(10, "web", 25), mk(11, "misc", 50))
+      .toDF("doc_id", "source", "text")
+    val state = Curation.corpusReportState(hist, "source", "text")
+    state.columns.toSeq shouldBe
+      Seq("domain", "docs", "total_tokens", "passed_docs")
+    val folded = Curation
+      .corpusReportIncremental(state, delta, "source", "text")
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // the invariant: fold ≡ rebuilding the state from the FULL corpus
+    val rebuilt = Curation
+      .corpusReportState(hist.unionByName(delta), "source", "text")
+      .withColumn("pass_rate_e6",
+        org.apache.spark.sql.functions.expr(
+          "passed_docs * 1000000L div docs"))
+      .withColumn("tokens_per_doc_e6",
+        org.apache.spark.sql.functions.expr(
+          "total_tokens * 1000000L div docs"))
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    folded.toSeq shouldBe rebuilt.toSeq
+    // delta-only domain "misc" appears; untouched "books" persists
+    folded.map(_._1).toSeq shouldBe Seq("books", "misc", "web")
+    folded.find(_._1 == "web").get._2 shouldBe 3L // 2 hist + 1 delta docs
+    // distinct unique-token docs: w1..wN all distinct, ttr 1e6; 30-token
+    // doc passes the 20..90 gate, 5-token doc fails it
+    folded.find(_._1 == "web").get._4 shouldBe 2L
+  }
+
   test("scoreLinearModel: hand-traced sparse dot, sigmoid, null/empty text") {
     import org.apache.spark.sql.functions.col
     // md5-first-8-hex mod 16 buckets (replayed locally): aa→10, bb→8,
