@@ -120,7 +120,16 @@ object ScaleSmoke {
     "q218_incremental_agg",
     // the weighted-relaxation rounds over the basket edges, and the
     // per-segment funnel's k frontier joins + segment tallies
-    "q223_shortest_paths", "q222_funnel_by_variant")
+    "q223_shortest_paths", "q222_funnel_by_variant",
+    // round-16 additions: the r14 eval/time-series tranche that shipped
+    // without 10× rows (ranking metrics' per-query windows, the windowed
+    // k-step funnel, time-decay attribution's window-bounded join, the
+    // EWMA fold, the ACF lag self-joins) and the winnow-backed near-dedup
+    // family — q45/q96's closure over the ~1/w fingerprint index instead
+    // of the full shingle postings (the SCALE.md shuffle cut, measured)
+    "q224_ranking_eval", "q225_funnel_windowed", "q226_time_decay",
+    "q227_ewma_chart", "q228_acf", "q234_winnow_near_dedup",
+    "q236_winnow_cross_source")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

@@ -2092,6 +2092,54 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // Winnow-backed near-dedup — q45's clusters from the 1/w winnowing
+    // index instead of the full shingle index (the SCALE.md shuffle cut),
+    // every candidate verified with its exact Jaccard. The oracle replays
+    // the winnow candidates, the list-intersect verification, and the
+    // recursive closure end-to-end.
+    "q234_winnow_near_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, w = 4, maxFingerprintFreq = 100)
+      Dedup.removeNearDupes(docs, "doc_id", Dedup.dupClusters(pairs))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Winnow-backed keep-best selection (q107's survivor rule over the
+    // winnow candidate generator).
+    "q235_winnow_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, w = 4, maxFingerprintFreq = 100)
+      Dedup.removeNearDupesKeepBest(docs, "doc_id",
+        Dedup.dupClusters(pairs), "n_chars")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Winnow-backed cross-source duplication report (q96's rollup over
+    // the pair seam).
+    "q236_winnow_cross_source" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, w = 4, maxFingerprintFreq = 100)
+      Dedup.crossSourceDupReportFromPairs(docs, "doc_id", "source", pairs)
+        .orderBy("label")
+    }),
+
+    // Winnow-backed leakage-safe split (q143's cluster-as-unit assignment
+    // over the winnow candidate generator).
+    "q237_winnow_leakage_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, w = 4, maxFingerprintFreq = 100)
+      Chunking.leakageSafeSplit(docs, "doc_id", Dedup.dupClusters(pairs),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // Unicode canonical dedup: the corpus plus TWO deterministically-
     // mangled copies of every 10th doc — one suffixed with composed
     // accents (é, ö), one with decomposed combining marks (e+U+0301,
@@ -3476,6 +3524,41 @@ object SparkEntry {
        |SELECT node, rank_e9 FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Shared oracle prefix for the winnow-backed dedup family
+    * (q234–q237): winnow fingerprint candidates (q183's replay, minShared
+    * 1), exact list-intersect Jaccard verification of candidates only,
+    * then the q45 recursive closure — `labels` is the last CTE, each
+    * query appends its own tail. */
+  private val winnowClusterSqlPrefix: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(trim(text),' ') AS toks FROM documents),
+      |hs AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+      |  i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+      |    || toks[i+2]), 1, 8))::BIGINT) AS h FROM t),
+      |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(h) - 4 + 2), i -> list_min(h[i:i+3])))) AS fp
+      |  FROM hs WHERE len(h) >= 4),
+      |hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 100),
+      |cf AS (SELECT f.* FROM fps f ANTI JOIN hot USING (fp)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM cf a JOIN cf b USING (fp) WHERE a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_transform(list_distinct(list_transform(
+      |  range(1, len(toks) - 1),
+      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+      |  s -> ('0x' || substr(md5(s),1,8))::BIGINT) AS sh FROM t),
+      |pairs AS (SELECT id_a, id_b FROM cand
+      |  JOIN sets sa ON id_a = sa.doc_id JOIN sets sb ON id_b = sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |   / CAST(len(sa.sh) + len(sb.sh)
+      |       - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) > 0.5),
+      |sym AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT id_a, id_b FROM sym
+      |  UNION
+      |  SELECT r.src, s.id_b FROM reach r JOIN sym s ON r.dst = s.id_a),
+      |labels AS (SELECT src AS id, least(src, min(dst)) AS label
+      |  FROM reach GROUP BY src)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q171_pagerank" -> pagerankOracle(5),
     "q210_hits" -> hitsOracle(3),
@@ -4441,6 +4524,41 @@ object SparkEntry {
         | CAST(sum(n_tokens) * 1000000 // count(*) AS BIGINT)
         |   AS tokens_per_doc_e6
         |FROM p GROUP BY source ORDER BY domain""".stripMargin,
+    // q234–q237: the winnow candidate → exact-verify → closure prefix
+    // (winnowClusterSqlPrefix), each with its own tail — anti-select,
+    // keep-best window, cross-source rollup, md5 split bucket map.
+    "q234_winnow_near_dedup" -> (winnowClusterSqlPrefix +
+      """
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        |ORDER BY doc_id""".stripMargin),
+    "q235_winnow_keep_best" -> (winnowClusterSqlPrefix +
+      """,
+        |rk AS (SELECT labels.id, row_number() OVER (PARTITION BY labels.label
+        |    ORDER BY d.n_chars DESC, labels.id) AS rk
+        |  FROM labels JOIN documents d ON labels.id = d.doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM rk WHERE rk > 1)
+        |ORDER BY doc_id""".stripMargin),
+    "q236_winnow_cross_source" -> (winnowClusterSqlPrefix +
+      """,
+        |rep AS (SELECT labels.label, count(*) AS n_docs,
+        |    count(DISTINCT d.source) AS n_sources
+        |  FROM labels JOIN documents d ON labels.id = d.doc_id
+        |  GROUP BY labels.label)
+        |SELECT label, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(n_sources AS BIGINT) AS n_sources
+        |FROM rep WHERE n_sources >= 2 ORDER BY label""".stripMargin),
+    "q237_winnow_leakage_split" -> (winnowClusterSqlPrefix +
+      """,
+        |keyed AS (SELECT d.doc_id,
+        |  ('0x' || substr(md5(CAST(coalesce(l.label, d.doc_id) AS VARCHAR)),
+        |    1, 8))::BIGINT % 100 AS b
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin),
     // q230: DuckDB's OWN nfc_normalize (utf8proc) against our native
     // expression (java.text.Normalizer) — two independent Unicode NFC
     // implementations agreeing codepoint-for-codepoint is the point;

@@ -869,6 +869,44 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Winnow-backed near-dup pairs — the 1/w-INDEX replacement for
+    * [[jaccardPairs]] when the full shingle inverted index is the
+    * bottleneck (its posting stream is every shingle of every doc; at 10×
+    * corpus it shuffles superlinearly — SCALE.md): [[winnowPairs]]
+    * fingerprints (~1/w of the shingle stream, with the winnowing
+    * GUARANTEE that any shared token run of ≥ w+n−1 yields a shared
+    * fingerprint) generate the candidates, then each candidate pair is
+    * verified with its EXACT n-gram Jaccard — same join-back shape as
+    * [[lshJaccardPairs]], so every emitted pair carries the same exact
+    * `jaccard` the full index would have computed.
+    *
+    * Recall contract: a true pair is missed only if the two docs share NO
+    * token run of length ≥ w+n−1 surviving the `maxFingerprintFreq`
+    * boilerplate cap — near-dup pairs at meaningful thresholds share long
+    * runs by construction, and the guarantee (unlike MinHash's
+    * probabilistic bands) is deterministic. Output ⊆ [[jaccardPairs]] at
+    * the same threshold, with equality whenever every qualifying pair
+    * shares such a run (spec-pinned; oracle-replayed end-to-end). */
+  def winnowJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, w: Int = 4,
+      maxFingerprintFreq: Int = 100, minShared: Long = 1L): DataFrame = {
+    val cands = winnowPairs(df, idCol, textCol, n, w, maxFingerprintFreq,
+      minShared).select("id_a", "id_b")
+    val sets = df.select(col(idCol).as("_sid"),
+      call_function("shingle_hashes", col(textCol), lit(n)).as("_sh"))
+    cands
+      .join(sets.select(col("_sid").as("id_a"), col("_sh").as("_sh_a")), "id_a")
+      .join(sets.select(col("_sid").as("id_b"), col("_sh").as("_sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast("long")
+          .as("inter"),
+        size(col("_sh_a")).cast("long").as("size_a"),
+        size(col("_sh_b")).cast("long").as("size_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") > threshold)
+  }
+
   /** INCREMENTAL cluster maintenance: fold a batch of newly-discovered
     * near-dup pairs into an existing (id, label) clustering without
     * re-running pair GENERATION over the historical corpus — the
@@ -937,17 +975,23 @@ object Dedup {
     * pair/closure machinery. */
   def crossSourceDupReport(df: DataFrame, idCol: String, textCol: String,
       sourceCol: String, n: Int, threshold: Double,
-      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
-    val pairs = jaccardPairs(df, idCol, textCol, n, maxShingleFreq)
-      .filter(col("jaccard") > threshold)
-      .select("id_a", "id_b")
-    dupClusters(pairs)
+      maxShingleFreq: Int = Int.MaxValue): DataFrame =
+    crossSourceDupReportFromPairs(df, idCol, sourceCol,
+      jaccardPairs(df, idCol, textCol, n, maxShingleFreq)
+        .filter(col("jaccard") > threshold)
+        .select("id_a", "id_b"))
+
+  /** [[crossSourceDupReport]]'s report stage over CALLER-SUPPLIED pairs —
+    * the seam that lets any candidate generator (full index, LSH,
+    * [[winnowJaccardPairs]]) feed the same closure + source rollup. */
+  def crossSourceDupReportFromPairs(df: DataFrame, idCol: String,
+      sourceCol: String, pairs: DataFrame): DataFrame =
+    dupClusters(pairs.select("id_a", "id_b"))
       .join(df.select(col(idCol).as("id"), col(sourceCol).as("_src")), "id")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("_src")).as("n_sources"))
       .filter(col("n_sources") >= 2)
-  }
 
   /** The dedup ACTION: drop every doc that belongs to a near-dup cluster
     * but is not its canonical (min-id) member. Docs in no cluster are kept. */

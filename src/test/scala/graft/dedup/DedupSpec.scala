@@ -616,4 +616,46 @@ class DedupSpec extends SparkSpec {
     Dedup.winnowPairs(boiler, "doc_id", "text", 3, 4,
       maxFingerprintFreq = 4, minShared = 1L).count() shouldBe 0L
   }
+
+  test("winnowJaccardPairs: subset of the full index, equal at the guarantee") {
+    import spark.implicits._
+    // Near-dup pairs share LONG runs (prefix + suffix of a 12-token base
+    // differing in one middle token -> every pair run >= 6 = w+n-1), so
+    // the winnow candidates must find every qualifying pair - output
+    // EQUALS the full-index path, jaccard values included.
+    val base = (1 to 12).map(i => s"tok$i")
+    val docs = (0L until 30L).map { i =>
+      if (i % 3 == 0) // a 10-doc near-dup family: one substituted token
+        (i, (base.take(7) ++ Seq(s"mid$i") ++ base.drop(8)).mkString(" "))
+      else // singletons: unrelated vocab, no shared shingles at all
+        (i, (1 to 12).map(j => s"only${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3,
+        maxShingleFreq = 100)
+      .filter(col("jaccard") > 0.5)
+      .select("id_a", "id_b", "inter", "size_a", "size_b")
+      .collect().map(key).toSet
+    val win = Dedup.winnowJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, w = 4, maxFingerprintFreq = 100)
+      .select("id_a", "id_b", "inter", "size_a", "size_b")
+      .collect().map(key).toSet
+    win shouldBe full
+    full should not be empty
+    // Subset always holds - even when a qualifying pair shares only
+    // SCATTERED shingles (interleaved, no run >= 6): the winnow path may
+    // miss it (documented recall trade) but must never invent a pair.
+    val scattered = Seq(
+      (100L, "a1 c1 a2 c2 a3 c3 a4 c4 a5 c5 a6 c6 a7 c7 a8 c8"),
+      (101L, "a1 d1 a2 d2 a3 d3 a4 d4 a5 d5 a6 d6 a7 d7 a8 d8"))
+      .toDF("doc_id", "text")
+    val winScattered = Dedup.winnowJaccardPairs(scattered, "doc_id",
+        "text", n = 3, threshold = 0.0, w = 4, maxFingerprintFreq = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fullScattered = Dedup.jaccardPairs(scattered, "doc_id", "text", 3)
+      .filter(col("jaccard") > 0.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    winScattered.toSet.subsetOf(fullScattered.toSet) shouldBe true
+  }
 }
