@@ -10,7 +10,7 @@ import graft.silver.Transform
 import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.text.{BpeTrainer, Chunking, Curation, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,6 +58,33 @@ object SparkEntry {
         s"then ${dsum("l_extendedprice * l_discount", 4)} / ${dsum("l_extendedprice")} * 100 " +
         s"else cast(0 as double) end")),
     orderBy = Seq("year", "month", "l_returnflag"))
+
+  /** Deterministic synthetic URL from doc_id arithmetic — mixed-case
+    * schemes/hosts, www/cdn subdomains, default and custom ports, trailing
+    * slashes, tracking params, fragments; shared by q232 (normalization)
+    * and q238 (canonical-URL dedup), replayed as identical CASE chains in
+    * both oracles. */
+  private def syntheticUrl: Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "http")
+        .otherwise("https"),
+      lit("://"),
+      when(id % 4 === 0, "WWW.").when(id % 4 === 1, "")
+        .when(id % 4 === 2, "www.").otherwise("cdn."),
+      col("source"), lit("-"), id % 5,
+      when(id % 3 === 0, ".CO.UK").when(id % 3 === 1, ".com")
+        .otherwise(".org"),
+      when(id % 4 === 0, ":443").when(id % 4 === 1, ":80")
+        .when(id % 4 === 2, ":8080").otherwise(""),
+      when(id % 2 === 0, concat(lit("/a/"), id % 7, lit("/")))
+        .otherwise(lit("/p")),
+      when(id % 3 === 0,
+        concat(lit("?utm_source=feed&q="), id % 10, lit("&fbclid=zz")))
+        .when(id % 3 === 1, concat(lit("?q="), id % 10))
+        .otherwise(lit("")),
+      when(id % 2 === 0, "#top").otherwise(""))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2048,35 +2075,15 @@ object SparkEntry {
     // from doc_id arithmetic, then normalized + host + registrable
     // domain (PSL-lite eTLD+1) — every regex drawn from the
     // java.util.regex ∩ RE2 intersection and replayed verbatim.
-    "q232_url_normalize" -> ((s, dir) => {
-      val id = col("doc_id")
-      val url = concat(
-        when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "http")
-          .otherwise("https"),
-        lit("://"),
-        when(id % 4 === 0, "WWW.").when(id % 4 === 1, "")
-          .when(id % 4 === 2, "www.").otherwise("cdn."),
-        col("source"), lit("-"), id % 5,
-        when(id % 3 === 0, ".CO.UK").when(id % 3 === 1, ".com")
-          .otherwise(".org"),
-        when(id % 4 === 0, ":443").when(id % 4 === 1, ":80")
-          .when(id % 4 === 2, ":8080").otherwise(""),
-        when(id % 2 === 0, concat(lit("/a/"), id % 7, lit("/")))
-          .otherwise(lit("/p")),
-        when(id % 3 === 0,
-          concat(lit("?utm_source=feed&q="), id % 10, lit("&fbclid=zz")))
-          .when(id % 3 === 1, concat(lit("?q="), id % 10))
-          .otherwise(lit("")),
-        when(id % 2 === 0, "#top").otherwise(""))
+    "q232_url_normalize" -> ((s, dir) =>
       Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
-        .withColumn("url", url)
+        .withColumn("url", syntheticUrl)
         .select(col("doc_id"), col("url"),
           graft.text.Urls.normalizeUrl(col("url")).as("norm_url"),
           graft.text.Urls.urlHost(col("url")).as("host"),
           graft.text.Urls.registrableDomain(
             graft.text.Urls.urlHost(col("url"))).as("reg_domain"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Per-domain INCREMENTAL corpus report: the algebraic state built
     // from the historical slice, a delta batch folded in via the q218
@@ -2126,6 +2133,47 @@ object SparkEntry {
         n = 3, threshold = 0.5, w = 4, maxFingerprintFreq = 100)
       Dedup.crossSourceDupReportFromPairs(docs, "doc_id", "source", pairs)
         .orderBy("label")
+    }),
+
+    // Canonical-URL dedup — the crawl-side "one page, many URLs" op:
+    // q232's synthetic URLs collapse by their normalized form (case,
+    // www, default ports, fragments, tracking params all folded), each
+    // canonical page keeping its min doc_id with a dupe count. One
+    // row-local normalization pass + one balanced groupBy shuffle.
+    "q238_url_dedup" -> ((s, dir) =>
+      Tables.load(s, dir, "documents").select(col("doc_id"), col("source"))
+        .withColumn("norm_url", graft.text.Urls.normalizeUrl(syntheticUrl))
+        .groupBy("norm_url")
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_variants"))
+        .orderBy("doc_id")),
+
+    // Mergeable histogram-quantile mart: per-source equi-width histogram
+    // state built from the historical slice, a delta batch folded in on
+    // the (source, bin) key (history never rescanned), then p50/p90
+    // read from the folded state alone — exact to binWidth. The oracle
+    // rebuilds the histogram from the FULL corpus and picks quantiles
+    // with the same integer cum·1e6 ≥ q·total rule: fold ≡ rebuild.
+    "q239_histogram_quantiles" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val state = quality.Sketches.histogramState(
+        docs.filter(col("doc_id") < 350), Seq("source"), "n_chars", 50L)
+      val folded = quality.Sketches.histogramIncremental(state,
+        docs.filter(col("doc_id") >= 350), Seq("source"), "n_chars", 50L)
+      quality.Sketches.histogramQuantiles(folded, Seq("source"), 50L,
+        Seq(500000L, 900000L))
+        .orderBy("source", "q_e6")
+    }),
+
+    // Surprisal under a REFERENCE corpus model (every 7th doc as the
+    // clean reference) — the CCNet/DCLM perplexity-filter shape with
+    // exact whole-bit costs; OOV tokens cost floor(log2 N)+1 bits and
+    // are counted separately.
+    "q240_reference_surprisal" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.referenceSurprisal(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 7 === 0), "text")
+        .orderBy("doc_id")
     }),
 
     // Winnow-backed leakage-safe split (q143's cluster-as-unit assignment
@@ -3559,6 +3607,67 @@ object SparkEntry {
       |labels AS (SELECT src AS id, least(src, min(dst)) AS label
       |  FROM reach GROUP BY src)""".stripMargin
 
+  /** Shared q232/q238 oracle core: the synthetic-URL CASE chain + the
+    * full normalization replay (scheme/host lower, userinfo/port/www,
+    * slash trim, tracking filter, PSL-lite eTLD+1), no ORDER BY — q232
+    * appends one, q238 wraps it in a dedup rollup. */
+  private val urlNormalizeSqlCore: String =
+    """WITH u AS (SELECT doc_id,
+      |  (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+      |    ELSE 'https' END) || '://' ||
+      |  (CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN ''
+      |    WHEN 2 THEN 'www.' ELSE 'cdn.' END) ||
+      |  source || '-' || (doc_id % 5) ||
+      |  (CASE doc_id % 3 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com'
+      |    ELSE '.org' END) ||
+      |  (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+      |    WHEN 2 THEN ':8080' ELSE '' END) ||
+      |  (CASE doc_id % 2 WHEN 0 THEN '/a/' || (doc_id % 7) || '/'
+      |    ELSE '/p' END) ||
+      |  (CASE doc_id % 3
+      |    WHEN 0 THEN '?utm_source=feed&q=' || (doc_id % 10) || '&fbclid=zz'
+      |    WHEN 1 THEN '?q=' || (doc_id % 10) ELSE '' END) ||
+      |  (CASE doc_id % 2 WHEN 0 THEN '#top' ELSE '' END) AS url
+      | FROM documents),
+      |p1 AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |    AS scheme,
+      |  regexp_replace(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@/]*@', '')
+      |    AS hp
+      | FROM u),
+      |p2 AS (SELECT *,
+      |  coalesce(regexp_extract(hp, ':([0-9]+)$', 1), '') AS port,
+      |  lower(regexp_replace(hp, ':[0-9]+$', '')) AS host FROM p1),
+      |p3 AS (SELECT *,
+      |  regexp_replace(host, '^www\.', '') AS nhost,
+      |  coalesce(regexp_replace(regexp_extract(url,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', ''), '')
+      |    AS path,
+      |  coalesce(array_to_string(list_filter(
+      |    str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |    p -> NOT regexp_matches(p,
+      |      '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=') AND p <> ''), '&'),
+      |    '') AS q,
+      |  str_split(host, '.') AS labels
+      | FROM p2)
+      |SELECT doc_id, url,
+      | scheme || '://' || nhost ||
+      |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |     OR (scheme = 'https' AND port = '443') THEN ''
+      |    ELSE ':' || port END) || path ||
+      |  (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS norm_url,
+      | host,
+      | CASE WHEN len(labels) < 2 THEN host
+      |  WHEN len(labels) >= 3 AND labels[-2] || '.' || labels[-1] IN
+      |    ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au', 'net.au',
+      |     'org.au', 'co.jp', 'ne.jp', 'or.jp', 'co.in', 'co.za',
+      |     'com.br', 'com.cn', 'com.mx', 'com.ar', 'co.kr', 'com.tr',
+      |     'com.sg', 'co.nz')
+      |   THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+      |  ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
+      |FROM p3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q171_pagerank" -> pagerankOracle(5),
     "q210_hits" -> hitsOracle(3),
@@ -4435,62 +4544,55 @@ object SparkEntry {
     // q232: identical URL construction CASEs, then the normalization
     // chain — scheme/host lower, userinfo/port/www handling, path slash
     // trim, tracking-param filter, PSL-lite eTLD+1 — regex for regex.
-    "q232_url_normalize" ->
-      ("""WITH u AS (SELECT doc_id,
-        |  (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
-        |    ELSE 'https' END) || '://' ||
-        |  (CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN ''
-        |    WHEN 2 THEN 'www.' ELSE 'cdn.' END) ||
-        |  source || '-' || (doc_id % 5) ||
-        |  (CASE doc_id % 3 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com'
-        |    ELSE '.org' END) ||
-        |  (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
-        |    WHEN 2 THEN ':8080' ELSE '' END) ||
-        |  (CASE doc_id % 2 WHEN 0 THEN '/a/' || (doc_id % 7) || '/'
-        |    ELSE '/p' END) ||
-        |  (CASE doc_id % 3
-        |    WHEN 0 THEN '?utm_source=feed&q=' || (doc_id % 10) || '&fbclid=zz'
-        |    WHEN 1 THEN '?q=' || (doc_id % 10) ELSE '' END) ||
-        |  (CASE doc_id % 2 WHEN 0 THEN '#top' ELSE '' END) AS url
-        | FROM documents),
-        |p1 AS (SELECT doc_id, url,
-        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-        |    AS scheme,
-        |  regexp_replace(regexp_extract(url,
-        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@/]*@', '')
-        |    AS hp
-        | FROM u),
-        |p2 AS (SELECT *,
-        |  coalesce(regexp_extract(hp, ':([0-9]+)$', 1), '') AS port,
-        |  lower(regexp_replace(hp, ':[0-9]+$', '')) AS host FROM p1),
-        |p3 AS (SELECT *,
-        |  regexp_replace(host, '^www\.', '') AS nhost,
-        |  coalesce(regexp_replace(regexp_extract(url,
-        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', ''), '')
-        |    AS path,
-        |  coalesce(array_to_string(list_filter(
-        |    str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-        |    p -> NOT regexp_matches(p,
-        |      '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=') AND p <> ''), '&'),
-        |    '') AS q,
-        |  str_split(host, '.') AS labels
-        | FROM p2)
-        |SELECT doc_id, url,
-        | scheme || '://' || nhost ||
-        |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-        |     OR (scheme = 'https' AND port = '443') THEN ''
-        |    ELSE ':' || port END) || path ||
-        |  (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS norm_url,
-        | host,
-        | CASE WHEN len(labels) < 2 THEN host
-        |  WHEN len(labels) >= 3 AND labels[-2] || '.' || labels[-1] IN
-        |    ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au', 'net.au',
-        |     'org.au', 'co.jp', 'ne.jp', 'or.jp', 'co.in', 'co.za',
-        |     'com.br', 'com.cn', 'com.mx', 'com.ar', 'co.kr', 'com.tr',
-        |     'com.sg', 'co.nz')
-        |   THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-        |  ELSE labels[-2] || '.' || labels[-1] END AS reg_domain
-        |FROM p3 ORDER BY doc_id""").stripMargin,
+    // The core (minus ORDER BY) is shared with q238's dedup rollup.
+    "q232_url_normalize" -> (urlNormalizeSqlCore +
+      "\nORDER BY doc_id"),
+    // q238: the same normalization chain as a subquery, collapsed per
+    // canonical URL with min-id survivor + variant count.
+    "q238_url_dedup" ->
+      (s"""WITH nu AS (
+        |$urlNormalizeSqlCore
+        |)
+        |SELECT norm_url, CAST(min(doc_id) AS BIGINT) AS doc_id,
+        | CAST(count(*) AS BIGINT) AS n_variants
+        |FROM nu GROUP BY norm_url ORDER BY doc_id""".stripMargin),
+    // q239: histogram REBUILT from the full corpus + the same integer
+    // cum·1e6 ≥ q·total first-bin rule — what the delta fold must equal.
+    "q239_histogram_quantiles" ->
+      """WITH h AS (SELECT source, n_chars // 50 AS bin, count(*) AS cnt
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT source, bin, cnt,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+        |  sum(cnt) OVER (PARTITION BY source) AS total FROM h),
+        |q AS (SELECT unnest([500000, 900000]) AS q_e6),
+        |x AS (SELECT c.source, q.q_e6, min(c.bin) AS bin
+        |  FROM c, q WHERE c.cum * 1000000 >= q.q_e6 * c.total
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(q_e6 AS BIGINT) AS q_e6,
+        | CAST(bin * 50 AS BIGINT) AS bin_lo,
+        | CAST((bin + 1) * 50 AS BIGINT) AS bin_hi
+        |FROM x ORDER BY source, q_e6""".stripMargin,
+    // q240: reference model from every 7th doc (q73's whole-bit replay),
+    // OOV = absent from the reference vocabulary, length(bin(N)) bits.
+    "q240_reference_surprisal" ->
+      """WITH rt AS (SELECT unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |f AS (SELECT term, count(*) AS cnt FROM rt GROUP BY term),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM f),
+        |t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents),
+        |s AS (SELECT t.doc_id, f.cnt IS NULL AS oov,
+        |   CASE WHEN f.cnt IS NULL
+        |    THEN CAST(length(bin(n.n_total)) AS BIGINT)
+        |    ELSE CAST(length(bin(n.n_total // f.cnt)) - 1 AS BIGINT)
+        |   END AS bits
+        |  FROM t LEFT JOIN f USING (term), n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(count(CASE WHEN oov THEN 1 END) AS BIGINT) AS n_oov,
+        | CAST(sum(bits) AS BIGINT) AS ref_bits,
+        | (CAST(sum(bits) AS BIGINT) * 1000000) // count(*)
+        |   AS mean_ref_bits_e6
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q233: the report REBUILT from the full corpus (q89's signal CTEs,
     // algebraic columns only) — what the delta fold must equal.
     "q233_incremental_report" ->

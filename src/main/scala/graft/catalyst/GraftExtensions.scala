@@ -149,6 +149,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NfcNormalize(children.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "winnow_fps takes (text, shingleSize literal, window literal)")
+        WinnowFingerprints(children.head, litInt(children(1), "shingleSize"),
+          litInt(children(2), "window"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => {

@@ -465,14 +465,15 @@ object ConfigLoader {
               (spec.kmeansK < 1 || spec.kmeansIters < 0))
             throw new ConfigError(
               "curation.dedup needs kmeans_k >= 1 and kmeans_iters >= 0")
-          if (spec.strategy != "winnow" &&
+          val winnowish = Set("winnow", "winnow_jaccard")
+          if (!winnowish(spec.strategy) &&
               (dm.contains("winnow_window") ||
                 dm.contains("min_shared_fingerprints")))
             throw new ConfigError(
               "curation.dedup.winnow_window/min_shared_fingerprints only " +
-                s"apply to strategy winnow (got '${spec.strategy}' — they " +
-                "would be silently ignored)")
-          if (spec.strategy == "winnow" &&
+                s"apply to strategies winnow/winnow_jaccard (got " +
+                s"'${spec.strategy}' — they would be silently ignored)")
+          if (winnowish(spec.strategy) &&
               (spec.winnowWindow < 2 || spec.minSharedFingerprints < 1))
             throw new ConfigError(
               "curation.dedup needs winnow_window >= 2 and " +

@@ -218,7 +218,7 @@ object NearDedupSpec {
   val Strategies: Set[String] =
     Set("exact", "canonical", "canonical_unicode", "ngram_jaccard",
       "minhash_lsh", "simhash", "embedding_lsh", "keep_best", "semantic",
-      "prefix", "span_mask", "winnow")
+      "prefix", "span_mask", "winnow", "winnow_jaccard")
 }
 
 /** Per-domain deterministic keep-rates (percent) — the domain-mixing knob;

@@ -844,21 +844,16 @@ object Dedup {
       k: Int, w: Int, maxFingerprintFreq: Int = 100,
       minShared: Long = 2L): DataFrame = {
     require(k >= 1 && w >= 2, s"need k >= 1 and w >= 2, got k=$k w=$w")
-    // the RAW ordered hash stream, duplicates included — `shingle_hashes`
-    // dedupes to set semantics, which would change window contents (the
-    // spanDupes builtin pattern, 8-hex md5 prefix)
-    val toks = split(trim(col(textCol)), " ")
+    // the native one-pass expression: RAW ordered hash stream (duplicates
+    // included — set semantics would change window contents), monotonic-
+    // deque sliding min, distinct values; docs too short for one full
+    // window return an empty array and explode to nothing. The builtin
+    // composition (per-position md5 lambdas + windowed array_min) is
+    // spec-asserted ≡ and was 3× slower end-to-end at sf1~.
     val fps = df
-      .select(col(idCol).cast("long").as("id"), toks.as("_toks"))
-      .filter(size(col("_toks")) >= k + w - 1) // else no full window
-      .select(col("id"), transform(
-        sequence(lit(1), size(col("_toks")) - lit(k - 1)),
-        i => conv(substring(md5(concat_ws(" ",
-          slice(col("_toks"), i, lit(k)))), 1, 8), 16, 10)
-          .cast("long")).as("sh"))
-      .select(col("id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(sh) - $w + 1), " +
-          s"i -> array_min(slice(sh, i, $w)))"))).as("fp"))
+      .select(col(idCol).cast("long").as("id"),
+        explode(call_function("winnow_fps", col(textCol), lit(k), lit(w)))
+          .as("fp"))
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxFingerprintFreq).select("fp")
     val capped = fps.join(broadcast(hot), Seq("fp"), "left_anti")

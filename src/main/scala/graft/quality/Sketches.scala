@@ -161,4 +161,90 @@ object Sketches {
       .select(gcols ++ Seq(col("rnk"), col("item"), col("cnt"),
         col("est_exact")): _*)
   }
+
+  /** Floor-division bin of an integral value column — negative values bin
+    * correctly (Spark's `div` truncates toward zero; DuckDB's `//` floors;
+    * correcting the truncation here makes the oracle replay `v // w`).
+    * Pure integer arithmetic — a double division would lose exactness
+    * past 2⁵³. */
+  private def withFloorBin(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, binWidth: Long): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ col(valueCol).cast("long").as("_v"): _*)
+      .withColumn("bin", expr(
+        s"CASE WHEN _v >= 0 OR _v % $binWidth = 0 THEN _v div $binWidth " +
+          s"ELSE _v div $binWidth - 1 END"))
+      .drop("_v")
+
+  /** Per-group equi-width HISTOGRAM state over an integral column —
+    * the MERGEABLE quantile sketch for continuous ingest: exact
+    * `percentile` needs every value (a 100 TB rescan per report), but a
+    * (group, bin, cnt) histogram is an algebraic mart — counts add — so
+    * each batch folds in via [[histogramIncremental]] and
+    * [[histogramQuantiles]] reads bin-width-accurate quantiles from the
+    * state alone, history never rescanned. Fold ≡ rebuild exactly
+    * (counts are exact; only the ESTIMATE is quantized, to `binWidth`).
+    * Null values are excluded by contract (they have no bin).
+    *
+    * Scale shape: one grouped count per batch in (group × bin) space —
+    * partial-aggregating, bounded by groups × value-range/binWidth. */
+  def histogramState(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    withFloorBin(df, groupCols, valueCol, binWidth)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold an append-only batch of raw rows into a persisted
+    * [[histogramState]] — the q218 algebraic delta-fold on the (group,
+    * bin) composite key: the historical corpus never rescans; only the
+    * delta pays the binning pass. */
+  def histogramIncremental(state: DataFrame, delta: DataFrame,
+      groupCols: Seq[String], valueCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    import graft.gold.IncrementalMaterializer
+    val binned = withFloorBin(delta, groupCols, valueCol, binWidth)
+    IncrementalMaterializer.refreshAlgebraic(state, binned,
+      groupCols :+ "bin",
+      Seq(IncrementalMaterializer.AlgebraicMeasure("cnt", "count", "bin")))
+  }
+
+  /** Quantile estimates from a [[histogramState]]: for each group and
+    * each requested q (e6 micro-units), the first bin whose cumulative
+    * count reaches q·total — the true quantile lies in [bin_lo, bin_hi),
+    * so the estimate is exact to `binWidth`. Pure integer comparison
+    * (`cum · 1e6 ≥ q · total` — no division), so engines agree bit-for-
+    * bit; requires total ≤ ~9.2e12 rows per group for the e6 products to
+    * stay in long range (gated in-plan).
+    *
+    * The cumulative window partitions by group — bounded by bins per
+    * group (value-range/binWidth, state-sized), never by corpus rows. */
+  def histogramQuantiles(state: DataFrame, groupCols: Seq[String],
+      binWidth: Long, qsE6: Seq[Long]): DataFrame = {
+    require(qsE6.nonEmpty, "need at least one quantile")
+    require(qsE6.forall(q => q >= 1 && q <= 1000000),
+      s"quantiles must be e6 in [1, 1000000], got ${qsE6.mkString(",")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+      .withColumn("total", when(col("total") <= 9200000000000L, col("total"))
+        .otherwise(raise_error(concat(lit(
+          "histogramQuantiles: group total exceeds 9.2e12 rows; e6 " +
+            "products would overflow - aggregate coarser groups: "),
+          col("total")))))
+    val qs = explode(array(qsE6.map(lit): _*)).as("q_e6")
+    cum.select(groupCols.map(col) ++ Seq(col("bin"), col("cum"),
+        col("total"), qs): _*)
+      .filter(col("cum") * lit(1000000L) >= col("q_e6") * col("total"))
+      .groupBy(groupCols.map(col) :+ col("q_e6"): _*)
+      .agg(min(col("bin")).as("bin"))
+      .select(groupCols.map(col) ++ Seq(col("q_e6"),
+        (col("bin") * binWidth).as("bin_lo"),
+        ((col("bin") + 1) * binWidth).as("bin_hi")): _*)
+  }
 }

@@ -511,6 +511,17 @@ object Curation {
           d.ngram, d.winnowWindow, d.maxShingleFreq, d.minSharedFingerprints)
         .select("id_a", "id_b")
       Dedup.removeNearDupes(df, d.idColumn, Dedup.dupClusters(pairs))
+    case "winnow_jaccard" =>
+      // ngram_jaccard's clusters from the ~1/w winnow candidate index,
+      // every candidate verified with its exact jaccard — the scale form
+      // of ngram_jaccard (set min_shared_fingerprints 1 for max recall;
+      // a true pair is missed only when the docs share no token run of
+      // >= winnow_window + ngram - 1 surviving the frequency cap)
+      val pairs = Dedup.winnowJaccardPairs(df, d.idColumn, d.contentColumn,
+          d.ngram, d.threshold, d.winnowWindow, d.maxShingleFreq,
+          d.minSharedFingerprints)
+        .select("id_a", "id_b")
+      Dedup.removeNearDupes(df, d.idColumn, Dedup.dupClusters(pairs))
     case "keep_best" =>
       // same pair machinery as ngram_jaccard; the survivor policy changes
       // from min-id to best-score (config guarantees scoreColumn is set)

@@ -145,6 +145,51 @@ object TextAnalysis {
         expr("surprisal_bits * 1000000L div n_tokens"))
   }
 
+  /** Surprisal under a REFERENCE corpus model — the cross-corpus form of
+    * [[unigramSurprisal]] and the CCNet/DCLM-style quality filter: score
+    * every document by the bit-cost of its tokens under a unigram model
+    * trained on a CLEAN reference corpus (Wikipedia-class text), not on
+    * the corpus being scored. Low mean = reference-like prose; high mean
+    * = vocabulary the reference never uses (spam, gibberish, other
+    * languages) — the standard "perplexity against a clean LM" gate,
+    * exactly computable and mergeable where a neural LM is neither.
+    *
+    * Same whole-bit integer contract as [[unigramSurprisal]]
+    * (floor(log₂(N/cnt)) via binary-string length — no libm log). Tokens
+    * ABSENT from the reference cost floor(log₂ N)+1 bits — one more than
+    * the rarest observed token (cnt=1 → floor(log₂ N)), the cheapest
+    * cost that still separates unseen from rarest-seen; `n_oov` reports
+    * them so callers can gate on OOV rate directly (the sharper
+    * other-language signal).
+    *
+    * Scale shape: the model is |reference vocabulary|-sized and broadcast
+    * (the reference is curated and bounded by construction — swap to a
+    * sort-merge join if yours isn't); the corpus side is one explode +
+    * one per-doc rollup, no corpus-wide vocabulary shuffle at all. The
+    * model frames are plain DataFrames a continuous pipeline persists
+    * once and reuses per batch. */
+  def referenceSurprisal(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String): DataFrame = {
+    val freq = ref.select(explode(tokens(col(refTextCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val n = ref.agg(sum(tokenCount(col(refTextCol)).cast("long"))
+      .as("n_total"))
+    val freqBits = freq.crossJoin(broadcast(n))
+      .select(col("term"),
+        (length(bin(expr("n_total div cnt"))) - 1).cast("long").as("bits"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(freqBits), Seq("term"), "left")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("bits").isNull.as("oov"),
+        coalesce(col("bits"), length(bin(col("n_total"))).cast("long"))
+          .as("bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("bits")).as("ref_bits"))
+      .withColumn("mean_ref_bits_e6", expr("ref_bits * 1000000L div n_tokens"))
+  }
+
   /** Bigram conditional surprisal — the context-sensitive upgrade of
     * [[unigramSurprisal]]: per document, Σ floor(log₂(c(w₁·)/c(w₁w₂)))
     * over its bigrams, where c(w₁w₂) is the corpus bigram count and c(w₁·)

@@ -975,4 +975,46 @@ class PipelineSpec extends SparkSpec {
     val bad = yaml.replace("strategy: winnow", "strategy: exact")
     an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(bad)
   }
+
+  test("winnow_jaccard strategy: verified clusters from YAML ≡ ngram_jaccard") {
+    def yaml(strategy: String) =
+      s"""version: "1.0"
+        |pipeline:
+        |  name: docs
+        |curation:
+        |  dedup:
+        |    strategy: $strategy
+        |    id_column: doc_id
+        |    content_column: text
+        |    ngram: 3
+        |    threshold: 0.5
+        |${if (strategy == "winnow_jaccard")
+          "    winnow_window: 4\n    min_shared_fingerprints: 1\n" else ""}gold:
+        |  - name: survivors
+        |    group_by:
+        |      - doc_id
+        |    measures:
+        |      - name: docs
+        |        expression: count(1)
+        |""".stripMargin
+    // near-dups share LONG runs (one substituted middle token in a
+    // 12-token base) → the winnow candidates find every qualifying pair
+    // and the verified output must equal the full-index strategy's
+    val base = (1 to 12).map(i => s"tok$i")
+    val docs = (0L until 12L).map { i =>
+      if (i % 2 == 0)
+        (i, (base.take(7) ++ Seq(s"mid$i") ++ base.drop(8)).mkString(" "))
+      else (i, (1 to 12).map(j => s"only${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    def surviving(strategy: String): Set[Long] = {
+      var kept = Set.empty[Long]
+      Pipeline.run(spark, ConfigLoader.parse(yaml(strategy)), docs,
+        goldSink = Some((_, df) =>
+          kept = df.select("doc_id").collect().map(_.getLong(0)).toSet))
+      kept
+    }
+    val winnow = surviving("winnow_jaccard")
+    winnow shouldBe surviving("ngram_jaccard")
+    winnow shouldBe (Set(0L) ++ (1L until 12L by 2)) // evens cluster to 0
+  }
 }

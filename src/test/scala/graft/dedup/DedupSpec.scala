@@ -156,6 +156,40 @@ class DedupSpec extends SparkSpec {
       .collect().foreach(r => r.getSeq[Long](0) shouldBe r.getSeq[Long](1))
   }
 
+  test("winnow_fps ≡ the builtin windowed-min composition, value for value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // repeated tokens make duplicate hashes in the raw stream (the tie
+    // case a set-semantics shingle pass would corrupt); short docs must
+    // return empty, trailing spaces must trim like the builtin
+    val docs = Seq(
+      (1L, "the cat sat on the mat while the cat sat again"),
+      (2L, "a a a a a a a a"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "too short here"),
+      (5L, "  padded text with spaces on both ends  "),
+      (6L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("_toks", split(trim(col("text")), " "))
+      // guard: sequence(1, n) DESCENDS for n < 1, feeding slice a 0 start
+      .withColumn("_sh", when(
+        org.apache.spark.sql.functions.size(col("_toks")) >= 3, transform(
+          sequence(lit(1),
+            org.apache.spark.sql.functions.size(col("_toks")) - lit(2)),
+          i => conv(substring(md5(concat_ws(" ",
+            slice(col("_toks"), i, lit(3)))), 1, 8), 16, 10).cast("long")))
+        .otherwise(expr("cast(array() as array<bigint>)")))
+    docs.select(col("doc_id"),
+        call_function("winnow_fps", col("text"), lit(3), lit(4)).as("a"),
+        when(org.apache.spark.sql.functions.size(col("_toks")) >= 6, array_distinct(expr(
+          "transform(sequence(1, size(_sh) - 4 + 1), " +
+            "i -> array_min(slice(_sh, i, 4)))")))
+          .otherwise(expr("cast(array() as array<bigint>)")).as("b"))
+      .collect().foreach(r =>
+        withClue(s"doc ${r.getLong(0)}")(
+          r.getSeq[Long](1) shouldBe r.getSeq[Long](2)))
+  }
+
   test("natives declare nullable outputs: empty NON-NULL input still yields null") {
     import org.apache.spark.sql.functions.expr
     // children here are non-null literals — without the explicit

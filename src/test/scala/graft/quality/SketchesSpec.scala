@@ -119,4 +119,47 @@ class SketchesSpec extends SparkSpec {
     // disjoint pairs are absent — the inner-join contract
     out.keySet shouldBe Set(("A", "B"))
   }
+
+  test("histogram state: fold ≡ rebuild, negative floor bins, null excluded") {
+    val hist = Seq(("a", 7L), ("a", 49L), ("a", 151L), ("b", -1L))
+      .toDF("grp", "v")
+    val delta = Seq(("a", 50L), ("b", -100L), ("c", 0L))
+      .toDF("grp", "v")
+    val state = Sketches.histogramState(hist, Seq("grp"), "v", 50L)
+    // floor bins: 7→0, 49→0, 151→3, -1→-1 (floor, NOT truncate-toward-0)
+    state.orderBy("grp", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("a", 0L, 2L), ("a", 3L, 1L), ("b", -1L, 1L))
+    val folded = Sketches.histogramIncremental(state, delta,
+      Seq("grp"), "v", 50L)
+    val rebuilt = Sketches.histogramState(hist.unionByName(delta),
+      Seq("grp"), "v", 50L)
+    folded.orderBy("grp", "bin").collect().toSeq shouldBe
+      rebuilt.orderBy("grp", "bin").collect().toSeq
+    // null values are excluded by contract
+    Sketches.histogramState(
+      Seq(("a", Some(1L)), ("a", None)).toDF("grp", "v"),
+      Seq("grp"), "v", 50L)
+      .agg(sum("cnt")).head().getLong(0) shouldBe 1L
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.histogramState(hist, Seq("grp"), "v", 0L)
+  }
+
+  test("histogramQuantiles: first bin at cum·1e6 ≥ q·total, exact to binWidth") {
+    // group a: values 0..99 uniform, width 10 → bins 0..9 with 10 each.
+    // p50: cum at bin 4 is 50, 50·1e6 ≥ 500000·100 → bin 4 ([40,50)).
+    // p90: cum at bin 8 is 90 → bin 8 ([80,90)). p100 → last bin.
+    val df = (0L until 100L).map(v => ("a", v)).toDF("grp", "v")
+    val state = Sketches.histogramState(df, Seq("grp"), "v", 10L)
+    val qs = Sketches.histogramQuantiles(state, Seq("grp"), 10L,
+        Seq(500000L, 900000L, 1000000L))
+      .orderBy("q_e6").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    qs shouldBe Seq((500000L, 40L, 50L), (900000L, 80L, 90L),
+      (1000000L, 90L, 100L))
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.histogramQuantiles(state, Seq("grp"), 10L, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.histogramQuantiles(state, Seq("grp"), 10L, Seq(0L))
+  }
 }

@@ -989,4 +989,50 @@ class StreamingSpec extends SparkSpec {
       q.lastProgress.stateOperators.map(_.numRowsTotal).sum shouldBe 1L
     } finally q.stop()
   }
+
+  test("attributionStreamBuffered state stays flat under churning keys (soak)") {
+    // The long-run posture of the r15 leak fix: every round brings 10
+    // FRESH keys (each converting once) and never returns — a stream
+    // whose distinct-key count grows without bound. With the event-time
+    // timeout the store holds only keys whose window the watermark
+    // hasn't passed; without it, state rows grow with every round.
+    val stream = MemoryStream[Streaming.TypedEvent](spark)
+    val q = Streaming.attributionStreamBuffered(stream.toDS(),
+        conversionType = "purchase", touchTypes = Seq("view"),
+        windowUs = 15000000L, delayUs = 15000000L)
+      .writeStream.format("memory").queryName("attr_soak")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ev(key: Long, sec: Long, tie: Long, typ: String) =
+        Streaming.TypedEvent(key, sec * 1000000L, tie, typ)
+      val rounds = 10
+      val perRound = 10
+      val stateSizes = (1 to rounds).map { r =>
+        // round r: keys r*100+k touch at t=100r and convert 5 s later —
+        // 100 s between rounds pushes the watermark (delay 15 s) far past
+        // the previous round's touch+window, expiring its keys
+        val t = 100L * r
+        stream.addData((0 until perRound).flatMap { k =>
+          val key = r * 100L + k
+          Seq(ev(key, t, r * 1000L + k * 2L, "view"),
+            ev(key, t + 5L, r * 1000L + k * 2L + 1L, "purchase"))
+        }: _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      // two watermark-advancing batches flush the final round's buffer
+      stream.addData(ev(999999L, 100L * (rounds + 2), 999998L, "view"))
+      q.processAllAvailable()
+      stream.addData(ev(999999L, 100L * (rounds + 4), 999999L, "view"))
+      q.processAllAvailable()
+      // every conversion credited (nothing lost to the state cleanup)
+      spark.table("attr_soak").as[Streaming.Attribution].collect()
+        .count(_.attributedType == "view") shouldBe (rounds * perRound)
+      // flat, not cumulative: the store never holds more than ~2 rounds
+      // of live keys, and the LAST round's footprint equals the first's
+      // (a leak would show 10 rounds ≈ 100+ rows by now)
+      stateSizes.max should be <= (2L * perRound)
+      stateSizes.last should be <= stateSizes.head
+    } finally q.stop()
+  }
 }

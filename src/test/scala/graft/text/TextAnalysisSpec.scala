@@ -141,6 +141,35 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((2L, 2L, 1000000L)) // a+c = 0+2
   }
 
+  test("referenceSurprisal: hand-traced bits, OOV cost and count, self ≡ unigram") {
+    // reference: "x x x y" → N=4, cnt(x)=3 cnt(y)=1
+    //   bits(x) = len(bin(4 div 3))-1 = 0; bits(y) = len(bin(4))-1 = 2
+    //   OOV cost = len(bin(4)) = 3 — one more than the rarest seen token
+    val ref = Seq((0L, "x x x y")).toDF("rid", "rtext")
+    val docs = Seq((1L, "x y z"), (2L, "x x")).toDF("doc_id", "text")
+    val out = TextAnalysis.referenceSurprisal(docs, "doc_id", "text",
+        ref, "rtext")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("ref_bits"), r.getAs[Long]("mean_ref_bits_e6")))
+      .toMap
+    out(1L) shouldBe ((3L, 1L, 5L, 1666666L)) // 0 + 2 + 3; 5e6 div 3
+    out(2L) shouldBe ((2L, 0L, 0L, 0L))
+    // scoring a corpus against ITSELF degenerates to unigramSurprisal
+    // (zero OOV, same per-token bits)
+    val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val self = TextAnalysis.referenceSurprisal(corpus, "doc_id", "text",
+        corpus, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getAs[Long]("ref_bits")))
+    val uni = TextAnalysis.unigramSurprisal(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), 0L,
+        r.getAs[Long]("surprisal_bits")))
+    self.toSeq shouldBe uni.toSeq
+  }
+
   test("interDocRepetition: shared shingles counted corpus-wide, short docs 0") {
     val docs = Seq(
       // docs 1 and 2 share "a b c" (their only common trigram);
