@@ -2176,6 +2176,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Winnow-based eval-set decontamination: training docs sharing >= 1
+    // winnowing fingerprint with the eval slice (every 50th doc) — the
+    // shared-RUN leakage detector (guarantee: any verbatim token run
+    // >= w+n-1 with an eval doc is caught), eval fingerprints broadcast,
+    // no pair stage. Eval docs flag themselves (shared_frac 1e6) — the
+    // q57 self-overlap posture.
+    "q241_winnow_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.winnowContamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 50 === 0), "text", n = 3, w = 4)
+        .orderBy("id")
+    }),
+
     // Winnow-backed leakage-safe split (q143's cluster-as-unit assignment
     // over the winnow candidate generator).
     "q237_winnow_leakage_split" -> ((s, dir) => {
@@ -4629,6 +4642,25 @@ object SparkEntry {
     // q234–q237: the winnow candidate → exact-verify → closure prefix
     // (winnowClusterSqlPrefix), each with its own tail — anti-select,
     // keep-best window, cross-source rollup, md5 split bucket map.
+    // q241: the q183 winnow replay on both sides — eval slice fps
+    // distinct'd, left join + non-null count per doc, >= 1 filter.
+    "q241_winnow_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS toks
+        |  FROM documents),
+        |hs AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |  i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+        |    || toks[i+2]), 1, 8))::BIGINT) AS h FROM t),
+        |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(h) - 4 + 2), i -> list_min(h[i:i+3])))) AS fp
+        |  FROM hs WHERE len(h) >= 4),
+        |ef AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 50 = 0),
+        |j AS (SELECT f.doc_id, count(*) AS n_fps, count(e.fp) AS n_shared
+        |  FROM fps f LEFT JOIN ef e ON f.fp = e.fp
+        |  GROUP BY f.doc_id)
+        |SELECT doc_id AS id, CAST(n_shared AS BIGINT) AS n_shared_fps,
+        | CAST(n_fps AS BIGINT) AS n_fps,
+        | n_shared * 1000000 // n_fps AS shared_frac_e6
+        |FROM j WHERE n_shared >= 1 ORDER BY id""".stripMargin,
     "q234_winnow_near_dedup" -> (winnowClusterSqlPrefix +
       """
         |SELECT doc_id FROM documents

@@ -902,6 +902,54 @@ object Dedup {
       .filter(col("jaccard") > threshold)
   }
 
+  /** Winnow-based EVAL-SET decontamination — the shared-RUN form of
+    * `TextAnalysis.contaminationScore`: a training doc is flagged when it
+    * shares ≥ `minShared` winnowing fingerprints with the benchmark/eval
+    * corpus, which by the winnowing guarantee catches EVERY doc sharing a
+    * verbatim token run of ≥ w+n−1 with any eval doc (the long-quote
+    * leakage that actually moves benchmark numbers), at ~1/w the gram
+    * surface of the full n-gram overlap scan. Returns
+    * (id, n_shared_fps, n_fps, shared_frac_e6) for FLAGGED docs only;
+    * [[removeContaminatedByRuns]] is the drop action.
+    *
+    * Scale shape: the eval fingerprint set is distinct'd and BROADCAST
+    * (eval sets are tiny next to a training corpus), so the only shuffle
+    * is the per-doc count — the corpus is scanned once, there is no pair
+    * stage at all. No frequency cap: dropping a hot fingerprint could
+    * hide real leakage, and the broadcast side is eval-sized anyway. */
+  def winnowContamination(docs: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, evalTextCol: String, n: Int, w: Int,
+      minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    val evalFps = evalDf
+      .select(explode(call_function("winnow_fps", col(evalTextCol),
+        lit(n), lit(w))).as("fp"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    docs
+      .select(col(idCol).as("id"),
+        explode(call_function("winnow_fps", col(textCol), lit(n), lit(w)))
+          .as("fp"))
+      .join(broadcast(evalFps), Seq("fp"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+      .withColumn("shared_frac_e6",
+        expr("n_shared_fps * 1000000L div n_fps"))
+      .select("id", "n_shared_fps", "n_fps", "shared_frac_e6")
+  }
+
+  /** The decontamination ACTION: drop every doc [[winnowContamination]]
+    * flags; docs too short to fingerprint are kept (nothing to match). */
+  def removeContaminatedByRuns(docs: DataFrame, idCol: String,
+      textCol: String, evalDf: DataFrame, evalTextCol: String,
+      n: Int, w: Int, minShared: Long = 1L): DataFrame =
+    docs.join(
+      winnowContamination(docs, idCol, textCol, evalDf, evalTextCol,
+        n, w, minShared).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** INCREMENTAL cluster maintenance: fold a batch of newly-discovered
     * near-dup pairs into an existing (id, label) clustering without
     * re-running pair GENERATION over the historical corpus — the

@@ -259,6 +259,55 @@ object Streaming {
       spark.read.parquet(stateDir), groupCols,
       maxItemsTracked = maxItemsTracked)
 
+  /** CONTINUOUS histogram-quantile tracking: each micro-batch reduces to
+    * its own per-(group, bin) count rows (`Sketches.histogramState` — an
+    * algebraic mart, so merge is a plain count sum), landed in a
+    * `batch_id` partition with dynamic overwrite (the topKStream
+    * idempotency shape: an at-least-once replay rewrites its partition
+    * rather than double-counting). [[mergedHistogramQuantiles]] reads
+    * p50/p90-class quantiles from ALL batch states — history is touched
+    * in (group × bin) space only, never row data, and merge ≡ one-shot
+    * EXACTLY (counts are exact; only the estimate is quantized to
+    * binWidth). The streaming complement of the q239 batch mart. */
+  def histogramStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      groupCols: Seq[String],
+      valueCol: String,
+      binWidth: Long,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.quality.Sketches
+            .histogramState(batch.toDF(), groupCols, valueCol, binWidth)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+
+  /** Read side of [[histogramStream]]: sum the per-batch bin counts and
+    * read quantiles from the merged state. */
+  def mergedHistogramQuantiles(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], binWidth: Long,
+      qsE6: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    val merged = spark.read.parquet(stateDir)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    graft.quality.Sketches.histogramQuantiles(merged, groupCols, binWidth,
+      qsE6)
+  }
+
   def driftStream(
       spark: SparkSession,
       inputDir: String,

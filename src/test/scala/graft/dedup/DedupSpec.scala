@@ -651,6 +651,31 @@ class DedupSpec extends SparkSpec {
       maxFingerprintFreq = 4, minShared = 1L).count() shouldBe 0L
   }
 
+  test("winnowContamination: shared eval runs flagged, unrelated and short kept") {
+    import spark.implicits._
+    val evalRun = "alpha beta gamma delta epsilon zeta" // 6 = w+n-1 tokens
+    val evalDf = Seq((100L, s"question text $evalRun answer text here"))
+      .toDF("eid", "etext")
+    val docs = Seq(
+      (1L, s"leading words $evalRun trailing content words"), // leaked quote
+      (2L, "completely unrelated training document body text here now"),
+      (3L, "tiny doc")) // too short to fingerprint → kept
+      .toDF("doc_id", "text")
+    val flagged = Dedup.winnowContamination(docs, "doc_id", "text",
+        evalDf, "etext", n = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    flagged.keySet shouldBe Set(1L)
+    flagged(1L)._1 should be >= 1L // at least the guaranteed shared fp
+    flagged(1L)._2 should be > flagged(1L)._1 // doc has non-shared fps too
+    Dedup.removeContaminatedByRuns(docs, "doc_id", "text",
+        evalDf, "etext", n = 3, w = 4)
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(2L, 3L)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.winnowContamination(docs, "doc_id", "text", evalDf, "etext",
+        3, 4, minShared = 0L)
+  }
+
   test("winnowJaccardPairs: subset of the full index, equal at the guarantee") {
     import spark.implicits._
     // Near-dup pairs share LONG runs (prefix + suffix of a 12-token base

@@ -665,6 +665,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histogramStream: per-batch bin partials merge exactly to the one-shot state") {
+    import org.apache.spark.sql.functions.col
+    val in = Files.createTempDirectory("graft_hist_in").toString
+    val out = Files.createTempDirectory("graft_hist_out").toString
+    val chk = Files.createTempDirectory("graft_hist_chk").toString
+    val b1 = Seq(("a", 5L), ("a", 45L), ("a", 95L), ("b", 12L))
+      .toDF("g", "v")
+    b1.write.mode("append").parquet(in)
+    val q = Streaming.histogramStream(spark, in, b1.schema, Seq("g"), "v",
+      binWidth = 10L, out, chk)
+    try {
+      q.processAllAvailable()
+      Seq(("a", 7L), ("a", 55L), ("b", 18L)).toDF("g", "v").coalesce(1)
+        .write.mode("append").parquet(in)
+      q.processAllAvailable()
+      spark.read.parquet(out).select("batch_id").distinct()
+        .count() shouldBe 2L
+      // merged quantiles ≡ quantiles of the one-shot batch state — the
+      // algebraic-merge exactness the sketch trackers can only estimate
+      val merged = Streaming.mergedHistogramQuantiles(spark, out, Seq("g"),
+          10L, Seq(500000L, 1000000L))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val oneShot = graft.quality.Sketches.histogramQuantiles(
+          graft.quality.Sketches.histogramState(
+            spark.read.parquet(in), Seq("g"), "v", 10L),
+          Seq("g"), 10L, Seq(500000L, 1000000L))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      merged shouldBe oneShot
+      // hand-check: group a values {5,7,45,55,95} → p50 in bin 4 [40,50)
+      merged(("a", 500000L)) shouldBe ((40L, 50L))
+      merged(("a", 1000000L)) shouldBe ((90L, 100L))
+    } finally q.stop()
+  }
+
   test("transitionStream chains across micro-batches and matches the batch matrix") {
     val stream = MemoryStream[Streaming.TypedEvent](spark)
     val q = Streaming.transitionStream(stream.toDS())
