@@ -2189,6 +2189,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Sentence segmentation over a deterministically-punctuated corpus
+    // (every 5th token boundary becomes ". " — the corpus itself carries
+    // no punctuation): filtered split + 1-based positional index, all in
+    // the java.util.regex ∩ RE2 intersection. Row-local, zero shuffle.
+    "q242_sentence_split" -> ((s, dir) =>
+      Chunking.sentenceSplit(
+        Tables.load(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1. ")),
+        "doc_id", "text")
+        .orderBy("doc_id", "sent_idx")),
+
+    // Sequence-length utilization curve: per candidate max_seq_len, the
+    // sequence count, padded slots, and slot utilization under the
+    // chunked (pack-free) layout — the report that picks max_seq_len.
+    // One corpus pass; exact integers throughout.
+    "q243_seqlen_report" -> ((s, dir) =>
+      Chunking.seqLenUtilization(Tables.load(s, dir, "documents"), "text",
+        Seq(32, 64, 128))
+        .orderBy("seq_len")),
+
     // Winnow-backed leakage-safe split (q143's cluster-as-unit assignment
     // over the winnow candidate generator).
     "q237_winnow_leakage_split" -> ((s, dir) => {
@@ -4642,6 +4662,38 @@ object SparkEntry {
     // q234–q237: the winnow candidate → exact-verify → closure prefix
     // (winnowClusterSqlPrefix), each with its own tail — anti-select,
     // keep-best window, cross-source rollup, md5 split bucket map.
+    // q242: same punctuation injection (\1 for $1), same split pattern,
+    // zipped parallel unnests for the 1-based index of the FILTERED list.
+    "q242_sentence_split" ->
+      """WITH p AS (SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){4}\S+) ', '\1. ', 'g') AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '[.!?]+\s+'),
+        |    x -> trim(x) <> '') AS ss FROM p),
+        |e AS (SELECT doc_id,
+        |    unnest(range(1, len(ss) + 1)) AS sent_idx,
+        |    unnest(ss) AS sentence FROM f)
+        |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+        | CAST(len(string_split(trim(sentence), ' ')) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, sent_idx""".stripMargin,
+    // q243: identical ceil-division layout arithmetic per candidate L.
+    "q243_seqlen_report" ->
+      """WITH n AS (SELECT len(string_split(trim(text), ' ')) AS n
+        |  FROM documents),
+        |e AS (SELECT n.n, unnest([32, 64, 128]) AS seq_len FROM n),
+        |g AS (SELECT seq_len, count(*) AS n_docs,
+        |   CAST(sum(n) AS BIGINT) AS total_tokens,
+        |   CAST(sum((n + seq_len - 1) // seq_len) AS BIGINT) AS n_sequences,
+        |   CAST(sum(((n + seq_len - 1) // seq_len) * seq_len - n) AS BIGINT)
+        |     AS padded_slots
+        |  FROM e GROUP BY seq_len)
+        |SELECT CAST(seq_len AS BIGINT) AS seq_len,
+        | CAST(n_docs AS BIGINT) AS n_docs, total_tokens, n_sequences,
+        | padded_slots,
+        | CAST(total_tokens * 1000000 // (n_sequences * seq_len) AS BIGINT)
+        |   AS utilization_e6
+        |FROM g ORDER BY seq_len""".stripMargin,
     // q241: the q183 winnow replay on both sides — eval slice fps
     // distinct'd, left join + non-null count per doc, >= 1 filter.
     "q241_winnow_decontaminate" ->

@@ -125,6 +125,51 @@ object Chunking {
       .drop("_priority")
   }
 
+  /** Sentence segmentation — the boundary-aware alternative to [[chunk]]'s
+    * fixed token windows (RAG and packing pipelines want chunks that end at
+    * sentence boundaries, not mid-clause): split on `[.!?]+` runs followed
+    * by whitespace, drop empty/whitespace-only segments, index the
+    * survivors 1-based. The delimiter run is CONSUMED (sentences carry no
+    * terminal punctuation) — the price of staying in the java.util.regex ∩
+    * RE2 intersection (no lookbehind), and a documented contract rather
+    * than a quirk. Abbreviation dots ("Dr. Smith") split like any other —
+    * this is the deterministic whole-corpus segmenter, not an NLP model.
+    * Row-local: one split + one filtered posexplode, zero shuffle. Output:
+    * (id, sent_idx, sentence, n_tokens). */
+  def sentenceSplit(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(filter(split(col(textCol), "[.!?]+\\s+"),
+          s => trim(s) =!= "")))
+      .withColumnRenamed("pos", "sent_idx")
+      .withColumnRenamed("col", "sentence")
+      .withColumn("sent_idx", (col("sent_idx") + 1).cast("long"))
+      .withColumn("n_tokens",
+        size(split(trim(col("sentence")), " ")).cast("long"))
+
+  /** Sequence-length utilization report — the padding-waste curve that
+    * picks max_seq_len: for each candidate length L, every doc occupies
+    * ceil(n/L) L-slot sequences (chunked, last chunk padded — the
+    * pack-free pretraining layout), so the report shows per L the
+    * sequence count, padded slots, and slot utilization in e6. All exact
+    * integers from one corpus pass (per-doc token counts reduce to
+    * |seqLens| rows); choosing L is then reading the knee of the curve. */
+  def seqLenUtilization(df: DataFrame, textCol: String,
+      seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ >= 1),
+      s"need at least one seq_len >= 1, got ${seqLens.mkString(",")}")
+    val n = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    df.select(n.as("_n"),
+        explode(array(seqLens.map(l => lit(l.toLong)): _*)).as("seq_len"))
+      .withColumn("_seqs", expr("(_n + seq_len - 1) div seq_len"))
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n")).as("total_tokens"),
+        sum(col("_seqs")).as("n_sequences"),
+        sum(col("_seqs") * col("seq_len") - col("_n")).as("padded_slots"))
+      .withColumn("utilization_e6",
+        expr("total_tokens * 1000000L div (n_sequences * seq_len)"))
+  }
+
   /** Deterministic exact-k uniform sample without replacement — the
     * reservoir sample's RESULT (exactly k rows, uniform over the corpus)
     * without its partition-order nondeterminism: the k keys with the

@@ -311,6 +311,47 @@ class ChunkingSpec extends SparkSpec {
       Chunking.fixedSamplePrethin(col("id"), 0)
   }
 
+  test("sentenceSplit: boundaries consumed, empties dropped, 1-based index") {
+    val docs = Seq(
+      (1L, "first sentence here. second one! third?and fourth"),
+      (2L, "no punctuation at all"),
+      (3L, ""),
+      (4L, "ends with punct. ")) // trailing split residue is whitespace-only
+      .toDF("doc_id", "text")
+    val out = Chunking.sentenceSplit(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // "third?and fourth" does NOT split: ? lacks following whitespace
+    out((1L, 1L)) shouldBe (("first sentence here", 3L))
+    out((1L, 2L)) shouldBe (("second one", 2L))
+    out((1L, 3L)) shouldBe (("third?and fourth", 2L))
+    out((2L, 1L)) shouldBe (("no punctuation at all", 4L))
+    out((4L, 1L)) shouldBe (("ends with punct", 3L))
+    // empty doc contributes no sentences at all
+    out.keys.map(_._1).toSet shouldBe Set(1L, 2L, 4L)
+  }
+
+  test("seqLenUtilization: ceil-division layout arithmetic, hand-checked") {
+    // docs of 3, 10, 64 tokens at L = 8:
+    //   seqs 1+2+8 = 11, slots 88, padding 88-77 = 11, util 875000
+    val docs = Seq(
+      (1 to 3).map(i => s"t$i").mkString(" "),
+      (1 to 10).map(i => s"t$i").mkString(" "),
+      (1 to 64).map(i => s"t$i").mkString(" "))
+      .toDF("text")
+    val out = Chunking.seqLenUtilization(docs, "text", Seq(8, 64))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    out(8L) shouldBe ((3L, 77L, 11L, 11L, 875000L))
+    // L=64: seqs 1+1+1 = 3, slots 192, padding 115, util 77*1e6 div 192
+    out(64L) shouldBe ((3L, 77L, 3L, 115L, 401041L))
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.seqLenUtilization(docs, "text", Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.seqLenUtilization(docs, "text", Seq(0))
+  }
+
   test("exactKSample: exact k, partition-invariant, salt re-draws, null keys") {
     val docs = (0L until 200L).toDF("id")
     val s1 = Chunking.exactKSample(docs, col("id"), 25, "s1")
