@@ -2189,6 +2189,56 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Johnson–Lindenstrauss sign projection 64→16 + top-5 recall vs the
+    // full-dim exact ranking — the dimensionality-reduction/recall curve
+    // for embeddings that are NOT matryoshka-trained (q106's complement).
+    // The ±1 matrix regenerates from the seed on any engine; projections
+    // are sequential zip-folds so the oracle replays them bit-for-bit.
+    "q244_random_projection" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val m = Similarity.signProjectionMatrix(64, 16, "jl")
+      val proj = emb.withColumn("embedding",
+        Similarity.randomProject(col("embedding"), m))
+      val queries = (e: org.apache.spark.sql.DataFrame) =>
+        e.filter(col("vec_id") < 20)
+      Similarity.topKRecall(
+        Similarity.bruteForceTopK(emb, queries(emb),
+          "vec_id", "embedding", k = 5),
+        Similarity.bruteForceTopK(proj, queries(proj),
+          "vec_id", "embedding", k = 5))
+        .orderBy("query_id")
+    }),
+
+    // Histogram-bounded winsorization — q71's clamp exact to binWidth
+    // from two grouped counts + one broadcast join, never buffering a
+    // group's values (the 100 TB path the exact percentile can't walk).
+    // Values scale to integral e2 first (the micro-unit convention).
+    "q246_winsorize_histogram" -> ((s, dir) =>
+      quality.Sketches.winsorizeByHistogram(
+        Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("value_e2")),
+        Seq("event_type"), "value_e2", binWidth = 500L,
+        loE6 = 50000L, hiE6 = 950000L)
+        .orderBy("event_id")),
+
+    // Unicode-script composition over a deterministically-mixed corpus
+    // (every 3rd doc gains a Cyrillic suffix, every 3rd+1 a Han suffix —
+    // the source corpus is pure ASCII): exact per-script letter counts +
+    // dominant-script routing label. Row-local, zero shuffle.
+    "q245_script_profile" -> ((s, dir) => {
+      val id = col("doc_id")
+      TextAnalysis.scriptProfile(
+        Tables.load(s, dir, "documents").withColumn("text", concat(
+          col("text"),
+          when(id % 3 === 1, " привет мир")
+            .when(id % 3 === 2, " 你好世界")
+            .otherwise(""))),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Sentence segmentation over a deterministically-punctuated corpus
     // (every 5th token boundary becomes ". " — the corpus itself carries
     // no punctuation): filtered split + 1-based positional index, all in
@@ -4662,6 +4712,88 @@ object SparkEntry {
     // q234–q237: the winnow candidate → exact-verify → closure prefix
     // (winnowClusterSqlPrefix), each with its own tail — anti-select,
     // keep-best window, cross-source rollup, md5 split bucket map.
+    // q246: the q239 histogram + first-bin rule for both quantiles, then
+    // the same edge clamp (lo → bin_lo, hi → bin_hi − 1) row-local.
+    "q246_winsorize_histogram" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) AS value_e2
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT event_type, value_e2 // 500 AS bin, count(*) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, cnt,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS total FROM h),
+        |q AS (SELECT unnest([50000, 950000]) AS q_e6),
+        |x AS (SELECT c.event_type, q.q_e6, min(c.bin) AS bin
+        |  FROM c, q WHERE c.cum * 1000000 >= q.q_e6 * c.total
+        |  GROUP BY 1, 2),
+        |b AS (SELECT event_type,
+        |  min(CASE WHEN q_e6 = 50000 THEN bin * 500 END) AS lo,
+        |  min(CASE WHEN q_e6 = 950000 THEN (bin + 1) * 500 - 1 END) AS hi
+        | FROM x GROUP BY event_type)
+        |SELECT v.event_id, v.event_type, v.value_e2,
+        | CAST(least(greatest(v.value_e2, b.lo), b.hi) AS BIGINT)
+        |   AS value_e2_wins
+        |FROM v JOIN b USING (event_type) ORDER BY event_id""".stripMargin,
+    // q245: same suffix CASEs; RE2 spells the script classes \p{Latin}
+    // where java.util.regex spells \p{IsLatin} — same Unicode property.
+    "q245_script_profile" ->
+      """WITH m AS (SELECT doc_id, text ||
+        |  (CASE doc_id % 3 WHEN 1 THEN ' привет мир'
+        |    WHEN 2 THEN ' 你好世界' ELSE '' END) AS text
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '\p{Latin}', '',
+        |    'g')) AS BIGINT) AS latin,
+        |  CAST(length(text) - length(regexp_replace(text, '\p{Cyrillic}',
+        |    '', 'g')) AS BIGINT) AS cyrillic,
+        |  CAST(length(text) - length(regexp_replace(text, '\p{Han}', '',
+        |    'g')) AS BIGINT) AS han,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '',
+        |    'g')) AS BIGINT) AS digits,
+        |  CAST(length(text) - length(replace(text, ' ', ''))
+        |    AS BIGINT) AS spaces
+        | FROM m)
+        |SELECT doc_id, n_chars, latin, cyrillic, han, digits, spaces,
+        | n_chars - latin - cyrillic - han - digits - spaces AS other,
+        | CASE WHEN latin + cyrillic + han = 0 THEN 'other'
+        |  WHEN latin >= cyrillic AND latin >= han THEN 'latin'
+        |  WHEN cyrillic >= han THEN 'cyrillic' ELSE 'han'
+        | END AS main_script
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q244: q106's recall scaffold with the projection CTE built from
+    // the SAME driver-side sign matrix — each projected coordinate is
+    // one list_dot_product against a ±1 literal row (sequential fold ≡
+    // the Spark zip-fold), float-cast exactly like the Spark side.
+    "q244_random_projection" -> {
+      val m = graft.similarity.Similarity.signProjectionMatrix(64, 16, "jl")
+      val projCols = m.map(row =>
+        s"CAST(list_dot_product(embedding::DOUBLE[], " +
+          s"[${row.mkString(", ")}]) AS FLOAT)").mkString(",\n    ")
+      s"""WITH full_v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |tr AS (SELECT vec_id, ([$projCols])::DOUBLE[] AS e FROM embeddings),
+        |fs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_dot_product(q.e, c.e) /
+        |    (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM full_v q, full_v c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |ts AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |  list_dot_product(q.e, c.e) /
+        |    (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM tr q, tr c WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        |fr AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM fs),
+        |trr AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM ts),
+        |e AS (SELECT qid, nid FROM fr WHERE rank <= 5),
+        |a AS (SELECT qid, nid, 1 AS found FROM trr WHERE rank <= 5)
+        |SELECT e.qid AS query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        | CAST(count(a.found) AS BIGINT) AS n_found,
+        | CAST(round(CAST(count(a.found) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |   * 1000000.0) AS BIGINT) AS recall_e6
+        |FROM e LEFT JOIN a USING (qid, nid)
+        |GROUP BY e.qid ORDER BY query_id""".stripMargin
+    },
     // q242: same punctuation injection (\1 for $1), same split pattern,
     // zipped parallel unnests for the 1-based index of the FILTERED list.
     "q242_sentence_split" ->

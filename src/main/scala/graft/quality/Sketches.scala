@@ -247,4 +247,34 @@ object Sketches {
         (col("bin") * binWidth).as("bin_lo"),
         ((col("bin") + 1) * binWidth).as("bin_hi")): _*)
   }
+
+  /** Histogram-bounded winsorization — the 100 TB form of the exact
+    * `Anomaly.winsorize` (q71): that one computes exact per-group
+    * percentiles, which buffers every group value; this one clamps to
+    * quantile BIN edges from a [[histogramState]] pass — lo clamps to
+    * the lo-quantile bin's lower edge, hi to the hi-quantile bin's last
+    * integral value — so the bounds are exact to `binWidth` and the
+    * whole operation is two grouped counts + one broadcast join + a
+    * row-local clamp. The clamped column appears as `<valueCol>_wins`.
+    * `valueCol` must be integral (scale doubles to fixed-point first,
+    * the library-wide micro-unit convention). */
+  def winsorizeByHistogram(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, binWidth: Long,
+      loE6: Long = 50000L, hiE6: Long = 950000L): DataFrame = {
+    require(loE6 < hiE6, s"need loE6 < hiE6, got $loE6 >= $hiE6")
+    val qs = histogramQuantiles(
+      histogramState(df, groupCols, valueCol, binWidth),
+      groupCols, binWidth, Seq(loE6, hiE6))
+    val bounds = qs.groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("q_e6") === loE6, col("bin_lo"))).as("__lo"),
+        min(when(col("q_e6") === hiE6, col("bin_hi") - 1)).as("__hi"))
+    df.join(broadcast(bounds), groupCols, "left")
+      // Spark's greatest/least IGNORE nulls, so a null value would clamp
+      // to __lo — nulls must pass through explicitly (no bin, no clamp)
+      .withColumn(s"${valueCol}_wins",
+        when(col(valueCol).isNull, lit(null).cast("long"))
+          .otherwise(least(greatest(col(valueCol).cast("long"),
+            col("__lo")), col("__hi"))))
+      .drop("__lo", "__hi")
+  }
 }

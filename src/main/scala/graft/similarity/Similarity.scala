@@ -71,6 +71,39 @@ object Similarity {
         round(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
+  /** Deterministic ±1 sign matrix for [[randomProject]] — row j, entry i
+    * is +1 iff the first md5 hex digit of "seed|i|j" is odd. Driver-side
+    * (pure MessageDigest — no RNG state), so any engine regenerates the
+    * identical matrix from the seed alone; a different seed is an
+    * independent projection. */
+  def signProjectionMatrix(dim: Int, outDim: Int,
+      seed: String): Seq[Seq[Double]] = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got dim=$dim outDim=$outDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map(j => (0 until dim).map { i =>
+      md.reset()
+      val d = md.digest(s"$seed|$i|$j"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (((d(0) >> 4) & 0xf) % 2 == 1) 1.0 else -1.0
+    })
+  }
+
+  /** Johnson–Lindenstrauss SIGN random projection: out_j = Σᵢ vᵢ·s(i,j)
+    * with s ∈ {±1} from [[signProjectionMatrix]] — the cheap
+    * dimensionality reduction that preserves pairwise angles within
+    * JL distortion, run BEFORE brute-force/IVF/PQ search to cut the
+    * per-comparison cost dim/outDim× (the complement of matryoshka
+    * truncation q106, which needs MRL-trained embeddings; this works on
+    * ANY embedding). Row-local — outDim sequential zip-folds per row,
+    * zero shuffle; each sum casts to float so downstream search runs the
+    * same native vec_dot path as raw embeddings. Scaling by 1/√outDim is
+    * deliberately omitted: cosine is scale-invariant and the raw integer
+    * ±1 sums replay exactly in the oracle. */
+  def randomProject(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    array(matrix.map(row =>
+      dotFold(vec, array(row.map(lit): _*)).cast("float")): _*)
+
   /** Exact top-k MAXIMUM-INNER-PRODUCT neighbors (MIPS) for each query
     * vector — the ranking retrieval systems use when embeddings are
     * trained with dot-product scoring (unnormalized: a long vector can

@@ -145,6 +145,42 @@ object TextAnalysis {
         expr("surprisal_bits * 1000000L div n_tokens"))
   }
 
+  /** Unicode-script composition profile — the writing-system signal the
+    * stopword language-ID can't see (it is Latin-centric by
+    * construction): per document, exact counts of Latin / Cyrillic / Han
+    * script LETTERS, ASCII digits, and spaces, the remainder as `other`,
+    * plus the dominant letter script (ties break latin > cyrillic > han;
+    * documents with no letters from the three report 'other'). The
+    * multilingual-crawl router: send each doc to the right language
+    * pipeline, flag mixed-script spam (Latin text stuffed with CJK SEO
+    * tokens) by a high secondary share. Row-local regexp counts, zero
+    * shuffle; Spark's java.util.regex script classes (`\p{IsLatin}`) and
+    * the oracle's RE2 classes (`\p{Latin}`) name the same Unicode script
+    * property, so counts agree exactly. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def without(pat: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), pat, ""))).cast("long")
+    df.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        without("\\p{IsLatin}").as("latin"),
+        without("\\p{IsCyrillic}").as("cyrillic"),
+        without("\\p{IsHan}").as("han"),
+        without("[0-9]").as("digits"),
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), " ", ""))).cast("long")
+          .as("spaces"))
+      .withColumn("other",
+        col("n_chars") - col("latin") - col("cyrillic") - col("han") -
+          col("digits") - col("spaces"))
+      .withColumn("main_script",
+        when(col("latin") + col("cyrillic") + col("han") === 0, "other")
+          .when(col("latin") >= col("cyrillic") &&
+            col("latin") >= col("han"), "latin")
+          .when(col("cyrillic") >= col("han"), "cyrillic")
+          .otherwise("han"))
+  }
+
   /** Surprisal under a REFERENCE corpus model — the cross-corpus form of
     * [[unigramSurprisal]] and the CCNet/DCLM-style quality filter: score
     * every document by the bit-cost of its tokens under a unigram model

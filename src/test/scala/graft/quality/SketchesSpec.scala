@@ -145,6 +145,30 @@ class SketchesSpec extends SparkSpec {
       Sketches.histogramState(hist, Seq("grp"), "v", 0L)
   }
 
+  test("winsorizeByHistogram: bin-edge clamps on outliers, nulls pass through") {
+    // group a: 0..99 uniform plus outliers -50 and 200 (102 values,
+    // width 10). p05 rule: first bin with cum ≥ 5.1 ⇒ bin 0 ⇒ lo = 0;
+    // p95: first cum ≥ 96.9 ⇒ bin 9 ⇒ hi = 99. Outliers clamp, the
+    // uniform body is untouched.
+    val df = ((0L until 100L) ++ Seq(-50L, 200L)).map(v => ("a", v))
+      .toDF("grp", "v")
+    val out = Sketches.winsorizeByHistogram(df, Seq("grp"), "v", 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    out(-50L) shouldBe 0L
+    out(200L) shouldBe 99L
+    out(0L) shouldBe 0L
+    out(99L) shouldBe 99L
+    out(55L) shouldBe 55L
+    // null values pass through unclamped
+    Sketches.winsorizeByHistogram(
+      Seq(("a", Some(5L)), ("a", None)).toDF("grp", "v"), Seq("grp"), "v",
+      10L).collect().map(r => Option(r.get(2)).map(_.asInstanceOf[Long]))
+      .toSet shouldBe Set(Some(5L), None)
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.winsorizeByHistogram(df, Seq("grp"), "v", 10L,
+        loE6 = 900000L, hiE6 = 100000L)
+  }
+
   test("histogramQuantiles: first bin at cum·1e6 ≥ q·total, exact to binWidth") {
     // group a: values 0..99 uniform, width 10 → bins 0..9 with 10 each.
     // p50: cum at bin 4 is 50, 50·1e6 ≥ 500000·100 → bin 4 ([40,50)).

@@ -595,4 +595,31 @@ class SimilaritySpec extends SparkSpec {
     out(2L) shouldBe ((0L, 0L))      // disjoint → 0 row, not a drop
     out.contains(3L) shouldBe false  // inner-join contract
   }
+
+  test("randomProject: deterministic ±1 matrix, hand-traced fold, angle sanity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val m = Similarity.signProjectionMatrix(4, 2, "t")
+    m shouldBe Similarity.signProjectionMatrix(4, 2, "t") // pure function
+    m.flatten.foreach(s => math.abs(s) shouldBe 1.0)
+    m should not be Similarity.signProjectionMatrix(4, 2, "other-seed")
+    // hand-trace: out_j = sequential fold of v_i * s(i,j)
+    val v = Array(1.0f, 2.0f, 3.0f, 4.0f)
+    val out = Seq(Tuple1(v)).toDF("vec")
+      .select(Similarity.randomProject(col("vec"), m).as("p"))
+      .as[Array[Float]].head()
+    out.length shouldBe 2
+    (0 until 2).foreach { j =>
+      val expected = (0 until 4).map(i => v(i).toDouble * m(j)(i)).sum
+      out(j) shouldBe expected.toFloat
+    }
+    // identical vectors stay identical after projection (exact-dup
+    // detection survives the reduction)
+    val pair = Seq((1L, v), (2L, v)).toDF("id", "vec")
+      .select(col("id"), Similarity.randomProject(col("vec"), m).as("p"))
+      .as[(Long, Array[Float])].collect().toMap
+    pair(1L).toSeq shouldBe pair(2L).toSeq
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.signProjectionMatrix(4, 5, "t") // outDim > dim
+  }
 }

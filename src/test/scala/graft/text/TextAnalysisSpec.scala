@@ -141,6 +141,25 @@ class TextAnalysisSpec extends SparkSpec {
     out(2L) shouldBe ((2L, 2L, 1000000L)) // a+c = 0+2
   }
 
+  test("scriptProfile: exact per-script counts and routing label") {
+    val docs = Seq(
+      (1L, "hello world 123"),
+      (2L, "привет мир"),
+      (3L, "你好 hello"),
+      (4L, "!!! ???"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("latin"),
+          r.getAs[Long]("cyrillic"), r.getAs[Long]("han"),
+          r.getAs[Long]("digits"), r.getAs[Long]("spaces"),
+          r.getAs[Long]("other")), r.getAs[String]("main_script"))).toMap
+    out(1L) shouldBe (((15L, 10L, 0L, 0L, 3L, 2L, 0L), "latin"))
+    out(2L) shouldBe (((10L, 0L, 9L, 0L, 0L, 1L, 0L), "cyrillic"))
+    out(3L) shouldBe (((8L, 5L, 0L, 2L, 0L, 1L, 0L), "latin"))
+    out(4L) shouldBe (((7L, 0L, 0L, 0L, 0L, 1L, 6L), "other"))
+  }
+
   test("referenceSurprisal: hand-traced bits, OOV cost and count, self ≡ unigram") {
     // reference: "x x x y" → N=4, cnt(x)=3 cnt(y)=1
     //   bits(x) = len(bin(4 div 3))-1 = 0; bits(y) = len(bin(4))-1 = 2
