@@ -2209,6 +2209,27 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Per-domain PII density: deterministic emails (every 4th doc) and
+    // digit runs (every 6th) injected into the clean corpus, redaction
+    // rules applied in order (each counting what IT sees), rolled up to
+    // the per-source governance rates. One pass + one grouped agg.
+    "q247_pii_density" -> ((s, dir) => {
+      val id = col("doc_id")
+      Curation.piiDensityReport(
+        Tables.load(s, dir, "documents").withColumn("text", concat(
+          col("text"),
+          when(id % 4 === 0,
+            concat(lit(" contact user"), id, lit("@example.com")))
+            .otherwise(""),
+          when(id % 6 === 0, " ref 9081726354").otherwise(""))),
+        "source", "text", Seq(
+          graft.config.PiiRule("text", Curation.PiiPatterns.Email,
+            "[EMAIL]"),
+          graft.config.PiiRule("text", Curation.PiiPatterns.NumericId,
+            "[ID]")))
+        .orderBy("domain")
+    }),
+
     // Histogram-bounded winsorization — q71's clamp exact to binWidth
     // from two grouped counts + one broadcast join, never buffering a
     // group's values (the 100 TB path the exact percentile can't walk).
@@ -4712,6 +4733,41 @@ object SparkEntry {
     // q234–q237: the winnow candidate → exact-verify → closure prefix
     // (winnowClusterSqlPrefix), each with its own tail — anti-select,
     // keep-best window, cross-source rollup, md5 split bucket map.
+    // q247: sequential rule replay — email counted on the original and
+    // replaced, numeric_id counted on the REPLACED text (rule order is
+    // the contract), token mass from the original, grouped rates.
+    "q247_pii_density" ->
+      """WITH m AS (SELECT doc_id, source, text ||
+        |  (CASE WHEN doc_id % 4 = 0
+        |    THEN ' contact user' || doc_id || '@example.com' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN ' ref 9081726354' ELSE '' END)
+        |   AS text
+        | FROM documents),
+        |r1 AS (SELECT doc_id, source,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS c1,
+        |  regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+        |    'g') AS t1
+        | FROM m),
+        |r2 AS (SELECT doc_id, source, nt, c1,
+        |  CAST(len(regexp_extract_all(t1, '[0-9][0-9 -]{6,}[0-9]'))
+        |    AS BIGINT) AS c2
+        | FROM r1),
+        |g AS (SELECT source AS domain, count(*) AS docs,
+        |  CAST(count(CASE WHEN c1 + c2 > 0 THEN 1 END) AS BIGINT)
+        |    AS docs_with_pii,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(c1 + c2) AS BIGINT) AS total_redactions
+        | FROM r2 GROUP BY source)
+        |SELECT domain, CAST(docs AS BIGINT) AS docs, docs_with_pii,
+        | total_tokens, total_redactions,
+        | docs_with_pii * 1000000 // docs AS pii_doc_rate_e6,
+        | total_redactions * 1000000 // total_tokens
+        |   AS redactions_per_1e6_tokens
+        |FROM g ORDER BY domain""".stripMargin,
     // q246: the q239 histogram + first-bin rule for both quantiles, then
     // the same edge clamp (lo → bin_lo, hi → bin_hi − 1) row-local.
     "q246_winsorize_histogram" ->

@@ -52,6 +52,30 @@ object Curation {
       .drop(rules.indices.map(i => s"_n_redact_$i"): _*)
   }
 
+  /** Per-domain PII-density report — the governance dashboard over
+    * [[redactPii]]'s audit column: document count, documents carrying any
+    * PII, token mass (of the ORIGINAL text — density is measured against
+    * what arrived, not what survives scrubbing), total redactions, and
+    * the two rates reviewers actually track (PII-doc rate, redactions
+    * per 10⁶ tokens), all exact integers. A domain with an outlying rate
+    * is either a crawler pointed at user data or a broken rule — both
+    * need a human. One row-local redaction pass + one grouped aggregate. */
+  def piiDensityReport(df: DataFrame, domainCol: String, textCol: String,
+      rules: Seq[PiiRule]): DataFrame =
+    redactPii(
+      df.withColumn("__nt",
+        TextAnalysis.tokenCount(col(textCol)).cast("long")), rules)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("n_redactions") > 0, 1L).otherwise(0L))
+          .as("docs_with_pii"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(col("n_redactions")).as("total_redactions"))
+      .withColumn("pii_doc_rate_e6",
+        expr("docs_with_pii * 1000000L div docs"))
+      .withColumn("redactions_per_1e6_tokens",
+        expr("total_redactions * 1000000L div total_tokens"))
+
   /** Per-domain corpus composition: document count, token mass, tokens per
     * document, and each domain's share of the corpus token mass — the input
     * to domain-mixing weight decisions (and `Chunking.stratifiedHashSample`

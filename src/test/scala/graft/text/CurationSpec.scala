@@ -358,6 +358,26 @@ class CurationSpec extends SparkSpec {
     audit2 shouldBe 0L
   }
 
+  test("piiDensityReport: hand-traced rates, original-token denominator") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "web", "write to a@b.com or c@d.org today"), // 2 emails, 6 tokens
+      (2L, "web", "clean text with no pii at all"),     // 0, 7 tokens
+      (3L, "mail", "id 123456789 here"))                // 1 numeric, 3 tokens
+      .toDF("doc_id", "source", "text")
+    val out = Curation.piiDensityReport(docs, "source", "text", Seq(
+        graft.config.PiiRule("text", Curation.PiiPatterns.Email, "[EMAIL]"),
+        graft.config.PiiRule("text", Curation.PiiPatterns.NumericId,
+          "[ID]")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // web: 2 docs, 1 with pii, 13 tokens, 2 redactions
+    out("web") shouldBe ((2L, 1L, 13L, 2L, 500000L, 153846L))
+    // mail: 1 doc, 1 with pii, 3 tokens, 1 redaction
+    out("mail") shouldBe ((1L, 1L, 3L, 1L, 1000000L, 333333L))
+  }
+
   test("corpusReportIncremental: delta fold ≡ full rebuild, new domains") {
     import org.apache.spark.sql.functions.col
     // word1..wordN: all distinct (ttr 1), avg length ≈ 5.7 (inside the
