@@ -2209,6 +2209,15 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Corpus data card: the one-call release datasheet — global size,
+    // per-domain composition/share, gate pass rates, exact-dup mass,
+    // token-length p50/p90 — one long exact-integer frame composed from
+    // the existing single-pass reports.
+    "q248_data_card" -> ((s, dir) =>
+      Curation.dataCard(Tables.load(s, dir, "documents"),
+        "doc_id", "source", "text")
+        .orderBy("section", "domain", "metric")),
+
     // Per-domain PII density: deterministic emails (every 4th doc) and
     // digit runs (every 6th) injected into the clean corpus, redaction
     // rules applied in order (each counting what IT sees), rolled up to
@@ -4733,6 +4742,81 @@ object SparkEntry {
     // q234–q237: the winnow candidate → exact-verify → closure prefix
     // (winnowClusterSqlPrefix), each with its own tail — anti-select,
     // keep-best window, cross-source rollup, md5 split bucket map.
+    // q248: each card section replays its own report's established SQL
+    // (q59 mixing, q233 gates, q24 fingerprints, q239 histogram rule),
+    // unioned into the long frame.
+    "q248_data_card" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, source, text, toks,
+        |    CAST(len(toks) AS BIGINT) AS nt FROM t),
+        |corpus AS (
+        | SELECT 'corpus' AS section, '*' AS domain, 'docs' AS metric,
+        |   CAST(count(*) AS BIGINT) AS value FROM n
+        | UNION ALL SELECT 'corpus', '*', 'total_tokens',
+        |   CAST(sum(nt) AS BIGINT) FROM n
+        | UNION ALL SELECT 'corpus', '*', 'n_domains',
+        |   CAST(count(DISTINCT source) AS BIGINT) FROM n),
+        |mixg AS (SELECT source AS domain, count(*) AS docs,
+        |   CAST(sum(nt) AS BIGINT) AS total_tokens FROM n GROUP BY source),
+        |mix AS (
+        | SELECT 'domains', domain, 'docs', CAST(docs AS BIGINT) FROM mixg
+        | UNION ALL SELECT 'domains', domain, 'total_tokens', total_tokens
+        |   FROM mixg
+        | UNION ALL SELECT 'domains', domain, 'share_e6',
+        |   CAST(round(CAST(total_tokens AS DOUBLE)
+        |     / CAST((SELECT sum(total_tokens) FROM mixg) AS DOUBLE)
+        |     * 1000000.0) AS BIGINT) FROM mixg),
+        |g AS (SELECT doc_id, source, toks, nt,
+        |  list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i + 1]) AS bg FROM n),
+        |sg AS (SELECT doc_id, source, nt,
+        |  CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT) AS ttr_e6,
+        |  CAST(round(CAST(list_sum(list_transform(toks, x -> length(x)))
+        |      AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |    AS avg_token_len_e6,
+        |  CASE WHEN len(toks) < 2 THEN 0
+        |   ELSE CAST(round((1.0 - len(list_distinct(bg))::DOUBLE
+        |     / len(bg)::DOUBLE) * 1000000.0) AS BIGINT)
+        |  END AS dup_2gram_frac_e6
+        | FROM g),
+        |p AS (SELECT source,
+        |  (nt BETWEEN 20 AND 90)
+        |   AND (avg_token_len_e6 BETWEEN 3000000 AND 8000000)
+        |   AND (ttr_e6 >= 300000) AND (dup_2gram_frac_e6 <= 200000)
+        |   AS passed
+        | FROM sg),
+        |qg AS (SELECT source AS domain, count(*) AS docs,
+        |   count(CASE WHEN passed THEN 1 END) AS passed
+        |  FROM p GROUP BY source),
+        |qual AS (
+        | SELECT 'quality', domain, 'passed_docs', CAST(passed AS BIGINT)
+        |   FROM qg
+        | UNION ALL SELECT 'quality', domain, 'pass_rate_e6',
+        |   CAST(passed * 1000000 // docs AS BIGINT) FROM qg),
+        |dg AS (SELECT md5(lower(trim(text))) AS fp, count(*) AS copies
+        |  FROM documents GROUP BY 1 HAVING count(*) > 1),
+        |dedup AS (
+        | SELECT 'dedup', '*', 'exact_dup_groups', CAST(count(*) AS BIGINT)
+        |   FROM dg
+        | UNION ALL SELECT 'dedup', '*', 'exact_dup_docs',
+        |   CAST(coalesce(sum(copies - 1), 0) AS BIGINT) FROM dg),
+        |h AS (SELECT nt // 10 AS bin, count(*) AS cnt FROM n GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum,
+        |   sum(cnt) OVER () AS total FROM h),
+        |q AS (SELECT unnest([500000, 900000]) AS q_e6),
+        |x AS (SELECT q.q_e6, min(c.bin) AS bin
+        |  FROM c, q WHERE c.cum * 1000000 >= q.q_e6 * c.total GROUP BY 1),
+        |lens AS (SELECT 'length', '*',
+        |   'p' || (q_e6 // 10000) || '_tokens_bin_lo',
+        |   CAST(bin * 10 AS BIGINT) FROM x),
+        |card AS (SELECT * FROM corpus UNION ALL SELECT * FROM mix
+        | UNION ALL SELECT * FROM qual UNION ALL SELECT * FROM dedup
+        | UNION ALL SELECT * FROM lens)
+        |SELECT section, domain, metric, value FROM card
+        |ORDER BY section, domain, metric""".stripMargin,
     // q247: sequential rule replay — email counted on the original and
     // replaced, numeric_id counted on the REPLACED text (rule order is
     // the contract), token mass from the original, grouped rates.

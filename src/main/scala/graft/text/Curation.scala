@@ -76,6 +76,63 @@ object Curation {
       .withColumn("redactions_per_1e6_tokens",
         expr("total_redactions * 1000000L div total_tokens"))
 
+  /** Corpus DATA CARD — the one-call datasheet (Gebru et al.'s
+    * "Datasheets for Datasets" shape) that unions the reports a corpus
+    * release ships with into one long (section, domain, metric, value)
+    * frame: global size, per-domain composition and token share, quality
+    * gate pass rates, exact-duplicate mass, and token-length quantiles
+    * (p50/p90 via the histogram mart, exact to `lenBinWidth`). Every
+    * value is an exact integer (counts or e6 rates) so the whole card
+    * hash-compares across engines. Each section is one of the existing
+    * single-pass reports — the card is composition, not new machinery:
+    * ~4 corpus scans total, each reducing immediately to summary space. */
+  def dataCard(df: DataFrame, idCol: String, domainCol: String,
+      textCol: String, lenBinWidth: Long = 10L): DataFrame = {
+    val row = (section: String, domain: Column, metric: String, v: Column) =>
+      Seq(lit(section).as("section"), domain.as("domain"),
+        lit(metric).as("metric"), v.cast("long").as("value"))
+    def rows(section: String, domain: Column,
+        mvs: (String, Column)*): Seq[Seq[Column]] =
+      mvs.map { case (m, v) => row(section, domain, m, v) }.toSeq
+    val corpus = df.agg(count(lit(1)).as("docs"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("toks"),
+      count_distinct(col(domainCol)).as("domains"))
+    val corpusRows = rows("corpus", lit("*"),
+      "docs" -> col("docs"), "total_tokens" -> col("toks"),
+      "n_domains" -> col("domains"))
+      .map(cs => corpus.select(cs: _*)).reduce(_.unionByName(_))
+    val mix = domainMixingReport(df, domainCol, textCol)
+    val mixRows = rows("domains", col("domain"),
+      "docs" -> col("docs"), "total_tokens" -> col("total_tokens"),
+      "share_e6" -> col("share_e6"))
+      .map(cs => mix.select(cs: _*)).reduce(_.unionByName(_))
+    val qual = corpusReportState(df, domainCol, textCol)
+      .withColumn("pass_rate_e6", expr("passed_docs * 1000000L div docs"))
+    val qualRows = rows("quality", col("domain"),
+      "passed_docs" -> col("passed_docs"),
+      "pass_rate_e6" -> col("pass_rate_e6"))
+      .map(cs => qual.select(cs: _*)).reduce(_.unionByName(_))
+    val dups = graft.dedup.Dedup.exactDupGroups(df, idCol, textCol)
+      .agg(count(lit(1)).as("dup_groups"),
+        coalesce(sum(col("copies") - 1), lit(0L)).as("dup_docs"))
+    val dupRows = rows("dedup", lit("*"),
+      "exact_dup_groups" -> col("dup_groups"),
+      "exact_dup_docs" -> col("dup_docs"))
+      .map(cs => dups.select(cs: _*)).reduce(_.unionByName(_))
+    val lenQs = graft.quality.Sketches.histogramQuantiles(
+      graft.quality.Sketches.histogramState(
+        df.select(TextAnalysis.tokenCount(col(textCol)).cast("long")
+          .as("__n")), Seq.empty, "__n", lenBinWidth),
+      Seq.empty, lenBinWidth, Seq(500000L, 900000L))
+    val lenRows = lenQs.select(lit("length").as("section"),
+      lit("*").as("domain"),
+      concat(lit("p"), (col("q_e6") / 10000).cast("int"),
+        lit("_tokens_bin_lo")).as("metric"),
+      col("bin_lo").cast("long").as("value"))
+    corpusRows.unionByName(mixRows).unionByName(qualRows)
+      .unionByName(dupRows).unionByName(lenRows)
+  }
+
   /** Per-domain corpus composition: document count, token mass, tokens per
     * document, and each domain's share of the corpus token mass — the input
     * to domain-mixing weight decisions (and `Chunking.stratifiedHashSample`

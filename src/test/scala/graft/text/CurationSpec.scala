@@ -358,6 +358,35 @@ class CurationSpec extends SparkSpec {
     audit2 shouldBe 0L
   }
 
+  test("dataCard: sections agree with their source reports, exact values") {
+    import org.apache.spark.sql.functions.col
+    val mk = (id: Long, dom: String, words: Int) =>
+      (id, dom, (1 to words).map(i => s"word$i").mkString(" "))
+    val docs = (Seq(mk(1, "web", 30), mk(2, "web", 5), mk(3, "books", 40)) :+
+      ((4L, "web", (1 to 30).map(i => s"word$i").mkString(" ")))) // dup of 1
+      .toDF("doc_id", "source", "text")
+    val card = Curation.dataCard(docs, "doc_id", "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))
+        -> r.getLong(3)).toMap
+    card(("corpus", "*", "docs")) shouldBe 4L
+    card(("corpus", "*", "total_tokens")) shouldBe 105L
+    card(("corpus", "*", "n_domains")) shouldBe 2L
+    card(("domains", "web", "docs")) shouldBe 3L
+    card(("domains", "books", "total_tokens")) shouldBe 40L
+    // share: 65/105 ≈ 619048
+    card(("domains", "web", "share_e6")) shouldBe 619048L
+    // quality: 30-token docs pass the 20..90 gate, 5-token fails
+    card(("quality", "web", "passed_docs")) shouldBe 2L
+    card(("quality", "books", "pass_rate_e6")) shouldBe 1000000L
+    // dedup: docs 1 and 4 are one exact-dup group, one redundant doc
+    card(("dedup", "*", "exact_dup_groups")) shouldBe 1L
+    card(("dedup", "*", "exact_dup_docs")) shouldBe 1L
+    // length p50 (bin 10): counts {5,30,30,40} → cum at bin 3 is 3 ≥ 2
+    card(("length", "*", "p50_tokens_bin_lo")) shouldBe 30L
+    card(("length", "*", "p90_tokens_bin_lo")) shouldBe 40L
+    card.size shouldBe (3 + 6 + 4 + 2 + 2)
+  }
+
   test("piiDensityReport: hand-traced rates, original-token denominator") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
