@@ -129,7 +129,13 @@ object ScaleSmoke {
     // of the full shingle postings (the SCALE.md shuffle cut, measured)
     "q224_ranking_eval", "q225_funnel_windowed", "q226_time_decay",
     "q227_ewma_chart", "q228_acf", "q234_winnow_near_dedup",
-    "q236_winnow_cross_source")
+    "q236_winnow_cross_source",
+    // second r16 tranche: the corpus-pass additions — the reference-
+    // model surprisal's token explode + broadcast model join, the
+    // winnow decontamination's fingerprint pass, and the multi-report
+    // data card (4 summary-space scans)
+    "q240_reference_surprisal", "q241_winnow_decontaminate",
+    "q248_data_card")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
