@@ -2209,6 +2209,17 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Greedy sentence-boundary packing (q242's punctuated corpus, 25
+    // tokens per chunk): each sentence joins the current chunk or opens
+    // the next — never cut mid-sentence. Row-local fold; the oracle
+    // replays the greedy recurrence as a recursive CTE over sent_idx.
+    "q249_sentence_packing" -> ((s, dir) =>
+      Chunking.packBySentences(
+        Tables.load(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1. ")),
+        "doc_id", "text", maxTokens = 25)
+        .orderBy("doc_id", "sent_idx")),
+
     // Corpus data card: the one-call release datasheet — global size,
     // per-domain composition/share, gate pass rates, exact-dup mass,
     // token-length p50/p90 — one long exact-integer frame composed from
@@ -4742,6 +4753,36 @@ object SparkEntry {
     // q234–q237: the winnow candidate → exact-verify → closure prefix
     // (winnowClusterSqlPrefix), each with its own tail — anti-select,
     // keep-best window, cross-source rollup, md5 split bucket map.
+    // q249: the greedy recurrence as a recursive CTE over sent_idx —
+    // (chunk, cur) advances exactly like the Spark fold, seed "full".
+    "q249_sentence_packing" ->
+      """WITH RECURSIVE p AS (SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){4}\S+) ', '\1. ', 'g') AS text
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(text, '[.!?]+\s+'),
+        |    x -> trim(x) <> '') AS ss FROM p),
+        |e AS (SELECT doc_id,
+        |    unnest(range(1, len(ss) + 1)) AS sent_idx,
+        |    unnest(ss) AS sentence FROM f),
+        |s AS (SELECT doc_id, sent_idx, sentence,
+        |    CAST(len(string_split(trim(sentence), ' ')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM e),
+        |r(doc_id, sent_idx, sentence, n_tokens, chunk, cur) AS (
+        |  SELECT doc_id, sent_idx, sentence, n_tokens,
+        |    CAST(1 AS BIGINT), n_tokens FROM s WHERE sent_idx = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.sent_idx, s.sentence, s.n_tokens,
+        |    CASE WHEN r.cur + s.n_tokens <= 25 THEN r.chunk
+        |         ELSE r.chunk + 1 END,
+        |    CASE WHEN r.cur + s.n_tokens <= 25 THEN r.cur + s.n_tokens
+        |         ELSE s.n_tokens END
+        |  FROM r JOIN s ON s.doc_id = r.doc_id
+        |    AND s.sent_idx = r.sent_idx + 1)
+        |SELECT doc_id, sent_idx, sentence, n_tokens,
+        | CAST(chunk AS BIGINT) AS chunk_idx
+        |FROM r ORDER BY doc_id, sent_idx""".stripMargin,
     // q248: each card section replays its own report's established SQL
     // (q59 mixing, q233 gates, q24 fingerprints, q239 histogram rule),
     // unioned into the long frame.

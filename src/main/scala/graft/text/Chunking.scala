@@ -146,6 +146,46 @@ object Chunking {
       .withColumn("n_tokens",
         size(split(trim(col("sentence")), " ")).cast("long"))
 
+  /** Greedy sentence-boundary packing — [[sentenceSplit]]'s segments
+    * assigned to chunks of ≤ `maxTokens` tokens, never cutting inside a
+    * sentence (the RAG/packing layout [[chunk]]'s fixed windows can't
+    * give): a sentence joins the current chunk if it fits, else opens
+    * the next one; a single overlong sentence gets its own chunk (the
+    * greedy rule, not an error — truncation policy is downstream's).
+    * Output is the ASSIGNMENT — (id, sent_idx, sentence, n_tokens,
+    * chunk_idx) — which keeps the operator row-local end-to-end (one
+    * sequential fold per document, zero shuffle); concatenation is one
+    * grouped string-agg away when a caller wants chunk text. */
+  def packBySentences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    // fold seed starts "full" (cur = maxTokens) so the first sentence
+    // always opens chunk 1 — even when it alone exceeds the budget
+    val foldSql =
+      s"""aggregate(
+         |  transform(_s, s -> cast(size(split(trim(s), ' ')) as bigint)),
+         |  named_struct('ids', cast(array() as array<bigint>),
+         |    'chunk', cast(0 as bigint),
+         |    'cur', cast($maxTokens as bigint)),
+         |  (acc, nt) -> if(acc.cur + nt <= $maxTokens,
+         |    named_struct('ids', array_append(acc.ids, acc.chunk),
+         |      'chunk', acc.chunk, 'cur', acc.cur + nt),
+         |    named_struct(
+         |      'ids', array_append(acc.ids, acc.chunk + cast(1 as bigint)),
+         |      'chunk', acc.chunk + cast(1 as bigint), 'cur', nt)),
+         |  acc -> acc.ids)""".stripMargin
+    df.withColumn("_s",
+        filter(split(col(textCol), "[.!?]+\\s+"), s => trim(s) =!= ""))
+      .withColumn("_ids", expr(foldSql))
+      .select(col(idCol), posexplode(zip_with(col("_s"), col("_ids"),
+        (s, c) => struct(s.as("sentence"), c.as("chunk_idx")))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("sent_idx"),
+        col("col.sentence").as("sentence"),
+        size(split(trim(col("col.sentence")), " ")).cast("long")
+          .as("n_tokens"),
+        col("col.chunk_idx").as("chunk_idx"))
+  }
+
   /** Sequence-length utilization report — the padding-waste curve that
     * picks max_seq_len: for each candidate length L, every doc occupies
     * ceil(n/L) L-slot sequences (chunked, last chunk padded — the

@@ -331,6 +331,31 @@ class ChunkingSpec extends SparkSpec {
     out.keys.map(_._1).toSet shouldBe Set(1L, 2L, 4L)
   }
 
+  test("packBySentences: greedy fill, boundary respected, overlong own chunk") {
+    val docs = Seq(
+      (1L, "a b c. d e f g. h i. j"),
+      (2L, "single sentence no punctuation"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Chunking.packBySentences(docs, "doc_id", "text", maxTokens = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // 3 + 4 = 7 fits chunk 1; "h i" overflows -> chunk 2; "j" joins it
+    out((1L, 1L)) shouldBe (("a b c", 3L, 1L))
+    out((1L, 2L)) shouldBe (("d e f g", 4L, 1L))
+    out((1L, 3L)) shouldBe (("h i", 2L, 2L))
+    out((1L, 4L)) shouldBe (("j", 1L, 2L))
+    out((2L, 1L)) shouldBe (("single sentence no punctuation", 4L, 1L))
+    out.keys.map(_._1).toSet shouldBe Set(1L, 2L) // empty doc absent
+    // a sentence longer than the budget still opens chunk 1 (its own)
+    val overlong = Chunking.packBySentences(
+      Seq((9L, "one two three. four")).toDF("doc_id", "text"),
+      "doc_id", "text", maxTokens = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    overlong shouldBe Map(1L -> 1L, 2L -> 2L)
+    an[IllegalArgumentException] should be thrownBy
+      Chunking.packBySentences(docs, "doc_id", "text", 0)
+  }
+
   test("seqLenUtilization: ceil-division layout arithmetic, hand-checked") {
     // docs of 3, 10, 64 tokens at L = 8:
     //   seqs 1+2+8 = 11, slots 88, padding 88-77 = 11, util 875000
