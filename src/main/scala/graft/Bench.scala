@@ -115,8 +115,15 @@ object Bench {
           val src = scala.io.Source.fromFile(f, "UTF-8")
           try src.mkString finally src.close()
         }
+        // scope the pair scan to the "queries" OBJECT: the detail file
+        // also carries a "ratios_vs_prev" map keyed by the same names,
+        // and an unscoped scan's .toMap would keep THOSE values (last
+        // occurrence wins) — every prev "min" becomes a ~1.0 ratio and
+        // the whole round reads as a 5× regression (r16 lesson)
+        val queriesObj = "\"queries\":\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         val qs = "\"(q[0-9][A-Za-z0-9_]*)\":(-?[0-9.]+)".r
-          .findAllMatchIn(txt)
+          .findAllMatchIn(queriesObj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val cal = "\"calib_sec\":([0-9.]+)".r.findFirstMatchIn(txt)
           .map(_.group(1).toDouble).getOrElse(0.0)
