@@ -318,6 +318,30 @@ object ConfigLoader {
             throw new ConfigError("quality.pop_checks[].period_days must be >= 1")
           pc
         },
+        quantileChecks =
+          asList(qm.getOrElse("quantile_checks", null)).map { r =>
+            val cm = asMap(r, "quality.quantile_checks[]")
+            val qc = QuantileCheck(
+              groupBy = strList(cm, "group_by"),
+              valueColumn = str(cm, "value_column", "quantile"),
+              binWidth = cm.get("bin_width").map(_.toString.toLong)
+                .getOrElse(throw new ConfigError(
+                  "quality.quantile_checks[].bin_width is required")),
+              qE6 = cm.get("q_e6").map(_.toString.toLong).getOrElse(500000L),
+              minValue = cm.get("min_value").map(_.toString.toLong),
+              maxValue = cm.get("max_value").map(_.toString.toLong))
+            if (qc.binWidth < 1)
+              throw new ConfigError(
+                "quality.quantile_checks[].bin_width must be >= 1")
+            if (qc.qE6 < 1 || qc.qE6 > 1000000)
+              throw new ConfigError(
+                "quality.quantile_checks[].q_e6 must be in [1, 1000000]")
+            if (qc.minValue.isEmpty && qc.maxValue.isEmpty)
+              throw new ConfigError("quality.quantile_checks[] needs " +
+                "min_value and/or max_value - a check with no bound " +
+                "can never fail")
+            qc
+          },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

@@ -131,6 +131,18 @@ final case class HhiCheck(groupBy: Seq[String], categoryColumn: String,
 final case class PopCheck(typeColumn: String, tsColumn: String,
     valueColumn: String, periodDays: Long = 1L, maxDropE6: Long = 500000L)
 
+/** Quantile-band contract (Sketches.histogramState/histogramQuantiles):
+  * failedCount = groups whose q-quantile BIN lower edge (the mart's
+  * deterministic estimate, exact to `binWidth`) falls outside
+  * [minValue, maxValue] — the "p95 per type must stay under X" /
+  * "p50 doc length per source in band" alarm, read from histogram
+  * state without buffering a group's values. `valueColumn` must be
+  * integral (scale doubles to fixed-point first, the micro-unit
+  * convention). At least one bound must be set. */
+final case class QuantileCheck(groupBy: Seq[String], valueColumn: String,
+    binWidth: Long, qE6: Long = 500000L, minValue: Option[Long] = None,
+    maxValue: Option[Long] = None)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -144,6 +156,7 @@ final case class QualitySpec(
     correlationChecks: Seq[CorrelationCheck] = Nil,
     hhiChecks: Seq[HhiCheck] = Nil,
     popChecks: Seq[PopCheck] = Nil,
+    quantileChecks: Seq[QuantileCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

@@ -139,8 +139,30 @@ object Orchestrator {
       Checks.CheckResult("pop_check", label,
         pop.filter(col("pct_change_e6") < -pc.maxDropE6).count())
     }
+    val quantileResults = spec.quantileChecks.map { qc =>
+      val label = s"${qc.valueColumn}@q${qc.qE6}" +
+        (if (qc.groupBy.nonEmpty) s" by ${qc.groupBy.mkString(",")}" else "")
+      requireCols("quantile_check", label, qc.groupBy :+ qc.valueColumn)
+      require(qc.minValue.nonEmpty || qc.maxValue.nonEmpty,
+        s"quantile_check $label: needs min_value and/or max_value")
+      // empty group_by = one global group (the hhi_check pattern); the
+      // estimate compared is the quantile bin's LOWER edge — exact to
+      // binWidth, deterministic, never buffering a group's values
+      val (gdf, gcols) =
+        if (qc.groupBy.nonEmpty) (df, qc.groupBy)
+        else (df.withColumn("__all", lit(1L)), Seq("__all"))
+      val qs = Sketches.histogramQuantiles(
+        Sketches.histogramState(gdf, gcols, qc.valueColumn, qc.binWidth),
+        gcols, qc.binWidth, Seq(qc.qE6))
+      val violating =
+        qc.minValue.map(lo => col("bin_lo") < lo) ++
+          qc.maxValue.map(hi => col("bin_lo") > hi)
+      Checks.CheckResult("quantile_check", label,
+        qs.filter(violating.reduce(_ || _)).count())
+    }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
-      seasonalResults ++ correlationResults ++ hhiResults ++ popResults
+      seasonalResults ++ correlationResults ++ hhiResults ++ popResults ++
+      quantileResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

@@ -896,6 +896,41 @@ class PipelineSpec extends SparkSpec {
       graft.quality.Orchestrator.run(df.drop("user"), cfg.quality)
   }
 
+  test("quality quantile_checks drive from YAML off the histogram mart") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: latency
+        |quality:
+        |  quantile_checks:
+        |    - {group_by: [kind], value_column: ms, bin_width: 10,
+        |       q_e6: 900000, max_value: 100}
+        |    - {value_column: ms, bin_width: 10, min_value: 10}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.quantileChecks shouldBe Seq(
+      graft.config.QuantileCheck(Seq("kind"), "ms", 10L, 900000L,
+        None, Some(100L)),
+      graft.config.QuantileCheck(Nil, "ms", 10L, 500000L, Some(10L), None))
+    // kind a: p90 of 0..99 lands in bin 8 (lo 80 <= 100 - passes);
+    // kind b: constant 250 -> p90 bin_lo 250 > 100 - fails.
+    // global p50 of the union is well above the min_value 10 - passes.
+    val rows = (0L until 100L).map(v => ("a", v)) ++
+      (0L until 50L).map(_ => ("b", 250L))
+    val df = rows.toDF("kind", "ms")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val byLabel = report.checkResults.filter(_.check == "quantile_check")
+      .map(c => c.column -> c.failedCount).toMap
+    byLabel shouldBe Map("ms@q900000 by kind" -> 1L, "ms@q500000" -> 0L)
+    // missing column fails loudly; boundless check fails at load
+    an[IllegalArgumentException] should be thrownBy
+      graft.quality.Orchestrator.run(df.drop("ms"), cfg.quality)
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace(", max_value: 100", "").replace(", min_value: 10", ""))
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("bin_width: 10,\n       q_e6: 900000", "q_e6: 900000"))
+  }
+
   test("features block: hash_text and target_encode drive from YAML") {
     val yaml =
       """version: "1.0"
