@@ -142,6 +142,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKLongs(children.head, litInt(children(1), "k"))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "kmv_sketch takes (integral column, k literal)")
+        KmvSketch(children.head, litInt(children(1), "k"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => {

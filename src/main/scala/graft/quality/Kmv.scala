@@ -1,0 +1,124 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-Minimum-Values distinct sketches over the repo's one hash
+  * convention — the REPLAYABLE approximate-distinct surface, sibling to
+  * the HLL trackers in [[Sketches]].
+  *
+  * The whole point of this module vs `Sketches.distinctSketches`: every
+  * number it emits is a deterministic function of the input SET (md5 is
+  * the hash, bottom-k is the state, one documented IEEE dag is the
+  * estimator), so the DuckDB oracle replays estimates, Jaccards and
+  * intersection counts exactly — approximate ≠ unauditable. HLL stays
+  * the better-error-constant choice when replayability isn't needed.
+  *
+  * Hash: first 15 hex chars of md5(value-as-string) → a uniform 60-bit
+  * non-negative BIGINT (the q64/q194 md5-prefix convention; 15 chars
+  * keeps the signed-long headroom). Estimator: with h₍ₖ₎ the k-th
+  * smallest distinct hash, est = round((k−1)·2⁶⁰ / h₍ₖ₎); a sketch that
+  * never filled IS the distinct set, so est = |sketch| exactly.
+  *
+  * Scale shape: one partial/final aggregate pair, ≤ k longs of state
+  * per (task × group), no row-grain shuffle; sketches merge across
+  * batches ([[foldSketches]]) and across engines without rescanning
+  * history — the q132/q233 incremental posture applied to cardinality.
+  */
+object Kmv {
+
+  /** 2⁶⁰ as an exactly-representable double — the estimator's hash-space
+    * size. */
+  private val HashSpace = 1152921504606846976.0
+
+  /** The documented 60-bit hash of any column's string form. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Bottom-k distinct sketch of `itemCol` per group (ascending BIGINT
+    * array, ≤ k elements), via the native `kmv_sketch` aggregate. */
+  def sketches(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      k: Int): DataFrame =
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("kmv_sketch", hash60(col(itemCol)), lit(k))
+        .as("kmv"))
+
+  /** The KMV estimator over a sketch array: exact while the sketch
+    * never filled, (k−1)·2⁶⁰/h₍ₖ₎ once it did — ONE fixed IEEE dag
+    * (long → double divide → round) so engines agree bit-for-bit. */
+  def estimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(round(lit((k - 1).toDouble * HashSpace) /
+        element_at(sketch, k).cast("double")).cast("long"))
+
+  /** Per-group distinct report: the sketch estimate next to the exact
+    * count and the resulting signed error in micro-units — the
+    * trust-but-verify row a 100 TB deployment samples, never computes
+    * in full. */
+  def distinctReport(df: DataFrame, groupCols: Seq[String],
+      itemCol: String, k: Int): DataFrame = {
+    val gc = groupCols.map(col)
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(gc: _*)
+      .agg(
+        countDistinct(col(itemCol)).as("n_exact"),
+        call_function("kmv_sketch", hash60(col(itemCol)), lit(k)).as("__sk"))
+      .select(gc ++ Seq(
+        col("n_exact"),
+        size(col("__sk")).cast("long").as("k_used"),
+        estimate(col("__sk"), k).as("est_kmv")): _*)
+      // signed relative error, sign-factored so trunc-div (Spark) and
+      // floor-div (DuckDB) agree on negatives — the q216 convention
+      .withColumn("err_e6",
+        expr("CASE WHEN est_kmv >= n_exact THEN 1 ELSE -1 END * " +
+          "(abs(est_kmv - n_exact) * 1000000 div n_exact)"))
+  }
+
+  /** Pairwise set-overlap estimates between the per-`typeCol` item sets,
+    * entirely from sketches: merged bottom-k of the union, Jaccard =
+    * |merged ∩ S_a ∩ S_b| / |merged| (Beyer et al. 2007), intersection
+    * = jaccard · est(union). No exact pass anywhere — this is the form
+    * that still runs when per-type audiences are 10⁹ — yet every column
+    * hash-compares against the SQL replay. Pairs whose sketches share
+    * no hash report jaccard 0 (they still appear: absence would hide
+    * disjointness from the dashboard). */
+  def overlapReport(df: DataFrame, typeCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    val sk = sketches(df, Seq(typeCol), itemCol, k)
+    val a = sk.select(col(typeCol).as("type_a"), col("kmv").as("sk_a"))
+    val b = sk.select(col(typeCol).as("type_b"), col("kmv").as("sk_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("__all", array_sort(array_distinct(
+        concat(col("sk_a"), col("sk_b")))))
+      .withColumn("__merged", slice(col("__all"), 1, k))
+      .withColumn("k_used", size(col("__merged")).cast("long"))
+      .withColumn("n_inter_k", size(array_intersect(
+        array_intersect(col("__merged"), col("sk_a")), col("sk_b")))
+        .cast("long"))
+      .withColumn("est_union", estimate(col("__all"), k))
+      .select(col("type_a"), col("type_b"), col("k_used"),
+        col("n_inter_k"),
+        expr("n_inter_k * 1000000 div k_used").as("jaccard_e6"),
+        col("est_union"),
+        expr("n_inter_k * est_union div k_used").as("est_inter"))
+  }
+
+  /** Fold a delta's sketches into persisted sketch state — pure array
+    * algebra on ≤ 2k longs per group (no re-aggregation of history):
+    * union-distinct-sort-truncate is exactly KMV merge. Groups absent
+    * from one side pass through; est column refreshed. */
+  def foldSketches(state: DataFrame, delta: DataFrame,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    val empty = expr("CAST(array() AS ARRAY<BIGINT>)")
+    val merged = state.select(groupCols.map(col) :+
+        col("kmv").as("__sk_state"): _*)
+      .join(delta.select(groupCols.map(col) :+
+        col("kmv").as("__sk_delta"): _*), groupCols, "full_outer")
+    merged.select(groupCols.map(col) :+
+      slice(array_sort(array_distinct(concat(
+        coalesce(col("__sk_state"), empty),
+        coalesce(col("__sk_delta"), empty)))), 1, k).as("kmv"): _*)
+      .withColumn("est_kmv", estimate(col("kmv"), k))
+  }
+}
