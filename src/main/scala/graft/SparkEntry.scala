@@ -4,7 +4,7 @@ import graft.config._
 import graft.dedup.Dedup
 import graft.gold.{AggregationEngine, IncrementalMaterializer}
 import graft.ops.{AsofJoin, Baskets, Fuzzy, Grouping, Joins, Pareto, Retention, Sessions}
-import graft.quality.{Anomaly, Checks, ErrorTracking, Reconciliation, Sketches}
+import graft.quality.{Anomaly, Checks, ErrorTracking, Kmv, Reconciliation, Sketches}
 import graft.multimodal.Multimodal
 import graft.silver.Transform
 import graft.similarity.Similarity
@@ -2208,6 +2208,80 @@ object SparkEntry {
           "vec_id", "embedding", k = 5))
         .orderBy("query_id")
     }),
+
+    // KMV distinct report — the REPLAYABLE approximate-distinct: per
+    // event_type, the exact user count next to the bottom-64 md5 sketch
+    // estimate and its signed micro-unit error. Every column (including
+    // the estimate itself) hash-compares against the DuckDB replay —
+    // approximate ≠ unauditable, the module's whole thesis.
+    "q250_kmv_distinct" -> ((s, dir) =>
+      Kmv.distinctReport(
+        Tables.load(s, dir, "events").select(
+          col("event_type"), col("user_id")),
+        Seq("event_type"), "user_id", k = 64)
+        .orderBy("event_type")),
+
+    // KMV pairwise overlap + theta-style differences, entirely from
+    // sketches: per event-type pair over the (user, day) activity sets,
+    // merged-bottom-k Jaccard (Beyer et al. 2007), intersection AND
+    // both one-sided differences estimated with no exact pass anywhere
+    // — the q192 audience matrix at cardinalities where the exact
+    // self-join is a 100 TB shuffle. Deterministic end-to-end.
+    "q251_kmv_overlap" -> ((s, dir) =>
+      Kmv.overlapReport(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            concat(col("user_id").cast("string"), lit("|"),
+              expr("ts div 86400000000000").cast("string")).as("u_day")),
+        "event_type", "u_day", k = 64)
+        .orderBy("type_a", "type_b")),
+
+    // KMV sketch fold — persisted sketch state (docs < 350) merged with
+    // a delta batch's sketches by pure array algebra (≤ 2k longs per
+    // group, history never rescanned); the oracle REBUILDS the sketch
+    // from the full corpus: fold ≡ rebuild, the q239 incremental
+    // posture applied to cardinality. Sketch content pinned via csv.
+    "q252_kmv_fold" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val k = 16
+      Kmv.foldSketches(
+        Kmv.sketches(docs.filter(col("doc_id") < 350),
+          Seq("source"), "text", k),
+        Kmv.sketches(docs.filter(col("doc_id") >= 350),
+          Seq("source"), "text", k),
+        Seq("source"), k)
+        .select(col("source"),
+          size(col("kmv")).cast("long").as("k_used"),
+          col("est_kmv"),
+          expr("concat_ws(',', transform(kmv, x -> cast(x AS string)))")
+            .as("kmv_csv"))
+        .orderBy("source")
+    }),
+
+    // Cross-layer distinct reconciliation from SKETCHES (the q37 recon
+    // posture at sketch scale): distinct users in all events vs in the
+    // high-value slice, both KMV-estimated, relative gap in micro-units
+    // gated at 50%. Both estimates and the verdict replay in DuckDB —
+    // the cross-ENGINE sketch reconciliation KmvSketch promises.
+    "q253_kmv_recon" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      Reconciliation.distinctSketchReport(
+        ev, ev.filter(col("value") > 90.0), "user_id", k = 64,
+        toleranceE6 = 500000L)
+    }),
+
+    // Per-domain distinct CANONICAL urls — q238's normalization chain
+    // composed with the KMV report: dashboards asking "unique pages per
+    // domain" at crawl scale read the sketch, sample the exact. k=16
+    // leaves some sources saturated and some exact at sf0.01 — both
+    // estimator branches replay.
+    "q254_url_kmv_distinct" -> ((s, dir) =>
+      Kmv.distinctReport(
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            graft.text.Urls.normalizeUrl(syntheticUrl).as("norm_url")),
+        Seq("source"), "norm_url", k = 16)
+        .orderBy("source")),
 
     // Greedy sentence-boundary packing (q242's punctuated corpus, 25
     // tokens per chunk): each sentence joins the current chunk or opens
@@ -4753,6 +4827,163 @@ object SparkEntry {
     // q234–q237: the winnow candidate → exact-verify → closure prefix
     // (winnowClusterSqlPrefix), each with its own tail — anti-select,
     // keep-best window, cross-source rollup, md5 split bucket map.
+    // q250: the full KMV replay — same md5-prefix 60-bit hash, same
+    // bottom-k (row_number over the distinct hash set), same one-IEEE-dag
+    // estimator ((k−1)·2⁶⁰/h₍ₖ₎, h₍ₖ₎ floored at 1, capped at 10¹⁴),
+    // same quotient/remainder err_e6. The ESTIMATE hash-compares — the
+    // sketch is a pure function of the input set.
+    "q250_kmv_distinct" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact FROM d
+        |  GROUP BY g),
+        |h AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM d),
+        |rk AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 64 GROUP BY g),
+        |e AS (SELECT n.g AS event_type, n.n_exact,
+        |  CAST(len(kmv) AS BIGINT) AS k_used,
+        |  CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
+        |   ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
+        |     CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
+        |     AS BIGINT) END AS est_kmv
+        | FROM sk JOIN n ON sk.g = n.g)
+        |SELECT event_type, n_exact, k_used, est_kmv,
+        | CASE WHEN est_kmv >= n_exact THEN 1 ELSE -1 END *
+        |  ((least(abs(est_kmv - n_exact), n_exact * 1000) // n_exact)
+        |    * 1000000 +
+        |   (least(abs(est_kmv - n_exact), n_exact * 1000) % n_exact)
+        |    * 1000000 // n_exact) AS err_e6
+        |FROM e ORDER BY event_type""".stripMargin,
+    // q251: merged-bottom-k union slice, the three theta regions as
+    // list_filter memberships, one shared estimator CASE — every
+    // estimate (union, intersection, both differences) hash-compared.
+    "q251_kmv_overlap" ->
+      """WITH d0 AS (SELECT DISTINCT event_type AS g,
+        |  CAST(user_id AS VARCHAR) || '|' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT g, u FROM d0 WHERE u IS NOT NULL),
+        |h AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM d),
+        |rk AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 64 GROUP BY g),
+        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.kmv AS sa, b.kmv AS sb
+        |  FROM sk a JOIN sk b ON a.g < b.g),
+        |m AS (SELECT *, list_sort(list_distinct(list_concat(sa, sb)))
+        |  AS alls FROM p),
+        |mm AS (SELECT *, alls[1:64] AS merged FROM m),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(merged) AS BIGINT) AS k_used,
+        |  CAST(len(list_filter(merged, v -> list_contains(sa, v)
+        |    AND list_contains(sb, v))) AS BIGINT) AS n_inter_k,
+        |  CAST(len(list_filter(merged, v -> list_contains(sa, v)
+        |    AND NOT list_contains(sb, v))) AS BIGINT) AS n_only_a,
+        |  CAST(len(list_filter(merged, v -> list_contains(sb, v)
+        |    AND NOT list_contains(sa, v))) AS BIGINT) AS n_only_b,
+        |  CASE WHEN len(alls) < 64 THEN CAST(len(alls) AS BIGINT)
+        |   ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
+        |     CAST(greatest(alls[64], 1) AS DOUBLE)), 100000000000000.0)
+        |     AS BIGINT) END AS est_union
+        | FROM mm)
+        |SELECT type_a, type_b, k_used, n_inter_k,
+        | n_inter_k * 1000000 // k_used AS jaccard_e6,
+        | est_union,
+        | n_inter_k * est_union // k_used AS est_inter,
+        | n_only_a * est_union // k_used AS est_only_a,
+        | n_only_b * est_union // k_used AS est_only_b
+        |FROM x ORDER BY type_a, type_b""".stripMargin,
+    // q252: the sketch REBUILT from the full corpus (state ∪ delta) —
+    // what union-distinct-sort-truncate folding must equal exactly;
+    // the csv pins every element, not just the estimate.
+    "q252_kmv_fold" ->
+      """WITH d AS (SELECT DISTINCT source AS g, text AS u
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM d),
+        |rk AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 16 GROUP BY g)
+        |SELECT g AS source, CAST(len(kmv) AS BIGINT) AS k_used,
+        | CASE WHEN len(kmv) < 16 THEN CAST(len(kmv) AS BIGINT)
+        |  ELSE CAST(least(round(15.0 * 1152921504606846976.0 /
+        |    CAST(greatest(kmv[16], 1) AS DOUBLE)), 100000000000000.0)
+        |    AS BIGINT) END AS est_kmv,
+        | array_to_string(kmv, ',') AS kmv_csv
+        |FROM sk ORDER BY source""".stripMargin,
+    // q253: both layers' sketches and estimates replayed, then the same
+    // clamped quotient/remainder relative gap and the boolean verdict.
+    "q253_kmv_recon" ->
+      """WITH s1 AS (SELECT DISTINCT user_id AS u FROM events
+        |  WHERE user_id IS NOT NULL),
+        |s2 AS (SELECT DISTINCT user_id AS u FROM events
+        |  WHERE user_id IS NOT NULL AND value > 90.0),
+        |h1 AS (SELECT DISTINCT
+        |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM s1),
+        |h2 AS (SELECT DISTINCT
+        |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM s2),
+        |k1 AS (SELECT list(hv ORDER BY hv) AS kmv FROM
+        |  (SELECT hv FROM h1 ORDER BY hv LIMIT 64)),
+        |k2 AS (SELECT list(hv ORDER BY hv) AS kmv FROM
+        |  (SELECT hv FROM h2 ORDER BY hv LIMIT 64)),
+        |e AS (SELECT
+        |  (SELECT CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
+        |    ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
+        |      CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
+        |      AS BIGINT) END FROM k1) AS est_src,
+        |  (SELECT CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
+        |    ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
+        |      CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
+        |      AS BIGINT) END FROM k2) AS est_tgt),
+        |f AS (SELECT est_src, est_tgt,
+        |  (least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)
+        |    // greatest(est_src, 1)) * 1000000 +
+        |  (least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)
+        |    % greatest(est_src, 1)) * 1000000 // greatest(est_src, 1)
+        |   AS diff_e6
+        | FROM e)
+        |SELECT 'kmv_distinct(user_id)' AS check_name, est_src, est_tgt,
+        | diff_e6, diff_e6 <= 500000 AS within_tolerance
+        |FROM f""".stripMargin,
+    // q254: q238's normalization core re-keyed by source, then the q250
+    // body at k=16 — saturated and exact branches both exercised.
+    "q254_url_kmv_distinct" ->
+      (s"""WITH nu AS (
+        |$urlNormalizeSqlCore
+        |),
+        |d AS (SELECT DISTINCT doc.source AS g, nu.norm_url AS u
+        |  FROM nu JOIN documents doc USING (doc_id)
+        |  WHERE nu.norm_url IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact FROM d
+        |  GROUP BY g),
+        |h AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM d),
+        |rk AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 16 GROUP BY g),
+        |e AS (SELECT n.g AS source, n.n_exact,
+        |  CAST(len(kmv) AS BIGINT) AS k_used,
+        |  CASE WHEN len(kmv) < 16 THEN CAST(len(kmv) AS BIGINT)
+        |   ELSE CAST(least(round(15.0 * 1152921504606846976.0 /
+        |     CAST(greatest(kmv[16], 1) AS DOUBLE)), 100000000000000.0)
+        |     AS BIGINT) END AS est_kmv
+        | FROM sk JOIN n ON sk.g = n.g)
+        |SELECT source, n_exact, k_used, est_kmv,
+        | CASE WHEN est_kmv >= n_exact THEN 1 ELSE -1 END *
+        |  ((least(abs(est_kmv - n_exact), n_exact * 1000) // n_exact)
+        |    * 1000000 +
+        |   (least(abs(est_kmv - n_exact), n_exact * 1000) % n_exact)
+        |    * 1000000 // n_exact) AS err_e6
+        |FROM e ORDER BY source""".stripMargin),
     // q249: the greedy recurrence as a recursive CTE over sent_idx —
     // (chunk, cur) advances exactly like the Spark fold, seed "full".
     "q249_sentence_packing" ->

@@ -342,6 +342,24 @@ object ConfigLoader {
                 "can never fail")
             qc
           },
+        distinctChecks =
+          asList(qm.getOrElse("distinct_checks", null)).map { r =>
+            val cm = asMap(r, "quality.distinct_checks[]")
+            val dc = DistinctCheck(
+              groupBy = strList(cm, "group_by"),
+              itemColumn = str(cm, "item_column", "distinct"),
+              k = cm.get("k").map(_.toString.toInt).getOrElse(256),
+              minCount = cm.get("min_count").map(_.toString.toLong),
+              maxCount = cm.get("max_count").map(_.toString.toLong))
+            if (dc.k < 2)
+              throw new ConfigError(
+                "quality.distinct_checks[].k must be >= 2")
+            if (dc.minCount.isEmpty && dc.maxCount.isEmpty)
+              throw new ConfigError("quality.distinct_checks[] needs " +
+                "min_count and/or max_count - a check with no bound " +
+                "can never fail")
+            dc
+          },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

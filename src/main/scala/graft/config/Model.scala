@@ -143,6 +143,18 @@ final case class QuantileCheck(groupBy: Seq[String], valueColumn: String,
     binWidth: Long, qE6: Long = 500000L, minValue: Option[Long] = None,
     maxValue: Option[Long] = None)
 
+/** Approximate unique-count-between contract (the scale form of the
+  * exact unique-count check, Checks.uniqueCountBetween, which pays a
+  * full countDistinct shuffle): failedCount = groups whose KMV-sketch
+  * distinct ESTIMATE (quality.Kmv — replayable md5 bottom-k, ≤ `k`
+  * longs of state per group) falls outside [minCount, maxCount].
+  * Bounds are on the estimate, whose relative error is ~1/√k — size
+  * the band accordingly (k=256 ≈ ±6%). Empty groupBy = one global
+  * group. At least one bound must be set. */
+final case class DistinctCheck(groupBy: Seq[String], itemColumn: String,
+    k: Int = 256, minCount: Option[Long] = None,
+    maxCount: Option[Long] = None)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -157,6 +169,7 @@ final case class QualitySpec(
     hhiChecks: Seq[HhiCheck] = Nil,
     popChecks: Seq[PopCheck] = Nil,
     quantileChecks: Seq[QuantileCheck] = Nil,
+    distinctChecks: Seq[DistinctCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

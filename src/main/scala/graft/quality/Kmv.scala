@@ -44,13 +44,24 @@ object Kmv {
       .agg(call_function("kmv_sketch", hash60(col(itemCol)), lit(k))
         .as("kmv"))
 
+  /** Estimate ceiling: 10¹⁴ distinct. Far above any real per-group
+    * cardinality, yet small enough that every downstream integer dag
+    * (err_e6, est_inter, est_only_*) stays inside BIGINT — the h₍ₖ₎→0
+    * pathology (corrupt sketch, adversarial input) degrades to a huge
+    *-but-finite number instead of an engine-divergent Infinity cast. */
+  private val EstCeiling = 1.0e14
+
   /** The KMV estimator over a sketch array: exact while the sketch
     * never filled, (k−1)·2⁶⁰/h₍ₖ₎ once it did — ONE fixed IEEE dag
-    * (long → double divide → round) so engines agree bit-for-bit. */
+    * (long → double divide → round → clamp) so engines agree
+    * bit-for-bit. h₍ₖ₎ is floored at 1 (hash60 is non-negative; a 0
+    * minimum would otherwise put ±Infinity into a BIGINT cast, where
+    * engines disagree) and the estimate capped at [[EstCeiling]]. */
   def estimate(sketch: Column, k: Int): Column =
     when(size(sketch) < k, size(sketch).cast("long"))
-      .otherwise(round(lit((k - 1).toDouble * HashSpace) /
-        element_at(sketch, k).cast("double")).cast("long"))
+      .otherwise(least(round(lit((k - 1).toDouble * HashSpace) /
+        greatest(element_at(sketch, k), lit(1L)).cast("double")),
+        lit(EstCeiling)).cast("long"))
 
   /** Per-group distinct report: the sketch estimate next to the exact
     * count and the resulting signed error in micro-units — the
@@ -69,10 +80,17 @@ object Kmv {
         size(col("__sk")).cast("long").as("k_used"),
         estimate(col("__sk"), k).as("est_kmv")): _*)
       // signed relative error, sign-factored so trunc-div (Spark) and
-      // floor-div (DuckDB) agree on negatives — the q216 convention
+      // floor-div (DuckDB) agree on negatives (the q216 convention).
+      // The |diff| is clamped at 1000·n_exact (err_e6 ceiling 10⁹ —
+      // anything past 1000× relative error is equally "broken") and the
+      // ·10⁶ scale applied via a quotient/remainder split, so no
+      // intermediate exceeds BIGINT for any n_exact < ~9·10¹².
       .withColumn("err_e6",
         expr("CASE WHEN est_kmv >= n_exact THEN 1 ELSE -1 END * " +
-          "(abs(est_kmv - n_exact) * 1000000 div n_exact)"))
+          "((least(abs(est_kmv - n_exact), n_exact * 1000) div n_exact)" +
+          " * 1000000 + " +
+          "(least(abs(est_kmv - n_exact), n_exact * 1000) % n_exact)" +
+          " * 1000000 div n_exact)"))
   }
 
   /** Pairwise set-overlap estimates between the per-`typeCol` item sets,
@@ -82,7 +100,15 @@ object Kmv {
     * that still runs when per-type audiences are 10⁹ — yet every column
     * hash-compares against the SQL replay. Pairs whose sketches share
     * no hash report jaccard 0 (they still appear: absence would hide
-    * disjointness from the dashboard). */
+    * disjointness from the dashboard).
+    *
+    * Set DIFFERENCES come from the same merged bottom-k, theta-sketch
+    * style (the merged sketch is a uniform sample of the union, so each
+    * region's share of it estimates that region's share of the union):
+    * est_only_a = |merged ∩ A∖B| · est_union / k_used, likewise
+    * est_only_b — the "users who viewed but never purchased" question,
+    * answered from sketches alone. n_inter_k + n_only_a + n_only_b =
+    * k_used by construction (every merged hash came from A or B). */
   def overlapReport(df: DataFrame, typeCol: String, itemCol: String,
       k: Int): DataFrame = {
     val sk = sketches(df, Seq(typeCol), itemCol, k)
@@ -96,12 +122,20 @@ object Kmv {
       .withColumn("n_inter_k", size(array_intersect(
         array_intersect(col("__merged"), col("sk_a")), col("sk_b")))
         .cast("long"))
+      .withColumn("n_only_a", size(array_except(
+        array_intersect(col("__merged"), col("sk_a")), col("sk_b")))
+        .cast("long"))
+      .withColumn("n_only_b", size(array_except(
+        array_intersect(col("__merged"), col("sk_b")), col("sk_a")))
+        .cast("long"))
       .withColumn("est_union", estimate(col("__all"), k))
       .select(col("type_a"), col("type_b"), col("k_used"),
         col("n_inter_k"),
         expr("n_inter_k * 1000000 div k_used").as("jaccard_e6"),
         col("est_union"),
-        expr("n_inter_k * est_union div k_used").as("est_inter"))
+        expr("n_inter_k * est_union div k_used").as("est_inter"),
+        expr("n_only_a * est_union div k_used").as("est_only_a"),
+        expr("n_only_b * est_union div k_used").as("est_only_b"))
   }
 
   /** Fold a delta's sketches into persisted sketch state — pure array

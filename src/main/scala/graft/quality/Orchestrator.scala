@@ -160,9 +160,29 @@ object Orchestrator {
       Checks.CheckResult("quantile_check", label,
         qs.filter(violating.reduce(_ || _)).count())
     }
+    val distinctResults = spec.distinctChecks.map { dc =>
+      val label = s"distinct(${dc.itemColumn})@k${dc.k}" +
+        (if (dc.groupBy.nonEmpty) s" by ${dc.groupBy.mkString(",")}" else "")
+      requireCols("distinct_check", label, dc.groupBy :+ dc.itemColumn)
+      require(dc.minCount.nonEmpty || dc.maxCount.nonEmpty,
+        s"distinct_check $label: needs min_count and/or max_count")
+      // empty group_by = one global group (the hhi_check pattern); the
+      // bound is on the KMV ESTIMATE — ≤ k longs of state per group, no
+      // exact distinct shuffle, the 100 TB form of uniqueCountBetween
+      val (gdf, gcols) =
+        if (dc.groupBy.nonEmpty) (df, dc.groupBy)
+        else (df.withColumn("__all", lit(1L)), Seq("__all"))
+      val est = Kmv.sketches(gdf, gcols, dc.itemColumn, dc.k)
+        .select(Kmv.estimate(col("kmv"), dc.k).as("__est"))
+      val violating =
+        dc.minCount.map(lo => col("__est") < lo) ++
+          dc.maxCount.map(hi => col("__est") > hi)
+      Checks.CheckResult("distinct_check", label,
+        est.filter(violating.reduce(_ || _)).count())
+    }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
       seasonalResults ++ correlationResults ++ hhiResults ++ popResults ++
-      quantileResults
+      quantileResults ++ distinctResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

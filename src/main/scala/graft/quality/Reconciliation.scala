@@ -149,6 +149,40 @@ object Reconciliation {
       .withColumn("within_tolerance", d <= lit(tolerancePct))
   }
 
+  /** Distinct-count reconciliation from KMV SKETCHES (the scale form of
+    * [[aggregation]] with fn=count-distinct, which needs an exact
+    * distinct pass per side): both layers reduce to a bottom-k sketch
+    * (≤ k longs each, one aggregate, no row-grain shuffle), estimates
+    * compared in integer micro-units against `toleranceE6`. Because the
+    * sketch is a pure function of the input set over a documented hash
+    * ([[Kmv.hash60]]), the SAME report replays bit-for-bit on any other
+    * engine that can hash and sort — cross-ENGINE reconciliation of
+    * approximate counts, the posture exact recon can't afford at 100 TB.
+    *
+    * One row: (check_name, est_src, est_tgt, diff_e6, within_tolerance);
+    * diff_e6 is |src−tgt| relative to the src estimate (floored at 1 so
+    * an empty source reads as a 100%-class gap, not a division error),
+    * clamped by the same quotient/remainder dag as
+    * [[Kmv.distinctReport]]'s err_e6. */
+  def distinctSketchReport(src: DataFrame, tgt: DataFrame, column: String,
+      k: Int, toleranceE6: Long): DataFrame = {
+    def est(df: DataFrame, alias: String) =
+      df.filter(col(column).isNotNull)
+        .agg(call_function("kmv_sketch", Kmv.hash60(col(column)), lit(k))
+          .as("__sk"))
+        .select(Kmv.estimate(col("__sk"), k).as(alias))
+    est(src, "est_src").crossJoin(est(tgt, "est_tgt"))
+      .select(
+        lit(s"kmv_distinct($column)").as("check_name"),
+        col("est_src"), col("est_tgt"))
+      .withColumn("diff_e6", expr(
+        "(least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)" +
+          " div greatest(est_src, 1)) * 1000000 + " +
+          "(least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)" +
+          " % greatest(est_src, 1)) * 1000000 div greatest(est_src, 1)"))
+      .withColumn("within_tolerance", col("diff_e6") <= lit(toleranceE6))
+  }
+
   /** Snapshot diff — the row-level change set between two snapshots of the
     * same logical table, keyed by `keyCols` (the CDC derivation the
     * reference's full-rebuild marts never need, but an incremental lake

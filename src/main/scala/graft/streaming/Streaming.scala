@@ -296,6 +296,56 @@ object Streaming {
       }
       .start()
 
+  /** CONTINUOUS distinct-count tracking from KMV sketches: each
+    * micro-batch reduces to ≤ k longs per group (`Kmv.sketches` — the
+    * replayable md5 bottom-k), landed in a `batch_id` partition with
+    * dynamic overwrite (the [[histogramStream]] idempotency shape: an
+    * at-least-once replay rewrites its partition instead of skewing the
+    * estimate — and KMV merge is idempotent anyway, a re-offered hash
+    * changes nothing). [[mergedKmvEstimates]] folds ALL batch sketches;
+    * because bottom-k of a union of bottom-ks IS the union's bottom-k,
+    * merged ≡ one-shot over the full history EXACTLY — history is
+    * touched in (group × k) space only, never row data. The streaming
+    * complement of the q252 batch fold. */
+  def kmvStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      groupCols: Seq[String],
+      itemCol: String,
+      k: Int,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.quality.Kmv
+            .sketches(batch.toDF(), groupCols, itemCol, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+
+  /** Read side of [[kmvStream]]: re-offer every persisted batch sketch's
+    * hashes into one sketch per group (merge = re-offer, so this is the
+    * exact KMV fold) and read the estimate. */
+  def mergedKmvEstimates(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(stateDir)
+      .select(groupCols.map(col) :+
+        explode(col("kmv")).as("__hv"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("kmv_sketch", col("__hv"), lit(k)).as("kmv"))
+      .withColumn("est_kmv", graft.quality.Kmv.estimate(col("kmv"), k))
+
   /** Read side of [[histogramStream]]: sum the per-batch bin counts and
     * read quantiles from the merged state. */
   def mergedHistogramQuantiles(spark: SparkSession, stateDir: String,

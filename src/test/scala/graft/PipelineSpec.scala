@@ -931,6 +931,40 @@ class PipelineSpec extends SparkSpec {
       yaml.replace("bin_width: 10,\n       q_e6: 900000", "q_e6: 900000"))
   }
 
+  test("quality distinct_checks drive from YAML off KMV sketches") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: cardinality
+        |quality:
+        |  distinct_checks:
+        |    - {group_by: [kind], item_column: user, k: 64, min_count: 3}
+        |    - {item_column: user, k: 64, max_count: 4}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.distinctChecks shouldBe Seq(
+      graft.config.DistinctCheck(Seq("kind"), "user", 64, Some(3L), None),
+      graft.config.DistinctCheck(Nil, "user", 64, None, Some(4L)))
+    // kind a: 5 distinct users (>= 3, passes); kind b: 2 (< 3, fails).
+    // global: 6 distinct users > 4 — fails. k=64 > n keeps every
+    // estimate EXACT, so the counts are deterministic.
+    val rows = (1 to 5).map(i => ("a", s"u$i")) ++
+      Seq(("b", "u1"), ("b", "x1"), ("b", "x1"))
+    val df = rows.toDF("kind", "user")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val byLabel = report.checkResults.filter(_.check == "distinct_check")
+      .map(c => c.column -> c.failedCount).toMap
+    byLabel shouldBe Map(
+      "distinct(user)@k64 by kind" -> 1L, "distinct(user)@k64" -> 1L)
+    // missing column fails loudly; boundless or degenerate-k fail at load
+    an[IllegalArgumentException] should be thrownBy
+      graft.quality.Orchestrator.run(df.drop("user"), cfg.quality)
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace(", min_count: 3", "").replace(", max_count: 4", ""))
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("k: 64, max_count: 4", "k: 1, max_count: 4"))
+  }
+
   test("features block: hash_text and target_encode drive from YAML") {
     val yaml =
       """version: "1.0"

@@ -701,6 +701,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvStream: per-batch sketches fold exactly to the one-shot sketch") {
+    import org.apache.spark.sql.functions.col
+    val in = Files.createTempDirectory("graft_kmv_in").toString
+    val out = Files.createTempDirectory("graft_kmv_out").toString
+    val chk = Files.createTempDirectory("graft_kmv_chk").toString
+    val b1 = ((1 to 30).map(i => ("a", s"u$i")) ++
+      Seq(("b", "x1"), ("b", "x2"))).toDF("g", "u")
+    b1.write.mode("append").parquet(in)
+    val q = Streaming.kmvStream(spark, in, b1.schema, Seq("g"), "u",
+      k = 8, out, chk)
+    try {
+      q.processAllAvailable()
+      // batch 2 overlaps batch 1 (u20..u40): a re-offered hash must not
+      // skew the merged sketch
+      ((20 to 40).map(i => ("a", s"u$i")) ++ Seq(("b", "x2"), ("b", "x3")))
+        .toDF("g", "u").coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      spark.read.parquet(out).select("batch_id").distinct()
+        .count() shouldBe 2L
+      val merged = Streaming.mergedKmvEstimates(spark, out, Seq("g"), 8)
+        .collect().map(r => r.getString(0) ->
+          (r.getSeq[Long](1), r.getAs[Long]("est_kmv"))).toMap
+      val oneShot = graft.quality.Kmv.sketches(
+          spark.read.parquet(in), Seq("g"), "u", 8)
+        .withColumn("est_kmv", graft.quality.Kmv.estimate(col("kmv"), 8))
+        .collect().map(r => r.getString(0) ->
+          (r.getSeq[Long](1), r.getAs[Long]("est_kmv"))).toMap
+      merged shouldBe oneShot
+      // group b never saturated (3 distinct < k=8) → estimate is EXACT
+      merged("b")._2 shouldBe 3L
+      merged("a")._1.size shouldBe 8
+    } finally q.stop()
+  }
+
   test("transitionStream chains across micro-batches and matches the batch matrix") {
     val stream = MemoryStream[Streaming.TypedEvent](spark)
     val q = Streaming.transitionStream(stream.toDS())
