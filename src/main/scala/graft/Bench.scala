@@ -80,21 +80,36 @@ object Bench {
         samples(name) = samples(name) :+ (((System.nanoTime() - t0) / 1e9, ok))
       }
     }
-    // Fixed-work calibration probe: a constant CPU-bound query timed once
-    // per rep, so judges can normalize host-epoch drift (r13's 1.47× uniform
-    // inflation was adjudicated as host noise from indirect evidence; this
-    // makes it directly measurable). Pure arithmetic over spark.range — no
-    // I/O, no shuffle variance, identical work every round.
+    // Fixed-work calibration probe: a constant CPU-bound query, so judges
+    // can normalize host-epoch drift (r13's 1.47× uniform inflation was
+    // adjudicated as host noise from indirect evidence; this makes it
+    // directly measurable). Pure arithmetic over spark.range — no I/O, no
+    // shuffle variance, identical work every round.
+    //
+    // calib_version 2 (r18): the v1 probe was ~0.1 s with 5× rep-to-rep
+    // noise (r17 reps [0.444, 0.089, 0.086] vs r16's 0.139) — dividing
+    // that swing into every per-query ratio MANUFACTURED 36 phantom >2×
+    // regressions on byte-identical code. Now: a ≥2 s workload (25× v1,
+    // amortizing scheduler jitter), ≥5 reps, MEDIAN (min tracked the
+    // luckiest scheduling, not the host's speed). Ratios are emitted BOTH
+    // raw and calib-normalized, and the >2× regression gate fires only
+    // when BOTH families agree — a calibration artifact can no longer
+    // flag an unchanged query.
     def calibOnce(): Double = {
       settle(300L)
       val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, cpus.toInt)
-        .selectExpr("sum(((id * 2654435761) ^ (id >> 7)) % 1000003) as s")
+      // id is reduced mod 1e9+7 BEFORE the Knuth multiply: at 5e9 rows
+      // the raw product overflows BIGINT (ANSI aborts); the reduced
+      // product peaks at ~2.7e18, safely inside
+      spark.range(0L, 5000000000L, 1L, cpus.toInt)
+        .selectExpr(
+          "sum((((id % 1000000007) * 2654435761) ^ (id >> 7)) % 1000003) as s")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibs = (1 to reps).map(_ => calibOnce())
-    val calibSec = calibs.min
+    val calibReps = math.max(5, reps)
+    val calibs = (1 to calibReps).map(_ => calibOnce())
+    val calibSec = calibs.sorted.apply(calibs.size / 2)
     val results = names.map { case (name, _) =>
       val times = samples(name)
       (name, times.map(_._1).min, times.forall(_._2), times.map(_._1))
@@ -116,8 +131,8 @@ object Bench {
           try src.mkString finally src.close()
         }
         // scope the pair scan to the "queries" OBJECT: the detail file
-        // also carries a "ratios_vs_prev" map keyed by the same names,
-        // and an unscoped scan's .toMap would keep THOSE values (last
+        // also carries ratio maps keyed by the same names, and an
+        // unscoped scan's .toMap would keep THOSE values (last
         // occurrence wins) — every prev "min" becomes a ~1.0 ratio and
         // the whole round reads as a 5× regression (r16 lesson)
         val queriesObj = "\"queries\":\\{([^}]*)\\}".r
@@ -125,22 +140,43 @@ object Bench {
         val qs = "\"(q[0-9][A-Za-z0-9_]*)\":(-?[0-9.]+)".r
           .findAllMatchIn(queriesObj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val cal = "\"calib_sec\":([0-9.]+)".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble).getOrElse(0.0)
-        if (qs.nonEmpty && cal > 0.0) Some((qs, cal)) else None
+        // the calibration is only comparable within the same probe
+        // version — against a pre-v2 detail file, normalize by 1.0
+        // (raw == normalized) instead of dividing a 0.1 s v1 min into
+        // a 2 s v2 median
+        val prevVersion = "\"calib_version\":([0-9]+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(1)
+        val cal =
+          if (prevVersion != 2) 0.0
+          else "\"calib_sec\":([0-9.]+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble).getOrElse(0.0)
+        if (qs.nonEmpty) Some((qs, cal)) else None
       } catch { case _: Throwable => None }
     }
+    // raw ratio = cur_min / prev_min; normalized additionally divides out
+    // the calibration drift. The regression gate needs BOTH > 2×: raw
+    // alone false-positives on host-epoch shifts (r13), normalized alone
+    // false-positives on calibration noise (r17).
+    val rawRatios: Map[String, Double] = prevDetail.map { case (pq, _) =>
+      results.flatMap { case (name, v, ok, _) =>
+        pq.get(name).filter(p => p > 0.0 && ok).map(p => name -> v / p)
+      }.toMap
+    }.getOrElse(Map.empty)
     val ratios: Map[String, Double] = prevDetail.map { case (pq, pcal) =>
-      val drift = calibSec / pcal
+      val drift = if (pcal > 0.0) calibSec / pcal else 1.0
       results.flatMap { case (name, v, ok, _) =>
         pq.get(name).filter(p => p > 0.0 && ok)
           .map(p => name -> v / (p * drift))
       }.toMap
     }.getOrElse(Map.empty)
-    val medianRatio =
-      if (ratios.isEmpty) None
-      else { val s = ratios.values.toSeq.sorted; Some(s(s.size / 2)) }
-    val regressions = ratios.filter(_._2 > 2.0).toSeq.sortBy(-_._2)
+    def medianOf(m: Map[String, Double]): Option[Double] =
+      if (m.isEmpty) None
+      else { val s = m.values.toSeq.sorted; Some(s(s.size / 2)) }
+    val medianRatio = medianOf(ratios)
+    val medianRawRatio = medianOf(rawRatios)
+    val regressions = ratios
+      .filter { case (n, r) => r > 2.0 && rawRatios.getOrElse(n, 0.0) > 2.0 }
+      .toSeq.sortBy(-_._2)
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.
     val qs = results.map { case (k, v, ok, _) =>
@@ -164,18 +200,21 @@ object Bench {
     // full calib-normalized ratio map → the detail file; stdout carries
     // only the fixed-size verdict fields (median + the top of the >2×
     // list, capped so the line can never outgrow the capture window)
-    val ratioJson = ratios.toSeq.sortBy(_._1)
+    def ratioJsonOf(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.3f" }
       .mkString("{", ",", "}")
+    val ratioJson = ratioJsonOf(ratios)
+    val rawRatioJson = ratioJsonOf(rawRatios)
     val medianJson = medianRatio.map(r => f"$r%.3f").getOrElse("null")
+    val medianRawJson = medianRawRatio.map(r => f"$r%.3f").getOrElse("null")
     val regressJson = regressions.take(10)
       .map { case (k, r) => "\"" + k + ":" + f"$r%.2f" + "x\"" }
       .mkString("[", ",", "]")
-    val detail = f"""{"queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"calib_sec":$calibSec%.3f,"calib_reps":$calibJson,"reps":$reps,"sf":"$sfDir","n_queries":${results.size},"median_ratio_vs_prev":$medianJson,"ratios_vs_prev":$ratioJson}"""
+    val detail = f"""{"queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"calib_version":2,"calib_sec":$calibSec%.3f,"calib_reps":$calibJson,"reps":$reps,"sf":"$sfDir","n_queries":${results.size},"median_ratio_vs_prev":$medianJson,"median_ratio_raw_vs_prev":$medianRawJson,"ratios_vs_prev":$ratioJson,"ratios_raw_vs_prev":$rawRatioJson}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
     System.err.println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errors,"sf":"$sfDir","n_queries":${results.size},"calib_sec":$calibSec%.3f,"median_ratio_vs_prev":$medianJson,"n_regressions_over_2x":${regressions.size},"regressions_over_2x":$regressJson,"detail_path":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errors,"sf":"$sfDir","n_queries":${results.size},"calib_sec":$calibSec%.3f,"median_ratio_vs_prev":$medianJson,"median_ratio_raw_vs_prev":$medianRawJson,"n_regressions_over_2x":${regressions.size},"regressions_over_2x":$regressJson,"detail_path":"$detailPath"}""")
     spark.stop()
   }
 }
