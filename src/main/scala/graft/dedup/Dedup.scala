@@ -887,6 +887,14 @@ object Dedup {
       maxFingerprintFreq: Int = 100, minShared: Long = 1L): DataFrame = {
     val cands = winnowPairs(df, idCol, textCol, n, w, maxFingerprintFreq,
       minShared).select("id_a", "id_b")
+    // NOTE (r18, measured): restricting this projection to candidate docs
+    // via a semi-join on the candidate id set was tried and REVERTED —
+    // computing the id set re-runs the posting pipeline (+11 MB shuffle,
+    // +1 s at sf1~ even with the ids broadcast), while the "second md5
+    // pass" it would save isn't one: AQE broadcasts the small pair side
+    // into these joins, so `sets` streams the corpus exactly once with no
+    // verification-set shuffle, and on dup-heavy corpora every doc is a
+    // candidate anyway (sf0.1: 5000/5000 docs in 334k candidate pairs).
     val sets = df.select(col(idCol).as("_sid"),
       call_function("shingle_hashes", col(textCol), lit(n)).as("_sh"))
     cands
