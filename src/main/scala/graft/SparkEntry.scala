@@ -2283,6 +2283,49 @@ object SparkEntry {
         Seq("source"), "norm_url", k = 16)
         .orderBy("source")),
 
+    // 7-day rolling distinct users from folded DAILY sketches — q173's
+    // rolling-actives dashboard with hash-replayable numbers instead of
+    // HLL within-band booleans: the raw rows reduce once to a per-day
+    // bottom-128 sketch, every window is array re-aggregation over
+    // days×k longs. Fold ≡ sketch-of-raw-window is structural and the
+    // oracle computes the latter — they must hash-match.
+    "q255_kmv_rolling" -> ((s, dir) =>
+      Kmv.rollingDistinct(
+        Tables.load(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"), col("user_id")),
+        "day", "user_id", k = 128, windowDays = 7)
+        .orderBy("day")),
+
+    // KMV-vs-exact error audit, machine-checked: the same (user, day)
+    // activity sets estimated at k ∈ {16, 64, 128} next to the exact
+    // count — the err_e6 column IS the documented error study (k=16
+    // ~±25%, k=128 ~±9% at 1/√k), every cell hash-compared.
+    "q256_kmv_error_audit" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("|"),
+            expr("ts div 86400000000000").cast("string")).as("u_day"))
+      Seq(16, 64, 128)
+        .map(k => Kmv.distinctReport(ev, Seq("event_type"), "u_day", k)
+          .withColumn("k", lit(k.toLong)))
+        .reduce(_.unionByName(_))
+        .orderBy("k", "event_type")
+    }),
+
+    // Cumulative distinct-to-date growth curve from the same daily
+    // sketches (windowDays=0): the corpus-growth / dedup-saturation
+    // question ("how many NEW uniques does each day add") read from
+    // ≤ k longs per day. Early days ride the exact branch (< k), later
+    // days the estimator — both replay.
+    "q257_kmv_growth" -> ((s, dir) =>
+      Kmv.rollingDistinct(
+        Tables.load(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"),
+            concat(col("user_id").cast("string"), lit("|"),
+              expr("ts div 86400000000000").cast("string")).as("u_day")),
+        "day", "u_day", k = 64, windowDays = 0)
+        .orderBy("day")),
+
     // Greedy sentence-boundary packing (q242's punctuated corpus, 25
     // tokens per chunk): each sentence joins the current chunk or opens
     // the next — never cut mid-sentence. Row-local fold; the oracle
@@ -4984,6 +5027,86 @@ object SparkEntry {
         |   (least(abs(est_kmv - n_exact), n_exact * 1000) % n_exact)
         |    * 1000000 // n_exact) AS err_e6
         |FROM e ORDER BY source""".stripMargin),
+    // q255: the oracle sketches each raw 7-day WINDOW directly — the
+    // daily-fold path must equal it exactly (bottom-k of a union of
+    // per-day bottom-ks is the window's bottom-k).
+    "q255_kmv_rolling" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |  user_id AS u FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT day,
+        |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM d),
+        |days AS (SELECT DISTINCT day FROM h),
+        |w AS (SELECT DISTINCT days.day AS wd, h.hv FROM days JOIN h
+        |  ON h.day <= days.day AND h.day > days.day - 7),
+        |rk AS (SELECT wd, hv,
+        |  row_number() OVER (PARTITION BY wd ORDER BY hv) AS rn FROM w),
+        |sk AS (SELECT wd, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 128 GROUP BY wd)
+        |SELECT CAST(wd AS BIGINT) AS day,
+        | CAST(len(kmv) AS BIGINT) AS k_used,
+        | CASE WHEN len(kmv) < 128 THEN CAST(len(kmv) AS BIGINT)
+        |  ELSE CAST(least(round(127.0 * 1152921504606846976.0 /
+        |    CAST(greatest(kmv[128], 1) AS DOUBLE)), 100000000000000.0)
+        |    AS BIGINT) END AS est_kmv
+        |FROM sk ORDER BY day""".stripMargin,
+    // q256: ONE ranked hash stream sliced at every k (rn <= k), the
+    // estimator parameterized by k — (k−1)·2⁶⁰ is exact in a double for
+    // every k here, so the literal product matches Spark's plan-time
+    // constant bit-for-bit.
+    "q256_kmv_error_audit" ->
+      """WITH d0 AS (SELECT DISTINCT event_type AS g,
+        |  CAST(user_id AS VARCHAR) || '|' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT g, u FROM d0 WHERE u IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact FROM d
+        |  GROUP BY g),
+        |h AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM d),
+        |rk AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |ks AS (SELECT unnest([16, 64, 128]) AS k),
+        |sk AS (SELECT ks.k, rk.g, list(hv ORDER BY hv) AS kmv
+        |  FROM rk JOIN ks ON rk.rn <= ks.k GROUP BY ks.k, rk.g),
+        |e AS (SELECT sk.k, sk.g AS event_type, n.n_exact,
+        |  CAST(len(kmv) AS BIGINT) AS k_used,
+        |  CASE WHEN len(kmv) < sk.k THEN CAST(len(kmv) AS BIGINT)
+        |   ELSE CAST(least(round((sk.k - 1) * 1152921504606846976.0 /
+        |     CAST(greatest(kmv[len(kmv)], 1) AS DOUBLE)),
+        |     100000000000000.0) AS BIGINT) END AS est_kmv
+        | FROM sk JOIN n ON sk.g = n.g)
+        |SELECT CAST(k AS BIGINT) AS k, event_type, n_exact, k_used,
+        | est_kmv,
+        | CASE WHEN est_kmv >= n_exact THEN 1 ELSE -1 END *
+        |  ((least(abs(est_kmv - n_exact), n_exact * 1000) // n_exact)
+        |    * 1000000 +
+        |   (least(abs(est_kmv - n_exact), n_exact * 1000) % n_exact)
+        |    * 1000000 // n_exact) AS err_e6
+        |FROM e ORDER BY k, event_type""".stripMargin,
+    // q257: the cumulative prefix sketched directly from the raw rows —
+    // what the daily-sketch fold must equal.
+    "q257_kmv_growth" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(user_id AS VARCHAR) || '|' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT day,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM d),
+        |days AS (SELECT DISTINCT day FROM h),
+        |w AS (SELECT DISTINCT days.day AS wd, h.hv FROM days JOIN h
+        |  ON h.day <= days.day),
+        |rk AS (SELECT wd, hv,
+        |  row_number() OVER (PARTITION BY wd ORDER BY hv) AS rn FROM w),
+        |sk AS (SELECT wd, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 64 GROUP BY wd)
+        |SELECT CAST(wd AS BIGINT) AS day,
+        | CAST(len(kmv) AS BIGINT) AS k_used,
+        | CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
+        |  ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
+        |    CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
+        |    AS BIGINT) END AS est_kmv
+        |FROM sk ORDER BY day""".stripMargin,
     // q249: the greedy recurrence as a recursive CTE over sent_idx —
     // (chunk, cur) advances exactly like the Spark fold, seed "full".
     "q249_sentence_packing" ->

@@ -138,6 +138,37 @@ object Kmv {
         expr("n_only_b * est_union div k_used").as("est_only_b"))
   }
 
+  /** Rolling / cumulative distinct counts from DAILY sketches: the raw
+    * data reduces once to one ≤ k-long sketch per `dayCol` value, then
+    * every (day × window-day) pair is pure array re-aggregation over a
+    * frame of days×k longs — the q173 rolling-actives question answered
+    * with hash-replayable numbers instead of HLL's within-band booleans.
+    * Correctness is structural: bottom-k of a union of per-day bottom-ks
+    * IS the window's bottom-k, so the fold equals the sketch of the raw
+    * window (the oracle computes the latter; they hash-compare).
+    * `windowDays` > 0 gives a trailing window (7 = weekly actives);
+    * 0 gives the cumulative distinct-to-date growth curve.
+    *
+    * Scale: the only row-grain pass is the daily [[sketches]] aggregate;
+    * the window join is broadcast over the tiny day list. */
+  def rollingDistinct(df: DataFrame, dayCol: String, itemCol: String,
+      k: Int, windowDays: Int = 0): DataFrame = {
+    val daily = sketches(df, Seq(dayCol), itemCol, k)
+    val days = daily.select(col(dayCol).as("__d")).distinct()
+    val cond =
+      if (windowDays > 0)
+        col(dayCol) <= col("__d") &&
+          col(dayCol) > col("__d") - lit(windowDays.toLong)
+      else col(dayCol) <= col("__d")
+    daily.join(broadcast(days), cond)
+      .select(col("__d"), explode(col("kmv")).as("__hv"))
+      .groupBy(col("__d"))
+      .agg(call_function("kmv_sketch", col("__hv"), lit(k)).as("kmv"))
+      .select(col("__d").as(dayCol),
+        size(col("kmv")).cast("long").as("k_used"),
+        estimate(col("kmv"), k).as("est_kmv"))
+  }
+
   /** Fold a delta's sketches into persisted sketch state — pure array
     * algebra on ≤ 2k longs per group (no re-aggregation of history):
     * union-distinct-sort-truncate is exactly KMV merge. Groups absent
