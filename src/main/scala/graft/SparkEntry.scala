@@ -2326,6 +2326,32 @@ object SparkEntry {
         "day", "u_day", k = 64, windowDays = 0)
         .orderBy("day")),
 
+    // Rendezvous (HRW) resharding plan, 8 → 10 shards: every
+    // (from, to) cell with its key count — row-local argmax-of-md5
+    // routing whose growth moves only the keys claimed by the NEW
+    // shards (~2/10 here, vs 9/10 under mod-n). The oracle replays the
+    // full argmax table: every moved cell must land on shard 8 or 9.
+    "q258_rendezvous_reshard" -> ((s, dir) =>
+      graft.maintenance.Layout.reshardReport(
+        Tables.load(s, dir, "documents"), "doc_id", nFrom = 8, nTo = 10)
+        .orderBy("shard_from", "shard_to")),
+
+    // Cross-corpus KMV overlap: per-source training vocabularies vs the
+    // eval slice's per-LANGUAGE vocabularies, every (source × lang)
+    // pair's Jaccard / intersection / one-sided differences estimated
+    // from sketches alone — the "which domain leaks into which eval
+    // suite" dashboard where each corpus pays one aggregate and the
+    // pair stage is groups×k longs. All estimates hash-compared.
+    "q259_cross_overlap" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("source"), col("lang"), col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("tok"))
+      Kmv.crossOverlapReport(
+        toks, "source", "tok",
+        toks.filter(col("doc_id") % 50 === 0), "lang", "tok", k = 64)
+        .orderBy("type_a", "type_b")
+    }),
+
     // Greedy sentence-boundary packing (q242's punctuated corpus, 25
     // tokens per chunk): each sentence joins the current chunk or opens
     // the next — never cut mid-sentence. Row-local fold; the oracle
@@ -5107,6 +5133,72 @@ object SparkEntry {
         |    CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
         |    AS BIGINT) END AS est_kmv
         |FROM sk ORDER BY day""".stripMargin,
+    // q258: the argmax replayed as a struct list_max over the same
+    // "key#s" md5-prefix weights (ties, were they possible, break to
+    // the higher shard id in both engines via the (w, s) struct order).
+    "q258_rendezvous_reshard" ->
+      """WITH a AS (SELECT doc_id,
+        | list_max(list_transform(range(0, 8), s ->
+        |   {'w': ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(s AS VARCHAR)), 1, 15))::BIGINT, 's': s}))['s']
+        |   AS shard8,
+        | list_max(list_transform(range(0, 10), s ->
+        |   {'w': ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(s AS VARCHAR)), 1, 15))::BIGINT, 's': s}))['s']
+        |   AS shard10
+        | FROM documents)
+        |SELECT CAST(shard8 AS BIGINT) AS shard_from,
+        | CAST(shard10 AS BIGINT) AS shard_to,
+        | CAST(count(*) AS BIGINT) AS n_keys
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q259: both corpora's sketches rebuilt (token sets per source /
+    // per eval-slice lang), then the q251 theta tail over the cross
+    // pairs.
+    "q259_cross_overlap" ->
+      """WITH a0 AS (SELECT source AS g,
+        |  unnest(string_split(trim(text), ' ')) AS u FROM documents),
+        |a1 AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM a0
+        |  WHERE u IS NOT NULL),
+        |rka AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM a1),
+        |ska AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rka
+        |  WHERE rn <= 64 GROUP BY g),
+        |b0 AS (SELECT lang AS g,
+        |  unnest(string_split(trim(text), ' ')) AS u FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |b1 AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM b0
+        |  WHERE u IS NOT NULL),
+        |rkb AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM b1),
+        |skb AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rkb
+        |  WHERE rn <= 64 GROUP BY g),
+        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.kmv AS sa,
+        |  b.kmv AS sb FROM ska a CROSS JOIN skb b),
+        |m AS (SELECT *, list_sort(list_distinct(list_concat(sa, sb)))
+        |  AS alls FROM p),
+        |mm AS (SELECT *, alls[1:64] AS merged FROM m),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(merged) AS BIGINT) AS k_used,
+        |  CAST(len(list_filter(merged, v -> list_contains(sa, v)
+        |    AND list_contains(sb, v))) AS BIGINT) AS n_inter_k,
+        |  CAST(len(list_filter(merged, v -> list_contains(sa, v)
+        |    AND NOT list_contains(sb, v))) AS BIGINT) AS n_only_a,
+        |  CAST(len(list_filter(merged, v -> list_contains(sb, v)
+        |    AND NOT list_contains(sa, v))) AS BIGINT) AS n_only_b,
+        |  CASE WHEN len(alls) < 64 THEN CAST(len(alls) AS BIGINT)
+        |   ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
+        |     CAST(greatest(alls[64], 1) AS DOUBLE)), 100000000000000.0)
+        |     AS BIGINT) END AS est_union
+        | FROM mm)
+        |SELECT type_a, type_b, k_used, n_inter_k,
+        | n_inter_k * 1000000 // k_used AS jaccard_e6,
+        | est_union,
+        | n_inter_k * est_union // k_used AS est_inter,
+        | n_only_a * est_union // k_used AS est_only_a,
+        | n_only_b * est_union // k_used AS est_only_b
+        |FROM x ORDER BY type_a, type_b""".stripMargin,
     // q249: the greedy recurrence as a recursive CTE over sent_idx —
     // (chunk, cur) advances exactly like the Spark fold, seed "full".
     "q249_sentence_packing" ->

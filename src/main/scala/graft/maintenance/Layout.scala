@@ -90,4 +90,41 @@ object Layout {
         (col("max_x") - col("min_x")).as("span_x"),
         (col("max_y") - col("min_y")).as("span_y"))
   }
+
+  /** Rendezvous (highest-random-weight) shard of `keyCol` into
+    * `nShards`: shard = argmax over s ∈ [0, n) of the 60-bit md5-prefix
+    * hash of "key#s" (Thaler–Ravishankar 1998). Unlike `key mod n`,
+    * GROWING the shard count moves only the keys whose new argmax is one
+    * of the NEW shards — an expected (new−old)/new fraction, the minimal
+    * possible movement — which is what a 100 TB bucketed layout needs
+    * when it re-tiers (mod-n resharding moves (n−1)/n of EVERYTHING).
+    * Row-local (n md5s per row, no shuffle), deterministic, and
+    * replayable: ties (astronomically unlikely 60-bit equality) break to
+    * the higher shard id via the struct max. Null keys raise: a silently
+    * co-sharded null class is a skew bomb. */
+  def rendezvousShard(keyCol: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val key = when(keyCol.isNull,
+      raise_error(lit("rendezvousShard: null key")))
+      .otherwise(keyCol.cast("string"))
+    val arr = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(
+        conv(substring(md5(concat(key, lit("#"), s.cast("string"))),
+          1, 15), 16, 10).cast("long").as("w"),
+        s.cast("long").as("s")))
+    array_max(arr).getField("s")
+  }
+
+  /** Resharding movement report: every (shard-under-`nFrom` →
+    * shard-under-`nTo`) cell with its key count — the migration plan AND
+    * the minimal-movement evidence (all moved mass lands on the added
+    * shards when growing; unmoved cells sit on the diagonal). One
+    * row-local projection + one grouped aggregate. */
+  def reshardReport(df: DataFrame, keyCol: String, nFrom: Int,
+      nTo: Int): DataFrame =
+    df.select(
+        rendezvousShard(col(keyCol), nFrom).as("shard_from"),
+        rendezvousShard(col(keyCol), nTo).as("shard_to"))
+      .groupBy("shard_from", "shard_to")
+      .agg(count(lit(1)).as("n_keys"))
 }

@@ -114,7 +114,29 @@ object Kmv {
     val sk = sketches(df, Seq(typeCol), itemCol, k)
     val a = sk.select(col(typeCol).as("type_a"), col("kmv").as("sk_a"))
     val b = sk.select(col(typeCol).as("type_b"), col("kmv").as("sk_b"))
-    a.join(b, col("type_a") < col("type_b"))
+    overlapFromSketchPairs(a.join(b, col("type_a") < col("type_b")), k)
+  }
+
+  /** [[overlapReport]] ACROSS two corpora: every (group-of-A ×
+    * group-of-B) pair's overlap/Jaccard/differences, entirely from each
+    * side's sketches — the "which training domain overlaps which eval
+    * suite" decontamination dashboard at sketch cost (each corpus pays
+    * one aggregate; the pair stage is (|A groups| × |B groups|) rows of
+    * ≤ 2k longs, never row data). Same estimators as [[overlapReport]],
+    * same bit-for-bit replay. */
+  def crossOverlapReport(dfA: DataFrame, typeColA: String,
+      itemColA: String, dfB: DataFrame, typeColB: String,
+      itemColB: String, k: Int): DataFrame = {
+    val a = sketches(dfA, Seq(typeColA), itemColA, k)
+      .select(col(typeColA).as("type_a"), col("kmv").as("sk_a"))
+    val b = sketches(dfB, Seq(typeColB), itemColB, k)
+      .select(col(typeColB).as("type_b"), col("kmv").as("sk_b"))
+    overlapFromSketchPairs(a.crossJoin(b), k)
+  }
+
+  /** The shared theta math over (type_a, type_b, sk_a, sk_b) pairs. */
+  private def overlapFromSketchPairs(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .withColumn("__all", array_sort(array_distinct(
         concat(col("sk_a"), col("sk_b")))))
       .withColumn("__merged", slice(col("__all"), 1, k))
@@ -136,7 +158,6 @@ object Kmv {
         expr("n_inter_k * est_union div k_used").as("est_inter"),
         expr("n_only_a * est_union div k_used").as("est_only_a"),
         expr("n_only_b * est_union div k_used").as("est_only_b"))
-  }
 
   /** Rolling / cumulative distinct counts from DAILY sketches: the raw
     * data reduces once to one ≤ k-long sketch per `dayCol` value, then

@@ -68,4 +68,46 @@ class LayoutSpec extends SparkSpec {
     meanSpanY(xSorted) shouldBe 63.0 // every x-slice sees all of y
     zSpan should be < 40.0
   }
+
+  test("rendezvousShard: in range, deterministic, n=1 degenerate") {
+    val keys = (0L until 200L).toDF("k")
+    val a = keys.select(Layout.rendezvousShard(col("k"), 8).as("s"))
+      .collect().map(_.getLong(0))
+    a.forall(s => s >= 0 && s < 8) shouldBe true
+    a.distinct.sorted shouldBe (0L until 8L).toArray // every shard used
+    val b = keys.repartition(5)
+      .select(Layout.rendezvousShard(col("k"), 8).as("s"))
+      .collect().map(_.getLong(0))
+    a.sorted shouldBe b.sorted // pure function of the key
+    keys.select(Layout.rendezvousShard(col("k"), 1).as("s"))
+      .distinct().collect().map(_.getLong(0)) shouldBe Array(0L)
+  }
+
+  test("reshardReport: growing shards moves keys ONLY to the new ones") {
+    val keys = (0L until 500L).toDF("k")
+    val rep = Layout.reshardReport(keys, "k", nFrom = 8, nTo = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rep.values.sum shouldBe 500L
+    val moved = rep.filter { case ((f, t), _) => f != t }
+    moved.keys.forall { case (_, t) => t == 8L || t == 9L } shouldBe true
+    // expected movement 2/10 = 20%; allow a wide deterministic band
+    val movedN = moved.values.sum.toDouble
+    movedN should be > 50.0
+    movedN should be < 150.0
+    // shrinking back: movers are exactly the keys ON the dropped shards
+    val back = Layout.reshardReport(keys, "k", nFrom = 10, nTo = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    back.filter { case ((f, t), _) => f != t }
+      .keys.forall { case (f, _) => f == 8L || f == 9L } shouldBe true
+  }
+
+  test("rendezvousShard: null key raises, nShards >= 1 enforced") {
+    an[Exception] should be thrownBy
+      Seq[Option[Long]](Some(1L), None).toDF("k")
+        .select(Layout.rendezvousShard(col("k"), 4)).collect()
+    an[IllegalArgumentException] should be thrownBy
+      Layout.rendezvousShard(col("k"), 0)
+  }
 }

@@ -126,6 +126,39 @@ class KmvSpec extends SparkSpec {
     folded("b")._2 shouldBe 40L // unsaturated → exact after fold too
   }
 
+  test("rollingDistinct: window and cumulative semantics, exact below k") {
+    // day 1: u1..u3; day 2: u3..u5; day 3: u6 — k large enough for exact
+    val rows = Seq((1L, "u1"), (1L, "u2"), (1L, "u3"),
+      (2L, "u3"), (2L, "u4"), (2L, "u5"), (3L, "u6"))
+    val df = rows.toDF("day", "u")
+    val cum = Kmv.rollingDistinct(df, "day", "u", k = 32, windowDays = 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_kmv")).toMap
+    cum shouldBe Map(1L -> 3L, 2L -> 5L, 3L -> 6L)
+    val roll2 = Kmv.rollingDistinct(df, "day", "u", k = 32, windowDays = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_kmv")).toMap
+    roll2 shouldBe Map(1L -> 3L, 2L -> 5L, 3L -> 4L) // day3: {u3,u4,u5,u6}
+    val roll1 = Kmv.rollingDistinct(df, "day", "u", k = 32, windowDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_kmv")).toMap
+    roll1 shouldBe Map(1L -> 3L, 2L -> 3L, 3L -> 1L)
+  }
+
+  test("crossOverlapReport: exact on covered unions; every pair appears") {
+    val a = (ids("s1", 1, 40) ++ ids("s2", 100, 120)).toDF("t", "u")
+    val b = (ids("e1", 21, 60) ++ ids("e2", 500, 505)).toDF("t", "u")
+    val out = Kmv.crossOverlapReport(a, "t", "u", b, "t", "u", k = 128)
+      .collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r)
+      .toMap
+    out.keySet shouldBe Set(("s1", "e1"), ("s1", "e2"),
+      ("s2", "e1"), ("s2", "e2"))
+    val r11 = out(("s1", "e1")) // |s1|=40, |e1|=40, inter 21..40 = 20
+    r11.getAs[Long]("est_union") shouldBe 60L
+    r11.getAs[Long]("est_inter") shouldBe 20L
+    r11.getAs[Long]("est_only_a") shouldBe 20L
+    r11.getAs[Long]("est_only_b") shouldBe 20L
+    out(("s2", "e2")).getAs[Long]("n_inter_k") shouldBe 0L // disjoint
+  }
+
   test("foldSketches: groups absent from one side pass through") {
     val k = 16
     val state = Kmv.sketches(ids("only_state", 1, 5).toDF("g", "u"),
