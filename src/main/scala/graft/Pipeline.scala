@@ -184,6 +184,30 @@ object Pipeline {
       StageResult("split", n)
     }.toSeq
 
+    // layout: the deterministic output-sharding plan — per-shard key
+    // counts (balance evidence), or the full (from → to) migration
+    // matrix when resizing from previous_n_shards (off-diagonal mass =
+    // exactly the keys that move; minimal under rendezvous routing).
+    // Row-local hashing + one grouped agg; missing key fails loudly.
+    val layoutStages = config.layout.map { ls =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      require(curatedDf.columns.contains(ls.keyColumn),
+        s"layout: missing key column ${ls.keyColumn}")
+      val plan = ls.previousNShards match {
+        case Some(prev) => graft.maintenance.Layout.reshardReport(
+          curatedDf, ls.keyColumn, prev, ls.nShards)
+        case None => curatedDf
+          .select(graft.maintenance.Layout.rendezvousShard(
+            col(ls.keyColumn), ls.nShards).as("shard"))
+          .groupBy("shard").agg(count(lit(1)).as("n_keys"))
+      }
+      goldSink.foreach(sink => sink("layout_plan", plan))
+      val n = plan.count()
+      tracker.record(Lineage.EventType.Aggregation,
+        upstreamNode, "gold.layout_plan", curatedRows, n)
+      StageResult("gold.layout_plan", n)
+    }.toSeq
+
     val report = Orchestrator.run(silverDf, config.quality)
     tracker.record(Lineage.EventType.Validation,
       "silver." + config.name, "silver." + config.name, silverRows, silverRows)
@@ -199,7 +223,7 @@ object Pipeline {
     RunResult(
       StageResult("bronze", bronzeRows) +: StageResult("silver", silverRows) +:
         (curationStages ++ goldStages ++ sessionStages ++ retrievalStages
-          ++ featureStages ++ splitStages),
+          ++ featureStages ++ splitStages ++ layoutStages),
       report,
       tracker)
   }

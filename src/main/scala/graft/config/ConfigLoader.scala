@@ -42,7 +42,8 @@ object ConfigLoader {
       sessions: Option[SessionSpec] = None,
       retrieval: Option[RetrievalSpec] = None,
       split: Option[SplitSpec] = None,
-      features: Option[FeaturesSpec] = None)
+      features: Option[FeaturesSpec] = None,
+      layout: Option[LayoutSpec] = None)
 
   /** §1.5 — one entry of the multi-dataset registry
     * (config/datasets/datasets.yaml:6-76: per-dataset source, target,
@@ -750,7 +751,26 @@ object ConfigLoader {
       spec
     }
 
+    val layout = root.get("layout").map { l =>
+      val lm = asMap(l, "layout")
+      val spec = LayoutSpec(
+        keyColumn = str(lm, "key_column", "layout"),
+        nShards = lm.get("n_shards").map(_.toString.toInt).getOrElse(
+          throw new ConfigError("layout.n_shards is required")),
+        previousNShards = lm.get("previous_n_shards").map(_.toString.toInt))
+      if (spec.nShards < 1)
+        throw new ConfigError(
+          s"layout.n_shards must be >= 1, got ${spec.nShards}")
+      if (spec.previousNShards.exists(_ < 1))
+        throw new ConfigError("layout.previous_n_shards must be >= 1")
+      if (spec.previousNShards.contains(spec.nShards))
+        throw new ConfigError("layout.previous_n_shards equals n_shards " +
+          "- a no-op migration plan; drop previous_n_shards for the " +
+          "balance report")
+      spec
+    }
+
     PipelineConfig(version, name, bronze, silver, gold, quality, perf,
-      cacheSilver, curation, sessions, retrieval, split, features)
+      cacheSilver, curation, sessions, retrieval, split, features, layout)
   }
 }

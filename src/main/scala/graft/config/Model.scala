@@ -375,3 +375,15 @@ final case class SplitSpec(
 object SplitSpec {
   val Strategies: Set[String] = Set("hash", "cluster")
 }
+
+/** Output-layout block: deterministic rendezvous (HRW) sharding of the
+  * curated frame on `keyColumn` into `nShards`
+  * (`maintenance.Layout.rendezvousShard`) — the gold sink receives a
+  * `layout_plan` table: per-shard key counts, or, when
+  * `previousNShards` is set, the full (shard_from → shard_to) migration
+  * matrix (`reshardReport`) whose off-diagonal mass is exactly the keys
+  * the resize moves (minimal under HRW: growing n→m moves ~(m−n)/m). */
+final case class LayoutSpec(
+    keyColumn: String,
+    nShards: Int,
+    previousNShards: Option[Int] = None)

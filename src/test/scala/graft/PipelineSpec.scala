@@ -965,6 +965,52 @@ class PipelineSpec extends SparkSpec {
       yaml.replace("k: 64, max_count: 4", "k: 1, max_count: 4"))
   }
 
+  test("layout block: rendezvous shard plan drives from YAML") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: sharding
+        |layout:
+        |  key_column: doc_id
+        |  n_shards: 10
+        |  previous_n_shards: 8
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.layout shouldBe Some(graft.config.LayoutSpec("doc_id", 10, Some(8)))
+    val docs = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    var sunk = Map.empty[String, org.apache.spark.sql.DataFrame]
+    val r = graft.Pipeline.run(spark, cfg, docs,
+      goldSink = Some((name, df) => sunk += name -> df))
+    // the config-driven plan equals the hand-built operator call
+    val plan = sunk("layout_plan").orderBy("shard_from", "shard_to")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+    plan shouldBe graft.maintenance.Layout
+      .reshardReport(docs, "doc_id", 8, 10)
+      .orderBy("shard_from", "shard_to")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2))
+    // moved mass only lands on the added shards
+    plan.filter { case ((f, t), _) => f != t }
+      .forall { case ((_, t), _) => t >= 8L } shouldBe true
+    r.stages.map(_.name) should contain("gold.layout_plan")
+    // balance form (no previous): one row per shard, counts sum to rows
+    val cfg2 = ConfigLoader.parse(yaml.replace(
+      "  previous_n_shards: 8\n", ""))
+    var sunk2 = Map.empty[String, org.apache.spark.sql.DataFrame]
+    graft.Pipeline.run(spark, cfg2, docs,
+      goldSink = Some((name, df) => sunk2 += name -> df))
+    val bal = sunk2("layout_plan").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    bal.keySet shouldBe (0L until 10L).toSet
+    bal.values.sum shouldBe 300L
+    // degenerate configs fail at load; missing key fails loudly at run
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("previous_n_shards: 8", "previous_n_shards: 10"))
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("  n_shards: 10\n", ""))
+    an[IllegalArgumentException] should be thrownBy graft.Pipeline.run(
+      spark, cfg, docs.withColumnRenamed("doc_id", "other"), None)
+  }
+
   test("features block: hash_text and target_encode drive from YAML") {
     val yaml =
       """version: "1.0"
