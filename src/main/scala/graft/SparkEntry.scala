@@ -2326,6 +2326,36 @@ object SparkEntry {
         "day", "u_day", k = 64, windowDays = 0)
         .orderBy("day")),
 
+    // Weekly actives PER EVENT TYPE from the (type, day) sketch mart —
+    // the q255 rolling fold keyed by group (state ≤ types × days × k
+    // longs). Saturated and exact branches both present across types.
+    "q260_kmv_rolling_by_type" -> ((s, dir) =>
+      Kmv.rollingDistinctBy(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"), col("user_id")),
+        Seq("event_type"), "day", "user_id", k = 64, windowDays = 7)
+        .orderBy("event_type", "day")),
+
+    // Daily NOVELTY rate: each day's estimated NEW uniques as the lag
+    // difference of the cumulative growth curve (q257) — the
+    // "is this source still contributing new data" curation signal.
+    // Estimator noise can make a day's delta negative; that honesty is
+    // the point (and it replays exactly).
+    "q261_kmv_novelty" -> ((s, dir) => {
+      val cum = Kmv.rollingDistinct(
+        Tables.load(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"),
+            concat(col("user_id").cast("string"), lit("|"),
+              expr("ts div 86400000000000").cast("string")).as("u_day")),
+        "day", "u_day", k = 64, windowDays = 0)
+      cum.withColumn("est_new", col("est_kmv") -
+          coalesce(lag(col("est_kmv"), 1).over(Window.orderBy("day")),
+            lit(0L)))
+        .select("day", "est_kmv", "est_new")
+        .orderBy("day")
+    }),
+
     // Rendezvous (HRW) resharding plan, 8 → 10 shards: every
     // (from, to) cell with its key count — row-local argmax-of-md5
     // routing whose growth moves only the keys claimed by the NEW
@@ -5133,6 +5163,54 @@ object SparkEntry {
         |    CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
         |    AS BIGINT) END AS est_kmv
         |FROM sk ORDER BY day""".stripMargin,
+    // q260: q255's window replay with the type key carried through.
+    "q260_kmv_rolling_by_type" ->
+      """WITH d AS (SELECT DISTINCT event_type AS g,
+        |  epoch_us(ts) // 86400000000 AS day, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT g, day,
+        |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM d),
+        |days AS (SELECT DISTINCT day FROM h),
+        |w AS (SELECT DISTINCT h.g, days.day AS wd, h.hv FROM days JOIN h
+        |  ON h.day <= days.day AND h.day > days.day - 7),
+        |rk AS (SELECT g, wd, hv,
+        |  row_number() OVER (PARTITION BY g, wd ORDER BY hv) AS rn
+        |  FROM w),
+        |sk AS (SELECT g, wd, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 64 GROUP BY g, wd)
+        |SELECT g AS event_type, CAST(wd AS BIGINT) AS day,
+        | CAST(len(kmv) AS BIGINT) AS k_used,
+        | CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
+        |  ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
+        |    CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
+        |    AS BIGINT) END AS est_kmv
+        |FROM sk ORDER BY event_type, day""".stripMargin,
+    // q261: the q257 cumulative curve + a lag window, seed 0.
+    "q261_kmv_novelty" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(user_id AS VARCHAR) || '|' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT day,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM d),
+        |days AS (SELECT DISTINCT day FROM h),
+        |w AS (SELECT DISTINCT days.day AS wd, h.hv FROM days JOIN h
+        |  ON h.day <= days.day),
+        |rk AS (SELECT wd, hv,
+        |  row_number() OVER (PARTITION BY wd ORDER BY hv) AS rn FROM w),
+        |sk AS (SELECT wd, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 64 GROUP BY wd),
+        |e AS (SELECT CAST(wd AS BIGINT) AS day,
+        |  CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
+        |   ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
+        |     CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
+        |     AS BIGINT) END AS est_kmv
+        | FROM sk)
+        |SELECT day, est_kmv,
+        | est_kmv - coalesce(lag(est_kmv, 1) OVER (ORDER BY day), 0)
+        |  AS est_new
+        |FROM e ORDER BY day""".stripMargin,
     // q258: the argmax replayed as a struct list_max over the same
     // "key#s" md5-prefix weights (ties, were they possible, break to
     // the higher shard id in both engines via the (w, s) struct order).

@@ -173,8 +173,17 @@ object Kmv {
     * Scale: the only row-grain pass is the daily [[sketches]] aggregate;
     * the window join is broadcast over the tiny day list. */
   def rollingDistinct(df: DataFrame, dayCol: String, itemCol: String,
-      k: Int, windowDays: Int = 0): DataFrame = {
-    val daily = sketches(df, Seq(dayCol), itemCol, k)
+      k: Int, windowDays: Int = 0): DataFrame =
+    rollingDistinctBy(df, Nil, dayCol, itemCol, k, windowDays)
+
+  /** [[rollingDistinct]] per group — "weekly actives per event type"
+    * from the same per-(group, day) sketch mart. The day list stays a
+    * single broadcast (days are global); the re-aggregation keys on
+    * (group, window-day), so state is ≤ groups × days × k longs. */
+  def rollingDistinctBy(df: DataFrame, groupCols: Seq[String],
+      dayCol: String, itemCol: String, k: Int,
+      windowDays: Int = 0): DataFrame = {
+    val daily = sketches(df, groupCols :+ dayCol, itemCol, k)
     val days = daily.select(col(dayCol).as("__d")).distinct()
     val cond =
       if (windowDays > 0)
@@ -182,12 +191,13 @@ object Kmv {
           col(dayCol) > col("__d") - lit(windowDays.toLong)
       else col(dayCol) <= col("__d")
     daily.join(broadcast(days), cond)
-      .select(col("__d"), explode(col("kmv")).as("__hv"))
-      .groupBy(col("__d"))
+      .select(groupCols.map(col) ++ Seq(col("__d"),
+        explode(col("kmv")).as("__hv")): _*)
+      .groupBy(groupCols.map(col) :+ col("__d"): _*)
       .agg(call_function("kmv_sketch", col("__hv"), lit(k)).as("kmv"))
-      .select(col("__d").as(dayCol),
+      .select(groupCols.map(col) ++ Seq(col("__d").as(dayCol),
         size(col("kmv")).cast("long").as("k_used"),
-        estimate(col("kmv"), k).as("est_kmv"))
+        estimate(col("kmv"), k).as("est_kmv")): _*)
   }
 
   /** Fold a delta's sketches into persisted sketch state — pure array
