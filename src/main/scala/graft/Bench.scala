@@ -162,13 +162,14 @@ object Bench {
         pq.get(name).filter(p => p > 0.0 && ok).map(p => name -> v / p)
       }.toMap
     }.getOrElse(Map.empty)
-    val ratios: Map[String, Double] = prevDetail.map { case (pq, pcal) =>
-      val drift = if (pcal > 0.0) calibSec / pcal else 1.0
-      results.flatMap { case (name, v, ok, _) =>
-        pq.get(name).filter(p => p > 0.0 && ok)
-          .map(p => name -> v / (p * drift))
-      }.toMap
-    }.getOrElse(Map.empty)
+    // normalized = raw / drift, derived from the SAME map so the two
+    // families' key sets (which the both-must-exceed gate below depends
+    // on) match structurally, not coincidentally
+    val drift = prevDetail
+      .map { case (_, pcal) => if (pcal > 0.0) calibSec / pcal else 1.0 }
+      .getOrElse(1.0)
+    val ratios: Map[String, Double] =
+      rawRatios.view.mapValues(_ / drift).toMap
     def medianOf(m: Map[String, Double]): Option[Double] =
       if (m.isEmpty) None
       else { val s = m.values.toSeq.sorted; Some(s(s.size / 2)) }

@@ -190,16 +190,25 @@ object Pipeline {
     // exactly the keys that move; minimal under rendezvous routing).
     // Row-local hashing + one grouped agg; missing key fails loudly.
     val layoutStages = config.layout.map { ls =>
-      import org.apache.spark.sql.functions.{col, count, lit}
+      import org.apache.spark.sql.functions.{coalesce, col, count, lit}
       require(curatedDf.columns.contains(ls.keyColumn),
         s"layout: missing key column ${ls.keyColumn}")
       val plan = ls.previousNShards match {
         case Some(prev) => graft.maintenance.Layout.reshardReport(
           curatedDf, ls.keyColumn, prev, ls.nShards)
-        case None => curatedDf
-          .select(graft.maintenance.Layout.rendezvousShard(
-            col(ls.keyColumn), ls.nShards).as("shard"))
-          .groupBy("shard").agg(count(lit(1)).as("n_keys"))
+        case None =>
+          // every shard gets a row — a 0-key shard is the clearest
+          // imbalance signal and must not be indistinguishable from a
+          // missing row (the shard universe is a broadcast-size range)
+          val counts = curatedDf
+            .select(graft.maintenance.Layout.rendezvousShard(
+              col(ls.keyColumn), ls.nShards).as("shard"))
+            .groupBy("shard").agg(count(lit(1)).as("__n"))
+          spark.range(0, ls.nShards.toLong)
+            .select(col("id").as("shard"))
+            .join(counts, Seq("shard"), "left")
+            .select(col("shard"),
+              coalesce(col("__n"), lit(0L)).as("n_keys"))
       }
       goldSink.foreach(sink => sink("layout_plan", plan))
       val n = plan.count()

@@ -3908,6 +3908,18 @@ object SparkEntry {
     * full normalization replay (scheme/host lower, userinfo/port/www,
     * slash trim, tracking filter, PSL-lite eTLD+1), no ORDER BY — q232
     * appends one, q238 wraps it in a dedup rollup. */
+  /** The KMV estimator as a DuckDB CASE over a BIGINT-list column — ONE
+    * shared fragment (mirrors `Kmv.estimate` exactly: exact below k,
+    * (k−1)·2⁶⁰ / h₍ₖ₎ with the h₍ₖ₎≥1 guard and the 10¹⁴ ceiling) so
+    * the dag can never drift per-query. (k−1)·2⁶⁰ is exact in a double
+    * for every k < 2⁵³, so the inline product matches Spark's plan-time
+    * literal bit-for-bit. */
+  private def kmvEstSql(k: Int, kmv: String = "kmv"): String =
+    s"CASE WHEN len($kmv) < $k THEN CAST(len($kmv) AS BIGINT) " +
+      s"ELSE CAST(least(round(${k - 1}.0 * 1152921504606846976.0 / " +
+      s"CAST(greatest($kmv[$k], 1) AS DOUBLE)), 100000000000000.0) " +
+      "AS BIGINT) END"
+
   private val urlNormalizeSqlCore: String =
     """WITH u AS (SELECT doc_id,
       |  (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
@@ -4932,7 +4944,7 @@ object SparkEntry {
     // same quotient/remainder err_e6. The ESTIMATE hash-compares — the
     // sketch is a pure function of the input set.
     "q250_kmv_distinct" ->
-      """WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u
+      s"""WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u
         |  FROM events WHERE user_id IS NOT NULL),
         |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact FROM d
         |  GROUP BY g),
@@ -4945,10 +4957,7 @@ object SparkEntry {
         |  WHERE rn <= 64 GROUP BY g),
         |e AS (SELECT n.g AS event_type, n.n_exact,
         |  CAST(len(kmv) AS BIGINT) AS k_used,
-        |  CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
-        |   ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
-        |     CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
-        |     AS BIGINT) END AS est_kmv
+        |  ${kmvEstSql(64)} AS est_kmv
         | FROM sk JOIN n ON sk.g = n.g)
         |SELECT event_type, n_exact, k_used, est_kmv,
         | CASE WHEN est_kmv >= n_exact THEN 1 ELSE -1 END *
@@ -4961,7 +4970,7 @@ object SparkEntry {
     // list_filter memberships, one shared estimator CASE — every
     // estimate (union, intersection, both differences) hash-compared.
     "q251_kmv_overlap" ->
-      """WITH d0 AS (SELECT DISTINCT event_type AS g,
+      s"""WITH d0 AS (SELECT DISTINCT event_type AS g,
         |  CAST(user_id AS VARCHAR) || '|' ||
         |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u
         |  FROM events WHERE user_id IS NOT NULL),
@@ -4985,10 +4994,7 @@ object SparkEntry {
         |    AND NOT list_contains(sb, v))) AS BIGINT) AS n_only_a,
         |  CAST(len(list_filter(merged, v -> list_contains(sb, v)
         |    AND NOT list_contains(sa, v))) AS BIGINT) AS n_only_b,
-        |  CASE WHEN len(alls) < 64 THEN CAST(len(alls) AS BIGINT)
-        |   ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
-        |     CAST(greatest(alls[64], 1) AS DOUBLE)), 100000000000000.0)
-        |     AS BIGINT) END AS est_union
+        |  ${kmvEstSql(64, "alls")} AS est_union
         | FROM mm)
         |SELECT type_a, type_b, k_used, n_inter_k,
         | n_inter_k * 1000000 // k_used AS jaccard_e6,
@@ -5001,7 +5007,7 @@ object SparkEntry {
     // what union-distinct-sort-truncate folding must equal exactly;
     // the csv pins every element, not just the estimate.
     "q252_kmv_fold" ->
-      """WITH d AS (SELECT DISTINCT source AS g, text AS u
+      s"""WITH d AS (SELECT DISTINCT source AS g, text AS u
         |  FROM documents WHERE text IS NOT NULL),
         |h AS (SELECT DISTINCT g,
         |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM d),
@@ -5010,16 +5016,13 @@ object SparkEntry {
         |sk AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rk
         |  WHERE rn <= 16 GROUP BY g)
         |SELECT g AS source, CAST(len(kmv) AS BIGINT) AS k_used,
-        | CASE WHEN len(kmv) < 16 THEN CAST(len(kmv) AS BIGINT)
-        |  ELSE CAST(least(round(15.0 * 1152921504606846976.0 /
-        |    CAST(greatest(kmv[16], 1) AS DOUBLE)), 100000000000000.0)
-        |    AS BIGINT) END AS est_kmv,
+        | ${kmvEstSql(16)} AS est_kmv,
         | array_to_string(kmv, ',') AS kmv_csv
         |FROM sk ORDER BY source""".stripMargin,
     // q253: both layers' sketches and estimates replayed, then the same
     // clamped quotient/remainder relative gap and the boolean verdict.
     "q253_kmv_recon" ->
-      """WITH s1 AS (SELECT DISTINCT user_id AS u FROM events
+      s"""WITH s1 AS (SELECT DISTINCT user_id AS u FROM events
         |  WHERE user_id IS NOT NULL),
         |s2 AS (SELECT DISTINCT user_id AS u FROM events
         |  WHERE user_id IS NOT NULL AND value > 90.0),
@@ -5029,24 +5032,20 @@ object SparkEntry {
         |h2 AS (SELECT DISTINCT
         |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
         |  FROM s2),
-        |k1 AS (SELECT list(hv ORDER BY hv) AS kmv FROM
+        |k1 AS (SELECT coalesce(list(hv ORDER BY hv),
+        |    CAST([] AS BIGINT[])) AS kmv FROM
         |  (SELECT hv FROM h1 ORDER BY hv LIMIT 64)),
-        |k2 AS (SELECT list(hv ORDER BY hv) AS kmv FROM
+        |k2 AS (SELECT coalesce(list(hv ORDER BY hv),
+        |    CAST([] AS BIGINT[])) AS kmv FROM
         |  (SELECT hv FROM h2 ORDER BY hv LIMIT 64)),
         |e AS (SELECT
-        |  (SELECT CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
-        |    ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
-        |      CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
-        |      AS BIGINT) END FROM k1) AS est_src,
-        |  (SELECT CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
-        |    ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
-        |      CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
-        |      AS BIGINT) END FROM k2) AS est_tgt),
+        |  (SELECT ${kmvEstSql(64)} FROM k1) AS est_src,
+        |  (SELECT ${kmvEstSql(64)} FROM k2) AS est_tgt),
         |f AS (SELECT est_src, est_tgt,
         |  (least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)
         |    // greatest(est_src, 1)) * 1000000 +
-        |  (least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)
-        |    % greatest(est_src, 1)) * 1000000 // greatest(est_src, 1)
+        |  ((least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)
+        |    % greatest(est_src, 1)) * 1000 // greatest(est_src, 1)) * 1000
         |   AS diff_e6
         | FROM e)
         |SELECT 'kmv_distinct(user_id)' AS check_name, est_src, est_tgt,
@@ -5071,10 +5070,7 @@ object SparkEntry {
         |  WHERE rn <= 16 GROUP BY g),
         |e AS (SELECT n.g AS source, n.n_exact,
         |  CAST(len(kmv) AS BIGINT) AS k_used,
-        |  CASE WHEN len(kmv) < 16 THEN CAST(len(kmv) AS BIGINT)
-        |   ELSE CAST(least(round(15.0 * 1152921504606846976.0 /
-        |     CAST(greatest(kmv[16], 1) AS DOUBLE)), 100000000000000.0)
-        |     AS BIGINT) END AS est_kmv
+        |  ${kmvEstSql(16)} AS est_kmv
         | FROM sk JOIN n ON sk.g = n.g)
         |SELECT source, n_exact, k_used, est_kmv,
         | CASE WHEN est_kmv >= n_exact THEN 1 ELSE -1 END *
@@ -5087,7 +5083,7 @@ object SparkEntry {
     // daily-fold path must equal it exactly (bottom-k of a union of
     // per-day bottom-ks is the window's bottom-k).
     "q255_kmv_rolling" ->
-      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+      s"""WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |  user_id AS u FROM events WHERE user_id IS NOT NULL),
         |h AS (SELECT DISTINCT day,
         |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
@@ -5101,10 +5097,7 @@ object SparkEntry {
         |  WHERE rn <= 128 GROUP BY wd)
         |SELECT CAST(wd AS BIGINT) AS day,
         | CAST(len(kmv) AS BIGINT) AS k_used,
-        | CASE WHEN len(kmv) < 128 THEN CAST(len(kmv) AS BIGINT)
-        |  ELSE CAST(least(round(127.0 * 1152921504606846976.0 /
-        |    CAST(greatest(kmv[128], 1) AS DOUBLE)), 100000000000000.0)
-        |    AS BIGINT) END AS est_kmv
+        | ${kmvEstSql(128)} AS est_kmv
         |FROM sk ORDER BY day""".stripMargin,
     // q256: ONE ranked hash stream sliced at every k (rn <= k), the
     // estimator parameterized by k — (k−1)·2⁶⁰ is exact in a double for
@@ -5143,7 +5136,7 @@ object SparkEntry {
     // q257: the cumulative prefix sketched directly from the raw rows —
     // what the daily-sketch fold must equal.
     "q257_kmv_growth" ->
-      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+      s"""WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |  CAST(user_id AS VARCHAR) || '|' ||
         |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u
         |  FROM events WHERE user_id IS NOT NULL),
@@ -5158,14 +5151,11 @@ object SparkEntry {
         |  WHERE rn <= 64 GROUP BY wd)
         |SELECT CAST(wd AS BIGINT) AS day,
         | CAST(len(kmv) AS BIGINT) AS k_used,
-        | CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
-        |  ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
-        |    CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
-        |    AS BIGINT) END AS est_kmv
+        | ${kmvEstSql(64)} AS est_kmv
         |FROM sk ORDER BY day""".stripMargin,
     // q260: q255's window replay with the type key carried through.
     "q260_kmv_rolling_by_type" ->
-      """WITH d AS (SELECT DISTINCT event_type AS g,
+      s"""WITH d AS (SELECT DISTINCT event_type AS g,
         |  epoch_us(ts) // 86400000000 AS day, user_id AS u
         |  FROM events WHERE user_id IS NOT NULL),
         |h AS (SELECT DISTINCT g, day,
@@ -5181,14 +5171,11 @@ object SparkEntry {
         |  WHERE rn <= 64 GROUP BY g, wd)
         |SELECT g AS event_type, CAST(wd AS BIGINT) AS day,
         | CAST(len(kmv) AS BIGINT) AS k_used,
-        | CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
-        |  ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
-        |    CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
-        |    AS BIGINT) END AS est_kmv
+        | ${kmvEstSql(64)} AS est_kmv
         |FROM sk ORDER BY event_type, day""".stripMargin,
     // q261: the q257 cumulative curve + a lag window, seed 0.
     "q261_kmv_novelty" ->
-      """WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+      s"""WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
         |  CAST(user_id AS VARCHAR) || '|' ||
         |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u
         |  FROM events WHERE user_id IS NOT NULL),
@@ -5202,10 +5189,7 @@ object SparkEntry {
         |sk AS (SELECT wd, list(hv ORDER BY hv) AS kmv FROM rk
         |  WHERE rn <= 64 GROUP BY wd),
         |e AS (SELECT CAST(wd AS BIGINT) AS day,
-        |  CASE WHEN len(kmv) < 64 THEN CAST(len(kmv) AS BIGINT)
-        |   ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
-        |     CAST(greatest(kmv[64], 1) AS DOUBLE)), 100000000000000.0)
-        |     AS BIGINT) END AS est_kmv
+        |  ${kmvEstSql(64)} AS est_kmv
         | FROM sk)
         |SELECT day, est_kmv,
         | est_kmv - coalesce(lag(est_kmv, 1) OVER (ORDER BY day), 0)
@@ -5233,7 +5217,7 @@ object SparkEntry {
     // per eval-slice lang), then the q251 theta tail over the cross
     // pairs.
     "q259_cross_overlap" ->
-      """WITH a0 AS (SELECT source AS g,
+      s"""WITH a0 AS (SELECT source AS g,
         |  unnest(string_split(trim(text), ' ')) AS u FROM documents),
         |a1 AS (SELECT DISTINCT g,
         |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM a0
@@ -5265,10 +5249,7 @@ object SparkEntry {
         |    AND NOT list_contains(sb, v))) AS BIGINT) AS n_only_a,
         |  CAST(len(list_filter(merged, v -> list_contains(sb, v)
         |    AND NOT list_contains(sa, v))) AS BIGINT) AS n_only_b,
-        |  CASE WHEN len(alls) < 64 THEN CAST(len(alls) AS BIGINT)
-        |   ELSE CAST(least(round(63.0 * 1152921504606846976.0 /
-        |     CAST(greatest(alls[64], 1) AS DOUBLE)), 100000000000000.0)
-        |     AS BIGINT) END AS est_union
+        |  ${kmvEstSql(64, "alls")} AS est_union
         | FROM mm)
         |SELECT type_a, type_b, k_used, n_inter_k,
         | n_inter_k * 1000000 // k_used AS jaccard_e6,

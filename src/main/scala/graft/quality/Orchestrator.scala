@@ -70,7 +70,7 @@ object Orchestrator {
     // profile; all report as CheckResults so the score/level sees them.
     // Missing columns fail loudly — a silently-skipped contract is the
     // one that bites.
-    import org.apache.spark.sql.functions.{expr, round, sum}
+    import org.apache.spark.sql.functions.{count, expr, round, sum, when}
     def requireCols(kind: String, label: String, cols: Seq[String]): Unit = {
       val missing = cols.filterNot(df.columns.contains)
       require(missing.isEmpty,
@@ -168,17 +168,33 @@ object Orchestrator {
         s"distinct_check $label: needs min_count and/or max_count")
       // empty group_by = one global group (the hhi_check pattern); the
       // bound is on the KMV ESTIMATE — ≤ k longs of state per group, no
-      // exact distinct shuffle, the 100 TB form of uniqueCountBetween
+      // exact distinct shuffle, the 100 TB form of uniqueCountBetween.
+      // The aggregate runs WITHOUT a null pre-filter so a group whose
+      // items are all NULL yields an EMPTY sketch → estimate 0 → a
+      // min_count violation instead of a silently-vanished group; and a
+      // min_count check over a frame with NO groups at all (empty table)
+      // counts as one failure — the cardinality-collapse a lower bound
+      // exists to catch must never pass vacuously.
       val (gdf, gcols) =
         if (dc.groupBy.nonEmpty) (df, dc.groupBy)
         else (df.withColumn("__all", lit(1L)), Seq("__all"))
-      val est = Kmv.sketches(gdf, gcols, dc.itemColumn, dc.k)
+      import org.apache.spark.sql.functions.call_function
+      val est = gdf.groupBy(gcols.map(col): _*)
+        .agg(call_function("kmv_sketch",
+          Kmv.hash60(col(dc.itemColumn)), lit(dc.k)).as("kmv"))
         .select(Kmv.estimate(col("kmv"), dc.k).as("__est"))
       val violating =
         dc.minCount.map(lo => col("__est") < lo) ++
           dc.maxCount.map(hi => col("__est") > hi)
-      Checks.CheckResult("distinct_check", label,
-        est.filter(violating.reduce(_ || _)).count())
+      val row = est.agg(
+        count(lit(1)).as("__n"),
+        sum(when(violating.reduce(_ || _), 1L).otherwise(0L)).as("__bad"))
+        .head()
+      val failed =
+        if (row.getLong(0) == 0L && dc.minCount.nonEmpty) 1L
+        else if (row.isNullAt(1)) 0L
+        else row.getLong(1)
+      Checks.CheckResult("distinct_check", label, failed)
     }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
       seasonalResults ++ correlationResults ++ hhiResults ++ popResults ++

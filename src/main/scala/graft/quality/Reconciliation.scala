@@ -162,8 +162,13 @@ object Reconciliation {
     * One row: (check_name, est_src, est_tgt, diff_e6, within_tolerance);
     * diff_e6 is |src−tgt| relative to the src estimate (floored at 1 so
     * an empty source reads as a 100%-class gap, not a division error),
-    * clamped by the same quotient/remainder dag as
-    * [[Kmv.distinctReport]]'s err_e6. */
+    * |diff| clamped at 1000× and the 10⁶ scale applied via a TWO-stage
+    * quotient/remainder split — unlike [[Kmv.distinctReport]]'s err_e6
+    * (whose denominator is an exact count), the denominator here is an
+    * ESTIMATE that the EstCeiling clamp permits up to 10¹⁴, so the
+    * single-stage remainder·10⁶ would overflow BIGINT; the second stage
+    * scales the remainder by 10³ twice (fraction exact to 10⁻³, every
+    * intermediate ≤ ~10¹⁷). */
   def distinctSketchReport(src: DataFrame, tgt: DataFrame, column: String,
       k: Int, toleranceE6: Long): DataFrame = {
     def est(df: DataFrame, alias: String) =
@@ -178,8 +183,9 @@ object Reconciliation {
       .withColumn("diff_e6", expr(
         "(least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)" +
           " div greatest(est_src, 1)) * 1000000 + " +
-          "(least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)" +
-          " % greatest(est_src, 1)) * 1000000 div greatest(est_src, 1)"))
+          "((least(abs(est_src - est_tgt), greatest(est_src, 1) * 1000)" +
+          " % greatest(est_src, 1)) * 1000" +
+          " div greatest(est_src, 1)) * 1000"))
       .withColumn("within_tolerance", col("diff_e6") <= lit(toleranceE6))
   }
 

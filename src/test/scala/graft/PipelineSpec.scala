@@ -963,6 +963,23 @@ class PipelineSpec extends SparkSpec {
       yaml.replace(", min_count: 3", "").replace(", max_count: 4", ""))
     an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
       yaml.replace("k: 64, max_count: 4", "k: 1, max_count: 4"))
+    // a min_count check must NEVER pass vacuously: an all-NULL item
+    // column estimates 0 per group (empty sketch), and an empty frame
+    // counts as one failure — the cardinality collapse the lower bound
+    // exists to catch
+    val allNull = Seq(("a", null: String), ("b", null: String))
+      .toDF("kind", "user")
+    val nullReport = graft.quality.Orchestrator.run(allNull, cfg.quality)
+    nullReport.checkResults.filter(_.check == "distinct_check")
+      .map(c => c.column -> c.failedCount).toMap shouldBe Map(
+      "distinct(user)@k64 by kind" -> 2L, "distinct(user)@k64" -> 0L)
+    val emptyReport = graft.quality.Orchestrator.run(
+      allNull.filter("false"), cfg.quality)
+    emptyReport.checkResults.filter(_.check == "distinct_check")
+      .map(c => c.column -> c.failedCount).toMap shouldBe Map(
+      // min_count over zero groups = one failure; a max_count-only
+      // check has nothing to exceed and legitimately passes
+      "distinct(user)@k64 by kind" -> 1L, "distinct(user)@k64" -> 0L)
   }
 
   test("layout block: rendezvous shard plan drives from YAML") {
@@ -1002,6 +1019,16 @@ class PipelineSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     bal.keySet shouldBe (0L until 10L).toSet
     bal.values.sum shouldBe 300L
+    // zero-key shards still get a row (the clearest imbalance signal):
+    // 2 keys over 10 shards → at least 8 explicit zero rows
+    var sunk3 = Map.empty[String, org.apache.spark.sql.DataFrame]
+    graft.Pipeline.run(spark, cfg2, docs.limit(2),
+      goldSink = Some((name, df) => sunk3 += name -> df))
+    val bal3 = sunk3("layout_plan").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    bal3.keySet shouldBe (0L until 10L).toSet
+    bal3.values.sum shouldBe 2L
+    bal3.values.count(_ == 0L) should be >= 8
     // degenerate configs fail at load; missing key fails loudly at run
     an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
       yaml.replace("previous_n_shards: 8", "previous_n_shards: 10"))

@@ -187,4 +187,29 @@ class ReconciliationSpec extends SparkSpec {
     byFact(104L)._1 shouldBe Some("x")
     byFact(105L) shouldBe (None, None)
   }
+
+  test("distinctSketchReport: matched layers pass, a drained layer fails") {
+    import spark.implicits._
+    val src = (1 to 50).map(i => s"u$i").toDF("u")
+    // same distinct set, duplicated rows → identical sketches, diff 0
+    val same = Reconciliation.distinctSketchReport(
+      src, src.union(src), "u", k = 64, toleranceE6 = 100000L).head()
+    same.getAs[String]("check_name") shouldBe "kmv_distinct(u)"
+    same.getAs[Long]("est_src") shouldBe 50L
+    same.getAs[Long]("est_tgt") shouldBe 50L
+    same.getAs[Long]("diff_e6") shouldBe 0L
+    same.getAs[Boolean]("within_tolerance") shouldBe true
+    // target lost 60% of its distinct mass → 600000 e6, outside 10%
+    val drained = Reconciliation.distinctSketchReport(
+      src, src.limit(20), "u", k = 64, toleranceE6 = 100000L).head()
+    drained.getAs[Long]("est_tgt") shouldBe 20L
+    drained.getAs[Long]("diff_e6") shouldBe 600000L
+    drained.getAs[Boolean]("within_tolerance") shouldBe false
+    // EMPTY target (all rows vanished): est 0, gap reads as 100%, fails
+    val empty = Reconciliation.distinctSketchReport(
+      src, src.filter("false"), "u", k = 64, toleranceE6 = 500000L).head()
+    empty.getAs[Long]("est_tgt") shouldBe 0L
+    empty.getAs[Long]("diff_e6") shouldBe 1000000L
+    empty.getAs[Boolean]("within_tolerance") shouldBe false
+  }
 }
