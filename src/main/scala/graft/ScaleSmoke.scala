@@ -135,7 +135,12 @@ object ScaleSmoke {
     // winnow decontamination's fingerprint pass, and the multi-report
     // data card (4 summary-space scans)
     "q240_reference_surprisal", "q241_winnow_decontaminate",
-    "q248_data_card")
+    "q248_data_card",
+    // round-18 KMV family: claimed the flattest scale shape in the repo
+    // (one partial/final aggregate, <= k longs per task x group, window
+    // folding on days x k longs) — measured here to keep that claim
+    // evidence, not assertion
+    "q250_kmv_distinct", "q255_kmv_rolling", "q259_cross_overlap")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
