@@ -361,6 +361,23 @@ object ConfigLoader {
                 "can never fail")
             dc
           },
+        overlapChecks =
+          asList(qm.getOrElse("overlap_checks", null)).map { r =>
+            val cm = asMap(r, "quality.overlap_checks[]")
+            val oc = OverlapCheck(
+              typeColumn = str(cm, "type_column", "overlap"),
+              itemColumn = str(cm, "item_column", "overlap"),
+              k = cm.get("k").map(_.toString.toInt).getOrElse(256),
+              maxJaccardE6 = cm.get("max_jaccard_e6").map(_.toString.toLong)
+                .getOrElse(500000L))
+            if (oc.k < 2)
+              throw new ConfigError("quality.overlap_checks[].k must be >= 2")
+            if (oc.maxJaccardE6 < 0L || oc.maxJaccardE6 >= 1000000L)
+              throw new ConfigError("quality.overlap_checks[]." +
+                "max_jaccard_e6 must be in [0, 1000000) - at 1000000 " +
+                "nothing can exceed it")
+            oc
+          },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

@@ -155,6 +155,15 @@ final case class DistinctCheck(groupBy: Seq[String], itemColumn: String,
     k: Int = 256, minCount: Option[Long] = None,
     maxCount: Option[Long] = None)
 
+/** Pairwise set-overlap contract (quality.Kmv.overlapReport): failedCount
+  * = (type_a, type_b) pairs whose estimated Jaccard over the per-type
+  * `itemColumn` sets exceeds `maxJaccardE6` — the duplicated-audience /
+  * contaminated-split alarm ("train and eval share 40% of their users"),
+  * read from ≤ k longs per type with no exact pass. Error ~1/√k on the
+  * Jaccard; size the threshold accordingly. */
+final case class OverlapCheck(typeColumn: String, itemColumn: String,
+    k: Int = 256, maxJaccardE6: Long = 500000L)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -170,6 +179,7 @@ final case class QualitySpec(
     popChecks: Seq[PopCheck] = Nil,
     quantileChecks: Seq[QuantileCheck] = Nil,
     distinctChecks: Seq[DistinctCheck] = Nil,
+    overlapChecks: Seq[OverlapCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

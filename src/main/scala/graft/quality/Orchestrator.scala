@@ -196,9 +196,20 @@ object Orchestrator {
         else row.getLong(1)
       Checks.CheckResult("distinct_check", label, failed)
     }
+    val overlapResults = spec.overlapChecks.map { oc =>
+      val label = s"${oc.typeColumn}/${oc.itemColumn}@k${oc.k}"
+      requireCols("overlap_check", label,
+        Seq(oc.typeColumn, oc.itemColumn))
+      // failedCount = type pairs whose sketch-estimated Jaccard exceeds
+      // the cap — the duplicated-audience/contaminated-split alarm; each
+      // type pays one bottom-k aggregate, the pair stage is types²×k longs
+      Checks.CheckResult("overlap_check", label,
+        Kmv.overlapReport(df, oc.typeColumn, oc.itemColumn, oc.k)
+          .filter(col("jaccard_e6") > oc.maxJaccardE6).count())
+    }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
       seasonalResults ++ correlationResults ++ hhiResults ++ popResults ++
-      quantileResults ++ distinctResults
+      quantileResults ++ distinctResults ++ overlapResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

@@ -982,6 +982,39 @@ class PipelineSpec extends SparkSpec {
       "distinct(user)@k64 by kind" -> 1L, "distinct(user)@k64" -> 0L)
   }
 
+  test("quality overlap_checks drive from YAML off KMV sketch pairs") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: contamination
+        |quality:
+        |  overlap_checks:
+        |    - {type_column: split, item_column: user, k: 128,
+        |       max_jaccard_e6: 300000}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.overlapChecks shouldBe Seq(
+      graft.config.OverlapCheck("split", "user", 128, 300000L))
+    // train∩eval = 30 of 70 (jaccard ~0.43 > 0.3 → the ONE failing
+    // pair); holdout is disjoint from both (jaccard 0). k=128 covers
+    // every union, so the estimates are exact and deterministic.
+    val rows = (1 to 50).map(i => ("train", s"u$i")) ++
+      (21 to 70).map(i => ("eval", s"u$i")) ++
+      (1000 to 1020).map(i => ("holdout", s"u$i"))
+    val df = rows.toDF("split", "user")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val byLabel = report.checkResults.filter(_.check == "overlap_check")
+      .map(c => c.column -> c.failedCount).toMap
+    byLabel shouldBe Map("split/user@k128" -> 1L)
+    // missing column fails loudly; degenerate thresholds fail at load
+    an[IllegalArgumentException] should be thrownBy
+      graft.quality.Orchestrator.run(df.drop("user"), cfg.quality)
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("max_jaccard_e6: 300000", "max_jaccard_e6: 1000000"))
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("k: 128,", "k: 1,"))
+  }
+
   test("layout block: rendezvous shard plan drives from YAML") {
     val yaml =
       """version: "1.0"
