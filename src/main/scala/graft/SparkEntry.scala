@@ -2356,6 +2356,21 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Directional CONTAINMENT from sketches — the decontamination
+    // metric proper: an eval-lang vocabulary 90% contained in a
+    // training source is a leak even when the Jaccard is tiny (the
+    // training side dwarfs it). |A∩B|/|A| and the mirror, both from
+    // the merged theta sample, both hash-compared.
+    "q262_kmv_containment" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(col("source"), col("lang"), col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("tok"))
+      Kmv.containmentReport(
+        toks, "source", "tok",
+        toks.filter(col("doc_id") % 50 === 0), "lang", "tok", k = 64)
+        .orderBy("type_a", "type_b")
+    }),
+
     // Rendezvous (HRW) resharding plan, 8 → 10 shards: every
     // (from, to) cell with its key count — row-local argmax-of-md5
     // routing whose growth moves only the keys claimed by the NEW
@@ -5195,6 +5210,53 @@ object SparkEntry {
         | est_kmv - coalesce(lag(est_kmv, 1) OVER (ORDER BY day), 0)
         |  AS est_new
         |FROM e ORDER BY day""".stripMargin,
+    // q262: q259's sketch pairs with per-side estimates and the
+    // two-stage containment divisions (denominators are estimates, up
+    // to the 1e14 ceiling — remainder·1e6 would overflow).
+    "q262_kmv_containment" ->
+      s"""WITH a0 AS (SELECT source AS g,
+        |  unnest(string_split(trim(text), ' ')) AS u FROM documents),
+        |a1 AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM a0
+        |  WHERE u IS NOT NULL),
+        |rka AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM a1),
+        |ska AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rka
+        |  WHERE rn <= 64 GROUP BY g),
+        |b0 AS (SELECT lang AS g,
+        |  unnest(string_split(trim(text), ' ')) AS u FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |b1 AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv FROM b0
+        |  WHERE u IS NOT NULL),
+        |rkb AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM b1),
+        |skb AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rkb
+        |  WHERE rn <= 64 GROUP BY g),
+        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.kmv AS sa,
+        |  b.kmv AS sb FROM ska a CROSS JOIN skb b),
+        |m AS (SELECT *, list_sort(list_distinct(list_concat(sa, sb)))
+        |  AS alls FROM p),
+        |mm AS (SELECT *, alls[1:64] AS merged FROM m),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(merged) AS BIGINT) AS k_used,
+        |  CAST(len(list_filter(merged, v -> list_contains(sa, v)
+        |    AND list_contains(sb, v))) AS BIGINT) AS n_inter_k,
+        |  ${kmvEstSql(64, "sa")} AS est_a,
+        |  ${kmvEstSql(64, "sb")} AS est_b,
+        |  ${kmvEstSql(64, "alls")} AS est_union
+        | FROM mm),
+        |y AS (SELECT type_a, type_b, k_used, n_inter_k, est_a, est_b,
+        |  n_inter_k * est_union // k_used AS est_inter FROM x)
+        |SELECT type_a, type_b, k_used, n_inter_k, est_a, est_b,
+        | est_inter,
+        | (est_inter // greatest(est_a, 1)) * 1000000 +
+        |  ((est_inter % greatest(est_a, 1)) * 1000
+        |   // greatest(est_a, 1)) * 1000 AS cont_a_in_b_e6,
+        | (est_inter // greatest(est_b, 1)) * 1000000 +
+        |  ((est_inter % greatest(est_b, 1)) * 1000
+        |   // greatest(est_b, 1)) * 1000 AS cont_b_in_a_e6
+        |FROM y ORDER BY type_a, type_b""".stripMargin,
     // q258: the argmax replayed as a struct list_max over the same
     // "key#s" md5-prefix weights (ties, were they possible, break to
     // the higher shard id in both engines via the (w, s) struct order).

@@ -134,6 +134,46 @@ object Kmv {
     overlapFromSketchPairs(a.crossJoin(b), k)
   }
 
+  /** Directional CONTAINMENT between two corpora's per-group item sets,
+    * from sketches alone: cont_a_in_b = |A∩B| / |A| (and the mirror) —
+    * the decontamination metric proper (an eval suite 90% contained in
+    * a training domain is a leak even when the Jaccard is tiny because
+    * the training side is huge). Intersection from the merged-bottom-k
+    * theta sample, each denominator from that side's own sketch; the
+    * 10⁶ scale applied via the two-stage quotient/remainder split
+    * (denominators are ESTIMATES, up to the 10¹⁴ ceiling — a single
+    * remainder·10⁶ would overflow BIGINT; fraction exact to 10⁻³). */
+  def containmentReport(dfA: DataFrame, typeColA: String,
+      itemColA: String, dfB: DataFrame, typeColB: String,
+      itemColB: String, k: Int): DataFrame = {
+    val a = sketches(dfA, Seq(typeColA), itemColA, k)
+      .select(col(typeColA).as("type_a"), col("kmv").as("sk_a"))
+    val b = sketches(dfB, Seq(typeColB), itemColB, k)
+      .select(col(typeColB).as("type_b"), col("kmv").as("sk_b"))
+    def contE6(denom: String): Column = expr(
+      s"(est_inter div greatest($denom, 1)) * 1000000 + " +
+        s"((est_inter % greatest($denom, 1)) * 1000" +
+        s" div greatest($denom, 1)) * 1000")
+    a.crossJoin(b)
+      .withColumn("__all", array_sort(array_distinct(
+        concat(col("sk_a"), col("sk_b")))))
+      .withColumn("__merged", slice(col("__all"), 1, k))
+      .withColumn("k_used", size(col("__merged")).cast("long"))
+      .withColumn("n_inter_k", size(array_intersect(
+        array_intersect(col("__merged"), col("sk_a")), col("sk_b")))
+        .cast("long"))
+      .withColumn("est_a", estimate(col("sk_a"), k))
+      .withColumn("est_b", estimate(col("sk_b"), k))
+      .withColumn("__est_union", estimate(col("__all"), k))
+      .withColumn("est_inter",
+        expr("n_inter_k * __est_union div k_used"))
+      .withColumn("cont_a_in_b_e6", contE6("est_a"))
+      .withColumn("cont_b_in_a_e6", contE6("est_b"))
+      .select(col("type_a"), col("type_b"), col("k_used"),
+        col("n_inter_k"), col("est_a"), col("est_b"), col("est_inter"),
+        col("cont_a_in_b_e6"), col("cont_b_in_a_e6"))
+  }
+
   /** The shared theta math over (type_a, type_b, sk_a, sk_b) pairs. */
   private def overlapFromSketchPairs(pairs: DataFrame, k: Int): DataFrame =
     pairs

@@ -107,6 +107,29 @@ class KmvSpec extends SparkSpec {
     r.getAs[Long]("est_only_b") shouldBe 51L
   }
 
+  test("containmentReport: exact directional containment on covered unions") {
+    val a = (ids("s1", 1, 40) ++ ids("s2", 100, 120)).toDF("t", "u")
+    val b = (ids("e1", 21, 60) ++ ids("e2", 31, 40)).toDF("t", "u")
+    val out = Kmv.containmentReport(a, "t", "u", b, "t", "u", k = 128)
+      .collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r)
+      .toMap
+    val r11 = out(("s1", "e1")) // |s1|=40, |e1|=40, inter = 20
+    r11.getAs[Long]("est_a") shouldBe 40L
+    r11.getAs[Long]("est_b") shouldBe 40L
+    r11.getAs[Long]("est_inter") shouldBe 20L
+    r11.getAs[Long]("cont_a_in_b_e6") shouldBe 500000L
+    r11.getAs[Long]("cont_b_in_a_e6") shouldBe 500000L
+    // e2 = 31..40 is FULLY contained in s1 (tiny Jaccard, total leak):
+    // the directional metric reads 100% where Jaccard reads 25%
+    val r12 = out(("s1", "e2"))
+    r12.getAs[Long]("est_inter") shouldBe 10L
+    r12.getAs[Long]("cont_b_in_a_e6") shouldBe 1000000L
+    r12.getAs[Long]("cont_a_in_b_e6") shouldBe 250000L
+    // disjoint pair: zero everywhere
+    out(("s2", "e2")).getAs[Long]("cont_a_in_b_e6") shouldBe 0L
+  }
+
   test("foldSketches: fold of split halves == one-shot rebuild") {
     val all = ids("a", 1, 900) ++ ids("b", 1, 40)
     val (h1, h2) = all.partition(_._2.hashCode % 2 == 0)
