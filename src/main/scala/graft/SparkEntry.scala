@@ -2356,6 +2356,17 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // Day-over-day user churn from consecutive daily sketches: per
+    // (d, d+1) pair, retained (est_inter), churned (est_only_a) and
+    // new (est_only_b) users — the DAU stability dashboard from one
+    // daily sketch mart, every estimate hash-compared.
+    "q263_kmv_churn" -> ((s, dir) =>
+      Kmv.consecutiveOverlap(
+        Tables.load(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"), col("user_id")),
+        "day", "user_id", k = 64)
+        .orderBy("type_a")),
+
     // Directional CONTAINMENT from sketches — the decontamination
     // metric proper: an eval-lang vocabulary 90% contained in a
     // training source is a leak even when the Jaccard is tiny (the
@@ -5210,6 +5221,41 @@ object SparkEntry {
         | est_kmv - coalesce(lag(est_kmv, 1) OVER (ORDER BY day), 0)
         |  AS est_new
         |FROM e ORDER BY day""".stripMargin,
+    // q263: daily bottom-k lists joined on the day lattice, the q251
+    // theta tail over (d, d+1) pairs.
+    "q263_kmv_churn" ->
+      s"""WITH d AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |  user_id AS u FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT DISTINCT day,
+        |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM d),
+        |rk AS (SELECT day, hv,
+        |  row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT day, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 64 GROUP BY day),
+        |p AS (SELECT a.day AS type_a, b.day AS type_b, a.kmv AS sa,
+        |  b.kmv AS sb FROM sk a JOIN sk b ON b.day = a.day + 1),
+        |m AS (SELECT *, list_sort(list_distinct(list_concat(sa, sb)))
+        |  AS alls FROM p),
+        |mm AS (SELECT *, alls[1:64] AS merged FROM m),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(merged) AS BIGINT) AS k_used,
+        |  CAST(len(list_filter(merged, v -> list_contains(sa, v)
+        |    AND list_contains(sb, v))) AS BIGINT) AS n_inter_k,
+        |  CAST(len(list_filter(merged, v -> list_contains(sa, v)
+        |    AND NOT list_contains(sb, v))) AS BIGINT) AS n_only_a,
+        |  CAST(len(list_filter(merged, v -> list_contains(sb, v)
+        |    AND NOT list_contains(sa, v))) AS BIGINT) AS n_only_b,
+        |  ${kmvEstSql(64, "alls")} AS est_union
+        | FROM mm)
+        |SELECT CAST(type_a AS BIGINT) AS type_a,
+        | CAST(type_b AS BIGINT) AS type_b, k_used, n_inter_k,
+        | n_inter_k * 1000000 // k_used AS jaccard_e6,
+        | est_union,
+        | n_inter_k * est_union // k_used AS est_inter,
+        | n_only_a * est_union // k_used AS est_only_a,
+        | n_only_b * est_union // k_used AS est_only_b
+        |FROM x ORDER BY type_a""".stripMargin,
     // q262: q259's sketch pairs with per-side estimates and the
     // two-stage containment divisions (denominators are estimates, up
     // to the 1e14 ceiling — remainder·1e6 would overflow).

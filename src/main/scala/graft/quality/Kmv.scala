@@ -174,6 +174,23 @@ object Kmv {
         col("cont_a_in_b_e6"), col("cont_b_in_a_e6"))
   }
 
+  /** Day-over-day overlap between CONSECUTIVE `dayCol` values' item
+    * sets — the churn decomposition from sketches: per (d, d+1) pair,
+    * est_inter = retained, est_only_a = churned (active on d, gone on
+    * d+1), est_only_b = new. One daily sketch mart, one self-join on
+    * the day lattice (days×2k longs), the same theta math and replay
+    * as [[overlapReport]]. Days with no successor emit nothing. */
+  def consecutiveOverlap(df: DataFrame, dayCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    val daily = sketches(df, Seq(dayCol), itemCol, k)
+    val a = daily.select(col(dayCol).cast("long").as("type_a"),
+      col("kmv").as("sk_a"))
+    val b = daily.select((col(dayCol).cast("long") - 1L).as("__prev"),
+      col(dayCol).cast("long").as("type_b"), col("kmv").as("sk_b"))
+    overlapFromSketchPairs(
+      a.join(b, col("type_a") === col("__prev")).drop("__prev"), k)
+  }
+
   /** The shared theta math over (type_a, type_b, sk_a, sk_b) pairs. */
   private def overlapFromSketchPairs(pairs: DataFrame, k: Int): DataFrame =
     pairs

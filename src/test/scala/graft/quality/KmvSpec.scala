@@ -130,6 +130,26 @@ class KmvSpec extends SparkSpec {
     out(("s2", "e2")).getAs[Long]("cont_a_in_b_e6") shouldBe 0L
   }
 
+  test("consecutiveOverlap: churn decomposition on covered day pairs") {
+    // day1 {u1..u30}, day2 {u21..u50}, day3 {u46..u50}; k covers unions
+    val rows = (1 to 30).map(i => (1L, s"u$i")) ++
+      (21 to 50).map(i => (2L, s"u$i")) ++
+      (46 to 50).map(i => (3L, s"u$i"))
+    val out = Kmv.consecutiveOverlap(rows.toDF("day", "u"), "day", "u",
+        k = 128)
+      .collect().map(r => r.getAs[Long]("type_a") -> r).toMap
+    out.keySet shouldBe Set(1L, 2L) // day 3 has no successor
+    val d12 = out(1L)
+    d12.getAs[Long]("type_b") shouldBe 2L
+    d12.getAs[Long]("est_inter") shouldBe 10L  // retained u21..u30
+    d12.getAs[Long]("est_only_a") shouldBe 20L // churned u1..u20
+    d12.getAs[Long]("est_only_b") shouldBe 20L // new u31..u50
+    val d23 = out(2L)
+    d23.getAs[Long]("est_inter") shouldBe 5L
+    d23.getAs[Long]("est_only_a") shouldBe 25L
+    d23.getAs[Long]("est_only_b") shouldBe 0L
+  }
+
   test("foldSketches: fold of split halves == one-shot rebuild") {
     val all = ids("a", 1, 900) ++ ids("b", 1, 40)
     val (h1, h2) = all.partition(_._2.hashCode % 2 == 0)
