@@ -178,6 +178,16 @@ object Bench {
     val regressions = ratios
       .filter { case (n, r) => r > 2.0 && rawRatios.getOrElse(n, 0.0) > 2.0 }
       .toSeq.sortBy(-_._2)
+    // DISPUTED: exactly one family exceeds 2× — e.g. a real regression
+    // masked by a coincident host-epoch speedup (raw ≈ 1×, normalized
+    // > 2×) or vice versa. Not auto-flagged as a regression, but surfaced
+    // so the disagreement is visible instead of silently dropped
+    // (ADVICE r18). Listed with both ratios so the reader sees which
+    // family fired.
+    val disputed = ratios
+      .filter { case (n, r) =>
+        (r > 2.0) != (rawRatios.getOrElse(n, 0.0) > 2.0) }
+      .toSeq.sortBy { case (_, r) => -r }
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.
     val qs = results.map { case (k, v, ok, _) =>
@@ -211,11 +221,16 @@ object Bench {
     val regressJson = regressions.take(10)
       .map { case (k, r) => "\"" + k + ":" + f"$r%.2f" + "x\"" }
       .mkString("[", ",", "]")
-    val detail = f"""{"queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"calib_version":2,"calib_sec":$calibSec%.3f,"calib_reps":$calibJson,"reps":$reps,"sf":"$sfDir","n_queries":${results.size},"median_ratio_vs_prev":$medianJson,"median_ratio_raw_vs_prev":$medianRawJson,"ratios_vs_prev":$ratioJson,"ratios_raw_vs_prev":$rawRatioJson}"""
+    val disputedJson = disputed.take(10)
+      .map { case (k, r) =>
+        val raw = rawRatios.getOrElse(k, 0.0)
+        "\"" + k + ":" + f"$r%.2f" + "x calib/" + f"$raw%.2f" + "x raw\"" }
+      .mkString("[", ",", "]")
+    val detail = f"""{"queries":$qs,"times":$ts,"errors":$errors,"warmup_sec":$warmupSec%.3f,"calib_version":2,"calib_sec":$calibSec%.3f,"calib_reps":$calibJson,"reps":$reps,"sf":"$sfDir","n_queries":${results.size},"median_ratio_vs_prev":$medianJson,"median_ratio_raw_vs_prev":$medianRawJson,"n_disputed_over_2x":${disputed.size},"disputed_over_2x":$disputedJson,"ratios_vs_prev":$ratioJson,"ratios_raw_vs_prev":$rawRatioJson}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
     System.err.println(detail)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errors,"sf":"$sfDir","n_queries":${results.size},"calib_sec":$calibSec%.3f,"median_ratio_vs_prev":$medianJson,"median_ratio_raw_vs_prev":$medianRawJson,"n_regressions_over_2x":${regressions.size},"regressions_over_2x":$regressJson,"detail_path":"$detailPath"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$errors,"sf":"$sfDir","n_queries":${results.size},"calib_sec":$calibSec%.3f,"median_ratio_vs_prev":$medianJson,"median_ratio_raw_vs_prev":$medianRawJson,"n_regressions_over_2x":${regressions.size},"regressions_over_2x":$regressJson,"n_disputed_over_2x":${disputed.size},"disputed_over_2x":$disputedJson,"detail_path":"$detailPath"}""")
     spark.stop()
   }
 }

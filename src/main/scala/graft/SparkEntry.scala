@@ -5296,11 +5296,15 @@ object SparkEntry {
         |  n_inter_k * est_union // k_used AS est_inter FROM x)
         |SELECT type_a, type_b, k_used, n_inter_k, est_a, est_b,
         | est_inter,
-        | (est_inter // greatest(est_a, 1)) * 1000000 +
-        |  ((est_inter % greatest(est_a, 1)) * 1000
+        | (least(est_inter, greatest(est_a, 1) * 1000)
+        |   // greatest(est_a, 1)) * 1000000 +
+        |  ((least(est_inter, greatest(est_a, 1) * 1000)
+        |    % greatest(est_a, 1)) * 1000
         |   // greatest(est_a, 1)) * 1000 AS cont_a_in_b_e6,
-        | (est_inter // greatest(est_b, 1)) * 1000000 +
-        |  ((est_inter % greatest(est_b, 1)) * 1000
+        | (least(est_inter, greatest(est_b, 1) * 1000)
+        |   // greatest(est_b, 1)) * 1000000 +
+        |  ((least(est_inter, greatest(est_b, 1) * 1000)
+        |    % greatest(est_b, 1)) * 1000
         |   // greatest(est_b, 1)) * 1000 AS cont_b_in_a_e6
         |FROM y ORDER BY type_a, type_b""".stripMargin,
     // q258: the argmax replayed as a struct list_max over the same

@@ -2,6 +2,7 @@ package graft.quality
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** K-Minimum-Values distinct sketches over the repo's one hash
   * convention — the REPLAYABLE approximate-distinct surface, sibling to
@@ -142,7 +143,16 @@ object Kmv {
     * theta sample, each denominator from that side's own sketch; the
     * 10⁶ scale applied via the two-stage quotient/remainder split
     * (denominators are ESTIMATES, up to the 10¹⁴ ceiling — a single
-    * remainder·10⁶ would overflow BIGINT; fraction exact to 10⁻³). */
+    * remainder·10⁶ would overflow BIGINT; fraction exact to 10⁻³, so
+    * read cont_*_e6 as millionths with 10⁻³ resolution, not 10⁻⁶).
+    *
+    * cont_*_e6 CAN legitimately exceed 1 000 000: est_inter and the
+    * denominator are independent estimates, so noise can put the ratio
+    * above 1. The ratio is clamped at 1000× the denominator (the err_e6
+    * ceiling convention — anything past 1000× is equally "broken"),
+    * which also keeps every intermediate inside BIGINT for EVERY k ≥ 2
+    * (an unclamped quotient at the 10¹⁴ EstCeiling would overflow the
+    * ·10⁶ product once k_used < ~11). */
   def containmentReport(dfA: DataFrame, typeColA: String,
       itemColA: String, dfB: DataFrame, typeColB: String,
       itemColB: String, k: Int): DataFrame = {
@@ -150,9 +160,14 @@ object Kmv {
       .select(col(typeColA).as("type_a"), col("kmv").as("sk_a"))
     val b = sketches(dfB, Seq(typeColB), itemColB, k)
       .select(col(typeColB).as("type_b"), col("kmv").as("sk_b"))
+    // clamp BEFORE the split: num ≤ denom·1000 ≤ 10¹⁷, quotient ≤ 1000
+    // → ·10⁶ ≤ 10⁹, remainder < denom ≤ 10¹⁴ → ·10³ ≤ 10¹⁷ — every
+    // intermediate BIGINT-safe regardless of k (ADVICE r18).
     def contE6(denom: String): Column = expr(
-      s"(est_inter div greatest($denom, 1)) * 1000000 + " +
-        s"((est_inter % greatest($denom, 1)) * 1000" +
+      s"(least(est_inter, greatest($denom, 1) * 1000)" +
+        s" div greatest($denom, 1)) * 1000000 + " +
+        s"((least(est_inter, greatest($denom, 1) * 1000)" +
+        s" % greatest($denom, 1)) * 1000" +
         s" div greatest($denom, 1)) * 1000")
     a.crossJoin(b)
       .withColumn("__all", array_sort(array_distinct(
@@ -182,6 +197,17 @@ object Kmv {
     * as [[overlapReport]]. Days with no successor emit nothing. */
   def consecutiveOverlap(df: DataFrame, dayCol: String, itemCol: String,
       k: Int): DataFrame = {
+    // the (d, d+1) lattice is built by integer arithmetic on dayCol; a
+    // date/string column would cast to NULL under non-ANSI semantics and
+    // silently emit ZERO pairs — fail loudly at plan time instead
+    // (the rendezvousShard null-key convention, ADVICE r18)
+    df.schema(dayCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"consecutiveOverlap: dayCol '$dayCol' must be integral " +
+          s"(epoch-day), got ${other.simpleString} - cast dates to " +
+          "epoch-days upstream; a lossy cast would silently emit no pairs")
+    }
     val daily = sketches(df, Seq(dayCol), itemCol, k)
     val a = daily.select(col(dayCol).cast("long").as("type_a"),
       col("kmv").as("sk_a"))
@@ -236,7 +262,13 @@ object Kmv {
   /** [[rollingDistinct]] per group — "weekly actives per event type"
     * from the same per-(group, day) sketch mart. The day list stays a
     * single broadcast (days are global); the re-aggregation keys on
-    * (group, window-day), so state is ≤ groups × days × k longs. */
+    * (group, window-day), so state is ≤ groups × days × k longs.
+    *
+    * Contract on `windowDays = 0` (cumulative mode): the growth curve
+    * re-aggregates O(days²/2) (day × window-day) sketch pairs — harmless
+    * at DAY granularity (years ≈ 10³ days → ~10⁵ pairs of ≤ k longs) but
+    * quadratic, so key cumulative curves by day, not by hour/minute; the
+    * trailing-window mode stays bounded at days × windowDays pairs. */
   def rollingDistinctBy(df: DataFrame, groupCols: Seq[String],
       dayCol: String, itemCol: String, k: Int,
       windowDays: Int = 0): DataFrame = {
