@@ -378,6 +378,31 @@ object ConfigLoader {
                 "nothing can exceed it")
             oc
           },
+        containmentChecks =
+          asList(qm.getOrElse("containment_checks", null)).map { r =>
+            val cm = asMap(r, "quality.containment_checks[]")
+            val cc = ContainmentCheck(
+              aTypeColumn = str(cm, "a_type_column", "containment"),
+              bTypeColumn = str(cm, "b_type_column", "containment"),
+              itemColumn = str(cm, "item_column", "containment"),
+              aFilter = cm.get("a_filter").map(_.toString),
+              bFilter = cm.get("b_filter").map(_.toString),
+              k = cm.get("k").map(_.toString.toInt).getOrElse(256),
+              maxContainmentE6 = cm.get("max_containment_e6")
+                .map(_.toString.toLong).getOrElse(500000L))
+            if (cc.k < 2)
+              throw new ConfigError(
+                "quality.containment_checks[].k must be >= 2")
+            // containment CAN exceed 1e6 (independent estimates), but is
+            // clamped at 1000x the denominator = 1e9 micro-units; a cap
+            // at or past the clamp can never fail
+            if (cc.maxContainmentE6 < 0L || cc.maxContainmentE6 >= 1000000000L)
+              throw new ConfigError("quality.containment_checks[]." +
+                "max_containment_e6 must be in [0, 1000000000) - the " +
+                "estimate is clamped at 1000000000, so a cap at or past " +
+                "it can never fail")
+            cc
+          },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

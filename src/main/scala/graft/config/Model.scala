@@ -164,6 +164,24 @@ final case class DistinctCheck(groupBy: Seq[String], itemColumn: String,
 final case class OverlapCheck(typeColumn: String, itemColumn: String,
     k: Int = 256, maxJaccardE6: Long = 500000L)
 
+/** Directional-containment contract (quality.Kmv.containmentReport) —
+  * the declarative DECONTAMINATION gate: failedCount = (A-group ×
+  * B-group) pairs whose estimated containment |A∩B|/|A| exceeds
+  * `maxContainmentE6` — "no eval slice may be more than X% contained in
+  * any training domain", which Jaccard alone misses when the training
+  * side dwarfs the eval side. Side A (the contained side) is the rows
+  * matching `aFilter` (optional SQL predicate) grouped by `aTypeColumn`;
+  * side B the rows matching `bFilter` grouped by `bTypeColumn`; both
+  * sides read item sets from `itemColumn`, each paying one ≤ `k`-long
+  * sketch aggregate. When both sides group by the SAME column, self
+  * pairs (type_a = type_b) are excluded — a set is always contained in
+  * itself. Estimator noise can push the estimate past 10⁶ (clamped at
+  * 10⁹); error ~1/√k on the ratio — size the threshold accordingly. */
+final case class ContainmentCheck(aTypeColumn: String, bTypeColumn: String,
+    itemColumn: String, aFilter: Option[String] = None,
+    bFilter: Option[String] = None, k: Int = 256,
+    maxContainmentE6: Long = 500000L)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -180,6 +198,7 @@ final case class QualitySpec(
     quantileChecks: Seq[QuantileCheck] = Nil,
     distinctChecks: Seq[DistinctCheck] = Nil,
     overlapChecks: Seq[OverlapCheck] = Nil,
+    containmentChecks: Seq[ContainmentCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

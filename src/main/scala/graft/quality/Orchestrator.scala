@@ -207,9 +207,33 @@ object Orchestrator {
         Kmv.overlapReport(df, oc.typeColumn, oc.itemColumn, oc.k)
           .filter(col("jaccard_e6") > oc.maxJaccardE6).count())
     }
+    val containmentResults = spec.containmentChecks.map { cc =>
+      val label = s"${cc.aTypeColumn} in ${cc.bTypeColumn}/" +
+        s"${cc.itemColumn}@k${cc.k}"
+      requireCols("containment_check", label,
+        Seq(cc.aTypeColumn, cc.bTypeColumn, cc.itemColumn).distinct)
+      // the declarative decontamination gate: failedCount = (A-group ×
+      // B-group) pairs whose estimated |A∩B|/|A| exceeds the cap. Each
+      // side pays one ≤ k-long sketch aggregate; the pair stage is
+      // (|A groups| × |B groups|) rows of ≤ 2k longs — never row data.
+      // A bad filter expression fails loudly at analysis time.
+      val dfA = cc.aFilter.map(f => df.filter(expr(f))).getOrElse(df)
+      val dfB = cc.bFilter.map(f => df.filter(expr(f))).getOrElse(df)
+      val rep = Kmv.containmentReport(dfA, cc.aTypeColumn, cc.itemColumn,
+        dfB, cc.bTypeColumn, cc.itemColumn, cc.k)
+      // same grouping column on both sides → a group vs itself is
+      // always fully contained; only cross pairs are contracts
+      val pairs =
+        if (cc.aTypeColumn == cc.bTypeColumn)
+          rep.filter(col("type_a") =!= col("type_b"))
+        else rep
+      Checks.CheckResult("containment_check", label,
+        pairs.filter(col("cont_a_in_b_e6") > cc.maxContainmentE6).count())
+    }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
       seasonalResults ++ correlationResults ++ hhiResults ++ popResults ++
-      quantileResults ++ distinctResults ++ overlapResults
+      quantileResults ++ distinctResults ++ overlapResults ++
+      containmentResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

@@ -1015,6 +1015,58 @@ class PipelineSpec extends SparkSpec {
       yaml.replace("k: 128,", "k: 1,"))
   }
 
+  test("quality containment_checks drive the decontamination gate from YAML") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: decontamination
+        |quality:
+        |  containment_checks:
+        |    - {a_type_column: split, b_type_column: split,
+        |       item_column: user, a_filter: "split like 'eval%'",
+        |       b_filter: "split not like 'eval%'", k: 128,
+        |       max_containment_e6: 500000}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.containmentChecks shouldBe Seq(
+      graft.config.ContainmentCheck("split", "split", "user",
+        Some("split like 'eval%'"), Some("split not like 'eval%'"),
+        128, 500000L))
+    // eval_a = {u1..u8, u900, u901}: 8 of its 10 users sit inside train
+    // {u1..u50} → containment 0.8 > 0.5 (the ONE failing pair: eval_a ×
+    // train); eval_b = {u100..u109} is disjoint from train (containment
+    // 0). k=128 covers every union, so estimates are exact/deterministic.
+    val all = (1 to 50).map(i => ("train", s"u$i")) ++
+      (1 to 8).map(i => ("eval_a", s"u$i")) ++
+      Seq(("eval_a", "u900"), ("eval_a", "u901")) ++
+      (100 to 109).map(i => ("eval_b", s"u$i"))
+    val df = all.toDF("split", "user")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val byLabel = report.checkResults
+      .filter(_.check == "containment_check")
+      .map(c => c.column -> c.failedCount).toMap
+    byLabel shouldBe Map("split in split/user@k128" -> 1L)
+    // same-column gate without filters excludes self pairs: every split
+    // is fully contained in itself, which must NOT count as a leak
+    val cfgAll = ConfigLoader.parse(yaml
+      .replace(" a_filter: \"split like 'eval%'\",", "")
+      .replace(" b_filter: \"split not like 'eval%'\",", ""))
+    cfgAll.quality.containmentChecks.head.aFilter shouldBe None
+    val allPairs = graft.quality.Orchestrator.run(df, cfgAll.quality)
+      .checkResults.filter(_.check == "containment_check").head
+    // eval_a⊂train (0.8) fails; self pairs excluded; train-in-eval_a
+    // (8/50 = 0.16), eval_b pairs (0) pass
+    allPairs.failedCount shouldBe 1L
+    // missing column fails loudly; degenerate thresholds fail at load
+    an[Exception] should be thrownBy
+      graft.quality.Orchestrator.run(df.drop("user"), cfg.quality)
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("max_containment_e6: 500000",
+        "max_containment_e6: 1000000000"))
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("k: 128,", "k: 1,"))
+  }
+
   test("layout block: rendezvous shard plan drives from YAML") {
     val yaml =
       """version: "1.0"
