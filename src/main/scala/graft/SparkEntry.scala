@@ -2367,6 +2367,49 @@ object SparkEntry {
         "day", "user_id", k = 64)
         .orderBy("type_a")),
 
+    // Multi-salt KMV error audit — q256 de-noised: q256's single-draw
+    // table showed k=128 WORSE than k=64 (8.4% vs 6.0% mean err), pure
+    // one-salt variance that would mislead anyone sizing k. Here the
+    // same (type, user-day) sets are hashed under 5 independent salts
+    // (md5 of "salt|value") and the per-k MEAN-OF-CELLS absolute error
+    // published — 25 cells per k, where 1/√k shows. One row-grain pass
+    // (salt-exploded ×5), ONE k=256 sketch per (type, salt): a bottom-16
+    // sketch is a PREFIX of a bottom-256 under the same hash, so every
+    // smaller k's estimate reads from a slice instead of re-aggregating.
+    "q264_kmv_error_multisalt" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          concat(col("user_id").cast("string"), lit("|"),
+            expr("ts div 86400000000000").cast("string")).as("u_day"))
+        .filter(col("u_day").isNotNull)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("u_day").as("n_exact"))
+      val salted = ev
+        .withColumn("salt", explode(lit((0L to 4L).toArray)))
+        .select(col("event_type"), col("salt"),
+          concat(col("salt").cast("string"), lit("|"), col("u_day"))
+            .as("item"))
+      val sk = salted.groupBy("event_type", "salt")
+        .agg(call_function("kmv_sketch", Kmv.hash60(col("item")),
+          lit(256)).as("kmv"))
+      Seq(16, 64, 128, 256).map { k =>
+        sk.join(exact, "event_type")
+          .select(lit(k.toLong).as("k"), col("event_type"), col("salt"),
+            col("n_exact"),
+            Kmv.estimate(slice(col("kmv"), 1, k), k).as("est"))
+      }.reduce(_.unionByName(_))
+        // |err| clamped at 1000× then e6-scaled via the distinctReport
+        // quotient/remainder split (all intermediates BIGINT-safe)
+        .withColumn("__ae", expr("least(abs(est - n_exact), n_exact * 1000)"))
+        .withColumn("abs_err_e6", expr("(__ae div n_exact) * 1000000 + " +
+          "(__ae % n_exact) * 1000000 div n_exact"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_cells"),
+          expr("sum(abs_err_e6) div count(1)").as("mean_abs_err_e6"),
+          max("abs_err_e6").as("max_abs_err_e6"))
+        .orderBy("k")
+    }),
+
     // Directional CONTAINMENT from sketches — the decontamination
     // metric proper: an eval-lang vocabulary 90% contained in a
     // training source is a leak even when the Jaccard is tiny (the
@@ -5307,6 +5350,41 @@ object SparkEntry {
         |    % greatest(est_b, 1)) * 1000
         |   // greatest(est_b, 1)) * 1000 AS cont_b_in_a_e6
         |FROM y ORDER BY type_a, type_b""".stripMargin,
+    // q264: the q256 ranked-hash replay fanned out over 5 salts (hash of
+    // "salt|value"), one rank stream per (type, salt), sliced at every k;
+    // the per-k mean is an integer div of the summed cell errors.
+    "q264_kmv_error_multisalt" ->
+      """WITH d0 AS (SELECT DISTINCT event_type AS g,
+        |  CAST(user_id AS VARCHAR) || '|' ||
+        |    CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |d AS (SELECT g, u FROM d0 WHERE u IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_exact FROM d
+        |  GROUP BY g),
+        |salts AS (SELECT unnest([0, 1, 2, 3, 4]) AS s),
+        |h AS (SELECT DISTINCT g, s,
+        |  ('0x' || substr(md5(CAST(s AS VARCHAR) || '|' || u), 1, 15))
+        |    ::BIGINT AS hv FROM d CROSS JOIN salts),
+        |rk AS (SELECT g, s, hv,
+        |  row_number() OVER (PARTITION BY g, s ORDER BY hv) AS rn FROM h),
+        |ks AS (SELECT unnest([16, 64, 128, 256]) AS k),
+        |sk AS (SELECT ks.k, rk.g, rk.s, list(hv ORDER BY hv) AS kmv
+        |  FROM rk JOIN ks ON rk.rn <= ks.k GROUP BY ks.k, rk.g, rk.s),
+        |e AS (SELECT sk.k, sk.g, sk.s, n.n_exact,
+        |  CASE WHEN len(kmv) < sk.k THEN CAST(len(kmv) AS BIGINT)
+        |   ELSE CAST(least(round((sk.k - 1) * 1152921504606846976.0 /
+        |     CAST(greatest(kmv[len(kmv)], 1) AS DOUBLE)),
+        |     100000000000000.0) AS BIGINT) END AS est
+        | FROM sk JOIN n ON sk.g = n.g),
+        |c AS (SELECT k, least(abs(est - n_exact), n_exact * 1000) AS ae,
+        |  n_exact FROM e),
+        |x AS (SELECT k, (ae // n_exact) * 1000000 +
+        |  (ae % n_exact) * 1000000 // n_exact AS abs_err_e6 FROM c)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_cells,
+        | CAST(CAST(sum(abs_err_e6) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |   AS BIGINT) AS mean_abs_err_e6,
+        | max(abs_err_e6) AS max_abs_err_e6
+        |FROM x GROUP BY k ORDER BY k""".stripMargin,
     // q258: the argmax replayed as a struct list_max over the same
     // "key#s" md5-prefix weights (ties, were they possible, break to
     // the higher shard id in both engines via the (w, s) struct order).
