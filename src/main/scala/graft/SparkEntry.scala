@@ -2410,6 +2410,47 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Replayable approximate QUANTILES — the sketch family the quality
+    // surface lacked: a deterministic md5-keyed uniform row sample
+    // (native kmv_values: bottom-k by row-id hash, carrying the value)
+    // gives per-group order statistics that replay in DuckDB the way
+    // KMV distinct estimates do — unlike GK approx_percentile, whose
+    // state is engine-internal. ≤ k (hash, value) pairs per task×group,
+    // no row-grain shuffle; p25/p50/p90/p99 of line price (cents, the
+    // e2 convention) per return flag, every cell hash-compared.
+    "q265_kmv_quantiles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          concat(col("l_orderkey").cast("string"), lit("|"),
+            col("l_linenumber").cast("string")).as("rid"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
+      Kmv.quantileReport(li, Seq("l_returnflag"), "rid", "price_e2",
+        k = 128, qE6s = Seq(250000L, 500000L, 900000L, 990000L))
+        .orderBy("l_returnflag")
+    }),
+
+    // Value-sample FOLD ≡ one-shot rebuild (the q252 posture for
+    // quantiles): per-half value sketches folded into one state, whose
+    // quantiles the oracle computes from the FULL corpus in one pass —
+    // bottom-k-by-hash of a union of bottom-ks is the union's bottom-k,
+    // so they must hash-match. This is the mergeable path: daily
+    // quantile marts re-aggregate sample frames, never history.
+    "q266_kmv_quantile_fold" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          concat(col("l_orderkey").cast("string"), lit("|"),
+            col("l_linenumber").cast("string")).as("rid"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_e2"))
+      val state = Kmv.valueSketches(li.filter(col("l_orderkey") % 2 === 0),
+        Seq("l_returnflag"), "rid", "price_e2", k = 128)
+      val delta = Kmv.valueSketches(li.filter(col("l_orderkey") % 2 =!= 0),
+        Seq("l_returnflag"), "rid", "price_e2", k = 128)
+      Kmv.quantilesFromValueSketches(
+        Kmv.foldValueSketches(state, delta, Seq("l_returnflag"), k = 128),
+        Seq("l_returnflag"), Seq(500000L, 900000L))
+        .orderBy("l_returnflag")
+    }),
+
     // Directional CONTAINMENT from sketches — the decontamination
     // metric proper: an eval-lang vocabulary 90% contained in a
     // training source is a leak even when the Jaccard is tiny (the
@@ -5385,6 +5426,55 @@ object SparkEntry {
         |   AS BIGINT) AS mean_abs_err_e6,
         | max(abs_err_e6) AS max_abs_err_e6
         |FROM x GROUP BY k ORDER BY k""".stripMargin,
+    // q265: the value sample replayed — bottom-128 row-id hashes per
+    // group carrying min(v) per hash (the collision rule), values listed
+    // ascending, each quantile the same clamped ceil-rank pick.
+    "q265_kmv_quantiles" ->
+      """WITH d AS (SELECT l_returnflag AS g,
+        |  CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) AS rid,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |h AS (SELECT g, ('0x' || substr(md5(rid), 1, 15))::BIGINT AS hv,
+        |  min(v) AS v FROM d WHERE rid IS NOT NULL AND v IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT g, hv, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(v ORDER BY v) AS sv,
+        |  CAST(count(*) AS BIGINT) AS k_used
+        |  FROM rk WHERE rn <= 128 GROUP BY g)
+        |SELECT g AS l_returnflag, k_used,
+        | sv[CAST(greatest(1, (250000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_250000,
+        | sv[CAST(greatest(1, (500000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_500000,
+        | sv[CAST(greatest(1, (900000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_900000,
+        | sv[CAST(greatest(1, (990000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_990000
+        |FROM sk ORDER BY l_returnflag""".stripMargin,
+    // q266: the fold's oracle is the ONE-SHOT sample over the full
+    // corpus — fold ≡ rebuild is the structural claim under test.
+    "q266_kmv_quantile_fold" ->
+      """WITH d AS (SELECT l_returnflag AS g,
+        |  CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) AS rid,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |h AS (SELECT g, ('0x' || substr(md5(rid), 1, 15))::BIGINT AS hv,
+        |  min(v) AS v FROM d WHERE rid IS NOT NULL AND v IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT g, hv, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(v ORDER BY v) AS sv,
+        |  CAST(count(*) AS BIGINT) AS k_used
+        |  FROM rk WHERE rn <= 128 GROUP BY g)
+        |SELECT g AS l_returnflag, k_used,
+        | sv[CAST(greatest(1, (500000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_500000,
+        | sv[CAST(greatest(1, (900000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_900000
+        |FROM sk ORDER BY l_returnflag""".stripMargin,
     // q258: the argmax replayed as a struct list_max over the same
     // "key#s" md5-prefix weights (ties, were they possible, break to
     // the higher shard id in both engines via the (w, s) struct order).

@@ -150,6 +150,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketch(children.head, litInt(children(1), "k"))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("kmv_values"),
+      new ExpressionInfo(classOf[KmvValues].getName, "kmv_values"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "kmv_values takes (integral hash column, integral value column, k literal)")
+        KmvValues(children(0), children(1), litInt(children(2), "k"))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => {

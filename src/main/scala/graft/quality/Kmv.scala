@@ -289,6 +289,83 @@ object Kmv {
         estimate(col("kmv"), k).as("est_kmv")): _*)
   }
 
+  // ---- replayable approximate quantiles (value-carrying sample) ------
+
+  /** Per-group deterministic VALUE sample: the rows whose md5 row-id
+    * hash is among the k smallest, as an ascending-by-hash array of
+    * (h, v) structs (native `kmv_values` aggregate, ≤ k pairs of state
+    * per task × group). Because the hash is uniform over ids, the
+    * surviving values are a uniform row sample that any engine can
+    * reproduce — the mergeable, auditable substrate under
+    * [[quantileReport]], the way [[sketches]] is under
+    * [[distinctReport]].
+    *
+    * `idCol` must determine `valueCol` (hash a row id, carry that row's
+    * measure); `valueCol` must already be integral (micro-units — the
+    * repo-wide determinism convention; a silent double truncation here
+    * would diverge from the replay). */
+  def valueSketches(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"valueSketches: valueCol '$valueCol' must be integral " +
+          s"(micro-units), got ${other.simpleString} - scale doubles to " +
+          "fixed-point first (round(x * 100) the e2 convention)")
+    }
+    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("kmv_values", hash60(col(idCol)),
+        col(valueCol).cast("long"), lit(k)).as("kmvv"))
+  }
+
+  /** Quantile columns off a [[valueSketches]] frame: for each qE6, the
+    * ceil(q·k_used)-th smallest sampled value — the classic order
+    * statistic of a uniform row sample (error ~1/√k on the RANK, so the
+    * estimate lands within ~√(q(1−q)/k) of the true quantile's rank).
+    * One fixed integer dag (·qE6, +999999, div 10⁶, clamp ≥ 1), so the
+    * DuckDB replay picks the same element bit-for-bit. Emits `k_used`
+    * plus one `q_<qE6>` column per requested quantile. */
+  def quantilesFromValueSketches(sk: DataFrame, groupCols: Seq[String],
+      qE6s: Seq[Long]): DataFrame = {
+    require(qE6s.nonEmpty && qE6s.forall(q => q >= 1L && q <= 1000000L),
+      s"quantiles must be in [1, 1000000] micro-units, got $qE6s")
+    val base = sk
+      .withColumn("__sv", array_sort(expr("transform(kmvv, x -> x.v)")))
+      .withColumn("k_used", size(col("__sv")).cast("long"))
+    val withQs = qE6s.foldLeft(base) { (d, q) =>
+      d.withColumn(s"q_$q", expr(
+        s"element_at(__sv, cast(greatest(1, " +
+          s"($q * k_used + 999999) div 1000000) as int))"))
+    }
+    withQs.select(groupCols.map(col) ++ (col("k_used") +:
+      qE6s.map(q => col(s"q_$q"))): _*)
+  }
+
+  /** Per-group replayable quantile estimates in one call:
+    * [[valueSketches]] → [[quantilesFromValueSketches]]. */
+  def quantileReport(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, k: Int, qE6s: Seq[Long]): DataFrame =
+    quantilesFromValueSketches(
+      valueSketches(df, groupCols, idCol, valueCol, k), groupCols, qE6s)
+
+  /** Fold a delta's value sketches into persisted sample state: explode
+    * both sides' ≤ k pairs per group (sketch-state-sized, never row
+    * data) and re-offer through the same aggregate — bottom-k-by-hash
+    * of a union of bottom-ks IS the union's bottom-k, and the
+    * duplicate-hash → min-value rule is re-applied identically, so fold
+    * ≡ rebuild structurally (the q252 posture for value samples).
+    * Groups absent from one side pass through. */
+  def foldValueSketches(state: DataFrame, delta: DataFrame,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    val cols = groupCols.map(col) :+ col("kmvv")
+    state.select(cols: _*).unionByName(delta.select(cols: _*))
+      .select(groupCols.map(col) :+ explode(col("kmvv")).as("__p"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("kmv_values", col("__p.h"), col("__p.v"),
+        lit(k)).as("kmvv"))
+  }
+
   /** Fold a delta's sketches into persisted sketch state — pure array
     * algebra on ≤ 2k longs per group (no re-aggregation of history):
     * union-distinct-sort-truncate is exactly KMV merge. Groups absent
