@@ -2451,6 +2451,98 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Multi-join analytic headliners — the fact⋈dim⋈dim shapes a 100 TB
+    // warehouse actually runs (the gold marts and q05–q07 exercise 1–2
+    // joins only). Declarative joins + decimal-exact revenue; the
+    // filters sit ON the scans (pushed to parquet), small dims are
+    // explicit broadcast()s, fact⋈fact shuffles hash-partition on the
+    // join key. AnalyticJoinsSpec asserts the physical plans (broadcast
+    // where expected, no nested-loop/cartesian, PushedFilters reaching
+    // the scans).
+
+    // TPC-H Q3 shape: unshipped-order revenue — customer(segment) ⋈
+    // orders(date<) ⋈ lineitem(ship>) → top-10 orders by revenue.
+    "q267_q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate < timestamp'1998-07-01 00:00:00'"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate > timestamp'1998-07-01 00:00:00'"))
+        .select(col("l_orderkey"),
+          expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+            .as("rev"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: local-supplier volume — 6-table join (region ⋈
+    // nation broadcast into supplier; lineitem ⋈ orders ⋈ customer
+    // shuffles; the c_nationkey = s_nationkey co-nation constraint rides
+    // the broadcast join) → revenue per ASIA nation.
+    "q268_q5_local_supplier_volume" -> ((s, dir) => {
+      val nr = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp'1997-01-01 00:00:00' and " +
+          "o_orderdate < timestamp'1998-01-01 00:00:00'"))
+        .select("o_orderkey", "o_custkey")
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+            .as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // TPC-H Q10 shape: returned-item losses per customer — lineitem(R)
+    // ⋈ orders(quarter) ⋈ customer ⋈ nation(broadcast) → top-20
+    // customers by lost revenue.
+    "q269_q10_returned_items" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp'1998-01-01 00:00:00' and " +
+          "o_orderdate < timestamp'1998-04-01 00:00:00'"))
+        .select("o_orderkey", "o_custkey")
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+            .as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
     // Directional CONTAINMENT from sketches — the decontamination
     // metric proper: an eval-lang vocabulary 90% contained in a
     // training source is a leak even when the Jaccard is tiny (the
@@ -5475,6 +5567,44 @@ object SparkEntry {
         | sv[CAST(greatest(1, (900000 * k_used + 999999) // 1000000)
         |   AS BIGINT)] AS q_900000
         |FROM sk ORDER BY l_returnflag""".stripMargin,
+    // q267–q269: the TPC-H Q3/Q5/Q10 shapes as flat SQL — decimal-exact
+    // revenue (per-row double product cast DECIMAL(18,4), summed, cast
+    // back: the q04 convention), total order via the key tiebreak.
+    "q267_q3_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        | AND l_orderkey = o_orderkey
+        | AND o_orderdate < TIMESTAMP '1998-07-01'
+        | AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q268_q5_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1997-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q269_q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND o_orderdate >= TIMESTAMP '1998-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-04-01'
+        | AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     // q258: the argmax replayed as a struct list_max over the same
     // "key#s" md5-prefix weights (ties, were they possible, break to
     // the higher shard id in both engines via the (w, s) struct order).

@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan contracts for the multi-join analytic headliners
+  * (q267–q269): correctness is the DuckDB oracle's job; THIS suite pins
+  * the plans that survive a 100× scale-up — small dims broadcast,
+  * fact⋈fact joins hash-based (never nested-loop/cartesian), and the
+  * selective filters pushed into the parquet scans so the fact read is
+  * pruned at the source.
+  *
+  * Plans are inspected AFTER execution (AQE's final plan), on the
+  * driver-provided sf0.001 tables — the same artifact `.explain` would
+  * show on a cluster. */
+class AnalyticJoinsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def assertHashJoinsOnly(plan: String): Unit = {
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    (plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin")) shouldBe true
+  }
+
+  test("q267 (Q3): segment filter pushed to the customer scan, hash joins only") {
+    val plan = finalPlan("q267_q3_shipping_priority")
+    assertHashJoinsOnly(plan)
+    // the BUILDING predicate must reach the parquet reader, not sit in
+    // a post-scan Filter only — at 100 TB this is the difference between
+    // scanning 1/5th of customer and all of it
+    plan should include("PushedFilters")
+    plan should include("EqualTo(c_mktsegment,BUILDING)")
+    // both date range filters pushed to their fact scans
+    plan should include("LessThan(o_orderdate")
+    plan should include("GreaterThan(l_shipdate")
+  }
+
+  test("q268 (Q5): region/nation/supplier ride broadcasts, facts shuffle on keys") {
+    val plan = finalPlan("q268_q5_local_supplier_volume")
+    assertHashJoinsOnly(plan)
+    // the dim chain (region → nation → supplier) must be broadcast —
+    // a shuffled 25-row nation join would add two pointless stages
+    plan should include("BroadcastHashJoin")
+    plan should include("EqualTo(r_name,ASIA)")
+    plan should include("GreaterThanOrEqual(o_orderdate")
+    // column pruning: lineitem contributes 4 of its 11 columns; the
+    // widest money columns we do NOT read must not be scanned
+    plan should not include "l_tax"
+    plan should not include "l_shipdate"
+  }
+
+  test("q269 (Q10): returnflag pushed to the lineitem scan, nation broadcast") {
+    val plan = finalPlan("q269_q10_returned_items")
+    assertHashJoinsOnly(plan)
+    plan should include("BroadcastHashJoin")
+    plan should include("EqualTo(l_returnflag,R)")
+    plan should include("GreaterThanOrEqual(o_orderdate")
+  }
+}
