@@ -111,8 +111,17 @@ object Kmv {
     * answered from sketches alone. n_inter_k + n_only_a + n_only_b =
     * k_used by construction (every merged hash came from A or B). */
   def overlapReport(df: DataFrame, typeCol: String, itemCol: String,
+      k: Int): DataFrame =
+    overlapFromSketches(sketches(df, Seq(typeCol), itemCol, k), typeCol, k)
+
+  /** [[overlapReport]] over an EXISTING per-group sketch frame
+    * (`typeCol`, `kmv`) — the entry point for persisted or streamed
+    * sketch state (`Streaming.mergedKmvOverlap` reads the kmvStream
+    * batch partitions through this): because KMV fold is exact, the
+    * report over folded state ≡ the batch report over every row the
+    * state ever saw. Same theta math, same bit-for-bit replay. */
+  def overlapFromSketches(sk: DataFrame, typeCol: String,
       k: Int): DataFrame = {
-    val sk = sketches(df, Seq(typeCol), itemCol, k)
     val a = sk.select(col(typeCol).as("type_a"), col("kmv").as("sk_a"))
     val b = sk.select(col(typeCol).as("type_b"), col("kmv").as("sk_b"))
     overlapFromSketchPairs(a.join(b, col("type_a") < col("type_b")), k)
@@ -155,11 +164,20 @@ object Kmv {
     * ·10⁶ product once k_used < ~11). */
   def containmentReport(dfA: DataFrame, typeColA: String,
       itemColA: String, dfB: DataFrame, typeColB: String,
-      itemColB: String, k: Int): DataFrame = {
-    val a = sketches(dfA, Seq(typeColA), itemColA, k)
-      .select(col(typeColA).as("type_a"), col("kmv").as("sk_a"))
-    val b = sketches(dfB, Seq(typeColB), itemColB, k)
-      .select(col(typeColB).as("type_b"), col("kmv").as("sk_b"))
+      itemColB: String, k: Int): DataFrame =
+    containmentFromSketches(
+      sketches(dfA, Seq(typeColA), itemColA, k), typeColA,
+      sketches(dfB, Seq(typeColB), itemColB, k), typeColB, k)
+
+  /** [[containmentReport]] over EXISTING per-group sketch frames
+    * (`typeCol`, `kmv`) — the persisted/streamed-state entry point
+    * (`Streaming.mergedKmvContainment`): fold exactness makes the
+    * report over folded state ≡ the batch report over all streamed
+    * rows. */
+  def containmentFromSketches(skA: DataFrame, typeColA: String,
+      skB: DataFrame, typeColB: String, k: Int): DataFrame = {
+    val a = skA.select(col(typeColA).as("type_a"), col("kmv").as("sk_a"))
+    val b = skB.select(col(typeColB).as("type_b"), col("kmv").as("sk_b"))
     // clamp BEFORE the split: num ≤ denom·1000 ≤ 10¹⁷, quotient ≤ 1000
     // → ·10⁶ ≤ 10⁹, remainder < denom ≤ 10¹⁴ → ·10³ ≤ 10¹⁷ — every
     // intermediate BIGINT-safe regardless of k (ADVICE r18).
@@ -208,7 +226,16 @@ object Kmv {
           s"(epoch-day), got ${other.simpleString} - cast dates to " +
           "epoch-days upstream; a lossy cast would silently emit no pairs")
     }
-    val daily = sketches(df, Seq(dayCol), itemCol, k)
+    consecutiveOverlapFromSketches(sketches(df, Seq(dayCol), itemCol, k),
+      dayCol, k)
+  }
+
+  /** [[consecutiveOverlap]] over an EXISTING per-day sketch frame
+    * (`dayCol` integral, `kmv`) — the persisted/streamed-state entry
+    * point (`Streaming.mergedKmvChurn`): the DAU churn dashboard running
+    * continuously off folded kmvStream state. */
+  def consecutiveOverlapFromSketches(daily: DataFrame, dayCol: String,
+      k: Int): DataFrame = {
     val a = daily.select(col(dayCol).cast("long").as("type_a"),
       col("kmv").as("sk_a"))
     val b = daily.select((col(dayCol).cast("long") - 1L).as("__prev"),

@@ -334,17 +334,57 @@ object Streaming {
       }
       .start()
 
-  /** Read side of [[kmvStream]]: re-offer every persisted batch sketch's
-    * hashes into one sketch per group (merge = re-offer, so this is the
-    * exact KMV fold) and read the estimate. */
-  def mergedKmvEstimates(spark: SparkSession, stateDir: String,
+  /** Fold every persisted [[kmvStream]] batch sketch down to one sketch
+    * per group (merge = re-offer, the exact KMV fold) — the shared read
+    * side under the estimate/overlap/containment/churn dashboards.
+    * Sketch-state-sized work: batches × groups × ≤ k longs in, groups
+    * × ≤ k longs out; history rows are never touched. */
+  def foldedKmvSketches(spark: SparkSession, stateDir: String,
       groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
     spark.read.parquet(stateDir)
       .select(groupCols.map(col) :+
         explode(col("kmv")).as("__hv"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(call_function("kmv_sketch", col("__hv"), lit(k)).as("kmv"))
+
+  /** Read side of [[kmvStream]]: fold the batch sketches and read the
+    * estimate. */
+  def mergedKmvEstimates(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    foldedKmvSketches(spark, stateDir, groupCols, k)
       .withColumn("est_kmv", graft.quality.Kmv.estimate(col("kmv"), k))
+
+  /** CONTINUOUS pairwise-overlap dashboard off [[kmvStream]] state: fold
+    * per type, then the theta overlap (jaccard / est_inter /
+    * est_only_*) over every type pair — the q251 duplicated-audience /
+    * contaminated-split report updating per micro-batch. Fold exactness
+    * makes this ≡ the batch `Kmv.overlapReport` over every row ever
+    * streamed (the histogramStream merged-≡-one-shot posture). */
+  def mergedKmvOverlap(spark: SparkSession, stateDir: String,
+      typeCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    graft.quality.Kmv.overlapFromSketches(
+      foldedKmvSketches(spark, stateDir, Seq(typeCol), k), typeCol, k)
+
+  /** CONTINUOUS decontamination dashboard between TWO [[kmvStream]]
+    * states (e.g. an eval stream keyed by suite and a training stream
+    * keyed by domain): fold each side, then the directional-containment
+    * report — ≡ the batch `Kmv.containmentReport` over both full
+    * histories. */
+  def mergedKmvContainment(spark: SparkSession, stateDirA: String,
+      typeColA: String, stateDirB: String, typeColB: String,
+      k: Int): org.apache.spark.sql.DataFrame =
+    graft.quality.Kmv.containmentFromSketches(
+      foldedKmvSketches(spark, stateDirA, Seq(typeColA), k), typeColA,
+      foldedKmvSketches(spark, stateDirB, Seq(typeColB), k), typeColB, k)
+
+  /** CONTINUOUS day-over-day churn (q263) off a [[kmvStream]] keyed by
+    * an integral epoch-day column: fold per day, then the consecutive
+    * (d, d+1) retained/churned/new decomposition — ≡ the batch
+    * `Kmv.consecutiveOverlap` over the full history. */
+  def mergedKmvChurn(spark: SparkSession, stateDir: String,
+      dayCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    graft.quality.Kmv.consecutiveOverlapFromSketches(
+      foldedKmvSketches(spark, stateDir, Seq(dayCol), k), dayCol, k)
 
   /** Read side of [[histogramStream]]: sum the per-batch bin counts and
     * read quantiles from the merged state. */

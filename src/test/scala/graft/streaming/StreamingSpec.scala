@@ -735,6 +735,100 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvStream overlap/churn dashboards ≡ batch reports over all streamed rows") {
+    import org.apache.spark.sql.functions.col
+    val in = Files.createTempDirectory("graft_kmvo_in").toString
+    val out = Files.createTempDirectory("graft_kmvo_out").toString
+    val chk = Files.createTempDirectory("graft_kmvo_chk").toString
+    // three types with engineered overlap, split across two batches so
+    // the pairwise estimates must come from FOLDED state
+    val b1 = ((1 to 40).map(i => ("train", s"u$i")) ++
+      (21 to 35).map(i => ("eval", s"u$i"))).toDF("g", "u")
+    b1.write.mode("append").parquet(in)
+    val q = Streaming.kmvStream(spark, in, b1.schema, Seq("g"), "u",
+      k = 16, out, chk)
+    try {
+      q.processAllAvailable()
+      ((41 to 60).map(i => ("train", s"u$i")) ++
+        (1 to 10).map(i => ("holdout", s"h$i"))).toDF("g", "u")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val streamed = Streaming.mergedKmvOverlap(spark, out, "g", 16)
+        .orderBy("type_a", "type_b").collect().map(_.toSeq)
+      val batch = graft.quality.Kmv.overlapReport(
+          spark.read.parquet(in), "g", "u", 16)
+        .orderBy("type_a", "type_b").collect().map(_.toSeq)
+      streamed shouldBe batch
+      streamed.length shouldBe 3 // all pairs incl. the disjoint holdout
+    } finally q.stop()
+    // churn: the same state shape keyed by an integral day column
+    val in2 = Files.createTempDirectory("graft_kmvc_in").toString
+    val out2 = Files.createTempDirectory("graft_kmvc_out").toString
+    val chk2 = Files.createTempDirectory("graft_kmvc_chk").toString
+    val d1 = ((1 to 30).map(i => (10L, s"u$i")) ++
+      (16 to 40).map(i => (11L, s"u$i"))).toDF("day", "u")
+    d1.write.mode("append").parquet(in2)
+    val q2 = Streaming.kmvStream(spark, in2, d1.schema, Seq("day"), "u",
+      k = 16, out2, chk2)
+    try {
+      q2.processAllAvailable()
+      (26 to 50).map(i => (12L, s"u$i")).toDF("day", "u")
+        .coalesce(1).write.mode("append").parquet(in2)
+      q2.processAllAvailable()
+      val streamed = Streaming.mergedKmvChurn(spark, out2, "day", 16)
+        .orderBy("type_a").collect().map(_.toSeq)
+      val batch = graft.quality.Kmv.consecutiveOverlap(
+          spark.read.parquet(in2), "day", "u", 16)
+        .orderBy("type_a").collect().map(_.toSeq)
+      streamed shouldBe batch
+      streamed.length shouldBe 2 // (10,11) and (11,12)
+    } finally q2.stop()
+  }
+
+  test("kmvStream containment across two streams ≡ batch containmentReport") {
+    import org.apache.spark.sql.functions.col
+    def dirs(tag: String) = (
+      Files.createTempDirectory(s"graft_${tag}_in").toString,
+      Files.createTempDirectory(s"graft_${tag}_out").toString,
+      Files.createTempDirectory(s"graft_${tag}_chk").toString)
+    val (inA, outA, chkA) = dirs("kmvca")
+    val (inB, outB, chkB) = dirs("kmvcb")
+    // eval suites (side A, small) vs training domains (side B, large):
+    // suite s1 is 80% contained in domain d1, s2 disjoint
+    val a1 = ((1 to 8).map(i => ("s1", s"u$i")) ++
+      Seq(("s1", "x1"), ("s1", "x2")) ++
+      (1 to 10).map(i => ("s2", s"z$i"))).toDF("g", "u")
+    val b1 = (1 to 35).map(i => ("d1", s"u$i")).toDF("g", "u")
+    a1.write.mode("append").parquet(inA)
+    b1.write.mode("append").parquet(inB)
+    val qA = Streaming.kmvStream(spark, inA, a1.schema, Seq("g"), "u",
+      k = 64, outA, chkA)
+    val qB = Streaming.kmvStream(spark, inB, b1.schema, Seq("g"), "u",
+      k = 64, outB, chkB)
+    try {
+      qA.processAllAvailable(); qB.processAllAvailable()
+      // second training batch extends d1 and adds d2
+      ((36 to 50).map(i => ("d1", s"u$i")) ++
+        (1 to 5).map(i => ("d2", s"z$i"))).toDF("g", "u")
+        .coalesce(1).write.mode("append").parquet(inB)
+      qB.processAllAvailable()
+      val streamed = Streaming.mergedKmvContainment(
+          spark, outA, "g", outB, "g", 64)
+        .orderBy("type_a", "type_b").collect().map(_.toSeq)
+      val batch = graft.quality.Kmv.containmentReport(
+          spark.read.parquet(inA), "g", "u",
+          spark.read.parquet(inB), "g", "u", 64)
+        .orderBy("type_a", "type_b").collect().map(_.toSeq)
+      streamed shouldBe batch
+      // unsaturated sketches → exact: s1 is 8/10 inside d1
+      val s1d1 = Streaming.mergedKmvContainment(
+          spark, outA, "g", outB, "g", 64)
+        .filter(col("type_a") === "s1" && col("type_b") === "d1")
+        .head()
+      s1d1.getAs[Long]("cont_a_in_b_e6") shouldBe 800000L
+    } finally { qA.stop(); qB.stop() }
+  }
+
   test("transitionStream chains across micro-batches and matches the batch matrix") {
     val stream = MemoryStream[Streaming.TypedEvent](spark)
     val q = Streaming.transitionStream(stream.toDS())
