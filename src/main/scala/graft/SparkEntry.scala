@@ -2451,6 +2451,29 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Mass-WEIGHTED KMV overlap: what fraction of each source's TOKEN
+    // MASS rides on vocabulary shared with the other source — two
+    // corpora can have tiny item-Jaccard yet share the heavy head of
+    // their token distributions (or a massless shared tail). Ratio of
+    // two sample sums over the one merged bottom-k (est_union cancels →
+    // every intermediate a bounded BIGINT); one row-grain token-count
+    // pass, then k pairs of state per source. All columns hash-compared.
+    // Items are word BIGRAMS (the synthetic corpus shares one unigram
+    // vocabulary across sources — unigram overlap is vacuously 1.0;
+    // bigram sets genuinely diverge, Jaccard ~0.65–0.85 at sf0.01).
+    "q270_kmv_weighted_overlap" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .withColumn("t", split(trim(col("text")), " "))
+        .filter(size(col("t")) >= 2)
+        .select(col("source"),
+          explode(expr("transform(sequence(1, size(t) - 1), i -> " +
+            "concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .as("tok"))
+        .withColumn("occ", lit(1L))
+      Kmv.weightedOverlapReport(toks, "source", "tok", "occ", k = 64)
+        .orderBy("type_a", "type_b")
+    }),
+
     // Multi-join analytic headliners — the fact⋈dim⋈dim shapes a 100 TB
     // warehouse actually runs (the gold marts and q05–q07 exercise 1–2
     // joins only). Declarative joins + decimal-exact revenue; the
@@ -5567,6 +5590,66 @@ object SparkEntry {
         | sv[CAST(greatest(1, (900000 * k_used + 999999) // 1000000)
         |   AS BIGINT)] AS q_900000
         |FROM sk ORDER BY l_returnflag""".stripMargin,
+    // q270: the weighted-overlap replay — parallel (hash, mass) lists
+    // per source ordered by hash, the merged bottom-k, and the two
+    // sample-mass ratios; empty filtered sums coalesce to 0 (Spark's
+    // aggregate() identity).
+    "q270_kmv_weighted_overlap" ->
+      s"""WITH t0 AS (SELECT source AS g,
+        |  string_split(trim(text), ' ') AS tk FROM documents),
+        |t AS (SELECT g, unnest(list_transform(range(1, len(tk)),
+        |  i -> tk[i] || ' ' || tk[i+1])) AS u FROM t0
+        |  WHERE len(tk) >= 2),
+        |m AS (SELECT g, u, CAST(count(*) AS BIGINT) AS mv FROM t
+        |  WHERE u IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(mv) AS BIGINT) AS mass_total FROM m
+        |  GROUP BY g),
+        |h AS (SELECT g, ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv,
+        |  min(mv) AS mv FROM m GROUP BY 1, 2),
+        |rk AS (SELECT g, hv, mv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(hv ORDER BY hv) AS hs,
+        |  list(mv ORDER BY hv) AS ms FROM rk WHERE rn <= 64 GROUP BY g),
+        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.hs AS ha,
+        |  a.ms AS ma, b.hs AS hb, b.ms AS mb,
+        |  ta.mass_total AS mass_a_total, tb.mass_total AS mass_b_total
+        | FROM sk a JOIN sk b ON a.g < b.g
+        | JOIN tot ta ON ta.g = a.g JOIN tot tb ON tb.g = b.g),
+        |mm AS (SELECT *, list_sort(list_distinct(list_concat(ha, hb)))
+        |  AS alls FROM p),
+        |mg AS (SELECT *, alls[1:64] AS merged,
+        |  list_filter(alls[1:64], v -> list_contains(ha, v)
+        |    AND list_contains(hb, v)) AS inter FROM mm),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(merged) AS BIGINT) AS k_used,
+        |  CAST(len(inter) AS BIGINT) AS n_inter_k,
+        |  ${kmvEstSql(64, "alls")} AS est_union,
+        |  mass_a_total, mass_b_total,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(list_zip(ha, ma),
+        |      q -> list_contains(merged, q[1])),
+        |    q -> q[2])), 0) AS BIGINT) AS ma_merged,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(list_zip(hb, mb),
+        |      q -> list_contains(merged, q[1])),
+        |    q -> q[2])), 0) AS BIGINT) AS mb_merged,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(list_zip(ha, ma),
+        |      q -> list_contains(inter, q[1])),
+        |    q -> q[2])), 0) AS BIGINT) AS ma_inter,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(list_zip(hb, mb),
+        |      q -> list_contains(inter, q[1])),
+        |    q -> q[2])), 0) AS BIGINT) AS mb_inter
+        | FROM mg)
+        |SELECT type_a, type_b, k_used, n_inter_k,
+        | n_inter_k * 1000000 // k_used AS jaccard_e6,
+        | est_union, mass_a_total, mass_b_total,
+        | ma_inter * 1000000 // greatest(ma_merged, 1)
+        |   AS mass_share_a_inter_e6,
+        | mb_inter * 1000000 // greatest(mb_merged, 1)
+        |   AS mass_share_b_inter_e6
+        |FROM x ORDER BY type_a, type_b""".stripMargin,
     // q267–q269: the TPC-H Q3/Q5/Q10 shapes as flat SQL — decimal-exact
     // revenue (per-row double product cast DECIMAL(18,4), summed, cast
     // back: the q04 convention), total order via the key tiebreak.

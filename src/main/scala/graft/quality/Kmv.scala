@@ -316,6 +316,67 @@ object Kmv {
         estimate(col("kmv"), k).as("est_kmv")): _*)
   }
 
+  /** MASS-WEIGHTED overlap between per-type item sets — "what fraction
+    * of A's TOKEN MASS is carried by items shared with B", not "how
+    * many distinct items are shared": two corpora can have tiny
+    * item-Jaccard yet share the heavy head of their token distributions
+    * (or the reverse — a long shared tail that carries no mass).
+    *
+    * Machinery: one row-grain pass builds the per-(type, item) mass
+    * m = Σ `massCol`; a `kmv_values` sketch keeps each type's bottom-k
+    * item hashes WITH their masses (≤ k pairs of state), plus the exact
+    * total mass. Per pair, the merged bottom-k is a uniform sample of
+    * the union; the mass share is the RATIO of two sample sums over
+    * that one sample —
+    *   mass_share_a_inter = Σ m_a over (merged ∩ A ∩ B)
+    *                      / Σ m_a over (merged ∩ A)
+    * — which estimates mass_a(A∩B)/mass_a(A) with the est_union scale
+    * factor cancelled (a ratio estimator, bias O(1/k)), so every
+    * intermediate stays a bounded BIGINT (sample mass sums ·10⁶ must fit
+    * int64: keep per-item masses ≤ ~10¹² at k ≤ 1024). The unweighted
+    * jaccard_e6/est_union ride along for contrast; everything replays
+    * bit-for-bit in the oracle. */
+  def weightedOverlapReport(df: DataFrame, typeCol: String,
+      itemCol: String, massCol: String, k: Int): DataFrame = {
+    val m = df.filter(col(itemCol).isNotNull && col(massCol).isNotNull)
+      .groupBy(col(typeCol), col(itemCol))
+      .agg(sum(col(massCol)).cast("long").as("__m"))
+    val sk = m.groupBy(col(typeCol))
+      .agg(call_function("kmv_values", hash60(col(itemCol)), col("__m"),
+        lit(k)).as("kmvv"),
+        sum("__m").as("mass_total"))
+    val a = sk.select(col(typeCol).as("type_a"), col("kmvv").as("ska"),
+      col("mass_total").as("mass_a_total"))
+    val b = sk.select(col(typeCol).as("type_b"), col("kmvv").as("skb"),
+      col("mass_total").as("mass_b_total"))
+    def sampleMass(side: String, hs: String): Column = expr(
+      s"aggregate(filter($side, x -> array_contains($hs, x.h)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x.v)")
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("__ha", expr("transform(ska, x -> x.h)"))
+      .withColumn("__hb", expr("transform(skb, x -> x.h)"))
+      .withColumn("__all",
+        array_sort(array_distinct(concat(col("__ha"), col("__hb")))))
+      .withColumn("__merged", slice(col("__all"), 1, k))
+      .withColumn("k_used", size(col("__merged")).cast("long"))
+      .withColumn("__inter", array_intersect(
+        array_intersect(col("__merged"), col("__ha")), col("__hb")))
+      .withColumn("n_inter_k", size(col("__inter")).cast("long"))
+      .withColumn("__ma_merged", sampleMass("ska", "__merged"))
+      .withColumn("__mb_merged", sampleMass("skb", "__merged"))
+      .withColumn("__ma_inter", sampleMass("ska", "__inter"))
+      .withColumn("__mb_inter", sampleMass("skb", "__inter"))
+      .withColumn("est_union", estimate(col("__all"), k))
+      .select(col("type_a"), col("type_b"), col("k_used"),
+        col("n_inter_k"),
+        expr("n_inter_k * 1000000 div k_used").as("jaccard_e6"),
+        col("est_union"), col("mass_a_total"), col("mass_b_total"),
+        expr("__ma_inter * 1000000 div greatest(__ma_merged, 1)")
+          .as("mass_share_a_inter_e6"),
+        expr("__mb_inter * 1000000 div greatest(__mb_merged, 1)")
+          .as("mass_share_b_inter_e6"))
+  }
+
   // ---- replayable approximate quantiles (value-carrying sample) ------
 
   /** Per-group deterministic VALUE sample: the rows whose md5 row-id

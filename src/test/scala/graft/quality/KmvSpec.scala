@@ -202,6 +202,28 @@ class KmvSpec extends SparkSpec {
     out(("s2", "e2")).getAs[Long]("n_inter_k") shouldBe 0L // disjoint
   }
 
+  test("weightedOverlapReport: exact mass shares while sketches hold all items") {
+    // A = {x (mass 60), y (30), a1 (10)}; B = {x (5), b1 (95)}.
+    // k=64 covers every set → sample == set, shares are EXACT:
+    //   share_a = m_a(x) / m_a(all) = 60/100; share_b = 5/100.
+    val rows =
+      Seq.fill(60)(("A", "x")) ++ Seq.fill(30)(("A", "y")) ++
+        Seq.fill(10)(("A", "a1")) ++
+        Seq.fill(5)(("B", "x")) ++ Seq.fill(95)(("B", "b1"))
+    val df = rows.toDF("g", "item")
+      .withColumn("occ", org.apache.spark.sql.functions.lit(1L))
+    val r = Kmv.weightedOverlapReport(df, "g", "item", "occ", k = 64)
+      .head()
+    r.getAs[String]("type_a") shouldBe "A"
+    r.getAs[Long]("k_used") shouldBe 4L
+    r.getAs[Long]("n_inter_k") shouldBe 1L // only x is shared
+    r.getAs[Long]("jaccard_e6") shouldBe 250000L // 1 of 4
+    r.getAs[Long]("mass_a_total") shouldBe 100L
+    r.getAs[Long]("mass_b_total") shouldBe 100L
+    r.getAs[Long]("mass_share_a_inter_e6") shouldBe 600000L
+    r.getAs[Long]("mass_share_b_inter_e6") shouldBe 50000L
+  }
+
   test("foldSketches: groups absent from one side pass through") {
     val k = 16
     val state = Kmv.sketches(ids("only_state", 1, 5).toDF("g", "u"),
