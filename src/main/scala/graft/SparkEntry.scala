@@ -2474,6 +2474,40 @@ object SparkEntry {
         .orderBy("type_a", "type_b")
     }),
 
+    // Heavy-hitter × cardinality dashboard: per event type, the top-3
+    // users by event count (bounded-heap topk_longs over cnt·2³²+user —
+    // ≤ 3 longs per task×group cross the shuffle, ties break to the
+    // higher user id in both engines) NEXT TO the KMV user-cardinality
+    // estimate and exact volume — "is this type's volume a few bots or
+    // a broad audience", the q32 rare-category question inverted and
+    // read at sketch cost. Every cell hash-compared.
+    "q271_heavy_hitter_cardinality" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .select("event_type", "user_id")
+      val perType = ev.groupBy("event_type")
+        .agg(call_function("kmv_sketch", Kmv.hash60(col("user_id")),
+          lit(64)).as("kmv"),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"),
+          Kmv.estimate(col("kmv"), 64).as("est_users"), col("n_events"))
+      val hh = ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("enc", expr("cnt * 4294967296 + user_id"))
+        .groupBy("event_type").agg(expr("topk_longs(enc, 3)").as("top"))
+        .select(col("event_type"),
+          posexplode(col("top")).as(Seq("pos", "enc")))
+        .select(col("event_type"),
+          (col("pos") + 1).cast("long").as("rank"),
+          expr("enc div 4294967296").as("cnt"),
+          expr("enc % 4294967296").as("user_id"))
+      hh.join(perType, "event_type")
+        .select(col("event_type"), col("rank"), col("user_id"), col("cnt"),
+          expr("cnt * 1000000 div n_events").as("share_e6"),
+          col("est_users"), col("n_events"))
+        .orderBy("event_type", "rank")
+    }),
+
     // Multi-join analytic headliners — the fact⋈dim⋈dim shapes a 100 TB
     // warehouse actually runs (the gold marts and q05–q07 exercise 1–2
     // joins only). Declarative joins + decimal-exact revenue; the
@@ -5650,6 +5684,30 @@ object SparkEntry {
         | mb_inter * 1000000 // greatest(mb_merged, 1)
         |   AS mass_share_b_inter_e6
         |FROM x ORDER BY type_a, type_b""".stripMargin,
+    // q271: top-3 replayed as a rank window over the same cnt·2³²+user
+    // encoding (desc), joined to the ranked-hash KMV replay.
+    "q271_heavy_hitter_cardinality" ->
+      s"""WITH e AS (SELECT event_type AS g, user_id AS u FROM events
+        |  WHERE user_id IS NOT NULL),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_events FROM e
+        |  GROUP BY g),
+        |h AS (SELECT DISTINCT g,
+        |  ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM e),
+        |rk AS (SELECT g, hv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(hv ORDER BY hv) AS kmv FROM rk
+        |  WHERE rn <= 64 GROUP BY g),
+        |est AS (SELECT g, ${kmvEstSql(64)} AS est_users FROM sk),
+        |c AS (SELECT g, u, CAST(count(*) AS BIGINT) AS cnt FROM e
+        |  GROUP BY 1, 2),
+        |r AS (SELECT g, u, cnt, row_number() OVER (PARTITION BY g
+        |  ORDER BY cnt * 4294967296 + u DESC) AS rank FROM c)
+        |SELECT r.g AS event_type, CAST(rank AS BIGINT) AS rank,
+        | u AS user_id, cnt, cnt * 1000000 // n_events AS share_e6,
+        | est_users, n_events
+        |FROM r JOIN est ON r.g = est.g JOIN n ON r.g = n.g
+        |WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
     // q267–q269: the TPC-H Q3/Q5/Q10 shapes as flat SQL — decimal-exact
     // revenue (per-row double product cast DECIMAL(18,4), summed, cast
     // back: the q04 convention), total order via the key tiebreak.

@@ -403,6 +403,29 @@ object ConfigLoader {
                 "it can never fail")
             cc
           },
+        growthChecks =
+          asList(qm.getOrElse("growth_checks", null)).map { r =>
+            val cm = asMap(r, "quality.growth_checks[]")
+            val gc = GrowthCheck(
+              dayColumn = str(cm, "day_column", "growth"),
+              itemColumn = str(cm, "item_column", "growth"),
+              k = cm.get("k").map(_.toString.toInt).getOrElse(64),
+              minNewPerDay = cm.get("min_new_per_day")
+                .map(_.toString.toLong).getOrElse(1L),
+              warmupDays = cm.get("warmup_days")
+                .map(_.toString.toInt).getOrElse(1))
+            if (gc.k < 2)
+              throw new ConfigError("quality.growth_checks[].k must be >= 2")
+            // day 1's "new" is the whole corpus - a warmup below 1 would
+            // make the gate fire on (or vacuously pass) the bootstrap day
+            if (gc.warmupDays < 1)
+              throw new ConfigError(
+                "quality.growth_checks[].warmup_days must be >= 1")
+            if (gc.minNewPerDay < 0L)
+              throw new ConfigError(
+                "quality.growth_checks[].min_new_per_day must be >= 0")
+            gc
+          },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

@@ -182,6 +182,17 @@ final case class ContainmentCheck(aTypeColumn: String, bTypeColumn: String,
     bFilter: Option[String] = None, k: Int = 256,
     maxContainmentE6: Long = 500000L)
 
+/** Novelty-collapse contract (quality.Kmv.rollingDistinct cumulative
+  * mode, the q257/q261 growth curve): failedCount = days — after the
+  * first `warmupDays` observed days — whose estimated NEW uniques (the
+  * lag difference of the cumulative distinct-to-date estimate) fall
+  * below `minNewPerDay` — "this source stopped contributing new data",
+  * the dedup-saturation alarm as a declarative gate. Estimator noise
+  * can push a day's delta negative; a negative delta below the floor
+  * counts (that honesty IS the alarm). State is ≤ days × k longs. */
+final case class GrowthCheck(dayColumn: String, itemColumn: String,
+    k: Int = 64, minNewPerDay: Long = 1L, warmupDays: Int = 1)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -199,6 +210,7 @@ final case class QualitySpec(
     distinctChecks: Seq[DistinctCheck] = Nil,
     overlapChecks: Seq[OverlapCheck] = Nil,
     containmentChecks: Seq[ContainmentCheck] = Nil,
+    growthChecks: Seq[GrowthCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

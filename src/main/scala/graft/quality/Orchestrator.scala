@@ -230,10 +230,31 @@ object Orchestrator {
       Checks.CheckResult("containment_check", label,
         pairs.filter(col("cont_a_in_b_e6") > cc.maxContainmentE6).count())
     }
+    val growthResults = spec.growthChecks.map { gc =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{coalesce, lag, row_number}
+      val label = s"growth(${gc.itemColumn})@k${gc.k} by ${gc.dayColumn}"
+      requireCols("growth_check", label, Seq(gc.dayColumn, gc.itemColumn))
+      // novelty-collapse alarm: days past the warmup whose estimated NEW
+      // uniques (lag diff of the q257 cumulative curve) fall below the
+      // floor. The window runs over the DAYS-sized curve, not row data
+      // (the single-partition window is |days| rows by construction).
+      val cum = Kmv.rollingDistinct(
+        df.select(col(gc.dayColumn), col(gc.itemColumn)),
+        gc.dayColumn, gc.itemColumn, gc.k, windowDays = 0)
+      val w = Window.orderBy(col(gc.dayColumn))
+      val novelty = cum
+        .withColumn("__rank", row_number().over(w))
+        .withColumn("__est_new", col("est_kmv") -
+          coalesce(lag(col("est_kmv"), 1).over(w), lit(0L)))
+      Checks.CheckResult("growth_check", label,
+        novelty.filter(col("__rank") > gc.warmupDays &&
+          col("__est_new") < gc.minNewPerDay).count())
+    }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
       seasonalResults ++ correlationResults ++ hhiResults ++ popResults ++
       quantileResults ++ distinctResults ++ overlapResults ++
-      containmentResults
+      containmentResults ++ growthResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

@@ -1067,6 +1067,47 @@ class PipelineSpec extends SparkSpec {
       yaml.replace("k: 128,", "k: 1,"))
   }
 
+  test("quality growth_checks flag novelty collapse from YAML") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: novelty
+        |quality:
+        |  growth_checks:
+        |    - {day_column: day, item_column: user, k: 128,
+        |       min_new_per_day: 5, warmup_days: 1}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.growthChecks shouldBe Seq(
+      graft.config.GrowthCheck("day", "user", 128, 5L, 1))
+    // day 1: 50 users (warmup, never counted); day 2: +10 new (passes);
+    // day 3: all repeats, +0 new (THE failure); day 4: +6 new (passes).
+    // k=128 covers every prefix → estimates exact → deterministic.
+    val rows = (1 to 50).map(i => (1L, s"u$i")) ++
+      ((1 to 20).map(i => (2L, s"u$i")) ++
+        (51 to 60).map(i => (2L, s"u$i"))) ++
+      (1 to 30).map(i => (3L, s"u$i")) ++
+      (61 to 66).map(i => (4L, s"u$i"))
+    val df = rows.toDF("day", "user")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val byLabel = report.checkResults.filter(_.check == "growth_check")
+      .map(c => c.column -> c.failedCount).toMap
+    byLabel shouldBe Map("growth(user)@k128 by day" -> 1L)
+    // warmup shields the bootstrap day even when the floor is huge
+    val cfgHuge = ConfigLoader.parse(
+      yaml.replace("min_new_per_day: 5", "min_new_per_day: 7"))
+    graft.quality.Orchestrator.run(df, cfgHuge.quality)
+      .checkResults.filter(_.check == "growth_check")
+      .head.failedCount shouldBe 2L // day 3 (0) and day 4 (6) under 7
+    // missing column fails loudly; degenerate configs fail at load
+    an[Exception] should be thrownBy
+      graft.quality.Orchestrator.run(df.drop("user"), cfg.quality)
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("warmup_days: 1", "warmup_days: 0"))
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("k: 128,", "k: 1,"))
+  }
+
   test("layout block: rendezvous shard plan drives from YAML") {
     val yaml =
       """version: "1.0"
