@@ -2474,6 +2474,21 @@ object SparkEntry {
         .orderBy("type_a", "type_b")
     }),
 
+    // Rolling 7-day p50/p90 of event value from DAILY value-sketch
+    // marts — the q255 rolling posture for quantiles: raw rows reduce
+    // once to ≤ k (hash, value) pairs per day; each window cell is pure
+    // re-aggregation over days × k pairs (broadcast day lattice). Fold
+    // ≡ one-shot makes every window's sample equal the raw window's
+    // sample, which is exactly what the oracle computes.
+    "q272_kmv_rolling_quantiles" -> ((s, dir) =>
+      Kmv.rollingQuantiles(
+        Tables.load(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"), col("event_id"),
+            round(col("value") * 100).cast("long").as("value_e2")),
+        "day", "event_id", "value_e2", k = 64,
+        qE6s = Seq(500000L, 900000L), windowDays = 7)
+        .orderBy("day")),
+
     // Heavy-hitter × cardinality dashboard: per event type, the top-3
     // users by event count (bounded-heap topk_longs over cnt·2³²+user —
     // ≤ 3 longs per task×group cross the shuffle, ties break to the
@@ -5684,6 +5699,30 @@ object SparkEntry {
         | mb_inter * 1000000 // greatest(mb_merged, 1)
         |   AS mass_share_b_inter_e6
         |FROM x ORDER BY type_a, type_b""".stripMargin,
+    // q272: each window's sample rebuilt from the RAW window rows (what
+    // the daily fold must equal), min-v per hash replayed at both the
+    // day and window grain.
+    "q272_kmv_rolling_quantiles" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(event_id AS VARCHAR) AS rid,
+        |  CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |h AS (SELECT day, ('0x' || substr(md5(rid), 1, 15))::BIGINT AS hv,
+        |  min(v) AS v FROM d GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT day FROM h),
+        |w AS (SELECT days.day AS wd, h.hv, min(h.v) AS v FROM days JOIN h
+        |  ON h.day <= days.day AND h.day > days.day - 7 GROUP BY 1, 2),
+        |rk AS (SELECT wd, hv, v,
+        |  row_number() OVER (PARTITION BY wd ORDER BY hv) AS rn FROM w),
+        |sk AS (SELECT wd, list(v ORDER BY v) AS sv,
+        |  CAST(count(*) AS BIGINT) AS k_used
+        |  FROM rk WHERE rn <= 64 GROUP BY wd)
+        |SELECT CAST(wd AS BIGINT) AS day, k_used,
+        | sv[CAST(greatest(1, (500000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_500000,
+        | sv[CAST(greatest(1, (900000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_900000
+        |FROM sk ORDER BY day""".stripMargin,
     // q271: top-3 replayed as a rank window over the same cnt·2³²+user
     // encoding (desc), joined to the ranked-hash KMV replay.
     "q271_heavy_hitter_cardinality" ->

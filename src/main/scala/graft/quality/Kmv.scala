@@ -437,6 +437,35 @@ object Kmv {
     quantilesFromValueSketches(
       valueSketches(df, groupCols, idCol, valueCol, k), groupCols, qE6s)
 
+  /** Rolling / cumulative per-day QUANTILES from daily value sketches —
+    * the [[rollingDistinct]] posture for order statistics: the raw data
+    * reduces once to one ≤ k-pair sample per `dayCol` value; every
+    * (day × window-day) cell is then pure re-aggregation over a frame
+    * of days × k pairs (broadcast day lattice, never row data), and
+    * fold ≡ rebuild makes each window's sample EQUAL the one-shot
+    * sample of the raw window — which is what the oracle computes.
+    * `windowDays` > 0 gives trailing windows (7 = "weekly p50/p90 of
+    * order value"); 0 the cumulative-to-date curve (same O(days²/2)
+    * day-grain contract as [[rollingDistinctBy]]). */
+  def rollingQuantiles(df: DataFrame, dayCol: String, idCol: String,
+      valueCol: String, k: Int, qE6s: Seq[Long],
+      windowDays: Int = 0): DataFrame = {
+    val daily = valueSketches(df, Seq(dayCol), idCol, valueCol, k)
+    val days = daily.select(col(dayCol).as("__d")).distinct()
+    val cond =
+      if (windowDays > 0)
+        col(dayCol) <= col("__d") &&
+          col(dayCol) > col("__d") - lit(windowDays.toLong)
+      else col(dayCol) <= col("__d")
+    val windowed = daily.join(broadcast(days), cond)
+      .select(col("__d"), explode(col("kmvv")).as("__p"))
+      .groupBy(col("__d"))
+      .agg(call_function("kmv_values", col("__p.h"), col("__p.v"),
+        lit(k)).as("kmvv"))
+      .select(col("__d").as(dayCol), col("kmvv"))
+    quantilesFromValueSketches(windowed, Seq(dayCol), qE6s)
+  }
+
   /** Fold a delta's value sketches into persisted sample state: explode
     * both sides' ≤ k pairs per group (sketch-state-sized, never row
     * data) and re-offer through the same aggregate — bottom-k-by-hash
