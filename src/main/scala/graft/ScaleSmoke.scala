@@ -140,7 +140,16 @@ object ScaleSmoke {
     // (one partial/final aggregate, <= k longs per task x group, window
     // folding on days x k longs) — measured here to keep that claim
     // evidence, not assertion
-    "q250_kmv_distinct", "q255_kmv_rolling", "q259_cross_overlap")
+    "q250_kmv_distinct", "q255_kmv_rolling", "q259_cross_overlap",
+    // round-19 additions: the multi-salt error audit (salt-exploded ×5
+    // row pass under one k=256 sketch per cell), the value-carrying
+    // quantile sample and its rolling-mart fold, the bigram-exploded
+    // weighted overlap, and the three TPC-H-shaped multi-join
+    // headliners (fact⋈fact shuffles + dim broadcasts at 10×)
+    "q264_kmv_error_multisalt", "q265_kmv_quantiles",
+    "q272_kmv_rolling_quantiles", "q270_kmv_weighted_overlap",
+    "q267_q3_shipping_priority", "q268_q5_local_supplier_volume",
+    "q269_q10_returned_items")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
@@ -159,7 +168,8 @@ object ScaleSmoke {
     // every output must be COMMITTED — a crash between/inside the writes
     // would otherwise leave a half-built dir that every later run trusts
     if (Seq("documents", "embeddings", "events", "orders", "lineitem",
-      "customer").forall(committed(outDir, _))) return
+      "customer", "nation", "region", "supplier", "part")
+      .forall(committed(outDir, _))) return
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val docBase = docs.agg(max("doc_id")).head().getLong(0) + 1
     val docReps = (0 until 10).map { k =>
@@ -234,6 +244,15 @@ object ScaleSmoke {
           if (k == 0) col("c_name") else concat(col("c_name"), lit(s"$k$k")))
     }.reduce(_.unionByName(_)).write.mode("overwrite")
       .parquet(s"$outDir/customer.parquet")
+
+    // dims: copied as-is — at 10× the fact volume nation/region/supplier
+    // stay dimension-sized (the realistic warehouse shape), and the
+    // replicated facts reference the UNSHIFTED s_suppkey/nationkeys, so
+    // the multi-join headliners stay referentially intact at sf1~
+    Seq("nation", "region", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
   }
 
   /** One domain replicated 50×: real key skew for the domain-grouped
