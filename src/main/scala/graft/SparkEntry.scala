@@ -2489,6 +2489,55 @@ object SparkEntry {
         qE6s = Seq(500000L, 900000L), windowDays = 7)
         .orderBy("day")),
 
+    // q272's rolling quantile mart PER EVENT TYPE — the
+    // rollingDistinctBy posture for order statistics: one (type, day)
+    // value-sketch mart, re-aggregation keyed on (type, window-day),
+    // state ≤ types × days × k pairs.
+    "q273_kmv_rolling_quantiles_by_type" -> ((s, dir) =>
+      Kmv.rollingQuantilesBy(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"), col("event_id"),
+            round(col("value") * 100).cast("long").as("value_e2")),
+        Seq("event_type"), "day", "event_id", "value_e2", k = 64,
+        qE6s = Seq(500000L), windowDays = 7)
+        .orderBy("event_type", "day")),
+
+    // Mass-weighted overlap ACROSS corpora: per (training source ×
+    // eval-slice lang) pair, the share of each side's bigram MASS
+    // riding on shared vocabulary — the q262 decontamination dashboard
+    // weighted by token mass instead of counting distinct items. Each
+    // corpus pays one count pass + one sketch; the pair stage is
+    // groups² rows of ≤ 2k pairs.
+    "q274_kmv_weighted_cross" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "documents")
+        .withColumn("t", split(trim(col("text")), " "))
+        .filter(size(col("t")) >= 2)
+        .select(col("source"), col("lang"), col("doc_id"),
+          explode(expr("transform(sequence(1, size(t) - 1), i -> " +
+            "concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .as("tok"))
+        .withColumn("occ", lit(1L))
+      Kmv.weightedCrossOverlapReport(
+        big, "source", "tok", "occ",
+        big.filter(col("doc_id") % 50 === 0), "lang", "tok", "occ",
+        k = 64)
+        .orderBy("type_a", "type_b")
+    }),
+
+    // Pairwise two-sample KS distance between event types' value
+    // distributions from value SKETCHES — the drift alarm at ≤ k rows
+    // of state per type: D = max |ecdf_a − ecdf_b| over the union of
+    // sample values, every count an integer over fixed arrays, so the
+    // statistic replays exactly.
+    "q275_kmv_sample_ks" -> ((s, dir) =>
+      Kmv.sampleKsReport(
+        Tables.load(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("value_e2")),
+        "event_type", "event_id", "value_e2", k = 128)
+        .orderBy("type_a", "type_b")),
+
     // Heavy-hitter × cardinality dashboard: per event type, the top-3
     // users by event count (bounded-heap topk_longs over cnt·2³²+user —
     // ≤ 3 longs per task×group cross the shuffle, ties break to the
@@ -5723,6 +5772,124 @@ object SparkEntry {
         | sv[CAST(greatest(1, (900000 * k_used + 999999) // 1000000)
         |   AS BIGINT)] AS q_900000
         |FROM sk ORDER BY day""".stripMargin,
+    // q273: q272's window replay with the type key carried through.
+    "q273_kmv_rolling_quantiles_by_type" ->
+      """WITH d AS (SELECT event_type AS g,
+        |  epoch_us(ts) // 86400000000 AS day,
+        |  CAST(event_id AS VARCHAR) AS rid,
+        |  CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |h AS (SELECT g, day,
+        |  ('0x' || substr(md5(rid), 1, 15))::BIGINT AS hv,
+        |  min(v) AS v FROM d GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT day FROM h),
+        |w AS (SELECT h.g, days.day AS wd, h.hv, min(h.v) AS v
+        |  FROM days JOIN h
+        |  ON h.day <= days.day AND h.day > days.day - 7 GROUP BY 1, 2, 3),
+        |rk AS (SELECT g, wd, hv, v,
+        |  row_number() OVER (PARTITION BY g, wd ORDER BY hv) AS rn FROM w),
+        |sk AS (SELECT g, wd, list(v ORDER BY v) AS sv,
+        |  CAST(count(*) AS BIGINT) AS k_used
+        |  FROM rk WHERE rn <= 64 GROUP BY g, wd)
+        |SELECT g AS event_type, CAST(wd AS BIGINT) AS day, k_used,
+        | sv[CAST(greatest(1, (500000 * k_used + 999999) // 1000000)
+        |   AS BIGINT)] AS q_500000
+        |FROM sk ORDER BY event_type, day""".stripMargin,
+    // q274: q270's replay with two sketch sides (per-source training
+    // bigrams × per-lang eval-slice bigrams) under a cross join.
+    "q274_kmv_weighted_cross" ->
+      s"""WITH t0 AS (SELECT source, lang, doc_id,
+        |  string_split(trim(text), ' ') AS tk FROM documents),
+        |tb AS (SELECT source, lang, doc_id,
+        |  unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS u FROM t0
+        |  WHERE len(tk) >= 2),
+        |ma AS (SELECT source AS g, u, CAST(count(*) AS BIGINT) AS mv
+        |  FROM tb WHERE u IS NOT NULL GROUP BY 1, 2),
+        |mb AS (SELECT lang AS g, u, CAST(count(*) AS BIGINT) AS mv
+        |  FROM tb WHERE u IS NOT NULL AND doc_id % 50 = 0 GROUP BY 1, 2),
+        |tota AS (SELECT g, CAST(sum(mv) AS BIGINT) AS mass_total FROM ma
+        |  GROUP BY g),
+        |totb AS (SELECT g, CAST(sum(mv) AS BIGINT) AS mass_total FROM mb
+        |  GROUP BY g),
+        |ha AS (SELECT g, ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv,
+        |  min(mv) AS mv FROM ma GROUP BY 1, 2),
+        |hb AS (SELECT g, ('0x' || substr(md5(u), 1, 15))::BIGINT AS hv,
+        |  min(mv) AS mv FROM mb GROUP BY 1, 2),
+        |rka AS (SELECT g, hv, mv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM ha),
+        |rkb AS (SELECT g, hv, mv,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM hb),
+        |ska AS (SELECT g, list(hv ORDER BY hv) AS hs,
+        |  list(mv ORDER BY hv) AS ms FROM rka WHERE rn <= 64 GROUP BY g),
+        |skb AS (SELECT g, list(hv ORDER BY hv) AS hs,
+        |  list(mv ORDER BY hv) AS ms FROM rkb WHERE rn <= 64 GROUP BY g),
+        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.hs AS ha,
+        |  a.ms AS mma, b.hs AS hb, b.ms AS mmb,
+        |  ta.mass_total AS mass_a_total, tb2.mass_total AS mass_b_total
+        | FROM ska a CROSS JOIN skb b
+        | JOIN tota ta ON ta.g = a.g JOIN totb tb2 ON tb2.g = b.g),
+        |mm AS (SELECT *, list_sort(list_distinct(list_concat(ha, hb)))
+        |  AS alls FROM p),
+        |mg AS (SELECT *, alls[1:64] AS merged,
+        |  list_filter(alls[1:64], v -> list_contains(ha, v)
+        |    AND list_contains(hb, v)) AS inter FROM mm),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(merged) AS BIGINT) AS k_used,
+        |  CAST(len(inter) AS BIGINT) AS n_inter_k,
+        |  ${kmvEstSql(64, "alls")} AS est_union,
+        |  mass_a_total, mass_b_total,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(list_zip(ha, mma),
+        |      q -> list_contains(merged, q[1])),
+        |    q -> q[2])), 0) AS BIGINT) AS ma_merged,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(list_zip(hb, mmb),
+        |      q -> list_contains(merged, q[1])),
+        |    q -> q[2])), 0) AS BIGINT) AS mb_merged,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(list_zip(ha, mma),
+        |      q -> list_contains(inter, q[1])),
+        |    q -> q[2])), 0) AS BIGINT) AS ma_inter,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(list_zip(hb, mmb),
+        |      q -> list_contains(inter, q[1])),
+        |    q -> q[2])), 0) AS BIGINT) AS mb_inter
+        | FROM mg)
+        |SELECT type_a, type_b, k_used, n_inter_k,
+        | n_inter_k * 1000000 // k_used AS jaccard_e6,
+        | est_union, mass_a_total, mass_b_total,
+        | ma_inter * 1000000 // greatest(ma_merged, 1)
+        |   AS mass_share_a_inter_e6,
+        | mb_inter * 1000000 // greatest(mb_merged, 1)
+        |   AS mass_share_b_inter_e6
+        |FROM x ORDER BY type_a, type_b""".stripMargin,
+    // q275: the two-sample KS replay — each type's bottom-128 row
+    // sample by event-id hash, D as list_max of integer ecdf gaps over
+    // the union of sample values.
+    "q275_kmv_sample_ks" ->
+      """WITH d AS (SELECT event_type AS g,
+        |  CAST(event_id AS VARCHAR) AS rid,
+        |  CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |h AS (SELECT g, ('0x' || substr(md5(rid), 1, 15))::BIGINT AS hv,
+        |  min(v) AS v FROM d GROUP BY 1, 2),
+        |rk AS (SELECT g, hv, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list(v) AS vs FROM rk WHERE rn <= 128
+        |  GROUP BY g),
+        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.vs AS va,
+        |  b.vs AS vb FROM sk a JOIN sk b ON a.g < b.g),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(va) AS BIGINT) AS k_a, CAST(len(vb) AS BIGINT) AS k_b,
+        |  va, vb FROM p)
+        |SELECT type_a, type_b, k_a, k_b,
+        | CAST(list_max(list_transform(list_distinct(list_concat(va, vb)),
+        |  x -> abs(CAST(len(list_filter(va, v -> v <= x)) AS BIGINT)
+        |    * 1000000 // k_a -
+        |   CAST(len(list_filter(vb, v -> v <= x)) AS BIGINT)
+        |    * 1000000 // k_b))) AS BIGINT) AS ks_e6
+        |FROM x ORDER BY type_a, type_b""".stripMargin,
     // q271: top-3 replayed as a rank window over the same cnt·2³²+user
     // encoding (desc), joined to the ranked-hash KMV replay.
     "q271_heavy_hitter_cardinality" ->

@@ -338,21 +338,55 @@ object Kmv {
     * bit-for-bit in the oracle. */
   def weightedOverlapReport(df: DataFrame, typeCol: String,
       itemCol: String, massCol: String, k: Int): DataFrame = {
-    val m = df.filter(col(itemCol).isNotNull && col(massCol).isNotNull)
-      .groupBy(col(typeCol), col(itemCol))
-      .agg(sum(col(massCol)).cast("long").as("__m"))
-    val sk = m.groupBy(col(typeCol))
-      .agg(call_function("kmv_values", hash60(col(itemCol)), col("__m"),
-        lit(k)).as("kmvv"),
-        sum("__m").as("mass_total"))
+    val sk = weightedSketches(df, typeCol, itemCol, massCol, k)
     val a = sk.select(col(typeCol).as("type_a"), col("kmvv").as("ska"),
       col("mass_total").as("mass_a_total"))
     val b = sk.select(col(typeCol).as("type_b"), col("kmvv").as("skb"),
       col("mass_total").as("mass_b_total"))
+    weightedOverlapFromSketchPairs(
+      a.join(b, col("type_a") < col("type_b")), k)
+  }
+
+  /** [[weightedOverlapReport]] ACROSS two corpora — the token-MASS
+    * decontamination dashboard: every (A-group × B-group) pair's mass
+    * shares from each side's (hash, mass) sketches alone ("what share
+    * of this eval suite's token mass is vocabulary the training domain
+    * also carries"). Each corpus pays one count pass + one sketch
+    * aggregate; the pair stage is (|A| × |B|) rows of ≤ 2k pairs. */
+  def weightedCrossOverlapReport(dfA: DataFrame, typeColA: String,
+      itemColA: String, massColA: String, dfB: DataFrame,
+      typeColB: String, itemColB: String, massColB: String,
+      k: Int): DataFrame = {
+    val a = weightedSketches(dfA, typeColA, itemColA, massColA, k)
+      .select(col(typeColA).as("type_a"), col("kmvv").as("ska"),
+        col("mass_total").as("mass_a_total"))
+    val b = weightedSketches(dfB, typeColB, itemColB, massColB, k)
+      .select(col(typeColB).as("type_b"), col("kmvv").as("skb"),
+        col("mass_total").as("mass_b_total"))
+    weightedOverlapFromSketchPairs(a.crossJoin(b), k)
+  }
+
+  /** Per-type (hash, mass) sketch + exact total mass — the shared
+    * substrate of the weighted overlap family: one row-grain pass
+    * builds per-(type, item) masses, then ≤ k pairs of state per type. */
+  private def weightedSketches(df: DataFrame, typeCol: String,
+      itemCol: String, massCol: String, k: Int): DataFrame =
+    df.filter(col(itemCol).isNotNull && col(massCol).isNotNull)
+      .groupBy(col(typeCol), col(itemCol))
+      .agg(sum(col(massCol)).cast("long").as("__m"))
+      .groupBy(col(typeCol))
+      .agg(call_function("kmv_values", hash60(col(itemCol)), col("__m"),
+        lit(k)).as("kmvv"),
+        sum("__m").as("mass_total"))
+
+  /** The shared mass-share math over (type_a, ska, mass_a_total,
+    * type_b, skb, mass_b_total) pairs. */
+  private def weightedOverlapFromSketchPairs(pairs: DataFrame,
+      k: Int): DataFrame = {
     def sampleMass(side: String, hs: String): Column = expr(
       s"aggregate(filter($side, x -> array_contains($hs, x.h)), " +
         "CAST(0 AS BIGINT), (acc, x) -> acc + x.v)")
-    a.join(b, col("type_a") < col("type_b"))
+    pairs
       .withColumn("__ha", expr("transform(ska, x -> x.h)"))
       .withColumn("__hb", expr("transform(skb, x -> x.h)"))
       .withColumn("__all",
@@ -375,6 +409,36 @@ object Kmv {
           .as("mass_share_a_inter_e6"),
         expr("__mb_inter * 1000000 div greatest(__mb_merged, 1)")
           .as("mass_share_b_inter_e6"))
+  }
+
+  /** Pairwise Kolmogorov–Smirnov distance between per-type VALUE
+    * distributions, from value sketches alone: each type keeps its
+    * deterministic ≤ k-row sample ([[valueSketches]]); per pair, D =
+    * max over the union of sample values of |ecdf_a − ecdf_b| in
+    * micro-units — the two-sample KS statistic of the samples,
+    * replayable bit-for-bit because both empirical CDFs are integer
+    * counts over fixed arrays (one integer div per jump point, k² HOF
+    * work per pair, no row data). The drift alarm `Anomaly`'s exact KS
+    * pays a full shuffle for, at sketch cost; sampling error ~√(2/k) on
+    * D (k=64 ≈ ±0.18, k=256 ≈ ±0.09) — size thresholds accordingly. */
+  def sampleKsReport(df: DataFrame, typeCol: String, idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    val sk = valueSketches(df, Seq(typeCol), idCol, valueCol, k)
+    val a = sk.select(col(typeCol).as("type_a"), col("kmvv").as("ska"))
+    val b = sk.select(col(typeCol).as("type_b"), col("kmvv").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("__va", expr("transform(ska, x -> x.v)"))
+      .withColumn("__vb", expr("transform(skb, x -> x.v)"))
+      .withColumn("k_a", size(col("__va")).cast("long"))
+      .withColumn("k_b", size(col("__vb")).cast("long"))
+      .withColumn("ks_e6", expr(
+        "array_max(transform(array_distinct(concat(__va, __vb)), x -> " +
+          "abs(CAST(size(filter(__va, v -> v <= x)) AS BIGINT)" +
+          " * 1000000 div k_a - " +
+          "CAST(size(filter(__vb, v -> v <= x)) AS BIGINT)" +
+          " * 1000000 div k_b)))"))
+      .select(col("type_a"), col("type_b"), col("k_a"), col("k_b"),
+        col("ks_e6"))
   }
 
   // ---- replayable approximate quantiles (value-carrying sample) ------
@@ -449,8 +513,20 @@ object Kmv {
     * day-grain contract as [[rollingDistinctBy]]). */
   def rollingQuantiles(df: DataFrame, dayCol: String, idCol: String,
       valueCol: String, k: Int, qE6s: Seq[Long],
-      windowDays: Int = 0): DataFrame = {
-    val daily = valueSketches(df, Seq(dayCol), idCol, valueCol, k)
+      windowDays: Int = 0): DataFrame =
+    rollingQuantilesBy(df, Nil, dayCol, idCol, valueCol, k, qE6s,
+      windowDays)
+
+  /** [[rollingQuantiles]] per group — "rolling weekly p50/p90 of order
+    * value PER SEGMENT" from one (group, day) value-sketch mart; the
+    * day lattice stays a single broadcast (days are global), the
+    * re-aggregation keys on (group, window-day), so state is ≤ groups ×
+    * days × k pairs — the [[rollingDistinctBy]] posture for order
+    * statistics. */
+  def rollingQuantilesBy(df: DataFrame, groupCols: Seq[String],
+      dayCol: String, idCol: String, valueCol: String, k: Int,
+      qE6s: Seq[Long], windowDays: Int = 0): DataFrame = {
+    val daily = valueSketches(df, groupCols :+ dayCol, idCol, valueCol, k)
     val days = daily.select(col(dayCol).as("__d")).distinct()
     val cond =
       if (windowDays > 0)
@@ -458,12 +534,14 @@ object Kmv {
           col(dayCol) > col("__d") - lit(windowDays.toLong)
       else col(dayCol) <= col("__d")
     val windowed = daily.join(broadcast(days), cond)
-      .select(col("__d"), explode(col("kmvv")).as("__p"))
-      .groupBy(col("__d"))
+      .select(groupCols.map(col) ++
+        Seq(col("__d"), explode(col("kmvv")).as("__p")): _*)
+      .groupBy(groupCols.map(col) :+ col("__d"): _*)
       .agg(call_function("kmv_values", col("__p.h"), col("__p.v"),
         lit(k)).as("kmvv"))
-      .select(col("__d").as(dayCol), col("kmvv"))
-    quantilesFromValueSketches(windowed, Seq(dayCol), qE6s)
+      .select(groupCols.map(col) ++
+        Seq(col("__d").as(dayCol), col("kmvv")): _*)
+    quantilesFromValueSketches(windowed, groupCols :+ dayCol, qE6s)
   }
 
   /** Fold a delta's value sketches into persisted sample state: explode
