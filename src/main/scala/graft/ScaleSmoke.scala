@@ -149,7 +149,10 @@ object ScaleSmoke {
     "q264_kmv_error_multisalt", "q265_kmv_quantiles",
     "q272_kmv_rolling_quantiles", "q270_kmv_weighted_overlap",
     "q267_q3_shipping_priority", "q268_q5_local_supplier_volume",
-    "q269_q10_returned_items")
+    "q269_q10_returned_items",
+    // second r19 tranche: the cross-corpus weighted overlap (two bigram
+    // count passes + a groups² pair stage) and the sketch-space KS
+    "q274_kmv_weighted_cross", "q275_kmv_sample_ks")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —
