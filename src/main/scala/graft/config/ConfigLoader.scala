@@ -426,6 +426,25 @@ object ConfigLoader {
                 "quality.growth_checks[].min_new_per_day must be >= 0")
             gc
           },
+        ksChecks =
+          asList(qm.getOrElse("ks_checks", null)).map { r =>
+            val cm = asMap(r, "quality.ks_checks[]")
+            val kc = KsCheck(
+              typeColumn = str(cm, "type_column", "ks"),
+              idColumn = str(cm, "id_column", "ks"),
+              valueColumn = str(cm, "value_column", "ks"),
+              k = cm.get("k").map(_.toString.toInt).getOrElse(256),
+              maxKsE6 = cm.get("max_ks_e6").map(_.toString.toLong)
+                .getOrElse(500000L))
+            if (kc.k < 2)
+              throw new ConfigError("quality.ks_checks[].k must be >= 2")
+            // D is bounded by exactly 1e6 and the gate fires on >, so a
+            // cap at 1e6 can never fail
+            if (kc.maxKsE6 < 0L || kc.maxKsE6 >= 1000000L)
+              throw new ConfigError("quality.ks_checks[].max_ks_e6 " +
+                "must be in [0, 1000000) - D never exceeds 1000000")
+            kc
+          },
         expectations = asList(qm.getOrElse("expectations", null)).map { r =>
           val em = asMap(r, "quality.expectations[]")
           val kind = str(em, "kind", "expectation")

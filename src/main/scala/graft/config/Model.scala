@@ -193,6 +193,18 @@ final case class ContainmentCheck(aTypeColumn: String, bTypeColumn: String,
 final case class GrowthCheck(dayColumn: String, itemColumn: String,
     k: Int = 64, minNewPerDay: Long = 1L, warmupDays: Int = 1)
 
+/** Sketch-space distribution-drift contract (quality.Kmv.sampleKsReport):
+  * failedCount = type pairs whose two-sample KS distance between the
+  * per-type VALUE samples exceeds `maxKsE6` — "no two variants' value
+  * distributions may diverge past D" (or inverted: a pair expected to
+  * match suddenly separating is an incident), read from ≤ k deterministic
+  * sample rows per type instead of the exact KS's full shuffle.
+  * `idColumn` hashes the row (must determine `valueColumn`, which must
+  * be integral — micro-units); sampling error on D is ~√(2/k) (k=256 ≈
+  * ±0.09) — size the threshold accordingly. */
+final case class KsCheck(typeColumn: String, idColumn: String,
+    valueColumn: String, k: Int = 256, maxKsE6: Long = 500000L)
+
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,
     positiveColumns: Seq[String] = Nil,
@@ -211,6 +223,7 @@ final case class QualitySpec(
     overlapChecks: Seq[OverlapCheck] = Nil,
     containmentChecks: Seq[ContainmentCheck] = Nil,
     growthChecks: Seq[GrowthCheck] = Nil,
+    ksChecks: Seq[KsCheck] = Nil,
     failOnError: Boolean = false)
 
 // ---- curation: block ------------------------------------------------------

@@ -422,8 +422,15 @@ object Kmv {
     * pays a full shuffle for, at sketch cost; sampling error ~√(2/k) on
     * D (k=64 ≈ ±0.18, k=256 ≈ ±0.09) — size thresholds accordingly. */
   def sampleKsReport(df: DataFrame, typeCol: String, idCol: String,
-      valueCol: String, k: Int): DataFrame = {
-    val sk = valueSketches(df, Seq(typeCol), idCol, valueCol, k)
+      valueCol: String, k: Int): DataFrame =
+    sampleKsFromSketches(
+      valueSketches(df, Seq(typeCol), idCol, valueCol, k), typeCol)
+
+  /** [[sampleKsReport]] over an EXISTING per-type value-sketch frame
+    * (`typeCol`, `kmvv`) — the persisted/streamed-state entry point
+    * (`Streaming.mergedKmvKs`): fold exactness makes the statistic over
+    * folded state ≡ the batch report over all streamed rows. */
+  def sampleKsFromSketches(sk: DataFrame, typeCol: String): DataFrame = {
     val a = sk.select(col(typeCol).as("type_a"), col("kmvv").as("ska"))
     val b = sk.select(col(typeCol).as("type_b"), col("kmvv").as("skb"))
     a.join(b, col("type_a") < col("type_b"))

@@ -251,10 +251,24 @@ object Orchestrator {
         novelty.filter(col("__rank") > gc.warmupDays &&
           col("__est_new") < gc.minNewPerDay).count())
     }
+    val ksResults = spec.ksChecks.map { kc =>
+      val label = s"${kc.typeColumn}/${kc.valueColumn}@k${kc.k}"
+      requireCols("ks_check", label,
+        Seq(kc.typeColumn, kc.idColumn, kc.valueColumn))
+      // distribution-drift alarm at sketch cost: type pairs whose
+      // two-sample KS over the per-type value samples exceeds the cap.
+      // Each type pays one <= k-pair aggregate; a non-integral value
+      // column raises loudly inside valueSketches (the micro-unit
+      // convention).
+      Checks.CheckResult("ks_check", label,
+        Kmv.sampleKsReport(df, kc.typeColumn, kc.idColumn,
+          kc.valueColumn, kc.k)
+          .filter(col("ks_e6") > kc.maxKsE6).count())
+    }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
       seasonalResults ++ correlationResults ++ hhiResults ++ popResults ++
       quantileResults ++ distinctResults ++ overlapResults ++
-      containmentResults ++ growthResults
+      containmentResults ++ growthResults ++ ksResults
     // pass 3: out-of-bounds counts for every column with defined bounds,
     // one aggregate (bounds replay exactStats' double math exactly)
     val bounds = anomCols.flatMap { c =>

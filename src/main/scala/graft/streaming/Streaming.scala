@@ -386,6 +386,71 @@ object Streaming {
     graft.quality.Kmv.consecutiveOverlapFromSketches(
       foldedKmvSketches(spark, stateDir, Seq(dayCol), k), dayCol, k)
 
+  /** CONTINUOUS value-sample tracking — the [[kmvStream]] shape for the
+    * kmv_values quantile substrate: each micro-batch reduces to ≤ k
+    * (hash, value) pairs per group (`Kmv.valueSketches`), landed in a
+    * `batch_id` partition with dynamic overwrite (same idempotency
+    * posture: re-offering a (hash, value) pair changes nothing). The
+    * read sides fold batch samples exactly (bottom-k-by-hash of a union
+    * of bottom-ks IS the union's bottom-k, min-v rule re-applied), so
+    * merged quantiles / KS ≡ their batch twins over all rows ever
+    * streamed. */
+  def kmvValuesStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      k: Int,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.quality.Kmv
+            .valueSketches(batch.toDF(), groupCols, idCol, valueCol, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+
+  /** Fold every persisted [[kmvValuesStream]] batch sample down to one
+    * ≤ k-pair sample per group — the shared read side under the
+    * streaming quantile/KS dashboards (batches × groups × ≤ k pairs in,
+    * groups × ≤ k pairs out). */
+  def foldedKmvValueSketches(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(stateDir)
+      .select(groupCols.map(col) :+ explode(col("kmvv")).as("__p"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("kmv_values", col("__p.h"), col("__p.v"),
+        lit(k)).as("kmvv"))
+
+  /** CONTINUOUS replayable quantiles off [[kmvValuesStream]] state —
+    * ≡ the batch `Kmv.quantileReport` over every row ever streamed. */
+  def mergedKmvQuantiles(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], k: Int,
+      qE6s: Seq[Long]): org.apache.spark.sql.DataFrame =
+    graft.quality.Kmv.quantilesFromValueSketches(
+      foldedKmvValueSketches(spark, stateDir, groupCols, k), groupCols,
+      qE6s)
+
+  /** CONTINUOUS pairwise KS drift off [[kmvValuesStream]] state — ≡ the
+    * batch `Kmv.sampleKsReport` over every row ever streamed. */
+  def mergedKmvKs(spark: SparkSession, stateDir: String,
+      typeCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    graft.quality.Kmv.sampleKsFromSketches(
+      foldedKmvValueSketches(spark, stateDir, Seq(typeCol), k), typeCol)
+
   /** Read side of [[histogramStream]]: sum the per-batch bin counts and
     * read quantiles from the merged state. */
   def mergedHistogramQuantiles(spark: SparkSession, stateDir: String,

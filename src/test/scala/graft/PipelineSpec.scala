@@ -1108,6 +1108,40 @@ class PipelineSpec extends SparkSpec {
       yaml.replace("k: 128,", "k: 1,"))
   }
 
+  test("quality ks_checks flag distribution drift between type pairs from YAML") {
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: drift
+        |quality:
+        |  ks_checks:
+        |    - {type_column: variant, id_column: rid, value_column: v,
+        |       k: 128, max_ks_e6: 400000}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    cfg.quality.ksChecks shouldBe Seq(
+      graft.config.KsCheck("variant", "rid", "v", 128, 400000L))
+    // a and b share a distribution (identical value multisets); c is
+    // fully disjoint in range → D(a,c) = D(b,c) = 1.0 > 0.4 fail,
+    // D(a,b) = 0 pass. k=128 holds every sample whole → exact.
+    val rows = (1 to 60).map(i => ("a", s"a$i", (i % 20).toLong)) ++
+      (1 to 60).map(i => ("b", s"b$i", (i % 20).toLong)) ++
+      (1 to 60).map(i => ("c", s"c$i", 1000L + i % 20))
+    val df = rows.toDF("variant", "rid", "v")
+    val report = graft.quality.Orchestrator.run(df, cfg.quality)
+    val byLabel = report.checkResults.filter(_.check == "ks_check")
+      .map(c => c.column -> c.failedCount).toMap
+    byLabel shouldBe Map("variant/v@k128" -> 2L)
+    // non-integral value column raises loudly (micro-unit convention);
+    // degenerate caps fail at load
+    an[Exception] should be thrownBy graft.quality.Orchestrator.run(
+      df.withColumn("v", expr("CAST(v AS DOUBLE)")), cfg.quality)
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("max_ks_e6: 400000", "max_ks_e6: 1000000"))
+    an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
+      yaml.replace("k: 128,", "k: 1,"))
+  }
+
   test("layout block: rendezvous shard plan drives from YAML") {
     val yaml =
       """version: "1.0"

@@ -785,6 +785,42 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("kmvValuesStream: merged quantiles and KS ≡ batch over all streamed rows") {
+    val in = Files.createTempDirectory("graft_kmvv_in").toString
+    val out = Files.createTempDirectory("graft_kmvv_out").toString
+    val chk = Files.createTempDirectory("graft_kmvv_chk").toString
+    // two types with different value distributions, split so the
+    // merged dashboards must fold MULTI-BATCH state
+    val b1 = ((1 to 200).map(i => ("lo", s"a$i", (i % 50).toLong)) ++
+      (1 to 150).map(i => ("hi", s"b$i", 1000L + i % 40))).toDF("g", "id", "v")
+    b1.write.mode("append").parquet(in)
+    val q = Streaming.kmvValuesStream(spark, in, b1.schema, Seq("g"),
+      "id", "v", k = 32, out, chk)
+    try {
+      q.processAllAvailable()
+      // batch 2 re-offers some ids (idempotent) and adds new ones
+      ((150 to 260).map(i => ("lo", s"a$i", (i % 50).toLong)) ++
+        (100 to 180).map(i => ("hi", s"b$i", 1000L + i % 40)))
+        .toDF("g", "id", "v").coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val all = spark.read.parquet(in)
+      val qs = Seq(500000L, 900000L)
+      val streamedQ = Streaming.mergedKmvQuantiles(spark, out, Seq("g"),
+        32, qs).orderBy("g").collect().map(_.toSeq)
+      val batchQ = graft.quality.Kmv.quantileReport(all, Seq("g"), "id",
+        "v", 32, qs).orderBy("g").collect().map(_.toSeq)
+      streamedQ shouldBe batchQ
+      val streamedKs = Streaming.mergedKmvKs(spark, out, "g", 32)
+        .collect().map(_.toSeq)
+      val batchKs = graft.quality.Kmv.sampleKsReport(all, "g", "id", "v",
+        32).collect().map(_.toSeq)
+      streamedKs shouldBe batchKs
+      // disjoint value ranges → the sampled KS must read (near-)total
+      // separation: every lo value < every hi value → D = 1.0 exactly
+      streamedKs.head.last shouldBe 1000000L
+    } finally q.stop()
+  }
+
   test("kmvStream containment across two streams ≡ batch containmentReport") {
     import org.apache.spark.sql.functions.col
     def dirs(tag: String) = (
