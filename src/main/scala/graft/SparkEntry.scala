@@ -2538,6 +2538,19 @@ object SparkEntry {
         "event_type", "event_id", "value_e2", k = 128)
         .orderBy("type_a", "type_b")),
 
+    // Day-over-day KS drift: the two-sample KS distance between each
+    // consecutive day pair's value samples — "did today's distribution
+    // shift against yesterday's", the q263 churn posture for
+    // DISTRIBUTIONS; one daily sample mart, one day-lattice self-join
+    // (days × 2k pairs), every D an integer over fixed arrays.
+    "q276_kmv_ks_daily" -> ((s, dir) =>
+      Kmv.consecutiveKs(
+        Tables.load(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"), col("event_id"),
+            round(col("value") * 100).cast("long").as("value_e2")),
+        "day", "event_id", "value_e2", k = 128)
+        .orderBy("type_a")),
+
     // Heavy-hitter × cardinality dashboard: per event type, the top-3
     // users by event count (bounded-heap topk_longs over cnt·2³²+user —
     // ≤ 3 longs per task×group cross the shuffle, ties break to the
@@ -5890,6 +5903,31 @@ object SparkEntry {
         |   CAST(len(list_filter(vb, v -> v <= x)) AS BIGINT)
         |    * 1000000 // k_b))) AS BIGINT) AS ks_e6
         |FROM x ORDER BY type_a, type_b""".stripMargin,
+    // q276: q275's KS tail over the consecutive-day lattice.
+    "q276_kmv_ks_daily" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(event_id AS VARCHAR) AS rid,
+        |  CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |h AS (SELECT day, ('0x' || substr(md5(rid), 1, 15))::BIGINT AS hv,
+        |  min(v) AS v FROM d GROUP BY 1, 2),
+        |rk AS (SELECT day, hv, v,
+        |  row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT day, list(v) AS vs FROM rk WHERE rn <= 128
+        |  GROUP BY day),
+        |p AS (SELECT CAST(a.day AS BIGINT) AS type_a,
+        |  CAST(b.day AS BIGINT) AS type_b, a.vs AS va, b.vs AS vb
+        | FROM sk a JOIN sk b ON b.day = a.day + 1),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(va) AS BIGINT) AS k_a, CAST(len(vb) AS BIGINT) AS k_b,
+        |  va, vb FROM p)
+        |SELECT type_a, type_b, k_a, k_b,
+        | CAST(list_max(list_transform(list_distinct(list_concat(va, vb)),
+        |  x -> abs(CAST(len(list_filter(va, v -> v <= x)) AS BIGINT)
+        |    * 1000000 // k_a -
+        |   CAST(len(list_filter(vb, v -> v <= x)) AS BIGINT)
+        |    * 1000000 // k_b))) AS BIGINT) AS ks_e6
+        |FROM x ORDER BY type_a""".stripMargin,
     // q271: top-3 replayed as a rank window over the same cnt·2³²+user
     // encoding (desc), joined to the ranked-hash KMV replay.
     "q271_heavy_hitter_cardinality" ->

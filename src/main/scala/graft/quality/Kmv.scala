@@ -433,7 +433,35 @@ object Kmv {
   def sampleKsFromSketches(sk: DataFrame, typeCol: String): DataFrame = {
     val a = sk.select(col(typeCol).as("type_a"), col("kmvv").as("ska"))
     val b = sk.select(col(typeCol).as("type_b"), col("kmvv").as("skb"))
-    a.join(b, col("type_a") < col("type_b"))
+    ksFromSamplePairs(a.join(b, col("type_a") < col("type_b")))
+  }
+
+  /** Day-over-day KS drift: the two-sample KS distance between
+    * CONSECUTIVE days' value samples — "did today's value distribution
+    * shift against yesterday's" as one daily sample mart + a self-join
+    * on the day lattice (days × 2k pairs), the [[consecutiveOverlap]]
+    * posture for distributions. `dayCol` must be integral (epoch-day —
+    * same loud guard). Days with no successor emit nothing. */
+  def consecutiveKs(df: DataFrame, dayCol: String, idCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    df.schema(dayCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"consecutiveKs: dayCol '$dayCol' must be integral (epoch-day), " +
+          s"got ${other.simpleString} - cast dates to epoch-days upstream")
+    }
+    val daily = valueSketches(df, Seq(dayCol), idCol, valueCol, k)
+    val a = daily.select(col(dayCol).cast("long").as("type_a"),
+      col("kmvv").as("ska"))
+    val b = daily.select((col(dayCol).cast("long") - 1L).as("__prev"),
+      col(dayCol).cast("long").as("type_b"), col("kmvv").as("skb"))
+    ksFromSamplePairs(
+      a.join(b, col("type_a") === col("__prev")).drop("__prev"))
+  }
+
+  /** The shared KS math over (type_a, ska, type_b, skb) sample pairs. */
+  private def ksFromSamplePairs(pairs: DataFrame): DataFrame =
+    pairs
       .withColumn("__va", expr("transform(ska, x -> x.v)"))
       .withColumn("__vb", expr("transform(skb, x -> x.v)"))
       .withColumn("k_a", size(col("__va")).cast("long"))
@@ -446,7 +474,6 @@ object Kmv {
           " * 1000000 div k_b)))"))
       .select(col("type_a"), col("type_b"), col("k_a"), col("k_b"),
         col("ks_e6"))
-  }
 
   // ---- replayable approximate quantiles (value-carrying sample) ------
 

@@ -64,4 +64,39 @@ class AnalyticJoinsSpec extends SparkSpec {
     plan should include("EqualTo(l_returnflag,R)")
     plan should include("GreaterThanOrEqual(o_orderdate")
   }
+
+  test("dynamic partition pruning fires on a partitioned fact behind a dim filter") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    // the PerfConf claim made explain-checkable: a fact PARTITIONED on
+    // the join key, joined to a dim whose rows are filtered on an
+    // attribute the fact doesn't carry — the only way to skip fact
+    // partitions is DPP injecting the dim's surviving keys into the
+    // fact's PartitionFilters at runtime. At 100 TB this is the
+    // difference between scanning one returnflag's partitions and all.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_dpp_fact").toString
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(base)
+    val fact = spark.read.parquet(base)
+    // the dim must be a REAL source so its selective filter survives to
+    // the optimizer — a local Seq is constant-folded into a bare
+    // LocalRelation (ConvertToLocalRelation) and the pruning rule then
+    // sees no predicate to propagate
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft_dpp_dim").toString
+    Seq(("R", "returned"), ("A", "accepted"), ("N", "none"))
+      .toDF("flag", "label").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact
+      .join(dim.filter(col("label") === "returned"),
+        fact("l_returnflag") === dim("flag"))
+      .groupBy("flag").agg(sum("l_quantity").as("qty"))
+    val rows = joined.collect()
+    rows.length shouldBe 1
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should include("dynamicpruning")
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
