@@ -151,8 +151,10 @@ object ScaleSmoke {
     "q267_q3_shipping_priority", "q268_q5_local_supplier_volume",
     "q269_q10_returned_items",
     // second r19 tranche: the cross-corpus weighted overlap (two bigram
-    // count passes + a groups² pair stage) and the sketch-space KS
-    "q274_kmv_weighted_cross", "q275_kmv_sample_ks")
+    // count passes + a groups² pair stage), the sketch-space KS, and
+    // the double-aliased-nation Q7 shape
+    "q274_kmv_weighted_cross", "q275_kmv_sample_ks",
+    "q277_q7_nation_trade")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

@@ -2651,6 +2651,44 @@ object SparkEntry {
         .orderBy(desc("revenue"), col("n_name"))
     }),
 
+    // TPC-H Q7 shape: cross-nation trade volume — the join topology the
+    // other headliners don't have: nation joined TWICE under aliases
+    // (supplier side and customer side) with a symmetric two-nation
+    // predicate riding the broadcasts, revenue per (supp_nation,
+    // cust_nation, ship year). Facts shuffle on their keys; both nation
+    // hops broadcast.
+    "q277_q7_nation_trade" -> ((s, dir) => {
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= timestamp'1997-01-01 00:00:00' and " +
+          "l_shipdate < timestamp'1999-01-01 00:00:00'"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+            .as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter((col("supp_nation") === "NATION_3" &&
+          col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // TPC-H Q10 shape: returned-item losses per customer — lineitem(R)
     // ⋈ orders(quarter) ⋈ customer ⋈ nation(broadcast) → top-20
     // customers by lost revenue.
@@ -5979,6 +6017,21 @@ object SparkEntry {
         | AND o_orderdate >= TIMESTAMP '1997-01-01'
         | AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q277_q7_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |   AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        | AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        | AND c_nationkey = n2.n_nationkey
+        | AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        | AND l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q269_q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -65,6 +65,16 @@ class AnalyticJoinsSpec extends SparkSpec {
     plan should include("GreaterThanOrEqual(o_orderdate")
   }
 
+  test("q277 (Q7): both aliased nation hops broadcast, ship-date range pushed") {
+    val plan = finalPlan("q277_q7_nation_trade")
+    assertHashJoinsOnly(plan)
+    // nation appears TWICE (supplier side and customer side) — both
+    // hops must ride broadcasts, never a shuffled 25-row join
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+    plan should include("GreaterThanOrEqual(l_shipdate")
+    plan should include("LessThan(l_shipdate")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact behind a dim filter") {
     import org.apache.spark.sql.functions.{col, sum}
     import spark.implicits._
