@@ -184,10 +184,14 @@ object Bench {
     // so the disagreement is visible instead of silently dropped
     // (ADVICE r18). Listed with both ratios so the reader sees which
     // family fired.
+    // sorted by the WORSE of the two families — sorting by calib alone
+    // would push raw-fired disputes (the masked-regression class this
+    // list exists for) past the take(10) cut (r19 self-review finding)
     val disputed = ratios
       .filter { case (n, r) =>
         (r > 2.0) != (rawRatios.getOrElse(n, 0.0) > 2.0) }
-      .toSeq.sortBy { case (_, r) => -r }
+      .toSeq.sortBy { case (n, r) =>
+        -math.max(r, rawRatios.getOrElse(n, 0.0)) }
     // Failed queries report -1 (not their elapsed time) and are listed in
     // "errors", so a run with failures can never read as a clean total.
     val qs = results.map { case (k, v, ok, _) =>

@@ -2570,7 +2570,16 @@ object SparkEntry {
           Kmv.estimate(col("kmv"), 64).as("est_users"), col("n_events"))
       val hh = ev.groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("enc", expr("cnt * 4294967296 + user_id"))
+        // the packing is only injective while user_id fits 32 bits and
+        // cnt 31 — outside that range the ranking silently corrupts in
+        // BOTH engines (the oracle replays the same encoding and can't
+        // catch it), so fail loudly instead (r19 self-review finding)
+        .withColumn("enc", expr(
+          "CASE WHEN user_id < 0 OR user_id >= 4294967296 " +
+            "OR cnt >= 2147483648 THEN " +
+            "raise_error('q271: user_id/cnt exceed the cnt*2^32+user " +
+            "packing range') " +
+            "ELSE cnt * 4294967296 + user_id END"))
         .groupBy("event_type").agg(expr("topk_longs(enc, 3)").as("top"))
         .select(col("event_type"),
           posexplode(col("top")).as(Seq("pos", "enc")))

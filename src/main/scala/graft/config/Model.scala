@@ -173,9 +173,12 @@ final case class OverlapCheck(typeColumn: String, itemColumn: String,
   * matching `aFilter` (optional SQL predicate) grouped by `aTypeColumn`;
   * side B the rows matching `bFilter` grouped by `bTypeColumn`; both
   * sides read item sets from `itemColumn`, each paying one ≤ `k`-long
-  * sketch aggregate. When both sides group by the SAME column, self
-  * pairs (type_a = type_b) are excluded — a set is always contained in
-  * itself. Estimator noise can push the estimate past 10⁶ (clamped at
+  * sketch aggregate. Self pairs (type_a = type_b) are excluded ONLY
+  * when the two sides are the same set — same grouping column AND
+  * identical filters (a set is always contained in itself); with
+  * disjoint filters over one column, the same-name pair (eval lang=en
+  * inside train lang=en) is exactly the leak being gated and counts.
+  * Estimator noise can push the estimate past 10⁶ (clamped at
   * 10⁹); error ~1/√k on the ratio — size the threshold accordingly. */
 final case class ContainmentCheck(aTypeColumn: String, bTypeColumn: String,
     itemColumn: String, aFilter: Option[String] = None,
@@ -184,12 +187,16 @@ final case class ContainmentCheck(aTypeColumn: String, bTypeColumn: String,
 
 /** Novelty-collapse contract (quality.Kmv.rollingDistinct cumulative
   * mode, the q257/q261 growth curve): failedCount = days — after the
-  * first `warmupDays` observed days — whose estimated NEW uniques (the
-  * lag difference of the cumulative distinct-to-date estimate) fall
-  * below `minNewPerDay` — "this source stopped contributing new data",
-  * the dedup-saturation alarm as a declarative gate. Estimator noise
-  * can push a day's delta negative; a negative delta below the floor
-  * counts (that honesty IS the alarm). State is ≤ days × k longs. */
+  * first `warmupDays` days — whose estimated NEW uniques (the lag
+  * difference of the cumulative distinct-to-date estimate) fall below
+  * `minNewPerDay` — "this source stopped contributing new data", the
+  * dedup-saturation alarm as a declarative gate. The curve is DENSIFIED
+  * over [min_day, max_day]: a completely silent day reads est_new = 0
+  * and fires the floor instead of vanishing from the lattice (so
+  * `dayColumn` must be integral epoch-days — asserted loudly).
+  * Estimator noise can push a day's delta negative; a negative delta
+  * below the floor counts (that honesty IS the alarm). State is ≤ days
+  * × k longs. */
 final case class GrowthCheck(dayColumn: String, itemColumn: String,
     k: Int = 64, minNewPerDay: Long = 1L, warmupDays: Int = 1)
 

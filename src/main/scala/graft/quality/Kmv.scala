@@ -233,9 +233,18 @@ object Kmv {
   /** [[consecutiveOverlap]] over an EXISTING per-day sketch frame
     * (`dayCol` integral, `kmv`) — the persisted/streamed-state entry
     * point (`Streaming.mergedKmvChurn`): the DAU churn dashboard running
-    * continuously off folded kmvStream state. */
+    * continuously off folded kmvStream state. Guards the integral-day
+    * contract itself, so the streamed path can't re-admit the silent
+    * zero-pairs hazard the raw-row entry point rejects. */
   def consecutiveOverlapFromSketches(daily: DataFrame, dayCol: String,
       k: Int): DataFrame = {
+    daily.schema(dayCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"consecutiveOverlapFromSketches: dayCol '$dayCol' must be " +
+          s"integral (epoch-day), got ${other.simpleString} - a lossy " +
+          "cast would silently emit no pairs")
+    }
     val a = daily.select(col(dayCol).cast("long").as("type_a"),
       col("kmv").as("sk_a"))
     val b = daily.select((col(dayCol).cast("long") - 1L).as("__prev"),
@@ -370,7 +379,15 @@ object Kmv {
     * substrate of the weighted overlap family: one row-grain pass
     * builds per-(type, item) masses, then ≤ k pairs of state per type. */
   private def weightedSketches(df: DataFrame, typeCol: String,
-      itemCol: String, massCol: String, k: Int): DataFrame =
+      itemCol: String, massCol: String, k: Int): DataFrame = {
+    df.schema(massCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"weighted overlap: massCol '$massCol' must be integral " +
+          s"(micro-units), got ${other.simpleString} - a silent double " +
+          "truncation here would diverge from the replay (the " +
+          "valueSketches convention)")
+    }
     df.filter(col(itemCol).isNotNull && col(massCol).isNotNull)
       .groupBy(col(typeCol), col(itemCol))
       .agg(sum(col(massCol)).cast("long").as("__m"))
@@ -378,6 +395,7 @@ object Kmv {
       .agg(call_function("kmv_values", hash60(col(itemCol)), col("__m"),
         lit(k)).as("kmvv"),
         sum("__m").as("mass_total"))
+  }
 
   /** The shared mass-share math over (type_a, ska, mass_a_total,
     * type_b, skb, mass_b_total) pairs. */
@@ -516,6 +534,8 @@ object Kmv {
       qE6s: Seq[Long]): DataFrame = {
     require(qE6s.nonEmpty && qE6s.forall(q => q >= 1L && q <= 1000000L),
       s"quantiles must be in [1, 1000000] micro-units, got $qE6s")
+    require(qE6s.distinct.size == qE6s.size,
+      s"duplicate quantiles would collide on q_<qE6> column names: $qE6s")
     val base = sk
       .withColumn("__sv", array_sort(expr("transform(kmvv, x -> x.v)")))
       .withColumn("k_used", size(col("__sv")).cast("long"))

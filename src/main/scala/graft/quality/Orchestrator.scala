@@ -221,10 +221,14 @@ object Orchestrator {
       val dfB = cc.bFilter.map(f => df.filter(expr(f))).getOrElse(df)
       val rep = Kmv.containmentReport(dfA, cc.aTypeColumn, cc.itemColumn,
         dfB, cc.bTypeColumn, cc.itemColumn, cc.k)
-      // same grouping column on both sides → a group vs itself is
-      // always fully contained; only cross pairs are contracts
+      // self pairs (a group vs ITSELF — always fully contained) are only
+      // a tautology when the two sides are the SAME set: same grouping
+      // column AND same row filters. With disjoint filters (eval slice
+      // vs train slice of one column), the same-NAME pair — eval lang=en
+      // inside train lang=en — is exactly the leak being gated and must
+      // NOT be excluded (r19 self-review finding).
       val pairs =
-        if (cc.aTypeColumn == cc.bTypeColumn)
+        if (cc.aTypeColumn == cc.bTypeColumn && cc.aFilter == cc.bFilter)
           rep.filter(col("type_a") =!= col("type_b"))
         else rep
       Checks.CheckResult("containment_check", label,
@@ -232,24 +236,50 @@ object Orchestrator {
     }
     val growthResults = spec.growthChecks.map { gc =>
       import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{coalesce, lag, row_number}
+      import org.apache.spark.sql.functions.{coalesce, lag, last, row_number, max => fmax, min => fmin}
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val label = s"growth(${gc.itemColumn})@k${gc.k} by ${gc.dayColumn}"
       requireCols("growth_check", label, Seq(gc.dayColumn, gc.itemColumn))
+      df.schema(gc.dayColumn).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => ()
+        case other => throw new IllegalArgumentException(
+          s"growth_check $label: day_column must be integral " +
+            s"(epoch-day), got ${other.simpleString} - silent-day " +
+            "synthesis needs day arithmetic")
+      }
       // novelty-collapse alarm: days past the warmup whose estimated NEW
       // uniques (lag diff of the q257 cumulative curve) fall below the
-      // floor. The window runs over the DAYS-sized curve, not row data
-      // (the single-partition window is |days| rows by construction).
+      // floor. A SILENT day is the worst collapse, so the observed curve
+      // is densified over [min_day, max_day] with carried-forward
+      // cumulative estimates — an absent day reads est_new = 0 and fires
+      // the floor instead of vanishing (r19 self-review finding). All
+      // windows run over the DAYS-sized lattice, never row data. A frame
+      // with no days at all is the row-count check's job, not this one's.
       val cum = Kmv.rollingDistinct(
         df.select(col(gc.dayColumn), col(gc.itemColumn)),
         gc.dayColumn, gc.itemColumn, gc.k, windowDays = 0)
-      val w = Window.orderBy(col(gc.dayColumn))
-      val novelty = cum
-        .withColumn("__rank", row_number().over(w))
-        .withColumn("__est_new", col("est_kmv") -
-          coalesce(lag(col("est_kmv"), 1).over(w), lit(0L)))
-      Checks.CheckResult("growth_check", label,
-        novelty.filter(col("__rank") > gc.warmupDays &&
-          col("__est_new") < gc.minNewPerDay).count())
+      val span = cum.agg(fmin(col(gc.dayColumn)).cast("long"),
+        fmax(col(gc.dayColumn)).cast("long")).head()
+      val failed =
+        if (span.isNullAt(0)) 0L
+        else {
+          val lattice = df.sparkSession
+            .range(span.getLong(0), span.getLong(1) + 1)
+            .toDF("__day")
+          val w = Window.orderBy(col("__day"))
+          lattice.join(
+            cum.select(col(gc.dayColumn).cast("long").as("__day"),
+              col("est_kmv")), Seq("__day"), "left")
+            .withColumn("__est", last(col("est_kmv"), ignoreNulls = true)
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("__rank", row_number().over(w))
+            .withColumn("__est_new", col("__est") -
+              coalesce(lag(col("__est"), 1).over(w), lit(0L)))
+            .filter(col("__rank") > gc.warmupDays &&
+              col("__est_new") < gc.minNewPerDay)
+            .count()
+        }
+      Checks.CheckResult("growth_check", label, failed)
     }
     val ksResults = spec.ksChecks.map { kc =>
       val label = s"${kc.typeColumn}/${kc.valueColumn}@k${kc.k}"

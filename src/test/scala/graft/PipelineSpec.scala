@@ -1065,6 +1065,27 @@ class PipelineSpec extends SparkSpec {
         "max_containment_e6: 1000000000"))
     an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
       yaml.replace("k: 128,", "k: 1,"))
+    // same grouping column with DISJOINT filters: the same-NAME pair
+    // (eval lang=en inside train lang=en) is the primary leak contract
+    // and must NOT be dropped as a "self pair" (r19 self-review finding)
+    val yaml2 =
+      """version: "1.0"
+        |pipeline:
+        |  name: decontamination2
+        |quality:
+        |  containment_checks:
+        |    - {a_type_column: lang, b_type_column: lang,
+        |       item_column: user, a_filter: "ds = 'eval'",
+        |       b_filter: "ds = 'train'", k: 128,
+        |       max_containment_e6: 500000}
+        |""".stripMargin
+    val rows2 = (1 to 40).map(i => ("en", "train", s"u$i")) ++
+      (1 to 10).map(i => ("en", "eval", s"u$i")) ++ // 100% inside train
+      (1 to 10).map(i => ("fr", "eval", s"f$i")) // disjoint from train
+    val df2 = rows2.toDF("lang", "ds", "user")
+    graft.quality.Orchestrator.run(df2, ConfigLoader.parse(yaml2).quality)
+      .checkResults.filter(_.check == "containment_check")
+      .head.failedCount shouldBe 1L // en-eval ⊂ en-train; fr pairs pass
   }
 
   test("quality growth_checks flag novelty collapse from YAML") {
@@ -1106,6 +1127,21 @@ class PipelineSpec extends SparkSpec {
       yaml.replace("warmup_days: 1", "warmup_days: 0"))
     an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
       yaml.replace("k: 128,", "k: 1,"))
+    // a SILENT day must fire the gate, not vanish: days 1, 2, 4 — the
+    // absent day 3 synthesizes est_new = 0 < 5 (r19 self-review
+    // finding). Failures: day 3 (silent) only; day 2 adds 10, day 4
+    // adds 6... with floor 5 day 4 passes.
+    val gappy = (1 to 50).map(i => (1L, s"u$i")) ++
+      (41 to 50).map(i => (2L, s"v$i")) ++
+      (1 to 6).map(i => (4L, s"w$i"))
+    graft.quality.Orchestrator.run(gappy.toDF("day", "user"), cfg.quality)
+      .checkResults.filter(_.check == "growth_check")
+      .head.failedCount shouldBe 1L
+    // non-integral day column raises loudly (silent-day synthesis
+    // needs day arithmetic)
+    an[IllegalArgumentException] should be thrownBy
+      graft.quality.Orchestrator.run(
+        df.withColumn("day", expr("CAST(day AS STRING)")), cfg.quality)
   }
 
   test("quality ks_checks flag distribution drift between type pairs from YAML") {
