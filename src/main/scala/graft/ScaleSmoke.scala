@@ -154,7 +154,14 @@ object ScaleSmoke {
     // count passes + a groups² pair stage), the sketch-space KS, and
     // the double-aliased-nation Q7 shape
     "q274_kmv_weighted_cross", "q275_kmv_sample_ks",
-    "q277_q7_nation_trade")
+    "q277_q7_nation_trade",
+    // round-20 additions: the semi/anti fact×fact topologies (Q18's
+    // grouped-HAVING key set re-joined to lineitem, Q21's EXISTS/NOT
+    // EXISTS self-joins — three keyed passes over lineitem), and the
+    // mass-weighted KS (two kmv_values aggregates + a groups² pair
+    // stage — the weighted family's flat-shape claim measured)
+    "q278_q18_large_orders", "q279_q21_waiting_suppliers",
+    "q280_kmv_weighted_ks")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

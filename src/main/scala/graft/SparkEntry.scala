@@ -2651,9 +2651,13 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_suppkey"),
           expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
             .as("rev"))
+      // no broadcast hint on sup (r19 verdict): AQE already sizes the
+      // ASIA-restricted supplier side at runtime — an unconditional hint
+      // would force a broadcast even at an SF where supplier outgrows
+      // the threshold (q267's measured AQE flip is the model)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
         .agg(sum(col("rev")).cast("double").as("revenue"))
@@ -2663,18 +2667,32 @@ object SparkEntry {
     // TPC-H Q7 shape: cross-nation trade volume — the join topology the
     // other headliners don't have: nation joined TWICE under aliases
     // (supplier side and customer side) with a symmetric two-nation
-    // predicate riding the broadcasts, revenue per (supp_nation,
-    // cust_nation, ship year). Facts shuffle on their keys; both nation
-    // hops broadcast.
+    // predicate, revenue per (supp_nation, cust_nation, ship year).
+    // The two-nation restriction is applied to nation BEFORE it joins
+    // supplier/customer (r19 verdict): only the two nations' suppliers
+    // and customers ever flow into the fact joins, cutting the
+    // lineitem⋈orders shuffle ~(2/25)× vs filtering after — at 100 TB
+    // the difference between shuffling every nation's trade and the
+    // pair's. The symmetric (3,7)/(7,3) pair predicate must stay
+    // post-join (it needs BOTH sides), but it now only rejects the two
+    // same-nation combinations. Supplier carries no broadcast hint —
+    // AQE sizes the restricted side at runtime.
     "q277_q7_nation_trade" -> ((s, dir) => {
+      val theTwo = Seq("NATION_3", "NATION_7")
       val n1 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(theTwo: _*))
         .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
       val n2 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(theTwo: _*))
         .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
       val sup = Tables.load(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .select(col("s_suppkey"), col("supp_nation"))
       val cust = Tables.load(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
       val ord = Tables.load(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
       Tables.load(s, dir, "lineitem")
@@ -2684,11 +2702,9 @@ object SparkEntry {
           year(col("l_shipdate")).cast("long").as("l_year"),
           expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
             .as("rev"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
-        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
         .filter((col("supp_nation") === "NATION_3" &&
           col("cust_nation") === "NATION_7") ||
           (col("supp_nation") === "NATION_7" &&
@@ -2723,6 +2739,114 @@ object SparkEntry {
         .orderBy(desc("revenue"), col("c_custkey"))
         .limit(20)
     }),
+
+    // TPC-H Q18 shape: large-volume orders — the SEMI-join topology the
+    // other headliners lack: an IN over a grouped-HAVING subquery
+    // (orders whose lineitems sum past a quantity threshold), re-joined
+    // to lineitem/customer for the report. The key-set derivation is
+    // one map-side-combinable groupBy over lineitem's two-column
+    // projection; the IN becomes a LeftSemi HASH join on o_orderkey
+    // (never a nested loop — the key set is unbounded, so a
+    // broadcast-IN literal list would not survive scale-up).
+    // l_quantity is integral-valued, so the double sums are exact in
+    // any order and hash-compare with the oracle.
+    "q278_q18_large_orders" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("__q"))
+        .filter(col("__q") > 250.0)
+        .select(col("l_orderkey").as("__bigkey"))
+      val ord = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(big, col("o_orderkey") === col("__bigkey"), "left_semi")
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name")
+      ord
+        .join(Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q21 shape: suppliers who kept the order waiting — the
+    // EXISTS + NOT EXISTS fact×fact self-join topology: returned ('R')
+    // lines of finalized orders where ANOTHER supplier shipped a line
+    // in the same order (semi) but NO other supplier's line was
+    // returned (anti) — the sole-offender attribution. Both quantified
+    // predicates are hash joins equi-keyed on l_orderkey with the
+    // supplier inequality as a residual condition, so each is one
+    // key-partitioned pass over lineitem's 3-column projection; the
+    // driver holds no key list. (The env's lineitem has no
+    // receipt/commit dates, so "late" maps to l_returnflag = 'R';
+    // the reference-side anchor is reconciliation's anti-join
+    // semantics, reconciliation.py:268-273, scaled to fact×fact.)
+    "q279_q21_waiting_suppliers" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val fOrders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"),
+          "left_semi")
+      val l2 = li.select(col("l_orderkey").as("k2"),
+        col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name")
+      l1
+        .join(l2, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_suppkey"))
+        .limit(100)
+    }),
+
+    // MASS-weighted two-sample KS between sources' doc-length
+    // distributions: each sampled doc counts its TOKEN MASS in the
+    // ECDF, not 1/k — a length drift confined to a source's many
+    // near-empty docs stops outranking one in its few giant docs (the
+    // q270 weighting applied to q275's statistic). The unweighted
+    // ks_e6 rides along to show when the two disagree; every cell an
+    // integer mass cumsum ·10⁶ div sample mass, hash-compared.
+    "q280_kmv_weighted_ks" -> ((s, dir) =>
+      Kmv.weightedSampleKsReport(
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            size(split(trim(col("text")), " ")).cast("long")
+              .as("n_toks")),
+        "source", "doc_id", "n_chars", "n_toks", k = 128)
+        .orderBy("type_a", "type_b")),
+
+    // MASS-weighted quantiles per source: the doc length under which
+    // q of the TOKEN MASS sits (vs q of the docs — the q265 rank
+    // statistic re-weighted). The crossing test is one fixed integer
+    // comparison over the (v, m)-sorted sample, so each cell replays
+    // bit-for-bit from the same ≤ k-pair sample state.
+    "q281_kmv_weighted_quantiles" -> ((s, dir) =>
+      Kmv.weightedQuantileReport(
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            size(split(trim(col("text")), " ")).cast("long")
+              .as("n_toks")),
+        Seq("source"), "doc_id", "n_chars", "n_toks", k = 128,
+        qE6s = Seq(250000L, 500000L, 750000L))
+        .orderBy("source")),
 
     // Directional CONTAINMENT from sketches — the decontamination
     // metric proper: an eval-lang vocabulary 90% contained in a
@@ -6052,6 +6176,106 @@ object SparkEntry {
         | AND l_returnflag = 'R' AND c_nationkey = n_nationkey
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // q278/q279: the TPC-H Q18/Q21 shapes — IN-over-grouped-HAVING and
+    // EXISTS/NOT EXISTS self-joins written as the subqueries they are
+    // (vs the DataFrame semi/anti joins: a genuinely independent
+    // derivation). l_quantity is integral-valued so double sums are
+    // order-exact; counts cast to BIGINT to match Spark's long.
+    "q278_q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        | sum(l_quantity) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |   GROUP BY 1 HAVING sum(l_quantity) > 250)
+        | AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q279_q21_waiting_suppliers" ->
+      """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        | AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey
+        |    AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey
+        |    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
+    // q280/q281: the weighted-ECDF replays — same md5-prefix bottom-k
+    // sample as q275 (min(v)/min(m) per hash), mass cumsums as integer
+    // list HOFs (sum cast BIGINT before the ·10⁶ product — HUGEINT
+    // promotion; coalesce(,0) for the empty-prefix identity), `//` ≡
+    // Spark's div because every numerator is non-negative.
+    "q280_kmv_weighted_ks" ->
+      """WITH d AS (SELECT source AS g, CAST(doc_id AS VARCHAR) AS rid,
+        |  n_chars AS v,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS m
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |   AND n_chars IS NOT NULL AND text IS NOT NULL),
+        |h AS (SELECT g, ('0x' || substr(md5(rid), 1, 15))::BIGINT AS hv,
+        |  min(v) AS v, min(m) AS m FROM d GROUP BY 1, 2),
+        |rk AS (SELECT g, hv, v, m,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list({'v': v, 'm': m}) AS s FROM rk
+        |  WHERE rn <= 128 GROUP BY g),
+        |p AS (SELECT a.g AS type_a, b.g AS type_b, a.s AS sa, b.s AS sb
+        |  FROM sk a JOIN sk b ON a.g < b.g),
+        |x AS (SELECT type_a, type_b,
+        |  CAST(len(sa) AS BIGINT) AS k_a, CAST(len(sb) AS BIGINT) AS k_b,
+        |  CAST(coalesce(list_sum(list_transform(sa, e -> e.m)), 0)
+        |    AS BIGINT) AS mass_a,
+        |  CAST(coalesce(list_sum(list_transform(sb, e -> e.m)), 0)
+        |    AS BIGINT) AS mass_b,
+        |  sa, sb FROM p),
+        |j AS (SELECT *, list_distinct(list_concat(
+        |  list_transform(sa, e -> e.v), list_transform(sb, e -> e.v)))
+        |  AS jumps FROM x)
+        |SELECT type_a, type_b, k_a, k_b, mass_a, mass_b,
+        | CAST(list_max(list_transform(jumps, t -> abs(
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(sa, e -> e.v <= t), e -> e.m)), 0) AS BIGINT)
+        |   * 1000000 // greatest(mass_a, 1) -
+        |  CAST(coalesce(list_sum(list_transform(
+        |    list_filter(sb, e -> e.v <= t), e -> e.m)), 0) AS BIGINT)
+        |   * 1000000 // greatest(mass_b, 1)))) AS BIGINT) AS wks_e6,
+        | CAST(list_max(list_transform(jumps, t -> abs(
+        |  CAST(len(list_filter(sa, e -> e.v <= t)) AS BIGINT)
+        |   * 1000000 // k_a -
+        |  CAST(len(list_filter(sb, e -> e.v <= t)) AS BIGINT)
+        |   * 1000000 // k_b))) AS BIGINT) AS ks_e6
+        |FROM j ORDER BY type_a, type_b""".stripMargin,
+    "q281_kmv_weighted_quantiles" ->
+      """WITH d AS (SELECT source AS g, CAST(doc_id AS VARCHAR) AS rid,
+        |  n_chars AS v,
+        |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS m
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |   AND n_chars IS NOT NULL AND text IS NOT NULL),
+        |h AS (SELECT g, ('0x' || substr(md5(rid), 1, 15))::BIGINT AS hv,
+        |  min(v) AS v, min(m) AS m FROM d GROUP BY 1, 2),
+        |rk AS (SELECT g, hv, v, m,
+        |  row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h),
+        |sk AS (SELECT g, list_sort(list({'v': v, 'm': m})) AS sv FROM rk
+        |  WHERE rn <= 128 GROUP BY g),
+        |x AS (SELECT g, sv, CAST(len(sv) AS BIGINT) AS k_used,
+        |  CAST(coalesce(list_sum(list_transform(sv, e -> e.m)), 0)
+        |    AS BIGINT) AS mass_total FROM sk)
+        |SELECT g AS source, k_used, mass_total,
+        | sv[list_filter(range(1, CAST(k_used AS INT) + 1), i ->
+        |   CAST(coalesce(list_sum(list_transform(sv[1:i], e -> e.m)), 0)
+        |     AS BIGINT) * 1000000 >= 250000 * mass_total)[1]]['v']
+        |   AS q_250000,
+        | sv[list_filter(range(1, CAST(k_used AS INT) + 1), i ->
+        |   CAST(coalesce(list_sum(list_transform(sv[1:i], e -> e.m)), 0)
+        |     AS BIGINT) * 1000000 >= 500000 * mass_total)[1]]['v']
+        |   AS q_500000,
+        | sv[list_filter(range(1, CAST(k_used AS INT) + 1), i ->
+        |   CAST(coalesce(list_sum(list_transform(sv[1:i], e -> e.m)), 0)
+        |     AS BIGINT) * 1000000 >= 750000 * mass_total)[1]]['v']
+        |   AS q_750000
+        |FROM x ORDER BY source""".stripMargin,
     // q258: the argmax replayed as a struct list_max over the same
     // "key#s" md5-prefix weights (ties, were they possible, break to
     // the higher shard id in both engines via the (w, s) struct order).

@@ -435,7 +435,8 @@ object ConfigLoader {
               valueColumn = str(cm, "value_column", "ks"),
               k = cm.get("k").map(_.toString.toInt).getOrElse(256),
               maxKsE6 = cm.get("max_ks_e6").map(_.toString.toLong)
-                .getOrElse(500000L))
+                .getOrElse(500000L),
+              massColumn = cm.get("mass_column").map(_.toString))
             if (kc.k < 2)
               throw new ConfigError("quality.ks_checks[].k must be >= 2")
             // D is bounded by exactly 1e6 and the gate fires on >, so a

@@ -175,7 +175,11 @@ final case class OverlapCheck(typeColumn: String, itemColumn: String,
   * sides read item sets from `itemColumn`, each paying one ≤ `k`-long
   * sketch aggregate. Self pairs (type_a = type_b) are excluded ONLY
   * when the two sides are the same set — same grouping column AND
-  * identical filters (a set is always contained in itself); with
+  * identical filters, compared as TEXT after whitespace collapsing
+  * ("x=1" ≡ "x = 1"; "x=1" vs "1=x" are NOT recognized as equal —
+  * write semantically identical a/b filters with identical text, or
+  * the self pairs, always 100% contained, fail the gate
+  * unconditionally); a set is always contained in itself. With
   * disjoint filters over one column, the same-name pair (eval lang=en
   * inside train lang=en) is exactly the leak being gated and counts.
   * Estimator noise can push the estimate past 10⁶ (clamped at
@@ -208,9 +212,18 @@ final case class GrowthCheck(dayColumn: String, itemColumn: String,
   * sample rows per type instead of the exact KS's full shuffle.
   * `idColumn` hashes the row (must determine `valueColumn`, which must
   * be integral — micro-units); sampling error on D is ~√(2/k) (k=256 ≈
-  * ±0.09) — size the threshold accordingly. */
+  * ±0.09) — size the threshold accordingly.
+  *
+  * `massColumn` (optional) switches the statistic to the MASS-weighted
+  * KS (`Kmv.weightedSampleKsReport`): each sampled row counts its mass
+  * (token count, bytes — integral, determined by `idColumn` like the
+  * value) instead of 1/k, so the alarm ranks drift by mass, not row
+  * count; the cap then applies to `wks_e6`. Batch-only: the streaming
+  * gate raises on a weighted spec (its `kmvValuesStream` state carries
+  * no masses). */
 final case class KsCheck(typeColumn: String, idColumn: String,
-    valueColumn: String, k: Int = 256, maxKsE6: Long = 500000L)
+    valueColumn: String, k: Int = 256, maxKsE6: Long = 500000L,
+    massColumn: Option[String] = None)
 
 final case class QualitySpec(
     nullCheckColumns: Seq[String] = Nil,

@@ -307,8 +307,17 @@ object Kmv {
     * trailing-window mode stays bounded at days × windowDays pairs. */
   def rollingDistinctBy(df: DataFrame, groupCols: Seq[String],
       dayCol: String, itemCol: String, k: Int,
-      windowDays: Int = 0): DataFrame = {
-    val daily = sketches(df, groupCols :+ dayCol, itemCol, k)
+      windowDays: Int = 0): DataFrame =
+    rollingFromDailySketches(sketches(df, groupCols :+ dayCol, itemCol, k),
+      groupCols, dayCol, k, windowDays)
+
+  /** [[rollingDistinctBy]] starting from an EXISTING per-(group, day)
+    * sketch frame (`groupCols :+ dayCol`, `kmv`) — the streamed-state
+    * entry point (`Streaming.foldedKmvSketches` keyed by day): bottom-k
+    * of a union of bottom-ks IS the union's bottom-k, so the curve off
+    * folded state ≡ the batch curve over every row ever streamed. */
+  def rollingFromDailySketches(daily: DataFrame, groupCols: Seq[String],
+      dayCol: String, k: Int, windowDays: Int = 0): DataFrame = {
     val days = daily.select(col(dayCol).as("__d")).distinct()
     val cond =
       if (windowDays > 0)
@@ -341,8 +350,11 @@ object Kmv {
     *                      / Σ m_a over (merged ∩ A)
     * — which estimates mass_a(A∩B)/mass_a(A) with the est_union scale
     * factor cancelled (a ratio estimator, bias O(1/k)), so every
-    * intermediate stays a bounded BIGINT (sample mass sums ·10⁶ must fit
-    * int64: keep per-item masses ≤ ~10¹² at k ≤ 1024). The unweighted
+    * intermediate stays a bounded BIGINT (a sample mass sum is ≤ k
+    * per-item masses and is multiplied by 10⁶, so it must fit int64:
+    * keep per-item masses ≲ 9·10¹²/k — ≈ 9·10⁹ at k = 1024, ≈ 10¹¹ at
+    * k = 64; beyond that Spark (non-ANSI) would wrap silently while the
+    * DuckDB replay errors). The unweighted
     * jaccard_e6/est_union ride along for contrast; everything replays
     * bit-for-bit in the oracle. */
   def weightedOverlapReport(df: DataFrame, typeCol: String,
@@ -554,6 +566,149 @@ object Kmv {
       valueCol: String, k: Int, qE6s: Seq[Long]): DataFrame =
     quantilesFromValueSketches(
       valueSketches(df, groupCols, idCol, valueCol, k), groupCols, qE6s)
+
+  // ---- MASS-weighted sample statistics (value + mass sample) ---------
+
+  /** [[valueSketches]] carrying each sampled row's MASS alongside its
+    * value — the substrate for mass-weighted ECDF statistics (the
+    * [[weightedOverlapReport]] weighting applied to the value-sample
+    * family): `kmvv` holds ascending-by-hash (h, v, m) structs.
+    *
+    * Mechanically this is TWO `kmv_values` aggregates over the same
+    * `hash60(idCol)` stream — one carrying the value, one the mass.
+    * Both keep the bottom-k DISTINCT hashes of the same stream, so
+    * their hash sets are identical and both arrays come back ascending
+    * by hash: the positional zip is exact alignment, not a join.
+    * `idCol` must determine BOTH `valueCol` and `massCol` (the
+    * [[valueSketches]] contract — duplicate ids then carry identical
+    * pairs and the per-hash min replays in any engine); both must be
+    * integral (micro-units). Mass sums ride the weighted-overlap BIGINT
+    * envelope: a sample mass sum is ≤ k per-item masses and meets a
+    * ·10⁶ product downstream, so keep per-item masses ≲ 9·10¹²/k. */
+  def weightedValueSketches(df: DataFrame, groupCols: Seq[String],
+      idCol: String, valueCol: String, massCol: String,
+      k: Int): DataFrame = {
+    Seq(valueCol -> "valueCol", massCol -> "massCol").foreach {
+      case (c, what) =>
+        df.schema(c).dataType match {
+          case LongType | IntegerType | ShortType | ByteType => ()
+          case other => throw new IllegalArgumentException(
+            s"weightedValueSketches: $what '$c' must be integral " +
+              s"(micro-units), got ${other.simpleString} - scale doubles " +
+              "to fixed-point first (round(x * 100) the e2 convention)")
+        }
+    }
+    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull &&
+        col(massCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        call_function("kmv_values", hash60(col(idCol)),
+          col(valueCol).cast("long"), lit(k)).as("__kv"),
+        call_function("kmv_values", hash60(col(idCol)),
+          col(massCol).cast("long"), lit(k)).as("__km"))
+      .select(groupCols.map(col) :+
+        expr("zip_with(__kv, __km, (x, y) -> " +
+          "named_struct('h', x.h, 'v', x.v, 'm', y.v))").as("kmvv"): _*)
+  }
+
+  /** Pairwise MASS-weighted two-sample KS: D_w = max over the union of
+    * sample values of |wecdf_a − wecdf_b| where each sampled row counts
+    * its MASS, not 1/k — so a drift alarm ranks by token mass instead
+    * of doc count (a shift confined to a corpus's many near-empty docs
+    * stops outranking one in its few giant docs). The unweighted ks_e6
+    * rides along for contrast; both are integer ratios over fixed
+    * arrays (mass cumsums ·10⁶ div sample mass — the micro-unit
+    * contract), so both replay bit-for-bit. Work is groups² pairs × k²
+    * HOF steps on ≤ k-row samples — never row data. */
+  def weightedSampleKsReport(df: DataFrame, typeCol: String, idCol: String,
+      valueCol: String, massCol: String, k: Int): DataFrame =
+    weightedKsFromSketches(
+      weightedValueSketches(df, Seq(typeCol), idCol, valueCol, massCol, k),
+      typeCol)
+
+  /** [[weightedSampleKsReport]] over an EXISTING (`typeCol`, `kmvv`)
+    * weighted-sketch frame — the persisted/streamed-state entry point
+    * (fold exactness: the statistic over folded state ≡ the batch
+    * report over all rows). */
+  def weightedKsFromSketches(sk: DataFrame, typeCol: String): DataFrame = {
+    val a = sk.select(col(typeCol).as("type_a"), col("kmvv").as("ska"))
+    val b = sk.select(col(typeCol).as("type_b"), col("kmvv").as("skb"))
+    weightedKsFromSamplePairs(a.join(b, col("type_a") < col("type_b")))
+  }
+
+  /** The shared weighted-KS math over (type_a, ska, type_b, skb) pairs
+    * of (h, v, m) samples. */
+  private def weightedKsFromSamplePairs(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("k_a", size(col("ska")).cast("long"))
+      .withColumn("k_b", size(col("skb")).cast("long"))
+      .withColumn("mass_a", expr(
+        "aggregate(ska, CAST(0 AS BIGINT), (acc, x) -> acc + x.m)"))
+      .withColumn("mass_b", expr(
+        "aggregate(skb, CAST(0 AS BIGINT), (acc, x) -> acc + x.m)"))
+      .withColumn("__jumps", expr(
+        "array_distinct(concat(transform(ska, x -> x.v), " +
+          "transform(skb, x -> x.v)))"))
+      .withColumn("wks_e6", expr(
+        "array_max(transform(__jumps, t -> abs(" +
+          "aggregate(filter(ska, x -> x.v <= t), CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + x.m) * 1000000 div greatest(mass_a, 1) - " +
+          "aggregate(filter(skb, x -> x.v <= t), CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + x.m) * 1000000 div greatest(mass_b, 1))))"))
+      .withColumn("ks_e6", expr(
+        "array_max(transform(__jumps, t -> abs(" +
+          "CAST(size(filter(ska, x -> x.v <= t)) AS BIGINT)" +
+          " * 1000000 div k_a - " +
+          "CAST(size(filter(skb, x -> x.v <= t)) AS BIGINT)" +
+          " * 1000000 div k_b)))"))
+      .select(col("type_a"), col("type_b"), col("k_a"), col("k_b"),
+        col("mass_a"), col("mass_b"), col("wks_e6"), col("ks_e6"))
+
+  /** MASS-weighted quantiles off a [[weightedValueSketches]] frame: for
+    * each qE6, the smallest sampled value whose cumulative sample MASS
+    * crosses q of the total — the median token now sits where half the
+    * token MASS sits, not where half the docs sit. The crossing test is
+    * one fixed integer comparison (prefix-mass ·10⁶ ≥ q · total mass —
+    * both BIGINT products inside the documented mass envelope), the
+    * prefix sums run over the sample sorted by (v, m) — a total order
+    * both engines share — so every cell replays bit-for-bit. Emits
+    * `k_used`, `mass_total`, one `q_<qE6>` per requested quantile. */
+  def weightedQuantilesFromSketches(sk: DataFrame, groupCols: Seq[String],
+      qE6s: Seq[Long]): DataFrame = {
+    require(qE6s.nonEmpty && qE6s.forall(q => q >= 1L && q <= 1000000L),
+      s"quantiles must be in [1, 1000000] micro-units, got $qE6s")
+    require(qE6s.distinct.size == qE6s.size,
+      s"duplicate quantiles would collide on q_<qE6> column names: $qE6s")
+    val base = sk
+      .withColumn("__sv", array_sort(expr(
+        "transform(kmvv, x -> named_struct('v', x.v, 'm', x.m))")))
+      .withColumn("k_used", size(col("__sv")).cast("long"))
+      .withColumn("mass_total", expr(
+        "aggregate(__sv, CAST(0 AS BIGINT), (acc, x) -> acc + x.m)"))
+    val withQs = qE6s.foldLeft(base) { (d, q) =>
+      // the i = k_used element always satisfies the crossing test
+      // (prefix = total, q ≤ 10⁶), so the filter is never empty on a
+      // non-empty sample; an empty sample can't occur (each group has
+      // ≥ 1 surviving row by construction) but reads NULL, not an error
+      d.withColumn(s"q_$q", expr(
+        "element_at(__sv, CAST(element_at(filter(" +
+          "sequence(1, CAST(k_used AS INT)), i -> " +
+          "aggregate(slice(__sv, 1, i), CAST(0 AS BIGINT), " +
+          s"(acc, x) -> acc + x.m) * 1000000 >= $q * mass_total), " +
+          "1) AS INT)).v"))
+    }
+    withQs.select(groupCols.map(col) ++ (Seq(col("k_used"),
+      col("mass_total")) ++ qE6s.map(q => col(s"q_$q"))): _*)
+  }
+
+  /** Per-group mass-weighted quantile estimates in one call:
+    * [[weightedValueSketches]] → [[weightedQuantilesFromSketches]]. */
+  def weightedQuantileReport(df: DataFrame, groupCols: Seq[String],
+      idCol: String, valueCol: String, massCol: String, k: Int,
+      qE6s: Seq[Long]): DataFrame =
+    weightedQuantilesFromSketches(
+      weightedValueSketches(df, groupCols, idCol, valueCol, massCol, k),
+      groupCols, qE6s)
 
   /** Rolling / cumulative per-day QUANTILES from daily value sketches —
     * the [[rollingDistinct]] posture for order statistics: the raw data

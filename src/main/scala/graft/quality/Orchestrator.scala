@@ -226,17 +226,25 @@ object Orchestrator {
       // column AND same row filters. With disjoint filters (eval slice
       // vs train slice of one column), the same-NAME pair — eval lang=en
       // inside train lang=en — is exactly the leak being gated and must
-      // NOT be excluded (r19 self-review finding).
+      // NOT be excluded (r19 self-review finding). "Same filter" is
+      // decided on the TEXT after whitespace collapsing ("x=1" ≡
+      // "x = 1" — otherwise a cosmetic spacing difference re-admits
+      // always-100%-contained self pairs and the gate fails
+      // unconditionally); deeper semantic equivalence ("x=1" vs "1=x")
+      // is intentionally out of scope — write the two filters
+      // identically when they mean the same predicate (documented on
+      // ContainmentCheck).
+      def normF(fo: Option[String]): Option[String] =
+        fo.map(_.replaceAll("\\s+", " ").trim)
       val pairs =
-        if (cc.aTypeColumn == cc.bTypeColumn && cc.aFilter == cc.bFilter)
+        if (cc.aTypeColumn == cc.bTypeColumn &&
+          normF(cc.aFilter) == normF(cc.bFilter))
           rep.filter(col("type_a") =!= col("type_b"))
         else rep
       Checks.CheckResult("containment_check", label,
         pairs.filter(col("cont_a_in_b_e6") > cc.maxContainmentE6).count())
     }
     val growthResults = spec.growthChecks.map { gc =>
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions.{coalesce, lag, last, row_number, max => fmax, min => fmin}
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val label = s"growth(${gc.itemColumn})@k${gc.k} by ${gc.dayColumn}"
       requireCols("growth_check", label, Seq(gc.dayColumn, gc.itemColumn))
@@ -249,51 +257,41 @@ object Orchestrator {
       }
       // novelty-collapse alarm: days past the warmup whose estimated NEW
       // uniques (lag diff of the q257 cumulative curve) fall below the
-      // floor. A SILENT day is the worst collapse, so the observed curve
-      // is densified over [min_day, max_day] with carried-forward
-      // cumulative estimates — an absent day reads est_new = 0 and fires
-      // the floor instead of vanishing (r19 self-review finding). All
-      // windows run over the DAYS-sized lattice, never row data. A frame
-      // with no days at all is the row-count check's job, not this one's.
+      // floor — curve construction here, lattice/lag math in the shared
+      // [[growthFailuresFromCurve]] (also the streaming gate's spine).
       val cum = Kmv.rollingDistinct(
         df.select(col(gc.dayColumn), col(gc.itemColumn)),
         gc.dayColumn, gc.itemColumn, gc.k, windowDays = 0)
-      val span = cum.agg(fmin(col(gc.dayColumn)).cast("long"),
-        fmax(col(gc.dayColumn)).cast("long")).head()
-      val failed =
-        if (span.isNullAt(0)) 0L
-        else {
-          val lattice = df.sparkSession
-            .range(span.getLong(0), span.getLong(1) + 1)
-            .toDF("__day")
-          val w = Window.orderBy(col("__day"))
-          lattice.join(
-            cum.select(col(gc.dayColumn).cast("long").as("__day"),
-              col("est_kmv")), Seq("__day"), "left")
-            .withColumn("__est", last(col("est_kmv"), ignoreNulls = true)
-              .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-            .withColumn("__rank", row_number().over(w))
-            .withColumn("__est_new", col("__est") -
-              coalesce(lag(col("__est"), 1).over(w), lit(0L)))
-            .filter(col("__rank") > gc.warmupDays &&
-              col("__est_new") < gc.minNewPerDay)
-            .count()
-        }
-      Checks.CheckResult("growth_check", label, failed)
+      Checks.CheckResult("growth_check", label,
+        growthFailuresFromCurve(cum, gc.dayColumn, gc, label))
     }
     val ksResults = spec.ksChecks.map { kc =>
-      val label = s"${kc.typeColumn}/${kc.valueColumn}@k${kc.k}"
-      requireCols("ks_check", label,
-        Seq(kc.typeColumn, kc.idColumn, kc.valueColumn))
       // distribution-drift alarm at sketch cost: type pairs whose
       // two-sample KS over the per-type value samples exceeds the cap.
       // Each type pays one <= k-pair aggregate; a non-integral value
-      // column raises loudly inside valueSketches (the micro-unit
-      // convention).
-      Checks.CheckResult("ks_check", label,
-        Kmv.sampleKsReport(df, kc.typeColumn, kc.idColumn,
-          kc.valueColumn, kc.k)
-          .filter(col("ks_e6") > kc.maxKsE6).count())
+      // (or mass) column raises loudly inside the sketch builders (the
+      // micro-unit convention). With mass_column set, each sampled row
+      // counts its MASS in the ECDF and the cap applies to wks_e6 —
+      // drift ranked by token mass, not row count.
+      kc.massColumn match {
+        case None =>
+          val label = s"${kc.typeColumn}/${kc.valueColumn}@k${kc.k}"
+          requireCols("ks_check", label,
+            Seq(kc.typeColumn, kc.idColumn, kc.valueColumn))
+          Checks.CheckResult("ks_check", label,
+            Kmv.sampleKsReport(df, kc.typeColumn, kc.idColumn,
+              kc.valueColumn, kc.k)
+              .filter(col("ks_e6") > kc.maxKsE6).count())
+        case Some(mass) =>
+          val label =
+            s"${kc.typeColumn}/${kc.valueColumn}*${mass}@k${kc.k}"
+          requireCols("ks_check", label,
+            Seq(kc.typeColumn, kc.idColumn, kc.valueColumn, mass))
+          Checks.CheckResult("ks_check", label,
+            Kmv.weightedSampleKsReport(df, kc.typeColumn, kc.idColumn,
+              kc.valueColumn, mass, kc.k)
+              .filter(col("wks_e6") > kc.maxKsE6).count())
+      }
     }
     val checkResults = rowCheckResults ++ fdResults ++ benfordResults ++
       seasonalResults ++ correlationResults ++ hhiResults ++ popResults ++
@@ -349,5 +347,65 @@ object Orchestrator {
     val overall = Metrics.overall(scores)
     QualityReport(rows, checkResults, anomalyCounts, anomalySamples, scores,
       overall, Metrics.level(overall), expectationResults)
+  }
+
+  /** The growth_check lattice math over an ALREADY-BUILT cumulative
+    * curve (`dayCol`, `est_kmv` — `Kmv.rollingDistinct` windowDays = 0
+    * shape): days past the warmup whose lag-diff NEW-unique estimate
+    * falls below the floor. A SILENT day is the worst collapse, so the
+    * curve is densified over [min_day, max_day] with carried-forward
+    * cumulative estimates — an absent day reads est_new = 0 and fires
+    * the floor instead of vanishing (r19 self-review finding). All
+    * windows run over the DAYS-sized lattice, never row data; a curve
+    * with no days at all is the row-count check's job, not this one's.
+    *
+    * Shared by the batch gate ([[run]]) and the streaming gate
+    * (`Streaming.mergedGrowthCheck` feeds the curve off folded
+    * `kmvStream` state) so merged ≡ batch is structural. */
+  def growthFailuresFromCurve(cum: DataFrame, dayCol: String,
+      gc: graft.config.GrowthCheck, label: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, col, lag, last, lit, row_number, max => fmax, min => fmin}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    cum.schema(dayCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"growth_check $label: day column must be integral " +
+          s"(epoch-day), got ${other.simpleString} - silent-day " +
+          "synthesis needs day arithmetic")
+    }
+    val span = cum.agg(fmin(col(dayCol)).cast("long"),
+      fmax(col(dayCol)).cast("long")).head()
+    // span sanity cap: the day lattice is range(min, max+1), so an
+    // epoch-SECONDS/millis column (which passes the integral guard —
+    // the likeliest misuse the epoch-day contract invites) would
+    // silently build a ~10⁹–10¹² row lattice and hang a single-
+    // partition window instead of failing loudly. No real corpus
+    // spans a million days (~2700 years); reject past that.
+    if (!span.isNullAt(0) &&
+      span.getLong(1) - span.getLong(0) > 1000000L)
+      throw new IllegalArgumentException(
+        s"growth_check $label: day span ${span.getLong(0)}.." +
+          s"${span.getLong(1)} exceeds 1e6 days - day_column must be " +
+          "integral EPOCH-DAYS (datediff-style), not epoch " +
+          "seconds/millis")
+    if (span.isNullAt(0)) 0L
+    else {
+      val lattice = cum.sparkSession
+        .range(span.getLong(0), span.getLong(1) + 1)
+        .toDF("__day")
+      val w = Window.orderBy(col("__day"))
+      lattice.join(
+        cum.select(col(dayCol).cast("long").as("__day"),
+          col("est_kmv")), Seq("__day"), "left")
+        .withColumn("__est", last(col("est_kmv"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__rank", row_number().over(w))
+        .withColumn("__est_new", col("__est") -
+          coalesce(lag(col("__est"), 1).over(w), lit(0L)))
+        .filter(col("__rank") > gc.warmupDays &&
+          col("__est_new") < gc.minNewPerDay)
+        .count()
+    }
   }
 }

@@ -451,6 +451,72 @@ object Streaming {
     graft.quality.Kmv.sampleKsFromSketches(
       foldedKmvValueSketches(spark, stateDir, Seq(typeCol), k), typeCol)
 
+  // ---- config-driven CONTINUOUS quality gates ------------------------
+  // The declarative ks_checks / growth_checks / containment_checks specs
+  // the batch Orchestrator runs, evaluated over folded stream state —
+  // the same YAML block alarms a continuous pipeline. Row filters and
+  // id/value/item columns are consumed at stream-WRITE time (the
+  // kmvStream/kmvValuesStream arguments must match the spec); fold
+  // exactness then makes every failedCount ≡ its batch twin over every
+  // row ever streamed.
+
+  /** `ks_checks` over [[kmvValuesStream]] state: failedCount = type
+    * pairs whose merged-sample KS exceeds the spec's cap. A weighted
+    * spec (mass_column set) raises loudly: the stream state carries no
+    * masses, and silently evaluating the UNWEIGHTED statistic under a
+    * weighted contract is exactly the divergence the config exists to
+    * prevent. */
+  def mergedKsCheck(spark: SparkSession, stateDir: String,
+      kc: graft.config.KsCheck): graft.quality.Checks.CheckResult = {
+    kc.massColumn.foreach(m => throw new IllegalArgumentException(
+      s"streaming ks_check: mass_column '$m' is batch-only - " +
+        "kmvValuesStream state carries (hash, value) pairs without " +
+        "masses, so the weighted statistic cannot be folded; run the " +
+        "weighted gate in the batch Orchestrator"))
+    graft.quality.Checks.CheckResult("ks_check",
+      s"${kc.typeColumn}/${kc.valueColumn}@k${kc.k} (streamed)",
+      mergedKmvKs(spark, stateDir, kc.typeColumn, kc.k)
+        .filter(col("ks_e6") > kc.maxKsE6).count())
+  }
+
+  /** `growth_checks` over [[kmvStream]] state keyed by the integral
+    * epoch-day column: the cumulative curve re-aggregates from per-day
+    * folded sketches, then the shared Orchestrator lattice math (silent
+    * days densified, span cap, warmup) decides failures. */
+  def mergedGrowthCheck(spark: SparkSession, stateDir: String,
+      gc: graft.config.GrowthCheck): graft.quality.Checks.CheckResult = {
+    val label =
+      s"growth(${gc.itemColumn})@k${gc.k} by ${gc.dayColumn} (streamed)"
+    val cum = graft.quality.Kmv.rollingFromDailySketches(
+      foldedKmvSketches(spark, stateDir, Seq(gc.dayColumn), gc.k),
+      Nil, gc.dayColumn, gc.k, windowDays = 0)
+    graft.quality.Checks.CheckResult("growth_check", label,
+      graft.quality.Orchestrator.growthFailuresFromCurve(
+        cum, gc.dayColumn, gc, label))
+  }
+
+  /** `containment_checks` between two [[kmvStream]] states (eval state
+    * in training state): failedCount = (A-group × B-group) pairs whose
+    * estimated |A∩B|/|A| exceeds the cap. Self pairs are tautological
+    * ONLY when the two sides are the same set, which in stream space
+    * means the SAME state directory under the same key column (the
+    * spec's aFilter/bFilter were applied before the stream was written
+    * and are ignored here). */
+  def mergedContainmentCheck(spark: SparkSession, stateDirA: String,
+      stateDirB: String,
+      cc: graft.config.ContainmentCheck): graft.quality.Checks.CheckResult = {
+    val rep = mergedKmvContainment(spark, stateDirA, cc.aTypeColumn,
+      stateDirB, cc.bTypeColumn, cc.k)
+    val pairs =
+      if (cc.aTypeColumn == cc.bTypeColumn && stateDirA == stateDirB)
+        rep.filter(col("type_a") =!= col("type_b"))
+      else rep
+    graft.quality.Checks.CheckResult("containment_check",
+      s"${cc.aTypeColumn} in ${cc.bTypeColumn}/${cc.itemColumn}" +
+        s"@k${cc.k} (streamed)",
+      pairs.filter(col("cont_a_in_b_e6") > cc.maxContainmentE6).count())
+  }
+
   /** Read side of [[histogramStream]]: sum the per-batch bin counts and
     * read quantiles from the merged state. */
   def mergedHistogramQuantiles(spark: SparkSession, stateDir: String,

@@ -1176,6 +1176,22 @@ class PipelineSpec extends SparkSpec {
       yaml.replace("max_ks_e6: 400000", "max_ks_e6: 1000000"))
     an[ConfigLoader.ConfigError] should be thrownBy ConfigLoader.parse(
       yaml.replace("k: 128,", "k: 1,"))
+    // mass_column switches the gate to the MASS-weighted statistic
+    // (wks_e6 under the same cap, the label marking the weighting);
+    // unit masses degenerate to the unweighted counts exactly
+    val cfgW = ConfigLoader.parse(yaml.replace(
+      "value_column: v,", "value_column: v, mass_column: m,"))
+    cfgW.quality.ksChecks.head.massColumn shouldBe Some("m")
+    val reportW = graft.quality.Orchestrator.run(
+      df.withColumn("m", expr("CAST(1 AS BIGINT)")), cfgW.quality)
+    reportW.checkResults.filter(_.check == "ks_check")
+      .map(c => c.column -> c.failedCount) shouldBe
+      Seq("variant/v*m@k128" -> 2L)
+    // a weighted spec with a missing or non-integral mass column raises
+    an[Exception] should be thrownBy graft.quality.Orchestrator.run(
+      df, cfgW.quality)
+    an[Exception] should be thrownBy graft.quality.Orchestrator.run(
+      df.withColumn("m", expr("CAST(1.5 AS DOUBLE)")), cfgW.quality)
   }
 
   test("layout block: rendezvous shard plan drives from YAML") {

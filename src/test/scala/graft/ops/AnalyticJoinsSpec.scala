@@ -73,6 +73,57 @@ class AnalyticJoinsSpec extends SparkSpec {
     "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
     plan should include("GreaterThanOrEqual(l_shipdate")
     plan should include("LessThan(l_shipdate")
+    // the two-nation restriction must reach the nation parquet scans
+    // as a pushed In — not survive only as the post-join pair filter
+    plan should include("In(n_name")
+  }
+
+  test("q277 (Q7): two-nation restriction lands BELOW the fact joins") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    // r19 verdict: supplier/customer must be pre-restricted to the
+    // two-nation key set BEFORE they meet lineitem/orders — the fact
+    // join's dim side already carries supp_nation/cust_nation (nation
+    // was folded in underneath), instead of all 25 nations' suppliers
+    // flowing through the fact shuffle and dying in a top-level filter.
+    val df = SparkEntry.queries("q277_q7_nation_trade")(spark, dir)
+    df.collect()
+    val joins = df.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+    def names(p: LogicalPlan): Set[String] = p.output.map(_.name).toSet
+    def factFacing(dimCols: Set[String]): Boolean = joins.exists { j =>
+      (dimCols.subsetOf(names(j.left)) &&
+        names(j.right).contains("l_year")) ||
+        (dimCols.subsetOf(names(j.right)) &&
+          names(j.left).contains("l_year"))
+    }
+    // supplier side: a join against the fact whose dim input ALREADY
+    // outputs (s_suppkey, supp_nation) — nation restricted below
+    factFacing(Set("s_suppkey", "supp_nation")) shouldBe true
+    // customer side: same contract
+    factFacing(Set("c_custkey", "cust_nation")) shouldBe true
+  }
+
+  test("q278 (Q18): IN-over-grouped-HAVING runs as a LeftSemi hash join") {
+    val plan = finalPlan("q278_q18_large_orders")
+    assertHashJoinsOnly(plan)
+    // the unbounded key set must ride a semi JOIN on o_orderkey —
+    // never a collected IN literal list or a nested loop
+    plan should include("LeftSemi")
+    // the key-set derivation aggregates lineitem's 2-column projection;
+    // partial aggregation (map-side combine) must be present
+    plan should include("partial_sum")
+  }
+
+  test("q279 (Q21): EXISTS/NOT EXISTS run as LeftSemi/LeftAnti hash joins") {
+    val plan = finalPlan("q279_q21_waiting_suppliers")
+    assertHashJoinsOnly(plan)
+    // both quantified self-joins are equi-keyed on l_orderkey with the
+    // supplier inequality as a residual — hash semi/anti, no BNLJ
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    // the returnflag predicates reach the lineitem scans
+    plan should include("EqualTo(l_returnflag,R)")
+    plan should include("EqualTo(o_orderstatus,F)")
   }
 
   test("dynamic partition pruning fires on a partitioned fact behind a dim filter") {
@@ -106,6 +157,56 @@ class AnalyticJoinsSpec extends SparkSpec {
     val rows = joined.collect()
     rows.length shouldBe 1
     val plan = joined.queryExecution.executedPlan.toString
+    plan should include("dynamicpruning")
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("DPP fires on the SHIPPED medallion path: Transform → partitioned silver sink → mart") {
+    import graft.bronze.Ingest
+    import graft.config.{DerivedColumn, GoldModel, Measure, SilverSpec}
+    import graft.gold.AggregationEngine
+    import graft.silver.Transform
+    import org.apache.spark.sql.functions.{col, max, struct}
+    // r19 verdict item 3: the synthetic fixture above proves Spark CAN
+    // prune; this proves OUR medallion components produce a prunable
+    // layout end-to-end — the silver chain derives year/month, the S9
+    // sink partitions on them, and a mart read behind a selective dim
+    // filter (an attribute the fact doesn't carry) must show the dim's
+    // surviving keys injected into the silver scan's PartitionFilters.
+    val bronze = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    val silver = Transform(SilverSpec(derived = Seq(
+      DerivedColumn("year", "year(l_shipdate)"),
+      DerivedColumn("month", "month(l_shipdate)"))))(bronze)
+    val silverPath = java.nio.file.Files
+      .createTempDirectory("graft_dpp_silver").toString
+    Ingest.write(silver, silverPath, "overwrite", Seq("year", "month"))
+    // calendar dim: one (year, month) carries the label the mart wants;
+    // a REAL parquet source so the filter survives to the optimizer
+    val target = silver
+      .agg(max(struct(col("year"), col("month"))).as("ym"))
+      .select(col("ym.year"), col("ym.month")).head()
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft_dpp_caldim").toString
+    silver.select(col("year").as("d_year"), col("month").as("d_month"))
+      .distinct()
+      .withColumn("d_label",
+        org.apache.spark.sql.functions.when(
+          col("d_year") === target.getInt(0) &&
+            col("d_month") === target.getInt(1), "closing")
+          .otherwise("open"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(silverPath)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("d_label") === "closing")
+    val mart = AggregationEngine.build(
+      fact.join(dim, fact("year") === dim("d_year") &&
+        fact("month") === dim("d_month")),
+      GoldModel("monthly_close", groupBy = Seq("d_year", "d_month"),
+        measures = Seq(Measure("total_qty", "sum(l_quantity)"))))
+    val rows = mart.collect()
+    rows.length shouldBe 1
+    val plan = mart.queryExecution.executedPlan.toString
     plan should include("dynamicpruning")
     plan should not include "BroadcastNestedLoopJoin"
   }

@@ -49,6 +49,73 @@ class KmvQuantileSpec extends SparkSpec {
     folded.map(_.toSeq) shouldBe oneShot.map(_.toSeq)
   }
 
+  test("weightedQuantileReport: mass moves the crossing; unit mass ≡ unweighted") {
+    // one heavy item carries 91% of the mass: every quantile ≥ 10% of
+    // the mass sits AT the heavy value, while the doc-count quantiles
+    // sit in the light tail
+    val df = ((1L to 9L).map(i => ("g", s"id$i", i, 1L)) :+
+      ("g", "id10", 10L, 91L)).toDF("g", "id", "v", "m")
+    val w = Kmv.weightedQuantileReport(df, Seq("g"), "id", "v", "m",
+      k = 64, Seq(250000L, 500000L)).head()
+    w.getLong(1) shouldBe 10L    // k_used
+    w.getLong(2) shouldBe 100L   // mass_total
+    w.getLong(3) shouldBe 10L    // q25 by mass → the heavy value
+    w.getLong(4) shouldBe 10L    // q50 by mass → the heavy value
+    // unit masses: the weighted crossing degenerates to the ceil(q·n)
+    // order statistic — must equal the unweighted report cell-for-cell,
+    // SATURATED too (k < n exercises the two-aggregate zip alignment
+    // against the independently-coded unweighted path)
+    val big = (1L to 1000L).map(i => ("t", s"row$i", i * 13 % 997, 1L))
+      .toDF("g", "id", "v", "m")
+    val wq = Kmv.weightedQuantileReport(big, Seq("g"), "id", "v", "m",
+      k = 32, Seq(250000L, 500000L, 900000L)).head()
+    val uq = Kmv.quantileReport(big, Seq("g"), "id", "v", k = 32,
+      Seq(250000L, 500000L, 900000L)).head()
+    wq.getLong(1) shouldBe uq.getLong(1)          // k_used
+    wq.getLong(2) shouldBe wq.getLong(1)          // Σ unit masses = k
+    (3 to 5).foreach(i => wq.getLong(i) shouldBe uq.getLong(i - 1))
+  }
+
+  test("weightedSampleKsReport: token mass re-ranks drift vs doc count") {
+    // p vs q: the value shift lives in the nine LIGHT docs → doc-count
+    // KS screams (0.9), mass-weighted KS whispers (0.09).
+    // p vs r: the shift lives in the one HEAVY doc → ks 0.1, wks 0.91.
+    val df = (
+      ((1L to 9L).map(i => ("p", s"p$i", 1L, 1L)) :+ ("p", "p10", 100L, 91L)) ++
+      ((1L to 9L).map(i => ("q", s"q$i", 2L, 1L)) :+ ("q", "q10", 100L, 91L)) ++
+      ((1L to 9L).map(i => ("r", s"r$i", 1L, 1L)) :+ ("r", "r10", 200L, 91L)))
+      .toDF("g", "id", "v", "m")
+    val rep = Kmv.weightedSampleKsReport(df, "g", "id", "v", "m", k = 64)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Long]("wks_e6"), x.getAs[Long]("ks_e6"))).toMap
+    rep(("p", "q")) shouldBe ((90000L, 900000L))
+    rep(("p", "r")) shouldBe ((910000L, 100000L))
+    // sample masses ride along for audit
+    val row = Kmv.weightedSampleKsReport(df, "g", "id", "v", "m", k = 64)
+      .filter(col("type_a") === "p" && col("type_b") === "q").head()
+    row.getAs[Long]("mass_a") shouldBe 100L
+    row.getAs[Long]("mass_b") shouldBe 100L
+    // unit masses: wks degenerates to ks on every pair
+    val unit = Kmv.weightedSampleKsReport(
+      df.withColumn("m", lit(1L)), "g", "id", "v", "m", k = 64).collect()
+    unit.foreach(x =>
+      x.getAs[Long]("wks_e6") shouldBe x.getAs[Long]("ks_e6"))
+  }
+
+  test("weightedValueSketches: non-integral mass or value raises loudly") {
+    val bad = Seq(("g", "id1", 1L, 1.5)).toDF("g", "id", "v", "m")
+    an[IllegalArgumentException] should be thrownBy
+      Kmv.weightedValueSketches(bad, Seq("g"), "id", "v", "m", k = 8)
+    val bad2 = Seq(("g", "id1", 1.5, 2L)).toDF("g", "id", "v", "m")
+    an[IllegalArgumentException] should be thrownBy
+      Kmv.weightedValueSketches(bad2, Seq("g"), "id", "v", "m", k = 8)
+    // null mass rows are excluded like the oracle's WHERE
+    val withNull = Seq(("g", "id1", 1L, Some(5L)),
+      ("g", "id2", 2L, None)).toDF("g", "id", "v", "m")
+    Kmv.weightedQuantileReport(withNull, Seq("g"), "id", "v", "m",
+      k = 8, Seq(500000L)).head().getLong(1) shouldBe 1L
+  }
+
   test("valueSketches: non-integral value column and bad quantiles raise") {
     val df = Seq(("g", "id1", 1.5)).toDF("g", "id", "v")
     an[IllegalArgumentException] should be thrownBy

@@ -865,6 +865,97 @@ class StreamingSpec extends SparkSpec {
     } finally { qA.stop(); qB.stop() }
   }
 
+  test("config-driven quality gates over folded stream state ≡ batch Orchestrator gates") {
+    import graft.config.ConfigLoader
+    // ONE declarative YAML quality block drives BOTH engines: the batch
+    // Orchestrator over all rows, and the merged gates over folded
+    // kmvStream/kmvValuesStream state — failedCounts must agree exactly
+    // (fold exactness; all sketches sized to hold their sets whole so
+    // the expected counts are derivable by hand, not just equal).
+    val yaml =
+      """version: "1.0"
+        |pipeline:
+        |  name: stream_gates
+        |quality:
+        |  ks_checks:
+        |    - {type_column: g, id_column: id, value_column: v,
+        |       k: 32, max_ks_e6: 400000}
+        |  growth_checks:
+        |    - {day_column: day, item_column: id, k: 64,
+        |       min_new_per_day: 3, warmup_days: 1}
+        |  containment_checks:
+        |    - {a_type_column: g, b_type_column: g, item_column: id,
+        |       k: 64, max_containment_e6: 500000}
+        |""".stripMargin
+    val cfg = ConfigLoader.parse(yaml)
+    // a and b share a value multiset (D = 0); c's values are disjoint
+    // (D = 1.0 vs both). In ID space a is 8/10 inside c (containment
+    // 800000 fails the 500000 cap); every other ordered pair is low.
+    // Day curve: d10 bootstrap, d11 +10 new, d12 +1, d13 silent, d14 +2
+    // → 3 growth failures past the 1-day warmup at floor 3.
+    val batch1 =
+      ((1 to 8).map(i => ("a", s"u$i", (i % 5).toLong, 10L)) ++
+        Seq(("a", "ax1", 3L, 10L), ("a", "ax2", 4L, 10L)) ++
+        (1 to 8).map(i => ("b", s"b$i", (i % 5).toLong, 10L)) ++
+        Seq(("b", "bx1", 3L, 10L), ("b", "bx2", 4L, 10L)) ++
+        (1 to 8).map(i => ("c", s"u$i", 1000L + i, 10L)) ++
+        (1 to 2).map(j => ("c", s"c$j", 1008L + j, 10L)))
+        .toDF("g", "id", "v", "day")
+    val batch2 =
+      ((3 to 12).map(j => ("c", s"c$j", 1008L + j, 11L)) ++
+        Seq(("c", "c13", 1021L, 12L), ("a", "u1", 1L, 12L),
+          ("c", "c14", 1022L, 14L), ("c", "c15", 1023L, 14L)))
+        .toDF("g", "id", "v", "day")
+    val in = Files.createTempDirectory("graft_qg_in").toString
+    def dirs(tag: String) =
+      (Files.createTempDirectory(s"graft_qg_${tag}_out").toString,
+        Files.createTempDirectory(s"graft_qg_${tag}_chk").toString)
+    val (outKs, chkKs) = dirs("ks")
+    val (outG, chkG) = dirs("g")
+    val (outC, chkC) = dirs("c")
+    batch1.write.mode("append").parquet(in)
+    val kc = cfg.quality.ksChecks.head
+    val gc = cfg.quality.growthChecks.head
+    val cc = cfg.quality.containmentChecks.head
+    val qKs = Streaming.kmvValuesStream(spark, in, batch1.schema,
+      Seq(kc.typeColumn), kc.idColumn, kc.valueColumn, kc.k, outKs, chkKs)
+    val qG = Streaming.kmvStream(spark, in, batch1.schema,
+      Seq(gc.dayColumn), gc.itemColumn, gc.k, outG, chkG)
+    val qC = Streaming.kmvStream(spark, in, batch1.schema,
+      Seq(cc.aTypeColumn), cc.itemColumn, cc.k, outC, chkC)
+    try {
+      qKs.processAllAvailable(); qG.processAllAvailable()
+      qC.processAllAvailable()
+      batch2.coalesce(1).write.mode("append").parquet(in)
+      qKs.processAllAvailable(); qG.processAllAvailable()
+      qC.processAllAvailable()
+      val streamed = Map(
+        "ks_check" -> Streaming.mergedKsCheck(spark, outKs, kc),
+        "growth_check" -> Streaming.mergedGrowthCheck(spark, outG, gc),
+        "containment_check" ->
+          Streaming.mergedContainmentCheck(spark, outC, outC, cc))
+      streamed.foreach { case (check, r) => r.check shouldBe check }
+      streamed("ks_check").failedCount shouldBe 2L
+      streamed("growth_check").failedCount shouldBe 3L
+      streamed("containment_check").failedCount shouldBe 1L
+      // the batch Orchestrator over every row ever streamed agrees
+      val report = graft.quality.Orchestrator.run(
+        spark.read.parquet(in), cfg.quality)
+      val batchCounts = report.checkResults
+        .filter(r => streamed.contains(r.check))
+        .map(r => r.check -> r.failedCount).toMap
+      batchCounts shouldBe streamed.map { case (k2, r) =>
+        k2 -> r.failedCount }
+      // the streamed labels mark their provenance
+      streamed.values.foreach(_.column should endWith("(streamed)"))
+      // a MASS-weighted ks spec must raise, not silently fold the
+      // unweighted statistic (the stream state carries no masses)
+      an[IllegalArgumentException] should be thrownBy
+        Streaming.mergedKsCheck(spark, outKs,
+          kc.copy(massColumn = Some("m")))
+    } finally { qKs.stop(); qG.stop(); qC.stop() }
+  }
+
   test("transitionStream chains across micro-batches and matches the batch matrix") {
     val stream = MemoryStream[Streaming.TypedEvent](spark)
     val q = Streaming.transitionStream(stream.toDS())
