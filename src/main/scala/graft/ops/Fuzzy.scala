@@ -64,18 +64,21 @@ object Fuzzy {
           .filter(col("__n") > maxBlockSize).select("k")
         keyed.join(broadcast(hot), Seq("k"), "left_anti")
       } else keyed
+    // verify BEFORE the distinct: the bounded 3-arg levenshtein (DP
+    // early-exits/bands past the threshold) runs map-side on every
+    // candidate occurrence — a pair sharing j deletion keys is verified
+    // j times — so the distinct's shuffle carries only surviving
+    // (id, id, dist) triples instead of every candidate occurrence with
+    // both strings aboard. Measured (SCALE.md r20): shuffle 9.5 → 6.4 MB
+    // at sf0.1 and 97.3 → 66.4 MB at sf1~ (−33%), wall 11.0 → 9.9 s at
+    // sf1~ — the re-verification is cheaper than shipping the strings.
+    // -1 = over threshold.
     capped.as("a").join(capped.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
-      .distinct()
-      // bounded 3-arg levenshtein: the DP early-exits (and bands) once
-      // the running distance exceeds the threshold — the verify step is
-      // the hot loop here, and candidates are overwhelmingly true pairs
-      // or near-misses, both cheap under the bound. -1 = over threshold.
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b"), 1).cast("long").as("dist"))
+        levenshtein(col("a.s"), col("b.s"), 1).cast("long").as("dist"))
       .filter(col("dist") >= 0)
+      .distinct()
   }
 
   /** [[editDistance1Join]] widened to Levenshtein distance ≤ 2 — the
@@ -101,14 +104,16 @@ object Fuzzy {
           .filter(col("__n") > maxBlockSize).select("k")
         keyed.join(broadcast(hot), Seq("k"), "left_anti")
       } else keyed
+    // same verify-before-distinct shape as [[editDistance1Join]] (the
+    // measured r20 shuffle cut); the ~len²/2-key explode makes the
+    // per-occurrence re-verification multiplicity higher here, but the
+    // avoided string shipping is bigger in the same proportion
     capped.as("a").join(capped.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b"), 2).cast("long").as("dist"))
+        levenshtein(col("a.s"), col("b.s"), 2).cast("long").as("dist"))
       .filter(col("dist") >= 0)
+      .distinct()
   }
 
   /** [[droppedBlocks]] at ed≤2 depth: the ≤2-deletion blocks
@@ -171,12 +176,12 @@ object Fuzzy {
       else lk.select("k").limit(0)
     val lc = lk.join(broadcast(hot), Seq("k"), "left_anti")
     val rc = rk.join(broadcast(hot), Seq("k"), "left_anti")
+    // verify-before-distinct (the measured r20 shuffle cut): only
+    // surviving (left_id, right_id, dist) triples reach the shuffle
     lc.as("a").join(rc.as("b"), col("a.k") === col("b.k"))
       .select(col("a.id").as("left_id"), col("b.id").as("right_id"),
-        col("a.s").as("s_a"), col("b.s").as("s_b"))
-      .distinct()
-      .select(col("left_id"), col("right_id"),
-        levenshtein(col("s_a"), col("s_b"), 1).cast("long").as("dist"))
+        levenshtein(col("a.s"), col("b.s"), 1).cast("long").as("dist"))
       .filter(col("dist") >= 0)
+      .distinct()
   }
 }
