@@ -584,7 +584,11 @@ object Kmv {
     * pairs and the per-hash min replays in any engine); both must be
     * integral (micro-units). Mass sums ride the weighted-overlap BIGINT
     * envelope: a sample mass sum is ≤ k per-item masses and meets a
-    * ·10⁶ product downstream, so keep per-item masses ≲ 9·10¹²/k. */
+    * ·10⁶ product downstream, so keep per-item masses ≲ 9·10¹²/k — and
+    * NON-NEGATIVE: the downstream quotients are replay-exact only
+    * because every numerator is ≥ 0 (Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors; they agree exactly on
+    * non-negative numerators and silently diverge on negative ones). */
   def weightedValueSketches(df: DataFrame, groupCols: Seq[String],
       idCol: String, valueCol: String, massCol: String,
       k: Int): DataFrame = {

@@ -507,8 +507,15 @@ object Streaming {
       cc: graft.config.ContainmentCheck): graft.quality.Checks.CheckResult = {
     val rep = mergedKmvContainment(spark, stateDirA, cc.aTypeColumn,
       stateDirB, cc.bTypeColumn, cc.k)
+    // "same set" compares NORMALIZED paths — "/s/." and "/s" are the
+    // same state, and a cosmetic path difference re-admitting
+    // always-100%-contained self pairs would fail the gate
+    // unconditionally (the containment filter-text lesson, batch side)
+    def norm(p: String): String =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
     val pairs =
-      if (cc.aTypeColumn == cc.bTypeColumn && stateDirA == stateDirB)
+      if (cc.aTypeColumn == cc.bTypeColumn &&
+        norm(stateDirA) == norm(stateDirB))
         rep.filter(col("type_a") =!= col("type_b"))
       else rep
     graft.quality.Checks.CheckResult("containment_check",
