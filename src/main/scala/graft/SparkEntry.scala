@@ -2823,13 +2823,18 @@ object SparkEntry {
     // near-empty docs stops outranking one in its few giant docs (the
     // q270 weighting applied to q275's statistic). The unweighted
     // ks_e6 rides along to show when the two disagree; every cell an
-    // integer mass cumsum ·10⁶ div sample mass, hash-compared.
+    // integer mass cumsum ·10⁶ div sample mass, hash-compared. Both hot
+    // paths are native expressions (spec-pinned ≡ their builtin twins):
+    // token mass = the ws_token_count byte scan (the count-only HOF
+    // form allocates ~600 slices per 4 KB doc just to read a length),
+    // and the per-pair statistics = the weighted_ks sort-merge sweep
+    // (the HOF chain burned ~50M interpreted lambda calls over 190
+    // pairs). Together measured 3.86 → 0.60 s at sf0.1.
     "q280_kmv_weighted_ks" -> ((s, dir) =>
       Kmv.weightedSampleKsReport(
         Tables.load(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"),
-            size(split(trim(col("text")), " ")).cast("long")
-              .as("n_toks")),
+            call_function("ws_token_count", col("text")).as("n_toks")),
         "source", "doc_id", "n_chars", "n_toks", k = 128)
         .orderBy("type_a", "type_b")),
 
@@ -2842,8 +2847,7 @@ object SparkEntry {
       Kmv.weightedQuantileReport(
         Tables.load(s, dir, "documents")
           .select(col("source"), col("doc_id"), col("n_chars"),
-            size(split(trim(col("text")), " ")).cast("long")
-              .as("n_toks")),
+            call_function("ws_token_count", col("text")).as("n_toks")),
         Seq("source"), "doc_id", "n_chars", "n_toks", k = 128,
         qE6s = Seq(250000L, 500000L, 750000L))
         .orderBy("source")),

@@ -83,6 +83,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeTokenCount(children.head)
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("weighted_ks"),
+      new ExpressionInfo(classOf[WeightedKs].getName, "weighted_ks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "weighted_ks takes 2 arguments")
+        WeightedKs(children.head, children(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "ws_token_count takes 1 argument")
+        WsTokenCount(children.head)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomContains].getName, "bloom_might_contain"),
       (children: Seq[Expression]) => {

@@ -489,8 +489,27 @@ object Kmv {
       a.join(b, col("type_a") === col("__prev")).drop("__prev"))
   }
 
-  /** The shared KS math over (type_a, ska, type_b, skb) sample pairs. */
-  private def ksFromSamplePairs(pairs: DataFrame): DataFrame =
+  /** The shared KS math over (type_a, ska, type_b, skb) sample pairs —
+    * the compiled `weighted_ks` sweep under UNIT masses (its count-based
+    * ks_e6 field is the two-sample KS regardless of masses, so the unit
+    * wrap just satisfies the input shape). The interpreted-HOF twin
+    * below is the spec cross-check; at |types|² pairs × k² lambda calls
+    * the HOF form is the same hot chain the weighted report retired. */
+  private def ksFromSamplePairs(pairs: DataFrame): DataFrame = {
+    def unit(side: String): Column = expr(
+      s"transform($side, x -> named_struct('v', x.v, " +
+        "'m', CAST(1 AS BIGINT)))")
+    pairs
+      .withColumn("__r",
+        call_function("weighted_ks", unit("ska"), unit("skb")))
+      .select(col("type_a"), col("type_b"),
+        col("__r.k_a").as("k_a"), col("__r.k_b").as("k_b"),
+        col("__r.ks_e6").as("ks_e6"))
+  }
+
+  /** [[ksFromSamplePairs]] in pure builtin HOFs — the spec twin (and
+    * the same math the DuckDB oracles replay for q275/q276). */
+  def ksFromSamplePairsBuiltin(pairs: DataFrame): DataFrame =
     pairs
       .withColumn("__va", expr("transform(ska, x -> x.v)"))
       .withColumn("__vb", expr("transform(skb, x -> x.v)"))
@@ -641,8 +660,25 @@ object Kmv {
   }
 
   /** The shared weighted-KS math over (type_a, ska, type_b, skb) pairs
-    * of (h, v, m) samples. */
-  private def weightedKsFromSamplePairs(pairs: DataFrame): DataFrame =
+    * of (h, v, m) samples — the compiled `weighted_ks` sort-merge sweep
+    * (one O(k log k) pass per pair). The interpreted-HOF twin below is
+    * the spec cross-check; at 20 types × k=128 the HOF form burned ~50M
+    * interpreted lambda calls (190 pairs × 2 statistics × jumps ×
+    * filter+aggregate) and dominated q280's wall. */
+  def weightedKsFromSamplePairs(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("__r",
+        call_function("weighted_ks", col("ska"), col("skb")))
+      .select(col("type_a"), col("type_b"),
+        col("__r.k_a").as("k_a"), col("__r.k_b").as("k_b"),
+        col("__r.mass_a").as("mass_a"), col("__r.mass_b").as("mass_b"),
+        col("__r.wks_e6").as("wks_e6"), col("__r.ks_e6").as("ks_e6"))
+
+  /** [[weightedKsFromSamplePairs]] in pure builtin HOFs — the
+    * independently-derived twin the spec pins `weighted_ks` against
+    * cell-for-cell (the `repetitionProfileBuiltin` pattern), and the
+    * executable statement of the math the compiled sweep implements. */
+  def weightedKsFromSamplePairsBuiltin(pairs: DataFrame): DataFrame =
     pairs
       .withColumn("k_a", size(col("ska")).cast("long"))
       .withColumn("k_b", size(col("skb")).cast("long"))

@@ -102,6 +102,75 @@ class KmvQuantileSpec extends SparkSpec {
       x.getAs[Long]("wks_e6") shouldBe x.getAs[Long]("ks_e6"))
   }
 
+  test("native weighted_ks ≡ the builtin-HOF twin on corpus pairs and edges") {
+    import org.apache.spark.sql.functions.call_function
+    // corpus pairs, SATURATED (k=16 < per-source docs) so the sweep
+    // crosses duplicate values and real mass spread
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val sk = Kmv.weightedValueSketches(
+      docs.select(col("source"), col("doc_id"), col("n_chars"),
+        call_function("ws_token_count", col("text")).as("m")),
+      Seq("source"), "doc_id", "n_chars", "m", k = 16)
+    val pairs = sk.select(col("source").as("type_a"), col("kmvv").as("ska"))
+      .join(sk.select(col("source").as("type_b"), col("kmvv").as("skb")),
+        col("type_a") < col("type_b"))
+    val native = Kmv.weightedKsFromSketches(sk, "source")
+      .orderBy("type_a", "type_b").collect().map(_.toSeq)
+    val builtin = Kmv.weightedKsFromSamplePairsBuiltin(pairs)
+      .orderBy("type_a", "type_b").collect().map(_.toSeq)
+    native.nonEmpty shouldBe true
+    native shouldBe builtin
+    // edges the corpus can't produce: a zero-total-mass side and
+    // equal-value blocks carrying distinct masses
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        | ('e2', 'f2',
+        |  array(named_struct('h', 1L, 'v', 5L, 'm', 0L),
+        |        named_struct('h', 2L, 'v', 7L, 'm', 0L)),
+        |  array(named_struct('h', 3L, 'v', 5L, 'm', 4L))),
+        | ('e3', 'f3',
+        |  array(named_struct('h', 1L, 'v', 5L, 'm', 1L),
+        |        named_struct('h', 2L, 'v', 5L, 'm', 9L),
+        |        named_struct('h', 3L, 'v', 8L, 'm', 1L)),
+        |  array(named_struct('h', 4L, 'v', 5L, 'm', 3L),
+        |        named_struct('h', 5L, 'v', 6L, 'm', 3L)))
+        | AS t(type_a, type_b, ska, skb)""".stripMargin)
+    val ne = Kmv.weightedKsFromSamplePairs(edge)
+      .orderBy("type_a").collect().map(_.toSeq)
+    val be = Kmv.weightedKsFromSamplePairsBuiltin(edge)
+      .orderBy("type_a").collect().map(_.toSeq)
+    ne shouldBe be
+    ne(0)(6) shouldBe 1000000L // e2: 0-mass a ecdf flat 0 vs b at 1.0
+    // the EMPTY side is unreachable via the report path (every group
+    // keeps ≥ 1 row); the native form answers it with null statistics
+    // and populated sizes/masses rather than the HOF twin's ANSI
+    // division error — asserted on the native alone
+    val empty = spark.sql(
+      """SELECT 'e1' AS type_a, 'f1' AS type_b,
+        | CAST(array() AS ARRAY<STRUCT<h: BIGINT, v: BIGINT, m: BIGINT>>)
+        |  AS ska,
+        | array(named_struct('h', 1L, 'v', 5L, 'm', 2L)) AS skb""".stripMargin)
+    val er = Kmv.weightedKsFromSamplePairs(empty).head()
+    // the UNWEIGHTED report routes through the same compiled sweep
+    // under unit masses — pin it against ITS builtin twin on the real
+    // per-day event samples (the q275/q276 shape)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("event_type AS g", "CAST(event_id AS STRING) AS id",
+        "CAST(round(value * 100) AS BIGINT) AS v")
+    val vsk = Kmv.valueSketches(ev, Seq("g"), "id", "v", k = 32)
+    val kp = vsk.select(col("g").as("type_a"), col("kmvv").as("ska"))
+      .join(vsk.select(col("g").as("type_b"), col("kmvv").as("skb")),
+        col("type_a") < col("type_b"))
+    Kmv.sampleKsFromSketches(vsk, "g")
+      .orderBy("type_a", "type_b").collect().map(_.toSeq) shouldBe
+      Kmv.ksFromSamplePairsBuiltin(kp)
+        .orderBy("type_a", "type_b").collect().map(_.toSeq)
+    er.getLong(2) shouldBe 0L // k_a
+    er.getLong(4) shouldBe 0L // mass_a
+    assert(er.isNullAt(6) && er.isNullAt(7))
+  }
+
   test("weightedValueSketches: non-integral mass or value raises loudly") {
     val bad = Seq(("g", "id1", 1L, 1.5)).toDF("g", "id", "v", "m")
     an[IllegalArgumentException] should be thrownBy

@@ -310,6 +310,42 @@ class TextAnalysisSpec extends SparkSpec {
     diff shouldBe 0L
   }
 
+  test("native ws_token_count ≡ size(split(trim(text), ' ')) on edges and corpus") {
+    import org.apache.spark.sql.functions.{call_function, split, trim, size => fsize}
+    // edges for the byte scan: multi-space runs open empty segments,
+    // all-spaces trims to the one-empty-segment count (1, never 0),
+    // ONLY ASCII 0x20 trims/splits (tabs/newlines pass through — both
+    // engines' default trim/literal-space contract), multi-byte UTF-8
+    // never contains a 0x20 byte mid-sequence, null stays null
+    val corpus = Seq(
+      (1L, Some("a b  c")), (2L, Some("")), (3L, Some("   ")),
+      (4L, Some("  x  ")), (5L, Some("tab\tand\nnewline only")),
+      (6L, Some("héllo wörld ünïcode")), (7L, Some("日本 語 テスト")),
+      (8L, Some("one")), (9L, None)).toDF("doc_id", "text")
+    val rows = corpus.select(
+      call_function("ws_token_count", col("text")).as("fast"),
+      fsize(split(trim(col("text")), " ")).cast("long").as("hof"))
+      .collect()
+    rows.foreach { r =>
+      r.isNullAt(0) shouldBe r.isNullAt(1)
+      if (!r.isNullAt(0)) r.getLong(0) shouldBe r.getLong(1)
+    }
+    // hand-derived anchors (not just form-vs-form agreement)
+    val byId = corpus.select(col("doc_id"),
+      call_function("ws_token_count", col("text")).as("n")).collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId(1L) shouldBe 4L // a, b, "", c
+    byId(2L) shouldBe 1L // [""] — one empty segment, never zero
+    byId(3L) shouldBe 1L
+    byId(5L) shouldBe 2L // only the one real space splits
+    byId(7L) shouldBe 3L
+    // and the real documents corpus (the q280/q281 mass source)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(call_function("ws_token_count", col("text")).as("fast"),
+        fsize(split(trim(col("text")), " ")).cast("long").as("hof"))
+      .filter(col("fast") =!= col("hof")).count() shouldBe 0L
+  }
+
   test("keywordSearchTopK: integer tf-idf ranking, self-exclusion, df cap") {
     val corpus = Seq(
       (1L, "apple banana apple"), (2L, "apple cherry"),
