@@ -161,7 +161,13 @@ object ScaleSmoke {
     // mass-weighted KS (two kmv_values aggregates + a groups² pair
     // stage — the weighted family's flat-shape claim measured)
     "q278_q18_large_orders", "q279_q21_waiting_suppliers",
-    "q280_kmv_weighted_ks")
+    "q280_kmv_weighted_ks",
+    // second r20 tranche: the correlated-scalar-subquery topology (Q17's
+    // per-part avg joined back over the brand-restricted lineitem) and
+    // the global-scalar + anti-join topology (Q22's 1-row stat frame +
+    // date-pruned LeftAnti) — the last two join classes the headliner
+    // suite lacked, measured for the same AQE-flip evidence
+    "q282_q17_small_qty_revenue", "q283_q22_idle_balances")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

@@ -2817,6 +2817,69 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // TPC-H Q17 shape: small-quantity revenue loss — the CORRELATED
+    // SCALAR SUBQUERY topology (the last fact-scale join class the
+    // headliner suite lacked): revenue from lines below 20% of their
+    // part's average quantity, over one selective brand. The correlated
+    // avg is evaluated as a per-key aggregate JOINED BACK, never a
+    // per-row re-scan — and it aggregates only the BRAND-RESTRICTED
+    // lineitem (the broadcast part semi-restriction runs below BOTH
+    // branches), because the subquery is only ever probed at the
+    // selected parts' keys: at 100 TB the avg side aggregates ~73/2000
+    // of lineitem, not all of it. avg(l_quantity) is deterministic
+    // (integral-valued doubles sum exactly in any order; one IEEE
+    // divide), and revenue rides the exact-decimal convention.
+    "q282_q17_small_qty_revenue" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      val liP = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+      val avgQ = liP
+        .groupBy(col("p_partkey").as("__ap"))
+        .agg(avg(col("l_quantity")).as("__avg_qty"))
+      liP.join(avgQ, col("p_partkey") === col("__ap"))
+        .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
+        .agg((sum(expr("CAST(l_extendedprice AS DECIMAL(18,4))"))
+          .cast("double") / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q22 shape: idle above-average balances — the GLOBAL scalar
+    // subquery + fact anti-join topology: customers in a nation set
+    // whose balance beats the set's positive-balance average and who
+    // placed no RECENT order (no order at all is vacuous here — every
+    // customer has one — so the anti side is date-restricted, which is
+    // also the realistic churn question). The global average rides a
+    // 1-ROW broadcast stat frame (the documented crossJoin exception:
+    // nothing shuffles, the fact side streams once), and the threshold
+    // compare stays in exact integer space — bal·count > sum as
+    // DECIMAL×BIGINT — so no engine divides early; the anti join is a
+    // hash LeftAnti on c_custkey against the date-pruned orders
+    // projection, the same shape at any scale.
+    "q283_q22_idle_balances" -> ((s, dir) => {
+      val nations = Seq(1, 3, 5, 7, 9)
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_nationkey").isin(nations: _*))
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nationkey"),
+          expr("CAST(c_acctbal AS DECIMAL(18,2))").as("__bal"))
+      val stat = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 0 && col("c_nationkey").isin(nations: _*))
+        .agg(sum(expr("CAST(c_acctbal AS DECIMAL(18,2))")).as("__spos"),
+          count(lit(1)).as("__cpos"))
+      val recent = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp'2000-06-01 00:00:00'"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(stat))
+        .filter(col("__bal") * col("__cpos") > col("__spos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("__bal")).cast("double").as("totacctbal"))
+        .orderBy("nationkey")
+    }),
+
     // MASS-weighted two-sample KS between sources' doc-length
     // distributions: each sampled doc counts its TOKEN MASS in the
     // ECDF, not 1/k — a length drift confined to a source's many
@@ -6208,6 +6271,37 @@ object SparkEntry {
         |    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
+    // q282/q283: the TPC-H Q17/Q22 shapes written as the correlated /
+    // scalar subqueries they are (vs the DataFrame agg-join-back and
+    // stat-frame plans: independent derivations). Q17's threshold is an
+    // avg over integral-valued doubles (order-exact sum, one IEEE
+    // divide) scaled by an explicit DOUBLE 0.2 — DuckDB would otherwise
+    // parse 0.2 as DECIMAL(2,1); Q22's threshold compare stays in
+    // DECIMAL×BIGINT integer space on both engines.
+    "q282_q17_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |  AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        | AND l_quantity < CAST(0.2 AS DOUBLE) * (
+        |   SELECT avg(l_quantity) FROM lineitem l2
+        |   WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q283_q22_idle_balances" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        | CAST(count(*) AS BIGINT) AS numcust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+        | AND CAST(c_acctbal AS DECIMAL(18,2)) * (
+        |   SELECT CAST(count(*) AS BIGINT) FROM customer c2
+        |   WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (1, 3, 5, 7, 9))
+        |  > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+        |   WHERE c2.c_acctbal > 0 AND c2.c_nationkey IN (1, 3, 5, 7, 9))
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-06-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q280/q281: the weighted-ECDF replays — same md5-prefix bottom-k
     // sample as q275 (min(v)/min(m) per hash), mass cumsums as integer
     // list HOFs (sum cast BIGINT before the ·10⁶ product — HUGEINT

@@ -19,7 +19,13 @@ class AnalyticJoinsSpec extends SparkSpec {
   private def finalPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
     df.collect() // materialize so AQE settles on the final plan
-    df.queryExecution.executedPlan.toString
+    // an AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" sections — keep only the final one so node
+    // COUNTS (q277's two nation hops, q283's single stat-frame BNLJ)
+    // count executed operators, not the pre-AQE draft again
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
   }
 
   private def assertHashJoinsOnly(plan: String): Unit = {
@@ -124,6 +130,51 @@ class AnalyticJoinsSpec extends SparkSpec {
     // the returnflag predicates reach the lineitem scans
     plan should include("EqualTo(l_returnflag,R)")
     plan should include("EqualTo(o_orderstatus,F)")
+  }
+
+  test("q282 (Q17): correlated avg joins back hash-keyed, brand pushed to the part scan") {
+    val plan = finalPlan("q282_q17_small_qty_revenue")
+    assertHashJoinsOnly(plan)
+    // the selective brand predicate must reach the part parquet reader
+    plan should include("EqualTo(p_brand,Brand#23)")
+    // the correlated avg is a per-key aggregate (map-side combinable)
+    // joined back — never a per-row re-scan of lineitem
+    plan should include("partial_avg")
+    // the part restriction broadcasts into BOTH lineitem branches
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 2
+  }
+
+  test("q282 (Q17): the avg side aggregates the brand-RESTRICTED lineitem") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // the correlated subquery is only probed at the selected parts'
+    // keys, so the per-part avg must sit ABOVE the part semi-restriction
+    // (aggregate ~73/2000 of lineitem, not all of it) — the optimized
+    // plan's avg-aggregate must have a part⋈lineitem join underneath
+    val df = SparkEntry.queries("q282_q17_small_qty_revenue")(spark, dir)
+    df.collect()
+    val avgAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.toString.contains("__avg_qty")) => a
+    }
+    avgAggs should not be empty
+    avgAggs.foreach { a =>
+      a.collect { case j: Join => j } should not be empty
+    }
+  }
+
+  test("q283 (Q22): anti join is a hash LeftAnti; the only BNLJ is the 1-row stat frame") {
+    val plan = finalPlan("q283_q22_idle_balances")
+    // the global-average stat frame rides a 1-row broadcast cross join —
+    // the ONE sanctioned BroadcastNestedLoopJoin (nothing shuffles, the
+    // customer side streams once); the churn anti-join must be hash
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).length shouldBe 1
+    plan should not include "CartesianProduct"
+    plan should include("LeftAnti")
+    // the date restriction reaches the orders scan — the anti side
+    // probes the RECENT orders projection, not all of history
+    plan should include("GreaterThanOrEqual(o_orderdate")
+    // the nation-set restriction reaches the customer scans
+    plan should include("In(c_nationkey")
   }
 
   test("dynamic partition pruning fires on a partitioned fact behind a dim filter") {
