@@ -218,9 +218,10 @@ final case class GrowthCheck(dayColumn: String, itemColumn: String,
   * KS (`Kmv.weightedSampleKsReport`): each sampled row counts its mass
   * (token count, bytes — integral, determined by `idColumn` like the
   * value) instead of 1/k, so the alarm ranks drift by mass, not row
-  * count; the cap then applies to `wks_e6`. Batch-only: the streaming
-  * gate raises on a weighted spec (its `kmvValuesStream` state carries
-  * no masses). */
+  * count; the cap then applies to `wks_e6`. The streaming gate needs
+  * `kmvWeightedValuesStream` state for a weighted spec (its samples
+  * carry the mass alongside the value) and raises loudly when pointed
+  * at unweighted `kmvValuesStream` state. */
 final case class KsCheck(typeColumn: String, idColumn: String,
     valueColumn: String, k: Int = 256, maxKsE6: Long = 500000L,
     massColumn: Option[String] = None)

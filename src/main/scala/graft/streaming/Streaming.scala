@@ -451,6 +451,84 @@ object Streaming {
     graft.quality.Kmv.sampleKsFromSketches(
       foldedKmvValueSketches(spark, stateDir, Seq(typeCol), k), typeCol)
 
+  /** CONTINUOUS MASS-weighted value-sample tracking — [[kmvValuesStream]]
+    * with each sampled row's mass carried alongside its value
+    * (`Kmv.weightedValueSketches` per micro-batch): state rows hold ≤ k
+    * ascending-by-hash (h, v, m) structs per group. Same idempotency
+    * posture (id determines value AND mass, so a re-offered id changes
+    * nothing), and the weighted read sides below fold exactly, so the
+    * merged weighted KS / quantiles ≡ their batch twins. */
+  def kmvWeightedValuesStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      groupCols: Seq[String],
+      idCol: String,
+      valueCol: String,
+      massCol: String,
+      k: Int,
+      outDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          graft.quality.Kmv
+            .weightedValueSketches(batch.toDF(), groupCols, idCol,
+              valueCol, massCol, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+          ()
+      }
+      .start()
+
+  /** Fold persisted [[kmvWeightedValuesStream]] batch samples down to one
+    * ≤ k-triple sample per group — the tail of
+    * `Kmv.weightedValueSketches` replayed over the already-hashed state:
+    * TWO `kmv_values` re-aggregates over the same exploded hash stream
+    * (one carrying v, one m) keep identical bottom-k hash sets, so the
+    * positional zip is exact alignment. Fold ≡ rebuild because bottom-k
+    * of a union of bottom-ks IS the union's bottom-k and id determines
+    * (v, m) — min of identical values is idempotent. */
+  def foldedKmvWeightedValueSketches(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(stateDir)
+      .select(groupCols.map(col) :+ explode(col("kmvv")).as("__p"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        call_function("kmv_values", col("__p.h"), col("__p.v"),
+          lit(k)).as("__kv"),
+        call_function("kmv_values", col("__p.h"), col("__p.m"),
+          lit(k)).as("__km"))
+      .select(groupCols.map(col) :+
+        expr("zip_with(__kv, __km, (x, y) -> " +
+          "named_struct('h', x.h, 'v', x.v, 'm', y.v))").as("kmvv"): _*)
+
+  /** CONTINUOUS mass-weighted KS drift off [[kmvWeightedValuesStream]]
+    * state — ≡ the batch `Kmv.weightedSampleKsReport` over every row
+    * ever streamed (wks_e6 with the unweighted ks_e6 alongside). */
+  def mergedKmvWeightedKs(spark: SparkSession, stateDir: String,
+      typeCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    graft.quality.Kmv.weightedKsFromSketches(
+      foldedKmvWeightedValueSketches(spark, stateDir, Seq(typeCol), k),
+      typeCol)
+
+  /** CONTINUOUS mass-weighted quantiles off [[kmvWeightedValuesStream]]
+    * state — ≡ the batch `Kmv.weightedQuantileReport` over every row
+    * ever streamed. */
+  def mergedKmvWeightedQuantiles(spark: SparkSession, stateDir: String,
+      groupCols: Seq[String], k: Int,
+      qE6s: Seq[Long]): org.apache.spark.sql.DataFrame =
+    graft.quality.Kmv.weightedQuantilesFromSketches(
+      foldedKmvWeightedValueSketches(spark, stateDir, groupCols, k),
+      groupCols, qE6s)
+
   // ---- config-driven CONTINUOUS quality gates ------------------------
   // The declarative ks_checks / growth_checks / containment_checks specs
   // the batch Orchestrator runs, evaluated over folded stream state —
@@ -460,24 +538,40 @@ object Streaming {
   // exactness then makes every failedCount ≡ its batch twin over every
   // row ever streamed.
 
-  /** `ks_checks` over [[kmvValuesStream]] state: failedCount = type
-    * pairs whose merged-sample KS exceeds the spec's cap. A weighted
-    * spec (mass_column set) raises loudly: the stream state carries no
-    * masses, and silently evaluating the UNWEIGHTED statistic under a
-    * weighted contract is exactly the divergence the config exists to
-    * prevent. */
+  /** `ks_checks` over value-sketch stream state: failedCount = type
+    * pairs whose merged-sample KS exceeds the spec's cap. An unweighted
+    * spec folds [[kmvValuesStream]] state and gates `ks_e6`; a weighted
+    * spec (mass_column set) requires [[kmvWeightedValuesStream]] state —
+    * each element must carry the `m` field — and gates `wks_e6` (the
+    * batch Orchestrator's weighted behavior). A weighted spec pointed at
+    * UNWEIGHTED state raises loudly: silently evaluating the unweighted
+    * statistic under a weighted contract is exactly the divergence the
+    * config exists to prevent. */
   def mergedKsCheck(spark: SparkSession, stateDir: String,
-      kc: graft.config.KsCheck): graft.quality.Checks.CheckResult = {
-    kc.massColumn.foreach(m => throw new IllegalArgumentException(
-      s"streaming ks_check: mass_column '$m' is batch-only - " +
-        "kmvValuesStream state carries (hash, value) pairs without " +
-        "masses, so the weighted statistic cannot be folded; run the " +
-        "weighted gate in the batch Orchestrator"))
-    graft.quality.Checks.CheckResult("ks_check",
-      s"${kc.typeColumn}/${kc.valueColumn}@k${kc.k} (streamed)",
-      mergedKmvKs(spark, stateDir, kc.typeColumn, kc.k)
-        .filter(col("ks_e6") > kc.maxKsE6).count())
-  }
+      kc: graft.config.KsCheck): graft.quality.Checks.CheckResult =
+    kc.massColumn match {
+      case None =>
+        graft.quality.Checks.CheckResult("ks_check",
+          s"${kc.typeColumn}/${kc.valueColumn}@k${kc.k} (streamed)",
+          mergedKmvKs(spark, stateDir, kc.typeColumn, kc.k)
+            .filter(col("ks_e6") > kc.maxKsE6).count())
+      case Some(mass) =>
+        val elem = spark.read.parquet(stateDir).schema("kmvv").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          .asInstanceOf[StructType]
+        if (!elem.fieldNames.contains("m"))
+          throw new IllegalArgumentException(
+            s"streaming ks_check: mass_column '$mass' needs " +
+              "kmvWeightedValuesStream state - this state's samples " +
+              "carry (hash, value) pairs without masses, so the " +
+              "weighted statistic cannot be folded; stream with " +
+              "kmvWeightedValuesStream (value + mass) or run the " +
+              "weighted gate in the batch Orchestrator")
+        graft.quality.Checks.CheckResult("ks_check",
+          s"${kc.typeColumn}/${kc.valueColumn}*$mass@k${kc.k} (streamed)",
+          mergedKmvWeightedKs(spark, stateDir, kc.typeColumn, kc.k)
+            .filter(col("wks_e6") > kc.maxKsE6).count())
+    }
 
   /** `growth_checks` over [[kmvStream]] state keyed by the integral
     * epoch-day column: the cumulative curve re-aggregates from per-day

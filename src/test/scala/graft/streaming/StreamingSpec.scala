@@ -821,6 +821,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvWeightedValuesStream: merged weighted KS/quantiles and gates ≡ batch") {
+    val in = Files.createTempDirectory("graft_kmvw_in").toString
+    val out = Files.createTempDirectory("graft_kmvw_out").toString
+    val chk = Files.createTempDirectory("graft_kmvw_chk").toString
+    // three types: lo/hi value ranges are disjoint (total separation in
+    // BOTH statistics), mid overlaps lo but carries its mass on the high
+    // values (the doc-count/mass flip substrate); k holds every set
+    // whole so the merged reports are exact, not just fold-equal
+    val b1 = ((1 to 40).map(i => ("lo", s"a$i", (i % 20).toLong, 10L)) ++
+      (1 to 30).map(i => ("hi", s"b$i", 1000L + i % 20, 10L)) ++
+      (1 to 20).map(i => ("mid", s"c$i", (10 + i % 20).toLong,
+        if (i % 20 < 10) 1L else 1000L))).toDF("g", "id", "v", "m")
+    b1.write.mode("append").parquet(in)
+    val q = Streaming.kmvWeightedValuesStream(spark, in, b1.schema,
+      Seq("g"), "id", "v", "m", k = 64, out, chk)
+    try {
+      q.processAllAvailable()
+      // batch 2 re-offers ids with identical (v, m) pairs (idempotent —
+      // id determines both) and adds new ones to two of the types
+      ((30 to 55).map(i => ("lo", s"a$i", (i % 20).toLong, 10L)) ++
+        (20 to 40).map(i => ("hi", s"b$i", 1000L + i % 20, 10L)))
+        .toDF("g", "id", "v", "m")
+        .coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+      val all = spark.read.parquet(in)
+      val qs = Seq(500000L, 900000L)
+      val streamedQ = Streaming.mergedKmvWeightedQuantiles(spark, out,
+        Seq("g"), 64, qs).orderBy("g").collect().map(_.toSeq)
+      val batchQ = graft.quality.Kmv.weightedQuantileReport(all,
+        Seq("g"), "id", "v", "m", 64, qs)
+        .orderBy("g").collect().map(_.toSeq)
+      streamedQ shouldBe batchQ
+      val streamedKs = Streaming.mergedKmvWeightedKs(spark, out, "g", 64)
+        .orderBy("type_a", "type_b").collect().map(_.toSeq)
+      val batchKs = graft.quality.Kmv.weightedSampleKsReport(all, "g",
+        "id", "v", "m", 64)
+        .orderBy("type_a", "type_b").collect().map(_.toSeq)
+      streamedKs shouldBe batchKs
+      // the disjoint (hi, lo) pair reads D = 1.0 in both statistics
+      val hiLo = Streaming.mergedKmvWeightedKs(spark, out, "g", 64)
+        .filter(col("type_a") === "hi" && col("type_b") === "lo").head()
+      hiLo.getAs[Long]("wks_e6") shouldBe 1000000L
+      hiLo.getAs[Long]("ks_e6") shouldBe 1000000L
+      // ONE weighted stream serves BOTH declarative gate forms (the
+      // weighted spec gates wks_e6, the unweighted spec folds the same
+      // state's (h, v) projection), each ≡ its batch Orchestrator twin
+      val kcW = graft.config.KsCheck("g", "id", "v", k = 64,
+        maxKsE6 = 400000L, massColumn = Some("m"))
+      val spec = graft.config.QualitySpec(
+        ksChecks = Seq(kcW, kcW.copy(massColumn = None)))
+      val batchCounts = graft.quality.Orchestrator.run(all, spec)
+        .checkResults.filter(_.check == "ks_check").map(_.failedCount)
+      val streamedCounts = Seq(
+        Streaming.mergedKsCheck(spark, out, kcW).failedCount,
+        Streaming.mergedKsCheck(spark, out,
+          kcW.copy(massColumn = None)).failedCount)
+      streamedCounts shouldBe batchCounts
+      Streaming.mergedKsCheck(spark, out, kcW)
+        .column should endWith("(streamed)")
+    } finally q.stop()
+  }
+
   test("kmvStream containment across two streams ≡ batch containmentReport") {
     import org.apache.spark.sql.functions.col
     def dirs(tag: String) = (
