@@ -220,8 +220,10 @@ final case class GrowthCheck(dayColumn: String, itemColumn: String,
   * value) instead of 1/k, so the alarm ranks drift by mass, not row
   * count; the cap then applies to `wks_e6`. The streaming gate needs
   * `kmvWeightedValuesStream` state for a weighted spec (its samples
-  * carry the mass alongside the value) and raises loudly when pointed
-  * at unweighted `kmvValuesStream` state. */
+  * carry the mass alongside the value); the sketch streams stamp the
+  * columns/k they sketched onto the state as schema metadata and the
+  * merged gates verify the spec against that contract, raising loudly
+  * on any mismatch (weighted spec over unweighted state included). */
 final case class KsCheck(typeColumn: String, idColumn: String,
     valueColumn: String, k: Int = 256, maxKsE6: Long = 500000L,
     massColumn: Option[String] = None)

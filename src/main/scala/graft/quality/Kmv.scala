@@ -621,18 +621,31 @@ object Kmv {
               "to fixed-point first (round(x * 100) the e2 convention)")
         }
     }
-    df.filter(col(idCol).isNotNull && col(valueCol).isNotNull &&
-        col(massCol).isNotNull)
-      .groupBy(groupCols.map(col): _*)
+    weightedSketchesFromHashStream(
+      df.filter(col(idCol).isNotNull && col(valueCol).isNotNull &&
+        col(massCol).isNotNull),
+      groupCols, hash60(col(idCol)), col(valueCol).cast("long"),
+      col(massCol).cast("long"), k)
+  }
+
+  /** The two-aligned-`kmv_values` tail over an ALREADY-HASHED
+    * (h, v, m) stream — shared by [[weightedValueSketches]] (fresh rows,
+    * h = hash60(id)) and the streaming weighted fold (persisted state,
+    * h from the state itself), so the (h, v, m) struct layout lives in
+    * exactly one expression and fold ≡ batch can't drift apart by a
+    * one-sided edit. Both aggregates keep the bottom-k DISTINCT hashes
+    * of the same stream → identical hash sets → the positional zip is
+    * exact alignment, not a join. */
+  private[graft] def weightedSketchesFromHashStream(df: DataFrame,
+      groupCols: Seq[String], hCol: Column, vCol: Column, mCol: Column,
+      k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
       .agg(
-        call_function("kmv_values", hash60(col(idCol)),
-          col(valueCol).cast("long"), lit(k)).as("__kv"),
-        call_function("kmv_values", hash60(col(idCol)),
-          col(massCol).cast("long"), lit(k)).as("__km"))
+        call_function("kmv_values", hCol, vCol, lit(k)).as("__kv"),
+        call_function("kmv_values", hCol, mCol, lit(k)).as("__km"))
       .select(groupCols.map(col) :+
         expr("zip_with(__kv, __km, (x, y) -> " +
           "named_struct('h', x.h, 'v', x.v, 'm', y.v))").as("kmvv"): _*)
-  }
 
   /** Pairwise MASS-weighted two-sample KS: D_w = max over the union of
     * sample values of |wecdf_a − wecdf_b| where each sampled row counts

@@ -316,6 +316,24 @@ object Streaming {
       k: Int,
       outDir: String,
       checkpointDir: String): StreamingQuery =
+    sketchStateStream(spark, inputDir, schema, outDir, checkpointDir) {
+      batch =>
+        withStateContract(
+          graft.quality.Kmv.sketches(batch, groupCols, itemCol, k),
+          "kmv", "group_cols" -> groupCols.mkString(","),
+          "item_col" -> itemCol, "k" -> k.toString)
+    }
+
+  /** Shared per-micro-batch sketch-state writer: reduce the batch with
+    * `build`, stamp `batch_id`, land it as a dynamically-overwritten
+    * batch_id partition — ONE copy of the idempotency scaffolding so an
+    * overwrite/checkpoint fix can't land in one sketch stream and miss
+    * its twins. */
+  private def sketchStateStream(
+      spark: SparkSession, inputDir: String, schema: StructType,
+      outDir: String, checkpointDir: String)(
+      build: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): StreamingQuery =
     spark.readStream.schema(schema).parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -323,8 +341,7 @@ object Streaming {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-          graft.quality.Kmv
-            .sketches(batch.toDF(), groupCols, itemCol, k)
+          build(batch.toDF())
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -334,6 +351,47 @@ object Streaming {
       }
       .start()
 
+  /** Stamp the column contract a sketch stream was built with onto its
+    * sketch column as schema metadata (parquet round-trips Spark field
+    * metadata via the schema footer), so the declarative merged gates
+    * can VERIFY a spec against what the state actually sketched instead
+    * of trusting the caller to pair spec and state correctly. */
+  private def withStateContract(df: org.apache.spark.sql.DataFrame,
+      sketchCol: String,
+      contract: (String, String)*): org.apache.spark.sql.DataFrame = {
+    val mb = new org.apache.spark.sql.types.MetadataBuilder()
+    contract.foreach { case (key, v) => mb.putString(key, v) }
+    df.withColumn(sketchCol, col(sketchCol).as(sketchCol, mb.build()))
+  }
+
+  /** Read a gate's state dir ONCE and verify the spec against the
+    * stream's recorded contract: a gate evaluating a spec the state was
+    * not sketched for (wrong item/value/mass column, wrong k, wrong
+    * grouping) must raise, not silently gate the wrong statistic — and
+    * state with NO recorded contract (hand-assembled, or written before
+    * the contract stamp) raises too, because an unverifiable declarative
+    * gate is exactly the divergence the config exists to prevent. */
+  private def verifiedState(spark: SparkSession, stateDir: String,
+      gate: String, sketchCol: String,
+      expected: (String, String)*): org.apache.spark.sql.DataFrame = {
+    val state = spark.read.parquet(stateDir)
+    val meta = state.schema(sketchCol).metadata
+    expected.foreach { case (key, want) =>
+      val got =
+        if (meta.contains(key)) Some(meta.getString(key)) else None
+      if (!got.contains(want))
+        throw new IllegalArgumentException(
+          s"streaming $gate: the spec needs state sketched with " +
+            s"$key='$want' but the state at $stateDir records " +
+            got.fold("no contract for it")(g => s"$key='$g'") +
+            " - point the gate at state from a matching " +
+            "kmvStream/kmvValuesStream/kmvWeightedValuesStream " +
+            "(they stamp the contract), or run the gate in the batch " +
+            "Orchestrator")
+    }
+    state
+  }
+
   /** Fold every persisted [[kmvStream]] batch sketch down to one sketch
     * per group (merge = re-offer, the exact KMV fold) — the shared read
     * side under the estimate/overlap/containment/churn dashboards.
@@ -341,7 +399,14 @@ object Streaming {
     * × ≤ k longs out; history rows are never touched. */
   def foldedKmvSketches(spark: SparkSession, stateDir: String,
       groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
-    spark.read.parquet(stateDir)
+    foldedKmvSketches(spark.read.parquet(stateDir), groupCols, k)
+
+  /** [[foldedKmvSketches]] over an already-loaded state frame — the
+    * verified-gate entry point (one read serves both the contract check
+    * and the fold). */
+  def foldedKmvSketches(state: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    state
       .select(groupCols.map(col) :+
         explode(col("kmv")).as("__hv"): _*)
       .groupBy(groupCols.map(col): _*)
@@ -405,23 +470,14 @@ object Streaming {
       k: Int,
       outDir: String,
       checkpointDir: String): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         batchId: Long) =>
+    sketchStateStream(spark, inputDir, schema, outDir, checkpointDir) {
+      batch =>
+        withStateContract(
           graft.quality.Kmv
-            .valueSketches(batch.toDF(), groupCols, idCol, valueCol, k)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(outDir)
-          ()
-      }
-      .start()
+            .valueSketches(batch, groupCols, idCol, valueCol, k),
+          "kmvv", "group_cols" -> groupCols.mkString(","),
+          "id_col" -> idCol, "value_col" -> valueCol, "k" -> k.toString)
+    }
 
   /** Fold every persisted [[kmvValuesStream]] batch sample down to one
     * ≤ k-pair sample per group — the shared read side under the
@@ -429,7 +485,12 @@ object Streaming {
     * groups × ≤ k pairs out). */
   def foldedKmvValueSketches(spark: SparkSession, stateDir: String,
       groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
-    spark.read.parquet(stateDir)
+    foldedKmvValueSketches(spark.read.parquet(stateDir), groupCols, k)
+
+  /** [[foldedKmvValueSketches]] over an already-loaded state frame. */
+  def foldedKmvValueSketches(state: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    state
       .select(groupCols.map(col) :+ explode(col("kmvv")).as("__p"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(call_function("kmv_values", col("__p.h"), col("__p.v"),
@@ -469,46 +530,35 @@ object Streaming {
       k: Int,
       outDir: String,
       checkpointDir: String): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         batchId: Long) =>
-          graft.quality.Kmv
-            .weightedValueSketches(batch.toDF(), groupCols, idCol,
-              valueCol, massCol, k)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(outDir)
-          ()
-      }
-      .start()
+    sketchStateStream(spark, inputDir, schema, outDir, checkpointDir) {
+      batch =>
+        withStateContract(
+          graft.quality.Kmv.weightedValueSketches(batch, groupCols,
+            idCol, valueCol, massCol, k),
+          "kmvv", "group_cols" -> groupCols.mkString(","),
+          "id_col" -> idCol, "value_col" -> valueCol,
+          "mass_col" -> massCol, "k" -> k.toString)
+    }
 
   /** Fold persisted [[kmvWeightedValuesStream]] batch samples down to one
-    * ≤ k-triple sample per group — the tail of
-    * `Kmv.weightedValueSketches` replayed over the already-hashed state:
-    * TWO `kmv_values` re-aggregates over the same exploded hash stream
-    * (one carrying v, one m) keep identical bottom-k hash sets, so the
-    * positional zip is exact alignment. Fold ≡ rebuild because bottom-k
-    * of a union of bottom-ks IS the union's bottom-k and id determines
+    * ≤ k-triple sample per group — `Kmv.weightedSketchesFromHashStream`
+    * (the exact tail batch `weightedValueSketches` runs) replayed over
+    * the already-hashed state. Fold ≡ rebuild because bottom-k of a
+    * union of bottom-ks IS the union's bottom-k and id determines
     * (v, m) — min of identical values is idempotent. */
   def foldedKmvWeightedValueSketches(spark: SparkSession, stateDir: String,
       groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
-    spark.read.parquet(stateDir)
-      .select(groupCols.map(col) :+ explode(col("kmvv")).as("__p"): _*)
-      .groupBy(groupCols.map(col): _*)
-      .agg(
-        call_function("kmv_values", col("__p.h"), col("__p.v"),
-          lit(k)).as("__kv"),
-        call_function("kmv_values", col("__p.h"), col("__p.m"),
-          lit(k)).as("__km"))
-      .select(groupCols.map(col) :+
-        expr("zip_with(__kv, __km, (x, y) -> " +
-          "named_struct('h', x.h, 'v', x.v, 'm', y.v))").as("kmvv"): _*)
+    foldedKmvWeightedValueSketches(spark.read.parquet(stateDir),
+      groupCols, k)
+
+  /** [[foldedKmvWeightedValueSketches]] over an already-loaded state
+    * frame. */
+  def foldedKmvWeightedValueSketches(state: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
+    graft.quality.Kmv.weightedSketchesFromHashStream(
+      state.select(groupCols.map(col) :+
+        explode(col("kmvv")).as("__p"): _*),
+      groupCols, col("__p.h"), col("__p.v"), col("__p.m"), k)
 
   /** CONTINUOUS mass-weighted KS drift off [[kmvWeightedValuesStream]]
     * state — ≡ the batch `Kmv.weightedSampleKsReport` over every row
@@ -540,36 +590,38 @@ object Streaming {
 
   /** `ks_checks` over value-sketch stream state: failedCount = type
     * pairs whose merged-sample KS exceeds the spec's cap. An unweighted
-    * spec folds [[kmvValuesStream]] state and gates `ks_e6`; a weighted
-    * spec (mass_column set) requires [[kmvWeightedValuesStream]] state —
-    * each element must carry the `m` field — and gates `wks_e6` (the
-    * batch Orchestrator's weighted behavior). A weighted spec pointed at
-    * UNWEIGHTED state raises loudly: silently evaluating the unweighted
-    * statistic under a weighted contract is exactly the divergence the
-    * config exists to prevent. */
+    * spec folds [[kmvValuesStream]] (or weighted — a weighted stream's
+    * (h, v) projection serves both forms) state and gates `ks_e6`; a
+    * weighted spec (mass_column set) requires
+    * [[kmvWeightedValuesStream]] state sketched with THAT mass column
+    * and gates `wks_e6` (the batch Orchestrator's weighted behavior).
+    * Every spec column and k is verified against the contract the
+    * stream stamped on the state — a weighted spec over unweighted
+    * state, or any id/value/mass/k mismatch, raises loudly instead of
+    * silently gating a statistic the config never asked for. */
   def mergedKsCheck(spark: SparkSession, stateDir: String,
       kc: graft.config.KsCheck): graft.quality.Checks.CheckResult =
     kc.massColumn match {
       case None =>
+        val state = verifiedState(spark, stateDir, "ks_check", "kmvv",
+          "group_cols" -> kc.typeColumn, "id_col" -> kc.idColumn,
+          "value_col" -> kc.valueColumn, "k" -> kc.k.toString)
         graft.quality.Checks.CheckResult("ks_check",
           s"${kc.typeColumn}/${kc.valueColumn}@k${kc.k} (streamed)",
-          mergedKmvKs(spark, stateDir, kc.typeColumn, kc.k)
+          graft.quality.Kmv.sampleKsFromSketches(
+            foldedKmvValueSketches(state, Seq(kc.typeColumn), kc.k),
+            kc.typeColumn)
             .filter(col("ks_e6") > kc.maxKsE6).count())
       case Some(mass) =>
-        val elem = spark.read.parquet(stateDir).schema("kmvv").dataType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-          .asInstanceOf[StructType]
-        if (!elem.fieldNames.contains("m"))
-          throw new IllegalArgumentException(
-            s"streaming ks_check: mass_column '$mass' needs " +
-              "kmvWeightedValuesStream state - this state's samples " +
-              "carry (hash, value) pairs without masses, so the " +
-              "weighted statistic cannot be folded; stream with " +
-              "kmvWeightedValuesStream (value + mass) or run the " +
-              "weighted gate in the batch Orchestrator")
+        val state = verifiedState(spark, stateDir, "ks_check", "kmvv",
+          "group_cols" -> kc.typeColumn, "id_col" -> kc.idColumn,
+          "value_col" -> kc.valueColumn, "mass_col" -> mass,
+          "k" -> kc.k.toString)
         graft.quality.Checks.CheckResult("ks_check",
           s"${kc.typeColumn}/${kc.valueColumn}*$mass@k${kc.k} (streamed)",
-          mergedKmvWeightedKs(spark, stateDir, kc.typeColumn, kc.k)
+          graft.quality.Kmv.weightedKsFromSketches(
+            foldedKmvWeightedValueSketches(state, Seq(kc.typeColumn),
+              kc.k), kc.typeColumn)
             .filter(col("wks_e6") > kc.maxKsE6).count())
     }
 
@@ -581,8 +633,11 @@ object Streaming {
       gc: graft.config.GrowthCheck): graft.quality.Checks.CheckResult = {
     val label =
       s"growth(${gc.itemColumn})@k${gc.k} by ${gc.dayColumn} (streamed)"
+    val state = verifiedState(spark, stateDir, "growth_check", "kmv",
+      "group_cols" -> gc.dayColumn, "item_col" -> gc.itemColumn,
+      "k" -> gc.k.toString)
     val cum = graft.quality.Kmv.rollingFromDailySketches(
-      foldedKmvSketches(spark, stateDir, Seq(gc.dayColumn), gc.k),
+      foldedKmvSketches(state, Seq(gc.dayColumn), gc.k),
       Nil, gc.dayColumn, gc.k, windowDays = 0)
     graft.quality.Checks.CheckResult("growth_check", label,
       graft.quality.Orchestrator.growthFailuresFromCurve(
@@ -599,8 +654,17 @@ object Streaming {
   def mergedContainmentCheck(spark: SparkSession, stateDirA: String,
       stateDirB: String,
       cc: graft.config.ContainmentCheck): graft.quality.Checks.CheckResult = {
-    val rep = mergedKmvContainment(spark, stateDirA, cc.aTypeColumn,
-      stateDirB, cc.bTypeColumn, cc.k)
+    val stateA = verifiedState(spark, stateDirA, "containment_check",
+      "kmv", "group_cols" -> cc.aTypeColumn,
+      "item_col" -> cc.itemColumn, "k" -> cc.k.toString)
+    val stateB = verifiedState(spark, stateDirB, "containment_check",
+      "kmv", "group_cols" -> cc.bTypeColumn,
+      "item_col" -> cc.itemColumn, "k" -> cc.k.toString)
+    val rep = graft.quality.Kmv.containmentFromSketches(
+      foldedKmvSketches(stateA, Seq(cc.aTypeColumn), cc.k),
+      cc.aTypeColumn,
+      foldedKmvSketches(stateB, Seq(cc.bTypeColumn), cc.k),
+      cc.bTypeColumn, cc.k)
     // "same set" compares NORMALIZED paths — "/s/." and "/s" are the
     // same state, and a cosmetic path difference re-admitting
     // always-100%-contained self pairs would fail the gate

@@ -880,6 +880,14 @@ class StreamingSpec extends SparkSpec {
       streamedCounts shouldBe batchCounts
       Streaming.mergedKsCheck(spark, out, kcW)
         .column should endWith("(streamed)")
+      // the state records the contract it was sketched with; a spec
+      // asking for a DIFFERENT mass column (or k) must raise, not
+      // silently gate a statistic the config never asked for
+      an[IllegalArgumentException] should be thrownBy
+        Streaming.mergedKsCheck(spark, out,
+          kcW.copy(massColumn = Some("bytes")))
+      an[IllegalArgumentException] should be thrownBy
+        Streaming.mergedKsCheck(spark, out, kcW.copy(k = 32))
     } finally q.stop()
   }
 
