@@ -167,7 +167,12 @@ object ScaleSmoke {
     // the global-scalar + anti-join topology (Q22's 1-row stat frame +
     // date-pruned LeftAnti) — the last two join classes the headliner
     // suite lacked, measured for the same AQE-flip evidence
-    "q282_q17_small_qty_revenue", "q283_q22_idle_balances")
+    "q282_q17_small_qty_revenue", "q283_q22_idle_balances",
+    // the fact×fact LEFT OUTER topology (Q13's count distribution) —
+    // outer joins can't drop the preserved side, so the scale question
+    // is whether the probe restriction reaches the scan (it does,
+    // plan-asserted) and the custkey exchange is reused by the count
+    "q284_q13_customer_distribution")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

@@ -2880,6 +2880,32 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
+    // TPC-H Q13 shape: customer order-count distribution — the
+    // fact×fact LEFT OUTER topology (the last join class uncovered):
+    // customers must survive with count 0 when no order matches, so the
+    // zero bucket of the histogram IS the outer semantics (a selective
+    // recent-urgent restriction keeps it non-empty at every SF). The
+    // restriction references only the orders side, so for a LEFT join
+    // it pushes into the orders SCAN instead of living in the join
+    // condition — at 100 TB the probe side arrives pre-pruned. The
+    // custkey join's exchange is reused by the per-customer count
+    // (same key), and the count-of-counts re-aggregation collapses
+    // map-side to the ~|buckets| keyspace.
+    "q284_q13_customer_distribution" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          expr("o_orderdate >= timestamp'2000-01-01 00:00:00'"))
+        .select("o_orderkey", "o_custkey")
+      Tables.load(s, dir, "customer")
+        .select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
     // MASS-weighted two-sample KS between sources' doc-length
     // distributions: each sampled doc counts its TOKEN MASS in the
     // ECDF, not 1/k — a length drift confined to a source's many
@@ -6302,6 +6328,19 @@ object SparkEntry {
         |   WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-06-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q284: the TPC-H Q13 shape with the restriction in the JOIN
+    // condition (the canonical form) — the DataFrame side pushes it
+    // into the orders scan instead, legal for LEFT OUTER exactly
+    // because it references only the preserved-side's opposite.
+    "q284_q13_customer_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey
+        |   AND o_orderpriority = '1-URGENT'
+        |   AND o_orderdate >= TIMESTAMP '2000-01-01'
+        | GROUP BY c_custkey) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // q280/q281: the weighted-ECDF replays — same md5-prefix bottom-k
     // sample as q275 (min(v)/min(m) per hash), mass cumsums as integer
     // list HOFs (sum cast BIGINT before the ·10⁶ product — HUGEINT

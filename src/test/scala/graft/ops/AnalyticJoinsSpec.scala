@@ -177,6 +177,23 @@ class AnalyticJoinsSpec extends SparkSpec {
     plan should include("In(c_nationkey")
   }
 
+  test("q284 (Q13): LEFT OUTER hash join, order restriction pushed to the scan") {
+    val plan = finalPlan("q284_q13_customer_distribution")
+    assertHashJoinsOnly(plan)
+    // the outer semantics must survive to the physical join
+    plan should include("LeftOuter")
+    // the join-condition restriction references only the orders side,
+    // so it must reach the orders PARQUET READER (pre-pruned probe),
+    // never survive as a residual join condition over all of history.
+    // (The date bound is ALSO pushed but toString truncates the
+    // PushedFilters list right at "GreaterTh…" here, so the second
+    // assertion reads it from the scan-adjacent Filter node instead.)
+    plan should include("EqualTo(o_orderpriority,1-URGENT)")
+    plan should include(">= 2000-01-01")
+    // both aggregations keep partial (map-side) combine
+    plan should include("partial_count")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact behind a dim filter") {
     import org.apache.spark.sql.functions.{col, sum}
     import spark.implicits._
