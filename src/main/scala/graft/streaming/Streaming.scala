@@ -278,23 +278,14 @@ object Streaming {
       binWidth: Long,
       outDir: String,
       checkpointDir: String): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inputDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         batchId: Long) =>
+    sketchStateStream(spark, inputDir, schema, outDir, checkpointDir) {
+      batch =>
+        withStateContract(
           graft.quality.Sketches
-            .histogramState(batch.toDF(), groupCols, valueCol, binWidth)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(outDir)
-          ()
-      }
-      .start()
+            .histogramState(batch, groupCols, valueCol, binWidth),
+          "bin", "group_cols" -> groupCols.mkString(","),
+          "value_col" -> valueCol, "bin_width" -> binWidth.toString)
+    }
 
   /** CONTINUOUS distinct-count tracking from KMV sketches: each
     * micro-batch reduces to ≤ k longs per group (`Kmv.sketches` — the
@@ -680,6 +671,88 @@ object Streaming {
       s"${cc.aTypeColumn} in ${cc.bTypeColumn}/${cc.itemColumn}" +
         s"@k${cc.k} (streamed)",
       pairs.filter(col("cont_a_in_b_e6") > cc.maxContainmentE6).count())
+  }
+
+  /** `quantile_checks` over [[histogramStream]] state: failedCount =
+    * groups whose merged q-quantile BIN lower edge falls outside
+    * [min_value, max_value] — ≡ the batch gate over every row ever
+    * streamed (bin counts sum exactly, so the merged histogram IS the
+    * one-shot histogram). The spec's grouping/value/bin_width are
+    * verified against the stamped contract. Empty group_by = a stream
+    * written with no group columns (one global histogram). */
+  def mergedQuantileCheck(spark: SparkSession, stateDir: String,
+      qc: graft.config.QuantileCheck): graft.quality.Checks.CheckResult = {
+    val label = s"${qc.valueColumn}@q${qc.qE6}" +
+      (if (qc.groupBy.nonEmpty) s" by ${qc.groupBy.mkString(",")}"
+      else "") + " (streamed)"
+    require(qc.minValue.nonEmpty || qc.maxValue.nonEmpty,
+      s"quantile_check $label: needs min_value and/or max_value")
+    val state = verifiedState(spark, stateDir, "quantile_check", "bin",
+      "group_cols" -> qc.groupBy.mkString(","),
+      "value_col" -> qc.valueColumn, "bin_width" -> qc.binWidth.toString)
+    val merged = state
+      .groupBy((qc.groupBy :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val qs = graft.quality.Sketches.histogramQuantiles(
+      merged, qc.groupBy, qc.binWidth, Seq(qc.qE6))
+    val violating =
+      qc.minValue.map(lo => col("bin_lo") < lo) ++
+        qc.maxValue.map(hi => col("bin_lo") > hi)
+    graft.quality.Checks.CheckResult("quantile_check", label,
+      qs.filter(violating.reduce(_ || _)).count())
+  }
+
+  /** `distinct_checks` over [[kmvStream]] state: failedCount = groups
+    * whose folded KMV distinct estimate falls outside
+    * [min_count, max_count] — ≡ the batch gate over every row ever
+    * streamed, with the same no-groups honesty (an EMPTY state under a
+    * min_count bound counts one failure, never a vacuous pass). One
+    * batch-side caveat carries over by construction: a group whose
+    * items were ALL null never wrote a sketch row (the stream's
+    * null-filter runs at write time), so it is absent from state and
+    * cannot read est 0 the way the batch gate's unfiltered aggregate
+    * does — gate all-null-risk columns in batch. */
+  def mergedDistinctCheck(spark: SparkSession, stateDir: String,
+      dc: graft.config.DistinctCheck): graft.quality.Checks.CheckResult = {
+    val label = s"distinct(${dc.itemColumn})@k${dc.k}" +
+      (if (dc.groupBy.nonEmpty) s" by ${dc.groupBy.mkString(",")}"
+      else "") + " (streamed)"
+    require(dc.minCount.nonEmpty || dc.maxCount.nonEmpty,
+      s"distinct_check $label: needs min_count and/or max_count")
+    val state = verifiedState(spark, stateDir, "distinct_check", "kmv",
+      "group_cols" -> dc.groupBy.mkString(","),
+      "item_col" -> dc.itemColumn, "k" -> dc.k.toString)
+    val est = foldedKmvSketches(state, dc.groupBy, dc.k)
+      .select(graft.quality.Kmv.estimate(col("kmv"), dc.k).as("__est"))
+    val violating =
+      dc.minCount.map(lo => col("__est") < lo) ++
+        dc.maxCount.map(hi => col("__est") > hi)
+    val row = est.agg(
+      count(lit(1)).as("__n"),
+      sum(when(violating.reduce(_ || _), 1L).otherwise(0L)).as("__bad"))
+      .head()
+    val failed =
+      if (row.getLong(0) == 0L && dc.minCount.nonEmpty) 1L
+      else if (row.isNullAt(1)) 0L
+      else row.getLong(1)
+    graft.quality.Checks.CheckResult("distinct_check", label, failed)
+  }
+
+  /** `overlap_checks` over [[kmvStream]] state keyed by the type
+    * column: failedCount = type pairs whose folded-sketch Jaccard
+    * exceeds the cap — ≡ the batch gate over every row ever streamed
+    * (the duplicated-audience alarm, continuous). */
+  def mergedOverlapCheck(spark: SparkSession, stateDir: String,
+      oc: graft.config.OverlapCheck): graft.quality.Checks.CheckResult = {
+    val state = verifiedState(spark, stateDir, "overlap_check", "kmv",
+      "group_cols" -> oc.typeColumn, "item_col" -> oc.itemColumn,
+      "k" -> oc.k.toString)
+    graft.quality.Checks.CheckResult("overlap_check",
+      s"${oc.typeColumn}/${oc.itemColumn}@k${oc.k} (streamed)",
+      graft.quality.Kmv.overlapFromSketches(
+        foldedKmvSketches(state, Seq(oc.typeColumn), oc.k),
+        oc.typeColumn, oc.k)
+        .filter(col("jaccard_e6") > oc.maxJaccardE6).count())
   }
 
   /** Read side of [[histogramStream]]: sum the per-batch bin counts and

@@ -956,6 +956,14 @@ class StreamingSpec extends SparkSpec {
         |  containment_checks:
         |    - {a_type_column: g, b_type_column: g, item_column: id,
         |       k: 64, max_containment_e6: 500000}
+        |  quantile_checks:
+        |    - {group_by: [g], value_column: v, bin_width: 100,
+        |       q_e6: 500000, max_value: 500}
+        |  distinct_checks:
+        |    - {group_by: [g], item_column: id, k: 64, min_count: 12}
+        |  overlap_checks:
+        |    - {type_column: g, item_column: id, k: 64,
+        |       max_jaccard_e6: 300000}
         |""".stripMargin
     val cfg = ConfigLoader.parse(yaml)
     // a and b share a value multiset (D = 0); c's values are disjoint
@@ -983,31 +991,50 @@ class StreamingSpec extends SparkSpec {
     val (outKs, chkKs) = dirs("ks")
     val (outG, chkG) = dirs("g")
     val (outC, chkC) = dirs("c")
+    val (outH, chkH) = dirs("h")
     batch1.write.mode("append").parquet(in)
     val kc = cfg.quality.ksChecks.head
     val gc = cfg.quality.growthChecks.head
     val cc = cfg.quality.containmentChecks.head
+    val qcQ = cfg.quality.quantileChecks.head
+    val dc = cfg.quality.distinctChecks.head
+    val oc = cfg.quality.overlapChecks.head
     val qKs = Streaming.kmvValuesStream(spark, in, batch1.schema,
       Seq(kc.typeColumn), kc.idColumn, kc.valueColumn, kc.k, outKs, chkKs)
     val qG = Streaming.kmvStream(spark, in, batch1.schema,
       Seq(gc.dayColumn), gc.itemColumn, gc.k, outG, chkG)
+    // ONE kmv stream keyed by the type column serves containment,
+    // distinct and overlap (their specs agree on item/k/grouping —
+    // which the stamped contract verifies)
     val qC = Streaming.kmvStream(spark, in, batch1.schema,
       Seq(cc.aTypeColumn), cc.itemColumn, cc.k, outC, chkC)
+    val qH = Streaming.histogramStream(spark, in, batch1.schema,
+      qcQ.groupBy, qcQ.valueColumn, qcQ.binWidth, outH, chkH)
     try {
       qKs.processAllAvailable(); qG.processAllAvailable()
-      qC.processAllAvailable()
+      qC.processAllAvailable(); qH.processAllAvailable()
       batch2.coalesce(1).write.mode("append").parquet(in)
       qKs.processAllAvailable(); qG.processAllAvailable()
-      qC.processAllAvailable()
+      qC.processAllAvailable(); qH.processAllAvailable()
       val streamed = Map(
         "ks_check" -> Streaming.mergedKsCheck(spark, outKs, kc),
         "growth_check" -> Streaming.mergedGrowthCheck(spark, outG, gc),
         "containment_check" ->
-          Streaming.mergedContainmentCheck(spark, outC, outC, cc))
+          Streaming.mergedContainmentCheck(spark, outC, outC, cc),
+        "quantile_check" ->
+          Streaming.mergedQuantileCheck(spark, outH, qcQ),
+        "distinct_check" -> Streaming.mergedDistinctCheck(spark, outC, dc),
+        "overlap_check" -> Streaming.mergedOverlapCheck(spark, outC, oc))
       streamed.foreach { case (check, r) => r.check shouldBe check }
       streamed("ks_check").failedCount shouldBe 2L
       streamed("growth_check").failedCount shouldBe 3L
       streamed("containment_check").failedCount shouldBe 1L
+      // c's values sit in bin 10 (bin_lo 1000 > 500); a/b in bin 0
+      streamed("quantile_check").failedCount shouldBe 1L
+      // distinct ids: a 10, b 10 (< 12, fail), c 23 (pass)
+      streamed("distinct_check").failedCount shouldBe 2L
+      // id jaccard: a-c = 8/25 = 320000 > 300000; a-b = b-c = 0
+      streamed("overlap_check").failedCount shouldBe 1L
       // the batch Orchestrator over every row ever streamed agrees
       val report = graft.quality.Orchestrator.run(
         spark.read.parquet(in), cfg.quality)
@@ -1023,7 +1050,11 @@ class StreamingSpec extends SparkSpec {
       an[IllegalArgumentException] should be thrownBy
         Streaming.mergedKsCheck(spark, outKs,
           kc.copy(massColumn = Some("m")))
-    } finally { qKs.stop(); qG.stop(); qC.stop() }
+      // a spec whose k disagrees with the stream's stamped contract
+      // raises instead of folding at the wrong precision
+      an[IllegalArgumentException] should be thrownBy
+        Streaming.mergedDistinctCheck(spark, outC, dc.copy(k = 32))
+    } finally { qKs.stop(); qG.stop(); qC.stop(); qH.stop() }
   }
 
   test("transitionStream chains across micro-batches and matches the batch matrix") {
