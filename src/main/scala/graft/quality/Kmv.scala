@@ -199,7 +199,7 @@ object Kmv {
       .withColumn("est_b", estimate(col("sk_b"), k))
       .withColumn("__est_union", estimate(col("__all"), k))
       .withColumn("est_inter",
-        expr("n_inter_k * __est_union div k_used"))
+        expr("n_inter_k * __est_union div greatest(k_used, 1)"))
       .withColumn("cont_a_in_b_e6", contE6("est_a"))
       .withColumn("cont_b_in_a_e6", contE6("est_b"))
       .select(col("type_a"), col("type_b"), col("k_used"),
@@ -272,11 +272,11 @@ object Kmv {
       .withColumn("est_union", estimate(col("__all"), k))
       .select(col("type_a"), col("type_b"), col("k_used"),
         col("n_inter_k"),
-        expr("n_inter_k * 1000000 div k_used").as("jaccard_e6"),
+        expr("n_inter_k * 1000000 div greatest(k_used, 1)").as("jaccard_e6"),
         col("est_union"),
-        expr("n_inter_k * est_union div k_used").as("est_inter"),
-        expr("n_only_a * est_union div k_used").as("est_only_a"),
-        expr("n_only_b * est_union div k_used").as("est_only_b"))
+        expr("n_inter_k * est_union div greatest(k_used, 1)").as("est_inter"),
+        expr("n_only_a * est_union div greatest(k_used, 1)").as("est_only_a"),
+        expr("n_only_b * est_union div greatest(k_used, 1)").as("est_only_b"))
 
   /** Rolling / cumulative distinct counts from DAILY sketches: the raw
     * data reduces once to one ≤ k-long sketch per `dayCol` value, then
@@ -433,7 +433,7 @@ object Kmv {
       .withColumn("est_union", estimate(col("__all"), k))
       .select(col("type_a"), col("type_b"), col("k_used"),
         col("n_inter_k"),
-        expr("n_inter_k * 1000000 div k_used").as("jaccard_e6"),
+        expr("n_inter_k * 1000000 div greatest(k_used, 1)").as("jaccard_e6"),
         col("est_union"), col("mass_a_total"), col("mass_b_total"),
         expr("__ma_inter * 1000000 div greatest(__ma_merged, 1)")
           .as("mass_share_a_inter_e6"),

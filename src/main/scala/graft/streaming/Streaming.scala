@@ -310,7 +310,16 @@ object Streaming {
     sketchStateStream(spark, inputDir, schema, outDir, checkpointDir) {
       batch =>
         withStateContract(
-          graft.quality.Kmv.sketches(batch, groupCols, itemCol, k),
+          // the batch distinct gate's aggregate posture (NO null
+          // pre-filter — `kmv_sketch` skips null hashes itself): a
+          // group whose items are all NULL writes an EMPTY-sketch row
+          // instead of vanishing from state, so est 0 flows through
+          // the fold and a min_count gate fires on cardinality
+          // collapse ≡ batch, with no carve-out. (Kmv.sketches
+          // null-filters for the REPORT surfaces; state must not.)
+          batch.groupBy(groupCols.map(col): _*)
+            .agg(call_function("kmv_sketch",
+              graft.quality.Kmv.hash60(col(itemCol)), lit(k)).as("kmv")),
           "kmv", "group_cols" -> groupCols.mkString(","),
           "item_col" -> itemCol, "k" -> k.toString)
     }
@@ -375,9 +384,10 @@ object Streaming {
           s"streaming $gate: the spec needs state sketched with " +
             s"$key='$want' but the state at $stateDir records " +
             got.fold("no contract for it")(g => s"$key='$g'") +
-            " - point the gate at state from a matching " +
-            "kmvStream/kmvValuesStream/kmvWeightedValuesStream " +
-            "(they stamp the contract), or run the gate in the batch " +
+            " - point the gate at state from a sketch stream written " +
+            "with matching columns (kmvStream / kmvValuesStream / " +
+            "kmvWeightedValuesStream / histogramStream stamp the " +
+            "contract they sketched), or run the gate in the batch " +
             "Orchestrator")
     }
     state
@@ -394,12 +404,16 @@ object Streaming {
 
   /** [[foldedKmvSketches]] over an already-loaded state frame — the
     * verified-gate entry point (one read serves both the contract check
-    * and the fold). */
+    * and the fold). explode_OUTER, not explode: an all-null group's
+    * state row carries an EMPTY sketch, and a plain explode would drop
+    * the group right here — the outer row's null hash is skipped by
+    * `kmv_sketch`, so the group folds back to an empty sketch (est 0)
+    * the way the batch gate sees it. */
   def foldedKmvSketches(state: org.apache.spark.sql.DataFrame,
       groupCols: Seq[String], k: Int): org.apache.spark.sql.DataFrame =
     state
       .select(groupCols.map(col) :+
-        explode(col("kmv")).as("__hv"): _*)
+        explode_outer(col("kmv")).as("__hv"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(call_function("kmv_sketch", col("__hv"), lit(k)).as("kmv"))
 
@@ -690,11 +704,9 @@ object Streaming {
     val state = verifiedState(spark, stateDir, "quantile_check", "bin",
       "group_cols" -> qc.groupBy.mkString(","),
       "value_col" -> qc.valueColumn, "bin_width" -> qc.binWidth.toString)
-    val merged = state
-      .groupBy((qc.groupBy :+ "bin").map(col): _*)
-      .agg(sum(col("cnt")).as("cnt"))
     val qs = graft.quality.Sketches.histogramQuantiles(
-      merged, qc.groupBy, qc.binWidth, Seq(qc.qE6))
+      foldedHistogramState(state, qc.groupBy), qc.groupBy, qc.binWidth,
+      Seq(qc.qE6))
     val violating =
       qc.minValue.map(lo => col("bin_lo") < lo) ++
         qc.maxValue.map(hi => col("bin_lo") > hi)
@@ -706,12 +718,12 @@ object Streaming {
     * whose folded KMV distinct estimate falls outside
     * [min_count, max_count] — ≡ the batch gate over every row ever
     * streamed, with the same no-groups honesty (an EMPTY state under a
-    * min_count bound counts one failure, never a vacuous pass). One
-    * batch-side caveat carries over by construction: a group whose
-    * items were ALL null never wrote a sketch row (the stream's
-    * null-filter runs at write time), so it is absent from state and
-    * cannot read est 0 the way the batch gate's unfiltered aggregate
-    * does — gate all-null-risk columns in batch. */
+    * min_count bound counts one failure, never a vacuous pass) AND the
+    * same all-null honesty: the stream writes a group whose items are
+    * all NULL as an empty-sketch row (no null pre-filter, the batch
+    * gate's aggregate posture) and the outer fold keeps it, so est 0
+    * fires a min_count bound exactly like the batch cardinality-
+    * collapse alarm. */
   def mergedDistinctCheck(spark: SparkSession, stateDir: String,
       dc: graft.config.DistinctCheck): graft.quality.Checks.CheckResult = {
     val label = s"distinct(${dc.itemColumn})@k${dc.k}" +
@@ -755,17 +767,25 @@ object Streaming {
         .filter(col("jaccard_e6") > oc.maxJaccardE6).count())
   }
 
+  /** Fold persisted [[histogramStream]] batch histograms down to one
+    * (group, bin) count frame — bin counts sum exactly, so the merged
+    * histogram IS the one-shot histogram. Shared by the dashboard read
+    * side and the quantile gate (the foldedKmvSketches pattern: one
+    * merge implementation, no one-sided drift). */
+  def foldedHistogramState(state: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    state
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Read side of [[histogramStream]]: sum the per-batch bin counts and
     * read quantiles from the merged state. */
   def mergedHistogramQuantiles(spark: SparkSession, stateDir: String,
       groupCols: Seq[String], binWidth: Long,
-      qsE6: Seq[Long]): org.apache.spark.sql.DataFrame = {
-    val merged = spark.read.parquet(stateDir)
-      .groupBy((groupCols :+ "bin").map(col): _*)
-      .agg(sum(col("cnt")).as("cnt"))
-    graft.quality.Sketches.histogramQuantiles(merged, groupCols, binWidth,
-      qsE6)
-  }
+      qsE6: Seq[Long]): org.apache.spark.sql.DataFrame =
+    graft.quality.Sketches.histogramQuantiles(
+      foldedHistogramState(spark.read.parquet(stateDir), groupCols),
+      groupCols, binWidth, qsE6)
 
   def driftStream(
       spark: SparkSession,

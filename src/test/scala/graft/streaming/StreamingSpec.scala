@@ -982,7 +982,12 @@ class StreamingSpec extends SparkSpec {
     val batch2 =
       ((3 to 12).map(j => ("c", s"c$j", 1008L + j, 11L)) ++
         Seq(("c", "c13", 1021L, 12L), ("a", "u1", 1L, 12L),
-          ("c", "c14", 1022L, 14L), ("c", "c15", 1023L, 14L)))
+          ("c", "c14", 1022L, 14L), ("c", "c15", 1023L, 14L),
+          // group z has ONLY null ids — the cardinality-collapse case:
+          // the stream must write it as an empty-sketch row (no null
+          // pre-filter) so the distinct gate's min_count fires on est 0
+          // exactly like the batch gate's unfiltered aggregate
+          ("z", null.asInstanceOf[String], 5L, 14L)))
         .toDF("g", "id", "v", "day")
     val in = Files.createTempDirectory("graft_qg_in").toString
     def dirs(tag: String) =
@@ -1029,11 +1034,13 @@ class StreamingSpec extends SparkSpec {
       streamed("ks_check").failedCount shouldBe 2L
       streamed("growth_check").failedCount shouldBe 3L
       streamed("containment_check").failedCount shouldBe 1L
-      // c's values sit in bin 10 (bin_lo 1000 > 500); a/b in bin 0
+      // c's values sit in bin 10 (bin_lo 1000 > 500); a/b/z in bin 0
       streamed("quantile_check").failedCount shouldBe 1L
-      // distinct ids: a 10, b 10 (< 12, fail), c 23 (pass)
-      streamed("distinct_check").failedCount shouldBe 2L
-      // id jaccard: a-c = 8/25 = 320000 > 300000; a-b = b-c = 0
+      // distinct ids: a 10, b 10 (< 12, fail), c 23 (pass), z all-null
+      // → empty sketch → est 0 (the collapse alarm, ≡ batch)
+      streamed("distinct_check").failedCount shouldBe 3L
+      // id jaccard: a-c = 8/25 = 320000 > 300000; a-b = b-c = 0; z's
+      // empty sketch reads jaccard/containment 0 against everything
       streamed("overlap_check").failedCount shouldBe 1L
       // the batch Orchestrator over every row ever streamed agrees
       val report = graft.quality.Orchestrator.run(
