@@ -172,7 +172,12 @@ object ScaleSmoke {
     // outer joins can't drop the preserved side, so the scale question
     // is whether the probe restriction reaches the scan (it does,
     // plan-asserted) and the custkey exchange is reused by the count
-    "q284_q13_customer_distribution")
+    "q284_q13_customer_distribution",
+    // the 7-table Q8 tree: the deepest dim fan-in in the suite — the
+    // scale question is whether every selective dim lands as a
+    // broadcast below the fact joins (plan-asserted) so lineitem
+    // shuffles at most once on its join keys
+    "q285_q8_market_share")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

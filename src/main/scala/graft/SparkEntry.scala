@@ -2906,6 +2906,63 @@ object SparkEntry {
         .orderBy(desc("custdist"), desc("c_count"))
     }),
 
+    // TPC-H Q8 shape: nation market share — the DEEPEST join tree in
+    // the suite (7 tables: part, lineitem, orders, customer, supplier,
+    // nation ×2 aliased, region) plus the share-of-total ratio pattern
+    // (conditional sum / total sum per group). Every selective dim is
+    // restricted BEFORE it meets the fact (PROMO parts broadcast into
+    // lineitem; AMERICA's nations broadcast into customer — only that
+    // region's customers reach the orders join; the supplier side keeps
+    // ALL nations because the share needs the total), and the share is
+    // computed in exact integer space — both decimal sums scaled to e4
+    // BIGINT units, ·10⁶ div — because a double/double→BIGINT cast
+    // diverges between engines (DuckDB rounds, Spark truncates).
+    // BIGINT envelope: rev_e4 sums ≤ ~10¹² at sf1~ ×10⁶ < 9.2·10¹⁸;
+    // at a true 100 TB apply the quotient/remainder split the
+    // containment math uses.
+    "q285_q8_market_share" -> ((s, dir) => {
+      val nCust = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val cust = Tables.load(s, dir, "customer")
+        .join(broadcast(nCust), col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val nSupp = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(nSupp), col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val pts = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate >= timestamp'1997-01-01 00:00:00' and " +
+          "o_orderdate < timestamp'1999-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+            .as("rev"))
+        .join(broadcast(pts), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", col("rev"))
+            .otherwise(expr("CAST(0.0000 AS DECIMAL(18,4))"))).as("__num"),
+          sum(col("rev")).as("__den"))
+        .select(col("o_year"),
+          expr("CAST(__num * 10000 AS BIGINT) * 1000000 div " +
+            "greatest(CAST(__den * 10000 AS BIGINT), 1)")
+            .as("mkt_share_e6"),
+          col("__den").cast("double").as("total_rev"))
+        .orderBy("o_year")
+    }),
+
     // MASS-weighted two-sample KS between sources' doc-length
     // distributions: each sampled doc counts its TOKEN MASS in the
     // ECDF, not 1/k — a length drift confined to a source's many
@@ -6341,6 +6398,35 @@ object SparkEntry {
         |   AND o_orderdate >= TIMESTAMP '2000-01-01'
         | GROUP BY c_custkey) t
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // q285: the TPC-H Q8 shape as one flat 8-relation join (nation
+    // aliased twice). The share is replayed in exact integer space —
+    // decimal sums scaled to e4 BIGINT units, ·10⁶ floor-div (`//` ≡
+    // Spark's `div` on non-negative operands) — never a
+    // double→BIGINT cast, which rounds in DuckDB and truncates in
+    // Spark.
+    "q285_q8_market_share" ->
+      """SELECT o_year,
+        | CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev
+        |   ELSE CAST(0.0000 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+        |  * 1000000 // greatest(CAST(sum(rev) * 10000 AS BIGINT), 1)
+        |  AS mkt_share_e6,
+        | CAST(sum(rev) AS DOUBLE) AS total_rev
+        |FROM (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |   AS rev,
+        |  n2.n_name AS supp_nation
+        | FROM part, lineitem, orders, customer, supplier,
+        |      nation n1, nation n2, region
+        | WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey
+        |  AND s_nationkey = n2.n_nationkey
+        |  AND r_name = 'AMERICA' AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01') q
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q280/q281: the weighted-ECDF replays — same md5-prefix bottom-k
     // sample as q275 (min(v)/min(m) per hash), mass cumsums as integer
     // list HOFs (sum cast BIGINT before the ·10⁶ product — HUGEINT

@@ -194,6 +194,19 @@ class AnalyticJoinsSpec extends SparkSpec {
     plan should include("partial_count")
   }
 
+  test("q285 (Q8): 7-table tree — selective dims broadcast, type/region/date pushed") {
+    val plan = finalPlan("q285_q8_market_share")
+    assertHashJoinsOnly(plan)
+    // part(type), region(name) and the date range all reach their scans
+    plan should include("EqualTo(p_type,PROMO)")
+    plan should include("EqualTo(r_name,AMERICA)")
+    plan should include("GreaterThanOrEqual(o_orderdate")
+    // the dim chains ride broadcasts: PROMO parts into lineitem, the
+    // AMERICA nations into customer, the supplier-side nation names
+    "BroadcastHashJoin".r.findAllIn(plan).length should be >= 3
+    plan should include("partial_sum")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact behind a dim filter") {
     import org.apache.spark.sql.functions.{col, sum}
     import spark.implicits._
