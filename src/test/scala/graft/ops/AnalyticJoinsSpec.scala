@@ -22,8 +22,18 @@ class AnalyticJoinsSpec extends SparkSpec {
     // an AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
     // "== Initial Plan ==" sections — keep only the final one so node
     // COUNTS (q277's two nation hops, q283's single stat-frame BNLJ)
-    // count executed operators, not the pre-AQE draft again
+    // count executed operators, not the pre-AQE draft again. A plan
+    // with MORE than one Initial section (nested AdaptiveSparkPlan —
+    // a scalar subquery would print its own pair) would make this cut
+    // silently discard a later Final section, so fail LOUDLY instead
+    // of truncating: such a query needs a tree-level contract.
     val s = df.queryExecution.executedPlan.toString
+    val marks = "== Initial Plan ==".r.findAllIn(s).length
+    require(marks <= 1,
+      s"$name prints $marks '== Initial Plan ==' sections (nested " +
+        "adaptive plans) - finalPlan's single-cut string surgery would " +
+        "silently drop a Final section; assert this query's contract " +
+        "at tree level instead")
     val cut = s.indexOf("== Initial Plan ==")
     if (cut >= 0) s.substring(0, cut) else s
   }
@@ -145,11 +155,15 @@ class AnalyticJoinsSpec extends SparkSpec {
   }
 
   test("q282 (Q17): the avg side aggregates the brand-RESTRICTED lineitem") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
     // the correlated subquery is only probed at the selected parts'
     // keys, so the per-part avg must sit ABOVE the part semi-restriction
     // (aggregate ~73/2000 of lineitem, not all of it) — the optimized
     // plan's avg-aggregate must have a part⋈lineitem join underneath
+    // AND the brand predicate itself inside its subtree (a bare
+    // some-join-exists check would stay green if a refactor lifted the
+    // filter above the agg-join-back, where Catalyst can push it to the
+    // probe side but never through the aggregate into the avg branch)
     val df = SparkEntry.queries("q282_q17_small_qty_revenue")(spark, dir)
     df.collect()
     val avgAggs = df.queryExecution.optimizedPlan.collect {
@@ -159,6 +173,9 @@ class AnalyticJoinsSpec extends SparkSpec {
     avgAggs should not be empty
     avgAggs.foreach { a =>
       a.collect { case j: Join => j } should not be empty
+      a.collect { case f: Filter
+        if f.condition.toString.contains("p_brand") => f
+      } should not be empty
     }
   }
 
