@@ -177,7 +177,11 @@ object ScaleSmoke {
     // scale question is whether every selective dim lands as a
     // broadcast below the fact joins (plan-asserted) so lineitem
     // shuffles at most once on its join keys
-    "q285_q8_market_share")
+    "q285_q8_market_share",
+    // the FULL OUTER ledger diff: both facts collapse to day grain
+    // map-side before the join, so the outer join's input is |days|
+    // rows at every SF — measured to keep that claim a number
+    "q286_recon_full_outer")
 
   /** Skew stress: the curation queries whose round-10 vocab-space/groupBy
     * rewrites paid single-node cost specifically to survive key skew —

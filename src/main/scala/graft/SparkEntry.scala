@@ -2963,6 +2963,40 @@ object SparkEntry {
         .orderBy("o_year")
     }),
 
+    // FULL OUTER reconciliation — the one join type the suite lacked:
+    // booked revenue by ORDER day vs shipped revenue by SHIP day, every
+    // day classified both / booked_only / shipped_only (the symmetric
+    // source-vs-target diff; anti-joins give each side separately, full
+    // outer gives the whole ledger in one pass — and a day present on
+    // neither side can't exist by construction). Scale shape: the two
+    // facts collapse map-side to day grain BEFORE the join, so the full
+    // outer joins two |days|-row frames — never fact×fact (Spark plans
+    // equi full-outer as a sort-merge/shuffled-hash join; no broadcast
+    // form exists, which is exactly why you aggregate first). Nulls
+    // from the outer sides are coalesced to exact-decimal zeros, not
+    // left as NULL doubles, so the compare never meets engine-specific
+    // NULL/NaN ordering.
+    "q286_recon_full_outer" -> ((s, dir) => {
+      val booked = Tables.load(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("bday"))
+        .agg(sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("__b"))
+      val shipped = Tables.load(s, dir, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("sday"))
+        .agg(sum(expr("CAST(l_extendedprice * (1 - l_discount) " +
+          "AS DECIMAL(18,4))")).as("__s"))
+      booked.join(shipped, col("bday") === col("sday"), "full")
+        .select(
+          coalesce(col("bday"), col("sday")).as("day"),
+          when(col("bday").isNull, "shipped_only")
+            .when(col("sday").isNull, "booked_only")
+            .otherwise("both").as("status"),
+          coalesce(col("__b"), expr("CAST(0.00 AS DECIMAL(18,2))"))
+            .cast("double").as("booked"),
+          coalesce(col("__s"), expr("CAST(0.0000 AS DECIMAL(18,4))"))
+            .cast("double").as("shipped"))
+        .orderBy("day")
+    }),
+
     // MASS-weighted two-sample KS between sources' doc-length
     // distributions: each sampled doc counts its TOKEN MASS in the
     // ECDF, not 1/k — a length drift confined to a source's many
@@ -6427,6 +6461,29 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01') q
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q286: the symmetric ledger diff as a flat FULL OUTER between the
+    // two day-grain rollups; outer-side nulls coalesce to exact-decimal
+    // zeros on BOTH engines before the double cast.
+    "q286_recon_full_outer" ->
+      """WITH booked AS (
+        | SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS booked
+        | FROM orders GROUP BY 1),
+        |shipped AS (
+        | SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |   AS shipped
+        | FROM lineitem GROUP BY 1)
+        |SELECT coalesce(b.day, s.day) AS day,
+        | CASE WHEN b.day IS NULL THEN 'shipped_only'
+        |      WHEN s.day IS NULL THEN 'booked_only'
+        |      ELSE 'both' END AS status,
+        | CAST(coalesce(b.booked, CAST(0.00 AS DECIMAL(18,2)))
+        |   AS DOUBLE) AS booked,
+        | CAST(coalesce(s.shipped, CAST(0.0000 AS DECIMAL(18,4)))
+        |   AS DOUBLE) AS shipped
+        |FROM booked b FULL OUTER JOIN shipped s ON b.day = s.day
+        |ORDER BY day""".stripMargin,
     // q280/q281: the weighted-ECDF replays — same md5-prefix bottom-k
     // sample as q275 (min(v)/min(m) per hash), mass cumsums as integer
     // list HOFs (sum cast BIGINT before the ·10⁶ product — HUGEINT

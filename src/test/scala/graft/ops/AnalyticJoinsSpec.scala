@@ -224,6 +224,16 @@ class AnalyticJoinsSpec extends SparkSpec {
     plan should include("partial_sum")
   }
 
+  test("q286 (recon): FULL OUTER joins day-grain rollups, facts collapse before the join") {
+    val plan = finalPlan("q286_recon_full_outer")
+    assertHashJoinsOnly(plan)
+    // the symmetric diff must survive as a true FullOuter join
+    plan should include("FullOuter")
+    // both facts aggregate to day grain BELOW the join (map-side
+    // combine present) — the full outer never sees fact-grain rows
+    plan should include("partial_sum")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact behind a dim filter") {
     import org.apache.spark.sql.functions.{col, sum}
     import spark.implicits._
