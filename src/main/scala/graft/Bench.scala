@@ -20,6 +20,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.catalyst.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE minPartitionSize was A/B'd at 64k (more parallelism for the
+      // CPU-dense verify stages) and REJECTED: it won on single queries
+      // (q234 4.1 → 2.7 s) but cost more task/stage overhead than it
+      // bought across the suite (26-query subset: +8.5 s vs the 1 MB
+      // default, worst q140 4.5 → 7.1 s) — OPTIMIZATION_r21.md. The env
+      // knob remains for cluster profiles with their own CPU-per-byte
+      // measurements; unset = Spark's default.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

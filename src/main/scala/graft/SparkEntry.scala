@@ -2740,39 +2740,37 @@ object SparkEntry {
         .limit(20)
     }),
 
-    // TPC-H Q18 shape: large-volume orders — the SEMI-join topology the
-    // other headliners lack: an IN over a grouped-HAVING subquery
-    // (orders whose lineitems sum past a quantity threshold), re-joined
-    // to lineitem/customer for the report. The key-set derivation is
-    // one map-side-combinable groupBy over lineitem's two-column
-    // projection; the IN becomes a LeftSemi HASH join on o_orderkey
-    // (never a nested loop — the key set is unbounded, so a
+    // TPC-H Q18 shape: large-volume orders — an IN over a
+    // grouped-HAVING subquery (orders whose lineitems sum past a
+    // quantity threshold), reported with lineitem/customer detail. The
+    // key-set derivation is one map-side-combinable groupBy over
+    // lineitem's two-column projection; the IN rides a HASH join on
+    // o_orderkey (never a nested loop — the key set is unbounded, so a
     // broadcast-IN literal list would not survive scale-up).
     // l_quantity is integral-valued, so the double sums are exact in
     // any order and hash-compare with the oracle.
     "q278_q18_large_orders" -> ((s, dir) => {
+      // ONE lineitem scan (r21, the r20 verdict's plan-debt item): the
+      // HAVING aggregate's per-order quantity sum IS the report's
+      // total_qty — the semi-join keys are exactly the surviving groups,
+      // so carrying `__q` through an inner join is value-identical to
+      // the old semi-join + raw-lineitem re-join + re-aggregate, at half
+      // the fact scans and half the fact aggregations. l_quantity is
+      // integral-valued, so the sum is exact in any order (hash-stable).
       val big = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_quantity")
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity")).as("__q"))
         .filter(col("__q") > 250.0)
-        .select(col("l_orderkey").as("__bigkey"))
-      val ord = Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-        .join(big, col("o_orderkey") === col("__bigkey"), "left_semi")
       val cust = Tables.load(s, dir, "customer")
         .select("c_custkey", "c_name")
-      ord
-        .join(Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_quantity"),
-          col("o_orderkey") === col("l_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(sum(col("l_quantity")).as("total_qty"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          col("o_totalprice"), col("total_qty"))
+          col("o_totalprice"), col("__q").as("total_qty"))
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
         .limit(100)
     }),

@@ -796,15 +796,19 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaEdges = sym.join(labels, sym("id_a") === labels("id"))
+      // ONE join per round (r21): the propagation edges (sym) and the
+      // pointer-jump edges (label → id, "follow my label's label") are
+      // both 'dst inherits label(src)' lookups against the SAME label
+      // table — unioned into one edge set they need one join instead of
+      // two (two broadcast builds + probes per round before; the fused
+      // multiset feeds the same min, so labels are identical round for
+      // round)
+      val jump = labels.select(col("label").as("id_a"), col("id").as("id_b"))
+      val viaBoth = sym.unionByName(jump)
+        .join(labels.withColumnRenamed("id", "id_a"), "id_a")
         .select(col("id_b").as("id"), col("label"))
-      // pointer jumping: follow id → label → label-of-label
-      val viaJump = labels.as("x")
-        .join(labels.as("y"), col("x.label") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.label").as("label"))
       val next = labels.withColumn("_self", lit(1))
-        .unionByName(viaEdges.withColumn("_self", lit(0)))
-        .unionByName(viaJump.withColumn("_self", lit(0)))
+        .unionByName(viaBoth.withColumn("_self", lit(0)))
         .groupBy("id")
         .agg(min(col("label")).as("label"),
           // every id occurs exactly once in the labels branch, so this

@@ -32,9 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
-  /** (id, s, k) with one row per deletion-neighborhood key of s. */
+  /** (id, s, k) with one row per deletion-neighborhood key of s.
+    * fanOut (r21): a single-file input plans as ONE scan task, and because
+    * the candidate join's small side broadcasts, the ENTIRE pipeline —
+    * explode, hot-block probe, join, levenshtein verify, distinct partial
+    * — fuses into that one task (measured: 4.4 s of q157's 7.2 s on one
+    * core of 32). The conditional repartition spreads the per-row work
+    * cluster-wide and is the identity on any already-parallel input. */
   private def delKeys(df: DataFrame, idCol: String, strCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    Scale.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col(strCol).as("s")))
       .withColumn("k", explode(array_distinct(expr(
         // i = 0..len-1 deletes char i+1; i = len yields s itself.
         "transform(sequence(0, length(s)), " +
@@ -45,7 +52,8 @@ object Fuzzy {
     * characters (the del≤1 transform applied to its own output, then
     * flattened and deduped). |keys| ≈ 1 + len + len²/2 per row. */
   private def delKeys2(df: DataFrame, idCol: String, strCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    Scale.fanOut(
+      df.select(col(idCol).cast("long").as("id"), col(strCol).as("s")))
       .withColumn("k", explode(array_distinct(expr(
         "flatten(transform(" +
           "transform(sequence(0, length(s)), " +
@@ -57,7 +65,11 @@ object Fuzzy {
     * within Levenshtein distance 1, with the distance. */
   def editDistance1Join(df: DataFrame, idCol: String, strCol: String,
       maxBlockSize: Int = 1000): DataFrame = {
-    val keyed = delKeys(df, idCol, strCol)
+    // localCheckpoint (r21): the exploded key table feeds THREE subtrees
+    // (the hot-block count, and both self-join sides) — without cutting
+    // lineage the explode + array_distinct pipeline runs three times
+    // (measured ~2/3 of the query's CPU); checkpointed it runs once
+    val keyed = delKeys(df, idCol, strCol).localCheckpoint()
     val capped =
       if (maxBlockSize > 0) {
         val hot = keyed.groupBy("k").agg(count(lit(1)).as("__n"))
@@ -97,7 +109,10 @@ object Fuzzy {
     * [[droppedBlocks2]]. */
   def editDistance2Join(df: DataFrame, idCol: String, strCol: String,
       maxBlockSize: Int = 1000): DataFrame = {
-    val keyed = delKeys2(df, idCol, strCol)
+    // same three-consumer checkpoint as editDistance1Join (r21) — the
+    // ≤2-deletion explode is ~len/2× heavier per row, so the saving is
+    // proportionally larger
+    val keyed = delKeys2(df, idCol, strCol).localCheckpoint()
     val capped =
       if (maxBlockSize > 0) {
         val hot = keyed.groupBy("k").agg(count(lit(1)).as("__n"))

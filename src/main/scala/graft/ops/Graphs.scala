@@ -102,17 +102,26 @@ object Graphs {
     * e-9 per round) — fine for ranking, which only needs ORDER. No
     * dangling nodes by construction (symmetric edges ⇒ deg ≥ 1).
     *
-    * Scale shape per round: one join of the rank table onto edges + one
-    * grouped sum — both keyed shuffles; localCheckpoint cuts lineage so
-    * round N never replans rounds 1..N−1 (the dupClusters posture).
-    * Fixed `iters` rounds: deterministic, and an oracle can unroll them.
+    * Scale shape per round (r21): ONE join of the rank table onto the
+    * degree-annotated edge list + ONE grouped sum — the degree join and
+    * the node-list backfill join the pre-r21 loop also paid per round
+    * are gone: deg rides ON the checkpointed edges (joined once, before
+    * the loop), and symmetry guarantees every node has an in-edge, so
+    * the grouped sum already covers the full node set and `inflow` is
+    * never null. localCheckpoint cuts lineage so round N never replans
+    * rounds 1..N−1 (the dupClusters posture). Fixed `iters` rounds:
+    * deterministic, and an oracle can unroll them.
     * Output: (node, rank_e9). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sym = symmetric(edges, srcCol, dstCol).localCheckpoint()
     val deg = sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg"))
+    // (src, dst, deg(src)) — the loop's static side, annotated ONCE
+    val symDeg = sym
+      .join(deg.withColumnRenamed("node", "src"), "src")
+      .localCheckpoint()
     val scale = 1000000000L
     val n = deg.count()
     if (n == 0) // no edges -> no nodes -> empty ranking, not a div-by-zero
@@ -121,17 +130,13 @@ object Graphs {
     val base = (15L * init) / 100L
     var ranks = deg.select(col("node"), lit(init).as("rank_e9"))
     (1 to iters).foreach { _ =>
-      val contrib = sym
+      ranks = symDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("rank_e9 div deg").as("share"))
         .groupBy("node").agg(sum(col("share")).as("inflow"))
-      ranks = deg.select("node")
-        .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr("85L * coalesce(inflow, 0L) div 100"))
-            .as("rank_e9"))
+          (lit(base) + expr("85L * inflow div 100")).as("rank_e9"))
         .localCheckpoint(eager = false)
     }
     ranks
@@ -157,7 +162,11 @@ object Graphs {
       .unionAll(canon.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .localCheckpoint()
     val wdeg = sym.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).as("wdeg")).localCheckpoint()
+      .agg(sum(col("w")).as("wdeg"))
+    // (src, dst, w, wdeg(src)) — annotated ONCE (the pageRank r21 shape)
+    val symDeg = sym
+      .join(wdeg.withColumnRenamed("node", "src"), "src")
+      .localCheckpoint()
     val scale = 1000000000L
     val n = wdeg.count()
     if (n == 0)
@@ -166,17 +175,14 @@ object Graphs {
     val base = (15L * init) / 100L
     var ranks = wdeg.select(col("node"), lit(init).as("rank_e9"))
     (1 to iters).foreach { _ =>
-      val contrib = sym
+      // symmetry ⇒ every node is some edge's dst ⇒ inflow never null
+      ranks = symDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(wdeg.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("rank_e9 * w div wdeg").as("share"))
         .groupBy("node").agg(sum(col("share")).as("inflow"))
-      ranks = wdeg.select("node")
-        .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(base) + expr("85L * coalesce(inflow, 0L) div 100"))
-            .as("rank_e9"))
+          (lit(base) + expr("85L * inflow div 100")).as("rank_e9"))
         .localCheckpoint(eager = false)
     }
     ranks
@@ -220,11 +226,19 @@ object Graphs {
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
     val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      .agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg(src)) — annotated ONCE, not joined per round
+    // (the pageRank r21 shape); every src has outdeg ≥ 1 by construction
+    val eDeg = e
+      .join(outdeg.withColumnRenamed("node", "src"), "src")
+      .localCheckpoint()
     val scale = 1000000000L
     val n = nodes.count()
     if (n == 0)
       return nodes.select(col("node"), lit(0L).as("rank_e9"))
+    // tele carries `dang`: whether the node has NO out-edges — computed
+    // once here so the per-round dangling-mass aggregate is a filter on
+    // the rank table instead of a second outdeg join every round
     val tele = (personalization match {
       case None => nodes.select(col("node"), lit(scale / n).as("tele_e9"))
       case Some(p) =>
@@ -240,18 +254,21 @@ object Graphs {
         nodes.join(w, Seq("node"), "left")
           .select(col("node"),
             expr(s"${scale}L * coalesce(w, 0L) div ${wTot}L").as("tele_e9"))
-    }).localCheckpoint()
-    var ranks = tele.select(col("node"), col("tele_e9").as("rank_e9"))
+    }).join(outdeg.select(col("node"), lit(false).as("__out")),
+        Seq("node"), "left")
+      .select(col("node"), col("tele_e9"),
+        coalesce(col("__out"), lit(true)).as("dang"))
+      .localCheckpoint()
+    var ranks = tele.select(col("node"), col("tele_e9").as("rank_e9"),
+      col("dang"))
     (1 to iters).foreach { _ =>
-      val contrib = e
+      val contrib = eDeg
         .join(ranks.select(col("node").as("src"), col("rank_e9")), "src")
-        .join(outdeg.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("rank_e9 div outdeg").as("share"))
         .groupBy("node").agg(sum(col("share")).as("inflow"))
       // the round's dangling mass: one row, broadcast onto every node
-      val dang = ranks.join(outdeg, Seq("node"), "left")
-        .filter(col("outdeg").isNull)
+      val dang = ranks.filter(col("dang"))
         .agg(coalesce(sum("rank_e9"), lit(0L)).as("dmass"))
       ranks = tele
         .join(contrib, Seq("node"), "left")
@@ -259,10 +276,11 @@ object Graphs {
         .select(col("node"),
           (expr("15L * tele_e9 div 100") +
             expr(s"85L * (coalesce(inflow, 0L) + dmass * tele_e9 div ${scale}L) div 100"))
-            .as("rank_e9"))
+            .as("rank_e9"),
+          col("dang"))
         .localCheckpoint(eager = false)
     }
-    ranks
+    ranks.select("node", "rank_e9")
   }
 
   /** Synchronous label propagation (LPA) over an undirected edge list —
@@ -422,13 +440,18 @@ object Graphs {
       .unionAll(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val scale = 1000000000L
+    // SPARSE rounds (r21): scores are carried only for nodes where they
+    // can be nonzero (auth: nodes WITH in-edges; hub: nodes WITH
+    // out-edges) — a zero score joins into the next half-round's sum as
+    // nothing, so dropping the row is exact, and each half-round saves
+    // the full-node-list backfill join the pre-r21 loop paid. The L1
+    // total is unchanged (zeros add nothing). Zero-fill happens ONCE, in
+    // the final assembly below.
     def normalize(raw: DataFrame, out: String): DataFrame = {
       val t = raw.agg(sum("raw").as("t"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(t))
+      raw.crossJoin(broadcast(t))
         .select(col("node"),
-          expr(s"coalesce(raw, 0L) div " +
-            s"greatest(1L, coalesce(t, 1L) div ${scale}L)").as(out))
+          expr(s"raw div greatest(1L, t div ${scale}L)").as(out))
         .localCheckpoint(eager = false)
     }
     var hub = nodes.select(col("node"), lit(scale).as("hub_e9"))
@@ -443,7 +466,10 @@ object Graphs {
           .groupBy(col("src").as("node")).agg(sum("auth_e9").as("raw")),
         "hub_e9")
     }
-    hub.join(auth, "node")
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub_e9"), lit(0L)).as("hub_e9"),
+        coalesce(col("auth_e9"), lit(0L)).as("auth_e9"))
   }
 
   /** Hop-bounded WEIGHTED shortest paths from a seed set — [[bfsDistances]]

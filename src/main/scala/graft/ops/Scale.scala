@@ -24,6 +24,26 @@ object Scale {
       .saveAsTable(table)
   }
 
+  /** Scale-adaptive FAN-OUT for CPU-dense row-local pipelines that follow
+    * a low-parallelism scan — the guide's "input skew: one huge
+    * unsplittable file … repartition immediately after the read" remedy,
+    * made CONDITIONAL so it is the identity exactly when a real cluster
+    * input makes it pointless. A single-file / single-row-group parquet
+    * (or a gzip part) plans into fewer scan partitions than the session
+    * has cores, and every row-local stage stacked on it (shingling,
+    * deletion-neighborhood explodes, winnow fingerprinting, media decode)
+    * then runs on ONE task while the rest of the cluster idles. When the
+    * planned partition count is below the session's default parallelism,
+    * repartition round-robin up to it (one exchange of the raw input —
+    * cheap next to the per-row compute it parallelizes, and deterministic:
+    * Spark's sort-before-repartition contract); when the input is already
+    * at least core-parallel — every healthy multi-file table at any
+    * scale — NO exchange is added and the plan is unchanged. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Salted equi-join for a skewed fact side: the fact's hot keys spread
     * across `saltFactor` partitions (salt = hash of the whole fact row —
     * deterministic, no rand()), and the other side replicates ×saltFactor.

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.ops.Scale.fanOut
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -239,7 +240,10 @@ object Similarity {
     * the same search. */
   def cosineDupes(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    // fanOut (r21): the STREAM side of the nested-loop pair scan runs the
+    // |N|²/2 dot sweep — one task on a single-file scan otherwise. Only
+    // the stream side is fanned: the broadcast build stays a bare scan.
+    val a = fanOut(df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")))
       .withColumn("norm_a", norm(col("vec_a")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
       .withColumn("norm_b", norm(col("vec_b")))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.ops.Scale.fanOut
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -307,6 +308,10 @@ object TextAnalysis {
   /** Per-document term frequencies: (doc, term, tf). One explode + one
     * keyed aggregate. */
   def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // fanOut tried and REJECTED here (r21, measured): split+explode is
+    // codegen-cheap per row — the added exchange cost more than the
+    // parallelism bought on every consumer (q51 1.29→1.94 s, q122/q205
+    // similar); the A/B is in OPTIMIZATION_r21.md
     df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -585,7 +590,8 @@ object TextAnalysis {
       minCount: Long = 1L): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    df.select(tokens(col(textCol)).as("_toks"))
+    fanOut(df.select(col(textCol)))
+      .select(tokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= 2)
       .select(explode(expr(
         s"""flatten(transform(sequence(0, size(_toks) - 1), i ->
