@@ -135,4 +135,19 @@ class ScaleSpec extends SparkSpec {
       expr("v"), 15L, 24L).head()
     rn.getAs[Long]("skipped_units") shouldBe 1L // unit 0 (max 1 < 15) only
   }
+
+  test("fanOut: widens a low-parallelism input, identity when already parallel") {
+    val par = spark.sparkContext.defaultParallelism
+    // a 1-partition input (the single-file/single-row-group scan shape)
+    // must widen to the session parallelism, preserving rows exactly
+    val narrow = spark.range(0, 100, 1, numPartitions = 1).toDF("id")
+    val fanned = Scale.fanOut(narrow)
+    fanned.rdd.getNumPartitions shouldBe par
+    fanned.select(org.apache.spark.sql.functions.sum("id")).head().getLong(0) shouldBe 4950L
+    // an input already at (or past) core parallelism is returned AS IS —
+    // no repartition node, no exchange added
+    val wide = spark.range(0, 100, 1, numPartitions = par).toDF("id")
+    val same = Scale.fanOut(wide)
+    (same eq wide) shouldBe true
+  }
 }
